@@ -1,13 +1,400 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+import graft.sources.{CsvIngest, Tables}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every query is a thin composition of graft library operators over
+  * the testdata tables; each has a DuckDB oracle in [[oracleSql]]
+  * computing the same result (same column names, engine-independent
+  * arithmetic: DECIMAL sums, single IEEE divisions, rounded
+  * similarities, total orderings).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val Salt = "graft_pii_salt_2024"
+
+  /** DQ rules for the lineitem feed (SURVEY §2 b3). */
+  private def lineitemRules: Seq[QualityRules.Rule] = Seq(
+    QualityRules.Rule(col("l_quantity") > 45, "ExcessQuantity"),
+    QualityRules.Rule(col("l_discount") > 0.08, "HighDiscount"),
+    QualityRules.Rule(col("l_tax") > 0.06, "HighTax"),
+    QualityRules.Rule(!col("l_returnflag").isin("A", "N"), "UnknownReturnFlag"),
+    QualityRules.Rule(!col("l_linestatus").isin("O", "F"), "UnknownLineStatus"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("s5_star_join")(spark, "/root/testdata/sf0.001")
+
+  // ----------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Bronze ---------------------------------------------------- //
+
+    "b1_schema_ingest" -> ((s, dir) => {
+      // Render a deterministic slice of lineitem to CSV, then exercise
+      // the schema-enforced permissive ingest path end-to-end.
+      val slice = t(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+      val csvDir = java.nio.file.Files.createTempDirectory("graft_b1_").toString
+      slice.coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+        StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+        StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+        StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+        StructField("l_shipdate", TimestampType)))
+      // cache: Spark disallows queries referencing only the corrupt
+      // column on raw CSV (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+      val ingested = CsvIngest.read(s, csvDir, schema).cache()
+      ingested.agg(
+        sum(when(col(CsvIngest.CorruptCol).isNull, 1L).otherwise(0L)).as("clean_rows"),
+        sum(when(col(CsvIngest.CorruptCol).isNotNull, 1L).otherwise(0L)).as("malformed_rows"))
+    }),
+
+    "b2_dedup_latest" -> ((s, dir) =>
+      Dedup.latestByKey(t(s, dir, "lineitem"), Seq("l_orderkey"),
+          Seq(col("l_shipdate").desc, col("l_linenumber").desc))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")),
+
+    "b3_quality_rules" -> ((s, dir) =>
+      QualityRules.withReasons(t(s, dir, "lineitem"), lineitemRules)
+        .filter(length(col(QualityRules.ReasonCol)) > 0)
+        .groupBy(col(QualityRules.ReasonCol).as("reason"))
+        .agg(count(lit(1)).as("n"))),
+
+    "b4_quarantine_split" -> ((s, dir) => {
+      val flagged = QualityRules.withReasons(t(s, dir, "lineitem"), lineitemRules)
+      flagged.agg(
+        count(lit(1)).as("total_rows"),
+        sum(when(length(col(QualityRules.ReasonCol)) === 0, 1L).otherwise(0L)).as("clean_rows"),
+        sum(when(length(col(QualityRules.ReasonCol)) > 0, 1L).otherwise(0L)).as("quarantined_rows"))
+    }),
+
+    "b5_merge_upsert" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag", "l_shipdate")
+      val target = li.filter(col("l_shipdate") < lit("1999-01-01").cast(TimestampType))
+        .drop("l_shipdate")
+      val source = li.filter(col("l_shipdate") >= lit("1998-01-01").cast(TimestampType))
+        .withColumn("l_extendedprice", col("l_extendedprice") * 1.1)
+        .drop("l_shipdate")
+      Merge.upsert(target, source, Seq("l_orderkey", "l_linenumber"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Measures.decSum(col("l_extendedprice")).as("total"))
+    }),
+
+    // ---- Silver ---------------------------------------------------- //
+
+    "s1_dim_extract" -> ((s, dir) => {
+      val fact = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      Dimensions.extract(
+        fact.join(broadcast(cust), fact("o_custkey") === cust("c_custkey")),
+        Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+    }),
+
+    "s2_date_dim" -> ((s, dir) =>
+      Dimensions.dateDimension(s,
+        java.time.LocalDate.of(2015, 1, 1), java.time.LocalDate.of(2016, 12, 31))),
+
+    "s3_pii_hash" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        Pii.saltedSha256(col("c_custkey"), Salt).as("patient_key"),
+        col("c_mktsegment"))),
+
+    "s4_fact_build" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+          col("o_orderkey").as("claim_id"),
+          Pii.saltedSha256(col("o_custkey"), Salt).as("patient_key"),
+          col("o_totalprice").as("amount"),
+          col("o_orderdate").as("claim_date"),
+          col("o_orderstatus").as("status"))
+        .dropDuplicates("claim_id")),
+
+    "s5_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          Measures.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+
+    // ---- Gold ------------------------------------------------------ //
+
+    "g1_distinct_domains" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderstatus")).distinct()),
+
+    "g2_staging_projection" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .distinct()),
+
+    "g3_conditional_upsert" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val staging = cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
+        .unionByName(
+          cust.filter(col("c_custkey") % 50 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 1000000))
+      Merge.conditionalUpsertMetrics(cust, staging,
+        keys = Seq("c_custkey"), compareCols = Seq("c_name", "c_acctbal", "c_mktsegment"))
+    }),
+
+    "g4_measure_pack" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val fact = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      Measures.measurePack(fact,
+        amount = col("l_extendedprice"), status = col("o_orderstatus"),
+        typ = col("o_orderpriority"),
+        entityA = col("o_custkey"), entityB = col("l_suppkey"),
+        statuses = ("F", "O", "P"), types = ("1-URGENT", "5-LOW"))
+    }),
+
+    "g5_measures_by_dim" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"), year(col("o_orderdate")).as("yr"))
+        .agg(
+          count(lit(1)).as("n_claims"),
+          Measures.decSum(col("o_totalprice")).as("total_amount"),
+          Measures.decAvg(col("o_totalprice")).as("average_amount"),
+          countDistinct(col("o_custkey")).as("unique_patients"))),
+
+    "g6_time_intelligence" -> ((s, dir) =>
+      Measures.timeIntelligence(t(s, dir, "orders"), col("o_orderdate"), col("o_totalprice"))),
+
+    "g7_topn" -> ((s, dir) =>
+      Measures.topN(t(s, dir, "orders"), col("o_custkey"), col("o_totalprice"), 10)),
+
+    "g8_ingestion_log" -> ((s, dir) => {
+      // Single pass: rank per key with a TOTAL ordering (the data has
+      // tied (orderkey, shipdate, linenumber) rows whose DQ attributes
+      // differ — a partial ordering would make the winner ambiguous),
+      // then bucket each row exactly once.
+      val li = t(s, dir, "lineitem")
+      val order = Seq(col("l_shipdate").desc, col("l_linenumber").desc,
+        col("l_partkey").desc, col("l_suppkey").desc, col("l_quantity").desc,
+        col("l_extendedprice").desc, col("l_discount").desc, col("l_tax").desc,
+        col("l_returnflag").desc, col("l_linestatus").desc)
+      val ranked = li.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey")).orderBy(order: _*)))
+      val flagged = QualityRules.withReasons(ranked, lineitemRules)
+      flagged.select(
+          when(col("__rn") > 1, lit("duplicate"))
+            .when(length(col(QualityRules.ReasonCol)) > 0, lit("bad_quality"))
+            .otherwise(lit("clean")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .unionByName(s.range(1).select(lit("malformed").as("bucket"), lit(0L).as("n")))
+    }))
+
+  // ----------------------------------------------------------------- //
+
+  /** The b3/b4/g8 DQ rule set as DuckDB SQL (kept in lockstep with
+    * [[lineitemRules]]). */
+  private val DqReasonSql =
+    """coalesce(array_to_string(list_filter([
+      |  CASE WHEN l_quantity > 45 THEN 'ExcessQuantity' END,
+      |  CASE WHEN l_discount > 0.08 THEN 'HighDiscount' END,
+      |  CASE WHEN l_tax > 0.06 THEN 'HighTax' END,
+      |  CASE WHEN NOT l_returnflag IN ('A','N') THEN 'UnknownReturnFlag' END,
+      |  CASE WHEN NOT l_linestatus IN ('O','F') THEN 'UnknownLineStatus' END
+      | ], x -> x IS NOT NULL), ';'), '')""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "b1_schema_ingest" ->
+      """SELECT count(*) AS clean_rows, CAST(0 AS BIGINT) AS malformed_rows
+        |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin,
+
+    "b2_dedup_latest" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM (
+        |  SELECT l_orderkey, l_linenumber, l_shipdate,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+
+    "b3_quality_rules" ->
+      s"""WITH flagged AS (SELECT $DqReasonSql AS reason FROM lineitem)
+         |SELECT reason, count(*) AS n FROM flagged WHERE reason <> '' GROUP BY reason""".stripMargin,
+
+    "b4_quarantine_split" ->
+      s"""WITH flagged AS (SELECT $DqReasonSql AS reason FROM lineitem)
+         |SELECT count(*) AS total_rows,
+         |       sum(CASE WHEN reason = '' THEN 1 ELSE 0 END) AS clean_rows,
+         |       sum(CASE WHEN reason <> '' THEN 1 ELSE 0 END) AS quarantined_rows
+         |FROM flagged""".stripMargin,
+
+    "b5_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'),
+        |source AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice * 1.1 AS l_extendedprice, l_returnflag
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+        |merged AS (
+        |  SELECT t.* FROM target t
+        |  WHERE NOT EXISTS (SELECT 1 FROM source s
+        |                    WHERE s.l_orderkey = t.l_orderkey
+        |                      AND s.l_linenumber = t.l_linenumber)
+        |  UNION ALL SELECT * FROM source)
+        |SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM merged GROUP BY l_returnflag""".stripMargin,
+
+    "s1_dim_extract" ->
+      """SELECT DISTINCT c_custkey, c_name, c_mktsegment, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "s2_date_dim" ->
+      """SELECT CAST(datediff('day', DATE '2015-01-01', d) + 1 AS INTEGER) AS DateID,
+        |       d AS Date,
+        |       CAST(year(d) AS INTEGER) AS Year,
+        |       CAST(month(d) AS INTEGER) AS Month,
+        |       CAST(day(d) AS INTEGER) AS Day,
+        |       monthname(d) AS MonthName,
+        |       dayname(d) AS DayName
+        |FROM (SELECT CAST(gs AS DATE) AS d
+        |      FROM generate_series(DATE '2015-01-01', DATE '2016-12-31', INTERVAL 1 DAY) t(gs))""".stripMargin,
+
+    "s3_pii_hash" ->
+      """SELECT c_custkey,
+        |       sha256(CAST(c_custkey AS VARCHAR) || 'graft_pii_salt_2024') AS patient_key,
+        |       c_mktsegment
+        |FROM customer""".stripMargin,
+
+    "s4_fact_build" ->
+      """SELECT o_orderkey AS claim_id,
+        |       sha256(CAST(o_custkey AS VARCHAR) || 'graft_pii_salt_2024') AS patient_key,
+        |       o_totalprice AS amount,
+        |       o_orderdate AS claim_date,
+        |       o_orderstatus AS status
+        |FROM orders""".stripMargin,
+
+    "s5_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "g1_distinct_domains" ->
+      "SELECT DISTINCT o_orderstatus FROM orders",
+
+    "g2_staging_projection" ->
+      """SELECT DISTINCT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders""".stripMargin,
+
+    "g3_conditional_upsert" ->
+      """WITH staging AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |         c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 50 = 0)
+        |SELECT
+        |  (SELECT count(*) FROM customer t JOIN staging s ON t.c_custkey = s.c_custkey
+        |   WHERE t.c_name IS DISTINCT FROM s.c_name
+        |      OR t.c_acctbal IS DISTINCT FROM s.c_acctbal
+        |      OR t.c_mktsegment IS DISTINCT FROM s.c_mktsegment) AS rows_updated,
+        |  (SELECT count(*) FROM staging s
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer t WHERE t.c_custkey = s.c_custkey)) AS rows_inserted,
+        |  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+        |                         UNION SELECT c_custkey FROM staging) u) AS total_rows""".stripMargin,
+
+    "g4_measure_pack" ->
+      """SELECT count(*) AS total_claims,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_amount,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS average_amount,
+        |       count(DISTINCT o_custkey) AS unique_patients,
+        |       count(DISTINCT l_suppkey) AS unique_providers,
+        |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS approved_claims,
+        |       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS denied_claims,
+        |       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_claims,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS approved_amount,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS denied_amount,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS pending_amount,
+        |       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS type_a_claims,
+        |       sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS type_b_claims,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS approval_rate,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS denied_rate,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pending_rate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "g5_measures_by_dim" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       count(*) AS n_claims,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_amount,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(o_totalprice) AS average_amount,
+        |       count(DISTINCT o_custkey) AS unique_patients
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "g6_time_intelligence" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |         CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS amount_mtd
+        |  FROM orders GROUP BY 1, 2, 3),
+        |cur AS (
+        |  SELECT yr, qtr, mo, amount_mtd,
+        |         sum(amount_mtd) OVER (PARTITION BY yr ORDER BY mo) AS amount_ytd,
+        |         sum(amount_mtd) OVER (PARTITION BY yr, qtr ORDER BY mo) AS amount_qtd
+        |  FROM monthly)
+        |SELECT c.yr, c.mo,
+        |       CAST(c.amount_mtd AS DOUBLE) AS amount_mtd,
+        |       CAST(c.amount_qtd AS DOUBLE) AS amount_qtd,
+        |       CAST(c.amount_ytd AS DOUBLE) AS amount_ytd,
+        |       CAST(l.amount_mtd AS DOUBLE) AS amount_ly,
+        |       CAST(c.amount_mtd - l.amount_mtd AS DOUBLE) AS amount_yoy_delta,
+        |       CAST(c.amount_mtd - l.amount_mtd AS DOUBLE) / CAST(l.amount_mtd AS DOUBLE) AS amount_yoy_pct
+        |FROM cur c LEFT JOIN monthly l ON l.yr = c.yr - 1 AND l.mo = c.mo""".stripMargin,
+
+    "g7_topn" ->
+      """SELECT o_custkey AS key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total DESC, key ASC LIMIT 10""".stripMargin,
+
+    "g8_ingestion_log" ->
+      s"""WITH ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+         |            ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC,
+         |                     l_suppkey DESC, l_quantity DESC, l_extendedprice DESC,
+         |                     l_discount DESC, l_tax DESC, l_returnflag DESC,
+         |                     l_linestatus DESC) AS rn
+         |  FROM lineitem),
+         |buckets AS (
+         |  SELECT CASE WHEN rn > 1 THEN 'duplicate'
+         |              WHEN ($DqReasonSql) <> '' THEN 'bad_quality'
+         |              ELSE 'clean' END AS bucket
+         |  FROM ranked)
+         |SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket
+         |UNION ALL SELECT 'malformed', CAST(0 AS BIGINT)""".stripMargin)
 }
