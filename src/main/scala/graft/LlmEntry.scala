@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Knn
+import graft.dedup.TextDedup
+import graft.multimodal.Multimodal
+import graft.streaming.Events
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** LLM-training-data + streaming operators (SURVEY §2: the d, e, t, m
+  * and st families), with DuckDB oracles where SQL can express the
+  * semantics. The hash constants used in the oracle SQL are generated
+  * from the same Scala values the operators use — one source of truth.
+  */
+object LlmEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "d1_exact_dedup" -> ((s, dir) =>
+      TextDedup.exactDupMetrics(t(s, dir, "documents"), col("doc_id"), col("text"))),
+
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      TextDedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        minJaccard = 0.05)),
+
+    "d3_minhash_lsh" -> ((s, dir) =>
+      TextDedup.minHashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        minJaccard = 0.1)),
+
+    "d4_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextDedup.simHashHex(col("text")).as("simhash"))),
+
+    "d5_embedding_dedup" -> ((s, dir) =>
+      Knn.embeddingNearDupPairs(t(s, dir, "embeddings"), minSim = 0.4)),
+
+    "e1_knn_brute" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Knn.bruteForceTopK(v.filter(col("vec_id") < 10), v.filter(col("vec_id") >= 10), k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "e2_knn_lsh" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Knn.lshTopK(v.filter(col("vec_id") < 10), v.filter(col("vec_id") >= 10), k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "t1_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "t2_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), col("text"))
+        .select("doc_id", "n_chars_chk", "n_tokens", "punct_ratio", "stop_ratio",
+          "quality_score")),
+
+    "t3_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), col("text"))
+        .select("doc_id", "ws_tokens", "bpe_tokens")),
+
+    "t4_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), col("text"))
+        .select("doc_id", "md5_fp", "rolling_fp")),
+
+    "m1_multimodal" -> ((s, dir) =>
+      Multimodal.decodeStub(Multimodal.asAssets(t(s, dir, "documents")))
+        .select("asset_id", "media_type", "n_bytes", "content_md5", "features")),
+
+    "st1_windowed_agg" -> ((s, dir) =>
+      Events.windowedAgg(Tables.loadEvents(s, dir))),
+
+    "st2_sessionize" -> ((s, dir) =>
+      Events.sessionizeBatch(Tables.loadEvents(s, dir))))
+
+  // ------------------------------------------------------------------ //
+
+  private val ToksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  private val ShSql =
+    s"""list_distinct([array_to_string(tk[i:i+2],' ') for i in range(1, len(tk)-1)])"""
+
+  private def h32Sql(v: String) =
+    s"(CAST('0x'||substr(md5($v),1,15) AS BIGINT)%${graft.functions.Hashing.P32})"
+
+  private val MinhashSql: String =
+    TextDedup.MinHashA.zip(TextDedup.MinHashB).map { case (a, b) =>
+      s"list_min(list_transform(sh, s -> ($a*${h32Sql("s")}+$b)%${graft.functions.Hashing.P32}))"
+    }.mkString("[", ",\n     ", "]")
+
+  private val LangScoreSql: Seq[(String, String)] =
+    TextAnalysis.LangProfiles.map { case (lang, words) =>
+      lang -> s"len(list_filter(tk, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+    }
+
+  private val LangCaseSql: String = {
+    val langs = TextAnalysis.LangProfiles.map(_._1)
+    val cases = langs.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge AND s_$l > 0 THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE 'und' END"
+  }
+
+  private val EnStopsSql: String =
+    TextAnalysis.LangProfiles.find(_._1 == "en").get._2.map(w => s"'$w'").mkString(",")
+
+  private val CosSql =
+    "round(list_dot_product(qe,ce)/(sqrt(list_dot_product(qe,qe))*sqrt(list_dot_product(ce,ce))),6)"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "d1_exact_dedup" ->
+      """WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_groups,
+        |       CAST(sum(n) - count(*) AS BIGINT) AS n_dupes FROM g""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $ShSql AS sh
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)
+         |  WHERE len(tk) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       CAST(inter AS DOUBLE)/(len(ta.sh) + len(tb.sh) - inter) AS jaccard
+         |FROM pairs JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE)/(len(ta.sh) + len(tb.sh) - inter) >= 0.05""".stripMargin,
+
+    "d3_minhash_lsh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $ShSql AS sh
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)
+         |  WHERE len(tk) >= 3),
+         |sigs AS (SELECT doc_id, sh, $MinhashSql AS sig FROM toks),
+         |bands AS (SELECT doc_id, j AS band,
+         |                 array_to_string(sig[${TextDedup.RowsPerBand}*j+1:${TextDedup.RowsPerBand}*j+${TextDedup.RowsPerBand}], ':') AS bsig
+         |          FROM sigs, range(0, ${TextDedup.Bands}) r(j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+         |                           AND a.doc_id < b.doc_id),
+         |ver AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) /
+         |    (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jaccard
+         |  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.1""".stripMargin,
+
+    "d4_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+         |hs AS (SELECT doc_id,
+         |  list_transform(tk, s -> CAST('0x'||substr(md5(s),1,8) AS BIGINT)) AS lo,
+         |  list_transform(tk, s -> CAST('0x'||substr(md5(s),9,8) AS BIGINT)) AS hi FROM toks),
+         |bits AS (SELECT doc_id,
+         |  [CASE WHEN list_sum(list_transform(lo, v -> CASE WHEN CAST(floor(v/(2**j)) AS BIGINT)%2=1 THEN 1 ELSE -1 END)) > 0 THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,32)] AS lob,
+         |  [CASE WHEN list_sum(list_transform(hi, v -> CASE WHEN CAST(floor(v/(2**j)) AS BIGINT)%2=1 THEN 1 ELSE -1 END)) > 0 THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,32)] AS hib
+         | FROM hs)
+         |SELECT doc_id, printf('%08x%08x',
+         |  CAST(coalesce(list_sum(hib), 0) AS BIGINT),
+         |  CAST(coalesce(list_sum(lob), 0) AS BIGINT)) AS simhash FROM bits""".stripMargin,
+
+    "d5_embedding_dedup" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         round(list_dot_product(a.e, b.e) /
+        |               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.4""".stripMargin,
+
+    "e1_knn_brute" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim FROM q, c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "t1_lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+         |scores AS (SELECT doc_id,
+         |  ${LangScoreSql.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")}
+         |  FROM toks)
+         |SELECT doc_id, $LangCaseSql AS lang_pred FROM scores""".stripMargin,
+
+    "t2_quality_score" ->
+      s"""WITH toks AS (SELECT doc_id, text, $ToksSql AS tk FROM documents),
+         |feat AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_chk,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |    greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(tk, x -> x IN ($EnStopsSql))) AS DOUBLE) /
+         |    greatest(len(tk), 1) AS stop_ratio
+         |  FROM toks)
+         |SELECT doc_id, n_chars_chk, n_tokens, punct_ratio, stop_ratio,
+         |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
+         |        0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS quality_score
+         |FROM feat""".stripMargin,
+
+    "t3_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($ToksSql) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |FROM documents""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id,
+         |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents)
+         |SELECT doc_id, md5(norm) AS md5_fp,
+         |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+         |    list_transform(list_filter(string_split(norm, ' '), x -> x <> ''),
+         |                   s -> ${h32Sql("s")})),
+         |    (a, b) -> (a*31 + b) % ${graft.functions.Hashing.RollP}) AS rolling_fp
+         |FROM n""".stripMargin,
+
+    "st1_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "st2_sessionize" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_session FROM w),
+        |sx AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                        ROWS UNBOUNDED PRECEDING) AS session_idx FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM sx GROUP BY 1, 2""".stripMargin)
+}

@@ -36,7 +36,9 @@ object SparkEntry {
 
   // ----------------------------------------------------------------- //
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ LlmEntry.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Bronze ---------------------------------------------------- //
 
@@ -221,7 +223,9 @@ object SparkEntry {
       |  CASE WHEN NOT l_linestatus IN ('O','F') THEN 'UnknownLineStatus' END
       | ], x -> x IS NOT NULL), ';'), '')""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracleSql ++ LlmEntry.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
 
     "b1_schema_ingest" ->
       """SELECT count(*) AS clean_rows, CAST(0 AS BIGINT) AS malformed_rows

@@ -1,0 +1,164 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.text.TextAnalysis
+
+/** Document deduplication family: exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash. All hash math is md5-based (see [[graft.functions.Hashing]])
+  * so an external oracle reproduces it bit-for-bit.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-shuffle on the content hash.
+  *  - n-gram Jaccard: blocking join on shared shingles — candidate set
+  *    is pairs sharing >=1 shingle, never a cross join.
+  *  - MinHash+LSH: candidates = pairs sharing a band signature; shuffle
+  *    keyed on (band, signature); bucket sizes bounded by band width.
+  *    This is the 100 TB path: cost ~ O(docs x K) + bucket joins.
+  *  - SimHash: constant-size fingerprint per doc; near-dup = small
+  *    hamming distance, joinable by fingerprint prefix bands.
+  */
+object TextDedup {
+
+  /** Distinct word 3-gram shingles of the lowercased text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array()))
+  }
+
+  /** Exact-dup metrics via content-hash groupBy: (n_docs, n_groups,
+    * n_dupes) as one row. Keeper selection = min id per group. */
+  def exactDupMetrics(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.groupBy(md5(text).as("h")).agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        (sum(col("n")) - count(lit(1))).as("n_dupes"))
+
+  /** (doc_id, shingles) prep frame shared by the pair generators. */
+  private def shingled(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), shingles(text).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** All-pairs n-gram Jaccard >= minJaccard, blocked on shared shingles.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b; jaccard is the
+    * exact rational |A∩B| / |A∪B| — engine-independent. */
+  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
+                        minJaccard: Double): DataFrame = {
+    val t = shingled(docs, id, text).cache()
+    val ex = t.select(col("doc_id"), explode(col("sh")).as("s"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(t.select(col("doc_id").as("doc_a"), size(col("sh")).as("na")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), size(col("sh")).as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash parameters: K = bands * rowsPerBand signatures from the
+    * affine family (A(i)*h + B(i)) mod P32. Constants are part of the
+    * operator contract (the oracle uses the same ones). */
+  val MinHashA: Seq[Long] = Seq(1117L, 2039L, 3023L, 4093L, 5087L, 6151L, 7103L, 8117L,
+    9173L, 10211L, 11213L, 12277L, 13309L, 14327L, 15331L, 16381L)
+  val MinHashB: Seq[Long] = Seq(271L, 577L, 863L, 1249L, 1583L, 1987L, 2357L, 2749L,
+    3169L, 3559L, 3989L, 4397L, 4801L, 5231L, 5639L, 6053L)
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** MinHash signature array (length K) over the shingle set. The h32
+    * per shingle is computed once, then K affine remixes. */
+  def minHashSignature(sh: Column): Column = {
+    val hs = transform(sh, s => Hashing.h32(s))
+    array(MinHashA.zip(MinHashB).map { case (a, b) =>
+      array_min(transform(hs, h => Hashing.affine(h, a, b)))
+    }: _*)
+  }
+
+  /** LSH near-dup pairs: band the signature, join on (band, bandSig),
+    * verify candidates with exact Jaccard >= minJaccard.
+    * At scale the only wide ops are the (band,sig) shuffle and the
+    * candidate verify join — no quadratic stage anywhere. */
+  def minHashLshPairs(docs: DataFrame, id: Column, text: Column,
+                      minJaccard: Double): DataFrame = {
+    val t = shingled(docs, id, text)
+      .withColumn("sig", minHashSignature(col("sh"))).cache()
+    val banded = t.select(col("doc_id"), explode(
+        transform(sequence(lit(0), lit(Bands - 1)),
+          j => struct(j.as("band"),
+            concat_ws(":", slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand))).as("bsig"))))
+        .as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bsig"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash fingerprint as a 16-hex-char string, over word
+    * tokens (with multiplicity). Bits come from the two md5 32-bit
+    * halves, kept separate to avoid sign overflow; bit j set iff the
+    * signed token-vote sum is > 0 (ties -> 0). Map-only. */
+  def simHashHex(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    def half(h: Column => Column): Column = {
+      // per token: 32-bit hash; per bit j: sum of (+1/-1) votes; then
+      // fingerprint = sum of 2^j over winning bits.
+      val votes = transform(sequence(lit(0), lit(31)), j =>
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + when(floor(h(t) / pow(lit(2.0), j)).cast("long") % 2 === 1, 1L)
+            .otherwise(-1L)))
+      aggregate(
+        zip_with(votes, sequence(lit(0), lit(31)),
+          (v, j) => when(v > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+    }
+    format_string("%08x%08x", half(Hashing.md5Hi32), half(Hashing.md5Lo32))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance <= maxDist, blocked on
+    * equal 16-bit fingerprint quarters (any pair within hamming<=3 of a
+    * 64-bit print shares at least one of 4 quarters). */
+  def simHashPairs(docs: DataFrame, id: Column, text: Column,
+                   maxDist: Int = 3): DataFrame = {
+    val t = docs.select(id.as("doc_id"), simHashHex(text).as("fp"))
+    val banded = t.select(col("doc_id"), col("fp"), explode(
+      transform(sequence(lit(0), lit(3)),
+        q => struct(q.as("q"), substring(col("fp"), q * 4 + 1, lit(4)).as("qs")))).as("b"))
+      .select(col("doc_id"), col("fp"), col("b.q"), col("b.qs"))
+    val hamming = {
+      // popcount of xor over the two 32-bit halves (hex -> long), no UDF
+      val x1 = conv(substring(col("a.fp"), 1, 8), 16, 10).cast("long")
+        .bitwiseXOR(conv(substring(col("b.fp"), 1, 8), 16, 10).cast("long"))
+      val x2 = conv(substring(col("a.fp"), 9, 8), 16, 10).cast("long")
+        .bitwiseXOR(conv(substring(col("b.fp"), 9, 8), 16, 10).cast("long"))
+      bit_count(x1) + bit_count(x2)
+    }
+    banded.as("a").join(banded.as("b"),
+        col("a.q") === col("b.q") && col("a.qs") === col("b.qs") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

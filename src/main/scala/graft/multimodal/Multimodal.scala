@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata.
+  *
+  * Media decode libraries are unavailable in this environment, so the
+  * decode step is a clearly-marked deterministic STUB; everything
+  * Spark-side — the schema contract, binary handling, partition-local
+  * batched processing via mapPartitions — is real and tested. In
+  * production, [[decodeStub]] is replaced by the codec call and nothing
+  * else changes.
+  */
+object Multimodal {
+
+  /** Canonical media-asset schema: payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("content_md5", StringType, nullable = true)))
+
+  /** Wrap a text corpus as binary assets (payload = utf8 bytes) —
+    * stands in for image/audio blobs in tests; map-only. */
+  def asAssets(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("text/plain").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast(LongType))
+      .withColumn("content_md5", md5(col("payload")))
+
+  /** STUB decode: a real implementation calls the media codec here
+    * (per partition, batched — the iterator shape is what matters).
+    * The stub derives a deterministic fixed-size "feature" vector from
+    * payload bytes so the pipeline is end-to-end testable. */
+  def decodeStub(assets: DataFrame, featureDim: Int = 4): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(assets.schema.fields :+
+      StructField("features", ArrayType(DoubleType), nullable = true))
+    val payloadIdx = assets.schema.fieldIndex("payload")
+    val rdd = assets.rdd.mapPartitions { rows =>
+      // partition-local batch loop — where a codec would process a
+      // batch of images/audio frames at a time
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val feats: Array[Double] =
+          if (bytes == null) null
+          else Array.tabulate(featureDim) { i =>
+            // ??? <- real codec feature extraction goes here; stub:
+            // byte-window checksum, deterministic
+            bytes.iterator.zipWithIndex
+              .filter(_._2 % featureDim == i).map(_._1.toInt & 0xff).sum.toDouble
+          }
+        Row.fromSeq(r.toSeq :+ (feats: Any))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.Hashing
+
+/** Text-analysis operators for training-data curation: tokenization,
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All map-only column expressions — at 100 TB these run at scan speed
+  * with zero shuffles. Heuristics follow the standard curation recipes
+  * (stopword-profile language ID, punctuation/stopword-ratio quality
+  * scores a la C4/Gopher rules).
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  // --- language ID ---------------------------------------------------
+
+  /** Stopword profiles; tiebreak = declaration order (alphabetical). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ein", "von", "zu", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "los", "en", "un", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+
+  /** Argmax over profile hit counts; 'und' when no profile hits.
+    * Explicit when-chain: language L wins if its score is >= every other
+    * and > 0; chain order (alphabetical) is the tiebreak. */
+  def langId(text: Column): Column = {
+    val scores = langScores(tokens(text))
+    val chain = scores.map { case (lang, s) =>
+      val geAll = scores.filter(_._1 != lang).map { case (_, o) => s >= o }.reduce(_ && _)
+      (lang, geAll && s > 0)
+    }
+    chain.foldRight(lit("und")) { case ((lang, cond), els) => when(cond, lit(lang)).otherwise(els) }
+  }
+
+  // --- quality scoring ------------------------------------------------
+
+  /** C4-style quality features + a composite score in [0,1].
+    * Single IEEE divisions; formula evaluated in a fixed order so an
+    * oracle reproduces it bit-exactly. */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val enStops = LangProfiles.find(_._1 == "en").get._2
+    df.withColumn("n_chars_chk", length(text).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("punct_ratio",
+        regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast(DoubleType) /
+          greatest(length(text), lit(1)).cast(DoubleType))
+      .withColumn("stop_ratio",
+        size(filter(toks, t => t.isInCollection(enStops))).cast(DoubleType) /
+          greatest(size(toks), lit(1)).cast(DoubleType))
+      .withColumn("quality_score", round(
+        lit(0.4) * least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0) +
+          lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.3) * col("stop_ratio"), 6))
+  }
+
+  // --- token counting ---------------------------------------------------
+
+  /** Whitespace tokens + a BPE-ish regex segmentation count
+    * (letter runs / single digits / single symbols). */
+  def tokenCounts(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(text)).cast("long"))
+      .withColumn("bpe_tokens",
+        regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long"))
+
+  // --- fingerprinting ---------------------------------------------------
+
+  /** Normalized text: lowercase, non-alphanumerics collapsed to single
+    * spaces, trimmed. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Content fingerprints: md5 of normalized text + polynomial rolling
+    * hash over normalized tokens (order-sensitive). */
+  def fingerprints(df: DataFrame, text: Column): DataFrame = {
+    val norm = normalized(text)
+    df.withColumn("md5_fp", md5(norm))
+      .withColumn("rolling_fp", Hashing.rollingHash(filter(split(norm, " "), t => t =!= "")))
+  }
+}
