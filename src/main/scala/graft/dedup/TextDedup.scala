@@ -151,7 +151,7 @@ object TextDedup {
         .bitwiseXOR(conv(substring(col("b.fp"), 1, 8), 16, 10).cast("long"))
       val x2 = conv(substring(col("a.fp"), 9, 8), 16, 10).cast("long")
         .bitwiseXOR(conv(substring(col("b.fp"), 9, 8), 16, 10).cast("long"))
-      bit_count(x1) + bit_count(x2)
+      (bit_count(x1) + bit_count(x2)).cast("long")
     }
     banded.as("a").join(banded.as("b"),
         col("a.q") === col("b.q") && col("a.qs") === col("b.qs") &&

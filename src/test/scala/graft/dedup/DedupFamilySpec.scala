@@ -1,0 +1,119 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ann.Knn
+import graft.text.TextAnalysis
+
+class TextDedupSpec extends SparkSpec {
+  test("shingles: distinct word 3-grams, empty under 3 tokens") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "x  y\tz").toDF("text")
+      .select(TextDedup.shingles(col("text")).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) === Seq("a b c", "b c d"))
+    assert(rows(1) === Seq.empty)
+    assert(rows(2) === Seq("x y z")) // whitespace runs collapse
+  }
+
+  test("exact dedup metrics: synthetic dupes counted") {
+    val docs = table("documents")
+    val doubled = docs.unionByName(docs.limit(10))
+    val m = TextDedup.exactDupMetrics(doubled, col("doc_id"), col("text")).collect()(0)
+    assert(m.getAs[Long]("n_docs") === docs.count() + 10)
+    assert(m.getAs[Long]("n_dupes") === 10)
+  }
+
+  test("LSH pairs are a subset of blocked-exact pairs at the same threshold") {
+    val docs = table("documents")
+    val exact = TextDedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minHashLshPairs(docs, col("doc_id"), col("text"), 0.1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty) // the synthetic corpus has real near-dups
+  }
+
+  test("simhash: near-identical docs have close fingerprints") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a + " extra"
+    val fps = Seq((1L, a), (2L, b), (3L, "completely different words entirely unrelated content"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.simHashPairs(fps, col("doc_id"), col("text"), maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 2)) // near-dup found
+    val d12 = pairs.find(p => p._1 == 1 && p._2 == 2).get._3
+    pairs.filter(p => p._2 == 3 || p._1 == 3).foreach(p => assert(p._3 > d12))
+  }
+}
+
+class KnnSpec extends SparkSpec {
+  test("brute-force top-k: self-similarity is 1, ranks ordered") {
+    val v = table("embeddings")
+    val out = Knn.bruteForceTopK(v.limit(3), v, k = 3).cache()
+    // each query's own vector is in the corpus -> rank 1, sim 1.0
+    val self = out.filter(col("query_id") === col("neighbor_id"))
+    assert(self.count() === 3)
+    self.collect().foreach { r =>
+      assert(r.getAs[Int]("rank") === 1)
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9)
+    }
+    assert(out.count() === 9)
+  }
+
+  test("LSH top-k finds a large fraction of exact neighbors") {
+    val v = table("embeddings")
+    val q = v.filter(col("vec_id") < 5)
+    val c = v.filter(col("vec_id") >= 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2 planes -> 4 buckets over ~200 docs: enough candidates per
+    // bucket for meaningful recall at this corpus size
+    val exact = pairs(Knn.bruteForceTopK(q, c, 5))
+    val approx = pairs(Knn.lshTopK(q, c, 5, planes = 2))
+    assert(approx.nonEmpty)
+    // every approx hit is a real candidate of the query
+    assert(approx.forall(p => p._1 < 5 && p._2 >= 5))
+    // recall sanity: at least a third of the exact pairs found
+    assert(exact.intersect(approx).size * 3 >= exact.size)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import graft.text.TextAnalysis
+
+  test("langId picks the profile with most stopword hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is fine"),
+      (2L, "el gato en la casa y los perros"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === "en")
+    assert(m(2L) === "es")
+    assert(m(3L) === "und")
+  }
+
+  test("quality features bounded and consistent") {
+    val q = TextAnalysis.qualityFeatures(table("documents"), col("text"))
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
+    assert(q.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() === 0)
+  }
+
+  test("token counts: bpe-ish >= whitespace tokens") {
+    val c = TextAnalysis.tokenCounts(table("documents"), col("text"))
+    assert(c.filter(col("bpe_tokens") < col("ws_tokens")).count() === 0)
+  }
+
+  test("fingerprints invariant to case and punctuation") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello, World!"), (2L, "hello   world")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df, col("text"))
+      .select("md5_fp", "rolling_fp").distinct()
+    assert(fp.count() === 1)
+  }
+}

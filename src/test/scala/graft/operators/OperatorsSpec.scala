@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  test("latestByKey keeps exactly one row per key, the ordered winner") {
+    val li = table("lineitem")
+    val out = Dedup.latestByKey(li, Seq("l_orderkey"),
+      Seq(col("l_shipdate").desc, col("l_linenumber").desc))
+    val keys = out.groupBy("l_orderkey").count().filter(col("count") > 1).count()
+    assert(keys === 0)
+    assert(out.count() === li.select("l_orderkey").distinct().count())
+    // the winner is the max-shipdate row for a sampled key
+    val k = li.select("l_orderkey").limit(1).collect()(0).getLong(0)
+    val expected = li.filter(col("l_orderkey") === k)
+      .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
+      .select("l_shipdate").collect()(0)
+    val got = out.filter(col("l_orderkey") === k).select("l_shipdate").collect()(0)
+    assert(got === expected)
+  }
+
+  test("duplicates + latest partition the input") {
+    val li = table("lineitem")
+    val order = Seq(col("l_shipdate").desc, col("l_linenumber").desc)
+    val n1 = Dedup.latestByKey(li, Seq("l_orderkey"), order).count()
+    val n2 = Dedup.duplicatesByKey(li, Seq("l_orderkey"), order).count()
+    assert(n1 + n2 === li.count())
+  }
+}
+
+class QualityRulesSpec extends SparkSpec {
+  private val rules = Seq(
+    QualityRules.Rule(col("l_quantity") > 45, "ExcessQuantity"),
+    QualityRules.Rule(col("l_discount") > 0.08, "HighDiscount"))
+
+  test("clean + quarantined partition the input; reasons are ;-joined") {
+    val li = table("lineitem")
+    val clean = QualityRules.clean(li, rules)
+    val bad = QualityRules.quarantined(li, rules)
+    assert(clean.count() + bad.count() === li.count())
+    val multi = bad.filter(col(QualityRules.ReasonCol) === "ExcessQuantity;HighDiscount")
+    val expected = li.filter(col("l_quantity") > 45 && col("l_discount") > 0.08)
+    assert(multi.count() === expected.count())
+    assert(bad.columns.contains("RetentionDate"))
+  }
+
+  test("no rules fired -> everything clean") {
+    val li = table("lineitem")
+    val none = Seq(QualityRules.Rule(col("l_quantity") < 0, "Impossible"))
+    assert(QualityRules.clean(li, none).count() === li.count())
+    assert(QualityRules.quarantined(li, none).count() === 0)
+  }
+}
+
+class MergeSpec extends SparkSpec {
+  test("upsert: source wins on collision, unmatched target survives") {
+    val o = table("orders").select("o_orderkey", "o_totalprice")
+    val target = o.filter(col("o_orderkey") % 2 === 0)
+    val source = o.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+    val merged = Merge.upsert(target, source, Seq("o_orderkey")).cache()
+    assert(merged.count() === target.count()) // source keys ⊆ target keys
+    val bumped = merged.join(o.withColumnRenamed("o_totalprice", "orig"), "o_orderkey")
+      .filter(col("o_totalprice") =!= col("orig"))
+    assert(bumped.count() === source.count())
+  }
+
+  test("conditionalUpsertMetrics counts updates/inserts like sp_upsert_claims") {
+    val c = table("customer")
+    val staging = c.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1)
+      .unionByName(c.limit(0)) // no inserts
+    val m = Merge.conditionalUpsertMetrics(c, staging,
+      Seq("c_custkey"), Seq("c_acctbal")).collect()(0)
+    assert(m.getAs[Long]("rows_updated") === staging.count())
+    assert(m.getAs[Long]("rows_inserted") === 0)
+    assert(m.getAs[Long]("total_rows") === c.count())
+  }
+}
+
+class DimensionsSpec extends SparkSpec {
+  test("date dimension: contiguous ids, correct names") {
+    val d = Dimensions.dateDimension(spark,
+      java.time.LocalDate.of(2020, 1, 1), java.time.LocalDate.of(2020, 12, 31))
+    assert(d.count() === 366) // leap year
+    val first = d.orderBy("DateID").collect()(0)
+    assert(first.getAs[Int]("DateID") === 1)
+    assert(first.getAs[String]("DayName") === "Wednesday")
+    assert(first.getAs[String]("MonthName") === "January")
+    assert(d.agg(max("DateID")).collect()(0).getInt(0) === 366)
+  }
+
+  test("extract produces distinct attribute rows") {
+    val dim = Dimensions.extract(table("orders"), Seq("o_orderstatus", "o_orderpriority"))
+    assert(dim.count() === dim.distinct().count())
+    assert(dim.count() <= 15)
+  }
+}
+
+class PiiSpec extends SparkSpec {
+  test("salted sha256 is deterministic, salt-sensitive, 64 hex chars") {
+    val df = table("customer").select(
+      Pii.saltedSha256(col("c_custkey"), "s1").as("h1"),
+      Pii.saltedSha256(col("c_custkey"), "s1").as("h1b"),
+      Pii.saltedSha256(col("c_custkey"), "s2").as("h2"))
+    assert(df.filter(col("h1") =!= col("h1b")).count() === 0)
+    assert(df.filter(col("h1") === col("h2")).count() === 0)
+    assert(df.filter(length(col("h1")) =!= 64).count() === 0)
+  }
+}
+
+class MeasuresSpec extends SparkSpec {
+  test("decimal sums are exact and partition-order independent") {
+    val o = table("orders")
+    val a = o.agg(Measures.decSum(col("o_totalprice"))).collect()(0).getDouble(0)
+    val b = o.repartition(13).agg(Measures.decSum(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(a === b)
+  }
+
+  test("time intelligence: YTD accumulates, LY lines up") {
+    val ti = Measures.timeIntelligence(table("orders"),
+      col("o_orderdate"), col("o_totalprice")).cache()
+    import spark.implicits._
+    val y1996 = ti.filter(col("yr") === 1996).orderBy("mo")
+      .select("amount_mtd", "amount_ytd").as[(Double, Double)].collect()
+    val runningSum = y1996.map(_._1).scanLeft(0.0)(_ + _).tail
+    y1996.map(_._2).zip(runningSum).foreach { case (ytd, exp) =>
+      assert(math.abs(ytd - exp) < 1e-6)
+    }
+    val ly = ti.filter(col("yr") === 1996 && col("mo") === 3)
+      .select("amount_ly").collect()(0).getDouble(0)
+    val prev = ti.filter(col("yr") === 1995 && col("mo") === 3)
+      .select("amount_mtd").collect()(0).getDouble(0)
+    assert(ly === prev)
+  }
+
+  test("topN is deterministic and correctly bounded") {
+    val top = Measures.topN(table("orders"), col("o_custkey"), col("o_totalprice"), 5)
+    val rows = top.collect()
+    assert(rows.length === 5)
+    val totals = rows.map(_.getAs[Double]("total"))
+    assert(totals.sameElements(totals.sorted.reverse))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class CsvIngestSpec extends SparkSpec {
+  test("permissive ingest splits well-formed from malformed") {
+    // render a slice of lineitem to CSV, corrupt some rows, re-ingest
+    val dir = Files.createTempDirectory("graft_csv_spec").toString
+    val li = table("lineitem").filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    // corrupt: append rows with a non-numeric quantity
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv")).head
+    val w = new java.io.FileWriter(f, true)
+    w.write("999,not_a_number,X\n999,alsobad,Y\n"); w.close()
+    // the append invalidates Hadoop's .crc sidecar — drop it
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType)))
+    val df = CsvIngest.read(spark, dir, schema).cache()
+    assert(CsvIngest.malformed(df).count() === 2)
+    assert(CsvIngest.wellFormed(df).count() === li.count())
+    assert(CsvIngest.malformed(df).columns.contains("RetentionDate"))
+    val audited = CsvIngest.withIngestAudit(df)
+    assert(audited.columns.toSet.intersect(
+      Set("IngestedAt", "SourceFile", "ProcessBatchID")).size === 3)
+  }
+}
+
+class WatermarkSpec extends SparkSpec {
+  test("watermark roundtrip + incremental filter") {
+    val p = Files.createTempDirectory("graft_wm").toString + "/watermarks/Watermark.json"
+    assert(Watermark.read(p) === Instant.EPOCH) // missing -> epoch
+    val wm = Instant.parse("1996-01-01T00:00:00Z")
+    Watermark.write(p, wm)
+    assert(Watermark.read(p) === wm)
+    val o = table("orders")
+    val newer = Watermark.newerThan(o, col("o_orderdate"), wm)
+    val expected = o.filter(col("o_orderdate") > lit("1996-01-01").cast(TimestampType))
+    assert(newer.count() === expected.count())
+    assert(newer.count() > 0 && newer.count() < o.count())
+  }
+}
+
+class TablesSpec extends SparkSpec {
+  test("all testdata tables load; events gets a usable timestamp") {
+    Tables.names.filter(_ != "events").foreach { n =>
+      assert(Tables.load(spark, sfDir, n).count() > 0, n)
+    }
+    val ev = Tables.loadEvents(spark, sfDir)
+    assert(ev.schema("ts").dataType === TimestampType)
+    assert(ev.count() > 0)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedAggStream: watermark + tumbling window over MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Events.Event]
+    input.addData(
+      Events.Event(1, ts(5), 100, "click", 1.0),
+      Events.Event(2, ts(10), 100, "click", 2.0),
+      Events.Event(3, ts(20), 101, "view", 3.0))
+    val q = Events.windowedAggStream(input.toDF())
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM win_agg ORDER BY event_type").collect()
+      assert(rows.length === 2)
+      val click = rows(0)
+      assert(click.getAs[String]("event_type") === "click")
+      assert(click.getAs[Long]("n_events") === 2)
+      assert(click.getAs[Double]("total_value") === 3.0)
+      assert(click.getAs[Timestamp]("window_start") ===
+        Timestamp.valueOf("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: gap closes a session; equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Events.Event(1, ts(0), 7, "click", 1.0),
+      Events.Event(2, ts(10), 7, "click", 2.0),
+      // 40-min gap -> new session
+      Events.Event(3, ts(50), 7, "view", 4.0),
+      Events.Event(4, ts(55), 8, "view", 8.0))
+    val input = MemoryStream[Events.Event]
+    input.addData(events: _*)
+    val q = Events.sessionizeStream(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // advance watermark far enough to time out all sessions
+      input.addData(Events.Event(99, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, session_start, n_events, total_value FROM sessions WHERE user_id IN (7, 8)")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = Events.sessionizeBatch(events.toDF())
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed === batch)
+      assert(streamed.size === 3) // user 7 x2 sessions, user 8 x1
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch on real events: sessions respect the gap") {
+    val s = Events.sessionizeBatch(graft.sources.Tables.loadEvents(spark, sfDir))
+    assert(s.count() > 0)
+    // no session spans a >30min internal gap: session length sanity
+    assert(s.filter(col("session_end") < col("session_start")).count() === 0)
+    assert(s.filter(col("n_events") <= 0).count() === 0)
+  }
+}
