@@ -24,12 +24,18 @@ object Knn {
     * with sim rounded to 6 dp and rank ordered by (sim desc, id) so the
     * result is engine-reproducible. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // Norms computed once per row before the join; per-pair work is a
+    // single codegen'd dot product. Same float ops as cosine() — the
+    // divisor is the identical sqrt(dot) values — so results match.
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      Vectors.asDouble(col("embedding")).as("qe")))
+      Vectors.asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", Vectors.norm(col("qe"))))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       Vectors.asDouble(col("embedding")).as("ce"))
+      .withColumn("cn", Vectors.norm(col("ce")))
     val scored = q.join(c)
-      .withColumn("sim", round(Vectors.cosine(col("qe"), col("ce")), 6))
+      .withColumn("sim",
+        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -60,11 +66,14 @@ object Knn {
     val q = queries.select(col("vec_id").as("query_id"),
       Vectors.asDouble(col("embedding")).as("qe"))
       .withColumn("bucket", lshBucket(col("qe"), planes))
+      .withColumn("qn", Vectors.norm(col("qe")))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       Vectors.asDouble(col("embedding")).as("ce"))
       .withColumn("bucket", lshBucket(col("ce"), planes))
+      .withColumn("cn", Vectors.norm(col("ce")))
     val scored = q.join(c, "bucket")
-      .withColumn("sim", round(Vectors.cosine(col("qe"), col("ce")), 6))
+      .withColumn("sim",
+        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -79,9 +88,11 @@ object Knn {
     * join condition for an [[lshBucket]] equality first. */
   def embeddingNearDupPairs(vectors: DataFrame, minSim: Double): DataFrame = {
     val v = vectors.select(col("vec_id"), Vectors.asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Vectors.norm(col("e")))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(Vectors.cosine(col("a.e"), col("b.e")), 6).as("sim"))
+        round(Vectors.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

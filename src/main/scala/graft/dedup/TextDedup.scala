@@ -2,8 +2,9 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.Hashing
+import graft.functions.{Hashing, MinHashMins}
 import graft.text.TextAnalysis
 
 /** Document deduplication family: exact, n-gram Jaccard, MinHash+LSH,
@@ -76,14 +77,22 @@ object TextDedup {
   val Bands = 4
   val RowsPerBand = 4
 
-  /** MinHash signature array (length K) over the shingle set. The h32
-    * per shingle is computed once, then K affine remixes. */
-  def minHashSignature(sh: Column): Column = {
-    val hs = transform(sh, s => Hashing.h32(s))
-    array(MinHashA.zip(MinHashB).map { case (a, b) =>
-      array_min(transform(hs, h => Hashing.affine(h, a, b)))
-    }: _*)
-  }
+  /** K affine remixes of a pre-hashed shingle array (h32 values) in a
+    * single codegen'd pass (see [[graft.functions.MinHashMins]]).
+    * Arithmetic identical to array_min(transform(hs, affine)) per k. */
+  def minHashSignatureFromHashes(hs: Column): Column =
+    ColumnBridge.column(MinHashMins(
+      ColumnBridge.expression(hs), MinHashA, MinHashB, Hashing.P32))
+
+  /** MinHash signature array (length K) over the shingle set.
+    *
+    * NOTE: prefer hashing into a materialized column first (see
+    * [[minHashLshPairs]]) — inlining `h32` here embeds the md5 subtree
+    * in each of the K array_min expressions and, with codegen disabled
+    * by the higher-order functions, no common-subexpression elimination
+    * rescues it: md5 runs K times per shingle. */
+  def minHashSignature(sh: Column): Column =
+    minHashSignatureFromHashes(transform(sh, s => Hashing.h32(s)))
 
   /** LSH near-dup pairs: band the signature, join on (band, bandSig),
     * verify candidates with exact Jaccard >= minJaccard.
@@ -92,7 +101,10 @@ object TextDedup {
   def minHashLshPairs(docs: DataFrame, id: Column, text: Column,
                       minJaccard: Double): DataFrame = {
     val t = shingled(docs, id, text)
-      .withColumn("sig", minHashSignature(col("sh"))).cache()
+      .withColumn("hs", transform(col("sh"), s => Hashing.h32(s)))
+      .withColumn("sig", minHashSignatureFromHashes(col("hs")))
+      .drop("hs")
+      .cache()
     val banded = t.select(col("doc_id"), explode(
         transform(sequence(lit(0), lit(Bands - 1)),
           j => struct(j.as("band"),

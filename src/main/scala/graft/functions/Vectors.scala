@@ -2,21 +2,24 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
-/** Dense-vector math over `array<double>` columns using higher-order
-  * functions (zip_with/aggregate) — map-only, no UDFs, no shuffles.
+/** Dense-vector math over `array<double>` columns — map-only, no UDFs,
+  * no shuffles. The dot product is the codegen'd [[DotProduct]]
+  * expression (primitive loop inside whole-stage codegen).
   *
-  * The fold in [[dot]] is a strict left-to-right sequential sum, which
-  * an external engine can reproduce exactly; outputs compared across
-  * engines are additionally rounded (see SparkEntry) to absorb any
-  * vectorized-summation reordering on the oracle side.
+  * [[dot]] is a strict left-to-right sequential sum, which an external
+  * engine can reproduce exactly; outputs compared across engines are
+  * additionally rounded (see SparkEntry) to absorb any vectorized-
+  * summation reordering on the oracle side.
   */
 object Vectors {
   /** Element-wise cast to double (exact for float inputs). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

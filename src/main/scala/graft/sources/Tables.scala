@@ -14,7 +14,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    spread(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Spread a scan across the session's cores when the file layout
+    * yields fewer splits than parallelism (single small parquet file →
+    * 1 partition → every downstream map runs on one thread). On a real
+    * cluster reading TB-scale inputs the split count already exceeds
+    * parallelism and this is a no-op — the guard exists so the shuffle
+    * is never paid where input splits give parallelism for free. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 
   /** The events table is written with parquet TIMESTAMP(NANOS), which
     * Spark's reader rejects; read nanos as long (legacy conf) and

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.TextDedup
+
+/** Direct checks of the custom codegen'd Catalyst expressions against
+  * their higher-order-function reference formulations. */
+class ExpressionsSpec extends SparkSpec {
+
+  test("DotProduct equals the HOF fold, both codegen and interpreted") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -1.5), Array(2.0, 2.0)),
+      (Array.empty[Double], Array.empty[Double]))
+      .toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(Vectors.dot(col("a"), col("b")).as("d"), hof.as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(rows(2).getDouble(0) == 0.0)
+  }
+
+  test("DotProduct is null on null input arrays") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    assert(df.select(Vectors.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("MinHashMins equals per-k array_min(transform(affine))") {
+    import spark.implicits._
+    val df = Seq(Seq(12L, 999999L, 31L), Seq(7L)).toDF("hs")
+    val reference = array(TextDedup.MinHashA.zip(TextDedup.MinHashB).map {
+      case (a, b) => array_min(transform(col("hs"), h => Hashing.affine(h, a, b)))
+    }: _*)
+    val rows = df.select(
+      TextDedup.minHashSignatureFromHashes(col("hs")).as("fast"),
+      reference.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+}
