@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{Hashing, MinHashMins}
+import graft.functions.{H32Array, Hashing, MinHashMins, WordShingles}
 import graft.text.TextAnalysis
 
 /** Document deduplication family: exact, n-gram Jaccard, MinHash+LSH,
@@ -23,15 +23,13 @@ import graft.text.TextAnalysis
   */
 object TextDedup {
 
-  /** Distinct word 3-gram shingles of the lowercased text. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array()))
-  }
+  /** Distinct word 3-gram shingles of the lowercased text, as the
+    * codegen'd [[graft.functions.WordShingles]] kernel. Semantically
+    * identical to the HOF formulation
+    * array_distinct(transform(seq, i => concat_ws(" ", slice(toks, i, n))))
+    * over whitespace tokens (spec-checked equal). */
+  def shingles(text: Column, n: Int = 3): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
   /** Exact-dup metrics via content-hash groupBy: (n_docs, n_groups,
     * n_dupes) as one row. Keeper selection = min id per group. */
@@ -101,7 +99,7 @@ object TextDedup {
   def minHashLshPairs(docs: DataFrame, id: Column, text: Column,
                       minJaccard: Double): DataFrame = {
     val t = shingled(docs, id, text)
-      .withColumn("hs", transform(col("sh"), s => Hashing.h32(s)))
+      .withColumn("hs", ColumnBridge.column(H32Array(ColumnBridge.expression(col("sh")))))
       .withColumn("sig", minHashSignatureFromHashes(col("hs")))
       .drop("hs")
       .cache()

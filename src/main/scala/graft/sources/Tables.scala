@@ -13,8 +13,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spread(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
+  /** Tables whose queries do heavy per-row compute (shingling, hashing,
+    * vector math) before any wide operator — these get [[spread]] so a
+    * single-split local file doesn't serialize that compute on one
+    * thread. Relational tables are left alone: their queries reach a
+    * shuffle (join/agg) almost immediately, which already fans out, and
+    * an injected repartition would just add an exchange under every
+    * scan (including below BroadcastExchange on dimension sides). */
+  private val computeHeavy = Set("documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (computeHeavy(name)) spread(spark, df) else df
+  }
 
   /** Spread a scan across the session's cores when the file layout
     * yields fewer splits than parallelism (single small parquet file →

@@ -31,6 +31,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.select(Vectors.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("WordShingles/H32Array equal their HOF formulations on real docs") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.text.TextAnalysis
+    val toks = TextAnalysis.tokens(col("text"))
+    val hofShingles = array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+        .otherwise(array()))
+    val fast = TextDedup.shingles(col("text"))
+    val rows = table("documents")
+      .select(fast.as("fast"), hofShingles.as("ref"),
+        ColumnBridge.column(H32Array(ColumnBridge.expression(fast))).as("hfast"),
+        transform(fast, s => Hashing.h32(s)).as("href"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
   test("MinHashMins equals per-k array_min(transform(affine))") {
     import spark.implicits._
     val df = Seq(Seq(12L, 999999L, 31L), Seq(7L)).toDF("hs")
