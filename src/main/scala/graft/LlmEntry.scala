@@ -52,6 +52,12 @@ object LlmEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    "e3_knn_ivf" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Knn.ivfTopK(v.filter(col("vec_id") < 10), v.filter(col("vec_id") >= 10), k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     "t1_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -182,6 +188,36 @@ object LlmEntry {
          |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
          |s AS (SELECT query_id, neighbor_id, $CosSql AS sim FROM q, c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "e3_knn_ivf" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM c
+         |         ORDER BY neighbor_id LIMIT 16),
+         |asg0 AS (SELECT neighbor_id, ce, cent_id,
+         |  round(list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM c, cent),
+         |asg AS (SELECT neighbor_id, ce, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+         |  WHERE rn = 1),
+         |pr0 AS (SELECT query_id, qe, cent_id,
+         |  round(list_dot_product(qe, cent) /
+         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM q, cent),
+         |pr AS (SELECT query_id, qe, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
+         |  WHERE rn <= 4),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
+         |      FROM pr JOIN asg USING (cent_id)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim

@@ -82,6 +82,55 @@ object Knn {
         col("neighbor_id"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the second scale path
+    * besides [[lshTopK]]. Centroids are a deterministic sample of the
+    * corpus (the nCentroids smallest ids — swap for k-means outputs in
+    * production; the plumbing is identical). Each corpus vector is
+    * assigned to its nearest centroid (one broadcast pass, C dots per
+    * vector); a query scores only the vectors in its nProbe nearest
+    * centroid buckets. At 100 TB: centroids broadcast, assignment is
+    * map-only, the only shuffle is the bucket join on cent_id, and
+    * per-bucket work is |corpus|/C × nProbe per query. Similarities
+    * are rounded to 6 dp BEFORE every argmax/rank so bucket assignment
+    * and ranking are engine-reproducible. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      Vectors.asDouble(col("embedding")).as("ce"))
+      .withColumn("cn", Vectors.norm(col("ce")))
+    val cents = broadcast(c.orderBy(col("neighbor_id")).limit(nCentroids)
+      .select(col("neighbor_id").as("cent_id"), col("ce").as("cent"),
+        col("cn").as("centn")))
+    def centSim(e: Column, n: Column): Column =
+      round(Vectors.dot(e, col("cent")) / (n * col("centn")), 6)
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = c.join(cents)
+      .withColumn("csim", centSim(col("ce"), col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("neighbor_id"), col("ce"), col("cn"), col("cent_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      Vectors.asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", Vectors.norm(col("qe")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = q.join(cents)
+      .withColumn("csim", centSim(col("qe"), col("qn")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qe"), col("qn"), col("cent_id"))
+    val scored = probes.join(assigned, "cent_id")
+      .withColumn("sim",
+        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-dup pairs with sim >= minSim (rounded to
     * 6 dp before the threshold so engines agree at the boundary).
     * Exact all-pairs within id-ordered join; for web scale swap the

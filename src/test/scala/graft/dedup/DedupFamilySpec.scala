@@ -80,6 +80,24 @@ class KnnSpec extends SparkSpec {
     // recall sanity: at least a third of the exact pairs found
     assert(exact.intersect(approx).size * 3 >= exact.size)
   }
+
+  test("IVF top-k: buckets bound candidates, decent recall vs exact") {
+    val v = table("embeddings")
+    val q = v.filter(col("vec_id") < 5)
+    val c = v.filter(col("vec_id") >= 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Knn.bruteForceTopK(q, c, 5))
+    val ivf = Knn.ivfTopK(q, c, 5, nCentroids = 8, nProbe = 3)
+    val approx = pairs(ivf)
+    // every query returns at most k ranked candidates from the corpus
+    assert(approx.nonEmpty && approx.forall(p => p._1 < 5 && p._2 >= 5))
+    val ranks = ivf.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(ranks.forall(_ <= 5))
+    // probing 3 of 8 buckets: expect at least a third of exact pairs
+    assert(exact.intersect(approx).size * 3 >= exact.size)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
