@@ -64,8 +64,10 @@ object SparkEntry {
     }),
 
     "b2_dedup_latest" -> ((s, dir) =>
-      Dedup.latestByKey(t(s, dir, "lineitem"), Seq("l_orderkey"),
-          Seq(col("l_shipdate").desc, col("l_linenumber").desc))
+      // desc/desc ordering = maximize (l_shipdate, l_linenumber):
+      // agg form partial-aggregates map-side (see Dedup.latestByKeyAgg)
+      Dedup.latestByKeyAgg(t(s, dir, "lineitem"), Seq("l_orderkey"),
+          struct(col("l_shipdate"), col("l_linenumber")))
         .select("l_orderkey", "l_linenumber", "l_shipdate")),
 
     "b3_quality_rules" -> ((s, dir) =>

@@ -29,6 +29,23 @@ object Dedup {
   def latestByKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
     ranked(df, keys, order).filter(col(RN) === 1).drop(RN)
 
+  /** Latest record per key via max_by aggregation — equivalent to
+    * [[latestByKey]] when the ordering is "maximize `ord`" (a struct
+    * of the ordering columns, compared lexicographically; must be a
+    * total order per key or the winner is nondeterministic).
+    *
+    * Preferred at scale: unlike the window form — which shuffles every
+    * row and sorts within each key — this partial-aggregates, so the
+    * map side combines down to one candidate row per key per input
+    * partition before the shuffle. The window form remains for mixed
+    * asc/desc orderings and for extracting the duplicates themselves. */
+  def latestByKeyAgg(df: DataFrame, keys: Seq[String], ord: Column): DataFrame = {
+    val others = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), ord).as(RN))
+      .select(keys.map(col) ++ others.map(c => col(s"$RN.$c")): _*)
+  }
+
   /** The quarantined duplicates (row_number > 1), tagged with a
     * retention horizon like the reference's dupe_claims table. */
   def duplicatesByKey(df: DataFrame, keys: Seq[String], order: Seq[Column],

@@ -22,6 +22,17 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("latestByKeyAgg equals the window form on a total desc ordering") {
+    val li = table("lineitem")
+    val win = Dedup.latestByKey(li, Seq("l_orderkey"),
+      Seq(col("l_shipdate").desc, col("l_linenumber").desc))
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+    val agg = Dedup.latestByKeyAgg(li, Seq("l_orderkey"),
+      struct(col("l_shipdate"), col("l_linenumber")))
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+    assert(win.exceptAll(agg).isEmpty && agg.exceptAll(win).isEmpty)
+  }
+
   test("duplicates + latest partition the input") {
     val li = table("lineitem")
     val order = Seq(col("l_shipdate").desc, col("l_linenumber").desc)
