@@ -371,12 +371,15 @@ object SparkEntry {
         |cur AS (
         |  SELECT yr, qtr, mo, amount_mtd,
         |         sum(amount_mtd) OVER (PARTITION BY yr ORDER BY mo) AS amount_ytd,
-        |         sum(amount_mtd) OVER (PARTITION BY yr, qtr ORDER BY mo) AS amount_qtd
+        |         sum(amount_mtd) OVER (PARTITION BY yr, qtr ORDER BY mo) AS amount_qtd,
+        |         sum(amount_mtd) OVER (ORDER BY yr*12 + mo
+        |                               RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS amount_r12m
         |  FROM monthly)
         |SELECT c.yr, c.mo,
         |       CAST(c.amount_mtd AS DOUBLE) AS amount_mtd,
         |       CAST(c.amount_qtd AS DOUBLE) AS amount_qtd,
         |       CAST(c.amount_ytd AS DOUBLE) AS amount_ytd,
+        |       CAST(c.amount_r12m AS DOUBLE) AS amount_r12m,
         |       CAST(l.amount_mtd AS DOUBLE) AS amount_ly,
         |       CAST(c.amount_mtd - l.amount_mtd AS DOUBLE) AS amount_yoy_delta,
         |       CAST(c.amount_mtd - l.amount_mtd AS DOUBLE) / CAST(l.amount_mtd AS DOUBLE) AS amount_yoy_pct

@@ -62,12 +62,15 @@ object Measures {
 
   /** Time intelligence over a (date, amount) feed, at month grain:
     * MTD (month total), QTD/YTD running totals, same-period-last-year,
-    * YoY delta/%. Mirrors TOTALYTD/TOTALQTD/TOTALMTD/
-    * SAMEPERIODLASTYEAR/DIVIDE in Claims.tmdl.
+    * YoY delta/%, and the rolling 12-month total. Mirrors TOTALYTD/
+    * TOTALQTD/TOTALMTD/SAMEPERIODLASTYEAR/DIVIDE and the
+    * DATESINPERIOD(-12, MONTH) measure in Claims.tmdl.
     *
     * Scale: aggregates to month grain FIRST (one keyed shuffle), then
     * windows partition by year — ≤12 rows per partition — and the LY
-    * lookup is a self-join on a tiny frame. No global sort anywhere.
+    * lookup is a self-join on a tiny frame. The rolling-12M window is
+    * unpartitioned but runs on the month-grain frame (≤ #months rows
+    * total, regardless of input size). No global sort of input data.
     */
   def timeIntelligence(df: DataFrame, dateCol: Column, amount: Column): DataFrame = {
     val monthly = df.select(
@@ -78,9 +81,13 @@ object Measures {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wQtd = Window.partitionBy(col("yr"), col("qtr")).orderBy(col("mo"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // calendar-aware month index so RANGE covers true last-12-months
+    // even when some months are absent from the data
+    val wR12 = Window.orderBy(col("yr") * 12 + col("mo")).rangeBetween(-11, 0)
     val cur = monthly
       .withColumn("amount_ytd", sum(col("amount_mtd")).over(wYtd))
       .withColumn("amount_qtd", sum(col("amount_mtd")).over(wQtd))
+      .withColumn("amount_r12m", sum(col("amount_mtd")).over(wR12))
     val ly = monthly.select((col("yr") + 1).as("yr"), col("mo"),
       col("amount_mtd").as("amount_ly"))
     cur.join(ly, Seq("yr", "mo"), "left")
@@ -89,6 +96,7 @@ object Measures {
         col("amount_mtd").cast(DoubleType).as("amount_mtd"),
         col("amount_qtd").cast(DoubleType).as("amount_qtd"),
         col("amount_ytd").cast(DoubleType).as("amount_ytd"),
+        col("amount_r12m").cast(DoubleType).as("amount_r12m"),
         col("amount_ly").cast(DoubleType).as("amount_ly"),
         (col("amount_mtd") - col("amount_ly")).cast(DoubleType).as("amount_yoy_delta"),
         ((col("amount_mtd") - col("amount_ly")).cast(DoubleType) /
