@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.dedup.TextDedup
+import graft.functions._
+
+/** SQL registration of graft's custom Catalyst expressions, so SQL
+  * users get the same codegen'd kernels the DataFrame API uses:
+  *
+  *   SELECT graft_dot(a.e, b.e)              -- dense dot product
+  *   SELECT graft_word_shingles(text, 3)     -- distinct word n-grams
+  *   SELECT graft_h32_array(shingles)        -- md5-based h32 per element
+  *   SELECT graft_minhash_sig(hashes)        -- K-wide MinHash signature
+  *
+  * Two entry points:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *  - [[GraftFunctions.register]] on a live session
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def oneArg(name: String, f: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(e) => f(e)
+    case args => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${args.length}")
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two array<double>"),
+      {
+        case Seq(a, b) => DotProduct(a, b)
+        case args => throw new IllegalArgumentException(
+          s"graft_dot expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles",
+        "graft_word_shingles(text, n) - distinct lowercased word n-grams"),
+      {
+        case Seq(t, Literal(n: Int, IntegerType)) => WordShingles(t, n)
+        case Seq(t) => WordShingles(t, 3)
+        case args => throw new IllegalArgumentException(
+          "graft_word_shingles expects (text[, n literal])")
+      }),
+    (FunctionIdentifier("graft_h32_array"),
+      info("graft_h32_array",
+        "graft_h32_array(arr) - md5-based 32-bit hash of each string"),
+      oneArg("graft_h32_array", H32Array)),
+    (FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(hashes) - K-wide MinHash signature over h32 values"),
+      oneArg("graft_minhash_sig",
+        MinHashMins(_, TextDedup.MinHashA, TextDedup.MinHashB, Hashing.P32))))
+
+  /** Register all graft SQL functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

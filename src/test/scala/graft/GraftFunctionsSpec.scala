@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL registration surface: the custom kernels callable from SQL. */
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("registered SQL functions compute the same values as the API") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((Array(1.0, 2.0), Array(3.0, 4.0), "The quick brown fox jumps"))
+      .toDF("a", "b", "text").createOrReplaceTempView("gf")
+    val r = spark.sql(
+      """SELECT graft_dot(a, b) AS d,
+        |       graft_word_shingles(text, 3) AS sh,
+        |       graft_h32_array(graft_word_shingles(text, 3)) AS hs,
+        |       graft_minhash_sig(graft_h32_array(graft_word_shingles(text, 3))) AS sig
+        |FROM gf""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[String](1) ==
+      Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    assert(r.getSeq[Long](2).length == 3)
+    assert(r.getSeq[Long](3).length == graft.dedup.TextDedup.MinHashA.length)
+    // cross-check against the Column API on the same data
+    val api = spark.table("gf").select(
+      graft.functions.Vectors.dot(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(api == 11.0)
+  }
+
+  test("extensions class injects the same registry entries") {
+    // the builder list is shared; spot-check identity of the surface
+    assert(GraftFunctions.all.map(_._1.funcName).sorted ==
+      Seq("graft_dot", "graft_h32_array", "graft_minhash_sig",
+        "graft_word_shingles"))
+    new GraftExtensions // constructible (config-time entry point)
+  }
+}
