@@ -1,10 +1,10 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.Vectors
+import graft.functions.{TopKPairs, Vectors}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -19,6 +19,25 @@ import graft.functions.Vectors
   *   embedding leg of the dedup family).
   */
 object Knn {
+
+  /** Bounded top-k aggregate of struct(sim, id) per group — see
+    * [[graft.functions.TopKPairs]]. Unlike row_number().over(window),
+    * this partial-aggregates: each map partition ships at most k
+    * candidates per group into the shuffle instead of every row. */
+  private def topKAgg(sim: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(TopKPairs(
+      ColumnBridge.expression(struct(sim, id.cast("long"))), k)
+      .toAggregateExpression())
+
+  /** Rank the per-query top-k of scored (query_id, neighbor_id, sim)
+    * rows: sim desc, neighbor_id asc — identical output to the window
+    * row_number form (unique ids make the order total). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(topKAgg(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.sim").as("sim"))
 
   /** Exact top-k by cosine: returns (query_id, rank, neighbor_id, sim)
     * with sim rounded to 6 dp and rank ordered by (sim desc, id) so the
@@ -36,12 +55,7 @@ object Knn {
     val scored = q.join(c)
       .withColumn("sim",
         round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), col("sim"))
+    rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim) —
@@ -74,12 +88,7 @@ object Knn {
     val scored = q.join(c, "bucket")
       .withColumn("sim",
         round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), col("sim"))
+    rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
   /** IVF (inverted-file) approximate top-k — the second scale path
@@ -103,32 +112,29 @@ object Knn {
         col("cn").as("centn")))
     def centSim(e: Column, n: Column): Column =
       round(Vectors.dot(e, col("cent")) / (n * col("centn")), 6)
-    val wAssign = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("csim").desc, col("cent_id").asc)
+    // argmax over centroids (csim desc, cent_id asc) as a max_by
+    // aggregation — partial-aggregates like rankTopK; ce/cn are
+    // functionally dependent on neighbor_id so first() is exact
     val assigned = c.join(cents)
       .withColumn("csim", centSim(col("ce"), col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("neighbor_id"), col("ce"), col("cn"), col("cent_id"))
+      .groupBy("neighbor_id")
+      .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
+        max_by(col("cent_id"),
+          struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id"))
     val q = queries.select(col("vec_id").as("query_id"),
       Vectors.asDouble(col("embedding")).as("qe"))
       .withColumn("qn", Vectors.norm(col("qe")))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cent_id").asc)
     val probes = q.join(cents)
       .withColumn("csim", centSim(col("qe"), col("qn")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qe"), col("qn"), col("cent_id"))
+      .groupBy("query_id")
+      .agg(first(col("qe")).as("qe"), first(col("qn")).as("qn"),
+        topKAgg(col("csim"), col("cent_id"), nProbe).as("top"))
+      .select(col("query_id"), col("qe"), col("qn"),
+        explode(col("top.id")).as("cent_id"))
     val scored = probes.join(assigned, "cent_id")
       .withColumn("sim",
         round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), col("sim"))
+    rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
   /** Embedding-cosine near-dup pairs with sim >= minSim (rounded to
