@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Merge
+
+/** Versioned parquet snapshot store with an atomically-swapped current
+  * pointer — the minimal MERGE-capable table format when a
+  * transactional lake format isn't available.
+  *
+  * Layout: `<dir>/v=<N>/part-*.parquet` plus `<dir>/_CURRENT`
+  * containing N. Readers resolve `_CURRENT` then read only that
+  * version, so a concurrent merge (which writes v=N+1 fully before
+  * moving the pointer) never disturbs them; the pointer move is a
+  * same-directory atomic rename. Old versions are retained (time
+  * travel / audit, like the reference keeps IngestionLogs history).
+  *
+  * Mirrors the reference's Delta MERGE loop
+  * (fabric/claims/bronze/NBclaims_bronze.Notebook/notebook-content.py:215-227)
+  * over plain parquet.
+  */
+object SnapshotStore {
+
+  private def pointer(dir: String) = Paths.get(dir, "_CURRENT")
+
+  def currentVersion(dir: String): Option[Int] = {
+    val p = pointer(dir)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
+    else None
+  }
+
+  /** The current snapshot, if any version has been committed. */
+  def read(spark: SparkSession, dir: String): Option[DataFrame] =
+    currentVersion(dir).map(v => spark.read.parquet(s"$dir/v=$v"))
+
+  /** Write `df` as the next version and atomically move the pointer. */
+  def commit(df: DataFrame, dir: String): Int = {
+    val next = currentVersion(dir).getOrElse(-1) + 1
+    df.write.mode("overwrite").parquet(s"$dir/v=$next")
+    val tmp = Paths.get(dir, "_CURRENT.tmp")
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** MERGE a batch into the store: whenMatchedUpdateAll /
+    * whenNotMatchedInsertAll keyed on `keys` (see [[Merge.upsert]]);
+    * first batch bootstraps the table. */
+  def mergeInto(batch: DataFrame, dir: String, keys: Seq[String]): Int = {
+    val merged = read(batch.sparkSession, dir) match {
+      case Some(target) => Merge.upsert(target, batch, keys)
+      case None => batch
+    }
+    commit(merged, dir)
+  }
+}

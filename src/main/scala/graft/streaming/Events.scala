@@ -5,8 +5,10 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.SnapshotStore
 
 /** Event-stream operators, written once as column logic and applied to
   * both batch frames (oracle-checkable) and Structured Streaming
@@ -53,6 +55,21 @@ object Events {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
   }
+
+  /** Streaming MERGE sink: every micro-batch upserts into a
+    * [[SnapshotStore]] keyed on `keys` — the reference's
+    * watermark-incremental → Delta MERGE loop as a true streaming
+    * write path (exactly-once per batch via the checkpoint +
+    * atomically-versioned snapshots). */
+  def mergeUpsertSink(events: DataFrame, targetDir: String,
+                      checkpointDir: String, keys: Seq[String]): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        SnapshotStore.mergeInto(batch, targetDir, keys): Unit
+      }
+      .start()
 
   // --- streaming sessionization (custom state) ------------------------
 

@@ -67,6 +67,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeUpsertSink: micro-batches MERGE into a versioned snapshot") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Events.mergeUpsertSink(
+      in.toDF().toDF("id", "status", "amount"), dir, ckpt, Seq("id"))
+    in.addData((1L, "OPEN", 10.0), (2L, "OPEN", 20.0))
+    q.processAllAvailable()
+    in.addData((2L, "CLOSED", 25.0), (3L, "OPEN", 30.0)) // update + insert
+    q.processAllAvailable()
+    q.stop()
+    val snap = graft.sources.SnapshotStore.read(spark, dir).get
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(snap.toSeq == Seq((1L, "OPEN", 10.0), (2L, "CLOSED", 25.0), (3L, "OPEN", 30.0)))
+    // two committed versions, both retained
+    assert(graft.sources.SnapshotStore.currentVersion(dir).contains(1))
+  }
+
   test("sessionizeBatch on real events: sessions respect the gap") {
     val s = Events.sessionizeBatch(graft.sources.Tables.loadEvents(spark, sfDir))
     assert(s.count() > 0)
