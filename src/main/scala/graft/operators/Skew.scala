@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join/aggregation keys.
+  *
+  * AQE's skew-join split handles sort-merge cases adaptively; these
+  * explicit forms cover what AQE can't: broadcast-ineligible skewed
+  * joins planned up front, and aggregations whose per-partition hash
+  * maps blow up on hot keys.
+  *
+  * Both are deterministic — the salt is a hash of stable columns, not
+  * rand() — so results are reproducible run to run (the oracle gate
+  * and restarted stages both depend on that).
+  */
+object Skew {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Inner join where `big`'s keys are skewed and `small` is too large
+    * to broadcast whole but can be replicated `factor`×: each big row
+    * gets a deterministic salt in [0, factor) hashed from `saltFrom`
+    * (pick columns that spread the hot key's rows, e.g. a line number
+    * or event id); `small` is exploded across all salt values. The
+    * shuffle key becomes (keys, salt), splitting each hot key's rows
+    * across `factor` reducers instead of one. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFrom: Seq[Column], factor: Int): DataFrame = {
+    require(factor > 0)
+    val saltedBig = big.withColumn(SaltCol, pmod(hash(saltFrom: _*), lit(factor)))
+    val saltedSmall = small.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(factor - 1))))
+    saltedBig.join(saltedSmall, keys :+ SaltCol).drop(SaltCol)
+  }
+
+  /** Two-phase sum/count aggregation: partial groupBy (keys, salt) then
+    * final groupBy (keys). Spark's hash aggregate already map-side
+    * combines, but when one key dominates a partition's data the FINAL
+    * shuffle still lands that key on one reducer with all its partial
+    * rows; pre-splitting by salt bounds any reducer's share to
+    * 1/factor of a hot key. Aggregations must be algebraic (sum/count
+    * here — extend with min/max as needed). */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], amount: Column,
+                     saltFrom: Seq[Column], factor: Int): DataFrame = {
+    require(factor > 0)
+    df.withColumn(SaltCol, pmod(hash(saltFrom: _*), lit(factor)))
+      .groupBy((keys.map(col) :+ col(SaltCol)): _*)
+      .agg(sum(amount).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as("total"), sum(col("__pcnt")).as("n"))
+  }
+}

@@ -42,6 +42,28 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SkewSpec extends SparkSpec {
+  test("saltedJoin equals the plain join") {
+    val li = table("lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = table("orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Skew.saltedJoin(li, o, Seq("l_orderkey"),
+      Seq(col("l_linenumber")), factor = 7)
+    assert(salted.count() === plain.count())
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("saltedSumCount equals the direct aggregation") {
+    val li = table("lineitem")
+    val direct = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("total"),
+        count(lit(1)).as("n"))
+    val salted = Skew.saltedSumCount(li, Seq("l_orderkey"),
+      col("l_quantity").cast("decimal(18,4)"), Seq(col("l_linenumber")), factor = 5)
+    assert(direct.exceptAll(salted).isEmpty && salted.exceptAll(direct).isEmpty)
+  }
+}
+
 class QualityRulesSpec extends SparkSpec {
   private val rules = Seq(
     QualityRules.Rule(col("l_quantity") > 45, "ExcessQuantity"),
