@@ -47,22 +47,53 @@ object TextDedup {
 
   /** All-pairs n-gram Jaccard >= minJaccard, blocked on shared shingles.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b; jaccard is the
-    * exact rational |A∩B| / |A∪B| — engine-independent. */
+    * exact rational |A∩B| / |A∪B| — engine-independent.
+    *
+    * `maxDocFreq`: at web scale a shingle appearing in m documents
+    * produces m² candidate pairs — one viral phrase can dominate the
+    * whole job. Setting a cap drops shingles with document frequency
+    * above it from CANDIDATE GENERATION only; surviving candidates are
+    * verified with exact Jaccard over the full shingle sets, so every
+    * reported score is still exact (recall dips only for pairs whose
+    * every common shingle is ultra-hot). None = exhaustive (oracle
+    * semantics). */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
-                        minJaccard: Double): DataFrame = {
+                        minJaccard: Double,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
     val t = shingled(docs, id, text).cache()
     val ex = t.select(col("doc_id"), explode(col("sh")).as("s"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(t.select(col("doc_id").as("doc_a"), size(col("sh")).as("na")), "doc_a")
-      .join(t.select(col("doc_id").as("doc_b"), size(col("sh")).as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "jaccard")
+    maxDocFreq match {
+      case None =>
+        // exhaustive: |A∩B| counted directly off the blocking join
+        val pairs = ex.as("a").join(ex.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(t.select(col("doc_id").as("doc_a"), size(col("sh")).as("na")), "doc_a")
+          .join(t.select(col("doc_id").as("doc_b"), size(col("sh")).as("nb")), "doc_b")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= minJaccard)
+          .select("doc_a", "doc_b", "jaccard")
+      case Some(cap) =>
+        // candidate generation on cool shingles only, then exact verify
+        val cool = ex.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        val exCool = ex.join(cool, "s")
+        val cand = exCool.as("a").join(exCool.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+          .join(t.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("sha")) + size(col("shb")) - col("inter")))
+          .filter(col("jaccard") >= minJaccard)
+          .select("doc_a", "doc_b", "jaccard")
+    }
   }
 
   /** MinHash parameters: K = bands * rowsPerBand signatures from the

@@ -25,6 +25,21 @@ class TextDedupSpec extends SparkSpec {
     assert(m.getAs[Long]("n_dupes") === 10)
   }
 
+  test("doc-freq-capped Jaccard: subset with exact scores; generous cap = equal") {
+    val docs = table("documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairSet(TextDedup.ngramJaccardPairs(
+      docs, col("doc_id"), col("text"), 0.05))
+    val capped = pairSet(TextDedup.ngramJaccardPairs(
+      docs, col("doc_id"), col("text"), 0.05, maxDocFreq = Some(3)))
+    // capped candidates are a subset, and surviving scores are exact
+    assert(capped.subsetOf(full))
+    val generous = pairSet(TextDedup.ngramJaccardPairs(
+      docs, col("doc_id"), col("text"), 0.05, maxDocFreq = Some(1000000)))
+    assert(generous == full)
+  }
+
   test("LSH pairs are a subset of blocked-exact pairs at the same threshold") {
     val docs = table("documents")
     val exact = TextDedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.1)
