@@ -158,23 +158,12 @@ object TextDedup {
   /** 64-bit SimHash fingerprint as a 16-hex-char string, over word
     * tokens (with multiplicity). Bits come from the two md5 32-bit
     * halves, kept separate to avoid sign overflow; bit j set iff the
-    * signed token-vote sum is > 0 (ties -> 0). Map-only. */
-  def simHashHex(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    def half(h: Column => Column): Column = {
-      // per token: 32-bit hash; per bit j: sum of (+1/-1) votes; then
-      // fingerprint = sum of 2^j over winning bits.
-      val votes = transform(sequence(lit(0), lit(31)), j =>
-        aggregate(toks, lit(0L), (acc, t) =>
-          acc + when(floor(h(t) / pow(lit(2.0), j)).cast("long") % 2 === 1, 1L)
-            .otherwise(-1L)))
-      aggregate(
-        zip_with(votes, sequence(lit(0), lit(31)),
-          (v, j) => when(v > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x)
-    }
-    format_string("%08x%08x", half(Hashing.md5Hi32), half(Hashing.md5Lo32))
-  }
+    * signed token-vote sum is > 0 (ties -> 0). Map-only; computed by
+    * the single-pass [[graft.functions.SimHash64]] kernel
+    * (spec-checked bit-identical to the per-bit HOF formulation). */
+  def simHashHex(text: Column): Column =
+    ColumnBridge.column(graft.functions.SimHash64(
+      ColumnBridge.expression(TextAnalysis.tokens(text))))
 
   /** Near-dup pairs by SimHash hamming distance <= maxDist, blocked on
     * equal 16-bit fingerprint quarters (any pair within hamming<=3 of a

@@ -73,6 +73,43 @@ object TextKernels {
     while (i < n) { out(i) = h32(arr.getUTF8String(i)); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** 64-bit SimHash of a token array as 16 hex chars, one md5 per
+    * token. Bit-identical to the per-bit HOF formulation in
+    * [[graft.dedup.TextDedup.simHashHex]]: the two 32-bit halves come
+    * from md5 hex chars 1–8 ("lo", printed second) and 9–16 ("hi",
+    * printed first); bit j of a half is set iff the signed token vote
+    * sum for that bit is > 0 (ties → 0). */
+  def simHash64(tokens: ArrayData): UTF8String = {
+    val votes = new Array[Int](64) // 0..31 = lo half, 32..63 = hi half
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val d = md5.get().digest(tokens.getUTF8String(i).getBytes)
+      var lo = 0L; var hi = 0L
+      var b = 0
+      while (b < 4) {
+        lo = (lo << 8) | (d(b) & 0xffL)
+        hi = (hi << 8) | (d(b + 4) & 0xffL)
+        b += 1
+      }
+      var j = 0
+      while (j < 32) {
+        votes(j) += (if (((lo >>> j) & 1L) == 1L) 1 else -1)
+        votes(32 + j) += (if (((hi >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var loFp = 0L; var hiFp = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) loFp |= (1L << j)
+      if (votes(32 + j) > 0) hiFp |= (1L << j)
+      j += 1
+    }
+    UTF8String.fromString(f"$hiFp%08x$loFp%08x")
+  }
 }
 
 /** Distinct word n-gram shingles of the lowercased text (see
@@ -98,6 +135,30 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       c => s"graft.functions.TextKernels.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash hex fingerprint of a token array (see
+  * [[TextKernels.simHash64]]). Replaces 64 per-bit interpreted
+  * aggregate passes with one pass over the tokens. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simHash64(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 

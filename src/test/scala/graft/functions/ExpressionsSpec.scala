@@ -53,6 +53,27 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("SimHash64 equals the per-bit HOF formulation on real docs") {
+    import graft.text.TextAnalysis
+    val toks = TextAnalysis.tokens(col("text"))
+    def half(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val votes = transform(sequence(lit(0), lit(31)), j =>
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + when(floor(h(t) / pow(lit(2.0), j)).cast("long") % 2 === 1, 1L)
+            .otherwise(-1L)))
+      aggregate(
+        zip_with(votes, sequence(lit(0), lit(31)),
+          (v, j) => when(v > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val hof = format_string("%08x%08x", half(Hashing.md5Hi32), half(Hashing.md5Lo32))
+    val rows = table("documents")
+      .select(TextDedup.simHashHex(col("text")).as("fast"), hof.as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("MinHashMins equals per-k array_min(transform(affine))") {
     import spark.implicits._
     val df = Seq(Seq(12L, 999999L, 31L), Seq(7L)).toDF("hs")
