@@ -74,6 +74,20 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Polynomial rolling hash over a string array — fold
+    * h = (h*31 + h32(tok)) mod RollP from init 7, bit-identical to
+    * aggregate(tokens, 7L, (acc, t) => (acc*31 + h32(t)) % RollP). */
+  def rollingHash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var h = 7L
+    var i = 0
+    while (i < n) {
+      h = (h * 31 + h32(tokens.getUTF8String(i))) % Hashing.RollP
+      i += 1
+    }
+    h
+  }
+
   /** 64-bit SimHash of a token array as 16 hex chars, one md5 per
     * token. Bit-identical to the per-bit HOF formulation in
     * [[graft.dedup.TextDedup.simHashHex]]: the two 32-bit halves come
@@ -159,6 +173,29 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simHash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Polynomial rolling hash of a token array (see
+  * [[TextKernels.rollingHash]]); order-sensitive content fingerprint. */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.rollingHash(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.rollingHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
     copy(child = newChild)
 }
 

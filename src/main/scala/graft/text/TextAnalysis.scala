@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.Hashing
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.RollingHash64
 
 /** Text-analysis operators for training-data curation: tokenization,
   * language ID, quality scoring, token counting, fingerprinting.
@@ -86,10 +88,13 @@ object TextAnalysis {
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
   /** Content fingerprints: md5 of normalized text + polynomial rolling
-    * hash over normalized tokens (order-sensitive). */
+    * hash over normalized tokens (order-sensitive; single-pass
+    * [[graft.functions.RollingHash64]] kernel, spec-checked equal to
+    * the aggregate-fold formulation). */
   def fingerprints(df: DataFrame, text: Column): DataFrame = {
     val norm = normalized(text)
     df.withColumn("md5_fp", md5(norm))
-      .withColumn("rolling_fp", Hashing.rollingHash(filter(split(norm, " "), t => t =!= "")))
+      .withColumn("rolling_fp", ColumnBridge.column(RollingHash64(
+        ColumnBridge.expression(filter(split(norm, " "), t => t =!= "")))))
   }
 }

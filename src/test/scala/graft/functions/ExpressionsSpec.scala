@@ -74,6 +74,17 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("RollingHash64 equals the aggregate fold on real docs") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.text.TextAnalysis
+    val toksN = filter(split(TextAnalysis.normalized(col("text")), " "), t => t =!= "")
+    val rows = table("documents").select(
+      ColumnBridge.column(RollingHash64(ColumnBridge.expression(toksN))).as("fast"),
+      Hashing.rollingHash(toksN).as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("MinHashMins equals per-k array_min(transform(affine))") {
     import spark.implicits._
     val df = Seq(Seq(12L, 999999L, 31L), Seq(7L)).toDF("hs")
