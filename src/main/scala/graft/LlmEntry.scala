@@ -83,7 +83,23 @@ object LlmEntry {
       Events.windowedAgg(Tables.loadEvents(s, dir))),
 
     "st2_sessionize" -> ((s, dir) =>
-      Events.sessionizeBatch(Tables.loadEvents(s, dir))))
+      Events.sessionizeBatch(Tables.loadEvents(s, dir))),
+
+    "st3_asof" -> ((s, dir) => {
+      import graft.operators.{AsOfJoin, Dedup}
+      val ev = Tables.loadEvents(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      // right side unique per (user_id, ts): keep the max event_id row
+      val views = Dedup.latestByKeyAgg(
+        ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts", "value"),
+        Seq("user_id", "ts"), struct(col("event_id")))
+      AsOfJoin.asOf(purchases, views, Seq("user_id"), "ts", "ts",
+        Map("event_id" -> "view_event_id", "value" -> "view_value"), "event_id")
+        .select("event_id", "user_id", "ts", "value",
+          "view_event_id", "view_value")
+    }))
 
   // ------------------------------------------------------------------ //
 
@@ -280,5 +296,18 @@ object LlmEntry {
         |       min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM sx GROUP BY 1, 2""".stripMargin)
+        |FROM sx GROUP BY 1, 2""".stripMargin,
+
+    "st3_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |v0 AS (SELECT event_id, user_id, ts, value FROM events
+        |       WHERE event_type = 'view'),
+        |v AS (SELECT user_id, ts, max_by(event_id, event_id) AS view_event_id,
+        |             max_by(value, event_id) AS view_value
+        |      FROM v0 GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       v.view_event_id, v.view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)
 }

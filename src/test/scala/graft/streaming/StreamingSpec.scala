@@ -88,6 +88,29 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.SnapshotStore.currentVersion(dir).contains(1))
   }
 
+  test("asOf join: latest right at-or-before each left, null when none") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, t("2026-01-01 10:00:00"), 100.0, 10L),
+      (1L, t("2026-01-01 10:05:00"), 101.0, 11L),
+      (2L, t("2026-01-01 10:03:00"), 200.0, 12L))
+      .toDF("user_id", "ts", "px", "qid")
+    val trades = Seq(
+      (1L, t("2026-01-01 10:04:59"), 900L), // -> 100.0 (10:00)
+      (1L, t("2026-01-01 10:05:00"), 901L), // -> 101.0 (equal ts inclusive)
+      (2L, t("2026-01-01 10:00:00"), 902L), // -> null (no prior quote)
+      (3L, t("2026-01-01 12:00:00"), 903L)) // -> null (no quotes at all)
+      .toDF("user_id", "ts", "trade_id")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("user_id"), "ts", "ts",
+        Map("px" -> "quote_px", "qid" -> "quote_id"), "qid")
+      .orderBy("trade_id").collect()
+      .map(r => (r.getLong(2), Option(r.getAs[java.lang.Double]("quote_px")).map(_.toDouble)))
+    assert(out.toSeq == Seq(
+      (900L, Some(100.0)), (901L, Some(101.0)), (902L, None), (903L, None)))
+  }
+
   test("sessionizeBatch on real events: sessions respect the gap") {
     val s = Events.sessionizeBatch(graft.sources.Tables.loadEvents(spark, sfDir))
     assert(s.count() > 0)
