@@ -85,6 +85,20 @@ object LlmEntry {
     "st2_sessionize" -> ((s, dir) =>
       Events.sessionizeBatch(Tables.loadEvents(s, dir))),
 
+    "st4_range" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val ev = Tables.loadEvents(s, dir)
+      val sessions = Events.sessionizeBatch(ev)
+        .select("user_id", "session_idx", "session_start", "session_end")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      RangeJoin.pointInInterval(purchases, sessions, Seq("user_id"),
+          "ts", "session_start", "session_end",
+          bucketWidthUs = 30L * 60 * 1000000)
+        .select(col("event_id"), col("user_id"),
+          col("session_idx").cast("long").as("session_idx"))
+    }),
+
     "st3_asof" -> ((s, dir) => {
       import graft.operators.{AsOfJoin, Dedup}
       val ev = Tables.loadEvents(s, dir)
@@ -136,6 +150,18 @@ object LlmEntry {
 
   private val CosSql =
     "round(list_dot_product(qe,ce)/(sqrt(list_dot_product(qe,qe))*sqrt(list_dot_product(ce,ce))),6)"
+
+  /** 30-min-gap session assignment CTEs (w → f → sx), shared by the
+    * st2 and st4 oracles. */
+  private val SessionCtes =
+    """WITH w AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |f AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |                     THEN 1 ELSE 0 END AS new_session FROM w),
+      |sx AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                        ROWS UNBOUNDED PRECEDING) AS session_idx FROM f)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -284,19 +310,23 @@ object LlmEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "st2_sessionize" ->
-      """WITH w AS (
-        |  SELECT user_id, event_id, ts, value,
-        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        |  FROM events),
-        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
-        |                     THEN 1 ELSE 0 END AS new_session FROM w),
-        |sx AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                        ROWS UNBOUNDED PRECEDING) AS session_idx FROM f)
+      s"""$SessionCtes
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
         |       min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM sx GROUP BY 1, 2""".stripMargin,
+
+    "st4_range" ->
+      s"""$SessionCtes,
+        |sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |                min(ts) AS session_start, max(ts) AS session_end
+        |         FROM sx GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, s.session_idx
+        |FROM p JOIN sess s ON p.user_id = s.user_id
+        | AND p.ts BETWEEN s.session_start AND s.session_end""".stripMargin,
 
     "st3_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events

@@ -111,6 +111,28 @@ class StreamingSpec extends SparkSpec {
       (900L, Some(100.0)), (901L, Some(101.0)), (902L, None), (903L, None)))
   }
 
+  test("range join: inclusive bounds, multi-bucket intervals, no dupes") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val intervals = Seq(
+      (1L, 10L, t("2026-01-01 10:00:00"), t("2026-01-01 13:00:00")), // 3h: spans many 30m buckets
+      (1L, 11L, t("2026-01-01 14:00:00"), t("2026-01-01 14:10:00")),
+      (2L, 20L, t("2026-01-01 10:30:00"), t("2026-01-01 10:45:00")))
+      .toDF("user_id", "iv_id", "start", "end")
+    val points = Seq(
+      (1L, 100L, t("2026-01-01 10:00:00")), // on start bound -> 10
+      (1L, 101L, t("2026-01-01 13:00:00")), // on end bound -> 10
+      (1L, 102L, t("2026-01-01 13:30:00")), // gap -> no match
+      (2L, 103L, t("2026-01-01 10:31:00")), // inside -> 20
+      (3L, 104L, t("2026-01-01 10:31:00"))) // wrong key -> no match
+      .toDF("user_id", "pt_id", "ts")
+    val out = RangeJoin.pointInInterval(points, intervals, Seq("user_id"),
+        "ts", "start", "end", bucketWidthUs = 30L * 60 * 1000000)
+      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((100L, 10L), (101L, 10L), (103L, 20L)))
+  }
+
   test("sessionizeBatch on real events: sessions respect the gap") {
     val s = Events.sessionizeBatch(graft.sources.Tables.loadEvents(spark, sfDir))
     assert(s.count() > 0)
