@@ -190,6 +190,32 @@ object SparkEntry {
     "g7_topn" -> ((s, dir) =>
       Measures.topN(t(s, dir, "orders"), col("o_custkey"), col("o_totalprice"), 10)),
 
+    "g9_percentile" -> ((s, dir) =>
+      // exact linear-interpolation percentiles (R-7, same definition
+      // as DuckDB quantile_cont); rounded to absorb fp ordering noise
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))),
+
+    "g10_pivot" -> ((s, dir) =>
+      // status matrix a la the report's pivot visuals; explicit value
+      // list keeps the plan single-pass (no distinct-values job)
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(Measures.decSum(col("o_totalprice")))),
+
+    "g11_rollup" -> ((s, dir) =>
+      // subtotal grid (status × priority → status totals → grand total)
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          Measures.decSum(col("o_totalprice")).as("total"))),
+
     "g8_ingestion_log" -> ((s, dir) => {
       // Single pass: rank per key with a TOTAL ordering (the data has
       // tied (orderkey, shipdate, linenumber) rows whose DQ attributes
@@ -390,6 +416,26 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey
         |ORDER BY total DESC, key ASC LIMIT 10""".stripMargin,
+
+    "g9_percentile" ->
+      """SELECT o_orderstatus AS status,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "g10_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "g11_rollup" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(status, prio)""".stripMargin,
 
     "g8_ingestion_log" ->
       s"""WITH ranked AS (
