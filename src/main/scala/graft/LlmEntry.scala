@@ -40,6 +40,18 @@ object LlmEntry {
     "d5_embedding_dedup" -> ((s, dir) =>
       Knn.embeddingNearDupPairs(t(s, dir, "embeddings"), minSim = 0.4)),
 
+    "d6_dedup_apply" -> ((s, dir) => {
+      // apply the dedup: drop the higher id of every near-dup pair
+      // (greedy keep-first); left_anti on the drop set — one keyed
+      // shuffle over the corpus, standard curation-pipeline shape
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.minHashLshPairs(docs, col("doc_id"), col("text"),
+        minJaccard = 0.1)
+      docs.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id")
+    }),
+
     "e1_knn_brute" -> ((s, dir) => {
       val v = t(s, dir, "embeddings")
       Knn.bruteForceTopK(v.filter(col("vec_id") < 10), v.filter(col("vec_id") >= 10), k = 5)
@@ -131,6 +143,25 @@ object LlmEntry {
       s"list_min(list_transform(sh, s -> ($a*${h32Sql("s")}+$b)%${graft.functions.Hashing.P32}))"
     }.mkString("[", ",\n     ", "]")
 
+  /** MinHash LSH candidate + verify CTEs (toks → sigs → bands → cand →
+    * ver), shared by the d3 and d6 oracles. */
+  private lazy val MinhashCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $ShSql AS sh
+       |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)
+       |  WHERE len(tk) >= 3),
+       |sigs AS (SELECT doc_id, sh, $MinhashSql AS sig FROM toks),
+       |bands AS (SELECT doc_id, j AS band,
+       |                 array_to_string(sig[${TextDedup.RowsPerBand}*j+1:${TextDedup.RowsPerBand}*j+${TextDedup.RowsPerBand}], ':') AS bsig
+       |          FROM sigs, range(0, ${TextDedup.Bands}) r(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |                           AND a.doc_id < b.doc_id),
+       |ver AS (SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) /
+       |    (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jaccard
+       |  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)""".stripMargin
+
   private val LangScoreSql: Seq[(String, String)] =
     TextAnalysis.LangProfiles.map { case (lang, words) =>
       lang -> s"len(list_filter(tk, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -184,22 +215,14 @@ object LlmEntry {
          |WHERE CAST(inter AS DOUBLE)/(len(ta.sh) + len(tb.sh) - inter) >= 0.05""".stripMargin,
 
     "d3_minhash_lsh" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $ShSql AS sh
-         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)
-         |  WHERE len(tk) >= 3),
-         |sigs AS (SELECT doc_id, sh, $MinhashSql AS sig FROM toks),
-         |bands AS (SELECT doc_id, j AS band,
-         |                 array_to_string(sig[${TextDedup.RowsPerBand}*j+1:${TextDedup.RowsPerBand}*j+${TextDedup.RowsPerBand}], ':') AS bsig
-         |          FROM sigs, range(0, ${TextDedup.Bands}) r(j)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-         |                           AND a.doc_id < b.doc_id),
-         |ver AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) /
-         |    (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jaccard
-         |  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)
+      s"""$MinhashCtes
          |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.1""".stripMargin,
+
+    "d6_dedup_apply" ->
+      s"""$MinhashCtes,
+         |drops AS (SELECT DISTINCT doc_b FROM ver WHERE jaccard >= 0.1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin,
 
     "d4_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $ToksSql AS tk FROM documents),
