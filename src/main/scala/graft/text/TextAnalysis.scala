@@ -80,6 +80,21 @@ object TextAnalysis {
       .withColumn("bpe_tokens",
         regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long"))
 
+  // --- PII scrubbing ----------------------------------------------------
+
+  /** Conservative PII patterns (emails, NNN-NNN-NNNN phones). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Redact emails/phones and count what was found — the curation
+    * "scrub" step. Map-only; the testdata corpus contains no PII-like
+    * strings so this is spec-tested rather than oracle-checked. */
+  def scrubPii(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_emails", regexp_count(text, lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(text, lit(PhoneRe)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"))
+
   // --- fingerprinting ---------------------------------------------------
 
   /** Normalized text: lowercase, non-alphanumerics collapsed to single

@@ -118,6 +118,20 @@ class KnnSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import graft.text.TextAnalysis
 
+  test("scrubPii redacts and counts emails and phone numbers") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to jo.doe+x@mail.example.org or call 555-123-4567 now"),
+      (2L, "no pii here, just 12345 and words"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(df, col("text")).orderBy("doc_id")
+      .select("n_emails", "n_phones", "scrubbed").collect()
+    assert(out(0).getLong(0) == 1 && out(0).getLong(1) == 1)
+    assert(out(0).getString(2) == "write to [EMAIL] or call [PHONE] now")
+    assert(out(1).getLong(0) == 0 && out(1).getLong(1) == 0)
+    assert(out(1).getString(2).contains("12345"))
+  }
+
   test("langId picks the profile with most stopword hits") {
     import spark.implicits._
     val df = Seq(
