@@ -143,6 +143,14 @@ object LlmEntry {
       s"list_min(list_transform(sh, s -> ($a*${h32Sql("s")}+$b)%${graft.functions.Hashing.P32}))"
     }.mkString("[", ",\n     ", "]")
 
+  /** Hyperplane sign-bucket bit string for [[Knn.lshBucket]] (6 planes,
+    * weight (31p + 17d) % 7 - 3): each char is '1' iff the integer-
+    * weighted projection is >= 0. */
+  private def LshBucketSql(vec: String): String =
+    (0 until 6).map { p =>
+      s"CASE WHEN list_sum(list_transform(range(len($vec)), d -> $vec[d+1] * ((${31 * p} + 17*d) % 7 - 3))) >= 0 THEN '1' ELSE '0' END"
+    }.mkString("concat(", ", ", ")")
+
   /** MinHash LSH candidate + verify CTEs (toks → sigs → bands → cand →
     * ver), shared by the d3 and d6 oracles. */
   private lazy val MinhashCtes: String =
@@ -283,6 +291,20 @@ object LlmEntry {
          |  WHERE rn <= 4),
          |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
          |      FROM pr JOIN asg USING (cent_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "e2_knn_lsh" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe, ${LshBucketSql("e")} AS bucket
+         |      FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce, ${LshBucketSql("e")} AS bucket
+         |      FROM v WHERE vec_id >= 10),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
+         |      FROM q JOIN c USING (bucket)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
