@@ -348,6 +348,15 @@ object LlmEntry {
          |    (a, b) -> (a*31 + b) % ${graft.functions.Hashing.RollP}) AS rolling_fp
          |FROM n""".stripMargin,
 
+    "m1_multimodal" ->
+      """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_md5,
+        |       [CAST(coalesce(list_sum(list_transform(
+        |          list_filter(range(strlen(text)), p -> p % 4 = i),
+        |          p -> ascii(text[p+1]))), 0) AS DOUBLE) for i in range(4)] AS features
+        |FROM documents""".stripMargin,
+
     "st1_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n_events,
