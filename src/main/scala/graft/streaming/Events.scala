@@ -56,6 +56,23 @@ object Events {
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
   }
 
+  /** Watermarked stream-stream inner join: each left event matches
+    * right events of the same user within [left.ts - lookback, left.ts].
+    * The watermarks + the time-bound let Spark expire join state — the
+    * knob that keeps state finite at production fan-in. Column names
+    * are prefixed l_/r_ to keep the join self-describing. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       lookback: String = "1 hour",
+                       watermark: String = "1 hour"): DataFrame = {
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
+    val l = prefixed(left, "l_").withWatermark("l_ts", watermark)
+    val r = prefixed(right, "r_").withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"""l_user_id = r_user_id AND
+         |r_ts BETWEEN l_ts - interval $lookback AND l_ts""".stripMargin))
+  }
+
   /** Streaming MERGE sink: every micro-batch upserts into a
     * [[SnapshotStore]] keyed on `keys` — the reference's
     * watermark-incremental → Delta MERGE loop as a true streaming

@@ -67,6 +67,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamStreamJoin: same-user events within the lookback window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = Events.streamStreamJoin(
+      purchases.toDF().toDF("event_id", "ts", "user_id"),
+      views.toDF().toDF("event_id", "ts", "user_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    views.addData(
+      (10L, t("2026-01-01 09:30:00"), 1L),  // in window for 900
+      (11L, t("2026-01-01 07:00:00"), 1L),  // too old
+      (12L, t("2026-01-01 09:45:00"), 2L))  // other user
+    purchases.addData((900L, t("2026-01-01 10:00:00"), 1L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj").select("l_event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((900L, 10L)))
+  }
+
   test("mergeUpsertSink: micro-batches MERGE into a versioned snapshot") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
