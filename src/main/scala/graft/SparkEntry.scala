@@ -46,7 +46,9 @@ object SparkEntry {
       // Render a deterministic slice of lineitem to CSV, then exercise
       // the schema-enforced permissive ingest path end-to-end.
       val slice = t(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
-      val csvDir = java.nio.file.Files.createTempDirectory("graft_b1_").toString
+      // deterministic per-sfdir path (overwritten, not accumulated —
+      // repeated bench/verify passes reuse the same directory)
+      val csvDir = s"${System.getProperty("java.io.tmpdir")}/graft_b1_${dir.hashCode.toHexString}"
       slice.coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
       val schema = StructType(Seq(
         StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
