@@ -53,6 +53,23 @@ class SkewSpec extends SparkSpec {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("saltedJoin spreads a hot key across multiple shuffle partitions") {
+    import spark.implicits._
+    // 90%-skewed big side: key 1 dominates
+    val big = (1L to 2000L).map(i => (if (i % 10 == 0) i else 1L, i))
+      .toDF("k", "line")
+    val small = Seq((1L, "hot"), (20L, "a"), (30L, "b")).toDF("k", "v")
+    def hotPartitions(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("k") === 1L)
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+        .distinct().count()
+    val plain = big.repartition(col("k")).join(small, Seq("k"))
+    val salted = Skew.saltedJoin(big, small, Seq("k"), Seq(col("line")), factor = 8)
+    assert(hotPartitions(plain) === 1) // all hot rows on one reducer
+    assert(hotPartitions(salted) > 1) // salt spreads them
+    assert(salted.count() === plain.count())
+  }
+
   test("saltedSumCount equals the direct aggregation") {
     val li = table("lineitem")
     val direct = li.groupBy("l_orderkey")
