@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.{SnapshotStore, Tables, Watermark}
+
+/** End-to-end medallion pipeline over the claims-shaped feed — the
+  * orchestration the reference runs as DataFactory pipeline → notebook
+  * chain (PLclaims_bronze: LookupWatermark → bronze notebook → silver
+  * notebook → warehouse upsert, with run-metric exits).
+  *
+  * One call = one incremental run:
+  *  1. read the watermark, filter the orders feed to new claim dates;
+  *  2. Bronze: dedupe latest-per-claim, DQ-split, MERGE the clean rows
+  *     into the bronze [[SnapshotStore]];
+  *  3. Silver: build the pseudonymized fact from bronze and MERGE it;
+  *     extract the patient dimension;
+  *  4. Gold: refresh the measure rollup snapshot from the fact;
+  *  5. advance the watermark to the max ingested claim date and return
+  *     the per-stage run-metrics frame (the IngestionLogs record).
+  *
+  * Scale: every stage is the library operator it names — the
+  * composition adds no extra shuffles; stores are versioned snapshots
+  * with atomic pointer swaps so concurrent readers are never blocked.
+  */
+object Medallion {
+
+  private val Salt = "graft_pii_salt_2024"
+
+  /** Run one incremental pass; returns the run-metrics DataFrame
+    * (stage, rows). Layout under `workDir`: bronze/, fact/, gold/,
+    * watermark.json. */
+  def run(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    import spark.implicits._
+    val wmPath = s"$workDir/watermark.json"
+    val wm = Watermark.read(wmPath)
+
+    // 1. incremental slice of the feed
+    val feed = Tables.load(spark, sfDir, "orders")
+    val fresh = Watermark.newerThan(feed, col("o_orderdate"), wm)
+
+    // 2. Bronze: latest per claim, DQ gate, MERGE clean
+    val latest = Dedup.latestByKeyAgg(fresh, Seq("o_orderkey"),
+      struct(col("o_orderdate"), col("o_totalprice")))
+    val rules = Seq(
+      QualityRules.Rule(col("o_totalprice") <= 0, "NonPositiveAmount"),
+      QualityRules.Rule(!col("o_orderstatus").isin("F", "O", "P"), "UnknownStatus"))
+    val clean = QualityRules.clean(latest, rules)
+    val quarantined = QualityRules.quarantined(latest, rules)
+    SnapshotStore.mergeInto(clean, s"$workDir/bronze", Seq("o_orderkey"))
+
+    // 3. Silver: pseudonymized fact + patient dim
+    val bronze = SnapshotStore.read(spark, s"$workDir/bronze").get
+    val fact = bronze.select(
+      col("o_orderkey").as("claim_id"),
+      Pii.saltedSha256(col("o_custkey"), Salt).as("patient_key"),
+      col("o_totalprice").as("amount"),
+      col("o_orderdate").as("claim_date"),
+      col("o_orderstatus").as("status"))
+    SnapshotStore.mergeInto(fact, s"$workDir/fact", Seq("claim_id"))
+    val dim = Dimensions.extract(
+      Tables.load(spark, sfDir, "customer"),
+      Seq("c_custkey", "c_name", "c_mktsegment"))
+
+    // 4. Gold: measure rollup snapshot off the merged fact
+    val mergedFact = SnapshotStore.read(spark, s"$workDir/fact").get
+    val gold = mergedFact.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_claims"),
+        Measures.decSum(col("amount")).as("total_amount"))
+    SnapshotStore.commit(gold, s"$workDir/gold")
+
+    // 5. advance watermark; emit run metrics
+    val maxDate = fresh.agg(max(col("o_orderdate"))).collect()(0).get(0)
+    maxDate match {
+      case t: java.sql.Timestamp => Watermark.write(wmPath, t.toInstant)
+      case d: java.time.LocalDateTime => // TIMESTAMP_NTZ read as UTC wall time
+        Watermark.write(wmPath, d.toInstant(java.time.ZoneOffset.UTC))
+      case _ => // empty increment: leave the watermark untouched
+    }
+    Seq(
+      ("fresh_rows", fresh.count()),
+      ("clean_rows", clean.count()),
+      ("quarantined_rows", quarantined.count()),
+      ("fact_rows", mergedFact.count()),
+      ("dim_rows", dim.count()),
+      ("gold_rows", gold.count()))
+      .toDF("stage", "rows")
+  }
+}
