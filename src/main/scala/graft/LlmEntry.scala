@@ -111,6 +111,17 @@ object LlmEntry {
           col("session_idx").cast("long").as("session_idx"))
     }),
 
+    "st5_json_extract" -> ((s, dir) =>
+      // schema-on-read over the semi-structured props payload:
+      // from_json with an explicit schema (codegen'd Jackson parse),
+      // then a plain keyed aggregation — map-only before the shuffle
+      Tables.loadEvents(s, dir)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"))),
+
     "st3_asof" -> ((s, dir) => {
       import graft.operators.{AsOfJoin, Dedup}
       val ev = Tables.loadEvents(s, dir)
@@ -381,6 +392,11 @@ object LlmEntry {
         |SELECT p.event_id, p.user_id, s.session_idx
         |FROM p JOIN sess s ON p.user_id = s.user_id
         | AND p.ts BETWEEN s.session_start AND s.session_end""".stripMargin,
+
+    "st5_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     "st3_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
