@@ -50,6 +50,41 @@ class WatermarkSpec extends SparkSpec {
   }
 }
 
+class BucketingSpec extends SparkSpec {
+  test("bucketed tables join with zero shuffle exchanges") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val oldBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force a shuffle-based join path so the assertion is about
+      // bucketing, not broadcast; plain plan (no AQE wrapper) for
+      // stable text matching
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+      table("lineitem").select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bkt")
+      table("orders").select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("o_bkt")
+      val j = spark.table("li_bkt").join(spark.table("o_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      assert(j.count() === table("lineitem").count())
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
+}
+
 class TablesSpec extends SparkSpec {
   test("all testdata tables load; events gets a usable timestamp") {
     Tables.names.filter(_ != "events").foreach { n =>
