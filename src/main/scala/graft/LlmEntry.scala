@@ -23,11 +23,18 @@ object LlmEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "d1_exact_dedup" -> ((s, dir) =>
-      TextDedup.exactDupMetrics(t(s, dir, "documents"), col("doc_id"), col("text"))),
+      TextDedup.exactDupMetrics(t(s, dir, "documents"), col("text"))),
 
     "d2_ngram_jaccard" -> ((s, dir) =>
       TextDedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
         minJaccard = 0.05)),
+
+    "d2b_ngram_jaccard_capped" -> ((s, dir) =>
+      // the 100 TB path: shingles with document frequency > cap are
+      // dropped from CANDIDATE GENERATION (a viral phrase shared by m
+      // docs otherwise makes m² join rows); survivors verified exact
+      TextDedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        minJaccard = 0.05, maxDocFreq = Some(10))),
 
     "d3_minhash_lsh" -> ((s, dir) =>
       TextDedup.minHashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
@@ -36,6 +43,12 @@ object LlmEntry {
     "d4_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextDedup.simHashHex(col("text")).as("simhash"))),
+
+    "d4b_simhash_pairs" -> ((s, dir) =>
+      // fingerprint pairing: hamming <= 3 via 16-bit quarter banding
+      // (any pair within hamming<=3 shares at least one of 4 quarters)
+      TextDedup.simHashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        maxDist = 3)),
 
     "d5_embedding_dedup" -> ((s, dir) =>
       Knn.embeddingNearDupPairs(t(s, dir, "embeddings"), minSim = 0.4)),
@@ -88,8 +101,12 @@ object LlmEntry {
         .select("doc_id", "md5_fp", "rolling_fp")),
 
     "m1_multimodal" -> ((s, dir) =>
+      // features flattened to scalar columns: the driver's comparator
+      // (pandas lexsort) cannot order rows by an array column
       Multimodal.decodeStub(Multimodal.asAssets(t(s, dir, "documents")))
-        .select("asset_id", "media_type", "n_bytes", "content_md5", "features")),
+        .select(col("asset_id"), col("media_type"), col("n_bytes"), col("content_md5"),
+          col("features")(0).as("f0"), col("features")(1).as("f1"),
+          col("features")(2).as("f2"), col("features")(3).as("f3"))),
 
     "st1_windowed_agg" -> ((s, dir) =>
       Events.windowedAgg(Tables.loadEvents(s, dir))),
@@ -154,13 +171,29 @@ object LlmEntry {
       s"list_min(list_transform(sh, s -> ($a*${h32Sql("s")}+$b)%${graft.functions.Hashing.P32}))"
     }.mkString("[", ",\n     ", "]")
 
-  /** Hyperplane sign-bucket bit string for [[Knn.lshBucket]] (6 planes,
-    * weight (31p + 17d) % 7 - 3): each char is '1' iff the integer-
-    * weighted projection is >= 0. */
-  private def LshBucketSql(vec: String): String =
-    (0 until 6).map { p =>
+  /** Hyperplane sign-bucket bit string for [[Knn.lshBucket]] (weight
+    * (31p + 17d) % 7 - 3): each char is '1' iff the integer-weighted
+    * projection is >= 0. */
+  private def LshBucketSql(vec: String, planes: Int = 6): String =
+    (0 until planes).map { p =>
       s"CASE WHEN list_sum(list_transform(range(len($vec)), d -> $vec[d+1] * ((${31 * p} + 17*d) % 7 - 3))) >= 0 THEN '1' ELSE '0' END"
     }.mkString("concat(", ", ", ")")
+
+  /** SimHash fingerprint CTEs ending in fp(doc_id, fhi, flo) — the two
+    * signed 32-bit halves as BIGINTs — shared by the d4 and d4b
+    * oracles. */
+  private val SimHashFpCtes: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+       |hs AS (SELECT doc_id,
+       |  list_transform(tk, s -> CAST('0x'||substr(md5(s),1,8) AS BIGINT)) AS lo,
+       |  list_transform(tk, s -> CAST('0x'||substr(md5(s),9,8) AS BIGINT)) AS hi FROM toks),
+       |bits AS (SELECT doc_id,
+       |  [CASE WHEN list_sum(list_transform(lo, v -> CASE WHEN CAST(floor(v/(2**j)) AS BIGINT)%2=1 THEN 1 ELSE -1 END)) > 0 THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,32)] AS lob,
+       |  [CASE WHEN list_sum(list_transform(hi, v -> CASE WHEN CAST(floor(v/(2**j)) AS BIGINT)%2=1 THEN 1 ELSE -1 END)) > 0 THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,32)] AS hib
+       | FROM hs),
+       |fp AS (SELECT doc_id,
+       |  CAST(coalesce(list_sum(hib), 0) AS BIGINT) AS fhi,
+       |  CAST(coalesce(list_sum(lob), 0) AS BIGINT) AS flo FROM bits)""".stripMargin
 
   /** MinHash LSH candidate + verify CTEs (toks → sigs → bands → cand →
     * ver), shared by the d3 and d6 oracles. */
@@ -233,6 +266,22 @@ object LlmEntry {
          |FROM pairs JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE)/(len(ta.sh) + len(tb.sh) - inter) >= 0.05""".stripMargin,
 
+    "d2b_ngram_jaccard_capped" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $ShSql AS sh
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)
+         |  WHERE len(tk) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+         |cool AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 10),
+         |exc AS (SELECT doc_id, s FROM ex JOIN cool USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |ver AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) /
+         |    (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jaccard
+         |  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.05""".stripMargin,
+
     "d3_minhash_lsh" ->
       s"""$MinhashCtes
          |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.1""".stripMargin,
@@ -244,27 +293,38 @@ object LlmEntry {
          |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin,
 
     "d4_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, $ToksSql AS tk FROM documents),
-         |hs AS (SELECT doc_id,
-         |  list_transform(tk, s -> CAST('0x'||substr(md5(s),1,8) AS BIGINT)) AS lo,
-         |  list_transform(tk, s -> CAST('0x'||substr(md5(s),9,8) AS BIGINT)) AS hi FROM toks),
-         |bits AS (SELECT doc_id,
-         |  [CASE WHEN list_sum(list_transform(lo, v -> CASE WHEN CAST(floor(v/(2**j)) AS BIGINT)%2=1 THEN 1 ELSE -1 END)) > 0 THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,32)] AS lob,
-         |  [CASE WHEN list_sum(list_transform(hi, v -> CASE WHEN CAST(floor(v/(2**j)) AS BIGINT)%2=1 THEN 1 ELSE -1 END)) > 0 THEN CAST(2**j AS BIGINT) ELSE 0 END for j in range(0,32)] AS hib
-         | FROM hs)
-         |SELECT doc_id, printf('%08x%08x',
-         |  CAST(coalesce(list_sum(hib), 0) AS BIGINT),
-         |  CAST(coalesce(list_sum(lob), 0) AS BIGINT)) AS simhash FROM bits""".stripMargin,
+      s"""$SimHashFpCtes
+         |SELECT doc_id, printf('%08x%08x', fhi, flo) AS simhash FROM fp""".stripMargin,
+
+    "d4b_simhash_pairs" ->
+      s"""$SimHashFpCtes,
+         |hx AS (SELECT doc_id, fhi, flo, printf('%08x%08x', fhi, flo) AS hex FROM fp),
+         |banded AS (SELECT doc_id, fhi, flo, q, substr(hex, q*4+1, 4) AS qs
+         |           FROM hx, range(0, 4) r(q)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.fhi AS ahi, a.flo AS alo, b.fhi AS bhi, b.flo AS blo
+         |         FROM banded a JOIN banded b
+         |           ON a.q = b.q AND a.qs = b.qs AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3""".stripMargin,
 
     "d5_embedding_dedup" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |           FROM embeddings)
-        |SELECT * FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         round(list_dot_product(a.e, b.e) /
-        |               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        |WHERE sim >= 0.4""".stripMargin,
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |bk AS (SELECT vec_id, e, ${LshBucketSql("e", 24)} AS sig FROM v),
+         |banded AS (SELECT vec_id, t, substr(sig, t*6 + 1, 6) AS bucket
+         |           FROM bk, range(0, 4) r(t)),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM banded a JOIN banded b
+         |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT * FROM (
+         |  SELECT vec_a, vec_b,
+         |         round(list_dot_product(va.e, vb.e) /
+         |               (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) AS sim
+         |  FROM cand JOIN bk va ON va.vec_id = vec_a JOIN bk vb ON vb.vec_id = vec_b)
+         |WHERE sim >= 0.4""".stripMargin,
 
     "e1_knn_brute" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -359,14 +419,17 @@ object LlmEntry {
          |    (a, b) -> (a*31 + b) % ${graft.functions.Hashing.RollP}) AS rolling_fp
          |FROM n""".stripMargin,
 
-    "m1_multimodal" ->
-      """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
-        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |       md5(text) AS content_md5,
-        |       [CAST(coalesce(list_sum(list_transform(
-        |          list_filter(range(strlen(text)), p -> p % 4 = i),
-        |          p -> ascii(text[p+1]))), 0) AS DOUBLE) for i in range(4)] AS features
-        |FROM documents""".stripMargin,
+    "m1_multimodal" -> {
+      def f(i: Int) =
+        s"""CAST(coalesce(list_sum(list_transform(
+           |          list_filter(range(strlen(text)), p -> p % 4 = $i),
+           |          p -> ascii(text[p+1]))), 0) AS DOUBLE) AS f$i""".stripMargin
+      s"""SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+         |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |       md5(text) AS content_md5,
+         |       ${(0 until 4).map(f).mkString(",\n       ")}
+         |FROM documents""".stripMargin
+    },
 
     "st1_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -395,7 +458,7 @@ object LlmEntry {
 
     "st5_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1""".stripMargin,
 
     "st3_asof" ->

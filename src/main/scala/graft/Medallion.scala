@@ -37,18 +37,23 @@ object Medallion {
     val wmPath = s"$workDir/watermark.json"
     val wm = Watermark.read(wmPath)
 
-    // 1. incremental slice of the feed
+    // 1. incremental slice of the feed (cached: consumed by the bronze
+    // chain AND the stats pass below — without it each action re-reads
+    // and re-filters the feed)
     val feed = Tables.load(spark, sfDir, "orders")
-    val fresh = Watermark.newerThan(feed, col("o_orderdate"), wm)
+    val fresh = Watermark.newerThan(feed, col("o_orderdate"), wm).cache()
 
-    // 2. Bronze: latest per claim, DQ gate, MERGE clean
+    // 2. Bronze: latest per claim, DQ gate, MERGE clean. The flagged
+    // frame is cached so the clean/quarantined splits and the metric
+    // counts all reuse one materialization of the dedup shuffle.
     val latest = Dedup.latestByKeyAgg(fresh, Seq("o_orderkey"),
       struct(col("o_orderdate"), col("o_totalprice")))
     val rules = Seq(
       QualityRules.Rule(col("o_totalprice") <= 0, "NonPositiveAmount"),
       QualityRules.Rule(!col("o_orderstatus").isin("F", "O", "P"), "UnknownStatus"))
-    val clean = QualityRules.clean(latest, rules)
-    val quarantined = QualityRules.quarantined(latest, rules)
+    val flagged = QualityRules.withReasons(latest, rules).cache()
+    val clean = flagged
+      .filter(length(col(QualityRules.ReasonCol)) === 0).drop(QualityRules.ReasonCol)
     SnapshotStore.mergeInto(clean, s"$workDir/bronze", Seq("o_orderkey"))
 
     // 3. Silver: pseudonymized fact + patient dim
@@ -71,21 +76,31 @@ object Medallion {
         Measures.decSum(col("amount")).as("total_amount"))
     SnapshotStore.commit(gold, s"$workDir/gold")
 
-    // 5. advance watermark; emit run metrics
-    val maxDate = fresh.agg(max(col("o_orderdate"))).collect()(0).get(0)
-    maxDate match {
+    // 5. advance watermark; emit run metrics. One aggregation pass over
+    // the cached fresh slice yields count + max date; one pass over the
+    // cached flagged frame yields both DQ split counts.
+    val freshStats = fresh
+      .agg(count(lit(1)).as("n"), max(col("o_orderdate")).as("mx")).collect()(0)
+    val freshRows = freshStats.getLong(0)
+    freshStats.get(1) match {
       case t: java.sql.Timestamp => Watermark.write(wmPath, t.toInstant)
       case d: java.time.LocalDateTime => // TIMESTAMP_NTZ read as UTC wall time
         Watermark.write(wmPath, d.toInstant(java.time.ZoneOffset.UTC))
       case _ => // empty increment: leave the watermark untouched
     }
-    Seq(
-      ("fresh_rows", fresh.count()),
-      ("clean_rows", clean.count()),
-      ("quarantined_rows", quarantined.count()),
+    val dqStats = flagged.agg(
+      sum(when(length(col(QualityRules.ReasonCol)) === 0, 1L).otherwise(0L)),
+      sum(when(length(col(QualityRules.ReasonCol)) > 0, 1L).otherwise(0L))).collect()(0)
+    val metrics = Seq(
+      ("fresh_rows", freshRows),
+      ("clean_rows", if (dqStats.isNullAt(0)) 0L else dqStats.getLong(0)),
+      ("quarantined_rows", if (dqStats.isNullAt(1)) 0L else dqStats.getLong(1)),
       ("fact_rows", mergedFact.count()),
       ("dim_rows", dim.count()),
       ("gold_rows", gold.count()))
       .toDF("stage", "rows")
+    fresh.unpersist()
+    flagged.unpersist()
+    metrics
   }
 }

@@ -22,6 +22,13 @@ object SparkEntry {
 
   private val Salt = "graft_pii_salt_2024"
 
+  /** The five claim-type analogs for the measure pack (g4): label →
+    * o_orderpriority value, mirroring the reference's five
+    * CALCULATE-by-type measures. */
+  private val PriorityTypes: Seq[(String, String)] = Seq(
+    "urgent" -> "1-URGENT", "high" -> "2-HIGH", "medium" -> "3-MEDIUM",
+    "notspec" -> "4-NOT SPECIFIED", "low" -> "5-LOW")
+
   /** DQ rules for the lineitem feed (SURVEY §2 b3). */
   private def lineitemRules: Seq[QualityRules.Rule] = Seq(
     QualityRules.Rule(col("l_quantity") > 45, "ExcessQuantity"),
@@ -170,12 +177,21 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val fact = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      // all five claim-type analogs (reference: Inpatient/Outpatient/
+      // Emergency/Routine/Urgent Care, Claims.tmdl:189-225)
       Measures.measurePack(fact,
         amount = col("l_extendedprice"), status = col("o_orderstatus"),
         typ = col("o_orderpriority"),
         entityA = col("o_custkey"), entityB = col("l_suppkey"),
-        statuses = ("F", "O", "P"), types = ("1-URGENT", "5-LOW"))
+        statuses = ("F", "O", "P"), types = PriorityTypes)
     }),
+
+    "g12_dim_avg" -> ((s, dir) =>
+      // dim-table measure analog of Patients 'Average Age'
+      // (Patients.tmdl:5): a single AVERAGE over the dimension
+      t(s, dir, "customer").agg(
+        count(lit(1)).as("n_customers"),
+        Measures.decAvg(col("c_acctbal")).as("avg_acctbal"))),
 
     "g5_measures_by_dim" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -188,6 +204,12 @@ object SparkEntry {
 
     "g6_time_intelligence" -> ((s, dir) =>
       Measures.timeIntelligence(t(s, dir, "orders"), col("o_orderdate"), col("o_totalprice"))),
+
+    "g6b_time_intel_count" -> ((s, dir) =>
+      // calculation-group form: the same YTD/QTD/LY/YoY family applied
+      // to a DIFFERENT selected measure (claim count, not amount)
+      Measures.timeIntelligenceFor(t(s, dir, "orders"), col("o_orderdate"),
+        count(lit(1)), "claims")),
 
     "g7_topn" -> ((s, dir) =>
       Measures.topN(t(s, dir, "orders"), col("o_custkey"), col("o_totalprice"), 10)),
@@ -275,8 +297,8 @@ object SparkEntry {
     "b4_quarantine_split" ->
       s"""WITH flagged AS (SELECT $DqReasonSql AS reason FROM lineitem)
          |SELECT count(*) AS total_rows,
-         |       sum(CASE WHEN reason = '' THEN 1 ELSE 0 END) AS clean_rows,
-         |       sum(CASE WHEN reason <> '' THEN 1 ELSE 0 END) AS quarantined_rows
+         |       CAST(sum(CASE WHEN reason = '' THEN 1 ELSE 0 END) AS BIGINT) AS clean_rows,
+         |       CAST(sum(CASE WHEN reason <> '' THEN 1 ELSE 0 END) AS BIGINT) AS quarantined_rows
          |FROM flagged""".stripMargin,
 
     "b5_merge_upsert" ->
@@ -361,24 +383,32 @@ object SparkEntry {
         |  (SELECT count(*) FROM (SELECT c_custkey FROM customer
         |                         UNION SELECT c_custkey FROM staging) u) AS total_rows""".stripMargin,
 
-    "g4_measure_pack" ->
-      """SELECT count(*) AS total_claims,
+    "g4_measure_pack" -> {
+      val typeCols = PriorityTypes.map { case (label, value) =>
+        s"CAST(sum(CASE WHEN o_orderpriority = '$value' THEN 1 ELSE 0 END) AS BIGINT) AS ${label}_claims"
+      }.mkString(",\n        |       ")
+      s"""SELECT count(*) AS total_claims,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_amount,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS average_amount,
         |       count(DISTINCT o_custkey) AS unique_patients,
         |       count(DISTINCT l_suppkey) AS unique_providers,
-        |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS approved_claims,
-        |       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS denied_claims,
-        |       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_claims,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS approved_claims,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS denied_claims,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_claims,
         |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS approved_amount,
         |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS denied_amount,
         |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS pending_amount,
-        |       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS type_a_claims,
-        |       sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS type_b_claims,
+        |       $typeCols,
         |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS approval_rate,
         |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS denied_rate,
         |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pending_rate
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+    },
+
+    "g12_dim_avg" ->
+      """SELECT count(*) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(c_acctbal) AS avg_acctbal
+        |FROM customer""".stripMargin,
 
     "g5_measures_by_dim" ->
       """SELECT o_orderstatus AS status,
@@ -411,6 +441,30 @@ object SparkEntry {
         |       CAST(l.amount_mtd AS DOUBLE) AS amount_ly,
         |       CAST(c.amount_mtd - l.amount_mtd AS DOUBLE) AS amount_yoy_delta,
         |       CAST(c.amount_mtd - l.amount_mtd AS DOUBLE) / CAST(l.amount_mtd AS DOUBLE) AS amount_yoy_pct
+        |FROM cur c LEFT JOIN monthly l ON l.yr = c.yr - 1 AND l.mo = c.mo""".stripMargin,
+
+    "g6b_time_intel_count" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |         CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |         count(*) AS claims_mtd
+        |  FROM orders GROUP BY 1, 2, 3),
+        |cur AS (
+        |  SELECT yr, qtr, mo, claims_mtd,
+        |         sum(claims_mtd) OVER (PARTITION BY yr ORDER BY mo) AS claims_ytd,
+        |         sum(claims_mtd) OVER (PARTITION BY yr, qtr ORDER BY mo) AS claims_qtd,
+        |         sum(claims_mtd) OVER (ORDER BY yr*12 + mo
+        |                               RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS claims_r12m
+        |  FROM monthly)
+        |SELECT c.yr, c.mo,
+        |       CAST(c.claims_mtd AS DOUBLE) AS claims_mtd,
+        |       CAST(c.claims_qtd AS DOUBLE) AS claims_qtd,
+        |       CAST(c.claims_ytd AS DOUBLE) AS claims_ytd,
+        |       CAST(c.claims_r12m AS DOUBLE) AS claims_r12m,
+        |       CAST(l.claims_mtd AS DOUBLE) AS claims_ly,
+        |       CAST(c.claims_mtd - l.claims_mtd AS DOUBLE) AS claims_yoy_delta,
+        |       CAST(c.claims_mtd - l.claims_mtd AS DOUBLE) / CAST(l.claims_mtd AS DOUBLE) AS claims_yoy_pct
         |FROM cur c LEFT JOIN monthly l ON l.yr = c.yr - 1 AND l.mo = c.mo""".stripMargin,
 
     "g7_topn" ->

@@ -32,8 +32,8 @@ object TextDedup {
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
   /** Exact-dup metrics via content-hash groupBy: (n_docs, n_groups,
-    * n_dupes) as one row. Keeper selection = min id per group. */
-  def exactDupMetrics(docs: DataFrame, id: Column, text: Column): DataFrame =
+    * n_dupes) as one row. */
+  def exactDupMetrics(docs: DataFrame, text: Column): DataFrame =
     docs.groupBy(md5(text).as("h")).agg(count(lit(1)).as("n"))
       .agg(
         sum(col("n")).as("n_docs"),

@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * Shape: interleave both sides into one frame tagged by side, sort
   * within each key on (ts, side, tiebreak) — right rows sort before
   * left rows at equal ts, making the match inclusive — and carry the
-  * last non-null right payload forward with last(ignoreNulls) over a
-  * running window; keep only left rows.
+  * last right payload forward with last(ignoreNulls) over a running
+  * window; keep only left rows. The payload travels as ONE struct
+  * column (non-null for every right row, null for left rows), so a
+  * legitimately-NULL payload FIELD is carried faithfully rather than
+  * skipped in favor of an older right row — matching true as-of
+  * semantics (DuckDB ASOF JOIN) for nullable payloads.
   *
   * Scale: ONE hash shuffle on the key plus a per-key local sort —
   * identical cost to a window aggregation; never builds the
@@ -28,31 +32,37 @@ object AsOfJoin {
   /** @param keys        equi-join key columns (both sides)
     * @param leftTs      left timestamp column name
     * @param rightTs     right timestamp column name
-    * @param rightPayload right columns to carry (renamed as given)
+    * @param rightPayload right columns to carry (renamed as given);
+    *                    destinations must not collide with left columns
     * @param tiebreak    right column ordering rights within equal ts */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
            rightPayload: Map[String, String],
            tiebreak: String): DataFrame = {
     val outCols = rightPayload.values.toSeq
+    val collisions = outCols.intersect(left.columns.toSeq)
+    require(collisions.isEmpty,
+      s"asOf payload destination(s) ${collisions.mkString(", ")} collide with left columns")
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__tb", lit(null).cast("long"))
-    val lWithNulls = outCols.foldLeft(l)((df, c) =>
-      df.withColumn(c, lit(null)))
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
-          col(tiebreak).cast("long").as("__tb")) ++
-        rightPayload.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
-    val unioned = lWithNulls.unionByName(r, allowMissingColumns = true)
+          col(tiebreak).cast("long").as("__tb"),
+          struct(rightPayload.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+            .as("__pay")): _*)
+    // unionByName fills the side-specific columns (left's payload
+    // struct, right's missing left columns) with nulls
+    val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = outCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carried = unioned
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .drop("__ts", "__side", "__tb")
+      .select(left.columns.map(col) ++
+        outCols.map(c => col("__pay").getField(c).as(c)): _*)
   }
 }

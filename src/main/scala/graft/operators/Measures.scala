@@ -34,15 +34,19 @@ object Measures {
   /** The flat measure pack over a claims-like feed: one row of KPIs.
     * Roles: amount (ClaimAmount), status (ClaimStatus), typ (ClaimType),
     * entityA/entityB (PatientID/ProviderID distinct counts).
-    * statuses = (approved, denied, pending) analog values. */
+    * statuses = (approved, denied, pending) analog values.
+    * types = (label, value) pairs — one CALCULATE-by-type count per
+    * entry, named `<label>_claims` (the reference defines five:
+    * Inpatient/Outpatient/Emergency/Routine/Urgent Care,
+    * Claims.tmdl:189-225). One aggregation pass regardless of how many
+    * types — every extra measure is another partial-aggregated
+    * conditional sum, not another job. */
   def measurePack(df: DataFrame, amount: Column, status: Column, typ: Column,
                   entityA: Column, entityB: Column,
                   statuses: (String, String, String),
-                  types: (String, String)): DataFrame = {
+                  types: Seq[(String, String)]): DataFrame = {
     val (app, den, pen) = statuses
-    val (tyA, tyB) = types
-    df.agg(
-      count(lit(1)).as("total_claims"),
+    val base = Seq(
       decSum(amount).as("total_amount"),
       decAvg(amount).as("average_amount"),
       countDistinct(entityA).as("unique_patients"),
@@ -52,12 +56,15 @@ object Measures {
       countWhere(status === pen).as("pending_claims"),
       sumWhere(amount, status === app).as("approved_amount"),
       sumWhere(amount, status === den).as("denied_amount"),
-      sumWhere(amount, status === pen).as("pending_amount"),
-      countWhere(typ === tyA).as("type_a_claims"),
-      countWhere(typ === tyB).as("type_b_claims"),
+      sumWhere(amount, status === pen).as("pending_amount"))
+    val byType = types.map { case (label, value) =>
+      countWhere(typ === value).as(s"${label}_claims")
+    }
+    val rates = Seq(
       (countWhere(status === app).cast(DoubleType) / count(lit(1))).as("approval_rate"),
       (countWhere(status === den).cast(DoubleType) / count(lit(1))).as("denied_rate"),
       (countWhere(status === pen).cast(DoubleType) / count(lit(1))).as("pending_rate"))
+    df.agg(count(lit(1)).as("total_claims"), base ++ byType ++ rates: _*)
   }
 
   /** Time intelligence over a (date, amount) feed, at month grain:
@@ -72,11 +79,29 @@ object Measures {
     * unpartitioned but runs on the month-grain frame (≤ #months rows
     * total, regardless of input size). No global sort of input data.
     */
-  def timeIntelligence(df: DataFrame, dateCol: Column, amount: Column): DataFrame = {
-    val monthly = df.select(
-        year(dateCol).as("yr"), quarter(dateCol).as("qtr"), month(dateCol).as("mo"),
-        amount.cast(DecimalType(18, 4)).as("amt"))
-      .groupBy("yr", "qtr", "mo").agg(sum(col("amt")).as("amount_mtd"))
+  def timeIntelligence(df: DataFrame, dateCol: Column, amount: Column): DataFrame =
+    timeIntelligenceFor(df, dateCol,
+      sum(amount.cast(DecimalType(18, 4))), "amount")
+
+  /** Calculation-group form of [[timeIntelligence]]: applies the
+    * YTD/QTD/MTD/LY/YoY/rolling-12M calculation family to ANY additive
+    * aggregate — the analog of the reference's Time Calculation table
+    * (Time Calculation.tmdl:4-24), whose items transform
+    * SELECTEDMEASURE. `measureAgg` is the month-grain aggregate (e.g.
+    * `sum(amount.cast(DecimalType(18,4)))` or `count(lit(1))`); it must
+    * be additive across months for the running/rolling totals to equal
+    * a recompute over the longer period (sums and counts are; distinct
+    * counts are not). Output columns are `<name>_mtd/_qtd/_ytd/_r12m/
+    * _ly/_yoy_delta/_yoy_pct`, all DOUBLE. Plan shape is unchanged from
+    * the single-measure form: one keyed shuffle to month grain, then
+    * windows over the tiny month frame. */
+  def timeIntelligenceFor(df: DataFrame, dateCol: Column,
+                          measureAgg: Column, name: String): DataFrame = {
+    val mtd = s"${name}_mtd"
+    val monthly = df
+      .groupBy(year(dateCol).as("yr"), quarter(dateCol).as("qtr"),
+        month(dateCol).as("mo"))
+      .agg(measureAgg.as(mtd))
     val wYtd = Window.partitionBy(col("yr")).orderBy(col("mo"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wQtd = Window.partitionBy(col("yr"), col("qtr")).orderBy(col("mo"))
@@ -85,22 +110,22 @@ object Measures {
     // even when some months are absent from the data
     val wR12 = Window.orderBy(col("yr") * 12 + col("mo")).rangeBetween(-11, 0)
     val cur = monthly
-      .withColumn("amount_ytd", sum(col("amount_mtd")).over(wYtd))
-      .withColumn("amount_qtd", sum(col("amount_mtd")).over(wQtd))
-      .withColumn("amount_r12m", sum(col("amount_mtd")).over(wR12))
+      .withColumn(s"${name}_ytd", sum(col(mtd)).over(wYtd))
+      .withColumn(s"${name}_qtd", sum(col(mtd)).over(wQtd))
+      .withColumn(s"${name}_r12m", sum(col(mtd)).over(wR12))
     val ly = monthly.select((col("yr") + 1).as("yr"), col("mo"),
-      col("amount_mtd").as("amount_ly"))
+      col(mtd).as(s"${name}_ly"))
     cur.join(ly, Seq("yr", "mo"), "left")
       .select(
         col("yr"), col("mo"),
-        col("amount_mtd").cast(DoubleType).as("amount_mtd"),
-        col("amount_qtd").cast(DoubleType).as("amount_qtd"),
-        col("amount_ytd").cast(DoubleType).as("amount_ytd"),
-        col("amount_r12m").cast(DoubleType).as("amount_r12m"),
-        col("amount_ly").cast(DoubleType).as("amount_ly"),
-        (col("amount_mtd") - col("amount_ly")).cast(DoubleType).as("amount_yoy_delta"),
-        ((col("amount_mtd") - col("amount_ly")).cast(DoubleType) /
-          col("amount_ly").cast(DoubleType)).as("amount_yoy_pct"))
+        col(mtd).cast(DoubleType).as(mtd),
+        col(s"${name}_qtd").cast(DoubleType).as(s"${name}_qtd"),
+        col(s"${name}_ytd").cast(DoubleType).as(s"${name}_ytd"),
+        col(s"${name}_r12m").cast(DoubleType).as(s"${name}_r12m"),
+        col(s"${name}_ly").cast(DoubleType).as(s"${name}_ly"),
+        (col(mtd) - col(s"${name}_ly")).cast(DoubleType).as(s"${name}_yoy_delta"),
+        ((col(mtd) - col(s"${name}_ly")).cast(DoubleType) /
+          col(s"${name}_ly").cast(DoubleType)).as(s"${name}_yoy_pct"))
   }
 
   /** Top-N entities by exact amount, deterministic tiebreak on the key. */

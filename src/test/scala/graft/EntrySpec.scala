@@ -24,12 +24,13 @@ class EntrySpec extends SparkSpec {
     val out = LlmEntry.queries("m1_multimodal")(spark, sfDir).cache()
     assert(out.count() > 0)
     import org.apache.spark.sql.functions._
-    assert(out.filter(col("features").isNull).count() === 0)
-    assert(out.filter(size(col("features")) =!= 4).count() === 0)
+    val fCols = Seq("f0", "f1", "f2", "f3")
+    fCols.foreach(c => assert(out.filter(col(c).isNull).count() === 0, c))
     // deterministic across runs
-    val a = out.orderBy("asset_id").limit(1).collect()(0).getSeq[Double](4)
-    val b = LlmEntry.queries("m1_multimodal")(spark, sfDir)
-      .orderBy("asset_id").limit(1).collect()(0).getSeq[Double](4)
-    assert(a === b)
+    def firstFeats(df: org.apache.spark.sql.DataFrame): Seq[Double] = {
+      val r = df.orderBy("asset_id").limit(1).collect()(0)
+      fCols.map(c => r.getDouble(r.fieldIndex(c)))
+    }
+    assert(firstFeats(out) === firstFeats(LlmEntry.queries("m1_multimodal")(spark, sfDir)))
   }
 }

@@ -20,7 +20,7 @@ class TextDedupSpec extends SparkSpec {
   test("exact dedup metrics: synthetic dupes counted") {
     val docs = table("documents")
     val doubled = docs.unionByName(docs.limit(10))
-    val m = TextDedup.exactDupMetrics(doubled, col("doc_id"), col("text")).collect()(0)
+    val m = TextDedup.exactDupMetrics(doubled, col("text")).collect()(0)
     assert(m.getAs[Long]("n_docs") === docs.count() + 10)
     assert(m.getAs[Long]("n_dupes") === 10)
   }
@@ -94,6 +94,29 @@ class KnnSpec extends SparkSpec {
     assert(approx.forall(p => p._1 < 5 && p._2 >= 5))
     // recall sanity: at least a third of the exact pairs found
     assert(exact.intersect(approx).size * 3 >= exact.size)
+  }
+
+  test("embedding near-dup: bucketed plan (no nested-loop), subset of exact, high-sim recall") {
+    val v = table("embeddings")
+    val lsh = Knn.embeddingNearDupPairs(v, minSim = 0.4)
+    // the shipped plan must be a pure equi-join pipeline — the whole
+    // point of the multi-table LSH re-ship
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val approx = pairs(lsh)
+    val exact = pairs(Knn.embeddingNearDupPairsExact(v, minSim = 0.4))
+    // candidates verified exactly -> reported scores identical to exact
+    assert(approx.subsetOf(exact))
+    assert(approx.nonEmpty)
+    // OR-construction recall: near-identical pairs (sim >= 0.95) nearly
+    // always collide in at least one of the 4 tables
+    val hot = exact.filter(_._3 >= 0.95)
+    if (hot.nonEmpty)
+      assert(approx.count(hot.contains) * 2 >= hot.size,
+        s"high-sim recall too low: ${approx.count(hot.contains)}/${hot.size}")
   }
 
   test("IVF top-k: buckets bound candidates, decent recall vs exact") {

@@ -85,6 +85,25 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("LshSignBucket equals the HOF projection form on real embeddings") {
+    import graft.ann.Knn
+    val planes = 6
+    // the original aggregate(zip_with(...)) formulation lshBucket replaced
+    val hof = concat_ws("", (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(col("e"), sequence(lit(0), size(col("e")) - 1),
+          (x, d) => x * ((lit(p * 31L) + d * 17L) % 7L - 3L).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    val rows = table("embeddings")
+      .select(Vectors.asDouble(col("embedding")).as("e"))
+      .select(Knn.lshBucket(col("e"), planes).as("fast"), hof.as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("MinHashMins equals per-k array_min(transform(affine))") {
     import spark.implicits._
     val df = Seq(Seq(12L, 999999L, 31L), Seq(7L)).toDF("hs")

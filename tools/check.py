@@ -1,16 +1,20 @@
 #!/usr/bin/env python3
 """Local pre-flight for the driver's DuckDB oracle gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
-Compares each <outDir>/<name> parquet against oracle_sql.json run in
-DuckDB with views named after the testdata tables. Values compared
-after sorting columns by name and rows by all columns, floats rounded
-to 9 significant-ish decimals to spot real mismatches vs noise.
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [name ...]
+
+Mimics the DRIVER's comparator as closely as possible: both sides are
+materialized as pandas DataFrames (so DuckDB HUGEINT becomes float64,
+exactly like the driver sees), columns sorted by name, rows lexsorted
+over all columns (array columns raise, like the driver), and values
+compared by their repr — no rounding, so float64 '14985.0' vs int64
+'14985' is a FAIL here just as it hashes differently there.
 """
-import json, math, sys
+import json, sys
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -18,34 +22,28 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
-def norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v): v = "NaN"
-                else: v = repr(v)
-            vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
-    return [cols[i] for i in order], out
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+def cells(df):
+    return [tuple(repr(v) for v in row) for row in df.itertuples(index=False)]
 
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
     try:
-        spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        scols, srows = norm(spark_rel.fetchall(), spark_rel.columns)
-        duck_rel = con.sql(sql)
-        dcols, drows = norm(duck_rel.fetchall(), duck_rel.columns)
+        sdf = canon(con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
+        ddf = canon(con.sql(sql).df())
+        srows, drows = cells(sdf), cells(ddf)
     except Exception as e:
         print(f"FAIL {name}: exception {e}")
         fails += 1
         continue
-    if [c.lower() for c in scols] != [c.lower() for c in dcols]:
-        print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+    if [c.lower() for c in sdf.columns] != [c.lower() for c in ddf.columns]:
+        print(f"FAIL {name}: columns spark={list(sdf.columns)} duck={list(ddf.columns)}")
         fails += 1
     elif srows != drows:
         diff_s = [r for r in srows if r not in set(drows)][:3]
@@ -56,5 +54,5 @@ for name, sql in sorted(oracle.items()):
         fails += 1
     else:
         print(f"OK   {name}: {len(srows)} rows")
-print(f"\n{len(oracle)-fails}/{len(oracle)} match")
+print(f"\n{(len(only) or len(oracle))-fails} match, {fails} fail")
 sys.exit(1 if fails else 0)
