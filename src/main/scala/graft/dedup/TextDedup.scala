@@ -77,20 +77,41 @@ object TextDedup {
           .filter(col("jaccard") >= minJaccard)
           .select("doc_a", "doc_b", "jaccard")
       case Some(cap) =>
-        // candidate generation on cool shingles only, then exact verify
-        val cool = ex.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("s")
-        val exCool = ex.join(cool, "s")
-        val cand = exCool.as("a").join(exCool.as("b"),
+        // Candidate generation on cool (df <= cap) shingles only. The
+        // intersection is still EXACT: |A∩B| = shared-cool count
+        // (aggregated straight off the blocking join, map-side
+        // partials — never an array intersect over the full shingle
+        // sets) + an array_intersect over each doc's HOT shingles,
+        // which are few by construction (at most |occurrences|/cap
+        // distinct hot shingles exist corpus-wide).
+        // the HOT set is small by construction (<= occurrences/cap
+        // distinct shingles corpus-wide), so it broadcasts and both
+        // splits below are map-only — never a shuffle join of the full
+        // exploded corpus against the frequency table
+        val hotSet = broadcast(ex.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("s"))
+        val cool = ex.join(hotSet, Seq("s"), "left_anti")
+        val empty = array().cast("array<string>")
+        // one per-doc metadata frame (full set size + hot shingles) so
+        // the verify stage is two keyed joins, not four
+        val docMeta = t.select(col("doc_id"), size(col("sh")).as("n"))
+          .join(ex.join(hotSet, "s")
+              .groupBy("doc_id").agg(array_sort(collect_list(col("s"))).as("hot")),
+            Seq("doc_id"), "left")
+          .withColumn("hot", coalesce(col("hot"), empty))
+        val pairs = cool.as("a").join(cool.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        cand
-          .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-          .join(t.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-          .withColumn("jaccard", col("inter").cast("double") /
-            (size(col("sha")) + size(col("shb")) - col("inter")))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter_cool"))
+        pairs
+          .join(docMeta.select(col("doc_id").as("doc_a"),
+            col("n").as("na"), col("hot").as("hota")), "doc_a")
+          .join(docMeta.select(col("doc_id").as("doc_b"),
+            col("n").as("nb"), col("hot").as("hotb")), "doc_b")
+          .withColumn("inter",
+            col("inter_cool") + size(array_intersect(col("hota"), col("hotb"))))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .filter(col("jaccard") >= minJaccard)
           .select("doc_a", "doc_b", "jaccard")
     }
