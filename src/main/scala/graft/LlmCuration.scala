@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.TextDedup
+import graft.text.TextAnalysis
+
+/** End-to-end training-data curation pipeline — the document-corpus
+  * analog of [[Medallion.run]]: chain the standard curation stages in
+  * the order a production pipeline runs them, each stage the library
+  * operator it names.
+  *
+  *  1. quality + language gate (map-only: C4-style score + stopword
+  *     language ID, both at scan speed, no shuffle);
+  *  2. exact dedup: keep the min-id document per content hash (one
+  *     keyed shuffle on the hash);
+  *  3. near-dup dedup: MinHash+LSH candidate pairs over the surviving
+  *     corpus, verified Jaccard, greedy keep-lowest-id (banded shuffle
+  *     + bounded bucket joins — the 100 TB shape, see
+  *     [[TextDedup.minHashLshPairs]]);
+  *  4. survivors = left_anti on the drop set (one keyed shuffle).
+  *
+  * Stage order matters at scale: the map-only gates run first so every
+  * shuffle-bearing stage sees the smallest possible corpus.
+  */
+object LlmCuration {
+
+  /** Run the pipeline; returns the surviving doc ids.
+    *
+    * @param minQuality  minimum composite quality score (see
+    *                    [[TextAnalysis.qualityFeatures]])
+    * @param lang        keep only docs identified as this language
+    *                    (None = no language gate)
+    * @param minJaccard  near-dup threshold for the MinHash stage */
+  def run(docs: DataFrame, id: Column, text: Column,
+          minQuality: Double = 0.5, lang: Option[String] = Some("en"),
+          minJaccard: Double = 0.1): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val scored = TextAnalysis.qualityFeatures(base, col("text"))
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+    val kept = lang.foldLeft(scored.filter(col("quality_score") >= minQuality)) {
+      (df, l) => df.filter(col("lang_pred") === l)
+    }.select("doc_id", "text")
+    val uniq = kept.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select("doc_id", "text")
+    val pairs = TextDedup.minHashLshPairs(uniq, col("doc_id"), col("text"), minJaccard)
+    uniq.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id")
+  }
+}

@@ -53,6 +53,12 @@ object LlmEntry {
     "d5_embedding_dedup" -> ((s, dir) =>
       Knn.embeddingNearDupPairs(t(s, dir, "embeddings"), minSim = 0.4)),
 
+    "c1_curate" -> ((s, dir) =>
+      // the end-to-end curation chain: quality+lang gate -> exact
+      // dedup -> MinHash near-dup apply; survivors only
+      LlmCuration.run(t(s, dir, "documents"), col("doc_id"), col("text"),
+        minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)),
+
     "d6_dedup_apply" -> ((s, dir) => {
       // apply the dedup: drop the higher id of every near-dup pair
       // (greedy keep-first); left_anti on the drop set — one keyed
@@ -196,11 +202,12 @@ object LlmEntry {
        |  CAST(coalesce(list_sum(lob), 0) AS BIGINT) AS flo FROM bits)""".stripMargin
 
   /** MinHash LSH candidate + verify CTEs (toks → sigs → bands → cand →
-    * ver), shared by the d3 and d6 oracles. */
-  private lazy val MinhashCtes: String =
-    s"""WITH toks AS (
+    * ver) over `src(doc_id, text)` — shared by the d3, d6 and c1
+    * oracles. No leading WITH so callers can prepend their own CTEs. */
+  private def minhashCtes(src: String): String =
+    s"""toks AS (
        |  SELECT doc_id, $ShSql AS sh
-       |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)
+       |  FROM (SELECT doc_id, $ToksSql AS tk FROM $src)
        |  WHERE len(tk) >= 3),
        |sigs AS (SELECT doc_id, sh, $MinhashSql AS sig FROM toks),
        |bands AS (SELECT doc_id, j AS band,
@@ -213,6 +220,8 @@ object LlmEntry {
        |  CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) /
        |    (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jaccard
        |  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)""".stripMargin
+
+  private lazy val MinhashCtes: String = "WITH " + minhashCtes("documents")
 
   private val LangScoreSql: Seq[(String, String)] =
     TextAnalysis.LangProfiles.map { case (lang, words) =>
@@ -285,6 +294,30 @@ object LlmEntry {
     "d3_minhash_lsh" ->
       s"""$MinhashCtes
          |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.1""".stripMargin,
+
+    "c1_curate" ->
+      s"""WITH t0 AS (SELECT doc_id, text, $ToksSql AS tk FROM documents),
+         |feat AS (SELECT doc_id, text, tk,
+         |  len(tk) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |    greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(tk, x -> x IN ($EnStopsSql))) AS DOUBLE) /
+         |    greatest(len(tk), 1) AS stop_ratio,
+         |  ${LangScoreSql.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")}
+         |  FROM t0),
+         |keepq AS (SELECT doc_id, text FROM (
+         |    SELECT *,
+         |      round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
+         |            0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS q,
+         |      $LangCaseSql AS lang
+         |    FROM feat)
+         |  WHERE q >= 0.5 AND lang = 'en'),
+         |uniq AS (SELECT min(doc_id) AS doc_id, first(text) AS text
+         |         FROM keepq GROUP BY md5(text)),
+         |${minhashCtes("uniq")},
+         |drops AS (SELECT DISTINCT doc_b FROM ver WHERE jaccard >= 0.1)
+         |SELECT doc_id FROM uniq
+         |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin,
 
     "d6_dedup_apply" ->
       s"""$MinhashCtes,

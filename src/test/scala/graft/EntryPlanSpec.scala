@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural guard over every shipped query's PHYSICAL plan: the scale
+  * contract says no query may plan a cartesian product or a
+  * broadcast-nested-loop join — those are the O(n²) shapes that die at
+  * 100 TB no matter how fast they look on test data.
+  */
+class EntryPlanSpec extends SparkSpec {
+
+  // e1 is the exhaustive brute-force ANN baseline: the broadcast
+  // query×corpus product IS its contract (corpus side stays
+  // partition-parallel; the product is |Q|×|C| with |Q| tiny).
+  // e3's product is corpus×centroids with the centroid table a
+  // broadcast CONSTANT (nCentroids rows) — |C|×O(1), the standard IVF
+  // assignment pass, not a quadratic stage.
+  private val exempt = Set("e1_knn_brute", "e3_knn_ivf")
+
+  test("no shipped query plans a cartesian or nested-loop join") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!exempt(name)) {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+      }
+    }
+  }
+
+  test("curation pipeline: survivors are gated, deduped, near-dup-free") {
+    val docs = table("documents")
+    val survivors = LlmCuration.run(docs, col("doc_id"), col("text"),
+      minQuality = 0.3, lang = Some("en"), minJaccard = 0.1).cache()
+    val ids = survivors.collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty)
+    // survivors come from the corpus
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(all))
+    // idempotent: curating the survivors again drops nothing new
+    val again = LlmCuration.run(
+      docs.join(survivors, Seq("doc_id")), col("doc_id"), col("text"),
+      minQuality = 0.3, lang = Some("en"), minJaccard = 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
+}
