@@ -106,6 +106,22 @@ object LlmEntry {
       TextAnalysis.fingerprints(t(s, dir, "documents"), col("text"))
         .select("doc_id", "md5_fp", "rolling_fp")),
 
+    "t5_pii_scrub" -> ((s, dir) => {
+      // the corpus has no PII-like strings, so inject deterministic
+      // synthetic PII (email per doc, phone on every third doc) and
+      // oracle-check the scrub end to end
+      val withPii = t(s, dir, "documents").withColumn("text2", concat(
+        col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" or call 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      TextAnalysis.scrubPii(withPii, col("text2"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("scrubbed")).as("scrub_md5"))
+    }),
+
     "m1_multimodal" -> ((s, dir) =>
       // features flattened to scalar columns: the driver's comparator
       // (pandas lexsort) cannot order rows by an array column
@@ -451,6 +467,22 @@ object LlmEntry {
          |                   s -> ${h32Sql("s")})),
          |    (a, b) -> (a*31 + b) % ${graft.functions.Hashing.RollP}) AS rolling_fp
          |FROM n""".stripMargin,
+
+    "t5_pii_scrub" -> {
+      import graft.text.TextAnalysis.{EmailRe, PhoneRe}
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN ' or call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |       ELSE '' END AS text2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text2, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text2, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text2, '$EmailRe', '[EMAIL]', 'g'),
+         |                     '$PhoneRe', '[PHONE]', 'g')) AS scrub_md5
+         |FROM p""".stripMargin
+    },
 
     "m1_multimodal" -> {
       def f(i: Int) =

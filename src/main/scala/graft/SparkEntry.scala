@@ -186,6 +186,17 @@ object SparkEntry {
         statuses = ("F", "O", "P"), types = PriorityTypes)
     }),
 
+    "g13_salted_agg" -> ((s, dir) =>
+      // skew-safe two-phase aggregation: l_returnflag has only 3
+      // values, the canonical hot-key shape; salting bounds any
+      // reducer's share of a key to 1/16 (result identical to the
+      // plain groupBy — that's what the oracle checks)
+      Skew.saltedSumCount(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          col("l_quantity").cast(DecimalType(18, 4)),
+          saltFrom = Seq(col("l_orderkey"), col("l_linenumber")), factor = 16)
+        .select(col("l_returnflag"), col("total").cast(DoubleType).as("total_qty"),
+          col("n"))),
+
     "g12_dim_avg" -> ((s, dir) =>
       // dim-table measure analog of Patients 'Average Age'
       // (Patients.tmdl:5): a single AVERAGE over the dimension
@@ -404,6 +415,12 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pending_rate
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
     },
+
+    "g13_salted_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "g12_dim_avg" ->
       """SELECT count(*) AS n_customers,
