@@ -73,6 +73,18 @@ object Events {
          |r_ts BETWEEN l_ts - interval $lookback AND l_ts""".stripMargin))
   }
 
+  /** Streaming exact dedup — the streaming leg of the dedup family
+    * (batch analog: d1 / [[graft.dedup.TextDedup.exactDupMetrics]]).
+    * Drops events whose key was already seen within the watermark
+    * horizon: `dropDuplicatesWithinWatermark` keeps dedup state only
+    * until the watermark passes the event's time, the knob that keeps
+    * state finite at production fan-in (a plain `dropDuplicates` on a
+    * stream grows state forever). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming MERGE sink: every micro-batch upserts into a
     * [[SnapshotStore]] keyed on `keys` — the reference's
     * watermark-incremental → Delta MERGE loop as a true streaming

@@ -37,6 +37,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicate keys within the watermark emit once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Events.Event]
+    input.addData(
+      Events.Event(1, ts(5), 100, "click", 1.0),
+      Events.Event(1, ts(6), 100, "click", 1.0), // dup of event 1
+      Events.Event(2, ts(10), 100, "click", 2.0))
+    val q = Events.dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // a second batch re-sending event 1 within the horizon: still deduped
+      input.addData(Events.Event(1, ts(8), 100, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM deduped").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionizeStream: gap closes a session; equals batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
