@@ -33,11 +33,25 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("payload")).cast(LongType))
       .withColumn("content_md5", md5(col("payload")))
 
-  /** STUB decode: a real implementation calls the media codec here
-    * (per partition, batched — the iterator shape is what matters).
-    * The stub derives a deterministic fixed-size "feature" vector from
-    * payload bytes so the pipeline is end-to-end testable. */
+  /** STUB decode as a native Catalyst expression: derives the
+    * deterministic fixed-size "feature" vector from payload bytes with
+    * the codegen'd [[graft.functions.ByteWindowSums]] kernel, so the
+    * decode column stays inside whole-stage codegen (no RDD
+    * round-trip). This is the shipped path; [[decodeStubPartitioned]]
+    * keeps the batched-iterator shape a real codec needs. */
   def decodeStub(assets: DataFrame, featureDim: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    assets.withColumn("features", ColumnBridge.column(
+      graft.functions.ByteWindowSums(
+        ColumnBridge.expression(col("payload")), featureDim)))
+  }
+
+  /** STUB decode, partition-batched: a real implementation calls the
+    * media codec here (per partition, batched — the iterator shape is
+    * what matters; swap the checksum for the codec call and nothing
+    * else changes). Output is identical to [[decodeStub]]
+    * (spec-checked). */
+  def decodeStubPartitioned(assets: DataFrame, featureDim: Int = 4): DataFrame = {
     val spark = assets.sparkSession
     val outSchema = StructType(assets.schema.fields :+
       StructField("features", ArrayType(DoubleType), nullable = true))

@@ -104,6 +104,18 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("ByteWindowSums decode equals the partition-batched stub on real docs") {
+    import graft.multimodal.Multimodal
+    val assets = Multimodal.asAssets(table("documents"))
+    def feats(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.select("asset_id", "features").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val fast = feats(Multimodal.decodeStub(assets))
+    val ref = feats(Multimodal.decodeStubPartitioned(assets))
+    assert(fast.nonEmpty)
+    assert(fast == ref)
+  }
+
   test("MinHashMins equals per-k array_min(transform(affine))") {
     import spark.implicits._
     val df = Seq(Seq(12L, 999999L, 31L), Seq(7L)).toDF("hs")
