@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.Knn
-import graft.dedup.TextDedup
+import graft.ann.{KMeans, Knn}
+import graft.dedup.{Decontaminate, DupClusters, TextDedup}
 import graft.multimodal.Multimodal
+import graft.operators.Sampling
 import graft.streaming.Events
 import graft.sources.Tables
-import graft.text.TextAnalysis
+import graft.text.{Packing, TextAnalysis}
 
 /** LLM-training-data + streaming operators (SURVEY §2: the d, e, t, m
   * and st families), with DuckDB oracles where SQL can express the
@@ -58,6 +59,49 @@ object LlmEntry {
       // dedup -> MinHash near-dup apply; survivors only
       LlmCuration.run(t(s, dir, "documents"), col("doc_id"), col("text"),
         minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)),
+
+    "d7_dup_clusters" -> ((s, dir) =>
+      // transitive resolution: connected components over the near-dup
+      // pair graph, cluster_id = component-min doc_id
+      DupClusters.connectedComponents(
+        TextDedup.minHashLshPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), minJaccard = 0.1))),
+
+    "t6_decontam" -> ((s, dir) => {
+      // benchmark decontamination: every 25th doc plays the eval set;
+      // training docs sharing any word 5-gram with it are flagged
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminatedDocs(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0),
+        col("doc_id"), col("text"), n = 5)
+    }),
+
+    "t7_token_pack" -> ((s, dir) =>
+      // training-shard packing: docs -> token-budget bins inside 8
+      // deterministic hash buckets; output = per-bin fill stats
+      Packing.binStats(Packing.packIntoBins(
+        TextAnalysis.tokenCounts(t(s, dir, "documents"), col("text")),
+        col("doc_id"), col("bpe_tokens"), budget = 2000L, buckets = 8))),
+
+    "x1_hash_split" -> ((s, dir) =>
+      Sampling.withSplit(t(s, dir, "documents"), col("doc_id"))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))),
+
+    "x2_stratified_sample" -> ((s, dir) => {
+      // data mixing: keep 50% of src0/src1, 20% of everything else —
+      // deterministic, so before/after counts are oracle-checkable
+      val docs = t(s, dir, "documents")
+      val sampled = Sampling.stratifiedSample(docs, col("doc_id"), col("source"),
+        Map("src0" -> 0.5, "src1" -> 0.5), default = 0.2)
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(sampled.groupBy("source").agg(count(lit(1)).as("n_sampled")),
+          Seq("source"), "left")
+        .na.fill(0L, Seq("n_sampled"))
+    }),
+
+    "e4_kmeans" -> ((s, dir) =>
+      KMeans.lloyd(t(s, dir, "embeddings"), k = 8, iters = 2)),
 
     "d6_dedup_apply" -> ((s, dir) => {
       // apply the dedup: drop the higher id of every near-dup pair
@@ -182,8 +226,16 @@ object LlmEntry {
   private val ToksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
 
-  private val ShSql =
-    s"""list_distinct([array_to_string(tk[i:i+2],' ') for i in range(1, len(tk)-1)])"""
+  /** Distinct word n-gram shingles over `tk` (1-based inclusive list
+    * slices); n=3 is the dedup family's [[ShSql]]. */
+  private def shSqlN(n: Int): String =
+    s"list_distinct([array_to_string(tk[i:i+${n - 1}],' ') for i in range(1, len(tk)-${n - 2})])"
+
+  private val ShSql = shSqlN(3)
+
+  /** [[Sampling.hashBucket]] over doc_id as DuckDB SQL. */
+  private def bucketSql(buckets: Int) =
+    s"${h32Sql("CAST(doc_id AS VARCHAR)")} % $buckets"
 
   private def h32Sql(v: String) =
     s"(CAST('0x'||substr(md5($v),1,15) AS BIGINT)%${graft.functions.Hashing.P32})"
@@ -340,6 +392,78 @@ object LlmEntry {
          |drops AS (SELECT DISTINCT doc_b FROM ver WHERE jaccard >= 0.1)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin,
+
+    "d7_dup_clusters" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |pr AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.1),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY node""".stripMargin,
+
+    "t6_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, ${shSqlN(5)} AS sh
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
+         |ev AS (SELECT DISTINCT unnest(sh) AS s FROM toks WHERE doc_id % 25 = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS s FROM toks WHERE doc_id % 25 <> 0)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM tr JOIN ev USING (s) GROUP BY doc_id""".stripMargin,
+
+    "t7_token_pack" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+         |  ${bucketSql(8)} AS bucket
+         |  FROM documents),
+         |p AS (SELECT *, CAST(floor(coalesce(
+         |        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
+         |      AS BIGINT) AS bin FROM c)
+         |SELECT bucket, bin, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "x1_hash_split" ->
+      s"""WITH b AS (SELECT ${bucketSql(100)} AS bkt FROM documents)
+         |SELECT CASE WHEN bkt < 90 THEN 'train'
+         |            WHEN bkt < 100 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs
+         |FROM b GROUP BY 1""".stripMargin,
+
+    "x2_stratified_sample" ->
+      s"""WITH b AS (SELECT source, ${bucketSql(100)} AS bkt FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN bkt < (CASE WHEN source IN ('src0','src1')
+         |                                      THEN 50 ELSE 20 END)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM b GROUP BY source""".stripMargin,
+
+    "e4_kmeans" -> {
+      def asg(cent: String) =
+        s"""SELECT vec_id, e, cent_id FROM (
+           |  SELECT v.vec_id, v.e, c.cent_id,
+           |         row_number() OVER (PARTITION BY v.vec_id
+           |           ORDER BY round(list_dot_product(v.e, c.cent) /
+           |             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cent, c.cent))), 6) DESC,
+           |           c.cent_id) AS rn
+           |  FROM v, $cent c) WHERE rn = 1""".stripMargin
+      def mean(src: String) =
+        s"""SELECT cent_id, d AS dim,
+           |  round(CAST(sum(CAST(e[d+1] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS value
+           |FROM $src, range(0, 64) r(d) GROUP BY 1, 2""".stripMargin
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS cent_id, e AS cent FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${asg("c0")}),
+         |d1 AS (${mean("a1")}),
+         |c1 AS (SELECT cent_id, list(value ORDER BY dim) AS cent FROM d1 GROUP BY cent_id),
+         |a2 AS (${asg("c1")}),
+         |d2 AS (${mean("a2")})
+         |SELECT cent_id, CAST(dim AS INTEGER) AS dim, value FROM d2""".stripMargin
+    },
 
     "d4_simhash" ->
       s"""$SimHashFpCtes

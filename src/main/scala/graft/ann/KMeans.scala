@@ -1,0 +1,67 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Vectors
+
+/** Lloyd's k-means over an embedding column — the centroid-training
+  * step [[Knn.ivfTopK]] assumes (its scaladoc: "swap for k-means
+  * outputs in production"). Coarse IVF quantization per Jégou et al.
+  * 2011; Lloyd 1982 for the iteration.
+  *
+  * Deterministic end to end, so an external engine reproduces every
+  * centroid bit-for-bit:
+  *  - seeds = the k smallest vec_ids (swap for k-means|| at deploy; the
+  *    dataflow is identical),
+  *  - assignment = cosine rounded to 6 dp, argmax tie-broken by
+  *    cent_id — partition-order independent,
+  *  - recompute = per-dimension mean as an exact DECIMAL sum cast to
+  *    double (summation-order independent) and rounded to 6 dp before
+  *    the next round reads it.
+  *
+  * Scale: centroids broadcast (k·dim doubles); assignment is map-only
+  * (k dot products per vector, then a max_by partial-aggregate);
+  * recompute is one posexplode + (cent_id, dim)-keyed aggregation whose
+  * map-side partials reduce each partition to ≤ k·dim rows before the
+  * shuffle. Rounds are a driver loop over `iters` — the standard shape
+  * for an iterative refinement whose state is k·dim scalars.
+  */
+object KMeans {
+
+  /** Train centroids; returns (cent_id, dim, value) scalar rows —
+    * cent_id is the seed vector's vec_id, `value` rounded to 6 dp. */
+  def lloyd(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 1, "k and iters must be positive")
+    val c = corpus.select(col("vec_id").cast("long").as("vec_id"),
+        Vectors.asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Vectors.norm(col("e")))
+      .cache()
+    var dims: DataFrame = null
+    var cents = c.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cent_id"), col("e").as("cent"))
+    for (_ <- 0 until iters) {
+      val ct = broadcast(cents.withColumn("centn", Vectors.norm(col("cent"))))
+      // nearest centroid by rounded cosine; ties -> smallest cent_id.
+      // e is functionally dependent on vec_id so first() is exact.
+      val assigned = c.join(ct)
+        .withColumn("csim", round(
+          Vectors.dot(col("e"), col("cent")) / (col("nrm") * col("centn")), 6))
+        .groupBy("vec_id")
+        .agg(first(col("e")).as("e"),
+          max_by(col("cent_id"),
+            struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id"))
+      dims = assigned.select(col("cent_id"), posexplode(col("e")))
+        .groupBy(col("cent_id"), col("pos").as("dim"))
+        .agg(round(
+          (sum(col("col").cast(DecimalType(28, 12))).cast("double") /
+            count(lit(1))), 6).as("value"))
+      cents = dims
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("dv"))
+        .select(col("cent_id"), transform(col("dv"), x => x("value")).as("cent"))
+    }
+    dims.select(col("cent_id"), col("dim"), col("value"))
+  }
+}

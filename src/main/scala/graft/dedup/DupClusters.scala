@@ -1,0 +1,71 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: connected components over the near-dup
+  * pair graph, so transitive duplicates (a≈b, b≈c but a≉c) resolve to
+  * ONE cluster with one deterministic keeper — the web-scale refinement
+  * of the greedy per-pair drop in `d6_dedup_apply`.
+  *
+  * Algorithm: iterative min-label propagation — every node repeatedly
+  * adopts the minimum label in its closed neighborhood until fixpoint
+  * (the MapReduce CC recipe; see Rastogi et al. 2013 "Finding Connected
+  * Components in Map-Reduce in Logarithmic Rounds" and Kiveris et al.
+  * 2014 "Connected Components in MapReduce and Beyond" for the
+  * round-compressed variants this simplifies).
+  *
+  * Scale: each round is ONE keyed shuffle (edge join + min-agg); rounds
+  * needed = component diameter, and near-dup clusters are shallow (a
+  * dup cluster's diameter is small by construction — docs similar to a
+  * common ancestor). Frames are `localCheckpoint()`ed each round so
+  * lineage doesn't double per iteration (swap for `checkpoint()` +
+  * a checkpoint dir on a real cluster). The convergence probe is a
+  * scalar count — no data ever collects to the driver.
+  */
+object DupClusters {
+
+  /** Connected components of the (doc_a, doc_b) pair graph.
+    * Returns (doc_id, cluster_id) — cluster_id = the component's
+    * minimum doc_id — for every doc that appears in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(
+      col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // propagate: every node offers its label to its neighbors; the
+      // union with the node's own label keeps labels monotone non-
+      // increasing, so `<` detects every change
+      val prop = sym.join(labels, sym("src") === labels("node"))
+        .select(sym("dst").as("node"), labels("lbl"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("node"), col("lbl").as("prev")), "node")
+        .filter(col("lbl") < col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Cluster-aware dedup apply: survivors = docs that are their
+    * cluster's minimum id, plus every doc with no near-dup at all. */
+  def survivors(docs: DataFrame, idName: String, pairs: DataFrame): DataFrame = {
+    val drops = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idName))
+    docs.join(drops, Seq(idName), "left_anti")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic hash-based splitting and sampling for training-data
+  * pipelines.
+  *
+  * All assignment comes from md5 of a stable key (see
+  * [[graft.functions.Hashing.h32]]) rather than `rand()`: the same row
+  * always lands in the same split/sample, regardless of partitioning,
+  * retries, or corpus growth — the property a train/val split must have
+  * under incremental appends (reference analog: the deterministic
+  * keying discipline of NBclaims_silver.py:160-166's stable hashed ids).
+  * Everything here is a map-only column expression — at 100 TB these
+  * run at scan speed with zero shuffles.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, buckets) from md5 of the key. */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    Hashing.h32(key.cast("string")) % buckets
+
+  /** Train/val/test split by hash bucket: `trainPct` buckets go to
+    * train, the next `valPct` to val, the remainder to test. */
+  def withSplit(df: DataFrame, key: Column,
+                trainPct: Int = 90, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val b = hashBucket(key)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Keep a deterministic `fraction` of rows (hash bucket < 100·f). */
+  def sampleFraction(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"invalid fraction $fraction")
+    df.filter(hashBucket(key) < math.round(fraction * 100).toInt)
+  }
+
+  /** Per-stratum deterministic sampling (data mixing): rows whose
+    * `stratum` value appears in `fractions` keep that fraction,
+    * everything else keeps `default`. Upsampling beyond 1.0 is out of
+    * scope — this is the down-mixing half of a mixture recipe. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       fractions: Map[String, Double],
+                       default: Double): DataFrame = {
+    require((fractions.values.toSeq :+ default).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val cut = fractions.foldLeft(lit(math.round(default * 100).toInt)) {
+      case (els, (value, f)) =>
+        when(stratum === value, lit(math.round(f * 100).toInt)).otherwise(els)
+    }
+    df.filter(hashBucket(key) < cut)
+  }
+}

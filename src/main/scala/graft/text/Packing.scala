@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Sequence packing: assign documents to token-budget bins for training
+  * shard construction (each bin ≈ one packed training sequence batch).
+  *
+  * Distributed and deterministic: documents are hashed into `buckets`
+  * independent streams ([[Sampling.hashBucket]] — stable under
+  * re-partitioning and appends-at-the-end never reshuffle earlier
+  * buckets' relative order), and within a bucket docs are taken in id
+  * order with a running token total; a doc's bin is
+  * `floor(tokens_before_it / budget)` — contiguous greedy fill, so every
+  * bin except a bucket's last holds at least `budget` tokens and at most
+  * `budget + max_doc_tokens - 1`.
+  *
+  * Scale: the only wide op is one window partitioned BY BUCKET — each
+  * partition sorts only its own bucket's rows, never a global sort.
+  * Size `buckets` ≈ shuffle parallelism at deploy (32 here); the
+  * per-bucket sort is the same work a shard writer must do anyway to
+  * emit deterministic shard files.
+  */
+object Packing {
+
+  /** Adds (bucket, bin) to each (id, tokens) row. */
+  def packIntoBins(docs: DataFrame, id: Column, tokens: Column,
+                   budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(id.as("doc_id"), tokens.cast("long").as("n_tokens"))
+      .withColumn("bucket", Sampling.hashBucket(col("doc_id"), buckets))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+  }
+
+  /** Per-bin packing stats: how full each (bucket, bin) ended up. */
+  def binStats(packed: DataFrame): DataFrame =
+    packed.groupBy("bucket", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+}

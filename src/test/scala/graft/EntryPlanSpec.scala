@@ -15,7 +15,9 @@ class EntryPlanSpec extends SparkSpec {
   // e3's product is corpus×centroids with the centroid table a
   // broadcast CONSTANT (nCentroids rows) — |C|×O(1), the standard IVF
   // assignment pass, not a quadratic stage.
-  private val exempt = Set("e1_knn_brute", "e3_knn_ivf")
+  // e4's product is the same IVF-style corpus×constant-centroids
+  // broadcast assignment pass as e3 (k rows per vector, not |C|²).
+  private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e4_kmeans")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
