@@ -14,9 +14,11 @@ import graft.operators.Sampling
   * re-partitioning and appends-at-the-end never reshuffle earlier
   * buckets' relative order), and within a bucket docs are taken in id
   * order with a running token total; a doc's bin is
-  * `floor(tokens_before_it / budget)` — contiguous greedy fill, so every
-  * bin except a bucket's last holds at least `budget` tokens and at most
-  * `budget + max_doc_tokens - 1`.
+  * `floor(tokens_before_it / budget)` — contiguous greedy fill, so the
+  * cumulative fill through any non-final bin is ≥ `(bin+1)·budget`
+  * (bins average ≥ `budget` tokens; an individual interior bin can fall
+  * short only when a jumbo doc in the previous bin overshot its
+  * boundary).
   *
   * Scale: the only wide op is one window partitioned BY BUCKET — each
   * partition sorts only its own bucket's rows, never a global sort.

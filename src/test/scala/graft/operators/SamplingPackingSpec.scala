@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ann.KMeans
+import graft.text.Packing
+
+/** Sampling (hash splits), Packing (token-budget bins) and KMeans
+  * (centroid training) — determinism and hand-checked small cases. */
+class SamplingPackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withSplit partitions the corpus and is repartition-invariant") {
+    val docs = table("documents")
+    val split = Sampling.withSplit(docs, col("doc_id"))
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(split.values.sum == docs.count())
+    assert(split.keySet.subsetOf(Set("train", "val", "test")))
+    assert(split("train") > split.getOrElse("val", 0L))
+    val again = Sampling.withSplit(docs.repartition(7), col("doc_id"))
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(again == split)
+  }
+
+  test("sampleFraction: nested fractions give nested samples") {
+    val docs = table("documents")
+    val s20 = Sampling.sampleFraction(docs, col("doc_id"), 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val s50 = Sampling.sampleFraction(docs, col("doc_id"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s20.subsetOf(s50))
+    assert(Sampling.sampleFraction(docs, col("doc_id"), 1.0).count() == docs.count())
+    assert(Sampling.sampleFraction(docs, col("doc_id"), 0.0).count() == 0)
+  }
+
+  test("stratifiedSample equals per-stratum sampleFraction") {
+    val docs = table("documents")
+    val mixed = Sampling.stratifiedSample(docs, col("doc_id"), col("source"),
+      Map("src0" -> 0.5), default = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val expected =
+      Sampling.sampleFraction(docs.filter(col("source") === "src0"),
+        col("doc_id"), 0.5).select("doc_id").as[Long].collect().toSet ++
+      Sampling.sampleFraction(docs.filter(col("source") =!= "src0"),
+        col("doc_id"), 0.2).select("doc_id").as[Long].collect().toSet
+    assert(mixed == expected)
+  }
+
+  test("packIntoBins: greedy fill matches a hand-computed single bucket") {
+    // buckets=1 puts everything in bucket 0; cum-before 0,10,30,60,100
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("doc_id", "n_tokens")
+    val bins = Packing.packIntoBins(docs, col("doc_id"), col("n_tokens"),
+        budget = 50L, buckets = 1)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("packIntoBins on real docs: bins are the greedy cumsum fill per bucket") {
+    val counts = graft.text.TextAnalysis.tokenCounts(table("documents"), col("text"))
+    val packed = Packing.packIntoBins(counts, col("doc_id"), col("bpe_tokens"),
+        budget = 2000L, buckets = 4)
+      .select("bucket", "doc_id", "n_tokens", "bin")
+      .as[(Long, Long, Long, Long)].collect()
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, toks, bin) =>
+        assert(bin == cum / 2000L, s"bin must be floor(tokens_before/budget)")
+        cum += toks
+      }
+    }
+    assert(packed.map(_._1).distinct.length > 1, "multiple buckets in play")
+  }
+
+  test("kmeans: one iteration matches hand-computed cosine assignment + means") {
+    // seeds = two smallest vec_ids = v1 (1,0) and v2 (0,1);
+    // v3 (0.8,0.6) → v1 (cos .8 > .6), v4 (0.6,0.8) → v2;
+    // means: c1 = (0.9, 0.3), c2 = (0.3, 0.9)
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.8, 0.6)), (4L, Seq(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val cents = KMeans.lloyd(vecs, k = 2, iters = 1)
+      .as[(Long, Int, Double)].collect()
+      .map { case (c, d, v) => (c, d) -> v }.toMap
+    assert(cents == Map(
+      (1L, 0) -> 0.9, (1L, 1) -> 0.3,
+      (2L, 0) -> 0.3, (2L, 1) -> 0.9))
+  }
+
+  test("kmeans on real embeddings: k×dims deterministic rows") {
+    val emb = table("embeddings")
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    val a = KMeans.lloyd(emb, k = 4, iters = 2)
+      .as[(Long, Int, Double)].collect().sorted.toSeq
+    assert(a.length == 4 * dims)
+    assert(a.map(_._1).distinct.size == 4)
+    val b = KMeans.lloyd(emb.repartition(7), k = 4, iters = 2)
+      .as[(Long, Int, Double)].collect().sorted.toSeq
+    assert(a == b, "centroids must be partition-order independent")
+  }
+}
