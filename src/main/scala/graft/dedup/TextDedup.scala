@@ -87,18 +87,24 @@ object TextDedup {
         // the HOT set is small by construction (<= occurrences/cap
         // distinct shingles corpus-wide), so it broadcasts and both
         // splits below are map-only — never a shuffle join of the full
-        // exploded corpus against the frequency table
-        val hotSet = broadcast(ex.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("s"))
-        val cool = ex.join(hotSet, Seq("s"), "left_anti")
+        // exploded corpus against the frequency table. Cached: its df
+        // aggregation feeds five plan branches (both cool sides + the
+        // hot arrays behind each verify join) and exchange reuse does
+        // not kick in across them — without the cache the full-corpus
+        // df shuffle runs once PER BRANCH.
+        val hotSet = ex.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("s").cache()
+        val cool = ex.join(broadcast(hotSet), Seq("s"), "left_anti")
         val empty = array().cast("array<string>")
         // one per-doc metadata frame (full set size + hot shingles) so
-        // the verify stage is two keyed joins, not four
+        // the verify stage is two keyed joins, not four; cached for the
+        // same reason (both verify joins rebuild it otherwise)
         val docMeta = t.select(col("doc_id"), size(col("sh")).as("n"))
-          .join(ex.join(hotSet, "s")
+          .join(ex.join(broadcast(hotSet), "s")
               .groupBy("doc_id").agg(array_sort(collect_list(col("s"))).as("hot")),
             Seq("doc_id"), "left")
           .withColumn("hot", coalesce(col("hot"), empty))
+          .cache()
         val pairs = cool.as("a").join(cool.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
