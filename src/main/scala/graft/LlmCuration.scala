@@ -42,9 +42,12 @@ object LlmCuration {
     val kept = lang.foldLeft(scored.filter(col("quality_score") >= minQuality)) {
       (df, l) => df.filter(col("lang_pred") === l)
     }.select("doc_id", "text")
+    // cached: feeds both the near-dup pair generation and the final
+    // left_anti — without it the gates + hash-dedup shuffle run twice
     val uniq = kept.groupBy(md5(col("text")).as("__h"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
       .select("doc_id", "text")
+      .cache()
     val pairs = TextDedup.minHashLshPairs(uniq, col("doc_id"), col("text"), minJaccard)
     uniq.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
