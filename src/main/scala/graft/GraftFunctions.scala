@@ -65,7 +65,31 @@ object GraftFunctions {
       info("graft_minhash_sig",
         "graft_minhash_sig(hashes) - K-wide MinHash signature over h32 values"),
       oneArg("graft_minhash_sig",
-        MinHashMins(_, TextDedup.MinHashA, TextDedup.MinHashB, Hashing.P32))))
+        MinHashMins(_, TextDedup.MinHashA, TextDedup.MinHashB, Hashing.P32))),
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(tokens) - 64-bit SimHash of a token array, as 16 hex chars"),
+      oneArg("graft_simhash64", SimHash64)),
+    (FunctionIdentifier("graft_rolling_hash"),
+      info("graft_rolling_hash",
+        "graft_rolling_hash(tokens) - order-sensitive 64-bit rolling hash"),
+      oneArg("graft_rolling_hash", RollingHash64)),
+    (FunctionIdentifier("graft_lsh_bucket"),
+      info("graft_lsh_bucket",
+        "graft_lsh_bucket(vec, planes) - sign-quadrant LSH bucket of an array<double>"),
+      {
+        case Seq(v, Literal(p: Int, IntegerType)) => LshSignBucket(v, p)
+        case _ => throw new IllegalArgumentException(
+          "graft_lsh_bucket expects (vec, planes literal)")
+      }),
+    (FunctionIdentifier("graft_byte_window_sums"),
+      info("graft_byte_window_sums",
+        "graft_byte_window_sums(bytes, dim) - per-residue unsigned byte sums mod dim"),
+      {
+        case Seq(b, Literal(d: Int, IntegerType)) => ByteWindowSums(b, d)
+        case _ => throw new IllegalArgumentException(
+          "graft_byte_window_sums expects (bytes, dim literal)")
+      }))
 
   /** Register all graft SQL functions on a live session. */
   def register(spark: SparkSession): Unit =

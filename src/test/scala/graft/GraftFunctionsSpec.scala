@@ -14,13 +14,23 @@ class GraftFunctionsSpec extends SparkSpec {
       """SELECT graft_dot(a, b) AS d,
         |       graft_word_shingles(text, 3) AS sh,
         |       graft_h32_array(graft_word_shingles(text, 3)) AS hs,
-        |       graft_minhash_sig(graft_h32_array(graft_word_shingles(text, 3))) AS sig
+        |       graft_minhash_sig(graft_h32_array(graft_word_shingles(text, 3))) AS sig,
+        |       graft_simhash64(split(lower(text), ' ')) AS sim,
+        |       graft_rolling_hash(split(lower(text), ' ')) AS rh,
+        |       graft_lsh_bucket(a, 2) AS bkt,
+        |       graft_byte_window_sums(cast(text AS BINARY), 4) AS bws
         |FROM gf""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getSeq[String](1) ==
       Seq("the quick brown", "quick brown fox", "brown fox jumps"))
     assert(r.getSeq[Long](2).length == 3)
     assert(r.getSeq[Long](3).length == graft.dedup.TextDedup.MinHashA.length)
+    assert(r.getString(4).length == 16 && r.getString(4).matches("[0-9a-f]+"))
+    assert(r.getLong(5) != 0L)
+    assert(r.getString(6).matches("[01]{2}"), "2-plane sign bucket")
+    assert(r.getSeq[Double](7).length == 4 &&
+      r.getSeq[Double](7).sum ==
+        "The quick brown fox jumps".getBytes.map(_ & 0xff).sum.toDouble)
     // cross-check against the Column API on the same data
     val api = spark.table("gf").select(
       graft.functions.Vectors.dot(col("a"), col("b"))).collect()(0).getDouble(0)
@@ -30,8 +40,9 @@ class GraftFunctionsSpec extends SparkSpec {
   test("extensions class injects the same registry entries") {
     // the builder list is shared; spot-check identity of the surface
     assert(GraftFunctions.all.map(_._1.funcName).sorted ==
-      Seq("graft_dot", "graft_h32_array", "graft_minhash_sig",
-        "graft_word_shingles"))
+      Seq("graft_byte_window_sums", "graft_dot", "graft_h32_array",
+        "graft_lsh_bucket", "graft_minhash_sig", "graft_rolling_hash",
+        "graft_simhash64", "graft_word_shingles"))
     new GraftExtensions // constructible (config-time entry point)
   }
 }
