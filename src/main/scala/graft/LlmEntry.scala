@@ -60,6 +60,21 @@ object LlmEntry {
       LlmCuration.run(t(s, dir, "documents"), col("doc_id"), col("text"),
         minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)),
 
+    "d8_incremental_dedup" -> ((s, dir) => {
+      // nightly-append shape: even ids play the existing corpus, odd
+      // ids the incoming batch; batch bands join the corpus band index,
+      // never each other
+      val docs = t(s, dir, "documents")
+      TextDedup.minHashLshPairsBetween(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"), minJaccard = 0.1)
+    }),
+
+    "t8_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(t(s, dir, "documents"), col("text"))
+        .select("doc_id", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac")),
+
     "d7_dup_clusters" -> ((s, dir) =>
       // transitive resolution: connected components over the near-dup
       // pair graph, cluster_id = component-min doc_id
@@ -270,9 +285,12 @@ object LlmEntry {
        |  CAST(coalesce(list_sum(lob), 0) AS BIGINT) AS flo FROM bits)""".stripMargin
 
   /** MinHash LSH candidate + verify CTEs (toks → sigs → bands → cand →
-    * ver) over `src(doc_id, text)` — shared by the d3, d6 and c1
-    * oracles. No leading WITH so callers can prepend their own CTEs. */
-  private def minhashCtes(src: String): String =
+    * ver) over `src(doc_id, text)` — shared by the d3, d6, d7, d8 and
+    * c1 oracles. No leading WITH so callers can prepend their own CTEs;
+    * `candPred` restricts which banded (a, b) matches become
+    * candidates (default = self-join dedup ordering). */
+  private def minhashCtes(src: String,
+                          candPred: String = "a.doc_id < b.doc_id"): String =
     s"""toks AS (
        |  SELECT doc_id, $ShSql AS sh
        |  FROM (SELECT doc_id, $ToksSql AS tk FROM $src)
@@ -283,7 +301,7 @@ object LlmEntry {
        |          FROM sigs, range(0, ${TextDedup.Bands}) r(j)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-       |                           AND a.doc_id < b.doc_id),
+       |                           AND $candPred),
        |ver AS (SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) /
        |    (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jaccard
@@ -392,6 +410,25 @@ object LlmEntry {
          |drops AS (SELECT DISTINCT doc_b FROM ver WHERE jaccard >= 0.1)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin,
+
+    "d8_incremental_dedup" ->
+      s"""WITH ${minhashCtes("documents",
+             candPred = "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}
+         |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.1""".stripMargin,
+
+    "t8_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN len(tk) >= 1
+         |       THEN 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+         |       ELSE 0.0 END AS dup_token_frac,
+         |  CASE WHEN len(tk) >= 2
+         |       THEN 1.0 - CAST(len(${shSqlN(2)}) AS DOUBLE) / CAST(len(tk) - 1 AS DOUBLE)
+         |       ELSE 0.0 END AS dup_2gram_frac,
+         |  CASE WHEN len(tk) >= 3
+         |       THEN 1.0 - CAST(len(${shSqlN(3)}) AS DOUBLE) / CAST(len(tk) - 2 AS DOUBLE)
+         |       ELSE 0.0 END AS dup_3gram_frac
+         |FROM t""".stripMargin,
 
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE ${minhashCtes("documents")},

@@ -150,36 +150,69 @@ object TextDedup {
   def minHashSignature(sh: Column): Column =
     minHashSignatureFromHashes(transform(sh, s => Hashing.h32(s)))
 
+  /** (doc_id, sh, sig) — shingles + MinHash signature, cached (the
+    * frame feeds both candidate generation and exact verify). */
+  private def sigged(docs: DataFrame, id: Column, text: Column): DataFrame =
+    shingled(docs, id, text)
+      .withColumn("hs", ColumnBridge.column(H32Array(ColumnBridge.expression(col("sh")))))
+      .withColumn("sig", minHashSignatureFromHashes(col("hs")))
+      .drop("hs")
+      .cache()
+
+  /** One row per (doc, band): (doc_id, band, bsig). */
+  private def banded(t: DataFrame): DataFrame =
+    t.select(col("doc_id"), explode(
+        transform(sequence(lit(0), lit(Bands - 1)),
+          j => struct(j.as("band"),
+            concat_ws(":", slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand))).as("bsig"))))
+        .as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bsig"))
+
+  /** Exact-Jaccard verify of candidate (doc_a, doc_b) pairs against the
+    * shingle sets carried by `ta`/`tb`. */
+  private def verified(cand: DataFrame, ta: DataFrame, tb: DataFrame,
+                       minJaccard: Double): DataFrame =
+    cand
+      .join(ta.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(tb.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+
   /** LSH near-dup pairs: band the signature, join on (band, bandSig),
     * verify candidates with exact Jaccard >= minJaccard.
     * At scale the only wide ops are the (band,sig) shuffle and the
     * candidate verify join — no quadratic stage anywhere. */
   def minHashLshPairs(docs: DataFrame, id: Column, text: Column,
                       minJaccard: Double): DataFrame = {
-    val t = shingled(docs, id, text)
-      .withColumn("hs", ColumnBridge.column(H32Array(ColumnBridge.expression(col("sh")))))
-      .withColumn("sig", minHashSignatureFromHashes(col("hs")))
-      .drop("hs")
-      .cache()
-    val banded = t.select(col("doc_id"), explode(
-        transform(sequence(lit(0), lit(Bands - 1)),
-          j => struct(j.as("band"),
-            concat_ws(":", slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand))).as("bsig"))))
-        .as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bsig"))
-    val cand = banded.as("a").join(banded.as("b"),
+    val t = sigged(docs, id, text)
+    val b = banded(t)
+    val cand = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(t.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "jaccard")
+    verified(cand, t, t, minJaccard)
+  }
+
+  /** Incremental near-dup: LSH pairs BETWEEN an existing corpus and an
+    * incoming batch — the nightly-append shape: the corpus's band table
+    * is a precomputable index, the incoming batch only ever joins
+    * against it, never against itself, so ingesting N new docs costs
+    * O(N·K) + the bucket joins regardless of corpus size. Output:
+    * (doc_a = corpus id, doc_b = incoming id, exact jaccard). */
+  def minHashLshPairsBetween(corpus: DataFrame, incoming: DataFrame,
+                             id: Column, text: Column,
+                             minJaccard: Double): DataFrame = {
+    val ta = sigged(corpus, id, text)
+    val tb = sigged(incoming, id, text)
+    val cand = banded(ta).as("a").join(banded(tb).as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verified(cand, ta, tb, minJaccard)
   }
 
   /** 64-bit SimHash fingerprint as a 16-hex-char string, over word

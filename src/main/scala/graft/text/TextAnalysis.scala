@@ -80,6 +80,35 @@ object TextAnalysis {
       .withColumn("bpe_tokens",
         regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long"))
 
+  // --- repetition signals ----------------------------------------------
+
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021
+    * §A1.1: repeated n-grams mark low-quality/boilerplate docs):
+    * duplicate fraction of tokens, 2-grams and 3-grams —
+    * `1 - distinct/total`, 0 when the doc is too short to have any.
+    * Map-only; the distinct counts reuse the codegen'd
+    * [[graft.functions.WordShingles]] kernel (distinct by construction)
+    * so no per-row sort or HOF appears in the plan. Raw IEEE quotients
+    * (no rounding) — deterministic across engines. */
+  def repetitionFeatures(df: DataFrame, text: Column): DataFrame = {
+    val n = size(tokens(text))
+    def frac(distinct: Column, total: Column, minTok: Int): Column =
+      when(n >= minTok,
+        lit(1.0) - distinct.cast(DoubleType) / total.cast(DoubleType))
+        .otherwise(lit(0.0))
+    df.withColumn("dup_token_frac",
+        frac(size(array_distinct(tokens(text))), n, 1))
+      .withColumn("dup_2gram_frac",
+        frac(size(TextDedupShingles(text, 2)), n - 1, 2))
+      .withColumn("dup_3gram_frac",
+        frac(size(TextDedupShingles(text, 3)), n - 2, 3))
+  }
+
+  /** [[graft.dedup.TextDedup.shingles]] without the circular import. */
+  private def TextDedupShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(graft.functions.WordShingles(
+      ColumnBridge.expression(text), n))
+
   // --- PII scrubbing ----------------------------------------------------
 
   /** Conservative PII patterns (emails, NNN-NNN-NNNN phones). */

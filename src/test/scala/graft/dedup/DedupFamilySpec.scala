@@ -50,6 +50,22 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.nonEmpty) // the synthetic corpus has real near-dups
   }
 
+  test("incremental LSH pairs = the cross-parity slice of the self-join") {
+    val docs = table("documents")
+    val self = TextDedup.minHashLshPairs(docs, col("doc_id"), col("text"), 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = self.collect {
+      case (a, b, j) if a % 2 == 0 && b % 2 == 1 => (a, b, j)
+      case (a, b, j) if a % 2 == 1 && b % 2 == 0 => (b, a, j)
+    }
+    val incr = TextDedup.minHashLshPairsBetween(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"), 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == expected)
+    assert(incr.nonEmpty)
+  }
+
   test("simhash: near-identical docs have close fingerprints") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog again and again"
@@ -166,6 +182,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1L) === "en")
     assert(m(2L) === "es")
     assert(m(3L) === "und")
+  }
+
+  test("repetition features: hand-computed duplicate fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b"),        // 2 distinct of 4 toks; 2-grams: ab,ba,ab -> 2/3; 3-grams: aba,bab -> 2/2
+      (2L, "x y z"),          // no repetition at all
+      (3L, "w"),              // too short for any n-gram
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionFeatures(df, col("text"))
+      .select("doc_id", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((1.0 - 2.0 / 4.0, 1.0 - 2.0 / 3.0, 0.0)))
+    assert(out(2L) == ((0.0, 0.0, 0.0)))
+    assert(out(3L) == ((0.0, 0.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0, 0.0)))
   }
 
   test("quality features bounded and consistent") {
