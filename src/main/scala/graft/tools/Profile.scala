@@ -17,7 +17,12 @@ object Profile {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CLEARCACHE=1 mimics Bench: caches cleared before each
+    // run, so repeated keys measure steady-state WITHOUT cross-run
+    // cache reuse (operator-internal caches rebuild in-run).
+    val clear = sys.env.get("SPARK_GRAFT_CLEARCACHE").contains("1")
     for (k <- keys) {
+      if (clear) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(k)(spark, dir).count()
       println(f"[profile] $k%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
