@@ -204,6 +204,16 @@ object SparkEntry {
         count(lit(1)).as("n_customers"),
         Measures.decAvg(col("c_acctbal")).as("avg_acctbal"))),
 
+    "g14_sketch_distinct" -> ((s, dir) => {
+      // HLL++ sketch form of the distinct-count measures — the 100 TB
+      // path (fixed-size registers instead of shuffling every value).
+      // No DuckDB oracle: HLL estimates aren't cross-engine; the driver
+      // records rows/schema and MeasuresSpec gates the error vs exact.
+      val o = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      Measures.approxDistinctPack(o, col("o_custkey"), col("l_suppkey"))
+    }),
+
     "g5_measures_by_dim" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus").as("status"), year(col("o_orderdate")).as("yr"))

@@ -67,6 +67,22 @@ object Measures {
     df.agg(count(lit(1)).as("total_claims"), base ++ byType ++ rates: _*)
   }
 
+  /** Sketch form of the distinct-count measures: HyperLogLog++
+    * `approx_count_distinct` (Heule et al. 2013) instead of exact
+    * `countDistinct`. At 100 TB the exact form shuffles every distinct
+    * value to a reducer; the sketch form shuffles one fixed-size
+    * register array per partition, so its cost is flat in cardinality.
+    * Same row/column contract as the exact pair in [[measurePack]];
+    * `rsd` is the target relative standard deviation. Spark's HLL++ is
+    * deterministic for fixed inputs, but NOT reproducible by other
+    * engines — so this is spec-gated against the exact counts (within
+    * 3·rsd) rather than oracle-hashed. */
+  def approxDistinctPack(df: DataFrame, entityA: Column, entityB: Column,
+                         rsd: Double = 0.02): DataFrame =
+    df.agg(
+      approx_count_distinct(entityA, rsd).as("unique_patients"),
+      approx_count_distinct(entityB, rsd).as("unique_providers"))
+
   /** Time intelligence over a (date, amount) feed, at month grain:
     * MTD (month total), QTD/YTD running totals, same-period-last-year,
     * YoY delta/%, and the rolling 12-month total. Mirrors TOTALYTD/

@@ -187,6 +187,24 @@ class MeasuresSpec extends SparkSpec {
     assert(ly === prev)
   }
 
+  test("sketch distinct counts land within 3x the target rsd of exact") {
+    val o = table("orders")
+    val exact = o.agg(
+      countDistinct(col("o_custkey")).as("a"),
+      countDistinct(col("o_orderpriority")).as("b")).collect()(0)
+    val approx = Measures.approxDistinctPack(
+      o, col("o_custkey"), col("o_orderpriority"), rsd = 0.02).collect()(0)
+    Seq((exact.getLong(0), approx.getLong(0)), (exact.getLong(1), approx.getLong(1)))
+      .foreach { case (e, a) =>
+        assert(math.abs(a - e).toDouble / e <= 0.06,
+          s"approx $a vs exact $e exceeds 3*rsd")
+      }
+    // deterministic for fixed input, regardless of partitioning
+    val again = Measures.approxDistinctPack(
+      o.repartition(13), col("o_custkey"), col("o_orderpriority"), rsd = 0.02).collect()(0)
+    assert(approx.getLong(0) == again.getLong(0) && approx.getLong(1) == again.getLong(1))
+  }
+
   test("topN is deterministic and correctly bounded") {
     val top = Measures.topN(table("orders"), col("o_custkey"), col("o_totalprice"), 5)
     val rows = top.collect()
