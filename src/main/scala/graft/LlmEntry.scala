@@ -75,6 +75,17 @@ object LlmEntry {
       TextAnalysis.repetitionFeatures(t(s, dir, "documents"), col("text"))
         .select("doc_id", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac")),
 
+    "t9_chunking" -> ((s, dir) =>
+      // context-window chunking: 40-token chunks, 8-token overlap;
+      // summarized per doc so the output stays compact (the chunk rows
+      // themselves are the operator's product)
+      Packing.chunk(t(s, dir, "documents"), col("doc_id"), col("text"),
+          chunkSize = 40, overlap = 8)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens")).as("sum_chunk_tokens"),
+          max(length(col("chunk_text"))).cast("long").as("max_chunk_chars"))),
+
     "d7_dup_clusters" -> ((s, dir) =>
       // transitive resolution: connected components over the near-dup
       // pair graph, cluster_id = component-min doc_id
@@ -429,6 +440,23 @@ object LlmEntry {
          |       THEN 1.0 - CAST(len(${shSqlN(3)}) AS DOUBLE) / CAST(len(tk) - 2 AS DOUBLE)
          |       ELSE 0.0 END AS dup_3gram_frac
          |FROM t""".stripMargin,
+
+    "t9_chunking" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, CAST(st // 32 AS BIGINT) AS chunk_id,
+         |         tk[st+1:st+40] AS ctk
+         |  FROM t, unnest(range(0, len(tk), 32)) r(st)),
+         |s AS (SELECT doc_id, chunk_id,
+         |        CAST(len(ctk) AS BIGINT) AS n_chunk_tokens,
+         |        array_to_string(ctk, ' ') AS chunk_text FROM ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+         |       CAST(max(len(chunk_text)) AS BIGINT) AS max_chunk_chars
+         |FROM s GROUP BY doc_id""".stripMargin,
 
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE ${minhashCtes("documents")},

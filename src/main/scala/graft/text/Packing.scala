@@ -44,4 +44,36 @@ object Packing {
   def binStats(packed: DataFrame): DataFrame =
     packed.groupBy("bucket", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+
+  /** Split each document into fixed-size token chunks with overlap —
+    * the context-window chunking step of a pretraining/RAG pipeline.
+    * Chunk c covers whitespace tokens [c·stride, c·stride + chunkSize)
+    * where stride = chunkSize − overlap; the final chunk may be short;
+    * empty docs produce no chunks. Tokens keep their original case
+    * (chunking must not alter content); chunk text re-joins them with
+    * single spaces, so runs of whitespace collapse.
+    *
+    * Map-only (tokenize → compute starts → posexplode): fan-out is
+    * ~n_tokens/stride rows per doc with no shuffle anywhere — at
+    * 100 TB this runs at scan speed and the output partitioning
+    * follows the input's. */
+  def chunk(docs: DataFrame, id: Column, text: Column,
+            chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = filter(split(text, "\\s+"), t => t =!= "")
+    val n = size(toks)
+    // sequence() rejects an empty range, so guard the n == 0 case
+    val starts = when(n >= 1, sequence(lit(0), n - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    docs.select(id.as("doc_id"), toks.as("tk"), explode(starts).as("st"))
+      .withColumn("chunk_id", (col("st") / stride).cast("long"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(slice(col("tk"), col("st") + 1, lit(chunkSize))).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("tk"), col("st") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
 }

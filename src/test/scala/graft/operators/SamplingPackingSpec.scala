@@ -75,6 +75,25 @@ class SamplingPackingSpec extends SparkSpec {
     assert(packed.map(_._1).distinct.length > 1, "multiple buckets in play")
   }
 
+  test("chunk: overlapping windows, short tail, empty doc") {
+    // 10 tokens, chunkSize 4, overlap 2 -> starts 0,2,4,6,8
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = Packing.chunk(docs, col("doc_id"), col("text"),
+        chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq(
+      "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9", "t8 t9"))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "a b")))
+    assert(!out.exists(_._1 == 3L), "empty docs produce no chunks")
+    // every chunk except a doc's last has exactly chunkSize tokens
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      rows.init.foreach(r => assert(r._3 == 4L))
+    }
+  }
+
   test("kmeans: one iteration matches hand-computed cosine assignment + means") {
     // seeds = two smallest vec_ids = v1 (1,0) and v2 (0,1);
     // v3 (0.8,0.6) → v1 (cos .8 > .6), v4 (0.6,0.8) → v2;
