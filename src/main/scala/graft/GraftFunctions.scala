@@ -21,10 +21,13 @@ import graft.functions._
   *  - [[GraftFunctions.register]] on a live session
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    // latest-per-key window → min_by aggregation (see the rule's doc)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopOneRewrite)
+  }
 }
 
 object GraftFunctions {

@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.MinBy
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: rewrite the latest-per-key idiom
+  *
+  *   df.withColumn("rn", row_number().over(Window.partitionBy(k).orderBy(o)))
+  *     .filter($"rn" === 1)
+  *
+  * into a `min_by` aggregation over the ordering tuple. The window form
+  * shuffles EVERY row to its key's reducer and sorts each group; the
+  * aggregate form partial-aggregates map-side, so one row per (key,
+  * partition) crosses the wire and nothing sorts — the rewrite graft
+  * applies by hand in its own queries (Dedup.latestByKeyAgg,
+  * measured 2.5s → 0.6s on the b2 bench; the ingestion-log bucketing
+  * commit repeats it), offered automatically to naive user queries.
+  * Spark's own InferWindowGroupLimit (SPARK-37099) only bounds each
+  * sorted group at k rows; it still shuffles and sorts every row.
+  *
+  * Fires only when the rewrite is provably value-identical:
+  *  - a lone `row_number()` window expression, filtered to exactly 1
+  *    (`rn = 1` / `1 = rn`), partition keys may be any deterministic
+  *    expressions;
+  *  - every ORDER BY key is ascending NULLS FIRST (the asc() default)
+  *    and deterministic. Nullable keys are safe: the ordering tuple is
+  *    wrapped in a struct — a struct literal is never null (so min_by
+  *    never discards a row) and Spark's struct comparison orders null
+  *    fields first, which IS the asc_nulls_first rank order;
+  *  - ties: row_number picks a partition-order-dependent winner; so
+  *    does min_by. The rewrite preserves the set of admissible winners,
+  *    exactly like Spark's own exchange-reuse under ties. The winner is
+  *    carried as ONE min_by over a struct of the full row — per-column
+  *    min_bys would tear tied rows (each column from a different tied
+  *    row), fabricating rows that never existed.
+  *
+  * The filtered `rn` column itself is rebuilt as literal 1 under its
+  * original exprId, so projections above the filter keep resolving.
+  *
+  * Register with `spark.sql.extensions=graft.GraftExtensions` or
+  * `spark.experimental.extraOptimizations ++= Seq(WindowTopOneRewrite)`.
+  */
+object WindowTopOneRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, child) =>
+      stripProjects(child).flatMap { case (projs, w) =>
+        rewrite(cond, w).map(agg =>
+          projs.foldRight(agg: LogicalPlan)((list, acc) => Project(list, acc)))
+      }.getOrElse(f)
+  }
+
+  /** Unwraps attribute-only Projects (withColumn and the analyzer's
+    * window extraction each add one) down to a Window node, returning
+    * them outermost-first for rebuilding above the aggregate. */
+  private def stripProjects(p: LogicalPlan)
+      : Option[(Seq[Seq[NamedExpression]], Window)] = p match {
+    case w: Window => Some((Nil, w))
+    case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
+      stripProjects(child).map { case (ps, w) => (list +: ps, w) }
+    case _ => None
+  }
+
+  /** The window's single row_number output attribute, if the node is a
+    * lone-row_number window. */
+  private def rowNumberAttr(w: Window): Option[Attribute] = w.windowExpressions match {
+    case Seq(a @ Alias(WindowExpression(RowNumber(), spec), _))
+        if spec.orderSpec.nonEmpty => Some(a.toAttribute)
+    case _ => None
+  }
+
+  private def filtersToOne(cond: Expression, rn: Attribute): Boolean = cond match {
+    case EqualTo(a: Attribute, Literal(1, IntegerType)) => a.semanticEquals(rn)
+    case EqualTo(Literal(1, IntegerType), a: Attribute) => a.semanticEquals(rn)
+    case _ => false
+  }
+
+  private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
+    val safe = for {
+      rn <- rowNumberAttr(w)
+      if filtersToOne(cond, rn)
+      if w.orderSpec.forall(so =>
+        so.direction == Ascending && so.nullOrdering == NullsFirst &&
+          so.child.deterministic)
+      if w.partitionSpec.forall(_.deterministic)
+    } yield rn
+    safe.map { rn =>
+      val ordering = w.orderSpec.map(_.child) match {
+        case Seq(single) if !single.nullable => single
+        // struct: never null itself, null FIELDS order first — exactly
+        // row_number's asc_nulls_first, where min_by on a bare nullable
+        // key would instead discard the null-keyed rows
+        case keys => CreateStruct(keys)
+      }
+      // one min_by over the WHOLE row keeps the winner atomic under
+      // ordering ties; columns unpack in a Project above
+      val winner = Alias(
+        MinBy(CreateStruct(w.child.output), ordering).toAggregateExpression(),
+        "__graft_winner")()
+      val groupAttrs = w.partitionSpec.collect { case a: Attribute => a }
+      val agg = Aggregate(w.partitionSpec, groupAttrs :+ winner, w.child)
+      val wAttr = winner.toAttribute
+      val unpacked: Seq[NamedExpression] = w.child.output.zipWithIndex.map {
+        case (a, _) if groupAttrs.exists(_.semanticEquals(a)) => a
+        case (a, i) => Alias(
+          GetStructField(wAttr, i, Some(a.name)), a.name)(exprId = a.exprId)
+      } :+ Alias(Literal(1, IntegerType), rn.name)(exprId = rn.exprId)
+      Project(unpacked, agg)
+    }
+  }
+}

@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.SparkSpec
+
+class WindowTopOneRewriteSpec extends SparkSpec {
+
+  private def naiveLatest(df: DataFrame) =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber"), col("l_quantity"))))
+      .filter(col("rn") === 1)
+
+  private def rewritten(df: DataFrame): DataFrame =
+    ColumnBridge.ofRows(spark,
+      WindowTopOneRewrite(df.queryExecution.analyzed))
+
+  test("rewrites rn=1 over row_number window into a min_by aggregate") {
+    val li = table("lineitem")
+    // md5 over the whole row makes the ordering total (identical full
+    // rows tie, but then every admissible winner is the same row), so
+    // the two forms must agree bit-for-bit
+    val totalOrd = md5(concat_ws("|", li.columns.map(col).toSeq: _*))
+    val q = li.withColumn("rn", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(totalOrd)))
+      .filter(col("rn") === 1)
+    val out = rewritten(q)
+    assert(out.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.nonEmpty)
+    assert(out.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val expect = q.drop("rn").collect().map(_.toSeq).toSet
+    val got = out.drop("rn").collect().map(_.toSeq).toSet
+    assert(got == expect)
+    assert(out.select("rn").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("under ordering ties the winner is admissible and row-atomic") {
+    // (l_linenumber, l_quantity) ties within orders in this synthetic
+    // data: the rewritten winner may differ from the window's pick, but
+    // its ordering key must equal the per-key MINIMUM, and the row must
+    // exist verbatim in the input (no per-column tearing)
+    val li = table("lineitem")
+    val out = rewritten(naiveLatest(li)).drop("rn")
+    val minKeys = li.groupBy("l_orderkey")
+      .agg(min(struct(col("l_linenumber"), col("l_quantity"))).as("m"))
+      .select(col("l_orderkey"), col("m.l_linenumber"), col("m.l_quantity"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val gotKeys = out.select("l_orderkey", "l_linenumber", "l_quantity")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(gotKeys == minKeys)
+    val input = li.collect().map(_.toSeq).toSet
+    out.collect().map(_.toSeq).foreach(r => assert(input.contains(r), s"torn row $r"))
+  }
+
+  test("rewritten plan partial-aggregates before the exchange") {
+    val p = rewritten(naiveLatest(table("lineitem")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min_by"), s"expected map-side partials:\n$p")
+    assert(!p.toLowerCase.contains("window"), s"window survived:\n$p")
+  }
+
+  test("nulls in an ordering key still rank first (nulls-first semantics)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option.empty[Int], "null-wins"),
+      (1L, Some(5), "loser"),
+      (2L, Some(3), "only")).toDF("k", "o", "v")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("o"))))
+      .filter(col("rn") === 1)
+    val out = rewritten(df)
+    assert(out.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val got = out.select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "null-wins", 2L -> "only"))
+  }
+
+  test("does not fire on desc ordering, rank, or rn=2") {
+    val li = table("lineitem")
+    def unchanged(df: DataFrame): Unit = {
+      val before = df.queryExecution.analyzed
+      assert(WindowTopOneRewrite(before).collect { case w: LWindow => w }.nonEmpty,
+        "guard should have kept the window")
+    }
+    unchanged(li.withColumn("rn", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").desc)))
+      .filter(col("rn") === 1))
+    unchanged(li.withColumn("rn", rank().over(
+        Window.partitionBy("l_orderkey").orderBy(col("l_linenumber"))))
+      .filter(col("rn") === 1))
+    unchanged(li.withColumn("rn", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(col("l_linenumber"))))
+      .filter(col("rn") === 2))
+  }
+
+  test("extensions-injected session applies the rule end to end") {
+    import org.apache.spark.sql.SparkSession
+    // a sibling session over the SAME SparkContext, built with the
+    // extensions; never stopped (that would kill the shared context)
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions rather than the spark.sql.extensions conf: the
+      // conf is static and is not re-read when the builder reuses an
+      // already-running SparkContext (as it does under this test JVM)
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions())
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      assert(s2 ne old, "needs its own session to carry the extensions")
+      val df = naiveLatest(s2.read.parquet(s"$sfDir/lineitem.parquet"))
+      assert(df.queryExecution.optimizedPlan
+        .collect { case a: Aggregate => a }.nonEmpty,
+        df.queryExecution.optimizedPlan.toString)
+      assert(df.count() > 0)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+}
