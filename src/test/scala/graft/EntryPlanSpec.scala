@@ -31,6 +31,34 @@ class EntryPlanSpec extends SparkSpec {
     }
   }
 
+  test("winner-per-key queries partial-aggregate before their exchange") {
+    // the scale contract's map-side-combine posture: these queries'
+    // plans must show partial aggregation (a reducer-only aggregation
+    // would ship every row across the wire)
+    Seq("b2_dedup_latest", "g8_ingestion_log", "g13_salted_agg",
+        "g4_measure_pack", "e3_knn_ivf").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("partial_"), s"$name shows no partial aggregation")
+    }
+  }
+
+  test("scans prune to the referenced columns; watermark cutoffs push down") {
+    // column pruning: d8 touches only (doc_id, text) of documents —
+    // a scan reading the whole row at 100 TB is a different query
+    val d8 = SparkEntry.queries("d8_incremental_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(d8.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan reads more than (doc_id, text):\n$d8")
+    // predicate pushdown: the incremental-read cutoff must reach the
+    // parquet reader (a post-scan filter re-reads the whole feed)
+    val wm = sources.Watermark.newerThan(table("orders"), col("o_orderdate"),
+        java.time.Instant.parse("1997-01-01T00:00:00Z"))
+      .queryExecution.executedPlan.toString
+    assert(wm.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"),
+      s"watermark cutoff not pushed to the scan:\n$wm")
+  }
+
   test("curation pipeline: survivors are gated, deduped, near-dup-free") {
     val docs = table("documents")
     val survivors = LlmCuration.run(docs, col("doc_id"), col("text"),
