@@ -499,10 +499,10 @@ object LlmEntry {
          |FROM b GROUP BY 1""".stripMargin,
 
     "x2_stratified_sample" ->
-      s"""WITH b AS (SELECT source, ${bucketSql(100)} AS bkt FROM documents)
+      s"""WITH b AS (SELECT source, ${bucketSql(1000000)} AS bkt FROM documents)
          |SELECT source, count(*) AS n_docs,
          |       CAST(sum(CASE WHEN bkt < (CASE WHEN source IN ('src0','src1')
-         |                                      THEN 50 ELSE 20 END)
+         |                                      THEN 500000 ELSE 200000 END)
          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM b GROUP BY source""".stripMargin,
 
@@ -519,15 +519,26 @@ object LlmEntry {
         s"""SELECT cent_id, d AS dim,
            |  round(CAST(sum(CAST(e[d+1] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS value
            |FROM $src, range(0, 64) r(d) GROUP BY 1, 2""".stripMargin
+      // empty clusters carry their previous centroid forward (c1/c2
+      // union the prior round's centroids for cent_ids absent from the
+      // recompute), mirroring KMeans.lloyd
+      def carry(newc: String, prevc: String) =
+        s"""SELECT cent_id, cent FROM $newc UNION ALL
+           |  SELECT cent_id, cent FROM $prevc
+           |  WHERE cent_id NOT IN (SELECT cent_id FROM $newc)""".stripMargin
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
          |c0 AS (SELECT vec_id AS cent_id, e AS cent FROM v ORDER BY vec_id LIMIT 8),
          |a1 AS (${asg("c0")}),
          |d1 AS (${mean("a1")}),
-         |c1 AS (SELECT cent_id, list(value ORDER BY dim) AS cent FROM d1 GROUP BY cent_id),
+         |c1n AS (SELECT cent_id, list(value ORDER BY dim) AS cent FROM d1 GROUP BY cent_id),
+         |c1 AS (${carry("c1n", "c0")}),
          |a2 AS (${asg("c1")}),
-         |d2 AS (${mean("a2")})
-         |SELECT cent_id, CAST(dim AS INTEGER) AS dim, value FROM d2""".stripMargin
+         |d2 AS (${mean("a2")}),
+         |c2n AS (SELECT cent_id, list(value ORDER BY dim) AS cent FROM d2 GROUP BY cent_id),
+         |c2 AS (${carry("c2n", "c1")})
+         |SELECT cent_id, CAST(d AS INTEGER) AS dim, cent[d+1] AS value
+         |FROM c2, range(0, 64) r(d)""".stripMargin
     },
 
     "d4_simhash" ->

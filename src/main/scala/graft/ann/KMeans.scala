@@ -30,15 +30,18 @@ import graft.functions.Vectors
   */
 object KMeans {
 
-  /** Train centroids; returns (cent_id, dim, value) scalar rows —
-    * cent_id is the seed vector's vec_id, `value` rounded to 6 dp. */
+  /** Train centroids; returns k×dims (cent_id, dim, value) scalar
+    * rows — cent_id is the seed vector's vec_id, `value` rounded to
+    * 6 dp. A cluster that receives no vectors in a round (the classic
+    * Lloyd empty-cluster degeneracy, e.g. duplicate seeds) carries its
+    * previous centroid forward, so the output always has exactly k
+    * centroids. */
   def lloyd(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 1, "k and iters must be positive")
     val c = corpus.select(col("vec_id").cast("long").as("vec_id"),
         Vectors.asDouble(col("embedding")).as("e"))
       .withColumn("nrm", Vectors.norm(col("e")))
       .cache()
-    var dims: DataFrame = null
     var cents = c.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cent_id"), col("e").as("cent"))
     for (_ <- 0 until iters) {
@@ -52,16 +55,19 @@ object KMeans {
         .agg(first(col("e")).as("e"),
           max_by(col("cent_id"),
             struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id"))
-      dims = assigned.select(col("cent_id"), posexplode(col("e")))
+      val dims = assigned.select(col("cent_id"), posexplode(col("e")))
         .groupBy(col("cent_id"), col("pos").as("dim"))
         .agg(round(
           (sum(col("col").cast(DecimalType(28, 12))).cast("double") /
             count(lit(1))), 6).as("value"))
-      cents = dims
+      val recomputed = dims
         .groupBy("cent_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("dv"))
         .select(col("cent_id"), transform(col("dv"), x => x("value")).as("cent"))
+      cents = recomputed.unionByName(
+        cents.join(recomputed.select("cent_id"), Seq("cent_id"), "left_anti"))
     }
-    dims.select(col("cent_id"), col("dim"), col("value"))
+    cents.select(col("cent_id"), posexplode(col("cent")))
+      .select(col("cent_id"), col("pos").as("dim"), col("col").as("value"))
   }
 }

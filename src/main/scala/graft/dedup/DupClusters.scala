@@ -29,6 +29,14 @@ object DupClusters {
     * Returns (doc_id, cluster_id) — cluster_id = the component's
     * minimum doc_id — for every doc that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // reject non-integral id columns up front: a silent cast("long")
+    // would null them out and the propagation join would never converge
+    Seq("doc_a", "doc_b").foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents needs integral doc ids, $c is ${dt.sql}")
+    }
     val edges = pairs.select(
       col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
     val sym = edges

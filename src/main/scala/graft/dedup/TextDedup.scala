@@ -20,6 +20,15 @@ import graft.text.TextAnalysis
   *    This is the 100 TB path: cost ~ O(docs x K) + bucket joins.
   *  - SimHash: constant-size fingerprint per doc; near-dup = small
   *    hamming distance, joinable by fingerprint prefix bands.
+  *
+  * Cache lifetime: the pair generators cache intermediate frames
+  * (shingles+signatures; the capped path's hot set and doc metadata)
+  * because each feeds several plan branches of the SAME returned
+  * query. The returned frame is lazy, so the operator cannot unpersist
+  * them itself; they are evicted LRU under memory pressure, and a
+  * long-lived session issuing many curation calls should
+  * `spark.catalog.clearCache()` between batches (the bench harness
+  * does exactly that).
   */
 object TextDedup {
 

@@ -25,6 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class LshSignBucket(child: Expression, planes: Int)
     extends UnaryExpression {
 
+  require(planes > 0, "planes must be positive")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(

@@ -23,6 +23,11 @@ object Sampling {
   def hashBucket(key: Column, buckets: Int = 100): Column =
     Hashing.h32(key.cast("string")) % buckets
 
+  /** Fraction resolution for [[sampleFraction]]/[[stratifiedSample]]:
+    * fractions quantize to millionths, so a 0.001 sample keeps 0.1% of
+    * rows rather than rounding to the nearest whole percent. */
+  val FractionBuckets = 1000000
+
   /** Train/val/test split by hash bucket: `trainPct` buckets go to
     * train, the next `valPct` to val, the remainder to test. */
   def withSplit(df: DataFrame, key: Column,
@@ -36,10 +41,12 @@ object Sampling {
         .otherwise("test"))
   }
 
-  /** Keep a deterministic `fraction` of rows (hash bucket < 100·f). */
+  /** Keep a deterministic `fraction` of rows
+    * (hash bucket < [[FractionBuckets]]·f, millionth granularity). */
   def sampleFraction(df: DataFrame, key: Column, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"invalid fraction $fraction")
-    df.filter(hashBucket(key) < math.round(fraction * 100).toInt)
+    df.filter(hashBucket(key, FractionBuckets) <
+      math.round(fraction * FractionBuckets).toInt)
   }
 
   /** Per-stratum deterministic sampling (data mixing): rows whose
@@ -51,10 +58,10 @@ object Sampling {
                        default: Double): DataFrame = {
     require((fractions.values.toSeq :+ default).forall(f => f >= 0 && f <= 1),
       "fractions must be in [0,1]")
-    val cut = fractions.foldLeft(lit(math.round(default * 100).toInt)) {
+    val cut = fractions.foldLeft(lit(math.round(default * FractionBuckets).toInt)) {
       case (els, (value, f)) =>
-        when(stratum === value, lit(math.round(f * 100).toInt)).otherwise(els)
+        when(stratum === value, lit(math.round(f * FractionBuckets).toInt)).otherwise(els)
     }
-    df.filter(hashBucket(key) < cut)
+    df.filter(hashBucket(key, FractionBuckets) < cut)
   }
 }

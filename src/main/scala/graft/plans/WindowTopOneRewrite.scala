@@ -85,7 +85,10 @@ object WindowTopOneRewrite extends Rule[LogicalPlan] {
       if w.orderSpec.forall(so =>
         so.direction == Ascending && so.nullOrdering == NullsFirst &&
           so.child.deterministic)
-      if w.partitionSpec.forall(_.deterministic)
+      // a global (partition-less) window must keep the window path: an
+      // UNGROUPED aggregate returns one row on empty input, so the
+      // rewrite would fabricate an all-null row where rn=1 yields none
+      if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic)
     } yield rn
     safe.map { rn =>
       val ordering = w.orderSpec.map(_.child) match {

@@ -36,6 +36,14 @@ class SamplingPackingSpec extends SparkSpec {
     assert(Sampling.sampleFraction(docs, col("doc_id"), 0.0).count() == 0)
   }
 
+  test("sampleFraction resolves sub-percent fractions") {
+    import spark.implicits._
+    val big = spark.range(200000).select(col("id").as("k"))
+    val n = Sampling.sampleFraction(big, col("k"), 0.001).count()
+    // 200 expected; the md5 bucketing should land well within 3 sigma
+    assert(n > 100 && n < 300, s"0.1% of 200k gave $n rows")
+  }
+
   test("stratifiedSample equals per-stratum sampleFraction") {
     val docs = table("documents")
     val mixed = Sampling.stratifiedSample(docs, col("doc_id"), col("source"),
@@ -108,6 +116,24 @@ class SamplingPackingSpec extends SparkSpec {
     assert(cents == Map(
       (1L, 0) -> 0.9, (1L, 1) -> 0.3,
       (2L, 0) -> 0.3, (2L, 1) -> 0.9))
+  }
+
+  test("kmeans: an empty cluster carries its seed centroid forward") {
+    // seeds = v1 (1,0), v2 (1,0), v3 (0,1); v2 ties c1/c2 and the
+    // tiebreak sends it to c1, so cluster 2 is empty and must keep its
+    // seed; v4 (0.6,0.8) goes to c3
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val cents = KMeans.lloyd(vecs, k = 3, iters = 1)
+      .as[(Long, Int, Double)].collect()
+      .map { case (c, d, v) => (c, d) -> v }.toMap
+    assert(cents.size == 3 * 2, "k×dims rows even with an empty cluster")
+    assert(cents == Map(
+      (1L, 0) -> 1.0, (1L, 1) -> 0.0,
+      (2L, 0) -> 1.0, (2L, 1) -> 0.0, // carried seed
+      (3L, 0) -> 0.3, (3L, 1) -> 0.9))
   }
 
   test("kmeans on real embeddings: k×dims deterministic rows") {

@@ -94,6 +94,11 @@ class WindowTopOneRewriteSpec extends SparkSpec {
     unchanged(li.withColumn("rn", row_number().over(
         Window.partitionBy("l_orderkey").orderBy(col("l_linenumber"))))
       .filter(col("rn") === 2))
+    // global window: an ungrouped aggregate would return one all-null
+    // row on empty input where the window form returns none
+    unchanged(li.filter(col("l_orderkey") < 0)
+      .withColumn("rn", row_number().over(Window.orderBy(col("l_linenumber"))))
+      .filter(col("rn") === 1))
   }
 
   test("extensions-injected session applies the rule end to end") {

@@ -21,6 +21,9 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+unknown = only - set(oracle)
+if unknown:
+    sys.exit(f"unknown query name(s): {sorted(unknown)} — not in oracle_sql.json")
 
 def canon(df):
     df = df[sorted(df.columns)]
