@@ -160,13 +160,15 @@ object TextDedup {
     minHashSignatureFromHashes(transform(sh, s => Hashing.h32(s)))
 
   /** (doc_id, sh, sig) — shingles + MinHash signature, cached (the
-    * frame feeds both candidate generation and exact verify). */
-  private def sigged(docs: DataFrame, id: Column, text: Column): DataFrame =
-    shingled(docs, id, text)
+    * frame feeds both candidate generation and exact verify; streaming
+    * frames can't cache and only ever feed one branch). */
+  private def sigged(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val t = shingled(docs, id, text)
       .withColumn("hs", ColumnBridge.column(H32Array(ColumnBridge.expression(col("sh")))))
       .withColumn("sig", minHashSignatureFromHashes(col("hs")))
       .drop("hs")
-      .cache()
+    if (t.isStreaming) t else t.cache()
+  }
 
   /** One row per (doc, band): (doc_id, band, bsig). */
   private def banded(t: DataFrame): DataFrame =
@@ -205,6 +207,15 @@ object TextDedup {
       .distinct()
     verified(cand, t, t, minJaccard)
   }
+
+  /** The corpus's precomputable LSH band index: one (doc_id, band,
+    * bsig) row per doc per band. This is the artifact a nightly or
+    * streaming ingest joins against (see [[minHashLshPairsBetween]] and
+    * [[graft.streaming.CurationStream.nearDupFlagStream]]); persist it
+    * once, bucketed by (band, bsig), and batch ingest never rescans the
+    * corpus. */
+  def bandIndex(docs: DataFrame, id: Column, text: Column): DataFrame =
+    banded(sigged(docs, id, text))
 
   /** Incremental near-dup: LSH pairs BETWEEN an existing corpus and an
     * incoming batch — the nightly-append shape: the corpus's band table

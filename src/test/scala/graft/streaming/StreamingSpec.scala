@@ -13,6 +13,32 @@ class StreamingSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  test("nearDupFlagStream: streamed docs hit the static corpus band index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = table("documents")
+    val corpusIndex = graft.dedup.TextDedup
+      .bandIndex(corpus, col("doc_id"), col("text")).cache()
+    // stream one exact copy of a corpus doc (ids offset far away) and
+    // one line of gibberish that shares no shingle with anything
+    val copied = corpus.filter(col("doc_id") === 7)
+      .select(col("text")).collect()(0).getString(0)
+    val input = MemoryStream[(Long, String)]
+    input.addData((100007L, copied), (100008L, "zzqq wwxx yyvv uutt rrss"))
+    val q = CurationStream.nearDupFlagStream(
+        input.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+        corpusIndex)
+      .writeStream.format("memory").queryName("neardup_flags")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT DISTINCT doc_id, corpus_doc_id FROM neardup_flags")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(hits.contains((100007L, 7L)), "exact copy must hit its source doc")
+      assert(!hits.exists(_._1 == 100008L), "gibberish must not hit the index")
+    } finally q.stop()
+  }
+
   test("windowedAggStream: watermark + tumbling window over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
