@@ -64,8 +64,13 @@ object KMeans {
         .groupBy("cent_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("dv"))
         .select(col("cent_id"), transform(col("dv"), x => x("value")).as("cent"))
+      // k·dim scalars; checkpointed because the carry-forward union
+      // references the previous round in several branches — without
+      // truncation the lineage re-executes each prior assignment pass
+      // once per branch (measured 2.5x on the bench)
       cents = recomputed.unionByName(
         cents.join(recomputed.select("cent_id"), Seq("cent_id"), "left_anti"))
+        .localCheckpoint()
     }
     cents.select(col("cent_id"), posexplode(col("cent")))
       .select(col("cent_id"), col("pos").as("dim"), col("col").as("value"))
