@@ -200,6 +200,14 @@ object LlmEntry {
           col("features")(0).as("f0"), col("features")(1).as("f1"),
           col("features")(2).as("f2"), col("features")(3).as("f3"))),
 
+    "m2_frame_sample" -> ((s, dir) =>
+      // keyframe extraction shape: every 4th 64-byte frame; the raw
+      // frame bytes stay out of the output (binary columns don't sort
+      // in the driver comparator) — frame_md5 proves content
+      Multimodal.sampleFrames(Multimodal.asAssets(t(s, dir, "documents")),
+          frameBytes = 64, stride = 4)
+        .select("asset_id", "frame_no", "frame_md5")),
+
     "st1_windowed_agg" -> ((s, dir) =>
       Events.windowedAgg(Tables.loadEvents(s, dir))),
 
@@ -695,6 +703,12 @@ object LlmEntry {
          |       ${(0 until 4).map(f).mkString(",\n       ")}
          |FROM documents""".stripMargin
     },
+
+    "m2_frame_sample" ->
+      """SELECT doc_id AS asset_id, CAST(off // 64 AS BIGINT) AS frame_no,
+        |       md5(substr(text, CAST(off AS INTEGER) + 1, 64)) AS frame_md5
+        |FROM documents, unnest(range(0, strlen(text) - 63, 256)) r(off)
+        |WHERE strlen(text) >= 64""".stripMargin,
 
     "st1_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

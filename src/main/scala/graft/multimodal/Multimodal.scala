@@ -46,6 +46,30 @@ object Multimodal {
         ColumnBridge.expression(col("payload")), featureDim)))
   }
 
+  /** Frame sampling: emit every `stride`-th fixed-size frame of the
+    * payload as its own row — the video-curation keyframe-extraction
+    * shape. A real pipeline decodes container frames; the stub slices
+    * the payload into `frameBytes`-sized windows (the last partial
+    * window is dropped, as a truncated frame would be). Map-only
+    * fan-out (offsets computed per row, then explode) — runs at scan
+    * speed, output partitioning follows the input's, ~n_bytes/(frame·
+    * stride) rows per asset. Output: (asset_id, frame_no, frame,
+    * frame_md5) with frame_no the ORIGINAL frame index (0, stride,
+    * 2·stride, …). */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val hop = frameBytes * stride
+    val n = octet_length(col("payload"))
+    val starts = when(n >= frameBytes, sequence(lit(0), n - frameBytes, lit(hop)))
+      .otherwise(array().cast("array<int>"))
+    assets.select(col("asset_id"), col("payload"), explode(starts).as("off"))
+      .select(
+        col("asset_id"),
+        (col("off") / frameBytes).cast("long").as("frame_no"),
+        col("payload").substr(col("off") + 1, lit(frameBytes)).as("frame"))
+      .withColumn("frame_md5", md5(col("frame")))
+  }
+
   /** STUB decode, partition-batched: a real implementation calls the
     * media codec here (per partition, batched — the iterator shape is
     * what matters; swap the checksum for the codec call and nothing

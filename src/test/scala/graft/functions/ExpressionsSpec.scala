@@ -116,6 +116,22 @@ class ExpressionsSpec extends SparkSpec {
     assert(fast == ref)
   }
 
+  test("sampleFrames slices every stride-th frame, drops the partial tail") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // 25 bytes, frameBytes=4, stride=2 -> hop 8, offsets 0,8,16
+    // (start 24 would need bytes 24..27 — partial, dropped)
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxy"), (2L, "abc"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.sampleFrames(Multimodal.asAssets(docs),
+        frameBytes = 4, stride = 2)
+      .select(col("asset_id"), col("frame_no"),
+        decode(col("frame"), "UTF-8").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(out.toSeq == Seq(
+      (1L, 0L, "abcd"), (1L, 2L, "ijkl"), (1L, 4L, "qrst")))
+  }
+
   test("MinHashMins equals per-k array_min(transform(affine))") {
     import spark.implicits._
     val df = Seq(Seq(12L, 999999L, 31L), Seq(7L)).toDF("hs")
