@@ -29,13 +29,20 @@ object DupClusters {
     * Returns (doc_id, cluster_id) — cluster_id = the component's
     * minimum doc_id — for every doc that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // reject non-integral id columns up front: a silent cast("long")
-    // would null them out and the propagation join would never converge
+    // reject id columns whose cast("long") could silently null or
+    // truncate (the propagation join would never converge on nulls);
+    // integer-valued decimals cast exactly and are allowed
     Seq("doc_a", "doc_b").foreach { c =>
       import org.apache.spark.sql.types._
-      val dt = pairs.schema(c).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"connectedComponents needs integral doc ids, $c is ${dt.sql}")
+      val field = pairs.schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"pairs needs a $c column"))
+      val ok = field.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType => d.scale == 0 && d.precision <= 18
+        case _ => false
+      }
+      require(ok, s"connectedComponents needs integral doc ids, " +
+        s"$c is ${field.dataType.sql}")
     }
     val edges = pairs.select(
       col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))

@@ -159,15 +159,17 @@ object TextDedup {
   def minHashSignature(sh: Column): Column =
     minHashSignatureFromHashes(transform(sh, s => Hashing.h32(s)))
 
-  /** (doc_id, sh, sig) — shingles + MinHash signature, cached (the
-    * frame feeds both candidate generation and exact verify; streaming
-    * frames can't cache and only ever feed one branch). */
-  private def sigged(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  /** (doc_id, sh, sig) — shingles + MinHash signature. Cached by
+    * default: in the pair generators the frame feeds both candidate
+    * generation and exact verify. Single-consumer shapes (bandIndex,
+    * streaming frames — which can't cache at all) skip the cache. */
+  private def sigged(docs: DataFrame, id: Column, text: Column,
+                     cache: Boolean = true): DataFrame = {
     val t = shingled(docs, id, text)
       .withColumn("hs", ColumnBridge.column(H32Array(ColumnBridge.expression(col("sh")))))
       .withColumn("sig", minHashSignatureFromHashes(col("hs")))
       .drop("hs")
-    if (t.isStreaming) t else t.cache()
+    if (cache && !t.isStreaming) t.cache() else t
   }
 
   /** One row per (doc, band): (doc_id, band, bsig). */
@@ -215,7 +217,7 @@ object TextDedup {
     * once, bucketed by (band, bsig), and batch ingest never rescans the
     * corpus. */
   def bandIndex(docs: DataFrame, id: Column, text: Column): DataFrame =
-    banded(sigged(docs, id, text))
+    banded(sigged(docs, id, text, cache = false))
 
   /** Incremental near-dup: LSH pairs BETWEEN an existing corpus and an
     * incoming batch — the nightly-append shape: the corpus's band table
