@@ -204,6 +204,13 @@ object SparkEntry {
         count(lit(1)).as("n_customers"),
         Measures.decAvg(col("c_acctbal")).as("avg_acctbal"))),
 
+    "g14b_sketch_percentiles" -> ((s, dir) =>
+      // GK-sketch form of g9's exact percentiles — bounded per-partition
+      // summaries instead of a per-group sort. Rows-only at the driver
+      // (sketches aren't cross-engine); MeasuresSpec gates rank error.
+      Measures.approxPercentiles(t(s, dir, "orders"),
+        col("o_orderstatus"), col("o_totalprice"), Seq(0.5, 0.9, 0.99))),
+
     "g14_sketch_distinct" -> ((s, dir) => {
       // HLL++ sketch form of the distinct-count measures — the 100 TB
       // path (fixed-size registers instead of shuffling every value).

@@ -83,6 +83,21 @@ object Measures {
       approx_count_distinct(entityA, rsd).as("unique_patients"),
       approx_count_distinct(entityB, rsd).as("unique_providers"))
 
+  /** Sketch form of the percentile measures: Greenwald–Khanna
+    * `approx_percentile` (2001) instead of the exact interpolated form
+    * — the exact form sorts every group's values; the sketch keeps a
+    * bounded summary per partition and merges. `accuracy` bounds rank
+    * error at 1/accuracy of the group size. Deterministic for fixed
+    * input but not cross-engine — spec-gated against the exact
+    * percentiles, rows-only at the driver like [[approxDistinctPack]]. */
+  def approxPercentiles(df: DataFrame, group: Column, value: Column,
+                        probs: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(percentile_approx(value, array(probs.map(lit): _*), lit(accuracy))
+        .as("pcts"))
+      .select(col("grp") +: probs.indices.map(i =>
+        col("pcts")(i).as(s"p${(probs(i) * 100).round}")): _*)
+
   /** Time intelligence over a (date, amount) feed, at month grain:
     * MTD (month total), QTD/YTD running totals, same-period-last-year,
     * YoY delta/%, and the rolling 12-month total. Mirrors TOTALYTD/

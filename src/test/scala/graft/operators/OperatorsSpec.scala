@@ -205,6 +205,23 @@ class MeasuresSpec extends SparkSpec {
     assert(approx.getLong(0) == again.getLong(0) && approx.getLong(1) == again.getLong(1))
   }
 
+  test("sketch percentiles track the exact interpolated ones") {
+    val o = table("orders")
+    val approx = Measures.approxPercentiles(
+        o, col("o_orderstatus"), col("o_totalprice"), Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = o.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9))").as("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1)(0), r.getSeq[Double](1)(1))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (a50, a90)) =>
+      val (e50, e90) = exact(k)
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.05, s"$k p90: $a90 vs $e90")
+    }
+  }
+
   test("topN is deterministic and correctly bounded") {
     val top = Measures.topN(table("orders"), col("o_custkey"), col("o_totalprice"), 5)
     val rows = top.collect()
