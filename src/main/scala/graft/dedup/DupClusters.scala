@@ -8,20 +8,22 @@ import org.apache.spark.sql.functions._
   * ONE cluster with one deterministic keeper — the web-scale refinement
   * of the greedy per-pair drop in `d6_dedup_apply`.
   *
-  * Algorithm: iterative min-label propagation — every node repeatedly
-  * adopts the minimum label in its closed neighborhood until fixpoint
-  * (the MapReduce CC recipe; see Rastogi et al. 2013 "Finding Connected
-  * Components in Map-Reduce in Logarithmic Rounds" and Kiveris et al.
-  * 2014 "Connected Components in MapReduce and Beyond" for the
-  * round-compressed variants this simplifies).
+  * Algorithm: iterative min-label propagation with pointer jumping —
+  * every node adopts the minimum label in its closed neighborhood,
+  * then additionally adopts its LABEL's label (path halving). The
+  * jump compresses label chains geometrically, so rounds needed are
+  * O(log diameter) rather than O(diameter) — a 1000-doc templated
+  * near-dup chain resolves in ~10 rounds, not 1000 (the round
+  * compression of Rastogi et al. 2013 "Finding Connected Components
+  * in Map-Reduce in Logarithmic Rounds" / Kiveris et al. 2014
+  * "Connected Components in MapReduce and Beyond").
   *
-  * Scale: each round is ONE keyed shuffle (edge join + min-agg); rounds
-  * needed = component diameter, and near-dup clusters are shallow (a
-  * dup cluster's diameter is small by construction — docs similar to a
-  * common ancestor). Frames are `localCheckpoint()`ed each round so
-  * lineage doesn't double per iteration (swap for `checkpoint()` +
-  * a checkpoint dir on a real cluster). The convergence probe is a
-  * scalar count — no data ever collects to the driver.
+  * Scale: each round is two keyed shuffles (edge join + min-agg, then
+  * the label-of-label join on the node-sized label frame). Frames are
+  * `localCheckpoint()`ed each round so lineage doesn't double per
+  * iteration (swap for `checkpoint()` + a checkpoint dir on a real
+  * cluster). The convergence probe is a scalar count — no data ever
+  * collects to the driver.
   */
 object DupClusters {
 
@@ -60,8 +62,17 @@ object DupClusters {
       // increasing, so `<` detects every change
       val prop = sym.join(labels, sym("src") === labels("node"))
         .select(sym("dst").as("node"), labels("lbl"))
-      val next = labels.union(prop)
+      val combined = labels.union(prop)
         .groupBy("node").agg(min("lbl").as("lbl"))
+      // pointer jump (path halving): adopt my label's label. Labels
+      // are always node ids (they start as the node itself and only
+      // ever take min over node ids), so the lookup is an equi-join of
+      // the label frame with itself; lbl(node) <= node monotonically,
+      // so the looked-up label can only be smaller.
+      val jump = combined.select(col("node").as("jnode"), col("lbl").as("jlbl"))
+      val next = combined.join(jump, col("lbl") === col("jnode"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       val changed = next
         .join(labels.select(col("node"), col("lbl").as("prev")), "node")

@@ -21,6 +21,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(cc.size == 8, "only nodes present in pairs appear")
   }
 
+  test("a 100-node chain converges in logarithmic rounds") {
+    // diameter 99: one-hop propagation alone would need 99 rounds and
+    // blow the default maxIter; pointer jumping must finish in ~log
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = DupClusters.connectedComponents(chain, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 100)
+    assert(cc.values.forall(_ == 1L))
+  }
+
   test("survivors: keeps each cluster's min id and every non-dup doc") {
     val docs = (1L to 12L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
