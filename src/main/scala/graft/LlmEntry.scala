@@ -110,6 +110,15 @@ object LlmEntry {
         TextAnalysis.tokenCounts(t(s, dir, "documents"), col("text")),
         col("doc_id"), col("bpe_tokens"), budget = 2000L, buckets = 8))),
 
+    "x3_upsample" -> ((s, dir) => {
+      // mixture upsampling: 1.5 epochs of every source — whole copy
+      // for all, one extra for the hash-selected half of doc_ids
+      val up = Sampling.upsample(t(s, dir, "documents"), col("doc_id"), 1.5)
+      up.groupBy("source").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_rows"))
+    }),
+
     "x1_hash_split" -> ((s, dir) =>
       Sampling.withSplit(t(s, dir, "documents"), col("doc_id"))
         .groupBy("split").agg(count(lit(1)).as("n_docs"))),
@@ -498,6 +507,12 @@ object LlmEntry {
          |SELECT bucket, bin, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "x3_upsample" ->
+      s"""WITH b AS (SELECT source, doc_id, ${bucketSql(1000000)} AS bkt FROM documents)
+         |SELECT source, count(DISTINCT doc_id) AS n_docs,
+         |       CAST(sum(CASE WHEN bkt < 500000 THEN 2 ELSE 1 END) AS BIGINT) AS n_rows
+         |FROM b GROUP BY source""".stripMargin,
 
     "x1_hash_split" ->
       s"""WITH b AS (SELECT ${bucketSql(100)} AS bkt FROM documents)

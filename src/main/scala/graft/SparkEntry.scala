@@ -268,6 +268,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           Measures.decSum(col("o_totalprice")).as("total"))),
 
+    "g11b_cube" -> ((s, dir) =>
+      // full cross-tab: every grouping-set combination in one pass;
+      // grouping_id disambiguates real NULL keys from subtotal rows
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          Measures.decSum(col("o_totalprice")).as("total"))),
+
     "g8_ingestion_log" -> ((s, dir) => {
       // Winner-per-key via max_by over the TOTAL ordering struct (the
       // data has tied (orderkey, shipdate, linenumber) rows whose DQ
@@ -534,6 +544,13 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(status, prio)""".stripMargin,
+
+    "g11b_cube" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(status, prio)""".stripMargin,
 
     "g8_ingestion_log" ->
       s"""WITH ranked AS (

@@ -49,6 +49,22 @@ object Sampling {
       math.round(fraction * FractionBuckets).toInt)
   }
 
+  /** Deterministic UPsampling — the other half of a mixture recipe:
+    * repeat every row floor(factor) times, plus one more copy for the
+    * hash-selected `factor mod 1` fraction of keys. Emits a `copy_id`
+    * (0-based) so downstream shuffles/packing can tell copies apart.
+    * Map-only fan-out (sequence + explode): no shuffle, deterministic
+    * under retries — epochs-style oversampling of a high-quality
+    * source reproduces exactly. */
+  def upsample(df: DataFrame, key: Column, factor: Double): DataFrame = {
+    require(factor >= 1.0, s"upsample factor must be >= 1, got $factor")
+    val whole = math.floor(factor).toInt
+    val fracCut = math.round((factor - whole) * FractionBuckets).toInt
+    val copies = when(hashBucket(key, FractionBuckets) < fracCut, whole)
+      .otherwise(whole - 1)
+    df.withColumn("copy_id", explode(sequence(lit(0), copies)))
+  }
+
   /** Per-stratum deterministic sampling (data mixing): rows whose
     * `stratum` value appears in `fractions` keep that fraction,
     * everything else keeps `default`. Upsampling beyond 1.0 is out of

@@ -26,6 +26,22 @@ import graft.dedup.TextDedup
   */
 object CurationStream {
 
+  /** Contamination hits of `stream` docs against a static eval corpus:
+    * (doc_id, s) per shared word n-gram — the streaming leg of
+    * [[graft.dedup.Decontaminate]]. The eval shingle set broadcasts
+    * (benchmarks are tiny); the stream side is a map-only explode +
+    * broadcast join per micro-batch, stateless like the near-dup
+    * probe. Aggregation to per-doc counts belongs to the consumer
+    * (streaming groupBy would need a watermark the flags don't). */
+  def contamFlagStream(stream: DataFrame, id: Column, text: Column,
+                       evalCorpus: DataFrame, evalText: Column,
+                       n: Int = 5): DataFrame = {
+    val evalShingles = broadcast(
+      evalCorpus.select(explode(TextDedup.shingles(evalText, n)).as("s")).distinct())
+    stream.select(id.as("doc_id"), explode(TextDedup.shingles(text, n)).as("s"))
+      .join(evalShingles, "s")
+  }
+
   /** Candidate near-dup hits of `stream` docs against the corpus band
     * index: (doc_id, band, bsig, corpus_doc_id). */
   def nearDupFlagStream(stream: DataFrame, id: Column, text: Column,

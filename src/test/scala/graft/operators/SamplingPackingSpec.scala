@@ -57,6 +57,27 @@ class SamplingPackingSpec extends SparkSpec {
     assert(mixed == expected)
   }
 
+  test("upsample: whole copies for all, extra copy for the hash-selected slice") {
+    val docs = table("documents")
+    val up = Sampling.upsample(docs, col("doc_id"), 1.5)
+    val counts = up.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts.keySet.size.toLong == docs.count(), "every doc survives")
+    assert(counts.values.forall(n => n == 1 || n == 2))
+    val doubled = counts.count(_._2 == 2)
+    // ~half the keys get the extra copy
+    assert(doubled > counts.size / 4 && doubled < 3 * counts.size / 4)
+    // deterministic: the doubled set is repartition-invariant
+    val again = Sampling.upsample(docs.repartition(7), col("doc_id"), 1.5)
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    assert(again == counts)
+    // integer factor: exactly N copies each, copy_ids 0..N-1
+    val x2 = Sampling.upsample(docs.limit(20), col("doc_id"), 2.0)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy_id").as("m"))
+      .collect()
+    x2.foreach { r => assert(r.getLong(1) == 2 && r.getInt(2) == 1) }
+  }
+
   test("packIntoBins: greedy fill matches a hand-computed single bucket") {
     // buckets=1 puts everything in bucket 0; cum-before 0,10,30,60,100
     val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))

@@ -39,6 +39,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contamFlagStream: streamed docs hit the broadcast eval shingles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq((100L, "the quick brown fox jumps over a lazy dog"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (1L, "he said the quick brown fox jumps right past us"),
+      (2L, "completely unrelated words with no overlap here at all"))
+    val q = CurationStream.contamFlagStream(
+        input.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+        eval, col("text"), n = 5)
+      .writeStream.format("memory").queryName("contam_flags")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT doc_id, s FROM contam_flags")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(hits.toSeq == Seq((1L, "the quick brown fox jumps")))
+    } finally q.stop()
+  }
+
   test("windowedAggStream: watermark + tumbling window over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
