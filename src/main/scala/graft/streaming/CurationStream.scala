@@ -2,8 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 import graft.dedup.TextDedup
+import graft.sources.SnapshotStore
+import graft.text.TextAnalysis
 
 /** Streaming curation: flag documents arriving on a stream that are
   * near-dup candidates of an EXISTING corpus — the streaming leg of
@@ -25,6 +28,54 @@ import graft.dedup.TextDedup
   * into a scan).
   */
 object CurationStream {
+
+  /** End-to-end streaming curation — [[graft.LlmCuration]] for a
+    * document stream: quality + language gate (map-only), exact
+    * content dedup with watermark-bounded state, near-dup flagging
+    * against the static corpus band index, then a MERGE sink into a
+    * versioned [[SnapshotStore]] keyed on doc_id (exactly-once per
+    * batch via the checkpoint). Needs a `ts` event-time column for the
+    * dedup watermark. Near-dup verification is a flag column
+    * (`n_band_hits`), not a drop: at stream time a candidate hit is
+    * cheap but exact verification needs corpus text — the downstream
+    * batch decides, with the flag narrowing its work.
+    *
+    * State posture: the ONLY stateful op is the keyed dedup, bounded
+    * by the watermark; gates and the band probe are stateless, so
+    * total state is O(docs inside the watermark window).
+    */
+  def run(stream: DataFrame, id: Column, text: Column,
+          corpusIndex: DataFrame, targetDir: String, checkpointDir: String,
+          minQuality: Double = 0.5, lang: Option[String] = Some("en"),
+          watermark: String = "1 hour"): StreamingQuery = {
+    val base = stream.select(id.as("doc_id"), text.as("text"), col("ts"))
+    val scored = TextAnalysis.qualityFeatures(base, col("text"))
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+    val kept = lang.foldLeft(scored.filter(col("quality_score") >= minQuality)) {
+      (df, l) => df.filter(col("lang_pred") === l)
+    }.select("doc_id", "text", "ts")
+    val deduped = kept
+      .withColumn("__h", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+    // the band-hit count is an aggregation, which would be a SECOND
+    // stateful op on the stream; inside foreachBatch the micro-batch
+    // is a plain frame, so the probe + count run stateless per batch
+    deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flagged = batch
+          .join(TextDedup.bandIndex(batch, col("doc_id"), col("text"))
+              .join(corpusIndex.select(col("band"), col("bsig")), Seq("band", "bsig"))
+              .groupBy("doc_id").agg(count(lit(1)).as("n_band_hits")),
+            Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_band_hits"))
+        SnapshotStore.mergeInto(flagged, targetDir, Seq("doc_id")): Unit
+      }
+      .start()
+  }
 
   /** Contamination hits of `stream` docs against a static eval corpus:
     * (doc_id, s) per shared word n-gram — the streaming leg of

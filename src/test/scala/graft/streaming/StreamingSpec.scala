@@ -61,6 +61,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation run: gate, dedup, flag, merge into snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = table("documents")
+    val corpusIndex = graft.dedup.TextDedup
+      .bandIndex(corpus, col("doc_id"), col("text")).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur-snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cur-ckpt").toString
+    // long English text passes the quality+language gate; the corpus
+    // copy must get band hits, the fresh text none; the exact dup of
+    // doc 9001 must be dropped by the streaming dedup
+    val good = ("the cat sat on the mat and it is a fine day " * 4).trim
+    val copied = corpus.filter(col("doc_id") === 7)
+      .select(col("text")).collect()(0).getString(0)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    input.addData(
+      (9001L, good, ts(1)),
+      (9002L, good, ts(2)),            // exact dup of 9001 -> dropped
+      (9003L, copied, ts(3)),          // near-dup of corpus doc 7
+      (9004L, "zz qq ww", ts(4)))      // fails the quality gate
+    val q = CurationStream.run(
+      input.toDF().toDF("doc_id", "text", "ts"), col("doc_id"), col("text"),
+      corpusIndex, dir, ckpt, minQuality = 0.5, lang = Some("en"))
+    try q.processAllAvailable() finally q.stop()
+    val snap = graft.sources.SnapshotStore.read(spark, dir).get
+      .select("doc_id", "n_band_hits")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap.keySet == Set(9001L, 9003L))
+    assert(snap(9001L) == 0L, "fresh text has no corpus band hits")
+    assert(snap(9003L) > 0L, "corpus copy must hit the band index")
+  }
+
   test("windowedAggStream: watermark + tumbling window over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
