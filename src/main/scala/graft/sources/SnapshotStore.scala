@@ -58,4 +58,34 @@ object SnapshotStore {
     }
     commit(merged, dir)
   }
+
+  /** Compact the current snapshot into `numFiles` files and drop
+    * versions older than `retain` behind the new pointer — the
+    * maintenance pass every MERGE-loop table needs: each micro-batch
+    * commit writes shuffle-partition-many files, and a long-running
+    * sink otherwise accumulates both small files (scan overhead: one
+    * task + one footer read each) and dead versions (unbounded disk).
+    * Readers are never disturbed: the compacted copy commits through
+    * the same write-fully-then-swap pointer protocol, and only
+    * versions strictly older than the retained window are deleted.
+    * Returns the new current version, or None for an empty store. */
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 1,
+              retain: Int = 1): Option[Int] = {
+    require(numFiles > 0 && retain >= 0, "numFiles > 0, retain >= 0")
+    read(spark, dir).map { cur =>
+      val v = commit(cur.coalesce(numFiles), dir)
+      val cutoff = v - retain
+      val entries = Files.list(Paths.get(dir))
+      try entries.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.matches("v=\\d+") && name.drop(2).toInt < cutoff) {
+          val files = Files.walk(p)
+          try files.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.delete(f))
+          finally files.close()
+        }
+      } finally entries.close()
+      v
+    }
+  }
 }

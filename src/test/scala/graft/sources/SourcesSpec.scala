@@ -86,6 +86,25 @@ class BucketingSpec extends SparkSpec {
 }
 
 class TablesSpec extends SparkSpec {
+  test("snapshot compaction: one file, same data, old versions pruned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    SnapshotStore.mergeInto(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(4), dir, Seq("id"))
+    SnapshotStore.mergeInto(
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "v").repartition(4), dir, Seq("id"))
+    val before = SnapshotStore.read(spark, dir).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val v = SnapshotStore.compact(spark, dir, numFiles = 1, retain = 1)
+    assert(v.contains(2))
+    assert(SnapshotStore.currentVersion(dir).contains(2))
+    val after = SnapshotStore.read(spark, dir).get
+    assert(after.collect().map(r => (r.getLong(0), r.getString(1))).toSet == before)
+    assert(after.inputFiles.length == 1, "compacted to one file")
+    val dirs = new java.io.File(dir).list().filter(_.startsWith("v=")).sorted
+    assert(dirs.toSeq == Seq("v=1", "v=2"), s"old versions pruned, got ${dirs.toSeq}")
+  }
+
   test("all testdata tables load; events gets a usable timestamp") {
     Tables.names.filter(_ != "events").foreach { n =>
       assert(Tables.load(spark, sfDir, n).count() > 0, n)
