@@ -17,18 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** One (doc_id, s) row per shared shingle — the stateless probe
+    * shared by the batch aggregation below and the streaming leg
+    * ([[graft.streaming.CurationStream.contamFlagStream]]): the eval
+    * side broadcasts, the doc side is a map-only explode + join. */
+  def shingleHits(docs: DataFrame, eval: DataFrame,
+                  id: Column, text: Column, evalText: Column,
+                  n: Int = 5): DataFrame = {
+    val evalShingles = broadcast(
+      eval.select(explode(TextDedup.shingles(evalText, n)).as("s")).distinct())
+    docs.select(id.as("doc_id"), explode(TextDedup.shingles(text, n)).as("s"))
+      .join(evalShingles, "s")
+  }
+
   /** (doc_id, n_shared) for every training doc sharing ≥1 n-gram with
     * the eval corpus; clean docs don't appear. `n_shared` counts
     * distinct shared shingles (shingle sets are distinct per doc). */
   def contaminatedDocs(train: DataFrame, eval: DataFrame,
-                       id: Column, text: Column, n: Int = 5): DataFrame = {
-    val evalShingles = broadcast(
-      eval.select(explode(TextDedup.shingles(text, n)).as("s")).distinct())
-    train.select(id.as("doc_id"), explode(TextDedup.shingles(text, n)).as("s"))
-      .join(evalShingles, "s")
+                       id: Column, text: Column, n: Int = 5): DataFrame =
+    shingleHits(train, eval, id, text, text, n)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
-  }
 
   /** The decontaminated corpus: training docs minus contaminated ones
     * (one left_anti on the flagged id set; `idName` is the train-side

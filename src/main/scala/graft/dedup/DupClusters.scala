@@ -62,8 +62,11 @@ object DupClusters {
       // increasing, so `<` detects every change
       val prop = sym.join(labels, sym("src") === labels("node"))
         .select(sym("dst").as("node"), labels("lbl"))
+      // checkpointed: the jump self-join below reads it from two
+      // branches, which would re-run the propagation aggregation twice
       val combined = labels.union(prop)
         .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
       // pointer jump (path halving): adopt my label's label. Labels
       // are always node ids (they start as the node itself and only
       // ever take min over node ids), so the lookup is an equi-join of

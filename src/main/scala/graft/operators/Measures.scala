@@ -91,12 +91,19 @@ object Measures {
     * input but not cross-engine — spec-gated against the exact
     * percentiles, rows-only at the driver like [[approxDistinctPack]]. */
   def approxPercentiles(df: DataFrame, group: Column, value: Column,
-                        probs: Seq[Double], accuracy: Int = 10000): DataFrame =
+                        probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    // p50 / p99 / p99_5 — decimal digits keep close probs (0.995 vs
+    // 0.999) from colliding into one output name
+    def pname(p: Double) = "p" + BigDecimal(p * 100).underlying
+      .stripTrailingZeros.toPlainString.replace(".", "_")
+    val names = probs.map(pname)
+    require(names.distinct.size == names.size, s"colliding percentile names $names")
     df.groupBy(group.as("grp"))
       .agg(percentile_approx(value, array(probs.map(lit): _*), lit(accuracy))
         .as("pcts"))
       .select(col("grp") +: probs.indices.map(i =>
-        col("pcts")(i).as(s"p${(probs(i) * 100).round}")): _*)
+        col("pcts")(i).as(names(i))): _*)
+  }
 
   /** Time intelligence over a (date, amount) feed, at month grain:
     * MTD (month total), QTD/YTD running totals, same-period-last-year,

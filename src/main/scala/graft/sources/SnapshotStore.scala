@@ -67,11 +67,16 @@ object SnapshotStore {
     * task + one footer read each) and dead versions (unbounded disk).
     * Readers are never disturbed: the compacted copy commits through
     * the same write-fully-then-swap pointer protocol, and only
-    * versions strictly older than the retained window are deleted.
+    * versions strictly behind the retained window are deleted
+    * (`retain >= 1`, so the version a reader could have just resolved
+    * survives at least one compaction). WRITERS are single-writer by
+    * contract, like every log-less table format: run compact from the
+    * same maintenance loop as the merges — a compact racing a
+    * concurrent mergeInto can both claim the same next version.
     * Returns the new current version, or None for an empty store. */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 1,
               retain: Int = 1): Option[Int] = {
-    require(numFiles > 0 && retain >= 0, "numFiles > 0, retain >= 0")
+    require(numFiles > 0 && retain >= 1, "numFiles > 0, retain >= 1")
     read(spark, dir).map { cur =>
       val v = commit(cur.coalesce(numFiles), dir)
       val cutoff = v - retain

@@ -47,8 +47,8 @@ object CurationStream {
   def run(stream: DataFrame, id: Column, text: Column,
           corpusIndex: DataFrame, targetDir: String, checkpointDir: String,
           minQuality: Double = 0.5, lang: Option[String] = Some("en"),
-          watermark: String = "1 hour"): StreamingQuery = {
-    val base = stream.select(id.as("doc_id"), text.as("text"), col("ts"))
+          watermark: String = "1 hour", ts: Column = col("ts")): StreamingQuery = {
+    val base = stream.select(id.as("doc_id"), text.as("text"), ts.as("ts"))
     val scored = TextAnalysis.qualityFeatures(base, col("text"))
       .withColumn("lang_pred", TextAnalysis.langId(col("text")))
     val kept = lang.foldLeft(scored.filter(col("quality_score") >= minQuality)) {
@@ -67,8 +67,7 @@ object CurationStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val flagged = batch
-          .join(TextDedup.bandIndex(batch, col("doc_id"), col("text"))
-              .join(corpusIndex.select(col("band"), col("bsig")), Seq("band", "bsig"))
+          .join(nearDupFlagStream(batch, col("doc_id"), col("text"), corpusIndex)
               .groupBy("doc_id").agg(count(lit(1)).as("n_band_hits")),
             Seq("doc_id"), "left")
           .na.fill(0L, Seq("n_band_hits"))
@@ -86,12 +85,8 @@ object CurationStream {
     * (streaming groupBy would need a watermark the flags don't). */
   def contamFlagStream(stream: DataFrame, id: Column, text: Column,
                        evalCorpus: DataFrame, evalText: Column,
-                       n: Int = 5): DataFrame = {
-    val evalShingles = broadcast(
-      evalCorpus.select(explode(TextDedup.shingles(evalText, n)).as("s")).distinct())
-    stream.select(id.as("doc_id"), explode(TextDedup.shingles(text, n)).as("s"))
-      .join(evalShingles, "s")
-  }
+                       n: Int = 5): DataFrame =
+    graft.dedup.Decontaminate.shingleHits(stream, evalCorpus, id, text, evalText, n)
 
   /** Candidate near-dup hits of `stream` docs against the corpus band
     * index: (doc_id, band, bsig, corpus_doc_id). */
