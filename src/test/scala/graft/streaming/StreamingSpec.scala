@@ -39,6 +39,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation survives a restart from its checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpusIndex = graft.dedup.TextDedup
+      .bandIndex(table("documents"), col("doc_id"), col("text")).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur2-snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cur2-ckpt").toString
+    val good = ("the cat sat on the mat and it is a fine day " * 4).trim
+    def start(in: MemoryStream[(Long, String, Timestamp)]) =
+      CurationStream.run(
+        in.toDF().toDF("doc_id", "text", "ts"), col("doc_id"), col("text"),
+        corpusIndex, dir, ckpt, minQuality = 0.5, lang = Some("en"))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    in.addData((9001L, good, ts(1)))
+    val q1 = start(in)
+    try q1.processAllAvailable() finally q1.stop()
+    // same source, same checkpoint, new query = restart; offsets
+    // resume where the stopped query committed, and the keyed MERGE
+    // sink must upsert, not duplicate, across the restart
+    in.addData((9001L, good + " again", ts(5)), (9005L, good + " brand new", ts(6)))
+    val q2 = start(in)
+    try q2.processAllAvailable() finally q2.stop()
+    val snap = graft.sources.SnapshotStore.read(spark, dir).get
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap.keySet == Set(9001L, 9005L), "one row per doc across restarts")
+    assert(snap(9001L).endsWith("again"), "restart batch upserted the doc")
+  }
+
   test("contamFlagStream: streamed docs hit the broadcast eval shingles") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
