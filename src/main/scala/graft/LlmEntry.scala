@@ -75,6 +75,10 @@ object LlmEntry {
       TextAnalysis.repetitionFeatures(t(s, dir, "documents"), col("text"))
         .select("doc_id", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac")),
 
+    "t10_vocab" -> ((s, dir) =>
+      // tokenizer-training input: corpus-wide top-50 token frequencies
+      TextAnalysis.vocab(t(s, dir, "documents"), col("doc_id"), col("text"), 50)),
+
     "t9_chunking" -> ((s, dir) =>
       // context-window chunking: 40-token chunks, 8-token overlap;
       // summarized per doc so the output stays compact (the chunk rows
@@ -457,6 +461,14 @@ object LlmEntry {
          |       THEN 1.0 - CAST(len(${shSqlN(3)}) AS DOUBLE) / CAST(len(tk) - 2 AS DOUBLE)
          |       ELSE 0.0 END AS dup_3gram_frac
          |FROM t""".stripMargin,
+
+    "t10_vocab" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(tk) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents))
+         |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM tok GROUP BY token
+         |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
 
     "t9_chunking" ->
       s"""WITH t AS (

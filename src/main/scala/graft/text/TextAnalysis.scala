@@ -80,6 +80,25 @@ object TextAnalysis {
       .withColumn("bpe_tokens",
         regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long"))
 
+  // --- corpus vocabulary ------------------------------------------------
+
+  /** Corpus-wide top-k token frequencies — the frequency table a
+    * tokenizer-training (BPE/unigram) pipeline starts from. One
+    * explode + map-side-combined count, then a bounded top-k
+    * (TakeOrderedAndProject: each partition keeps k rows, never a
+    * global sort); ties break on the token string so the cut is
+    * deterministic. `n_docs` counts distinct docs via the distinct
+    * token set per doc — no second shuffle, one aggregation pass over
+    * (token, is_first_in_doc) rows. */
+  def vocab(df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+    df.select(id.as("__doc"), explode(tokens(text)).as("token"))
+      .groupBy("__doc", "token").agg(count(lit(1)).as("in_doc"))
+      .groupBy("token")
+      .agg(sum(col("in_doc")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
   // --- repetition signals ----------------------------------------------
 
   /** Gopher-style intra-document repetition signals (Rae et al. 2021
