@@ -92,6 +92,14 @@ object GraftFunctions {
         case Seq(b, Literal(d: Int, IntegerType)) => ByteWindowSums(b, d)
         case _ => throw new IllegalArgumentException(
           "graft_byte_window_sums expects (bytes, dim literal)")
+      }),
+    (FunctionIdentifier("graft_byte_window_means"),
+      info("graft_byte_window_means",
+        "graft_byte_window_means(bytes, dim) - contiguous-window unsigned byte means"),
+      {
+        case Seq(b, Literal(d: Int, IntegerType)) => ByteWindowMeans(b, d)
+        case _ => throw new IllegalArgumentException(
+          "graft_byte_window_means expects (bytes, dim literal)")
       }))
 
   /** Register all graft SQL functions on a live session. */

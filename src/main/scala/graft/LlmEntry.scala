@@ -213,6 +213,14 @@ object LlmEntry {
           col("features")(0).as("f0"), col("features")(1).as("f1"),
           col("features")(2).as("f2"), col("features")(3).as("f3"))),
 
+    "m3_resize" -> ((s, dir) =>
+      // resize shape: payload downsampled to 8 contiguous byte-window
+      // means, flattened to scalars for the comparator
+      Multimodal.resizeStub(Multimodal.asAssets(t(s, dir, "documents")),
+          targetDim = 8)
+        .select(col("asset_id") +: (0 until 8).map(i =>
+          col("resized")(i).as(s"r$i")): _*)),
+
     "m2_frame_sample" -> ((s, dir) =>
       // keyframe extraction shape: every 4th 64-byte frame; the raw
       // frame bytes stay out of the output (binary columns don't sort
@@ -728,6 +736,16 @@ object LlmEntry {
          |       CAST(strlen(text) AS BIGINT) AS n_bytes,
          |       md5(text) AS content_md5,
          |       ${(0 until 4).map(f).mkString(",\n       ")}
+         |FROM documents""".stripMargin
+    },
+
+    "m3_resize" -> {
+      def rw(w: Int) =
+        s"""coalesce(list_avg(list_transform(
+           |  range(CAST($w*strlen(text)//8 AS INTEGER), CAST(${w + 1}*strlen(text)//8 AS INTEGER)),
+           |  p -> ascii(text[p+1]))), 0.0) AS r$w""".stripMargin
+      s"""SELECT doc_id AS asset_id,
+         |${(0 until 8).map(rw).mkString(",\n")}
          |FROM documents""".stripMargin
     },
 

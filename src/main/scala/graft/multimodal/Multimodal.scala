@@ -46,6 +46,18 @@ object Multimodal {
         ColumnBridge.expression(col("payload")), featureDim)))
   }
 
+  /** STUB resize: downsample the payload to `targetDim` contiguous
+    * byte-window means (a real pipeline swaps in the image scaler; the
+    * fixed-size-output contract and the window/mean dataflow are the
+    * Spark-side shape). Codegen'd ([[graft.functions.ByteWindowMeans]]),
+    * map-only. */
+  def resizeStub(assets: DataFrame, targetDim: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    assets.withColumn("resized", ColumnBridge.column(
+      graft.functions.ByteWindowMeans(
+        ColumnBridge.expression(col("payload")), targetDim)))
+  }
+
   /** Frame sampling: emit every `stride`-th fixed-size frame of the
     * payload as its own row — the video-curation keyframe-extraction
     * shape. A real pipeline decodes container frames; the stub slices

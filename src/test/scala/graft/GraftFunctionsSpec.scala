@@ -40,9 +40,9 @@ class GraftFunctionsSpec extends SparkSpec {
   test("extensions class injects the same registry entries") {
     // the builder list is shared; spot-check identity of the surface
     assert(GraftFunctions.all.map(_._1.funcName).sorted ==
-      Seq("graft_byte_window_sums", "graft_dot", "graft_h32_array",
-        "graft_lsh_bucket", "graft_minhash_sig", "graft_rolling_hash",
-        "graft_simhash64", "graft_word_shingles"))
+      Seq("graft_byte_window_means", "graft_byte_window_sums", "graft_dot",
+        "graft_h32_array", "graft_lsh_bucket", "graft_minhash_sig",
+        "graft_rolling_hash", "graft_simhash64", "graft_word_shingles"))
     new GraftExtensions // constructible (config-time entry point)
   }
 }

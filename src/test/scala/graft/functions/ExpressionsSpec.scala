@@ -116,6 +116,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(fast == ref)
   }
 
+  test("ByteWindowMeans equals a hand-computed contiguous-window mean") {
+    import graft.multimodal.Multimodal
+    val assets = Multimodal.asAssets(table("documents"))
+    val got = Multimodal.resizeStub(assets, targetDim = 8)
+      .select("asset_id", "payload", "resized").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getSeq[Double](2)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, bytes, out) =>
+      assert(out.length == 8)
+      val n = bytes.length
+      (0 until 8).foreach { w =>
+        val (st, en) = (w * n / 8, (w + 1) * n / 8)
+        val exp = if (en > st)
+          bytes.slice(st, en).map(_ & 0xff).map(_.toDouble).sum / (en - st)
+        else 0.0
+        assert(out(w) == exp, s"window $w")
+      }
+    }
+    // short payload: empty windows are 0.0
+    import spark.implicits._
+    val tiny = Multimodal.resizeStub(
+      Multimodal.asAssets(Seq((1L, "abc")).toDF("doc_id", "text")), targetDim = 8)
+      .select("resized").collect()(0).getSeq[Double](0)
+    assert(tiny.count(_ == 0.0) == 5 && tiny.length == 8)
+  }
+
   test("sampleFrames slices every stride-th frame, drops the partial tail") {
     import graft.multimodal.Multimodal
     import spark.implicits._
