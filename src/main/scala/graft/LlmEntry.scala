@@ -172,6 +172,16 @@ object LlmEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    "e3b_knn_ivf_trained" -> ((s, dir) => {
+      // the production IVF shape: k-means trains the coarse quantizer,
+      // the search probes it (verdict-r2 ask — e4 wired into e3)
+      val v = t(s, dir, "embeddings")
+      val corpus = v.filter(col("vec_id") >= 10)
+      Knn.ivfTopK(v.filter(col("vec_id") < 10), corpus, k = 5,
+        centroids = KMeans.lloyd(corpus, k = 8, iters = 2), nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     "t1_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -300,12 +310,19 @@ object LlmEntry {
       s"list_min(list_transform(sh, s -> ($a*${h32Sql("s")}+$b)%${graft.functions.Hashing.P32}))"
     }.mkString("[", ",\n     ", "]")
 
-  /** Hyperplane sign-bucket bit string for [[Knn.lshBucket]] (weight
-    * (31p + 17d) % 7 - 3): each char is '1' iff the integer-weighted
-    * projection is >= 0. */
-  private def LshBucketSql(vec: String, planes: Int = 6): String =
+  /** Hyperplane sign-bucket bit string for [[Knn.lshBucket]]: each
+    * char is '1' iff the integer-weighted projection is >= 0. The
+    * md5-derived weights ([[graft.functions.LshSignBucket.weight]])
+    * are baked in as list literals — same pattern as the MinHash
+    * coefficient constants — sized to the 64-dim embeddings corpus.
+    * list_sum(list_transform(...)) folds left-to-right like the
+    * kernel's loop, so the projections are bit-identical. */
+  private def LshBucketSql(vec: String, planes: Int = 6, dims: Int = 64): String =
     (0 until planes).map { p =>
-      s"CASE WHEN list_sum(list_transform(range(len($vec)), d -> $vec[d+1] * ((${31 * p} + 17*d) % 7 - 3))) >= 0 THEN '1' ELSE '0' END"
+      val w = (0 until dims)
+        .map(d => graft.functions.LshSignBucket.weight(p, d))
+        .mkString("[", ",", "]")
+      s"CASE WHEN list_sum(list_transform(range(len($vec)), d -> $vec[d+1] * ($w)[d+1])) >= 0 THEN '1' ELSE '0' END"
     }.mkString("concat(", ", ", ")")
 
   /** SimHash fingerprint CTEs ending in fp(doc_id, fhi, flo) — the two
@@ -368,6 +385,42 @@ object LlmEntry {
 
   private val CosSql =
     "round(list_dot_product(qe,ce)/(sqrt(list_dot_product(qe,qe))*sqrt(list_dot_product(ce,ce))),6)"
+
+  /** Two unrolled Lloyd rounds over `src(vec_id, e)` — CTEs c0 → a1 →
+    * d1 → c1 → a2 → d2 → c2 mirroring [[KMeans.lloyd]] (k = 8, seeds =
+    * the 8 smallest vec_ids, decimal-exact means rounded to 6 dp,
+    * empty clusters carrying the previous centroid forward). No
+    * leading WITH; shared by the e4 and e3b oracles. */
+  private def kmeansCtes(src: String): String = {
+    def asg(cent: String) =
+      s"""SELECT vec_id, e, cent_id FROM (
+         |  SELECT v.vec_id, v.e, c.cent_id,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY round(list_dot_product(v.e, c.cent) /
+         |             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cent, c.cent))), 6) DESC,
+         |           c.cent_id) AS rn
+         |  FROM $src v, $cent c) WHERE rn = 1""".stripMargin
+    def mean(s: String) =
+      s"""SELECT cent_id, d AS dim,
+         |  round(CAST(sum(CAST(e[d+1] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS value
+         |FROM $s, range(0, 64) r(d) GROUP BY 1, 2""".stripMargin
+    // empty clusters carry their previous centroid forward (c1/c2
+    // union the prior round's centroids for cent_ids absent from the
+    // recompute), mirroring KMeans.lloyd
+    def carry(newc: String, prevc: String) =
+      s"""SELECT cent_id, cent FROM $newc UNION ALL
+         |  SELECT cent_id, cent FROM $prevc
+         |  WHERE cent_id NOT IN (SELECT cent_id FROM $newc)""".stripMargin
+    s"""c0 AS (SELECT vec_id AS cent_id, e AS cent FROM $src ORDER BY vec_id LIMIT 8),
+       |a1 AS (${asg("c0")}),
+       |d1 AS (${mean("a1")}),
+       |c1n AS (SELECT cent_id, list(value ORDER BY dim) AS cent FROM d1 GROUP BY cent_id),
+       |c1 AS (${carry("c1n", "c0")}),
+       |a2 AS (${asg("c1")}),
+       |d2 AS (${mean("a2")}),
+       |c2n AS (SELECT cent_id, list(value ORDER BY dim) AS cent FROM d2 GROUP BY cent_id),
+       |c2 AS (${carry("c2n", "c1")})""".stripMargin
+  }
 
   /** 30-min-gap session assignment CTEs (w → f → sx), shared by the
     * st2 and st4 oracles. */
@@ -549,40 +602,43 @@ object LlmEntry {
          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM b GROUP BY source""".stripMargin,
 
-    "e4_kmeans" -> {
-      def asg(cent: String) =
-        s"""SELECT vec_id, e, cent_id FROM (
-           |  SELECT v.vec_id, v.e, c.cent_id,
-           |         row_number() OVER (PARTITION BY v.vec_id
-           |           ORDER BY round(list_dot_product(v.e, c.cent) /
-           |             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cent, c.cent))), 6) DESC,
-           |           c.cent_id) AS rn
-           |  FROM v, $cent c) WHERE rn = 1""".stripMargin
-      def mean(src: String) =
-        s"""SELECT cent_id, d AS dim,
-           |  round(CAST(sum(CAST(e[d+1] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS value
-           |FROM $src, range(0, 64) r(d) GROUP BY 1, 2""".stripMargin
-      // empty clusters carry their previous centroid forward (c1/c2
-      // union the prior round's centroids for cent_ids absent from the
-      // recompute), mirroring KMeans.lloyd
-      def carry(newc: String, prevc: String) =
-        s"""SELECT cent_id, cent FROM $newc UNION ALL
-           |  SELECT cent_id, cent FROM $prevc
-           |  WHERE cent_id NOT IN (SELECT cent_id FROM $newc)""".stripMargin
+    "e4_kmeans" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
-         |c0 AS (SELECT vec_id AS cent_id, e AS cent FROM v ORDER BY vec_id LIMIT 8),
-         |a1 AS (${asg("c0")}),
-         |d1 AS (${mean("a1")}),
-         |c1n AS (SELECT cent_id, list(value ORDER BY dim) AS cent FROM d1 GROUP BY cent_id),
-         |c1 AS (${carry("c1n", "c0")}),
-         |a2 AS (${asg("c1")}),
-         |d2 AS (${mean("a2")}),
-         |c2n AS (SELECT cent_id, list(value ORDER BY dim) AS cent FROM d2 GROUP BY cent_id),
-         |c2 AS (${carry("c2n", "c1")})
+         |${kmeansCtes("v")}
          |SELECT cent_id, CAST(d AS INTEGER) AS dim, cent[d+1] AS value
-         |FROM c2, range(0, 64) r(d)""".stripMargin
-    },
+         |FROM c2, range(0, 64) r(d)""".stripMargin,
+
+    "e3b_knn_ivf_trained" ->
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |            FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v0 WHERE vec_id < 10),
+         |v AS (SELECT vec_id, e FROM v0 WHERE vec_id >= 10),
+         |${kmeansCtes("v")},
+         |cent AS (SELECT cent_id, cent FROM c2),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v),
+         |asg0 AS (SELECT neighbor_id, ce, cent_id,
+         |  round(list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM c, cent),
+         |asg AS (SELECT neighbor_id, ce, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+         |  WHERE rn = 1),
+         |pr0 AS (SELECT query_id, qe, cent_id,
+         |  round(list_dot_product(qe, cent) /
+         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM q, cent),
+         |pr AS (SELECT query_id, qe, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
+         |  WHERE rn <= 2),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
+         |      FROM pr JOIN asg USING (cent_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+         |FROM r WHERE rnk <= 5""".stripMargin,
 
     "d4_simhash" ->
       s"""$SimHashFpCtes
@@ -662,12 +718,18 @@ object LlmEntry {
     "e2_knn_lsh" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, e AS qe, ${LshBucketSql("e")} AS bucket
+         |q AS (SELECT vec_id AS query_id, e AS qe, ${LshBucketSql("e", 16)} AS sig
          |      FROM v WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS neighbor_id, e AS ce, ${LshBucketSql("e")} AS bucket
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce, ${LshBucketSql("e", 16)} AS sig
          |      FROM v WHERE vec_id >= 10),
+         |qb AS (SELECT query_id, t, substr(sig, t*4 + 1, 4) AS bucket
+         |       FROM q, range(0, 4) r(t)),
+         |cb AS (SELECT neighbor_id, t, substr(sig, t*4 + 1, 4) AS bucket
+         |       FROM c, range(0, 4) r(t)),
+         |cand AS (SELECT DISTINCT query_id, neighbor_id
+         |         FROM qb JOIN cb USING (t, bucket)),
          |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
-         |      FROM q JOIN c USING (bucket)),
+         |      FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim

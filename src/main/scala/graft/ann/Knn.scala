@@ -66,18 +66,39 @@ object Knn {
     ColumnBridge.column(graft.functions.LshSignBucket(
       ColumnBridge.expression(vec), planes))
 
-  /** Approximate top-k: bucket queries and corpus with [[lshBucket]],
-    * join per bucket, per-query top-k within the matched candidates. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 6): DataFrame = {
+  /** Approximate top-k via multi-table sign LSH — the same
+    * OR-construction as [[embeddingNearDupPairs]]: one
+    * `planes * tables`-bit signature per vector (a single
+    * [[lshBucket]] pass), sliced into `tables` independent
+    * `planes`-bit buckets; a corpus vector is a candidate for a query
+    * if they collide in ANY table. Per-pair recall is
+    * 1-(1-p^planes)^tables with p = 1 - angle/pi (at the 4x4 default:
+    * ~0.96 for sim 0.9, ~0.59 for sim 0.5), against the single-table
+    * p^planes. Plan: explode -> hash shuffle on (table, bucket) ->
+    * equi-join -> distinct candidate pairs -> fetch-join the vectors
+    * -> exact-cosine top-k; candidate cost is bounded by bucket
+    * occupancy, never |Q|x|C|. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 4, tables: Int = 4): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       Vectors.asDouble(col("embedding")).as("qe"))
-      .withColumn("bucket", lshBucket(col("qe"), planes))
       .withColumn("qn", Vectors.norm(col("qe")))
+      .withColumn("sig", lshBucket(col("qe"), planes * tables))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       Vectors.asDouble(col("embedding")).as("ce"))
-      .withColumn("bucket", lshBucket(col("ce"), planes))
       .withColumn("cn", Vectors.norm(col("ce")))
-    val scored = q.join(c, "bucket")
+      .withColumn("sig", lshBucket(col("ce"), planes * tables))
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(id), explode(
+          transform(sequence(lit(0), lit(tables - 1)),
+            t => struct(t.as("t"),
+              col("sig").substr(t * planes + 1, lit(planes)).as("bucket")))).as("b"))
+        .select(col(id), col("b.t"), col("b.bucket"))
+    val cand = banded(q, "query_id").join(banded(c, "neighbor_id"), Seq("t", "bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(q.select("query_id", "qe", "qn"), "query_id")
+      .join(c.select("neighbor_id", "ce", "cn"), "neighbor_id")
       .withColumn("sim",
         round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
@@ -96,12 +117,38 @@ object Knn {
     * and ranking are engine-reproducible. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      Vectors.asDouble(col("embedding")).as("ce"))
-      .withColumn("cn", Vectors.norm(col("ce")))
+    val c = prepCorpus(corpus)
     val cents = broadcast(c.orderBy(col("neighbor_id")).limit(nCentroids)
       .select(col("neighbor_id").as("cent_id"), col("ce").as("cent"),
         col("cn").as("centn")))
+    ivfCore(queries, c, cents, k, nProbe)
+  }
+
+  /** IVF top-k with externally trained centroids — the production
+    * shape: [[KMeans.lloyd]] trains the coarse quantizer, this searches
+    * it. `centroids` takes lloyd's output directly: (cent_id, dim,
+    * value) scalar rows, reassembled here into dim-ordered arrays and
+    * broadcast (k·dim scalars — driver-free, one tiny aggregation). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroids: DataFrame, nProbe: Int): DataFrame = {
+    val cents = broadcast(centroids
+      .groupBy(col("cent_id").cast("long").as("cent_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("dv"))
+      .select(col("cent_id"), transform(col("dv"), x => x("value")).as("cent"))
+      .withColumn("centn", Vectors.norm(col("cent"))))
+    ivfCore(queries, prepCorpus(corpus), cents, k, nProbe)
+  }
+
+  private def prepCorpus(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id").as("neighbor_id"),
+      Vectors.asDouble(col("embedding")).as("ce"))
+      .withColumn("cn", Vectors.norm(col("ce")))
+
+  /** Shared IVF search: assign corpus vectors to their nearest
+    * broadcast centroid, pick each query's nProbe nearest centroids,
+    * equi-join on cent_id, exact-cosine rank. */
+  private def ivfCore(queries: DataFrame, c: DataFrame, cents: DataFrame,
+                      k: Int, nProbe: Int): DataFrame = {
     def centSim(e: Column, n: Column): Column =
       round(Vectors.dot(e, col("cent")) / (n * col("centn")), 6)
     // argmax over centroids (csim desc, cent_id asc) as a max_by
@@ -135,11 +182,15 @@ object Knn {
     * This is the shipped scale path: multi-table random-hyperplane LSH
     * candidate generation + exact cosine verify. One 24-plane sign
     * signature per vector (a single pass of the codegen'd
-    * [[graft.functions.LshSignBucket]] kernel), sliced into `tables`
-    * independent `planes`-bit buckets; a pair is a candidate if it
-    * collides in ANY table (the standard OR-construction: recall
+    * [[graft.functions.LshSignBucket]] kernel, whose per-(plane,dim)
+    * weights are independent md5 draws — see
+    * [[graft.functions.LshSignBucket.weight]] — so the 24 planes are
+    * genuinely distinct hyperplanes), sliced into `tables` independent
+    * `planes`-bit buckets; a pair is a candidate if it collides in ANY
+    * table (the standard OR-construction: recall
     * 1-(1-p^planes)^tables where p = 1 - angle/pi, so ~0.87 for
-    * sim=0.9 pairs at 6x4 vs ~0.40 for one table). The plan is
+    * sim=0.9 pairs at 6x4 vs ~0.40 for one table; the discrete
+    * [-3,3] weights approximate the Gaussian model at dim 64). The plan is
     * explode -> hash shuffle on (table, bucket) -> bounded-bucket
     * equi-join -> distinct pair set -> fetch-join the two vectors ->
     * verify; no nested-loop or all-pairs stage anywhere. For

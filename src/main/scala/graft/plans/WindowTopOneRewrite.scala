@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.MinBy
+import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -11,7 +11,11 @@ import org.apache.spark.sql.types.IntegerType
   *   df.withColumn("rn", row_number().over(Window.partitionBy(k).orderBy(o)))
   *     .filter($"rn" === 1)
   *
-  * into a `min_by` aggregation over the ordering tuple. The window form
+  * into a `min_by` (all keys `asc()`) or `max_by` (all keys `desc()` —
+  * the reference's own latest-per-key idiom,
+  * NBclaims_bronze.Notebook/notebook-content.py:123-131 orders
+  * `desc("IngestionTimestamp")`) aggregation over the ordering tuple.
+  * The window form
   * shuffles EVERY row to its key's reducer and sorts each group; the
   * aggregate form partial-aggregates map-side, so one row per (key,
   * partition) crosses the wire and nothing sorts — the rewrite graft
@@ -25,17 +29,20 @@ import org.apache.spark.sql.types.IntegerType
   *  - a lone `row_number()` window expression, filtered to exactly 1
   *    (`rn = 1` / `1 = rn`), partition keys may be any deterministic
   *    expressions;
-  *  - every ORDER BY key is ascending NULLS FIRST (the asc() default)
-  *    and deterministic. Nullable keys are safe: the ordering tuple is
-  *    wrapped in a struct — a struct literal is never null (so min_by
-  *    never discards a row) and Spark's struct comparison orders null
-  *    fields first, which IS the asc_nulls_first rank order;
+  *  - every ORDER BY key is ascending NULLS FIRST (the asc() default,
+  *    → min_by) or every key is descending NULLS LAST (the desc()
+  *    default, → max_by), all deterministic; mixed directions or the
+  *    non-default null orderings bail. Nullable keys are safe: the
+  *    ordering tuple is wrapped in a struct — a struct literal is never
+  *    null (so min_by/max_by never discards a row) and Spark's struct
+  *    comparison orders null fields first, which IS asc_nulls_first
+  *    under min and desc_nulls_last under max;
   *  - ties: row_number picks a partition-order-dependent winner; so
-  *    does min_by. The rewrite preserves the set of admissible winners,
-  *    exactly like Spark's own exchange-reuse under ties. The winner is
-  *    carried as ONE min_by over a struct of the full row — per-column
-  *    min_bys would tear tied rows (each column from a different tied
-  *    row), fabricating rows that never existed.
+  *    does min_by/max_by. The rewrite preserves the set of admissible
+  *    winners, exactly like Spark's own exchange-reuse under ties. The
+  *    winner is carried as ONE min_by/max_by over a struct of the full
+  *    row — per-column aggregates would tear tied rows (each column
+  *    from a different tied row), fabricating rows that never existed.
   *
   * The filtered `rn` column itself is rebuilt as literal 1 under its
   * original exprId, so projections above the filter keep resolving.
@@ -78,30 +85,51 @@ object WindowTopOneRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The two rank orders a struct-comparison aggregate can reproduce
+    * exactly. Struct comparison orders a null FIELD first (smallest):
+    * under min that ranks nulls first — asc_nulls_first, the `asc()`
+    * default; under max nulls lose to every non-null — desc_nulls_last,
+    * the `desc()` default. Mixed directions or the non-default null
+    * orderings have no struct-monotone encoding, so the rule bails. */
+  private sealed trait Form
+  private case object AscForm extends Form
+  private case object DescForm extends Form
+
+  private def formOf(orderSpec: Seq[SortOrder]): Option[Form] =
+    if (!orderSpec.forall(_.child.deterministic)) None
+    else if (orderSpec.forall(so =>
+      so.direction == Ascending && so.nullOrdering == NullsFirst)) Some(AscForm)
+    else if (orderSpec.forall(so =>
+      so.direction == Descending && so.nullOrdering == NullsLast)) Some(DescForm)
+    else None
+
   private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
     val safe = for {
       rn <- rowNumberAttr(w)
       if filtersToOne(cond, rn)
-      if w.orderSpec.forall(so =>
-        so.direction == Ascending && so.nullOrdering == NullsFirst &&
-          so.child.deterministic)
+      form <- formOf(w.orderSpec)
       // a global (partition-less) window must keep the window path: an
       // UNGROUPED aggregate returns one row on empty input, so the
       // rewrite would fabricate an all-null row where rn=1 yields none
       if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic)
-    } yield rn
-    safe.map { rn =>
+    } yield (rn, form)
+    safe.map { case (rn, form) =>
       val ordering = w.orderSpec.map(_.child) match {
         case Seq(single) if !single.nullable => single
         // struct: never null itself, null FIELDS order first — exactly
-        // row_number's asc_nulls_first, where min_by on a bare nullable
-        // key would instead discard the null-keyed rows
+        // row_number's asc_nulls_first under min_by (where min_by on a
+        // bare nullable key would instead discard the null-keyed rows)
+        // and desc_nulls_last under max_by (nulls lose to non-nulls)
         case keys => CreateStruct(keys)
       }
-      // one min_by over the WHOLE row keeps the winner atomic under
-      // ordering ties; columns unpack in a Project above
+      // one min_by/max_by over the WHOLE row keeps the winner atomic
+      // under ordering ties; columns unpack in a Project above
+      val row = CreateStruct(w.child.output)
       val winner = Alias(
-        MinBy(CreateStruct(w.child.output), ordering).toAggregateExpression(),
+        (form match {
+          case AscForm  => MinBy(row, ordering)
+          case DescForm => MaxBy(row, ordering)
+        }).toAggregateExpression(),
         "__graft_winner")()
       val groupAttrs = w.partitionSpec.collect { case a: Attribute => a }
       val agg = Aggregate(w.partitionSpec, groupAttrs :+ winner, w.child)

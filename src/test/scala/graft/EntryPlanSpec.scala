@@ -16,8 +16,11 @@ class EntryPlanSpec extends SparkSpec {
   // broadcast CONSTANT (nCentroids rows) — |C|×O(1), the standard IVF
   // assignment pass, not a quadratic stage.
   // e4's product is the same IVF-style corpus×constant-centroids
-  // broadcast assignment pass as e3 (k rows per vector, not |C|²).
-  private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e4_kmeans")
+  // broadcast assignment pass as e3 (k rows per vector, not |C|²);
+  // e3b composes e4's training pass with e3's search, so it inherits
+  // both exemptions (every product is corpus×constant-centroids).
+  private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e3b_knn_ivf_trained",
+    "e4_kmeans")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -36,7 +39,7 @@ class EntryPlanSpec extends SparkSpec {
     // plans must show partial aggregation (a reducer-only aggregation
     // would ship every row across the wire)
     Seq("b2_dedup_latest", "g8_ingestion_log", "g13_salted_agg",
-        "g4_measure_pack", "e3_knn_ivf").foreach { name =>
+        "g4_measure_pack", "e3_knn_ivf", "e3b_knn_ivf_trained").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("partial_"), s"$name shows no partial aggregation")

@@ -101,15 +101,16 @@ class KnnSpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // 2 planes -> 4 buckets over ~200 docs: enough candidates per
-    // bucket for meaningful recall at this corpus size
+    // 2 planes x 4 tables: per-pair recall 1-(1-p^2)^4 (~0.9 even at
+    // sim 0.5) — coarse buckets + the OR-construction give stable
+    // recall at this corpus size
     val exact = pairs(Knn.bruteForceTopK(q, c, 5))
-    val approx = pairs(Knn.lshTopK(q, c, 5, planes = 2))
+    val approx = pairs(Knn.lshTopK(q, c, 5, planes = 2, tables = 4))
     assert(approx.nonEmpty)
     // every approx hit is a real candidate of the query
     assert(approx.forall(p => p._1 < 5 && p._2 >= 5))
-    // recall sanity: at least a third of the exact pairs found
-    assert(exact.intersect(approx).size * 3 >= exact.size)
+    // recall sanity: at least half of the exact pairs found
+    assert(exact.intersect(approx).size * 2 >= exact.size)
   }
 
   test("embedding near-dup: bucketed plan (no nested-loop), subset of exact, high-sim recall") {

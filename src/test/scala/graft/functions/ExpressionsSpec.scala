@@ -88,12 +88,15 @@ class ExpressionsSpec extends SparkSpec {
   test("LshSignBucket equals the HOF projection form on real embeddings") {
     import graft.ann.Knn
     val planes = 6
-    // the original aggregate(zip_with(...)) formulation lshBucket replaced
+    // the aggregate(zip_with(...)) formulation lshBucket replaced, with
+    // the same md5-derived weight table injected as a literal array
+    // (the corpus is 64-dim; zip_with pads with null past either end,
+    // and null products drop out of the fold like the kernel's skip)
     val hof = concat_ws("", (0 until planes).map { p =>
+      val w = (0 until 64).map(d => LshSignBucket.weight(p, d).toDouble)
       val proj = aggregate(
-        zip_with(col("e"), sequence(lit(0), size(col("e")) - 1),
-          (x, d) => x * ((lit(p * 31L) + d * 17L) % 7L - 3L).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+        zip_with(col("e"), typedLit(w), (x, wv) => x * wv),
+        lit(0.0), (acc, v) => acc + coalesce(v, lit(0.0)))
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
     val rows = table("embeddings")
@@ -102,6 +105,45 @@ class ExpressionsSpec extends SparkSpec {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("LshSignBucket weights are md5-derived with no cross-plane periodicity") {
+    // the r2 family (31p+17d)%7-3 collapsed to 7 distinct planes; the
+    // md5 family must give 24 distinct weight rows over 64 dims
+    val rows = (0 until 24).map(p => (0 until 64).map(d => LshSignBucket.weight(p, d)))
+    assert(rows.distinct.size == 24)
+    rows.flatten.foreach(w => assert(w >= -3 && w <= 3))
+    // and every weight value actually occurs (sanity: not degenerate)
+    assert(rows.flatten.distinct.sorted == (-3 to 3).toSeq)
+  }
+
+  test("LshSignBucket skips null vector elements identically in codegen and interpreted") {
+    import spark.implicits._
+    import graft.ann.Knn
+    val df = Seq(
+      (1L, Seq(Some(1.0), None, Some(-2.0), Some(0.5))),
+      (2L, Seq(Some(1.0), Some(0.0), Some(-2.0), Some(0.5))))
+      .toDF("id", "e")
+    val out = df.select(col("id"), Knn.lshBucket(col("e"), 8).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // expected: null contributes 0 — compute the same fold in Scala
+    def bucket(v: Seq[Option[Double]]): String =
+      (0 until 8).map { p =>
+        val s = v.zipWithIndex.collect { case (Some(x), d) =>
+          x * LshSignBucket.weight(p, d) }.foldLeft(0.0)(_ + _)
+        if (s >= 0) '1' else '0'
+      }.mkString
+    assert(out(1L) == bucket(Seq(Some(1.0), None, Some(-2.0), Some(0.5))))
+    assert(out(2L) == bucket(Seq(Some(1.0), Some(0.0), Some(-2.0), Some(0.5))))
+    // interpreted path: direct eval over a GenericArrayData with a null
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val lit1 = Literal.create(
+      new GenericArrayData(Array[Any](1.0, null, -2.0, 0.5)),
+      ArrayType(DoubleType, containsNull = true))
+    val interp = LshSignBucket(lit1, 8).eval(null).toString
+    assert(interp == bucket(Seq(Some(1.0), None, Some(-2.0), Some(0.5))))
   }
 
   test("ByteWindowSums decode equals the partition-batched stub on real docs") {

@@ -78,7 +78,41 @@ class WindowTopOneRewriteSpec extends SparkSpec {
     assert(got == Map(1L -> "null-wins", 2L -> "only"))
   }
 
-  test("does not fire on desc ordering, rank, or rn=2") {
+  test("rewrites the desc (latest-per-key) idiom into a max_by aggregate") {
+    // the reference's own bronze dedup orders DESC
+    // (NBclaims_bronze.Notebook/notebook-content.py:123-131); a total
+    // ordering makes the two forms agree bit-for-bit
+    val li = table("lineitem")
+    val totalOrd = md5(concat_ws("|", li.columns.map(col).toSeq: _*))
+    val q = li.withColumn("rn", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(totalOrd.desc)))
+      .filter(col("rn") === 1)
+    val out = rewritten(q)
+    assert(out.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.nonEmpty)
+    assert(out.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val expect = q.drop("rn").collect().map(_.toSeq).toSet
+    val got = out.drop("rn").collect().map(_.toSeq).toSet
+    assert(got == expect)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("partial_max_by"), s"expected map-side partials:\n$p")
+  }
+
+  test("nulls in a desc ordering key rank last (desc_nulls_last semantics)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option.empty[Int], "null-loses"),
+      (1L, Some(5), "five-wins"),
+      (2L, Option.empty[Int], "only-null")).toDF("k", "o", "v")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("o").desc)))
+      .filter(col("rn") === 1)
+    val out = rewritten(df)
+    assert(out.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val got = out.select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "five-wins", 2L -> "only-null"))
+  }
+
+  test("does not fire on mixed directions, non-default null orders, rank, or rn=2") {
     val li = table("lineitem")
     def unchanged(df: DataFrame): Unit = {
       val before = df.queryExecution.analyzed
@@ -86,7 +120,14 @@ class WindowTopOneRewriteSpec extends SparkSpec {
         "guard should have kept the window")
     }
     unchanged(li.withColumn("rn", row_number().over(
-        Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").desc)))
+        Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber").desc, col("l_quantity"))))
+      .filter(col("rn") === 1))
+    unchanged(li.withColumn("rn", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").asc_nulls_last)))
+      .filter(col("rn") === 1))
+    unchanged(li.withColumn("rn", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").desc_nulls_first)))
       .filter(col("rn") === 1))
     unchanged(li.withColumn("rn", rank().over(
         Window.partitionBy("l_orderkey").orderBy(col("l_linenumber"))))
