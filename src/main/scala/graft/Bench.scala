@@ -1,12 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max, md5}
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
   *
   * Times are steady-state: each query runs once untimed (JVM/JIT +
   * Janino codegen warmup — one-time costs a long-running engine never
-  * repays), then the timed run. Methodology is labeled in the JSON.
+  * repays), then min over three timed passes. A fixed CANARY job — a
+  * code-independent 32-way md5 scan — is timed inside every pass and
+  * reported per pass, so a round-over-round delta can be attributed:
+  * if the canary moved with the queries, the host moved, not the code
+  * (measured r2: the same binary's total drifted 36s→70s over a day
+  * of host contention while per-query plans were unchanged).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,24 +24,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, cpus.toInt)
+        .select(md5(col("id").cast("string")).as("h"))
+        .agg(max("h")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     def once(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    once()
+    once(); canary(): Unit
     // drop operator-internal .cache() data so timed passes recompute
     // everything — only JIT/codegen warmth carries over, not results.
-    // Two timed passes, per-query min: single-JVM runs jitter by whole
-    // seconds (GC, compile threads) and min-of-n is the standard
-    // steady-state estimator.
-    val timed = Seq.fill(2) { spark.catalog.clearCache(); once() }
-    val results = timed.flatten.groupMapReduce(_._1)(_._2)(math.min)
+    // Three interleaved timed passes, per-query min: single-JVM runs
+    // jitter by whole seconds (GC, compile threads) and min-of-n is
+    // the standard steady-state estimator.
+    val passes = Seq.fill(3) {
+      spark.catalog.clearCache()
+      (once(), canary())
+    }
+    val results = passes.map(_._1).flatten.groupMapReduce(_._1)(_._2)(math.min)
+    val canaries = passes.map(_._2)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass, min of 2 timed passes, caches cleared between passes"}""")
+    val cs = canaries.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_sec":$cs,"canary_min":${canaries.min},"methodology":"steady-state: 1 warmup pass, min over 3 interleaved timed passes, caches cleared between passes; canary = fixed ${cpus}-way md5 scan timed once per pass (host-noise reference, code-independent)"}""")
     spark.stop()
   }
 }

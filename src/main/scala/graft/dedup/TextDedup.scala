@@ -213,11 +213,70 @@ object TextDedup {
   /** The corpus's precomputable LSH band index: one (doc_id, band,
     * bsig) row per doc per band. This is the artifact a nightly or
     * streaming ingest joins against (see [[minHashLshPairsBetween]] and
-    * [[graft.streaming.CurationStream.nearDupFlagStream]]); persist it
-    * once, bucketed by (band, bsig), and batch ingest never rescans the
-    * corpus. */
+    * [[graft.streaming.CurationStream.nearDupFlagStream]]); the
+    * persisted form is [[writeDedupIndex]], from which this derives
+    * map-only. */
   def bandIndex(docs: DataFrame, id: Column, text: Column): DataFrame =
     banded(sigged(docs, id, text, cache = false))
+
+  // ---- persisted dedup index ------------------------------------------
+  //
+  // The nightly-ingest artifact the incremental path (d8) joins
+  // against. One (doc_id, sh, sig) row per corpus doc — everything
+  // candidate generation (bands, exploded map-only from sig) AND exact
+  // verification (sh) need, so a batch ingest never rescans or
+  // re-shingles the corpus text. Stored in a versioned
+  // [[graft.sources.SnapshotStore]]: ingests MERGE their batch in
+  // (keyed on doc_id), readers resolve the atomic current pointer. At
+  // deploy, bucket the index table by (band, bsig) if the store is a
+  // metastore table — with plain parquet snapshots the probe pays one
+  // index shuffle per ingest, which is still O(corpus bands), never
+  // O(corpus text).
+
+  /** Build and commit the full dedup index for `docs`; returns the
+    * committed snapshot version. */
+  def writeDedupIndex(docs: DataFrame, id: Column, text: Column,
+                      dir: String): Int =
+    graft.sources.SnapshotStore.commit(sigged(docs, id, text, cache = false), dir)
+
+  /** MERGE an incoming batch's index rows into the persisted index
+    * (upsert keyed on doc_id) — the post-probe maintenance step of a
+    * nightly ingest; O(batch) new rows against the store. */
+  def updateDedupIndex(incoming: DataFrame, id: Column, text: Column,
+                       dir: String): Int =
+    graft.sources.SnapshotStore.mergeInto(
+      sigged(incoming, id, text, cache = false), dir, Seq("doc_id"))
+
+  /** The persisted (doc_id, sh, sig) index frame. */
+  def readDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    graft.sources.SnapshotStore.read(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no dedup index committed at $dir"))
+
+  /** The persisted index in [[bandIndex]] shape — what the streaming
+    * probe ([[graft.streaming.CurationStream.nearDupFlagStream]])
+    * takes as its static side. Map-only over the index parquet. */
+  def readBandIndex(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    banded(readDedupIndex(spark, dir))
+
+  /** [[minHashLshPairsBetween]] against the PERSISTED index: the
+    * incoming batch is shingled and signed once; the corpus side is
+    * read entirely from the index parquet — no corpus text scan
+    * anywhere in the plan (spec-asserted). Output: (doc_a = corpus id,
+    * doc_b = incoming id, exact jaccard). */
+  def minHashLshPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                  indexDir: String, incoming: DataFrame,
+                                  id: Column, text: Column,
+                                  minJaccard: Double): DataFrame = {
+    val ta = readDedupIndex(spark, indexDir)
+    val tb = sigged(incoming, id, text)
+    val cand = banded(ta).as("a").join(banded(tb).as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verified(cand, ta, tb, minJaccard)
+  }
 
   /** Incremental near-dup: LSH pairs BETWEEN an existing corpus and an
     * incoming batch — the nightly-append shape: the corpus's band table

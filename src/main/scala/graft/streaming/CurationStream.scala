@@ -12,9 +12,10 @@ import graft.text.TextAnalysis
   * near-dup candidates of an EXISTING corpus — the streaming leg of
   * the incremental-batch `d8` shape ([[TextDedup.minHashLshPairsBetween]]).
   *
-  * The corpus side is a static [[TextDedup.bandIndex]] frame (persist
-  * it bucketed by (band, bsig) and the join co-locates without a
-  * corpus shuffle). The stream side is map-only per micro-batch:
+  * The corpus side is a static [[TextDedup.bandIndex]] frame —
+  * typically [[TextDedup.readBandIndex]] over the persisted dedup
+  * index, so no corpus text is ever rescanned. The stream side is
+  * map-only per micro-batch:
   * shingle → signature → explode bands; the stream-static inner join
   * is stateless, so no watermark is needed and state never grows —
   * at 100 TB of corpus the only per-batch cost is O(batch × bands)

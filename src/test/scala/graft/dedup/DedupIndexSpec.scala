@@ -1,0 +1,82 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.SnapshotStore
+
+/** The persisted dedup index: the nightly-ingest artifact d8 joins
+  * against. The contract under test: (1) probing the index equals
+  * probing the live corpus; (2) the probe's plan reads ONLY the index
+  * parquet — no corpus text scan; (3) a batch MERGEs into the index so
+  * the next ingest sees it. */
+class DedupIndexSpec extends SparkSpec {
+
+  test("index probe equals the live between-corpus probe, and scans no corpus text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-index").toString
+    val corpus = table("documents")
+    val v0 = TextDedup.writeDedupIndex(corpus, col("doc_id"), col("text"), dir)
+    assert(v0 == 0)
+
+    // an incoming batch built IN MEMORY (so any parquet scan in the
+    // probe's plan can only be the index): one doc copied verbatim
+    // from the corpus (a guaranteed jaccard-1.0 near-dup) + one novel
+    val copied = corpus.filter(col("doc_id") === 7L)
+      .select("text").collect()(0).getString(0)
+    val batch = Seq(
+      (9001L, copied),
+      (9002L, "zq wv xk pj qn bd gm lt rs fh cy dw en ok up")
+    ).toDF("doc_id", "text")
+
+    val probe = TextDedup.minHashLshPairsAgainstIndex(
+      spark, dir, batch, col("doc_id"), col("text"), minJaccard = 0.1)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-dedup-index"), s"no index scan in plan:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"corpus text rescanned — the index should be the only parquet source:\n$plan")
+
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val live = TextDedup.minHashLshPairsBetween(corpus, batch,
+        col("doc_id"), col("text"), minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == live)
+    assert(got.contains((7L, 9001L, 1.0)), s"verbatim copy not found: $got")
+
+    // maintenance: MERGE the batch into the index; the next ingest's
+    // corpus side now includes it
+    val v1 = TextDedup.updateDedupIndex(batch, col("doc_id"), col("text"), dir)
+    assert(v1 == 1)
+    val nCorpus = corpus.count()
+    assert(TextDedup.readDedupIndex(spark, dir).count() == nCorpus + 2)
+    val batch2 = Seq((9003L, copied)).toDF("doc_id", "text")
+    val got2 = TextDedup.minHashLshPairsAgainstIndex(
+        spark, dir, batch2, col("doc_id"), col("text"), minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both the original corpus doc AND the first batch's copy hit
+    assert(got2.contains((7L, 9003L)) && got2.contains((9001L, 9003L)), s"$got2")
+  }
+
+  test("readBandIndex feeds the streaming probe shape") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-band-index").toString
+    val corpus = table("documents")
+    TextDedup.writeDedupIndex(corpus, col("doc_id"), col("text"), dir)
+    val idx = TextDedup.readBandIndex(spark, dir)
+    assert(idx.columns.toSeq == Seq("doc_id", "band", "bsig"))
+    // same rows as the in-memory band index
+    val live = TextDedup.bandIndex(corpus, col("doc_id"), col("text"))
+    assert(idx.count() == live.count())
+    assert(idx.except(live).isEmpty && live.except(idx).isEmpty)
+    // and it plugs into the streaming probe's static side
+    val copied = corpus.filter(col("doc_id") === 7L)
+      .select("text").collect()(0).getString(0)
+    val hits = graft.streaming.CurationStream.nearDupFlagStream(
+        Seq((9001L, copied)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), idx)
+      .select("corpus_doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(7L))
+    SnapshotStore.read(spark, dir).foreach(df => assert(df.count() > 0))
+  }
+}
