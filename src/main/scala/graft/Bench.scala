@@ -49,11 +49,18 @@ object Bench {
     }
     val results = passes.map(_._1).flatten.groupMapReduce(_._1)(_._2)(math.min)
     val canaries = passes.map(_._2)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision + short field set: the driver captures a bounded
+    // tail of stdout, and r3's full-precision doubles (~18 chars each
+    // over 64 queries) pushed the line past the window, truncating 8
+    // queries and the total. total/canary also repeat AFTER the query
+    // map so they survive truncation from either end.
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val cs = canaries.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_sec":$cs,"canary_min":${canaries.min},"methodology":"steady-state: 1 warmup pass, min over 3 interleaved timed passes, caches cleared between passes; canary = fixed ${cpus}-way md5 scan timed once per pass (host-noise reference, code-independent)"}""")
+    val cs = canaries.map(f3).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","canary_sec":$cs,"canary_min":${f3(canaries.min)},"methodology":"1 warmup pass; min over 3 interleaved timed passes, caches cleared between; canary = fixed ${cpus}-way md5 scan per pass (host-noise ref)","queries":$qs,"total":${f3(total)},"canary":${f3(canaries.min)}}""")
     spark.stop()
   }
 }

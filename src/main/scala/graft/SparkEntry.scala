@@ -302,9 +302,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           max_by(length(col(QualityRules.ReasonCol)) > 0, ordStruct).as("winner_bad"))
         .agg(
-          sum(col("cnt") - 1).as("n_dup"),
-          sum(when(col("winner_bad"), 1L).otherwise(0L)).as("n_bad"),
-          sum(when(!col("winner_bad"), 1L).otherwise(0L)).as("n_clean"))
+          coalesce(sum(col("cnt") - 1), lit(0L)).as("n_dup"),
+          coalesce(sum(when(col("winner_bad"), 1L).otherwise(0L)), lit(0L)).as("n_bad"),
+          coalesce(sum(when(!col("winner_bad"), 1L).otherwise(0L)), lit(0L)).as("n_clean"))
         .selectExpr(
           """stack(4, 'duplicate', n_dup, 'bad_quality', n_bad,
             |         'clean', n_clean, 'malformed', CAST(0 AS BIGINT))
@@ -567,7 +567,10 @@ object SparkEntry {
          |  SELECT CASE WHEN rn > 1 THEN 'duplicate'
          |              WHEN ($DqReasonSql) <> '' THEN 'bad_quality'
          |              ELSE 'clean' END AS bucket
-         |  FROM ranked)
-         |SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket
-         |UNION ALL SELECT 'malformed', CAST(0 AS BIGINT)""".stripMargin)
+         |  FROM ranked),
+         |counts AS (SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket)
+         |SELECT a.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         |FROM (VALUES ('duplicate'), ('bad_quality'), ('clean'),
+         |             ('malformed')) AS a(bucket)
+         |LEFT JOIN counts c ON c.bucket = a.bucket""".stripMargin)
 }

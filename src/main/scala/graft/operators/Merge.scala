@@ -23,10 +23,19 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** whenMatchedUpdateAll + whenNotMatchedInsertAll: source wins on key
-    * collision, unmatched target rows survive. */
-  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    * collision, unmatched target rows survive.
+    *
+    * `evolveSchema = true` gives Delta's auto-merge semantics
+    * (`whenMatchedUpdateAll` under `schema.autoMerge`): columns present
+    * on only one side survive with NULLs on the other — a curation
+    * batch that gains a column no longer kills the MERGE loop, and old
+    * snapshot rows read NULL for the new column. With identical
+    * schemas the flag is a no-op, so callers that want strictness (a
+    * schema typo should FAIL, not null-fill) keep the default. */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+             evolveSchema: Boolean = false): DataFrame =
     target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      .unionByName(source)
+      .unionByName(source, allowMissingColumns = evolveSchema)
 
   /** Change-detection upsert metrics, mirroring sp_upsert_claims's
     * @@ROWCOUNT outputs: rows updated (matched AND any compared column

@@ -50,10 +50,18 @@ object SnapshotStore {
 
   /** MERGE a batch into the store: whenMatchedUpdateAll /
     * whenNotMatchedInsertAll keyed on `keys` (see [[Merge.upsert]]);
-    * first batch bootstraps the table. */
-  def mergeInto(batch: DataFrame, dir: String, keys: Seq[String]): Int = {
+    * first batch bootstraps the table.
+    *
+    * Schema evolution is ON by default, matching the Delta MERGE this
+    * store stands in for: a batch that gains (or drops) a column
+    * merges fine — the union of both schemas survives, NULL where a
+    * side lacked the column. A long-running nightly loop must not die
+    * the first time upstream adds a field. Pass
+    * `evolveSchema = false` to fail fast on any schema drift instead. */
+  def mergeInto(batch: DataFrame, dir: String, keys: Seq[String],
+                evolveSchema: Boolean = true): Int = {
     val merged = read(batch.sparkSession, dir) match {
-      case Some(target) => Merge.upsert(target, batch, keys)
+      case Some(target) => Merge.upsert(target, batch, keys, evolveSchema)
       case None => batch
     }
     commit(merged, dir)

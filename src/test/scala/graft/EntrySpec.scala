@@ -20,6 +20,24 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("g8 emits all four buckets with zero counts on a no-dup slice") {
+    // Guards the oracle-divergence class ADVICE flagged: the stack(4,…)
+    // form must emit zero buckets explicitly (and the DuckDB oracle's
+    // VALUES LEFT JOIN form mirrors it), so a corpus with no duplicates
+    // still yields 4 rows, not 3.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-g8-slice").toString
+    table("lineitem").dropDuplicates("l_orderkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = SparkEntry.queries("g8_ingestion_log")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet ==
+      Set("duplicate", "bad_quality", "clean", "malformed"))
+    assert(out("duplicate") === 0L)
+    assert(out("malformed") === 0L)
+    assert(out("bad_quality") + out("clean") > 0L)
+  }
+
   test("multimodal decode stub: deterministic features of payload bytes") {
     val out = LlmEntry.queries("m1_multimodal")(spark, sfDir).cache()
     assert(out.count() > 0)

@@ -105,6 +105,32 @@ class TablesSpec extends SparkSpec {
     assert(dirs.toSeq == Seq("v=1", "v=2"), s"old versions pruned, got ${dirs.toSeq}")
   }
 
+  test("mergeInto survives schema evolution: batch gains a column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    SnapshotStore.mergeInto(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, Seq("id"))
+    // second batch adds `lang`: upsert of id=2, insert of id=3
+    SnapshotStore.mergeInto(
+      Seq((2L, "b2", "en"), (3L, "c", "fr")).toDF("id", "v", "lang"),
+      dir, Seq("id"))
+    val rows = SnapshotStore.read(spark, dir).get
+      .select("id", "v", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("-"))).toSet
+    assert(rows == Set((1L, "a", "-"), (2L, "b2", "en"), (3L, "c", "fr")))
+    // and a batch MISSING a column also merges (null-filled)
+    SnapshotStore.mergeInto(Seq((4L, "d")).toDF("id", "v"), dir, Seq("id"))
+    val r4 = SnapshotStore.read(spark, dir).get
+      .filter(col("id") === 4L).select("lang").collect()
+    assert(r4.length == 1 && r4.head.isNullAt(0))
+    // strict mode still fails fast on drift
+    intercept[org.apache.spark.sql.AnalysisException] {
+      SnapshotStore.mergeInto(Seq((5L, "e", 1.0)).toDF("id", "v", "score"),
+        dir, Seq("id"), evolveSchema = false)
+    }
+  }
+
   test("all testdata tables load; events gets a usable timestamp") {
     Tables.names.filter(_ != "events").foreach { n =>
       assert(Tables.load(spark, sfDir, n).count() > 0, n)
