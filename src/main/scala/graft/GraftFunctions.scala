@@ -100,6 +100,14 @@ object GraftFunctions {
         case Seq(b, Literal(d: Int, IntegerType)) => ByteWindowMeans(b, d)
         case _ => throw new IllegalArgumentException(
           "graft_byte_window_means expects (bytes, dim literal)")
+      }),
+    (FunctionIdentifier("graft_sorted_intersect_count"),
+      info("graft_sorted_intersect_count",
+        "graft_sorted_intersect_count(a, b) - |A∩B| of two SORTED array<bigint> sets"),
+      {
+        case Seq(a, b) => SortedIntersectCount(a, b)
+        case args => throw new IllegalArgumentException(
+          s"graft_sorted_intersect_count expects 2 arguments, got ${args.length}")
       }))
 
   /** Register all graft SQL functions on a live session. */

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.dedup.TextDedup
 import graft.text.TextAnalysis
@@ -32,10 +33,13 @@ object LlmCuration {
     *                    [[TextAnalysis.qualityFeatures]])
     * @param lang        keep only docs identified as this language
     *                    (None = no language gate)
-    * @param minJaccard  near-dup threshold for the MinHash stage */
+    * @param minJaccard  near-dup threshold for the MinHash stage
+    * @param storage     cache level for the operator-internal frames
+    *                    (see [[Caching]]; NONE disables caching) */
   def run(docs: DataFrame, id: Column, text: Column,
           minQuality: Double = 0.5, lang: Option[String] = Some("en"),
-          minJaccard: Double = 0.1): DataFrame = {
+          minJaccard: Double = 0.1,
+          storage: StorageLevel = Caching.Default): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("text"))
     val scored = TextAnalysis.qualityFeatures(base, col("text"))
       .withColumn("lang_pred", TextAnalysis.langId(col("text")))
@@ -44,11 +48,11 @@ object LlmCuration {
     }.select("doc_id", "text")
     // cached: feeds both the near-dup pair generation and the final
     // left_anti — without it the gates + hash-dedup shuffle run twice
-    val uniq = kept.groupBy(md5(col("text")).as("__h"))
+    val uniq = Caching.persisted(kept.groupBy(md5(col("text")).as("__h"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
-      .select("doc_id", "text")
-      .cache()
-    val pairs = TextDedup.minHashLshPairs(uniq, col("doc_id"), col("text"), minJaccard)
+      .select("doc_id", "text"), storage)
+    val pairs = TextDedup.minHashLshPairs(uniq, col("doc_id"), col("text"),
+      minJaccard, storage)
     uniq.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .select("doc_id")

@@ -455,18 +455,22 @@ object LlmEntry {
          |WHERE CAST(inter AS DOUBLE)/(len(ta.sh) + len(tb.sh) - inter) >= 0.05""".stripMargin,
 
     "d2b_ngram_jaccard_capped" ->
+      // capped branch runs in the h32 hash domain end to end (see
+      // TextDedup.ngramJaccardPairs scaladoc); the oracle mirrors it:
+      // per-doc sets are distinct h32(shingle), the df cap and the
+      // blocking join key on the hash, verify intersects hashed sets
       s"""WITH toks AS (
-         |  SELECT doc_id, $ShSql AS sh
+         |  SELECT doc_id, list_distinct(list_transform($ShSql, s -> ${h32Sql("s")})) AS hs
          |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)
          |  WHERE len(tk) >= 3),
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
-         |cool AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 10),
-         |exc AS (SELECT doc_id, s FROM ex JOIN cool USING (s)),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM toks),
+         |cool AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= 10),
+         |exc AS (SELECT doc_id, h FROM ex JOIN cool USING (h)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |  FROM exc a JOIN exc b ON a.h = b.h AND a.doc_id < b.doc_id),
          |ver AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) /
-         |    (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jaccard
+         |  CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE) /
+         |    (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jaccard
          |  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.05""".stripMargin,
 

@@ -4,6 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import org.apache.spark.storage.StorageLevel
+
+import graft.Caching
 import graft.functions.Vectors
 
 /** Lloyd's k-means over an embedding column — the centroid-training
@@ -36,12 +39,13 @@ object KMeans {
     * Lloyd empty-cluster degeneracy, e.g. duplicate seeds) carries its
     * previous centroid forward, so the output always has exactly k
     * centroids. */
-  def lloyd(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def lloyd(corpus: DataFrame, k: Int, iters: Int,
+            storage: StorageLevel = Caching.Default): DataFrame = {
     require(k > 0 && iters >= 1, "k and iters must be positive")
-    val c = corpus.select(col("vec_id").cast("long").as("vec_id"),
-        Vectors.asDouble(col("embedding")).as("e"))
-      .withColumn("nrm", Vectors.norm(col("e")))
-      .cache()
+    val c = Caching.persisted(
+      corpus.select(col("vec_id").cast("long").as("vec_id"),
+          Vectors.asDouble(col("embedding")).as("e"))
+        .withColumn("nrm", Vectors.norm(col("e"))), storage)
     var cents = c.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cent_id"), col("e").as("cent"))
     for (_ <- 0 until iters) {

@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
+import org.apache.spark.storage.StorageLevel
+
+import graft.Caching
 import graft.functions.{TopKPairs, Vectors}
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -196,11 +199,12 @@ object Knn {
     * verify; no nested-loop or all-pairs stage anywhere. For
     * exhaustive small-data runs use [[embeddingNearDupPairsExact]]. */
   def embeddingNearDupPairs(vectors: DataFrame, minSim: Double,
-                            planes: Int = 6, tables: Int = 4): DataFrame = {
-    val v = vectors.select(col("vec_id"), Vectors.asDouble(col("embedding")).as("e"))
-      .withColumn("nrm", Vectors.norm(col("e")))
-      .withColumn("sig", lshBucket(col("e"), planes * tables))
-      .cache()
+                            planes: Int = 6, tables: Int = 4,
+                            storage: StorageLevel = Caching.Default): DataFrame = {
+    val v = Caching.persisted(
+      vectors.select(col("vec_id"), Vectors.asDouble(col("embedding")).as("e"))
+        .withColumn("nrm", Vectors.norm(col("e")))
+        .withColumn("sig", lshBucket(col("e"), planes * tables)), storage)
     val banded = v.select(col("vec_id"), explode(
         transform(sequence(lit(0), lit(tables - 1)),
           t => struct(t.as("t"),

@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{H32Array, Hashing, MinHashMins, WordShingles}
+import org.apache.spark.storage.StorageLevel
+
+import graft.Caching
+import graft.functions.{H32Array, Hashing, MinHashMins, SortedIntersectCount, WordShingles}
 import graft.text.TextAnalysis
 
 /** Document deduplication family: exact, n-gram Jaccard, MinHash+LSH,
@@ -28,7 +31,9 @@ import graft.text.TextAnalysis
   * them itself; they are evicted LRU under memory pressure, and a
   * long-lived session issuing many curation calls should
   * `spark.catalog.clearCache()` between batches (the bench harness
-  * does exactly that).
+  * does exactly that) — or pass `storage = StorageLevel.NONE` /
+  * an explicit level via each generator's `storage` parameter
+  * (see [[graft.Caching]]).
   */
 object TextDedup {
 
@@ -65,15 +70,39 @@ object TextDedup {
     * verified with exact Jaccard over the full shingle sets, so every
     * reported score is still exact (recall dips only for pairs whose
     * every common shingle is ultra-hot). None = exhaustive (oracle
-    * semantics). */
+    * semantics).
+    *
+    * The capped branch runs ENTIRELY in the h32 shingle-hash domain:
+    * each doc's set is `array_distinct(h32(shingle))`, the df cap,
+    * blocking join, and verification all operate on those longs, and
+    * the oracle computes the identical hashed form. Rationale
+    * (measured at sf0.1, where 37% of distinct shingles are hot): the
+    * verify stage ships two per-doc hot arrays for every candidate
+    * pair, and string payloads made it the dominant cost — 8-byte
+    * keys cut the d2/d2b gap from ~3.9x to ~1.5x. A 32-bit collision
+    * (p ≈ n²/2³³ over n distinct shingles corpus-wide) can merge two
+    * shingles on BOTH engines identically; the capped variant is
+    * already recall-approximate by design, so the hashed domain is
+    * in-spec. The exhaustive branch stays string-exact.
+    *
+    * Residual cost floor vs the exhaustive branch (same sf0.1): the
+    * cap pays one full-corpus df aggregation (hot-set discovery), the
+    * per-doc hot-array build, and a verify that must reconstruct
+    * |A∩B| = shared-cool + |hotA∩hotB| per candidate — the codegen'd
+    * [[graft.functions.SortedIntersectCount]] merge walk — where the
+    * exhaustive branch counts |A∩B| straight off its blocking join
+    * and ships only two scalars per pair. That extra work only pays
+    * off once hot shingles make the exhaustive join superlinear —
+    * exactly the regime the cap exists for. */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         minJaccard: Double,
-                        maxDocFreq: Option[Int] = None): DataFrame = {
-    val t = shingled(docs, id, text).cache()
-    val ex = t.select(col("doc_id"), explode(col("sh")).as("s"))
+                        maxDocFreq: Option[Int] = None,
+                        storage: StorageLevel = Caching.Default): DataFrame = {
     maxDocFreq match {
       case None =>
         // exhaustive: |A∩B| counted directly off the blocking join
+        val t = Caching.persisted(shingled(docs, id, text), storage)
+        val ex = t.select(col("doc_id"), explode(col("sh")).as("s"))
         val pairs = ex.as("a").join(ex.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -86,36 +115,43 @@ object TextDedup {
           .filter(col("jaccard") >= minJaccard)
           .select("doc_a", "doc_b", "jaccard")
       case Some(cap) =>
-        // Candidate generation on cool (df <= cap) shingles only. The
-        // intersection is still EXACT: |A∩B| = shared-cool count
-        // (aggregated straight off the blocking join, map-side
-        // partials — never an array intersect over the full shingle
-        // sets) + an array_intersect over each doc's HOT shingles,
-        // which are few by construction (at most |occurrences|/cap
-        // distinct hot shingles exist corpus-wide).
-        // the HOT set is small by construction (<= occurrences/cap
-        // distinct shingles corpus-wide), so it broadcasts and both
-        // splits below are map-only — never a shuffle join of the full
-        // exploded corpus against the frequency table. Cached: its df
-        // aggregation feeds five plan branches (both cool sides + the
-        // hot arrays behind each verify join) and exchange reuse does
-        // not kick in across them — without the cache the full-corpus
-        // df shuffle runs once PER BRANCH.
-        val hotSet = ex.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("s").cache()
-        val cool = ex.join(broadcast(hotSet), Seq("s"), "left_anti")
-        val empty = array().cast("array<string>")
-        // one per-doc metadata frame (full set size + hot shingles) so
-        // the verify stage is two keyed joins, not four; cached for the
-        // same reason (both verify joins rebuild it otherwise)
-        val docMeta = t.select(col("doc_id"), size(col("sh")).as("n"))
-          .join(ex.join(broadcast(hotSet), "s")
-              .groupBy("doc_id").agg(array_sort(collect_list(col("s"))).as("hot")),
-            Seq("doc_id"), "left")
-          .withColumn("hot", coalesce(col("hot"), empty))
-          .cache()
+        // Candidate generation on cool (df <= cap) hashed shingles
+        // only. The intersection over the hashed sets is EXACT:
+        // |A∩B| = shared-cool count (aggregated straight off the
+        // blocking join, map-side partials) + a sorted-merge
+        // intersect of each doc's HOT hashes, which are few by
+        // construction (at most |occurrences|/cap distinct hot
+        // shingles exist corpus-wide). The HOT set broadcasts, so
+        // both splits below are map-only — never a shuffle join of
+        // the full exploded corpus against the frequency table.
+        // Cached: `th` (shingling + md5 hashing is the expensive
+        // per-row work, and exh re-derives from it in four branches)
+        // and the df aggregation, which feeds several plan branches
+        // (both cool sides + the hot arrays behind the verify) where
+        // exchange reuse does not kick in — without the cache the
+        // full-corpus df shuffle runs once PER BRANCH.
+        val th = Caching.persisted(shingled(docs, id, text)
+          .select(col("doc_id"), array_distinct(ColumnBridge.column(
+            H32Array(ColumnBridge.expression(col("sh"))))).as("hs")), storage)
+        val exh = th.select(col("doc_id"), explode(col("hs")).as("h"))
+        val hotSet = Caching.persisted(exh.groupBy("h")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("h"), storage)
+        val cool = exh.join(broadcast(hotSet), Seq("h"), "left_anti")
+        // one per-doc metadata frame (hashed set size + SORTED hot
+        // hashes — the intersect kernel's contract), built in a
+        // single aggregation: a broadcast hot-flag left join, then
+        // collect_list(when(hot)) — which skips the nulls on cool
+        // rows, so hot-free docs get a non-null EMPTY array with no
+        // second join or coalesce. Cached because both verify joins
+        // rebuild it otherwise.
+        val docMeta = Caching.persisted(exh
+          .join(broadcast(hotSet.withColumn("is_hot", lit(true))), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_list(when(col("is_hot"), col("h")))).as("hot")), storage)
         val pairs = cool.as("a").join(cool.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("inter_cool"))
         pairs
@@ -123,8 +159,9 @@ object TextDedup {
             col("n").as("na"), col("hot").as("hota")), "doc_a")
           .join(docMeta.select(col("doc_id").as("doc_b"),
             col("n").as("nb"), col("hot").as("hotb")), "doc_b")
-          .withColumn("inter",
-            col("inter_cool") + size(array_intersect(col("hota"), col("hotb"))))
+          .withColumn("inter", col("inter_cool") + ColumnBridge.column(
+            SortedIntersectCount(ColumnBridge.expression(col("hota")),
+              ColumnBridge.expression(col("hotb")))))
           .withColumn("jaccard",
             col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .filter(col("jaccard") >= minJaccard)
@@ -164,13 +201,11 @@ object TextDedup {
     * generation and exact verify. Single-consumer shapes (bandIndex,
     * streaming frames — which can't cache at all) skip the cache. */
   private def sigged(docs: DataFrame, id: Column, text: Column,
-                     cache: Boolean = true): DataFrame = {
-    val t = shingled(docs, id, text)
+                     storage: StorageLevel = Caching.Default): DataFrame =
+    Caching.persisted(shingled(docs, id, text)
       .withColumn("hs", ColumnBridge.column(H32Array(ColumnBridge.expression(col("sh")))))
       .withColumn("sig", minHashSignatureFromHashes(col("hs")))
-      .drop("hs")
-    if (cache && !t.isStreaming) t.cache() else t
-  }
+      .drop("hs"), storage)
 
   /** One row per (doc, band): (doc_id, band, bsig). */
   private def banded(t: DataFrame): DataFrame =
@@ -199,8 +234,9 @@ object TextDedup {
     * At scale the only wide ops are the (band,sig) shuffle and the
     * candidate verify join — no quadratic stage anywhere. */
   def minHashLshPairs(docs: DataFrame, id: Column, text: Column,
-                      minJaccard: Double): DataFrame = {
-    val t = sigged(docs, id, text)
+                      minJaccard: Double,
+                      storage: StorageLevel = Caching.Default): DataFrame = {
+    val t = sigged(docs, id, text, storage)
     val b = banded(t)
     val cand = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -217,7 +253,7 @@ object TextDedup {
     * persisted form is [[writeDedupIndex]], from which this derives
     * map-only. */
   def bandIndex(docs: DataFrame, id: Column, text: Column): DataFrame =
-    banded(sigged(docs, id, text, cache = false))
+    banded(sigged(docs, id, text, StorageLevel.NONE))
 
   // ---- persisted dedup index ------------------------------------------
   //
@@ -237,7 +273,7 @@ object TextDedup {
     * committed snapshot version. */
   def writeDedupIndex(docs: DataFrame, id: Column, text: Column,
                       dir: String): Int =
-    graft.sources.SnapshotStore.commit(sigged(docs, id, text, cache = false), dir)
+    graft.sources.SnapshotStore.commit(sigged(docs, id, text, StorageLevel.NONE), dir)
 
   /** MERGE an incoming batch's index rows into the persisted index
     * (upsert keyed on doc_id) — the post-probe maintenance step of a
@@ -245,7 +281,7 @@ object TextDedup {
   def updateDedupIndex(incoming: DataFrame, id: Column, text: Column,
                        dir: String): Int =
     graft.sources.SnapshotStore.mergeInto(
-      sigged(incoming, id, text, cache = false), dir, Seq("doc_id"))
+      sigged(incoming, id, text, StorageLevel.NONE), dir, Seq("doc_id"))
 
   /** The persisted (doc_id, sh, sig) index frame. */
   def readDedupIndex(spark: org.apache.spark.sql.SparkSession,
@@ -268,9 +304,10 @@ object TextDedup {
   def minHashLshPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                   indexDir: String, incoming: DataFrame,
                                   id: Column, text: Column,
-                                  minJaccard: Double): DataFrame = {
+                                  minJaccard: Double,
+                                  storage: StorageLevel = Caching.Default): DataFrame = {
     val ta = readDedupIndex(spark, indexDir)
-    val tb = sigged(incoming, id, text)
+    val tb = sigged(incoming, id, text, storage)
     val cand = banded(ta).as("a").join(banded(tb).as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -286,9 +323,10 @@ object TextDedup {
     * (doc_a = corpus id, doc_b = incoming id, exact jaccard). */
   def minHashLshPairsBetween(corpus: DataFrame, incoming: DataFrame,
                              id: Column, text: Column,
-                             minJaccard: Double): DataFrame = {
-    val ta = sigged(corpus, id, text)
-    val tb = sigged(incoming, id, text)
+                             minJaccard: Double,
+                             storage: StorageLevel = Caching.Default): DataFrame = {
+    val ta = sigged(corpus, id, text, storage)
+    val tb = sigged(incoming, id, text, storage)
     val cand = banded(ta).as("a").join(banded(tb).as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -42,7 +42,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1.funcName).sorted ==
       Seq("graft_byte_window_means", "graft_byte_window_sums", "graft_dot",
         "graft_h32_array", "graft_lsh_bucket", "graft_minhash_sig",
-        "graft_rolling_hash", "graft_simhash64", "graft_word_shingles"))
+        "graft_rolling_hash", "graft_simhash64",
+        "graft_sorted_intersect_count", "graft_word_shingles"))
     new GraftExtensions // constructible (config-time entry point)
+  }
+
+  test("sorted intersect count matches size(array_intersect) on sorted sets") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val gen = Gen.listOf(Gen.chooseNum(-50L, 50L))
+    val cases = Gen.listOfN(200, Gen.zip(gen, gen)).sample.get
+    cases.map { case (a, b) =>
+      (a.distinct.sorted.toArray, b.distinct.sorted.toArray)
+    }.toDF("a", "b").createOrReplaceTempView("sic")
+    val bad = spark.sql(
+      """SELECT * FROM sic
+        |WHERE graft_sorted_intersect_count(a, b)
+        |      <> size(array_intersect(a, b))""".stripMargin).count()
+    assert(bad === 0L)
+    // interpreted path agrees with codegen
+    val one = spark.sql(
+      "SELECT graft_sorted_intersect_count(array(1L,3L,9L), array(3L,4L,9L))")
+      .collect()(0).getInt(0)
+    assert(one === 2)
   }
 }

@@ -40,6 +40,27 @@ class TextDedupSpec extends SparkSpec {
     assert(generous == full)
   }
 
+  test("storage = NONE leaves no cached frames; results unchanged") {
+    import org.apache.spark.storage.StorageLevel
+    val docs = table("documents").limit(200)
+    spark.catalog.clearCache()
+    val nJac = TextDedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      0.05, Some(10), StorageLevel.NONE).count()
+    val nLsh = TextDedup.minHashLshPairs(docs, col("doc_id"), col("text"),
+      0.1, StorageLevel.NONE).count()
+    val nEmb = Knn.embeddingNearDupPairs(table("embeddings").limit(100),
+      minSim = 0.4, storage = StorageLevel.NONE).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "no-cache runs must not register cache entries")
+    assert(nJac === TextDedup.ngramJaccardPairs(docs, col("doc_id"),
+      col("text"), 0.05, Some(10)).count())
+    assert(nLsh === TextDedup.minHashLshPairs(docs, col("doc_id"),
+      col("text"), 0.1).count())
+    assert(nEmb === Knn.embeddingNearDupPairs(table("embeddings").limit(100),
+      minSim = 0.4).count())
+    spark.catalog.clearCache()
+  }
+
   test("LSH pairs are a subset of blocked-exact pairs at the same threshold") {
     val docs = table("documents")
     val exact = TextDedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.1)
