@@ -263,11 +263,13 @@ object TextDedup {
   // verification (sh) need, so a batch ingest never rescans or
   // re-shingles the corpus text. Stored in a versioned
   // [[graft.sources.SnapshotStore]]: ingests MERGE their batch in
-  // (keyed on doc_id), readers resolve the atomic current pointer. At
-  // deploy, bucket the index table by (band, bsig) if the store is a
-  // metastore table — with plain parquet snapshots the probe pays one
-  // index shuffle per ingest, which is still O(corpus bands), never
-  // O(corpus text).
+  // (keyed on doc_id), readers resolve the atomic current pointer.
+  // With plain parquet snapshots the probe pays one index shuffle per
+  // ingest — still O(corpus bands), never O(corpus text). The
+  // BUCKETED variants below delete that shuffle too: the band index
+  // lives in a metastore table bucketed on the probe's join key, so
+  // every nightly probe reads the corpus side pre-partitioned
+  // (spec-asserted: no Exchange above either index scan).
 
   /** Build and commit the full dedup index for `docs`; returns the
     * committed snapshot version. */
@@ -313,6 +315,106 @@ object TextDedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verified(cand, ta, tb, minJaccard)
+  }
+
+  // ---- bucketed persisted dedup index ---------------------------------
+  //
+  // Metastore-table form of the index, bucketed on the probe's join
+  // keys: `<name>_bands` holds (doc_id, band, bsig) bucketed by
+  // (band, bsig) — candidate generation joins it with NO exchange on
+  // the corpus side — and `<name>_docs` holds (doc_id, sh, sig)
+  // bucketed by doc_id — exact verification fetches corpus shingles,
+  // again exchange-free on the index side. Versioning mirrors
+  // [[graft.sources.SnapshotStore]]'s atomic pointer with metastore
+  // primitives: data lands in `<name>_{bands,docs}_v<N>` tables and
+  // `CREATE OR REPLACE VIEW <name>_{bands,docs}` is the atomic swap
+  // (views are logical aliases, so the bucketed scan's output
+  // partitioning survives them). Single-writer, like every log-less
+  // table format.
+
+  private def currentBucketedVersion(spark: org.apache.spark.sql.SparkSession,
+                                     name: String): Option[Int] = {
+    val pat = (java.util.regex.Pattern.quote(name) + "_bands_v(\\d+)").r
+    val vs = spark.catalog.listTables().collect().map(_.name).collect {
+      case pat(v) => v.toInt
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def commitBucketed(index: DataFrame, name: String, buckets: Int,
+                             version: Int): Unit = {
+    val spark = index.sparkSession
+    // one file per bucket (repartition on the bucket key first) so the
+    // scan keeps per-bucket sort order as well as the partitioning
+    banded(index)
+      .repartition(buckets, col("band"), col("bsig"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "bsig").sortBy("band", "bsig")
+      .saveAsTable(s"${name}_bands_v$version")
+    index
+      .repartition(buckets, col("doc_id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${name}_docs_v$version")
+    spark.sql(s"CREATE OR REPLACE VIEW ${name}_bands AS " +
+      s"SELECT * FROM ${name}_bands_v$version")
+    spark.sql(s"CREATE OR REPLACE VIEW ${name}_docs AS " +
+      s"SELECT * FROM ${name}_docs_v$version")
+    // retain exactly one prior version for in-flight readers
+    (0 to version - 2).foreach { v =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_bands_v$v")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_docs_v$v")
+    }
+  }
+
+  /** Build and commit the full BUCKETED dedup index for `docs` as
+    * metastore tables `<name>_bands` / `<name>_docs`; returns the
+    * committed version. `buckets` is the deploy knob: pick it so a
+    * bucket's band rows fit one task (corpus bands / buckets). */
+  def writeDedupIndexBucketed(docs: DataFrame, id: Column, text: Column,
+                              name: String, buckets: Int = 32): Int = {
+    val spark = docs.sparkSession
+    val v = currentBucketedVersion(spark, name).getOrElse(-1) + 1
+    commitBucketed(sigged(docs, id, text, StorageLevel.NONE), name, buckets, v)
+    v
+  }
+
+  /** MERGE an incoming batch into the bucketed index (upsert keyed on
+    * doc_id, schema-stable) and commit the next version — the
+    * maintenance step after [[minHashLshPairsAgainstBucketedIndex]].
+    * The rewrite cost is one pass over the index — the price of
+    * bucketed parquet without a row-level log; at deploy cadence
+    * (nightly) that pass is the same scan the NEXT probe would have
+    * paid in shuffle form on an unbucketed snapshot. */
+  def updateDedupIndexBucketed(incoming: DataFrame, id: Column, text: Column,
+                               name: String, buckets: Int = 32): Int = {
+    val spark = incoming.sparkSession
+    val v = currentBucketedVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no bucketed dedup index named $name"))
+    val merged = graft.operators.Merge.upsert(
+      spark.table(s"${name}_docs_v$v"),
+      sigged(incoming, id, text, StorageLevel.NONE), Seq("doc_id"))
+    commitBucketed(merged, name, buckets, v + 1)
+    v + 1
+  }
+
+  /** [[minHashLshPairsAgainstIndex]] against the BUCKETED index:
+    * candidate generation joins `<name>_bands` on its bucketing key
+    * (band, bsig) and verification fetches `<name>_docs` on its
+    * bucketing key doc_id, so the only exchanges in the plan are on
+    * the O(batch) incoming side — the corpus-side scans are
+    * partition-aligned by layout (DedupIndexSpec asserts no Exchange
+    * above either index scan). */
+  def minHashLshPairsAgainstBucketedIndex(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      incoming: DataFrame, id: Column, text: Column, minJaccard: Double,
+      storage: StorageLevel = Caching.Default): DataFrame = {
+    val tb = sigged(incoming, id, text, storage)
+    val cand = spark.table(s"${name}_bands").as("a").join(banded(tb).as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verified(cand, spark.table(s"${name}_docs"), tb, minJaccard)
   }
 
   /** Incremental near-dup: LSH pairs BETWEEN an existing corpus and an

@@ -57,6 +57,93 @@ class DedupIndexSpec extends SparkSpec {
     assert(got2.contains((7L, 9003L)) && got2.contains((9001L, 9003L)), s"$got2")
   }
 
+  test("bucketed index probe: same results, no Exchange above index scans") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val corpus = table("documents")
+    Seq("bands", "docs").foreach { s =>
+      spark.sql(s"DROP VIEW IF EXISTS dix_$s")
+      (0 to 3).foreach(v => spark.sql(s"DROP TABLE IF EXISTS dix_${s}_v$v"))
+    }
+    val v0 = TextDedup.writeDedupIndexBucketed(
+      corpus, col("doc_id"), col("text"), "dix", buckets = 4)
+    assert(v0 == 0)
+
+    val copied = corpus.filter(col("doc_id") === 7L)
+      .select("text").collect()(0).getString(0)
+    val batch = Seq(
+      (9001L, copied),
+      (9002L, "zq wv xk pj qn bd gm lt rs fh cy dw en ok up")
+    ).toDF("doc_id", "text")
+
+    // force shuffle joins so the assertion is about bucketing (a
+    // broadcast of the batch side would trivially have no exchange)
+    val conf = spark.conf
+    val oldBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = TextDedup.minHashLshPairsAgainstBucketedIndex(
+        spark, "dix", batch, col("doc_id"), col("text"), minJaccard = 0.1)
+
+      // the claim: no Exchange sits BETWEEN a bucketed index scan and
+      // the join that consumes it (exchanges over already-joined
+      // results are the batch side's, and fine)
+      def feedsDirectly(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+        case j if j.children.length > 1 => false // join boundary
+        case _ => p.children.exists(feedsDirectly)
+      }
+      val plan = probe.queryExecution.executedPlan
+      assert(plan.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.size >= 2, "expected bands + docs bucketed scans in the plan")
+      val shuffledIndexScans = plan.collect {
+        case e: Exchange if feedsDirectly(e.child) => e
+      }
+      assert(shuffledIndexScans.isEmpty,
+        s"index side got re-shuffled:\n${shuffledIndexScans.mkString("\n")}")
+
+      val got = probe.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val live = TextDedup.minHashLshPairsBetween(corpus, batch,
+          col("doc_id"), col("text"), minJaccard = 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == live)
+      assert(got.contains((7L, 9001L, 1.0)))
+
+      // MERGE maintenance: next version sees the batch; old v dropped
+      // only beyond the retained window
+      val v1 = TextDedup.updateDedupIndexBucketed(
+        batch, col("doc_id"), col("text"), "dix", buckets = 4)
+      assert(v1 == 1)
+      assert(spark.table("dix_docs").count() == corpus.count() + 2)
+      val got2 = TextDedup.minHashLshPairsAgainstBucketedIndex(
+          spark, "dix", Seq((9003L, copied)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), minJaccard = 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2.contains((7L, 9003L)) && got2.contains((9001L, 9003L)), s"$got2")
+      val v2 = TextDedup.updateDedupIndexBucketed(
+        Seq((9004L, copied)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), "dix", buckets = 4)
+      assert(v2 == 2)
+      val names = spark.catalog.listTables().collect().map(_.name).toSet
+      assert(!names.contains("dix_bands_v0") && !names.contains("dix_docs_v0"),
+        "versions beyond the retained window should be dropped")
+      assert(names.contains("dix_bands_v1") && names.contains("dix_bands_v2"))
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      Seq("bands", "docs").foreach { s =>
+        spark.sql(s"DROP VIEW IF EXISTS dix_$s")
+        (0 to 3).foreach(v => spark.sql(s"DROP TABLE IF EXISTS dix_${s}_v$v"))
+      }
+    }
+  }
+
   test("readBandIndex feeds the streaming probe shape") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-band-index").toString
