@@ -30,6 +30,15 @@ import graft.functions.Vectors
   * map-side partials reduce each partition to ≤ k·dim rows before the
   * shuffle. Rounds are a driver loop over `iters` — the standard shape
   * for an iterative refinement whose state is k·dim scalars.
+  *
+  * Vector movement: the corpus is hash-partitioned by vec_id ONCE
+  * (the cached frame), and each round's only shuffle is the
+  * (vec_id, cent_id) assignment pairs — the vectors are re-read from
+  * the partitioned cache on both sides of the assignment join, never
+  * re-shuffled. The earlier form aggregated `first(e)` through the
+  * per-round groupBy, shipping every vector across the wire every
+  * round; at corpus scale that dwarfs the k·dim state this loop
+  * actually updates.
   */
 object KMeans {
 
@@ -45,21 +54,25 @@ object KMeans {
     val c = Caching.persisted(
       corpus.select(col("vec_id").cast("long").as("vec_id"),
           Vectors.asDouble(col("embedding")).as("e"))
-        .withColumn("nrm", Vectors.norm(col("e"))), storage)
+        .withColumn("nrm", Vectors.norm(col("e")))
+        .repartition(col("vec_id")), storage)
     var cents = c.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cent_id"), col("e").as("cent"))
     for (_ <- 0 until iters) {
       val ct = broadcast(cents.withColumn("centn", Vectors.norm(col("cent"))))
       // nearest centroid by rounded cosine; ties -> smallest cent_id.
-      // e is functionally dependent on vec_id so first() is exact.
+      // Only (vec_id, cent_id) flows through the groupBy; the vectors
+      // come back from the vec_id-partitioned cache via a
+      // partition-aligned join (both sides hash(vec_id) — no exchange
+      // on the corpus side, so no vectors cross the wire).
       val assigned = c.join(ct)
         .withColumn("csim", round(
           Vectors.dot(col("e"), col("cent")) / (col("nrm") * col("centn")), 6))
         .groupBy("vec_id")
-        .agg(first(col("e")).as("e"),
-          max_by(col("cent_id"),
-            struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id"))
-      val dims = assigned.select(col("cent_id"), posexplode(col("e")))
+        .agg(max_by(col("cent_id"),
+          struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id"))
+      val dims = c.join(assigned, Seq("vec_id"))
+        .select(col("cent_id"), posexplode(col("e")))
         .groupBy(col("cent_id"), col("pos").as("dim"))
         .agg(round(
           (sum(col("col").cast(DecimalType(28, 12))).cast("double") /

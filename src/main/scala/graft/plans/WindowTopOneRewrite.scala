@@ -22,8 +22,20 @@ import org.apache.spark.sql.types.IntegerType
   * applies by hand in its own queries (Dedup.latestByKeyAgg,
   * measured 2.5s → 0.6s on the b2 bench; the ingestion-log bucketing
   * commit repeats it), offered automatically to naive user queries.
-  * Spark's own InferWindowGroupLimit (SPARK-37099) only bounds each
-  * sorted group at k rows; it still shuffles and sorts every row.
+  *
+  * Why top-1 only, not `rn <= k`: Spark's own InferWindowGroupLimit
+  * (SPARK-37099) already plans `rn <= k` well — measured on 4.1, a
+  * `WindowGroupLimit ... Partial` runs BEFORE the exchange, so at
+  * most k rows per (group, mapper) cross the shuffle; what remains is
+  * a full mapper-local sort feeding the partial limit and the final
+  * sort + Window exec. A generic k>1 rewrite would need a bounded-heap
+  * aggregate over arbitrary row types — interpreted orderings plus
+  * buffer serde per row — trading a codegen'd sort for slower
+  * per-row work; that only wins for typed hot paths, which is exactly
+  * what [[graft.functions.TopKPairs]] covers for (score, id) top-k.
+  * Top-1 is different: min_by/max_by partial-aggregates with NO
+  * mapper-local sort at all, a strict improvement the built-in never
+  * produces.
   *
   * Fires only when the rewrite is provably value-identical:
   *  - a lone `row_number()` window expression, filtered to exactly 1
