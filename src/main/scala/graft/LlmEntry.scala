@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.{KMeans, Knn}
+import graft.ann.{KMeans, Knn, Pq}
 import graft.dedup.{Decontaminate, DupClusters, TextDedup}
 import graft.multimodal.Multimodal
 import graft.operators.Sampling
@@ -107,6 +107,18 @@ object LlmEntry {
         col("doc_id"), col("text"), n = 5)
     }),
 
+    "t6b_decontam_bloom" -> ((s, dir) => {
+      // t6's contract, bloom-pre-filtered plan — the large-eval-corpus
+      // path (see Decontaminate.bloomContaminatedDocs). Output is
+      // bit-identical to t6: the exact verify join kills bloom false
+      // positives, so the two share one oracle.
+      val docs = t(s, dir, "documents")
+      Decontaminate.bloomContaminatedDocs(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0),
+        col("doc_id"), col("text"), n = 5)
+    }),
+
     "t7_token_pack" -> ((s, dir) =>
       // training-shard packing: docs -> token-budget bins inside 8
       // deterministic hash buckets; output = per-bin fill stats
@@ -179,6 +191,17 @@ object LlmEntry {
       val corpus = v.filter(col("vec_id") >= 10)
       Knn.ivfTopK(v.filter(col("vec_id") < 10), corpus, k = 5,
         centroids = KMeans.lloyd(corpus, k = 8, iters = 2), nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "e5_knn_ivfpq" -> ((s, dir) => {
+      // the compressed-domain scale path: IVF coarse pruning + product-
+      // quantization ADC scoring over m-byte codes + exact re-rank of a
+      // bounded shortlist — full vectors never ship through the scoring
+      // join (see graft.ann.Pq)
+      val v = t(s, dir, "embeddings")
+      Pq.ivfPqTopK(v.filter(col("vec_id") < 10), v.filter(col("vec_id") >= 10),
+        k = 5)
         .withColumnRenamed("rank", "rnk")
     }),
 
@@ -572,6 +595,16 @@ object LlmEntry {
          |SELECT doc_id, count(*) AS n_shared
          |FROM tr JOIN ev USING (s) GROUP BY doc_id""".stripMargin,
 
+    // t6b is t6's exact contract behind a bloom pre-filter whose false
+    // positives are removed by an exact verify — same oracle by design
+    "t6b_decontam_bloom" ->
+      s"""WITH toks AS (SELECT doc_id, ${shSqlN(5)} AS sh
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
+         |ev AS (SELECT DISTINCT unnest(sh) AS s FROM toks WHERE doc_id % 25 = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS s FROM toks WHERE doc_id % 25 <> 0)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM tr JOIN ev USING (s) GROUP BY doc_id""".stripMargin,
+
     "t7_token_pack" ->
       s"""WITH c AS (SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
@@ -644,6 +677,68 @@ object LlmEntry {
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
          |FROM r WHERE rnk <= 5""".stripMargin,
 
+    "e5_knn_ivfpq" ->
+      // mirrors Pq.ivfPqTopK step by step: deterministic centroids and
+      // per-subspace codebooks (smallest ids), 6-dp rounding before every
+      // argmin/rank, DECIMAL-exact ADC sum, ties to the smaller id
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM c
+         |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
+         |cbs AS (SELECT neighbor_id AS code_id, ce FROM c
+         |        ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
+         |cb AS (SELECT code_id, CAST(j AS INTEGER) AS j,
+         |              list_slice(ce, j*16+1, j*16+16) AS cw
+         |       FROM cbs, range(0, 4) r(j)),
+         |sv AS (SELECT neighbor_id, CAST(j AS INTEGER) AS j,
+         |              list_slice(ce, j*16+1, j*16+16) AS xs
+         |       FROM c, range(0, 4) r(j)),
+         |enc0 AS (SELECT neighbor_id, j, code_id,
+         |    round(list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
+         |          + list_dot_product(cw, cw), 6) AS d2
+         |  FROM sv JOIN cb USING (j)),
+         |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
+         |                                 ORDER BY d2, code_id) AS rn FROM enc0)
+         |  WHERE rn = 1),
+         |asg0 AS (SELECT neighbor_id, cent_id,
+         |  round(list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM c, cent),
+         |asg AS (SELECT neighbor_id, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+         |  WHERE rn = 1),
+         |pr0 AS (SELECT query_id, cent_id,
+         |  round(list_dot_product(qe, cent) /
+         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM q, cent),
+         |pr AS (SELECT query_id, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
+         |  WHERE rn <= 4),
+         |qtab AS (SELECT query_id, j, code_id AS code,
+         |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
+         |  FROM q, cb),
+         |adc AS (SELECT query_id, neighbor_id,
+         |    round(CAST(sum(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc
+         |  FROM pr JOIN asg USING (cent_id)
+         |       JOIN enc USING (neighbor_id)
+         |       JOIN qtab USING (query_id, j, code)
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY adc DESC, neighbor_id) AS rn FROM adc)
+         |  WHERE rn <= 100),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
+         |      FROM short JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
     "d4_simhash" ->
       s"""$SimHashFpCtes
          |SELECT doc_id, printf('%08x%08x', fhi, flo) AS simhash FROM fp""".stripMargin,
@@ -695,7 +790,7 @@ object LlmEntry {
          |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
          |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM c
-         |         ORDER BY neighbor_id LIMIT 16),
+         |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
          |asg0 AS (SELECT neighbor_id, ce, cent_id,
          |  round(list_dot_product(ce, cent) /
          |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim

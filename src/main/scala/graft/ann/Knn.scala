@@ -27,7 +27,7 @@ object Knn {
     * [[graft.functions.TopKPairs]]. Unlike row_number().over(window),
     * this partial-aggregates: each map partition ships at most k
     * candidates per group into the shuffle instead of every row. */
-  private def topKAgg(sim: Column, id: Column, k: Int): Column =
+  private[ann] def topKAgg(sim: Column, id: Column, k: Int): Column =
     ColumnBridge.column(TopKPairs(
       ColumnBridge.expression(struct(sim, id.cast("long"))), k)
       .toAggregateExpression())
@@ -35,7 +35,7 @@ object Knn {
   /** Rank the per-query top-k of scored (query_id, neighbor_id, sim)
     * rows: sim desc, neighbor_id asc — identical output to the window
     * row_number form (unique ids make the order total). */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[ann] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(topKAgg(col("sim"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -108,9 +108,13 @@ object Knn {
   }
 
   /** IVF (inverted-file) approximate top-k — the second scale path
-    * besides [[lshTopK]]. Centroids are a deterministic sample of the
-    * corpus (the nCentroids smallest ids — swap for k-means outputs in
-    * production; the plumbing is identical). Each corpus vector is
+    * besides [[lshTopK]]. Centroids are a deterministic uniform sample
+    * of the corpus: the nCentroids first ids under md5-hash order (ids
+    * often correlate with content clusters in append-only corpora, so
+    * hash order — a reproducible random permutation — spreads the
+    * sample cluster-proportionally where "smallest ids" collapses to
+    * one cluster; swap for k-means outputs in production via the
+    * trained overload). Each corpus vector is
     * assigned to its nearest centroid (one broadcast pass, C dots per
     * vector); a query scores only the vectors in its nProbe nearest
     * centroid buckets. At 100 TB: centroids broadcast, assignment is
@@ -121,7 +125,9 @@ object Knn {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = prepCorpus(corpus)
-    val cents = broadcast(c.orderBy(col("neighbor_id")).limit(nCentroids)
+    val cents = broadcast(c.orderBy(
+        graft.functions.Hashing.h32(col("neighbor_id").cast("string")),
+        col("neighbor_id")).limit(nCentroids)
       .select(col("neighbor_id").as("cent_id"), col("ce").as("cent"),
         col("cn").as("centn")))
     ivfCore(queries, c, cents, k, nProbe)

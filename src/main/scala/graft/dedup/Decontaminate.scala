@@ -48,4 +48,68 @@ object Decontaminate {
       contaminatedDocs(train, eval, col(idName), text, n)
         .select(col("doc_id").as(idName)),
       Seq(idName), "left_anti")
+
+  // universal-hash coefficients for the bloom positions (same md5 ->
+  // affine-mod-P32 family the MinHash bank uses); internal only — the
+  // output is exact, so no external engine ever reproduces these
+  private val BloomA = Array(1103581L, 2190911L, 3299717L, 4477457L, 5679979L)
+  private val BloomB = Array(12289L, 24593L, 49157L, 98317L, 196613L)
+
+  /** [[contaminatedDocs]] for LARGE eval corpora — identical output,
+    * bloom-pre-filtered plan.
+    *
+    * [[shingleHits]] broadcasts the eval shingle set raw, which stops
+    * working once "eval" is every benchmark suite at once (hundreds of
+    * millions of shingles — gigabytes per executor). Here the eval set
+    * is summarized as a Bloom bitset of `bits` bits (`bits/8` bytes —
+    * 128 KiB at the 2^20 default — as a broadcast (word, mask) table,
+    * built with one map-side-combined aggregation over eval shingles).
+    * Training shingles probe the bitset map-only: a shingle survives
+    * only if all `hashes` probe bits are set. Survivors (true hits +
+    * the Bloom false-positive rate ~(1-e^{-kn/m})^k of |train
+    * shingles|) are then verified with an EXACT join against the eval
+    * shingle set — so false positives are eliminated and the output is
+    * bit-identical to [[contaminatedDocs]], but the eval-side shuffle
+    * join now sees only the pre-filtered sliver instead of every
+    * training shingle. Cost: O(train tokens) map work + one keyed join
+    * of the candidate sliver; the full corpus never shuffles.
+    */
+  def bloomContaminatedDocs(train: DataFrame, eval: DataFrame,
+                            id: Column, text: Column, n: Int = 5,
+                            bits: Int = 1 << 20, hashes: Int = 3): DataFrame = {
+    require(hashes >= 1 && hashes <= BloomA.length, s"1..${BloomA.length} hashes")
+    require(bits >= 64 && (bits & (bits - 1)) == 0, "bits must be a power of two >= 64")
+    import graft.functions.Hashing
+    def positions(h: Column): Seq[Column] =
+      (0 until hashes).map(i => Hashing.affine(h, BloomA(i), BloomB(i)) % bits)
+    def word(p: Column): Column = floor(p / 64).cast("long")
+    // single-bit mask for a bound column named p: 1L << (p % 64). The
+    // SQL form because only it takes a COLUMN shift amount (the Scala
+    // functions overload is literal-only)
+    val maskOfP = expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+
+    val evalSh = eval.select(explode(TextDedup.shingles(text, n)).as("s")).distinct()
+    val bloom = broadcast(evalSh
+      .select(explode(array(positions(Hashing.h32(col("s"))): _*)).as("p"))
+      .select(word(col("p")).as("word"), maskOfP.as("m"))
+      .groupBy("word").agg(expr("bit_or(m)").as("mask")))
+
+    val candidates = train
+      .select(id.as("doc_id"), explode(TextDedup.shingles(text, n)).as("s"))
+      .withColumn("h", Hashing.h32(col("s")))
+      .select(col("doc_id"), col("s"),
+        posexplode(array(positions(col("h")): _*)).as(Seq("i", "p")))
+      .select(col("doc_id"), col("s"), col("i"),
+        word(col("p")).as("word"), maskOfP.as("m"))
+      .join(bloom, "word")
+      .filter((col("mask").bitwiseAND(col("m"))) =!= 0)
+      .groupBy("doc_id", "s")
+      .agg(count_distinct(col("i")).as("nhit"))
+      .filter(col("nhit") === hashes)
+      .select("doc_id", "s")
+
+    candidates.join(evalSh, "s") // exact verify: Bloom FPs die here
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

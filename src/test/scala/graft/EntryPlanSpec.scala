@@ -19,8 +19,11 @@ class EntryPlanSpec extends SparkSpec {
   // broadcast assignment pass as e3 (k rows per vector, not |C|²);
   // e3b composes e4's training pass with e3's search, so it inherits
   // both exemptions (every product is corpus×constant-centroids).
+  // e5's products are corpus×constant-centroids (the IVF assignment)
+  // and query×constant-codebook (the ADC table build) — both |rows|×O(1);
+  // the corpus-wide scoring join itself is an equi-join on codes.
   private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e3b_knn_ivf_trained",
-    "e4_kmeans")
+    "e4_kmeans", "e5_knn_ivfpq")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -39,7 +42,8 @@ class EntryPlanSpec extends SparkSpec {
     // plans must show partial aggregation (a reducer-only aggregation
     // would ship every row across the wire)
     Seq("b2_dedup_latest", "g8_ingestion_log", "g13_salted_agg",
-        "g4_measure_pack", "e3_knn_ivf", "e3b_knn_ivf_trained").foreach { name =>
+        "g4_measure_pack", "e3_knn_ivf", "e3b_knn_ivf_trained",
+        "e5_knn_ivfpq").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("partial_"), s"$name shows no partial aggregation")

@@ -67,4 +67,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected a broadcast-hash join on the eval shingle set:\n$plan")
   }
+
+  test("bloom decontam: output identical to exact, even when the filter saturates") {
+    val docs = table("documents")
+    val train = docs.filter(col("doc_id") % 25 =!= 0)
+    val eva = docs.filter(col("doc_id") % 25 === 0)
+    val exact = Decontaminate
+      .contaminatedDocs(train, eva, col("doc_id"), col("text"), n = 5)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Decontaminate
+      .bloomContaminatedDocs(train, eva, col("doc_id"), col("text"), n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact)
+    // 256-bit filter on thousands of eval shingles: nearly every bit is
+    // set, so nearly every training shingle becomes a candidate — the
+    // exact verify must still reduce the output to the true hit set
+    val saturated = Decontaminate
+      .bloomContaminatedDocs(train, eva, col("doc_id"), col("text"), n = 5,
+        bits = 256)
+      .as[(Long, Long)].collect().toMap
+    assert(saturated == exact)
+  }
+
+  test("bloom decontam plan: bitset broadcasts; eval set never broadcasts raw") {
+    val docs = table("documents")
+    val df = Decontaminate.bloomContaminatedDocs(
+      docs.filter(col("doc_id") % 25 =!= 0),
+      docs.filter(col("doc_id") % 25 === 0),
+      col("doc_id"), col("text"), n = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe joins the broadcast (word, mask) bitset table
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the bitset table to broadcast-hash join:\n$plan")
+    // only the bitset carries an explicit broadcast HINT — the eval
+    // shingle set must stay size-planned (on test data the planner may
+    // still auto-broadcast it; at benchmark-suite scale it shuffles).
+    // The bitset is bounded by bits/64 rows regardless of eval size,
+    // so its hint is safe; a hint on the raw eval set would not be.
+    val analyzed = df.queryExecution.analyzed.toString
+    val nHints = "ResolvedHint".r.findAllIn(analyzed).length
+    assert(nHints == 1, s"expected exactly 1 broadcast hint, got $nHints:\n$analyzed")
+  }
 }
