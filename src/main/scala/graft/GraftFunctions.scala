@@ -101,6 +101,15 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "graft_byte_window_means expects (bytes, dim literal)")
       }),
+    (FunctionIdentifier("graft_bit_spread"),
+      info("graft_bit_spread",
+        "graft_bit_spread(x, stride, bits) - Morton spread: bit i of x moves to bit i*stride"),
+      {
+        case Seq(x, Literal(s: Int, IntegerType), Literal(b: Int, IntegerType)) =>
+          BitSpread(x, s, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_bit_spread expects (x, stride literal, bits literal)")
+      }),
     (FunctionIdentifier("graft_sorted_intersect_count"),
       info("graft_sorted_intersect_count",
         "graft_sorted_intersect_count(a, b) - |A∩B| of two SORTED array<bigint> sets"),

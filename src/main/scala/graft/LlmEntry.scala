@@ -139,6 +139,18 @@ object LlmEntry {
       Sampling.withSplit(t(s, dir, "documents"), col("doc_id"))
         .groupBy("split").agg(count(lit(1)).as("n_docs"))),
 
+    "x4_zorder" -> ((s, dir) => {
+      // Morton z-value over (l_partkey, l_suppkey) — the layout key
+      // operators.Layout.clusterByZ range-shuffles on for multi-dim
+      // file skipping. Checked as per-z-range stats: each top-6-bit
+      // bucket's count/min/max pins the whole codegen'd interleave
+      val z = operators.Layout.zValue(
+        Seq(col("l_partkey"), col("l_suppkey")), bitsPer = 16)
+      t(s, dir, "lineitem").select(z.as("z"))
+        .groupBy(shiftright(col("z"), 26).as("zbucket"))
+        .agg(count(lit(1)).as("n"), min("z").as("zmin"), max("z").as("zmax"))
+    }),
+
     "x2_stratified_sample" -> ((s, dir) => {
       // data mixing: keep 50% of src0/src1, 20% of everything else —
       // deterministic, so before/after counts are oracle-checkable
@@ -630,6 +642,17 @@ object LlmEntry {
          |            WHEN bkt < 100 THEN 'val' ELSE 'test' END AS split,
          |       count(*) AS n_docs
          |FROM b GROUP BY 1""".stripMargin,
+
+    "x4_zorder" ->
+      // bit-for-bit mirror of Layout.zValue: bit i of partkey -> z bit
+      // 2i, bit i of suppkey -> z bit 2i+1 (stride 2, 16 bits each)
+      s"""WITH z0 AS (SELECT
+         |  CAST(list_sum(list_transform(range(0,16), i -> ((l_partkey >> i) & 1) << (2*i))) AS BIGINT)
+         |  | CAST(list_sum(list_transform(range(0,16), i -> ((l_suppkey >> i) & 1) << (2*i+1))) AS BIGINT) AS z
+         |  FROM lineitem)
+         |SELECT z >> 26 AS zbucket, count(*) AS n,
+         |       min(z) AS zmin, max(z) AS zmax
+         |FROM z0 GROUP BY 1""".stripMargin,
 
     "x2_stratified_sample" ->
       s"""WITH b AS (SELECT source, ${bucketSql(1000000)} AS bkt FROM documents)

@@ -40,7 +40,8 @@ class GraftFunctionsSpec extends SparkSpec {
   test("extensions class injects the same registry entries") {
     // the builder list is shared; spot-check identity of the surface
     assert(GraftFunctions.all.map(_._1.funcName).sorted ==
-      Seq("graft_byte_window_means", "graft_byte_window_sums", "graft_dot",
+      Seq("graft_bit_spread", "graft_byte_window_means",
+        "graft_byte_window_sums", "graft_dot",
         "graft_h32_array", "graft_lsh_bucket", "graft_minhash_sig",
         "graft_rolling_hash", "graft_simhash64",
         "graft_sorted_intersect_count", "graft_word_shingles"))
