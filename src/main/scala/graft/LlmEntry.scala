@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.{KMeans, Knn, Pq}
+import graft.ann.{AnnIndex, KMeans, Knn, Pq}
 import graft.dedup.{Decontaminate, DupClusters, TextDedup}
 import graft.multimodal.Multimodal
 import graft.operators.Sampling
@@ -147,7 +147,7 @@ object LlmEntry {
       val z = operators.Layout.zValue(
         Seq(col("l_partkey"), col("l_suppkey")), bitsPer = 16)
       t(s, dir, "lineitem").select(z.as("z"))
-        .groupBy(shiftright(col("z"), 26).as("zbucket"))
+        .groupBy(shiftright(col("z"), 12).as("zbucket"))
         .agg(count(lit(1)).as("n"), min("z").as("zmin"), max("z").as("zmax"))
     }),
 
@@ -214,6 +214,44 @@ object LlmEntry {
       val v = t(s, dir, "embeddings")
       Pq.ivfPqTopK(v.filter(col("vec_id") < 10), v.filter(col("vec_id") >= 10),
         k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "e5b_knn_ivfpq_trained" -> ((s, dir) => {
+      // the full production ANN composition: k-means coarse quantizer
+      // (e4) + PQ compressed-domain scoring (e5) + exact re-rank
+      val v = t(s, dir, "embeddings")
+      val corpus = v.filter(col("vec_id") >= 10)
+      Pq.ivfPqTopK(v.filter(col("vec_id") < 10), corpus, k = 5,
+        centroids = KMeans.lloyd(corpus, k = 8, iters = 2), nProbe = 2,
+        m = 4, nCodes = 16, shortlist = 100, dim = 64)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "e6_ann_index" -> ((s, dir) => {
+      // the persisted-index lifecycle end to end: build the index on a
+      // base corpus, MERGE an incoming batch in under the frozen
+      // quantizers, probe the updated index. Output == an e5-style
+      // search whose quantizers are sampled from the base only —
+      // mirrored exactly by the oracle. Stale state from prior runs is
+      // dropped first (queries must be self-contained per invocation).
+      val v = t(s, dir, "embeddings")
+      Seq("cents", "codebook", "assign", "codes", "vectors").foreach { tb =>
+        s.sql(s"DROP VIEW IF EXISTS e6ix_$tb")
+        (0 to 4).foreach { ver =>
+          s.sql(s"DROP TABLE IF EXISTS e6ix_${tb}_v$ver")
+          val loc = new java.io.File(s"spark-warehouse/e6ix_${tb}_v$ver")
+          if (loc.exists()) {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+            }
+            rm(loc)
+          }
+        }
+      }
+      AnnIndex.write(v.filter(col("vec_id") >= 110), "e6ix")
+      AnnIndex.update(v.filter(col("vec_id") >= 10 && col("vec_id") < 110), "e6ix")
+      AnnIndex.topK(s, "e6ix", v.filter(col("vec_id") < 10), k = 5)
         .withColumnRenamed("rank", "rnk")
     }),
 
@@ -650,7 +688,7 @@ object LlmEntry {
          |  CAST(list_sum(list_transform(range(0,16), i -> ((l_partkey >> i) & 1) << (2*i))) AS BIGINT)
          |  | CAST(list_sum(list_transform(range(0,16), i -> ((l_suppkey >> i) & 1) << (2*i+1))) AS BIGINT) AS z
          |  FROM lineitem)
-         |SELECT z >> 26 AS zbucket, count(*) AS n,
+         |SELECT z >> 12 AS zbucket, count(*) AS n,
          |       min(z) AS zmin, max(z) AS zmax
          |FROM z0 GROUP BY 1""".stripMargin,
 
@@ -742,6 +780,133 @@ object LlmEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
          |  WHERE rn <= 4),
+         |qtab AS (SELECT query_id, j, code_id AS code,
+         |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
+         |  FROM q, cb),
+         |adc AS (SELECT query_id, neighbor_id,
+         |    round(CAST(sum(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc
+         |  FROM pr JOIN asg USING (cent_id)
+         |       JOIN enc USING (neighbor_id)
+         |       JOIN qtab USING (query_id, j, code)
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY adc DESC, neighbor_id) AS rn FROM adc)
+         |  WHERE rn <= 100),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
+         |      FROM short JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "e6_ann_index" ->
+      // e5's search pipeline with quantizers sampled from the BASE
+      // corpus only (vec_id >= 110) — the write()-then-update() state:
+      // update encodes the batch under the frozen base quantizers, so
+      // the probed index equals this direct computation
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         |base AS (SELECT neighbor_id, ce FROM c WHERE neighbor_id >= 110),
+         |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM base
+         |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
+         |cbs AS (SELECT neighbor_id AS code_id, ce FROM base
+         |        ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
+         |cb AS (SELECT code_id, CAST(j AS INTEGER) AS j,
+         |              list_slice(ce, j*16+1, j*16+16) AS cw
+         |       FROM cbs, range(0, 4) r(j)),
+         |sv AS (SELECT neighbor_id, CAST(j AS INTEGER) AS j,
+         |              list_slice(ce, j*16+1, j*16+16) AS xs
+         |       FROM c, range(0, 4) r(j)),
+         |enc0 AS (SELECT neighbor_id, j, code_id,
+         |    round(list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
+         |          + list_dot_product(cw, cw), 6) AS d2
+         |  FROM sv JOIN cb USING (j)),
+         |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
+         |                                 ORDER BY d2, code_id) AS rn FROM enc0)
+         |  WHERE rn = 1),
+         |asg0 AS (SELECT neighbor_id, cent_id,
+         |  round(list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM c, cent),
+         |asg AS (SELECT neighbor_id, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+         |  WHERE rn = 1),
+         |pr0 AS (SELECT query_id, cent_id,
+         |  round(list_dot_product(qe, cent) /
+         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM q, cent),
+         |pr AS (SELECT query_id, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
+         |  WHERE rn <= 4),
+         |qtab AS (SELECT query_id, j, code_id AS code,
+         |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
+         |  FROM q, cb),
+         |adc AS (SELECT query_id, neighbor_id,
+         |    round(CAST(sum(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc
+         |  FROM pr JOIN asg USING (cent_id)
+         |       JOIN enc USING (neighbor_id)
+         |       JOIN qtab USING (query_id, j, code)
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY adc DESC, neighbor_id) AS rn FROM adc)
+         |  WHERE rn <= 100),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
+         |      FROM short JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "e5b_knn_ivfpq_trained" ->
+      // e5's PQ pipeline over e3b's k-means-trained coarse quantizer:
+      // kmeansCtes trains cent (c2), everything from cbs on mirrors
+      // Pq.ivfPqCore exactly as in the e5 oracle, with nProbe = 2
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |            FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v0 WHERE vec_id < 10),
+         |v AS (SELECT vec_id, e FROM v0 WHERE vec_id >= 10),
+         |${kmeansCtes("v")},
+         |cent AS (SELECT cent_id, cent FROM c2),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v),
+         |cbs AS (SELECT neighbor_id AS code_id, ce FROM c
+         |        ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
+         |cb AS (SELECT code_id, CAST(j AS INTEGER) AS j,
+         |              list_slice(ce, j*16+1, j*16+16) AS cw
+         |       FROM cbs, range(0, 4) r(j)),
+         |sv AS (SELECT neighbor_id, CAST(j AS INTEGER) AS j,
+         |              list_slice(ce, j*16+1, j*16+16) AS xs
+         |       FROM c, range(0, 4) r(j)),
+         |enc0 AS (SELECT neighbor_id, j, code_id,
+         |    round(list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
+         |          + list_dot_product(cw, cw), 6) AS d2
+         |  FROM sv JOIN cb USING (j)),
+         |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
+         |                                 ORDER BY d2, code_id) AS rn FROM enc0)
+         |  WHERE rn = 1),
+         |asg0 AS (SELECT neighbor_id, cent_id,
+         |  round(list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM c, cent),
+         |asg AS (SELECT neighbor_id, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+         |  WHERE rn = 1),
+         |pr0 AS (SELECT query_id, cent_id,
+         |  round(list_dot_product(qe, cent) /
+         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM q, cent),
+         |pr AS (SELECT query_id, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
+         |  WHERE rn <= 2),
          |qtab AS (SELECT query_id, j, code_id AS code,
          |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
          |  FROM q, cb),

@@ -1,0 +1,195 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Persisted IVF-PQ index — build once, probe every batch, update
+  * incrementally. The ANN analogue of the dedup family's persisted
+  * band index ([[graft.dedup.TextDedup.writeDedupIndexBucketed]]),
+  * sharing its metastore protocol: data lands in versioned tables,
+  * `CREATE OR REPLACE VIEW` is the atomic current pointer,
+  * single-writer, one prior version retained for in-flight readers.
+  *
+  * [[Pq.ivfPqTopK]] re-derives quantizers and re-encodes the corpus on
+  * every call — right for one-shot jobs, wrong for a nightly search
+  * service over a 100 TB corpus. Here the expensive corpus-wide passes
+  * happen once at [[write]] and O(batch) at [[update]]; [[topK]] reads
+  * five tables and touches nothing corpus-sized except bucketed scans:
+  *
+  *  - `<name>_cents`    (cent_id, cent, centn)  — tiny, broadcast
+  *  - `<name>_codebook` (j, code_id, cw, cc)    — tiny, broadcast
+  *  - `<name>_assign`   (neighbor_id, cent_id)  — bucketed by cent_id:
+  *    the candidate join reads it pre-partitioned
+  *  - `<name>_codes`    (neighbor_id, j, code)  — bucketed by
+  *    neighbor_id: the ADC scoring join reads it pre-partitioned
+  *  - `<name>_vectors`  (neighbor_id, ce, cn)   — bucketed by
+  *    neighbor_id: the exact re-rank fetches only |Q| x shortlist rows
+  *
+  * [[update]] encodes an incoming batch with the STORED quantizers
+  * (map-only over the batch) and upserts — the index stays coherent
+  * under the frozen-quantizer contract every production IVF-PQ system
+  * uses between full retrains (re-[[write]] to retrain).
+  *
+  * Probing an index written with [[write]]'s defaults returns exactly
+  * [[Pq.ivfPqTopK]]'s output for the same corpus (spec-asserted):
+  * persistence changes where the stages run, not what they compute.
+  */
+object AnnIndex {
+
+  private def currentVersion(spark: SparkSession, name: String): Option[Int] = {
+    val pat = (java.util.regex.Pattern.quote(name) + "_cents_v(\\d+)").r
+    val vs = spark.catalog.listTables().collect().map(_.name).collect {
+      case pat(v) => v.toInt
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def centSim(e: Column, n: Column): Column =
+    round(Vectors.dot(e, col("cent")) / (n * col("centn")), 6)
+
+  /** Nearest stored centroid per vector of `c` — same argmax (csim
+    * desc, cent_id asc) as [[Pq]]'s assignment. */
+  private def assign(c: DataFrame, cents: DataFrame): DataFrame =
+    c.join(cents)
+      .withColumn("csim", centSim(col("ce"), col("cn")))
+      .groupBy("neighbor_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id"))
+
+  /** PQ codes of `c` under a stored codebook. Subspace geometry comes
+    * from the codebook rows themselves (`j`, `size(cw)`), so no m/dim
+    * scalars are needed — an index probe can't drift from its build. */
+  private def encode(c: DataFrame, cb: DataFrame): DataFrame =
+    c.join(cb)
+      .withColumn("xs",
+        slice(col("ce"), col("j") * size(col("cw")) + 1, size(col("cw"))))
+      .withColumn("d2", round(
+        Vectors.dot(col("xs"), col("xs"))
+          - lit(2) * Vectors.dot(col("xs"), col("cw")) + col("cc"), 6))
+      .groupBy("neighbor_id", "j")
+      .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"))
+
+  private def commit(spark: SparkSession, name: String, version: Int,
+                     cents: DataFrame, cb: DataFrame, asg: DataFrame,
+                     codes: DataFrame, vectors: DataFrame, buckets: Int): Unit = {
+    cents.write.mode("overwrite").saveAsTable(s"${name}_cents_v$version")
+    cb.write.mode("overwrite").saveAsTable(s"${name}_codebook_v$version")
+    asg.repartition(buckets, col("cent_id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cent_id").sortBy("cent_id")
+      .saveAsTable(s"${name}_assign_v$version")
+    codes.repartition(buckets, col("neighbor_id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "neighbor_id").sortBy("neighbor_id")
+      .saveAsTable(s"${name}_codes_v$version")
+    vectors.repartition(buckets, col("neighbor_id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "neighbor_id").sortBy("neighbor_id")
+      .saveAsTable(s"${name}_vectors_v$version")
+    Seq("cents", "codebook", "assign", "codes", "vectors").foreach { t =>
+      spark.sql(s"CREATE OR REPLACE VIEW ${name}_$t AS " +
+        s"SELECT * FROM ${name}_${t}_v$version")
+    }
+    // retain exactly one prior version for in-flight readers
+    (0 to version - 2).foreach { v =>
+      Seq("cents", "codebook", "assign", "codes", "vectors").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_${t}_v$v")
+      }
+    }
+  }
+
+  /** Build and commit a full index over `corpus` (vec_id, embedding);
+    * returns the committed version. Quantizers are [[Pq]]'s
+    * deterministic hash-order samples — swap the corpus for
+    * k-means/trained codebooks at retrain cadence if desired. */
+  def write(corpus: DataFrame, name: String,
+            nCentroids: Int = 16, m: Int = 4, nCodes: Int = 16,
+            dim: Int = 64, buckets: Int = 32): Int = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val spark = corpus.sparkSession
+    val sub = dim / m
+    val c = Pq.prep(corpus)
+    val cents = c.orderBy(Pq.sampleOrd: _*).limit(nCentroids)
+      .select(col("neighbor_id").as("cent_id"), col("ce").as("cent"),
+        col("cn").as("centn"))
+    val cb = c.orderBy(Pq.sampleOrd: _*).limit(nCodes)
+      .select(col("neighbor_id").as("code_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          j => struct(j.as("j"),
+            slice(col("ce"), j * sub + 1, lit(sub)).as("sv")))).as("s"))
+      .select(col("s.j").as("j"), col("code_id"), col("s.sv").as("cw"))
+      .withColumn("cc", Vectors.dot(col("cw"), col("cw")))
+    val v = currentVersion(spark, name).getOrElse(-1) + 1
+    val bCents = broadcast(cents)
+    val bCb = broadcast(cb)
+    commit(spark, name, v, cents, cb,
+      assign(c, bCents), encode(c, bCb), c, buckets)
+    v
+  }
+
+  /** Encode an incoming batch with the STORED quantizers and upsert it
+    * (keyed on neighbor_id) — O(batch) compute, one index rewrite
+    * pass. Returns the new version. */
+  def update(incoming: DataFrame, name: String, buckets: Int = 32): Int = {
+    val spark = incoming.sparkSession
+    val v = currentVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no ANN index named $name"))
+    val cents = broadcast(spark.table(s"${name}_cents_v$v"))
+    val cb = broadcast(spark.table(s"${name}_codebook_v$v"))
+    val inc = Pq.prep(incoming)
+    import graft.operators.Merge
+    commit(spark, name, v + 1,
+      spark.table(s"${name}_cents_v$v"), spark.table(s"${name}_codebook_v$v"),
+      Merge.upsert(spark.table(s"${name}_assign_v$v"), assign(inc, cents),
+        Seq("neighbor_id")),
+      Merge.upsert(spark.table(s"${name}_codes_v$v"), encode(inc, cb),
+        Seq("neighbor_id", "j")),
+      Merge.upsert(spark.table(s"${name}_vectors_v$v"), inc,
+        Seq("neighbor_id")),
+      buckets)
+    v + 1
+  }
+
+  /** IVF-PQ top-k against the current index version — same pipeline,
+    * ranking, and output schema as [[Pq.ivfPqTopK]], but every
+    * corpus-sized input is a bucketed index scan: candidates join
+    * `_assign` on its bucket key, ADC scores `_codes` on its bucket
+    * key, and only |Q| x shortlist rows of `_vectors` are fetched. */
+  def topK(spark: SparkSession, name: String, queries: DataFrame, k: Int,
+           nProbe: Int = 4, shortlist: Int = 100): DataFrame = {
+    val cents = broadcast(spark.table(s"${name}_cents"))
+    val cb = broadcast(spark.table(s"${name}_codebook"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      Vectors.asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", Vectors.norm(col("qe")))
+    val probes = q.join(cents)
+      .withColumn("csim", centSim(col("qe"), col("qn")))
+      .groupBy("query_id")
+      .agg(Knn.topKAgg(col("csim"), col("cent_id"), nProbe).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("cent_id"))
+    val qtab = broadcast(q.join(cb)
+      .select(col("query_id"), col("j"), col("code_id").as("code"),
+        round(Vectors.dot(
+          slice(col("qe"), col("j") * size(col("cw")) + 1, size(col("cw"))),
+          col("cw")), 6).as("qdot")))
+    val adc = probes
+      .join(spark.table(s"${name}_assign"), "cent_id")
+      .select("query_id", "neighbor_id")
+      .join(spark.table(s"${name}_codes"), "neighbor_id")
+      .join(qtab, Seq("query_id", "j", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(round(sum(col("qdot").cast("decimal(28,12)")).cast("double"), 6)
+        .as("adc"))
+    val short = adc.groupBy("query_id")
+      .agg(Knn.topKAgg(col("adc"), col("neighbor_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
+    val scored = short
+      .join(q.select("query_id", "qe", "qn"), "query_id")
+      .join(spark.table(s"${name}_vectors"), "neighbor_id")
+      .withColumn("sim",
+        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    Knn.rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
+  }
+}

@@ -75,26 +75,50 @@ object Pq {
                 nCentroids: Int = 16, nProbe: Int = 4,
                 m: Int = 4, nCodes: Int = 16,
                 shortlist: Int = 100, dim: Int = 64): DataFrame = {
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
-
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      Vectors.asDouble(col("embedding")).as("ce"))
-      .withColumn("cn", Vectors.norm(col("ce")))
-
-    // deterministic UNIFORM sample order: md5-hash of the id, ties on
-    // the id. Ids often correlate with content clusters (append-only
-    // corpora), so the "n smallest ids" sample can degenerate to one
-    // cluster; hash order is a reproducible random permutation, giving
-    // centroids/codewords cluster-proportional spread
-    val sampleOrd = Seq(
-      graft.functions.Hashing.h32(col("neighbor_id").cast("string")),
-      col("neighbor_id"))
-
+    val c = prep(corpus)
     // coarse quantizer: deterministic sample, broadcast constant
     val cents = broadcast(c.orderBy(sampleOrd: _*).limit(nCentroids)
       .select(col("neighbor_id").as("cent_id"), col("ce").as("cent"),
         col("cn").as("centn")))
+    ivfPqCore(queries, c, cents, k, nProbe, m, nCodes, shortlist, dim)
+  }
+
+  /** IVF-PQ with an externally trained coarse quantizer — the full
+    * production composition: [[KMeans.lloyd]] trains the centroids,
+    * PQ compresses the scored representation. `centroids` takes
+    * lloyd's (cent_id, dim, value) scalar rows directly, reassembled
+    * and broadcast exactly like [[Knn.ivfTopK]]'s trained overload. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                centroids: DataFrame, nProbe: Int,
+                m: Int, nCodes: Int, shortlist: Int,
+                dim: Int): DataFrame = {
+    val cents = broadcast(centroids
+      .groupBy(col("cent_id").cast("long").as("cent_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("dv"))
+      .select(col("cent_id"), transform(col("dv"), x => x("value")).as("cent"))
+      .withColumn("centn", Vectors.norm(col("cent"))))
+    ivfPqCore(queries, prep(corpus), cents, k, nProbe, m, nCodes, shortlist, dim)
+  }
+
+  private[ann] def prep(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id").as("neighbor_id"),
+      Vectors.asDouble(col("embedding")).as("ce"))
+      .withColumn("cn", Vectors.norm(col("ce")))
+
+  // deterministic UNIFORM sample order: md5-hash of the id, ties on
+  // the id. Ids often correlate with content clusters (append-only
+  // corpora), so the "n smallest ids" sample can degenerate to one
+  // cluster; hash order is a reproducible random permutation, giving
+  // centroids/codewords cluster-proportional spread
+  private[ann] def sampleOrd: Seq[Column] = Seq(
+    graft.functions.Hashing.h32(col("neighbor_id").cast("string")),
+    col("neighbor_id"))
+
+  private def ivfPqCore(queries: DataFrame, c: DataFrame, cents: DataFrame,
+                        k: Int, nProbe: Int, m: Int, nCodes: Int,
+                        shortlist: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
 
     // per-subspace codebook from a deterministic corpus sample:
     // (j, code_id, cw, cc=|cw|^2); m * nCodes rows, broadcast

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+import graft.ann.{AnnIndex, Pq}
+
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val v = table("embeddings")
+  private lazy val queries = v.filter(col("vec_id") < 10)
+  private lazy val corpus = v.filter(col("vec_id") >= 10)
+
+  private def dropIndex(name: String): Unit = {
+    Seq("cents", "codebook", "assign", "codes", "vectors").foreach { t =>
+      spark.sql(s"DROP VIEW IF EXISTS ${name}_$t")
+      (0 to 4).foreach { ver =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_${t}_v$ver")
+        // a crashed prior JVM leaves managed-table directories behind
+        // with no catalog entry (in-memory catalog) — remove them or
+        // CTAS fails with LOCATION_ALREADY_EXISTS
+        val loc = new java.io.File(s"spark-warehouse/${name}_${t}_v$ver")
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(loc)
+        }
+      }
+    }
+  }
+
+  override def afterAll(): Unit = {
+    try { dropIndex("aix"); dropIndex("aup") } finally super.afterAll()
+  }
+
+  test("probing a written index equals the direct Pq pipeline exactly") {
+    dropIndex("aix")
+    assert(AnnIndex.write(corpus, "aix", buckets = 4) == 0)
+    val got = AnnIndex.topK(spark, "aix", queries, k = 5)
+      .collect().map(_.toString).sorted
+    val direct = Pq.ivfPqTopK(queries, corpus, k = 5)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(direct),
+      "persistence must change where stages run, not what they compute")
+  }
+
+  test("probe plan: bucketed index scans feed their joins with no Exchange") {
+    // force shuffle joins so the assertion is about bucketing (same
+    // pattern as DedupIndexSpec: a broadcast of the tiny test-sized
+    // side would trivially have no exchange)
+    val conf = spark.conf
+    val oldBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = AnnIndex.topK(spark, "aix", queries, k = 5)
+      def feedsDirectly(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+        case j if j.children.length > 1 => false // join boundary
+        case _ => p.children.exists(feedsDirectly)
+      }
+      val plan = probe.queryExecution.executedPlan
+      assert(plan.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.size >= 3, "expected assign + codes + vectors bucketed scans")
+      val shuffled = plan.collect { case e: Exchange if feedsDirectly(e.child) => e }
+      assert(shuffled.isEmpty, s"index side got re-shuffled:\n${shuffled.mkString("\n")}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
+  test("update: batch joins the index under frozen quantizers, versions advance") {
+    dropIndex("aup")
+    val base = corpus.filter(col("vec_id") >= 110)
+    val batch = corpus.filter(col("vec_id") < 110)
+    assert(AnnIndex.write(base, "aup", buckets = 4) == 0)
+    assert(AnnIndex.update(batch, "aup", buckets = 4) == 1)
+    // all rows present exactly once
+    assert(spark.table("aup_assign").count() == corpus.count())
+    assert(spark.table("aup_vectors").select("neighbor_id").distinct().count()
+      == corpus.count())
+    // a query identical to a batch vector must find it at sim 1.0:
+    // the updated rows are really probed, not just stored
+    val probeVec = batch.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding"))
+    val probeId = probeVec.collect()(0).getLong(0)
+    val got = AnnIndex.topK(spark, "aup",
+      probeVec.select(col("vec_id").as("vec_id"), col("embedding")), k = 1)
+      .collect()(0)
+    assert(got.getLong(2) == probeId && got.getDouble(3) == 1.0,
+      s"expected self-match at sim 1.0, got $got")
+    // old version retained for in-flight readers, v-2 dropped
+    assert(spark.catalog.tableExists("aup_assign_v0"))
+  }
+}

@@ -22,8 +22,12 @@ class EntryPlanSpec extends SparkSpec {
   // e5's products are corpus×constant-centroids (the IVF assignment)
   // and query×constant-codebook (the ADC table build) — both |rows|×O(1);
   // the corpus-wide scoring join itself is an equi-join on codes.
+  // e5b composes e4's training pass with e5's search (same exemptions);
+  // e6 probes the persisted form of e5's index (query×constant-codebook
+  // ADC table is its only product — AnnIndexSpec asserts the bucketed
+  // probe plan directly).
   private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e3b_knn_ivf_trained",
-    "e4_kmeans", "e5_knn_ivfpq")
+    "e4_kmeans", "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -43,7 +47,8 @@ class EntryPlanSpec extends SparkSpec {
     // would ship every row across the wire)
     Seq("b2_dedup_latest", "g8_ingestion_log", "g13_salted_agg",
         "g4_measure_pack", "e3_knn_ivf", "e3b_knn_ivf_trained",
-        "e5_knn_ivfpq").foreach { name =>
+        "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index")
+      .foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("partial_"), s"$name shows no partial aggregation")

@@ -63,6 +63,20 @@ class PqSpec extends SparkSpec {
       s"recall ${overlap(pq, brute)} vs IVF's ${overlap(ivf, brute)}")
   }
 
+  test("trained-centroid overload: k exact-sim rows per query") {
+    val trained = Pq.ivfPqTopK(queries, corpus, k = 5,
+      centroids = graft.ann.KMeans.lloyd(corpus, k = 8, iters = 2),
+      nProbe = 2, m = 4, nCodes = 16, shortlist = 100, dim = 64).cache()
+    val byQuery = trained.collect().groupBy(_.getLong(0))
+    assert(byQuery.size == queries.count())
+    assert(byQuery.values.forall(_.length == 5))
+    // sims are true cosines here too
+    val brute = Knn.bruteForceTopK(queries, corpus, k = 200)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    val joined = trained.join(brute, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("bsim").isNull || col("sim") =!= col("bsim")).count() == 0)
+  }
+
   test("deterministic across runs") {
     val a = pq.collect().map(_.toString).sorted
     val b = Pq.ivfPqTopK(queries, corpus, k = 5).collect().map(_.toString).sorted
