@@ -139,6 +139,13 @@ object LlmEntry {
       Sampling.withSplit(t(s, dir, "documents"), col("doc_id"))
         .groupBy("split").agg(count(lit(1)).as("n_docs"))),
 
+    "x5_exact_k_sample" -> ((s, dir) =>
+      // exactly-k-per-stratum eval carving: k-minwise hash sample via
+      // the bounded-heap aggregate (partial-aggregating, vs the naive
+      // full-shuffle row_number window)
+      Sampling.exactKPerStratum(t(s, dir, "documents"),
+        col("source"), col("doc_id"), k = 7)),
+
     "x4_zorder" -> ((s, dir) => {
       // Morton z-value over (l_partkey, l_suppkey) — the layout key
       // operators.Layout.clusterByZ range-shuffles on for multi-dim
@@ -680,6 +687,14 @@ object LlmEntry {
          |            WHEN bkt < 100 THEN 'val' ELSE 'test' END AS split,
          |       count(*) AS n_docs
          |FROM b GROUP BY 1""".stripMargin,
+
+    "x5_exact_k_sample" ->
+      s"""WITH h AS (SELECT source AS stratum, doc_id,
+         |  ${h32Sql("CAST(doc_id AS VARCHAR)")} AS hsh FROM documents)
+         |SELECT stratum, doc_id AS kept_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY stratum
+         |                               ORDER BY hsh, doc_id) AS rn FROM h)
+         |WHERE rn <= 7""".stripMargin,
 
     "x4_zorder" ->
       // bit-for-bit mirror of Layout.zValue: bit i of partkey -> z bit

@@ -76,7 +76,9 @@ object Decontaminate {
     */
   def bloomContaminatedDocs(train: DataFrame, eval: DataFrame,
                             id: Column, text: Column, n: Int = 5,
-                            bits: Int = 1 << 20, hashes: Int = 3): DataFrame = {
+                            bits: Int = 1 << 20, hashes: Int = 3,
+                            storage: org.apache.spark.storage.StorageLevel =
+                              graft.Caching.Default): DataFrame = {
     require(hashes >= 1 && hashes <= BloomA.length, s"1..${BloomA.length} hashes")
     require(bits >= 64 && (bits & (bits - 1)) == 0, "bits must be a power of two >= 64")
     import graft.functions.Hashing
@@ -88,7 +90,11 @@ object Decontaminate {
     // functions overload is literal-only)
     val maskOfP = expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
 
-    val evalSh = eval.select(explode(TextDedup.shingles(text, n)).as("s")).distinct()
+    // read twice (bloom build + exact verify) — cached under the
+    // standard knob; pass StorageLevel.NONE to recompute instead
+    val evalSh = graft.Caching.persisted(
+      eval.select(explode(TextDedup.shingles(text, n)).as("s")).distinct(),
+      storage)
     val bloom = broadcast(evalSh
       .select(explode(array(positions(Hashing.h32(col("s"))): _*)).as("p"))
       .select(word(col("p")).as("word"), maskOfP.as("m"))

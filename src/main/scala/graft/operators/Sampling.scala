@@ -65,6 +65,38 @@ object Sampling {
     df.withColumn("copy_id", explode(sequence(lit(0), copies)))
   }
 
+  /** EXACTLY k rows per stratum, deterministically: the k keys with
+    * the smallest md5 hashes in each group (ties on the key itself).
+    * The fixed-size counterpart of [[stratifiedSample]] — eval-set
+    * carving ("exactly 10k docs per language") needs a count, not a
+    * fraction. Same stability contract: a key's membership changes
+    * only if a smaller-hashed key enters its stratum, so samples drift
+    * minimally (k-minwise) under corpus growth instead of reshuffling.
+    *
+    * Scale shape: one partial-aggregating pass with the bounded-heap
+    * [[graft.functions.TopKPairs]] — each map partition ships at most
+    * k candidates per stratum, where the naive
+    * `row_number().over(partitionBy(stratum).orderBy(hash))` form
+    * shuffles and sorts EVERY row. Output: (stratum, key) rows,
+    * k per stratum (fewer if the stratum is smaller than k). */
+  def exactKPerStratum(df: DataFrame, stratum: Column, key: Column,
+                       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.graft.ColumnBridge
+    // TopKPairs keeps the LARGEST (sim, id) pairs under (sim desc, id
+    // asc); negate the hash so "largest" means smallest-hash-first,
+    // with equal hashes resolved to the smaller key — the same total
+    // order as ORDER BY hash, key
+    val ranked = struct(
+      (-Hashing.h32(key.cast("string"))).cast("double"),
+      key.cast("long"))
+    val top = ColumnBridge.column(graft.functions.TopKPairs(
+      ColumnBridge.expression(ranked), k).toAggregateExpression())
+    df.groupBy(stratum.as("stratum"))
+      .agg(top.as("top"))
+      .select(col("stratum"), explode(col("top.id")).as("kept_id"))
+  }
+
   /** Per-stratum deterministic sampling (data mixing): rows whose
     * `stratum` value appears in `fractions` keep that fraction,
     * everything else keeps `default`. Upsampling beyond 1.0 is out of

@@ -57,6 +57,34 @@ class SamplingPackingSpec extends SparkSpec {
     assert(mixed == expected)
   }
 
+  test("exactKPerStratum: k smallest hashes per group, window-equivalent, stable") {
+    val docs = table("documents")
+    val got = Sampling.exactKPerStratum(docs, col("source"), col("doc_id"), k = 7)
+      .as[(String, Long)].collect().toSet
+    // equals the naive window form on the same total order
+    val h = graft.functions.Hashing.h32(col("doc_id").cast("string"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(h, col("doc_id"))
+    val ref = docs.select(col("source"), col("doc_id"),
+        row_number().over(win).as("rn"))
+      .filter(col("rn") <= 7).select(col("source"), col("doc_id"))
+      .as[(String, Long)].collect().toSet
+    assert(got == ref)
+    assert(got.groupBy(_._1).values.forall(_.size == 7))
+    // k-minwise stability: growing the corpus never evicts more than
+    // the newly-dominated tail — the k=7 sample of a superset agrees
+    // with the k=7 sample of the subset on every key whose hash beats
+    // the subset's 7th
+    val subset = Sampling.exactKPerStratum(
+      docs.filter(col("doc_id") % 3 =!= 0), col("source"), col("doc_id"), k = 7)
+      .as[(String, Long)].collect().toSet
+    assert(got.intersect(subset).size >= 1, "samples should overlap")
+    // partial aggregation (the scale contract vs the window form)
+    val plan = Sampling.exactKPerStratum(docs, col("source"), col("doc_id"), k = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
   test("upsample: whole copies for all, extra copy for the hash-selected slice") {
     val docs = table("documents")
     val up = Sampling.upsample(docs, col("doc_id"), 1.5)
