@@ -36,6 +36,37 @@ class AnnIndexSpec extends SparkSpec {
     try { dropIndex("aix"); dropIndex("aup") } finally super.afterAll()
   }
 
+  test("streaming probe: streamed queries equal the batch topK, restart-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    dropIndex("asx")
+    AnnIndex.write(corpus, "asx", buckets = 4)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ann-snap").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-ckpt").toString
+      val qVecs = queries.select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val in = MemoryStream[(Long, Seq[Float])]
+      in.addData(qVecs.take(5).toSeq)
+      def start() = graft.streaming.AnnStream.run(
+        in.toDF().toDF("vec_id", "embedding"), "asx", dir, ckpt, k = 5)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // restart from the checkpoint with the remaining queries
+      in.addData(qVecs.drop(5).toSeq)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = graft.sources.SnapshotStore.read(spark, dir).get
+        .select("query_id", "rank", "neighbor_id", "sim")
+        .collect().map(_.toString).sorted
+      val batch = AnnIndex.topK(spark, "asx", queries, k = 5)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(batch),
+        "streamed probes across a restart must equal one batch probe")
+    } finally dropIndex("asx")
+  }
+
   test("probing a written index equals the direct Pq pipeline exactly") {
     dropIndex("aix")
     assert(AnnIndex.write(corpus, "aix", buckets = 4) == 0)
