@@ -24,8 +24,10 @@ import graft.functions.Vectors
   *    the candidate join reads it pre-partitioned
   *  - `<name>_codes`    (neighbor_id, j, code)  — bucketed by
   *    neighbor_id: the ADC scoring join reads it pre-partitioned
-  *  - `<name>_vectors`  (neighbor_id, ce, cn)   — bucketed by
-  *    neighbor_id: the exact re-rank fetches only |Q| x shortlist rows
+  *  - `<name>_vectors`  (neighbor_id, emb float[], cn) — bucketed by
+  *    neighbor_id: the exact re-rank fetches only |Q| x shortlist
+  *    rows. Stored as the source floats (half the bytes of the
+  *    double-cast working form; the cast back is exact)
   *
   * [[update]] encodes an incoming batch with the STORED quantizers
   * (map-only over the batch) and upserts — the index stays coherent
@@ -125,9 +127,16 @@ object AnnIndex {
     val bCents = broadcast(cents)
     val bCb = broadcast(cb)
     commit(spark, name, v, cents, cb,
-      assign(c, bCents), encode(c, bCb), c, buckets)
+      assign(c, bCents), encode(c, bCb), storedVectors(corpus), buckets)
     v
   }
+
+  /** The float-typed persisted form of the re-rank table: source
+    * embedding + precomputed norm (norm math happens in double, so the
+    * stored cn equals the working form's). */
+  private def storedVectors(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .withColumn("cn", Vectors.norm(Vectors.asDouble(col("embedding"))))
 
   /** Encode an incoming batch with the STORED quantizers and upsert it
     * (keyed on neighbor_id) — O(batch) compute, one index rewrite
@@ -146,7 +155,7 @@ object AnnIndex {
         Seq("neighbor_id")),
       Merge.upsert(spark.table(s"${name}_codes_v$v"), encode(inc, cb),
         Seq("neighbor_id", "j")),
-      Merge.upsert(spark.table(s"${name}_vectors_v$v"), inc,
+      Merge.upsert(spark.table(s"${name}_vectors_v$v"), storedVectors(incoming),
         Seq("neighbor_id")),
       buckets)
     v + 1
@@ -187,7 +196,10 @@ object AnnIndex {
       .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
     val scored = short
       .join(q.select("query_id", "qe", "qn"), "query_id")
-      .join(spark.table(s"${name}_vectors"), "neighbor_id")
+      .join(spark.table(s"${name}_vectors")
+        .select(col("neighbor_id"),
+          Vectors.asDouble(col("embedding")).as("ce"), col("cn")),
+        "neighbor_id")
       .withColumn("sim",
         round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     Knn.rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
