@@ -97,4 +97,25 @@ class KernelPropertiesSpec extends AnyFunSuite {
       TextKernels.simHash64(arr(words)).toString == expect
     })
   }
+
+  test("BitSpread: 2-dim Morton interleave round-trips and orders by quadrant") {
+    def unspread(z: Long, stride: Int, bits: Int): Long = {
+      var x = 0L
+      for (i <- 0 until bits) x |= ((z >>> (i * stride)) & 1L) << i
+      x
+    }
+    check(Prop.forAll(
+      Gen.chooseNum(0L, (1L << 16) - 1), Gen.chooseNum(0L, (1L << 16) - 1)) {
+      (x, y) =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val zx = BitSpread(Literal(x), 2, 16).eval(null).asInstanceOf[Long]
+        val zy = BitSpread(Literal(y), 2, 16).eval(null).asInstanceOf[Long]
+        val z = zx | (zy << 1)
+        // bijective: both coordinates recover exactly
+        unspread(z, 2, 16) == x && unspread(z >>> 1, 2, 16) == y &&
+          // top two z bits are exactly the two coordinates' top bits —
+          // the quadrant-contiguity property file skipping relies on
+          (z >>> 30) == (((y >>> 15) << 1) | (x >>> 15))
+    })
+  }
 }
