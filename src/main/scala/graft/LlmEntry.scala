@@ -256,8 +256,11 @@ object LlmEntry {
           }
         }
       }
-      AnnIndex.write(v.filter(col("vec_id") >= 110), "e6ix")
-      AnnIndex.update(v.filter(col("vec_id") >= 10 && col("vec_id") < 110), "e6ix")
+      // buckets sized to the test-SF corpus (the deploy knob scales
+      // with corpus size; results are bucket-count independent)
+      AnnIndex.write(v.filter(col("vec_id") >= 110), "e6ix", buckets = 8)
+      AnnIndex.update(v.filter(col("vec_id") >= 10 && col("vec_id") < 110),
+        "e6ix", buckets = 8)
       AnnIndex.topK(s, "e6ix", v.filter(col("vec_id") < 10), k = 5)
         .withColumnRenamed("rank", "rnk")
     }),
