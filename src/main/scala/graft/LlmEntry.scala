@@ -139,6 +139,11 @@ object LlmEntry {
       Sampling.withSplit(t(s, dir, "documents"), col("doc_id"))
         .groupBy("split").agg(count(lit(1)).as("n_docs"))),
 
+    "t11_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+        .select("doc_id", "token_entropy")),
+
     "x5_exact_k_sample" -> ((s, dir) =>
       // exactly-k-per-stratum eval carving: k-minwise hash sample via
       // the bounded-heap aggregate (partial-aggregating, vs the naive
@@ -690,6 +695,20 @@ object LlmEntry {
          |            WHEN bkt < 100 THEN 'val' ELSE 'test' END AS split,
          |       count(*) AS n_docs
          |FROM b GROUP BY 1""".stripMargin,
+
+    "t11_token_entropy" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(tk) AS tok
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
+         |cnt AS (SELECT doc_id, tok, count(*) AS n_t FROM toks GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(sum(n_t) AS DOUBLE) AS n_doc FROM cnt GROUP BY 1),
+         |terms AS (SELECT doc_id,
+         |    round(-(CAST(n_t AS DOUBLE)/n_doc) * log2(CAST(n_t AS DOUBLE)/n_doc), 7) AS term
+         |  FROM cnt JOIN tot USING (doc_id)),
+         |e AS (SELECT doc_id,
+         |    CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS token_entropy
+         |  FROM terms GROUP BY 1)
+         |SELECT d.doc_id, coalesce(e.token_entropy, 0.0) AS token_entropy
+         |FROM documents d LEFT JOIN e USING (doc_id)""".stripMargin,
 
     "x5_exact_k_sample" ->
       s"""WITH h AS (SELECT source AS stratum, doc_id,

@@ -128,6 +128,42 @@ object TextAnalysis {
     ColumnBridge.column(graft.functions.WordShingles(
       ColumnBridge.expression(text), n))
 
+  /** Per-document token-distribution Shannon entropy (bits):
+    * -Σ (n_t/N) log2(n_t/N) over each doc's distinct tokens — the
+    * repetitiveness signal [[repetitionFeatures]]' duplicate fractions
+    * approximate: spam/boilerplate concentrates mass on few tokens
+    * (entropy → 0), natural prose approaches log2(N). Empty docs → 0.
+    *
+    * Shape: explode → count shuffle keyed (doc_id, token) with
+    * map-side combine → per-doc window total (second doc_id shuffle;
+    * the closing aggregation reuses that partitioning). Cross-engine
+    * determinism: each token's term is rounded to 7 dp (coarse enough
+    * that a last-ulp log2 divergence between engines cannot flip the
+    * rounding) and summed as DECIMAL(28,12) — order-independent — and
+    * the EXACT decimal sum is cast to double with NO further rounding:
+    * a second rounding would manufacture true decimal half-points
+    * (7-dp terms sum to an exact 7-dp decimal), where Spark's
+    * string-decimal HALF_UP and an engine rounding the binary double
+    * disagree. Casting the same exact decimal is bit-identical
+    * everywhere.
+    *
+    * Output: (all input columns kept) + token_entropy. */
+  def tokenEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val counts = df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n_t"))
+    val entropy = counts
+      .withColumn("n_doc", sum(col("n_t")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("p", col("n_t").cast(DoubleType) / col("n_doc"))
+      .withColumn("term", round(-col("p") * log2(col("p")), 7))
+      .groupBy("doc_id")
+      .agg(sum(col("term").cast("decimal(28,12)")).cast(DoubleType)
+        .as("token_entropy"))
+    df.withColumn("doc_id", id)
+      .join(entropy, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("token_entropy"))
+  }
+
   // --- PII scrubbing ----------------------------------------------------
 
   /** Conservative PII patterns (emails, NNN-NNN-NNNN phones). */

@@ -222,6 +222,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((0.0, 0.0, 0.0)))
   }
 
+  test("token entropy: hand-computed bits; bounded by log2(n_tokens)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b b"),     // p = (.5, .5) -> 1 bit
+      (2L, "a b c d"),     // uniform over 4 -> 2 bits
+      (3L, "a a a a"),     // single token -> 0 bits
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, col("doc_id"), col("text"))
+      .select("doc_id", "token_entropy")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 2.0, 3L -> 0.0, 4L -> 0.0))
+    // on real docs: 0 <= H <= log2(token count), every doc present
+    val docs = table("documents")
+    val h = TextAnalysis.tokenEntropy(docs, col("doc_id"), col("text"))
+    assert(h.count() == docs.count())
+    val viol = h.withColumn("cap", log2(size(TextAnalysis.tokens(col("text"))) + 1))
+      .filter(col("token_entropy") < 0 || col("token_entropy") > col("cap") + 1e-6)
+    assert(viol.count() == 0)
+  }
+
   test("quality features bounded and consistent") {
     val q = TextAnalysis.qualityFeatures(table("documents"), col("text"))
     assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
