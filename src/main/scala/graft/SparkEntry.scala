@@ -82,6 +82,26 @@ object SparkEntry {
           struct(col("l_shipdate"), col("l_linenumber")))
         .select("l_orderkey", "l_linenumber", "l_shipdate")),
 
+    "b2b_dedup_latest_naive" -> ((s, dir) => {
+      // the NAIVE user form of b2 — row_number().over(orderBy desc)
+      // .filter(rn = 1) — shipped through the WindowTopOneRewrite
+      // optimizer rule, which turns it into b2's max_by aggregation
+      // (EntryPlanSpec asserts the executed plan has no Window exec
+      // and partial-aggregates). Proves the rule end-to-end in the
+      // driver's correctness gate, not just in unit specs.
+      if (!s.experimental.extraOptimizations.contains(plans.WindowTopOneRewrite)) {
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.WindowTopOneRewrite
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+        .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    }),
+
     "b3_quality_rules" -> ((s, dir) =>
       QualityRules.withReasons(t(s, dir, "lineitem"), lineitemRules)
         .filter(length(col(QualityRules.ReasonCol)) > 0)
@@ -333,6 +353,15 @@ object SparkEntry {
         |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin,
 
     "b2_dedup_latest" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM (
+        |  SELECT l_orderkey, l_linenumber, l_shipdate,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+
+    // b2b is the rewrite-rule form of b2: identical semantics by the
+    // rule's value-identity contract, so the oracle is b2's
+    "b2b_dedup_latest_naive" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM (
         |  SELECT l_orderkey, l_linenumber, l_shipdate,
         |         row_number() OVER (PARTITION BY l_orderkey

@@ -126,6 +126,18 @@ object WindowTopOneRewrite extends Rule[LogicalPlan] {
       if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic)
     } yield (rn, form)
     safe.map { case (rn, form) =>
+      // Spark's InferWindowGroupLimit may already have inserted a
+      // WindowGroupLimit below the Window (it runs in an earlier
+      // optimizer batch than user-provided rules). Left in place it
+      // forces a per-partition sort AND puts the exchange below the
+      // partial aggregation — the exact costs this rewrite deletes.
+      // Stripping it is value-identical: the limit keeps every rank-1
+      // candidate per (group, partition), and the aggregate picks the
+      // same winner from the full input.
+      val input = w.child match {
+        case wgl: WindowGroupLimit => wgl.child
+        case c => c
+      }
       val ordering = w.orderSpec.map(_.child) match {
         case Seq(single) if !single.nullable => single
         // struct: never null itself, null FIELDS order first — exactly
@@ -136,7 +148,7 @@ object WindowTopOneRewrite extends Rule[LogicalPlan] {
       }
       // one min_by/max_by over the WHOLE row keeps the winner atomic
       // under ordering ties; columns unpack in a Project above
-      val row = CreateStruct(w.child.output)
+      val row = CreateStruct(input.output)
       val winner = Alias(
         (form match {
           case AscForm  => MinBy(row, ordering)
@@ -144,9 +156,9 @@ object WindowTopOneRewrite extends Rule[LogicalPlan] {
         }).toAggregateExpression(),
         "__graft_winner")()
       val groupAttrs = w.partitionSpec.collect { case a: Attribute => a }
-      val agg = Aggregate(w.partitionSpec, groupAttrs :+ winner, w.child)
+      val agg = Aggregate(w.partitionSpec, groupAttrs :+ winner, input)
       val wAttr = winner.toAttribute
-      val unpacked: Seq[NamedExpression] = w.child.output.zipWithIndex.map {
+      val unpacked: Seq[NamedExpression] = input.output.zipWithIndex.map {
         case (a, _) if groupAttrs.exists(_.semanticEquals(a)) => a
         case (a, i) => Alias(
           GetStructField(wAttr, i, Some(a.name)), a.name)(exprId = a.exprId)

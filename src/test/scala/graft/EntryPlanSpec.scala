@@ -45,7 +45,13 @@ class EntryPlanSpec extends SparkSpec {
     // the scale contract's map-side-combine posture: these queries'
     // plans must show partial aggregation (a reducer-only aggregation
     // would ship every row across the wire)
-    Seq("b2_dedup_latest", "g8_ingestion_log", "g13_salted_agg",
+    // b2b additionally proves WindowTopOneRewrite fired: the naive
+    // window query must execute with NO Window exec in its plan
+    val b2b = SparkEntry.queries("b2b_dedup_latest_naive")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!b2b.contains("Window"), s"b2b still plans a Window:\n$b2b")
+    Seq("b2_dedup_latest", "b2b_dedup_latest_naive", "g8_ingestion_log",
+        "g13_salted_agg",
         "g4_measure_pack", "e3_knn_ivf", "e3b_knn_ivf_trained",
         "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index")
       .foreach { name =>
