@@ -128,5 +128,20 @@ class AnnIndexSpec extends SparkSpec {
       s"expected self-match at sim 1.0, got $got")
     // old version retained for in-flight readers, v-2 dropped
     assert(spark.catalog.tableExists("aup_assign_v0"))
+
+    // re-ingest: updating an EXISTING id with a different vector must
+    // REPLACE its index rows (upsert, not append) and be what's probed
+    val donor = base.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    import spark.implicits._
+    val reIngest = Seq((probeId, donor)).toDF("vec_id", "embedding")
+    assert(AnnIndex.update(reIngest, "aup", buckets = 4) == 2)
+    assert(spark.table("aup_vectors")
+      .filter(col("neighbor_id") === probeId).count() == 1)
+    val got2 = AnnIndex.topK(spark, "aup",
+      reIngest.select(col("vec_id"), col("embedding")), k = 1).collect()(0)
+    // the replaced vector now matches its donor's content at sim 1.0
+    // (winner is the smaller of the two identical-vector ids)
+    assert(got2.getDouble(3) == 1.0, s"expected sim 1.0 after re-ingest: $got2")
   }
 }
