@@ -74,8 +74,13 @@ object Pq {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 nCentroids: Int = 16, nProbe: Int = 4,
                 m: Int = 4, nCodes: Int = 16,
-                shortlist: Int = 100, dim: Int = 64): DataFrame = {
-    val c = prep(corpus)
+                shortlist: Int = 100, dim: Int = 64,
+                storage: org.apache.spark.storage.StorageLevel =
+                  graft.Caching.Default): DataFrame = {
+    // the prepped corpus feeds four stages (codebook sample, encoding,
+    // assignment, re-rank fetch) — cached once under the standard
+    // knob; StorageLevel.NONE recomputes (see graft.Caching)
+    val c = graft.Caching.persisted(prep(corpus), storage)
     // coarse quantizer: deterministic sample, broadcast constant
     val cents = broadcast(c.orderBy(sampleOrd: _*).limit(nCentroids)
       .select(col("neighbor_id").as("cent_id"), col("ce").as("cent"),
@@ -97,7 +102,9 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("dv"))
       .select(col("cent_id"), transform(col("dv"), x => x("value")).as("cent"))
       .withColumn("centn", Vectors.norm(col("cent"))))
-    ivfPqCore(queries, prep(corpus), cents, k, nProbe, m, nCodes, shortlist, dim)
+    ivfPqCore(queries,
+      graft.Caching.persisted(prep(corpus), graft.Caching.Default),
+      cents, k, nProbe, m, nCodes, shortlist, dim)
   }
 
   private[ann] def prep(corpus: DataFrame): DataFrame =
@@ -149,9 +156,8 @@ object Pq {
     val assigned = c.join(cents)
       .withColumn("csim", centSim(col("ce"), col("cn")))
       .groupBy("neighbor_id")
-      .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
-        max_by(col("cent_id"),
-          struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id"))
 
     val q = queries.select(col("vec_id").as("query_id"),
       Vectors.asDouble(col("embedding")).as("qe"))
@@ -176,7 +182,7 @@ object Pq {
     // score candidates from codes alone: sum of m exact-decimal lookups
     // approximates <q, x>; vectors do NOT ship through this join
     val adc = probes
-      .join(assigned.select("neighbor_id", "cent_id"), "cent_id")
+      .join(assigned, "cent_id")
       .select("query_id", "neighbor_id")
       .join(codes, "neighbor_id")
       .join(qtab, Seq("query_id", "j", "code"))
@@ -190,7 +196,7 @@ object Pq {
       .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
     val scored = short
       .join(q.select("query_id", "qe", "qn"), "query_id")
-      .join(assigned.select("neighbor_id", "ce", "cn"), "neighbor_id")
+      .join(c.select("neighbor_id", "ce", "cn"), "neighbor_id")
       .withColumn("sim",
         round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     Knn.rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
