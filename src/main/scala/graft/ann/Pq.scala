@@ -102,6 +102,8 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("dv"))
       .select(col("cent_id"), transform(col("dv"), x => x("value")).as("cent"))
       .withColumn("centn", Vectors.norm(col("cent"))))
+    // (no storage knob here: Scala forbids defaults on both overloads;
+    // call clearCache or the base overload for cache control)
     ivfPqCore(queries,
       graft.Caching.persisted(prep(corpus), graft.Caching.Default),
       cents, k, nProbe, m, nCodes, shortlist, dim)

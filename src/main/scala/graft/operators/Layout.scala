@@ -51,9 +51,9 @@ object Layout {
     * `.write.parquet(...)` — one output file per partition. */
   def clusterByZ(df: DataFrame, cols: Seq[Column], numPartitions: Int,
                  bitsPer: Int = 16): DataFrame = {
-    val withZ = df.withColumn("__z", zValue(cols, bitsPer))
-    withZ.repartitionByRange(numPartitions, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    val withZ = df.withColumn("__graft_z", zValue(cols, bitsPer))
+    withZ.repartitionByRange(numPartitions, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
   }
 }
