@@ -9,8 +9,18 @@ import graft.functions.Vectors
   * incrementally. The ANN analogue of the dedup family's persisted
   * band index ([[graft.dedup.TextDedup.writeDedupIndexBucketed]]),
   * sharing its metastore protocol: data lands in versioned tables,
-  * `CREATE OR REPLACE VIEW` is the atomic current pointer,
+  * a single `CREATE OR REPLACE VIEW` is the atomic current pointer,
   * single-writer, one prior version retained for in-flight readers.
+  *
+  * Atomicity: the ONE `<name>_ptr` view (a literal `SELECT v`) is the
+  * only pointer; [[topK]] and [[update]] resolve it once and then read
+  * the five `_<t>_v$v` tables of that pinned version directly, so a
+  * reader planned mid-commit sees a complete version — never a new
+  * codebook with old codes. (Per-table `<name>_<t>` views also exist
+  * as a convenience for ad-hoc SQL, but they are repointed
+  * sequentially and carry no consistency guarantee; anything that
+  * joins across index tables must pin through the ptr as [[topK]]
+  * does.)
   *
   * [[Pq.ivfPqTopK]] re-derives quantizers and re-encodes the corpus on
   * every call — right for one-shot jobs, wrong for a nightly search
@@ -40,12 +50,50 @@ import graft.functions.Vectors
   */
 object AnnIndex {
 
-  private def currentVersion(spark: SparkSession, name: String): Option[Int] = {
-    val pat = (java.util.regex.Pattern.quote(name) + "_cents_v(\\d+)").r
-    val vs = spark.catalog.listTables().collect().map(_.name).collect {
-      case pat(v) => v.toInt
+  private val IndexTables = Seq("cents", "codebook", "assign", "codes", "vectors")
+
+  /** The committed current version, resolved through the single atomic
+    * `<name>_ptr` view (a one-row control-plane read, not a data scan). */
+  def currentVersion(spark: SparkSession, name: String): Option[Int] =
+    if (spark.catalog.tableExists(s"${name}_ptr"))
+      Some(spark.table(s"${name}_ptr").head().getInt(0))
+    else None
+
+  /** The local warehouse directory, derived from
+    * `spark.sql.warehouse.dir` (file-scheme or plain path only —
+    * remote warehouses have no local leftovers to clean). */
+  private def localWarehouseDir(spark: SparkSession): Option[java.io.File] = {
+    val raw = spark.conf.get("spark.sql.warehouse.dir")
+    val uri = new java.net.URI(raw)
+    uri.getScheme match {
+      case null => Some(new java.io.File(raw))
+      case "file" => Some(java.nio.file.Paths.get(uri).toFile)
+      case _ => None
     }
-    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Drop every catalog object and on-disk remnant of index `name`:
+    * the ptr + convenience views, all `_<t>_v<N>` tables, and any
+    * orphaned managed-table directories under the session's warehouse
+    * (a crashed prior JVM leaves directories with no catalog entry —
+    * the in-memory catalog forgets them — and the next `saveAsTable`
+    * then fails with LOCATION_ALREADY_EXISTS). Shared by the shipped
+    * e6 entries and the specs so the cleanup path can't drift. */
+  def drop(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP VIEW IF EXISTS ${name}_ptr")
+    IndexTables.foreach(t => spark.sql(s"DROP VIEW IF EXISTS ${name}_$t"))
+    val pat = (java.util.regex.Pattern.quote(name) +
+      "_(?:" + IndexTables.mkString("|") + ")_v\\d+").r
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(pat.matches(_))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    localWarehouseDir(spark).foreach { wh =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      Option(wh.listFiles())
+        .foreach(_.filter(f => pat.matches(f.getName)).foreach(rm))
+    }
   }
 
   private def centSim(e: Column, n: Column): Column =
@@ -90,13 +138,21 @@ object AnnIndex {
       .write.mode("overwrite")
       .bucketBy(buckets, "neighbor_id").sortBy("neighbor_id")
       .saveAsTable(s"${name}_vectors_v$version")
-    Seq("cents", "codebook", "assign", "codes", "vectors").foreach { t =>
+    // the ONE atomic pointer: everything version-consistent resolves
+    // through this single CREATE OR REPLACE (readers pin a version
+    // before touching any table, so no torn cents/codes mix is
+    // observable even mid-commit)
+    spark.sql(s"CREATE OR REPLACE VIEW ${name}_ptr AS " +
+      s"SELECT $version AS version")
+    // convenience views for ad-hoc SQL over single tables; repointed
+    // AFTER the ptr, sequentially — not a consistency mechanism
+    IndexTables.foreach { t =>
       spark.sql(s"CREATE OR REPLACE VIEW ${name}_$t AS " +
         s"SELECT * FROM ${name}_${t}_v$version")
     }
     // retain exactly one prior version for in-flight readers
     (0 to version - 2).foreach { v =>
-      Seq("cents", "codebook", "assign", "codes", "vectors").foreach { t =>
+      IndexTables.foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS ${name}_${t}_v$v")
       }
     }
@@ -168,8 +224,12 @@ object AnnIndex {
     * key, and only |Q| x shortlist rows of `_vectors` are fetched. */
   def topK(spark: SparkSession, name: String, queries: DataFrame, k: Int,
            nProbe: Int = 4, shortlist: Int = 100): DataFrame = {
-    val cents = broadcast(spark.table(s"${name}_cents"))
-    val cb = broadcast(spark.table(s"${name}_codebook"))
+    // pin ONE version up front and read every table at it — the probe
+    // can never resolve a torn snapshot from a concurrent commit
+    val v = currentVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no ANN index named $name"))
+    val cents = broadcast(spark.table(s"${name}_cents_v$v"))
+    val cb = broadcast(spark.table(s"${name}_codebook_v$v"))
     val q = queries.select(col("vec_id").as("query_id"),
       Vectors.asDouble(col("embedding")).as("qe"))
       .withColumn("qn", Vectors.norm(col("qe")))
@@ -184,9 +244,9 @@ object AnnIndex {
           slice(col("qe"), col("j") * size(col("cw")) + 1, size(col("cw"))),
           col("cw")), 6).as("qdot")))
     val adc = probes
-      .join(spark.table(s"${name}_assign"), "cent_id")
+      .join(spark.table(s"${name}_assign_v$v"), "cent_id")
       .select("query_id", "neighbor_id")
-      .join(spark.table(s"${name}_codes"), "neighbor_id")
+      .join(spark.table(s"${name}_codes_v$v"), "neighbor_id")
       .join(qtab, Seq("query_id", "j", "code"))
       .groupBy("query_id", "neighbor_id")
       .agg(round(sum(col("qdot").cast("decimal(28,12)")).cast("double"), 6)
@@ -196,7 +256,7 @@ object AnnIndex {
       .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
     val scored = short
       .join(q.select("query_id", "qe", "qn"), "query_id")
-      .join(spark.table(s"${name}_vectors")
+      .join(spark.table(s"${name}_vectors_v$v")
         .select(col("neighbor_id"),
           Vectors.asDouble(col("embedding")).as("ce"), col("cn")),
         "neighbor_id")

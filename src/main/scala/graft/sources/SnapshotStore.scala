@@ -37,6 +37,21 @@ object SnapshotStore {
   def read(spark: SparkSession, dir: String): Option[DataFrame] =
     currentVersion(dir).map(v => spark.read.parquet(s"$dir/v=$v"))
 
+  /** Time-travel read of a retained `version` — the `versionAsOf`
+    * analog of the Delta tables this store stands in for (debugging a
+    * bad MERGE batch in the nightly loop means diffing v against v-1).
+    * None if the version was never committed, is ahead of the current
+    * pointer (a concurrent writer may have its data files down but the
+    * commit not yet published), or has been pruned by [[compact]]'s
+    * retention window. */
+  def readVersion(spark: SparkSession, dir: String, version: Int): Option[DataFrame] =
+    currentVersion(dir) match {
+      case Some(cur) if version >= 0 && version <= cur &&
+          Files.isDirectory(Paths.get(dir, s"v=$version")) =>
+        Some(spark.read.parquet(s"$dir/v=$version"))
+      case _ => None
+    }
+
   /** Write `df` as the next version and atomically move the pointer. */
   def commit(df: DataFrame, dir: String): Int = {
     val next = currentVersion(dir).getOrElse(-1) + 1

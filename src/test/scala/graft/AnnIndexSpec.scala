@@ -13,24 +13,9 @@ class AnnIndexSpec extends SparkSpec {
   private lazy val queries = v.filter(col("vec_id") < 10)
   private lazy val corpus = v.filter(col("vec_id") >= 10)
 
-  private def dropIndex(name: String): Unit = {
-    Seq("cents", "codebook", "assign", "codes", "vectors").foreach { t =>
-      spark.sql(s"DROP VIEW IF EXISTS ${name}_$t")
-      (0 to 4).foreach { ver =>
-        spark.sql(s"DROP TABLE IF EXISTS ${name}_${t}_v$ver")
-        // a crashed prior JVM leaves managed-table directories behind
-        // with no catalog entry (in-memory catalog) — remove them or
-        // CTAS fails with LOCATION_ALREADY_EXISTS
-        val loc = new java.io.File(s"spark-warehouse/${name}_${t}_v$ver")
-        if (loc.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(loc)
-        }
-      }
-    }
-  }
+  // shared cleanup (handles orphaned warehouse dirs from crashed JVMs
+  // and derives the warehouse path from the session conf)
+  private def dropIndex(name: String): Unit = AnnIndex.drop(spark, name)
 
   override def afterAll(): Unit = {
     try { dropIndex("aix"); dropIndex("aup") } finally super.afterAll()
@@ -128,6 +113,16 @@ class AnnIndexSpec extends SparkSpec {
       s"expected self-match at sim 1.0, got $got")
     // old version retained for in-flight readers, v-2 dropped
     assert(spark.catalog.tableExists("aup_assign_v0"))
+    // the single atomic pointer resolves the committed version, and
+    // the probe reads every table AT that pinned version (no mixed
+    // resolution through per-table views)
+    assert(AnnIndex.currentVersion(spark, "aup").contains(1))
+    val probePlan = AnnIndex.topK(spark, "aup", probeVec, k = 1)
+      .queryExecution.analyzed.toString
+    Seq("assign", "codes", "vectors").foreach { t =>
+      assert(probePlan.contains(s"aup_${t}_v1"),
+        s"probe does not read aup_${t}_v1:\n$probePlan")
+    }
 
     // re-ingest: updating an EXISTING id with a different vector must
     // REPLACE its index rows (upsert, not append) and be what's probed

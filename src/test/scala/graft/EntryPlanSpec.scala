@@ -26,8 +26,11 @@ class EntryPlanSpec extends SparkSpec {
   // e6 probes the persisted form of e5's index (query×constant-codebook
   // ADC table is its only product — AnnIndexSpec asserts the bucketed
   // probe plan directly).
+  // e6b is e6's steady-state probe (same query×constant-codebook ADC
+  // product; AnnIndexSpec asserts the bucketed probe plan directly).
   private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e3b_knn_ivf_trained",
-    "e4_kmeans", "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index")
+    "e4_kmeans", "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",
+    "e6b_ann_probe")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -53,7 +56,8 @@ class EntryPlanSpec extends SparkSpec {
     Seq("b2_dedup_latest", "b2b_dedup_latest_naive", "g8_ingestion_log",
         "g13_salted_agg",
         "g4_measure_pack", "e3_knn_ivf", "e3b_knn_ivf_trained",
-        "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index")
+        "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",
+        "e6b_ann_probe")
       .foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

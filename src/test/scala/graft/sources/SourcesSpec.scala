@@ -105,6 +105,33 @@ class TablesSpec extends SparkSpec {
     assert(dirs.toSeq == Seq("v=1", "v=2"), s"old versions pruned, got ${dirs.toSeq}")
   }
 
+  test("readVersion: time-travel to a retained version, retention respected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-timetravel").toString
+    // no commits yet: nothing to read at any version
+    assert(SnapshotStore.readVersion(spark, dir, 0).isEmpty)
+    SnapshotStore.mergeInto(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, Seq("id"))
+    SnapshotStore.mergeInto(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), dir, Seq("id"))
+    // v-1 is the pre-MERGE state — diffing a bad batch reads this
+    val v0 = SnapshotStore.readVersion(spark, dir, 0).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v0 == Set((1L, "a"), (2L, "b")))
+    val v1 = SnapshotStore.readVersion(spark, dir, 1).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v1 == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // ahead of the pointer and negative: not readable
+    assert(SnapshotStore.readVersion(spark, dir, 2).isEmpty)
+    assert(SnapshotStore.readVersion(spark, dir, -1).isEmpty)
+    // compaction prunes versions behind the retained window: v0 gone,
+    // the retained v1 still time-travels, the compacted v2 reads
+    assert(SnapshotStore.compact(spark, dir, numFiles = 1, retain = 1).contains(2))
+    assert(SnapshotStore.readVersion(spark, dir, 0).isEmpty)
+    assert(SnapshotStore.readVersion(spark, dir, 1).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == v1)
+    assert(SnapshotStore.readVersion(spark, dir, 2).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == v1)
+  }
+
   test("mergeInto survives schema evolution: batch gains a column") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
