@@ -88,11 +88,13 @@ object SparkEntry {
       // optimizer rule, which turns it into b2's max_by aggregation
       // (EntryPlanSpec asserts the executed plan has no Window exec
       // and partial-aggregates). Proves the rule end-to-end in the
-      // driver's correctness gate, not just in unit specs.
-      if (!s.experimental.extraOptimizations.contains(plans.WindowTopOneRewrite)) {
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ plans.WindowTopOneRewrite
-      }
+      // driver's correctness gate, not just in unit specs. The rule is
+      // registered once at session build (GraftExtensions, wired into
+      // the Verify/Bench/Profile mains and the spec session) — NOT
+      // mutated into the session here, so running one query never
+      // silently changes another's plan; without the registration the
+      // query still returns identical rows, just through the window
+      // plan.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_orderkey"))
         .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
@@ -227,21 +229,49 @@ object SparkEntry {
         count(lit(1)).as("n_customers"),
         Measures.decAvg(col("c_acctbal")).as("avg_acctbal"))),
 
-    "g14b_sketch_percentiles" -> ((s, dir) =>
+    "g14b_sketch_percentiles" -> ((s, dir) => {
       // GK-sketch form of g9's exact percentiles — bounded per-partition
       // summaries instead of a per-group sort. Rows-only at the driver
-      // (sketches aren't cross-engine); MeasuresSpec gates rank error.
-      Measures.approxPercentiles(t(s, dir, "orders"),
-        col("o_orderstatus"), col("o_totalprice"), Seq(0.5, 0.9, 0.99))),
+      // (sketches aren't cross-engine), so the row itself carries the
+      // evidence: exact percentiles bracketing each prob by ±0.01 rank
+      // (generous vs the 1/accuracy = 1e-4 GK bound) and a boolean
+      // per prob that must be true. The exact leg exists only as the
+      // checkable invariant — production uses approxPercentiles alone.
+      val ap = Measures.approxPercentiles(t(s, dir, "orders"),
+        col("o_orderstatus"), col("o_totalprice"), Seq(0.5, 0.9, 0.99))
+      val ex = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("grp"))
+        .agg(expr("percentile(o_totalprice, array(0.49, 0.51, 0.89, 0.91, 0.98, 1.0))")
+          .as("exb"))
+      ap.join(ex, "grp").select(
+        col("grp"), col("p50"), col("p90"), col("p99"),
+        col("p50").between(col("exb")(0), col("exb")(1)).as("p50_ok"),
+        col("p90").between(col("exb")(2), col("exb")(3)).as("p90_ok"),
+        col("p99").between(col("exb")(4), col("exb")(5)).as("p99_ok"))
+    }),
 
     "g14_sketch_distinct" -> ((s, dir) => {
       // HLL++ sketch form of the distinct-count measures — the 100 TB
       // path (fixed-size registers instead of shuffling every value).
       // No DuckDB oracle: HLL estimates aren't cross-engine; the driver
-      // records rows/schema and MeasuresSpec gates the error vs exact.
+      // records rows/schema, and the row carries its own evidence —
+      // the exact counts plus |approx-exact|/exact <= 3*rsd booleans
+      // that must be true (MeasuresSpec gates the same bound). The
+      // exact leg is the invariant, not the operator: production uses
+      // approxDistinctPack alone.
       val o = t(s, dir, "orders").join(t(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
-      Measures.approxDistinctPack(o, col("o_custkey"), col("l_suppkey"))
+      o.agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("unique_patients"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("unique_providers"),
+          countDistinct(col("o_custkey")).as("exact_patients"),
+          countDistinct(col("l_suppkey")).as("exact_providers"))
+        .withColumn("patients_within_bound",
+          abs(col("unique_patients") - col("exact_patients"))
+            <= col("exact_patients") * 0.06)
+        .withColumn("providers_within_bound",
+          abs(col("unique_providers") - col("exact_providers"))
+            <= col("exact_providers") * 0.06)
     }),
 
     "g5_measures_by_dim" -> ((s, dir) =>
@@ -264,6 +294,27 @@ object SparkEntry {
 
     "g7_topn" -> ((s, dir) =>
       Measures.topN(t(s, dir, "orders"), col("o_custkey"), col("o_totalprice"), 10)),
+
+    "g7b_topn_naive" -> ((s, dir) => {
+      // the NAIVE user form of g7 — the reference's top-N visual idiom
+      // (Health report top-10 providers) written as row_number over a
+      // GLOBAL window ordered (total desc, key asc), filter rn <= 10.
+      // Mixed directions and no partition keys, so neither the min_by
+      // form nor InferWindowGroupLimit's sort-then-limit shape removes
+      // the single-partition sort; WindowTopOneRewrite's TopKRows path
+      // plans an ungrouped bounded-heap aggregate instead (at most 10
+      // rows per mapper cross the wire, nothing sorts) and posexplodes
+      // the winners. EntryPlanSpec asserts no Window exec + partial
+      // aggregation; semantics == g7, so it shares g7's oracle.
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("total").desc, col("key").asc)
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key"))
+        .agg(Measures.decSum(col("o_totalprice")).as("total"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("key", "total")
+    }),
 
     "g9_percentile" -> ((s, dir) =>
       // exact linear-interpolation percentiles (R-7, same definition
@@ -552,6 +603,14 @@ object SparkEntry {
         |FROM cur c LEFT JOIN monthly l ON l.yr = c.yr - 1 AND l.mo = c.mo""".stripMargin,
 
     "g7_topn" ->
+      """SELECT o_custkey AS key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total DESC, key ASC LIMIT 10""".stripMargin,
+
+    // g7b is the rewrite-rule form of g7: identical semantics by the
+    // rule's value-identity contract, so the oracle is g7's
+    "g7b_topn_naive" ->
       """SELECT o_custkey AS key,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey

@@ -4,60 +4,67 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StructType}
 
-/** Optimizer rule: rewrite the latest-per-key idiom
+import graft.functions.TopKRows
+
+/** Optimizer rule: rewrite the ranked-window filter idiom
   *
   *   df.withColumn("rn", row_number().over(Window.partitionBy(k).orderBy(o)))
-  *     .filter($"rn" === 1)
+  *     .filter($"rn" === 1)            // latest-per-key
+  *     .filter($"rn" <= 10)            // top-N-per-key
   *
-  * into a `min_by` (all keys `asc()`) or `max_by` (all keys `desc()` —
-  * the reference's own latest-per-key idiom,
-  * NBclaims_bronze.Notebook/notebook-content.py:123-131 orders
-  * `desc("IngestionTimestamp")`) aggregation over the ordering tuple.
-  * The window form
-  * shuffles EVERY row to its key's reducer and sorts each group; the
-  * aggregate form partial-aggregates map-side, so one row per (key,
-  * partition) crosses the wire and nothing sorts — the rewrite graft
-  * applies by hand in its own queries (Dedup.latestByKeyAgg,
-  * measured 2.5s → 0.6s on the b2 bench; the ingestion-log bucketing
-  * commit repeats it), offered automatically to naive user queries.
+  * into a partial-aggregating form with NO window exec:
   *
-  * Why top-1 only, not `rn <= k`: Spark's own InferWindowGroupLimit
-  * (SPARK-37099) already plans `rn <= k` well — measured on 4.1, a
-  * `WindowGroupLimit ... Partial` runs BEFORE the exchange, so at
-  * most k rows per (group, mapper) cross the shuffle; what remains is
-  * a full mapper-local sort feeding the partial limit and the final
-  * sort + Window exec. A generic k>1 rewrite would need a bounded-heap
-  * aggregate over arbitrary row types — interpreted orderings plus
-  * buffer serde per row — trading a codegen'd sort for slower
-  * per-row work; that only wins for typed hot paths, which is exactly
-  * what [[graft.functions.TopKPairs]] covers for (score, id) top-k.
-  * Top-1 is different: min_by/max_by partial-aggregates with NO
-  * mapper-local sort at all, a strict improvement the built-in never
-  * produces.
+  *  - `rn = 1` with uniform key directions becomes `min_by` (all keys
+  *    `asc()`) or `max_by` (all keys `desc()` — the reference's own
+  *    latest-per-key idiom, NBclaims_bronze.Notebook/
+  *    notebook-content.py:123-131 orders `desc("IngestionTimestamp")`)
+  *    over the whole-row struct: codegen'd, map-side partials, one row
+  *    per (key, partition) crosses the wire, nothing sorts (the
+  *    rewrite graft applies by hand in Dedup.latestByKeyAgg — measured
+  *    2.5s → 0.6s on the b2 bench — offered automatically to naive
+  *    user queries).
+  *  - `rn <= k` (and `rn = 1` shapes min_by can't encode: mixed
+  *    directions, non-default null orderings, partition-less windows)
+  *    becomes the bounded-heap [[TopKRows]] aggregate + posexplode,
+  *    rebuilding `rn` as position+1. Each map partition ships at most
+  *    k rows per group where the window form shuffles and sorts EVERY
+  *    row; Spark's own InferWindowGroupLimit (SPARK-37099) bounds the
+  *    shuffle to k rows per (group, mapper) too, but only after a full
+  *    mapper-local SORT, and it still sorts and windows after the
+  *    exchange. The aggregate form deletes both sorts at the price of
+  *    interpreted per-row ordering eval — the right trade for the
+  *    top-N-per-key reporting shape (Health report top-10 providers;
+  *    g7's shape at Measures.topN), where k is small and rows are wide.
   *
-  * Fires only when the rewrite is provably value-identical:
-  *  - a lone `row_number()` window expression, filtered to exactly 1
-  *    (`rn = 1` / `1 = rn`), partition keys may be any deterministic
-  *    expressions;
-  *  - every ORDER BY key is ascending NULLS FIRST (the asc() default,
-  *    → min_by) or every key is descending NULLS LAST (the desc()
-  *    default, → max_by), all deterministic; mixed directions or the
-  *    non-default null orderings bail. Nullable keys are safe: the
-  *    ordering tuple is wrapped in a struct — a struct literal is never
-  *    null (so min_by/max_by never discards a row) and Spark's struct
+  * Value identity:
+  *  - a lone `row_number()` window expression, filtered to a literal
+  *    rank prefix (`rn = 1`, `rn <= k`, `rn < k`, and flipped forms);
+  *    partition keys may be any deterministic expressions (the
+  *    TopKRows path also allows an EMPTY partition list: the ungrouped
+  *    aggregate emits one array row and posexplode of an empty array
+  *    emits nothing, so empty input yields empty output — the min_by
+  *    path must keep requiring a partition, since an ungrouped min_by
+  *    would fabricate an all-null row there);
+  *  - min_by/max_by path: every ORDER BY key ascending NULLS FIRST
+  *    (asc() default, → min_by) or every key descending NULLS LAST
+  *    (desc() default, → max_by). Nullable keys are safe: the ordering
+  *    tuple is wrapped in a struct — a struct literal is never null
+  *    (so min_by/max_by never discards a row) and Spark's struct
   *    comparison orders null fields first, which IS asc_nulls_first
-  *    under min and desc_nulls_last under max;
-  *  - ties: row_number picks a partition-order-dependent winner; so
-  *    does min_by/max_by. The rewrite preserves the set of admissible
-  *    winners, exactly like Spark's own exchange-reuse under ties. The
-  *    winner is carried as ONE min_by/max_by over a struct of the full
-  *    row — per-column aggregates would tear tied rows (each column
-  *    from a different tied row), fabricating rows that never existed.
+  *    under min and desc_nulls_last under max. TopKRows carries the
+  *    per-key direction and null ordering explicitly through
+  *    Catalyst's InterpretedOrdering, so any combination is exact;
+  *  - ties: row_number picks a partition-order-dependent winner; so do
+  *    min_by/max_by and TopKRows' boundary eviction. The rewrite
+  *    preserves the set of admissible winners, exactly like Spark's
+  *    own exchange-reuse under ties. Winners are carried as whole-row
+  *    structs — per-column aggregates would tear tied rows.
   *
-  * The filtered `rn` column itself is rebuilt as literal 1 under its
-  * original exprId, so projections above the filter keep resolving.
+  * The filtered `rn` column is rebuilt under its original exprId
+  * (literal 1, or posexplode position + 1), so projections above the
+  * filter keep resolving.
   *
   * Register with `spark.sql.extensions=graft.GraftExtensions` or
   * `spark.experimental.extraOptimizations ++= Seq(WindowTopOneRewrite)`.
@@ -91,10 +98,21 @@ object WindowTopOneRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def filtersToOne(cond: Expression, rn: Attribute): Boolean = cond match {
-    case EqualTo(a: Attribute, Literal(1, IntegerType)) => a.semanticEquals(rn)
-    case EqualTo(Literal(1, IntegerType), a: Attribute) => a.semanticEquals(rn)
-    case _ => false
+  /** The rank-prefix size a filter keeps, if it is one of the literal
+    * prefix shapes over `rn`. (`rn = k` for k > 1 selects a single
+    * interior rank, not a prefix — no rewrite.) */
+  private def filterLimit(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case EqualTo(a: Attribute, Literal(1, IntegerType)) if a.semanticEquals(rn) => Some(1)
+    case EqualTo(Literal(1, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(1)
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rn) => Some(k)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rn) => Some(k - 1)
+    case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) => Some(k - 1)
+    case _ => None
   }
 
   /** The two rank orders a struct-comparison aggregate can reproduce
@@ -102,68 +120,120 @@ object WindowTopOneRewrite extends Rule[LogicalPlan] {
     * under min that ranks nulls first — asc_nulls_first, the `asc()`
     * default; under max nulls lose to every non-null — desc_nulls_last,
     * the `desc()` default. Mixed directions or the non-default null
-    * orderings have no struct-monotone encoding, so the rule bails. */
+    * orderings have no struct-monotone encoding — those fall through
+    * to the TopKRows path, which carries orderings explicitly. */
   private sealed trait Form
   private case object AscForm extends Form
   private case object DescForm extends Form
 
   private def formOf(orderSpec: Seq[SortOrder]): Option[Form] =
-    if (!orderSpec.forall(_.child.deterministic)) None
-    else if (orderSpec.forall(so =>
+    if (orderSpec.forall(so =>
       so.direction == Ascending && so.nullOrdering == NullsFirst)) Some(AscForm)
     else if (orderSpec.forall(so =>
       so.direction == Descending && so.nullOrdering == NullsLast)) Some(DescForm)
     else None
 
-  private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
-    val safe = for {
+  /** Spark's InferWindowGroupLimit may already have inserted a
+    * WindowGroupLimit below the Window (it runs in an earlier
+    * optimizer batch than user-provided rules). Left in place it
+    * forces a per-partition sort AND puts the exchange below the
+    * partial aggregation — the exact costs this rewrite deletes.
+    * Stripping is value-identical ONLY when the limit provably keeps
+    * every rank-prefix candidate of THIS window: same partition and
+    * order spec, a rank-like function whose prefix contains
+    * row_number's (RowNumber exactly; Rank keeps a superset under
+    * ties), and a limit of at least k. Anything else stays in place —
+    * a foreign-but-matching-input limit below the aggregate is still
+    * value-identical because the original Window consumed its output
+    * too; it just isn't ours to delete. */
+  private def stripLimit(w: Window, k: Int): LogicalPlan = w.child match {
+    case wgl: WindowGroupLimit
+        if wgl.limit >= k &&
+          wgl.partitionSpec.length == w.partitionSpec.length &&
+          wgl.partitionSpec.zip(w.partitionSpec)
+            .forall { case (a, b) => a.semanticEquals(b) } &&
+          wgl.orderSpec.length == w.orderSpec.length &&
+          wgl.orderSpec.zip(w.orderSpec)
+            .forall { case (a, b) => a.semanticEquals(b) } &&
+          (wgl.rankLikeFunction.isInstanceOf[RowNumber] ||
+            wgl.rankLikeFunction.isInstanceOf[Rank]) =>
+      wgl.child
+    case c => c
+  }
+
+  private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] =
+    for {
       rn <- rowNumberAttr(w)
-      if filtersToOne(cond, rn)
-      form <- formOf(w.orderSpec)
-      // a global (partition-less) window must keep the window path: an
-      // UNGROUPED aggregate returns one row on empty input, so the
-      // rewrite would fabricate an all-null row where rn=1 yields none
-      if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic)
-    } yield (rn, form)
-    safe.map { case (rn, form) =>
-      // Spark's InferWindowGroupLimit may already have inserted a
-      // WindowGroupLimit below the Window (it runs in an earlier
-      // optimizer batch than user-provided rules). Left in place it
-      // forces a per-partition sort AND puts the exchange below the
-      // partial aggregation — the exact costs this rewrite deletes.
-      // Stripping it is value-identical: the limit keeps every rank-1
-      // candidate per (group, partition), and the aggregate picks the
-      // same winner from the full input.
-      val input = w.child match {
-        case wgl: WindowGroupLimit => wgl.child
-        case c => c
+      k <- filterLimit(cond, rn)
+      if k >= 1
+      if w.orderSpec.forall(_.child.deterministic)
+      if w.partitionSpec.forall(_.deterministic)
+      plan <- (formOf(w.orderSpec), k) match {
+        case (Some(form), 1) if w.partitionSpec.nonEmpty =>
+          Some(rewriteTopOne(rn, w, form))
+        case _ => Some(rewriteTopK(rn, w, k))
       }
-      val ordering = w.orderSpec.map(_.child) match {
-        case Seq(single) if !single.nullable => single
-        // struct: never null itself, null FIELDS order first — exactly
-        // row_number's asc_nulls_first under min_by (where min_by on a
-        // bare nullable key would instead discard the null-keyed rows)
-        // and desc_nulls_last under max_by (nulls lose to non-nulls)
-        case keys => CreateStruct(keys)
-      }
-      // one min_by/max_by over the WHOLE row keeps the winner atomic
-      // under ordering ties; columns unpack in a Project above
-      val row = CreateStruct(input.output)
-      val winner = Alias(
-        (form match {
-          case AscForm  => MinBy(row, ordering)
-          case DescForm => MaxBy(row, ordering)
-        }).toAggregateExpression(),
-        "__graft_winner")()
-      val groupAttrs = w.partitionSpec.collect { case a: Attribute => a }
-      val agg = Aggregate(w.partitionSpec, groupAttrs :+ winner, input)
-      val wAttr = winner.toAttribute
-      val unpacked: Seq[NamedExpression] = input.output.zipWithIndex.map {
-        case (a, _) if groupAttrs.exists(_.semanticEquals(a)) => a
-        case (a, i) => Alias(
-          GetStructField(wAttr, i, Some(a.name)), a.name)(exprId = a.exprId)
-      } :+ Alias(Literal(1, IntegerType), rn.name)(exprId = rn.exprId)
-      Project(unpacked, agg)
+    } yield plan
+
+  /** rn = 1, uniform directions: one codegen'd min_by/max_by over the
+    * whole-row struct. */
+  private def rewriteTopOne(rn: Attribute, w: Window, form: Form): LogicalPlan = {
+    val input = stripLimit(w, 1)
+    val ordering = w.orderSpec.map(_.child) match {
+      case Seq(single) if !single.nullable => single
+      // struct: never null itself, null FIELDS order first — exactly
+      // row_number's asc_nulls_first under min_by (where min_by on a
+      // bare nullable key would instead discard the null-keyed rows)
+      // and desc_nulls_last under max_by (nulls lose to non-nulls)
+      case keys => CreateStruct(keys)
     }
+    // one min_by/max_by over the WHOLE row keeps the winner atomic
+    // under ordering ties; columns unpack in a Project above
+    val row = CreateStruct(input.output)
+    val winner = Alias(
+      (form match {
+        case AscForm  => MinBy(row, ordering)
+        case DescForm => MaxBy(row, ordering)
+      }).toAggregateExpression(),
+      "__graft_winner")()
+    val groupAttrs = w.partitionSpec.collect { case a: Attribute => a }
+    val agg = Aggregate(w.partitionSpec, groupAttrs :+ winner, input)
+    val wAttr = winner.toAttribute
+    val unpacked: Seq[NamedExpression] = input.output.zipWithIndex.map {
+      case (a, _) if groupAttrs.exists(_.semanticEquals(a)) => a
+      case (a, i) => Alias(
+        GetStructField(wAttr, i, Some(a.name)), a.name)(exprId = a.exprId)
+    } :+ Alias(Literal(1, IntegerType), rn.name)(exprId = rn.exprId)
+    Project(unpacked, agg)
+  }
+
+  /** rn <= k (or rn = 1 shapes min_by can't encode): bounded-heap
+    * [[TopKRows]] + posexplode, rn rebuilt as position + 1. */
+  private def rewriteTopK(rn: Attribute, w: Window, k: Int): LogicalPlan = {
+    val input = stripLimit(w, k)
+    val ordStruct = CreateStruct(w.orderSpec.map(_.child))
+    val rowStruct = CreateStruct(input.output)
+    val topk = Alias(
+      TopKRows(ordStruct, rowStruct, k,
+        w.orderSpec.map(_.direction == Ascending),
+        w.orderSpec.map(_.nullOrdering == NullsFirst)).toAggregateExpression(),
+      "__graft_topk")()
+    val groupAttrs = w.partitionSpec.collect { case a: Attribute => a }
+    val agg = Aggregate(w.partitionSpec, groupAttrs :+ topk, input)
+    val posAttr = AttributeReference("__graft_pos", IntegerType, nullable = false)()
+    val rowAttr = AttributeReference("__graft_row",
+      rowStruct.dataType.asInstanceOf[StructType], nullable = false)()
+    // the array column itself is consumed by the generator and not
+    // needed in the generate output
+    val gen = Generate(PosExplode(topk.toAttribute),
+      unrequiredChildIndex = Seq(agg.output.length - 1),
+      outer = false, qualifier = None,
+      generatorOutput = Seq(posAttr, rowAttr), agg)
+    val unpacked: Seq[NamedExpression] = input.output.zipWithIndex.map {
+      case (a, _) if groupAttrs.exists(_.semanticEquals(a)) => a
+      case (a, i) => Alias(
+        GetStructField(rowAttr, i, Some(a.name)), a.name)(exprId = a.exprId)
+    } :+ Alias(Add(posAttr, Literal(1, IntegerType)), rn.name)(exprId = rn.exprId)
+    Project(unpacked, gen)
   }
 }

@@ -13,6 +13,7 @@ object Profile {
                else graft.SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .appName("graft-profile").master("local[32]")
+      .withExtensions(new graft.GraftExtensions())
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
       .getOrCreate()

@@ -53,7 +53,16 @@ class EntryPlanSpec extends SparkSpec {
     val b2b = SparkEntry.queries("b2b_dedup_latest_naive")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!b2b.contains("Window"), s"b2b still plans a Window:\n$b2b")
-    Seq("b2_dedup_latest", "b2b_dedup_latest_naive", "g8_ingestion_log",
+    // g7b proves the rn <= k TopKRows path the same way: the naive
+    // global top-10 window must execute with no Window exec and a
+    // partial-aggregating bounded heap
+    val g7b = SparkEntry.queries("g7b_topn_naive")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!g7b.contains("Window"), s"g7b still plans a Window:\n$g7b")
+    assert(g7b.contains("partial_graft_topk_rows"),
+      s"g7b shows no bounded-heap partials:\n$g7b")
+    Seq("b2_dedup_latest", "b2b_dedup_latest_naive", "g7b_topn_naive",
+        "g8_ingestion_log",
         "g13_salted_agg",
         "g4_measure_pack", "e3_knn_ivf", "e3b_knn_ivf_trained",
         "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",

@@ -112,34 +112,115 @@ class WindowTopOneRewriteSpec extends SparkSpec {
     assert(got == Map(1L -> "five-wins", 2L -> "only-null"))
   }
 
-  test("does not fire on mixed directions, non-default null orders, rank, or rn=2") {
+  test("does not fire on rank(), an interior rank, or a non-literal limit") {
     val li = table("lineitem")
     def unchanged(df: DataFrame): Unit = {
       val before = df.queryExecution.analyzed
       assert(WindowTopOneRewrite(before).collect { case w: LWindow => w }.nonEmpty,
         "guard should have kept the window")
     }
-    unchanged(li.withColumn("rn", row_number().over(
-        Window.partitionBy("l_orderkey")
-          .orderBy(col("l_linenumber").desc, col("l_quantity"))))
-      .filter(col("rn") === 1))
-    unchanged(li.withColumn("rn", row_number().over(
-        Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").asc_nulls_last)))
-      .filter(col("rn") === 1))
-    unchanged(li.withColumn("rn", row_number().over(
-        Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").desc_nulls_first)))
-      .filter(col("rn") === 1))
     unchanged(li.withColumn("rn", rank().over(
         Window.partitionBy("l_orderkey").orderBy(col("l_linenumber"))))
       .filter(col("rn") === 1))
+    // rn = 2 selects a single INTERIOR rank, not a prefix
     unchanged(li.withColumn("rn", row_number().over(
         Window.partitionBy("l_orderkey").orderBy(col("l_linenumber"))))
       .filter(col("rn") === 2))
-    // global window: an ungrouped aggregate would return one all-null
-    // row on empty input where the window form returns none
-    unchanged(li.filter(col("l_orderkey") < 0)
+    unchanged(li.withColumn("rn", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(col("l_linenumber"))))
+      .filter(col("rn") <= col("l_linenumber")))
+  }
+
+  // ---- the rn <= k / TopKRows path --------------------------------- //
+
+  private def naiveTopK(df: DataFrame, k: Int) =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy("l_orderkey")
+          .orderBy(col("l_quantity").desc, col("l_linenumber").asc)))
+      .filter(col("rn") <= k)
+
+  test("rn <= k rewrites to a bounded-heap aggregate, value-identical") {
+    // mixed directions (desc, asc) — exactly the shape the min_by path
+    // can't encode; (l_quantity, l_linenumber) is total within an
+    // order, so the two forms must agree bit-for-bit, rn included
+    val li = table("lineitem")
+    val q = naiveTopK(li, 3)
+    val out = rewritten(q)
+    assert(out.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val expect = q.collect().map(_.toSeq).toSet
+    val got = out.collect().map(_.toSeq).toSet
+    assert(got == expect)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("partial_graft_topk_rows"), s"expected map-side partials:\n$p")
+    assert(!p.toLowerCase.contains("window"), s"window survived:\n$p")
+  }
+
+  test("rn = 1 with mixed directions now rewrites through TopKRows") {
+    val li = table("lineitem")
+    val q = naiveTopK(li, 1)
+    val out = rewritten(q)
+    assert(out.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(out.collect().map(_.toSeq).toSet == q.collect().map(_.toSeq).toSet)
+  }
+
+  test("non-default null orderings rank exactly as the window form") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option.empty[Int], "null"),
+      (1L, Some(5), "five"),
+      (1L, Some(3), "three"),
+      (2L, Option.empty[Int], "only-null")).toDF("k", "o", "v")
+    def check(ord: org.apache.spark.sql.Column, k: Int): Unit = {
+      val q = df.withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(ord))).filter(col("rn") <= k)
+      val out = rewritten(q)
+      assert(out.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+        s"window survived for $ord")
+      assert(out.collect().map(_.toSeq).toSet == q.collect().map(_.toSeq).toSet,
+        s"value drift for $ord")
+    }
+    check(col("o").asc_nulls_last, 2)
+    check(col("o").desc_nulls_first, 2)
+    check(col("o").asc_nulls_last, 1)
+  }
+
+  test("global (partition-less) top-k rewrites; empty input yields empty output") {
+    val li = table("lineitem")
+    val q = li.withColumn("rn", row_number().over(
+        Window.orderBy(col("l_quantity").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)))
+      .filter(col("rn") <= 5)
+    val out = rewritten(q)
+    assert(out.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(out.collect().map(_.toSeq).toSet == q.collect().map(_.toSeq).toSet)
+    // empty input: the ungrouped aggregate emits one empty-array row,
+    // posexplode drops it — no fabricated all-null row
+    val empty = rewritten(li.filter(col("l_orderkey") < 0)
       .withColumn("rn", row_number().over(Window.orderBy(col("l_linenumber"))))
-      .filter(col("rn") === 1))
+      .filter(col("rn") <= 5))
+    assert(empty.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(empty.count() == 0)
+  }
+
+  test("a foreign WindowGroupLimit below the window is kept, not stripped") {
+    import org.apache.spark.sql.catalyst.expressions.{RowNumber, SortOrder,
+      Ascending, NullsFirst}
+    import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+    // plant a WGL whose orderSpec does NOT match the window's: the rule
+    // must not delete it (its limit semantics belong to someone else),
+    // but may still rewrite the window above it
+    val q = naiveLatest(table("lineitem"))
+    val planted = q.queryExecution.analyzed.transformUp {
+      case w: LWindow =>
+        val foreignOrder = SortOrder(w.child.output.head, Ascending, NullsFirst, Seq.empty)
+        w.copy(child = WindowGroupLimit(
+          w.partitionSpec, Seq(foreignOrder), RowNumber(), 7, w.child))
+    }
+    val out = WindowTopOneRewrite(planted)
+    assert(out.collect { case g: WindowGroupLimit => g }.nonEmpty,
+      s"foreign WindowGroupLimit was stripped:\n$out")
+    assert(out.collect { case w: LWindow => w }.isEmpty,
+      "window itself should still rewrite (input unchanged either way)")
   }
 
   test("extensions-injected session applies the rule end to end") {
