@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions.{col, max, md5}
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
   *
-  * Times are steady-state: each query runs once untimed (JVM/JIT +
+  * Times are steady-state: each query runs twice untimed (JVM/JIT +
   * Janino codegen warmup — one-time costs a long-running engine never
-  * repays), then min over three timed passes. A fixed CANARY job — a
+  * repays; one pass measurably wasn't enough, see the warmup comment
+  * below), then min over three timed passes. A fixed CANARY job — a
   * code-independent 32-way md5 scan — is timed inside every pass and
   * reported per pass, so a round-over-round delta can be attributed:
   * if the canary moved with the queries, the host moved, not the code
@@ -20,6 +21,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // same session shape as Verify: graft extensions registered once
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -37,6 +40,14 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    // TWO untimed warmup passes: r4 measured the first TIMED canary at
+    // 7x the others (3.08s vs 0.44s) — one pass leaves JIT/codegen
+    // warmup bleeding into the first timed pass, which polluted
+    // early-benched queries (x1's 2.4x r4 "regression" was exactly
+    // this; see BENCH notes). The second pass costs ~1 bench-total but
+    // makes all three timed canaries commensurate, so round-over-round
+    // deltas are attributable.
+    once(); canary()
     once(); canary(): Unit
     // drop operator-internal .cache() data so timed passes recompute
     // everything — only JIT/codegen warmth carries over, not results.
@@ -60,7 +71,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val cs = canaries.map(f3).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","canary_sec":$cs,"canary_min":${f3(canaries.min)},"methodology":"1 warmup pass; min over 3 interleaved timed passes, caches cleared between; canary = fixed ${cpus}-way md5 scan per pass (host-noise ref)","queries":$qs,"total":${f3(total)},"canary":${f3(canaries.min)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","canary_sec":$cs,"canary_min":${f3(canaries.min)},"methodology":"2 warmup passes; min over 3 interleaved timed passes, caches cleared between; canary = fixed ${cpus}-way md5 scan per pass (host-noise ref)","queries":$qs,"total":${f3(total)},"canary":${f3(canaries.min)}}""")
     spark.stop()
   }
 }

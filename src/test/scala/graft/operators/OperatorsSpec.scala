@@ -222,6 +222,21 @@ class MeasuresSpec extends SparkSpec {
     }
   }
 
+  test("shipped sketch queries carry true bound-evidence columns") {
+    // g14/g14b are rows-only at the driver (sketches aren't
+    // cross-engine) — their rows must therefore carry their own
+    // checkable invariant: every *_within_bound / *_ok boolean true
+    val g14 = graft.SparkEntry.queries("g14_sketch_distinct")(spark, sfDir)
+      .collect()(0)
+    assert(g14.getAs[Boolean]("patients_within_bound"), g14.toString)
+    assert(g14.getAs[Boolean]("providers_within_bound"), g14.toString)
+    graft.SparkEntry.queries("g14b_sketch_percentiles")(spark, sfDir)
+      .collect().foreach { r =>
+        assert(r.getAs[Boolean]("p50_ok") && r.getAs[Boolean]("p90_ok") &&
+          r.getAs[Boolean]("p99_ok"), r.toString)
+      }
+  }
+
   test("topN is deterministic and correctly bounded") {
     val top = Measures.topN(table("orders"), col("o_custkey"), col("o_totalprice"), 5)
     val rows = top.collect()
