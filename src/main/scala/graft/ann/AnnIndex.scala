@@ -50,51 +50,19 @@ import graft.functions.Vectors
   */
 object AnnIndex {
 
+  import graft.sources.BucketedStore
+
   private val IndexTables = Seq("cents", "codebook", "assign", "codes", "vectors")
 
-  /** The committed current version, resolved through the single atomic
-    * `<name>_ptr` view (a one-row control-plane read, not a data scan). */
+  /** The committed current version (see [[BucketedStore.currentVersion]]). */
   def currentVersion(spark: SparkSession, name: String): Option[Int] =
-    if (spark.catalog.tableExists(s"${name}_ptr"))
-      Some(spark.table(s"${name}_ptr").head().getInt(0))
-    else None
+    BucketedStore.currentVersion(spark, name)
 
-  /** The local warehouse directory, derived from
-    * `spark.sql.warehouse.dir` (file-scheme or plain path only —
-    * remote warehouses have no local leftovers to clean). */
-  private def localWarehouseDir(spark: SparkSession): Option[java.io.File] = {
-    val raw = spark.conf.get("spark.sql.warehouse.dir")
-    val uri = new java.net.URI(raw)
-    uri.getScheme match {
-      case null => Some(new java.io.File(raw))
-      case "file" => Some(java.nio.file.Paths.get(uri).toFile)
-      case _ => None
-    }
-  }
-
-  /** Drop every catalog object and on-disk remnant of index `name`:
-    * the ptr + convenience views, all `_<t>_v<N>` tables, and any
-    * orphaned managed-table directories under the session's warehouse
-    * (a crashed prior JVM leaves directories with no catalog entry —
-    * the in-memory catalog forgets them — and the next `saveAsTable`
-    * then fails with LOCATION_ALREADY_EXISTS). Shared by the shipped
-    * e6 entries and the specs so the cleanup path can't drift. */
-  def drop(spark: SparkSession, name: String): Unit = {
-    spark.sql(s"DROP VIEW IF EXISTS ${name}_ptr")
-    IndexTables.foreach(t => spark.sql(s"DROP VIEW IF EXISTS ${name}_$t"))
-    val pat = (java.util.regex.Pattern.quote(name) +
-      "_(?:" + IndexTables.mkString("|") + ")_v\\d+").r
-    spark.catalog.listTables().collect().map(_.name)
-      .filter(pat.matches(_))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    localWarehouseDir(spark).foreach { wh =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      Option(wh.listFiles())
-        .foreach(_.filter(f => pat.matches(f.getName)).foreach(rm))
-    }
-  }
+  /** Drop every catalog object and on-disk remnant of index `name`
+    * (see [[BucketedStore.drop]]). Shared by the shipped e6 entries
+    * and the specs so the cleanup path can't drift. */
+  def drop(spark: SparkSession, name: String): Unit =
+    BucketedStore.drop(spark, name, IndexTables)
 
   private def centSim(e: Column, n: Column): Column =
     round(Vectors.dot(e, col("cent")) / (n * col("centn")), 6)
@@ -121,42 +89,22 @@ object AnnIndex {
       .groupBy("neighbor_id", "j")
       .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"))
 
-  private def commit(spark: SparkSession, name: String, version: Int,
+  /** Commit one index version through the shared store protocol:
+    * cents/codebook are tiny broadcast-side tables; assign buckets on
+    * the candidate join's key, codes and vectors on the ADC/re-rank
+    * join's key, so a probe plans no exchange on any corpus-sized
+    * input. The store's single ptr view makes the five-table commit
+    * atomic for readers. */
+  private def commit(spark: SparkSession, name: String,
                      cents: DataFrame, cb: DataFrame, asg: DataFrame,
-                     codes: DataFrame, vectors: DataFrame, buckets: Int): Unit = {
-    cents.write.mode("overwrite").saveAsTable(s"${name}_cents_v$version")
-    cb.write.mode("overwrite").saveAsTable(s"${name}_codebook_v$version")
-    asg.repartition(buckets, col("cent_id"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "cent_id").sortBy("cent_id")
-      .saveAsTable(s"${name}_assign_v$version")
-    codes.repartition(buckets, col("neighbor_id"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "neighbor_id").sortBy("neighbor_id")
-      .saveAsTable(s"${name}_codes_v$version")
-    vectors.repartition(buckets, col("neighbor_id"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "neighbor_id").sortBy("neighbor_id")
-      .saveAsTable(s"${name}_vectors_v$version")
-    // the ONE atomic pointer: everything version-consistent resolves
-    // through this single CREATE OR REPLACE (readers pin a version
-    // before touching any table, so no torn cents/codes mix is
-    // observable even mid-commit)
-    spark.sql(s"CREATE OR REPLACE VIEW ${name}_ptr AS " +
-      s"SELECT $version AS version")
-    // convenience views for ad-hoc SQL over single tables; repointed
-    // AFTER the ptr, sequentially — not a consistency mechanism
-    IndexTables.foreach { t =>
-      spark.sql(s"CREATE OR REPLACE VIEW ${name}_$t AS " +
-        s"SELECT * FROM ${name}_${t}_v$version")
-    }
-    // retain exactly one prior version for in-flight readers
-    (0 to version - 2).foreach { v =>
-      IndexTables.foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS ${name}_${t}_v$v")
-      }
-    }
-  }
+                     codes: DataFrame, vectors: DataFrame, buckets: Int): Int =
+    BucketedStore.commit(spark, name, Seq(
+      BucketedStore.Member("cents", cents),
+      BucketedStore.Member("codebook", cb),
+      BucketedStore.Member("assign", asg, Seq("cent_id")),
+      BucketedStore.Member("codes", codes, Seq("neighbor_id")),
+      BucketedStore.Member("vectors", vectors, Seq("neighbor_id"))),
+      buckets)
 
   /** Build and commit a full index over `corpus` (vec_id, embedding);
     * returns the committed version. Quantizers are [[Pq]]'s
@@ -179,12 +127,10 @@ object AnnIndex {
             slice(col("ce"), j * sub + 1, lit(sub)).as("sv")))).as("s"))
       .select(col("s.j").as("j"), col("code_id"), col("s.sv").as("cw"))
       .withColumn("cc", Vectors.dot(col("cw"), col("cw")))
-    val v = currentVersion(spark, name).getOrElse(-1) + 1
     val bCents = broadcast(cents)
     val bCb = broadcast(cb)
-    commit(spark, name, v, cents, cb,
+    commit(spark, name, cents, cb,
       assign(c, bCents), encode(c, bCb), storedVectors(corpus), buckets)
-    v
   }
 
   /** The float-typed persisted form of the re-rank table: source
@@ -205,7 +151,7 @@ object AnnIndex {
     val cb = broadcast(spark.table(s"${name}_codebook_v$v"))
     val inc = Pq.prep(incoming)
     import graft.operators.Merge
-    commit(spark, name, v + 1,
+    commit(spark, name,
       spark.table(s"${name}_cents_v$v"), spark.table(s"${name}_codebook_v$v"),
       Merge.upsert(spark.table(s"${name}_assign_v$v"), assign(inc, cents),
         Seq("neighbor_id")),
@@ -214,7 +160,6 @@ object AnnIndex {
       Merge.upsert(spark.table(s"${name}_vectors_v$v"), storedVectors(incoming),
         Seq("neighbor_id")),
       buckets)
-    v + 1
   }
 
   /** IVF-PQ top-k against the current index version — same pipeline,

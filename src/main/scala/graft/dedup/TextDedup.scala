@@ -319,65 +319,46 @@ object TextDedup {
 
   // ---- bucketed persisted dedup index ---------------------------------
   //
-  // Metastore-table form of the index, bucketed on the probe's join
-  // keys: `<name>_bands` holds (doc_id, band, bsig) bucketed by
-  // (band, bsig) — candidate generation joins it with NO exchange on
-  // the corpus side — and `<name>_docs` holds (doc_id, sh, sig)
-  // bucketed by doc_id — exact verification fetches corpus shingles,
-  // again exchange-free on the index side. Versioning mirrors
-  // [[graft.sources.SnapshotStore]]'s atomic pointer with metastore
-  // primitives: data lands in `<name>_{bands,docs}_v<N>` tables and
-  // `CREATE OR REPLACE VIEW <name>_{bands,docs}` is the atomic swap
-  // (views are logical aliases, so the bucketed scan's output
-  // partitioning survives them). Single-writer, like every log-less
-  // table format.
+  // Metastore-table form of the index through the shared
+  // [[graft.sources.BucketedStore]] protocol (one atomic `<name>_ptr`
+  // version pointer; same machinery as the ANN index), bucketed on the
+  // probe's join keys: `<name>_bands` holds (doc_id, band, bsig)
+  // bucketed by (band, bsig) — candidate generation joins it with NO
+  // exchange on the corpus side — and `<name>_docs` holds (doc_id, sh,
+  // sig) bucketed by doc_id — exact verification fetches corpus
+  // shingles, again exchange-free on the index side. Single-writer,
+  // like every log-less table format.
 
-  private def currentBucketedVersion(spark: org.apache.spark.sql.SparkSession,
-                                     name: String): Option[Int] = {
-    val pat = (java.util.regex.Pattern.quote(name) + "_bands_v(\\d+)").r
-    val vs = spark.catalog.listTables().collect().map(_.name).collect {
-      case pat(v) => v.toInt
-    }
-    if (vs.isEmpty) None else Some(vs.max)
-  }
+  import graft.sources.BucketedStore
 
-  private def commitBucketed(index: DataFrame, name: String, buckets: Int,
-                             version: Int): Unit = {
-    val spark = index.sparkSession
-    // one file per bucket (repartition on the bucket key first) so the
-    // scan keeps per-bucket sort order as well as the partitioning
-    banded(index)
-      .repartition(buckets, col("band"), col("bsig"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "band", "bsig").sortBy("band", "bsig")
-      .saveAsTable(s"${name}_bands_v$version")
-    index
-      .repartition(buckets, col("doc_id"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${name}_docs_v$version")
-    spark.sql(s"CREATE OR REPLACE VIEW ${name}_bands AS " +
-      s"SELECT * FROM ${name}_bands_v$version")
-    spark.sql(s"CREATE OR REPLACE VIEW ${name}_docs AS " +
-      s"SELECT * FROM ${name}_docs_v$version")
-    // retain exactly one prior version for in-flight readers
-    (0 to version - 2).foreach { v =>
-      spark.sql(s"DROP TABLE IF EXISTS ${name}_bands_v$v")
-      spark.sql(s"DROP TABLE IF EXISTS ${name}_docs_v$v")
-    }
-  }
+  private val DedupIndexTables = Seq("bands", "docs")
+
+  /** The committed current index version (see
+    * [[BucketedStore.currentVersion]]). */
+  def currentBucketedVersion(spark: org.apache.spark.sql.SparkSession,
+                             name: String): Option[Int] =
+    BucketedStore.currentVersion(spark, name)
+
+  /** Drop every catalog object and on-disk remnant of bucketed index
+    * `name` (see [[BucketedStore.drop]]). */
+  def dropDedupIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                             name: String): Unit =
+    BucketedStore.drop(spark, name, DedupIndexTables)
+
+  private def commitBucketed(index: DataFrame, name: String,
+                             buckets: Int): Int =
+    BucketedStore.commit(index.sparkSession, name, Seq(
+      BucketedStore.Member("bands", banded(index), Seq("band", "bsig")),
+      BucketedStore.Member("docs", index, Seq("doc_id"))),
+      buckets)
 
   /** Build and commit the full BUCKETED dedup index for `docs` as
     * metastore tables `<name>_bands` / `<name>_docs`; returns the
     * committed version. `buckets` is the deploy knob: pick it so a
     * bucket's band rows fit one task (corpus bands / buckets). */
   def writeDedupIndexBucketed(docs: DataFrame, id: Column, text: Column,
-                              name: String, buckets: Int = 32): Int = {
-    val spark = docs.sparkSession
-    val v = currentBucketedVersion(spark, name).getOrElse(-1) + 1
-    commitBucketed(sigged(docs, id, text, StorageLevel.NONE), name, buckets, v)
-    v
-  }
+                              name: String, buckets: Int = 32): Int =
+    commitBucketed(sigged(docs, id, text, StorageLevel.NONE), name, buckets)
 
   /** MERGE an incoming batch into the bucketed index (upsert keyed on
     * doc_id, schema-stable) and commit the next version — the
@@ -392,10 +373,9 @@ object TextDedup {
     val v = currentBucketedVersion(spark, name).getOrElse(
       throw new IllegalStateException(s"no bucketed dedup index named $name"))
     val merged = graft.operators.Merge.upsert(
-      spark.table(s"${name}_docs_v$v"),
+      BucketedStore.table(spark, name, "docs", v),
       sigged(incoming, id, text, StorageLevel.NONE), Seq("doc_id"))
-    commitBucketed(merged, name, buckets, v + 1)
-    v + 1
+    commitBucketed(merged, name, buckets)
   }
 
   /** [[minHashLshPairsAgainstIndex]] against the BUCKETED index:
@@ -409,12 +389,18 @@ object TextDedup {
       spark: org.apache.spark.sql.SparkSession, name: String,
       incoming: DataFrame, id: Column, text: Column, minJaccard: Double,
       storage: StorageLevel = Caching.Default): DataFrame = {
+    // pin ONE version up front (atomic ptr) and read both member
+    // tables at it — a probe planned mid-commit can't mix a new bands
+    // table with old docs
+    val v = currentBucketedVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no bucketed dedup index named $name"))
     val tb = sigged(incoming, id, text, storage)
-    val cand = spark.table(s"${name}_bands").as("a").join(banded(tb).as("b"),
+    val cand = BucketedStore.table(spark, name, "bands", v).as("a")
+      .join(banded(tb).as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verified(cand, spark.table(s"${name}_docs"), tb, minJaccard)
+    verified(cand, BucketedStore.table(spark, name, "docs", v), tb, minJaccard)
   }
 
   /** Incremental near-dup: LSH pairs BETWEEN an existing corpus and an

@@ -63,10 +63,7 @@ class DedupIndexSpec extends SparkSpec {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.Exchange
     val corpus = table("documents")
-    Seq("bands", "docs").foreach { s =>
-      spark.sql(s"DROP VIEW IF EXISTS dix_$s")
-      (0 to 3).foreach(v => spark.sql(s"DROP TABLE IF EXISTS dix_${s}_v$v"))
-    }
+    TextDedup.dropDedupIndexBucketed(spark, "dix")
     val v0 = TextDedup.writeDedupIndexBucketed(
       corpus, col("doc_id"), col("text"), "dix", buckets = 4)
     assert(v0 == 0)
@@ -137,10 +134,7 @@ class DedupIndexSpec extends SparkSpec {
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
       conf.set("spark.sql.adaptive.enabled", oldAqe)
-      Seq("bands", "docs").foreach { s =>
-        spark.sql(s"DROP VIEW IF EXISTS dix_$s")
-        (0 to 3).foreach(v => spark.sql(s"DROP TABLE IF EXISTS dix_${s}_v$v"))
-      }
+      TextDedup.dropDedupIndexBucketed(spark, "dix")
     }
   }
 
