@@ -60,6 +60,19 @@ object LlmEntry {
       LlmCuration.run(t(s, dir, "documents"), col("doc_id"), col("text"),
         minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)),
 
+    "d9_cross_dedup" -> ((s, dir) => {
+      // cross-DATASET overlap audit: near-dup pairs where one side is
+      // dataset src0 and the other any different source — the "does my
+      // eval set leak into the training mix" / "how much does corpus A
+      // overlap corpus B" question. Same band-index join machinery as
+      // d8 (sides never self-join), different membership predicate.
+      val docs = t(s, dir, "documents")
+      TextDedup.minHashLshPairsBetween(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        col("doc_id"), col("text"), minJaccard = 0.1)
+    }),
+
     "d8_incremental_dedup" -> ((s, dir) => {
       // nightly-append shape: even ids play the existing corpus, odd
       // ids the incoming batch; batch bands join the corpus band index,
@@ -144,6 +157,13 @@ object LlmEntry {
         col("doc_id"), col("text"))
         .select("doc_id", "token_entropy")),
 
+    "t12_tfidf" -> ((s, dir) =>
+      // per-doc most-distinctive term by corpus TF-IDF (topic tagging /
+      // cluster labeling signal); idf from the corpus itself, argmax
+      // via partial-aggregating min_by — no windows anywhere
+      TextAnalysis.tfIdfTopTerm(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
     "x5_exact_k_sample" -> ((s, dir) =>
       // exactly-k-per-stratum eval carving: k-minwise hash sample via
       // the bounded-heap aggregate (partial-aggregating, vs the naive
@@ -200,6 +220,15 @@ object LlmEntry {
       val v = t(s, dir, "embeddings")
       Knn.lshTopK(v.filter(col("vec_id") < 10), v.filter(col("vec_id") >= 10), k = 5)
         .withColumnRenamed("rank", "rnk")
+    }),
+
+    "e7_range_search" -> ((s, dir) => {
+      // radius search: ALL neighbors with cosine >= 0.2 per query (not
+      // top-k — the answer size is data-dependent); LSH-bucketed
+      // candidate gen + exact-cosine verify, same recall math as e2
+      val v = t(s, dir, "embeddings")
+      Knn.lshRangeSearch(v.filter(col("vec_id") < 10),
+        v.filter(col("vec_id") >= 10), minSim = 0.2)
     }),
 
     "e3_knn_ivf" -> ((s, dir) => {
@@ -615,6 +644,30 @@ object LlmEntry {
       s"""WITH ${minhashCtes("documents",
              candPred = "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}
          |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.1""".stripMargin,
+
+    // d9 = the BETWEEN probe with dataset-membership sides: doc_a from
+    // src0, doc_b from any other source
+    "d9_cross_dedup" ->
+      s"""WITH ${minhashCtes("documents",
+             candPred = "a.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')" +
+               " AND b.doc_id IN (SELECT doc_id FROM documents WHERE source <> 'src0')")}
+         |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.1""".stripMargin,
+
+    "t12_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(tk) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS dfn FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_corpus FROM documents),
+         |sc AS (SELECT doc_id, token,
+         |    round(tf * round(ln(CAST(n_corpus AS DOUBLE) / CAST(dfn AS DOUBLE)), 6), 6) AS score
+         |  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+         |r AS (SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, token) AS rn FROM sc),
+         |agg AS (SELECT doc_id, count(*) AS n_terms, max(score) AS top_tfidf
+         |        FROM sc GROUP BY 1)
+         |SELECT agg.doc_id, agg.n_terms, r.token AS top_term, agg.top_tfidf
+         |FROM agg JOIN r USING (doc_id) WHERE r.rn = 1""".stripMargin,
 
     "t8_repetition" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS tk FROM documents)
@@ -1073,6 +1126,24 @@ object LlmEntry {
          |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
          |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // e7 = e2's candidate CTEs with a range filter instead of a rank
+    "e7_range_search" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe, ${LshBucketSql("e", 16)} AS sig
+         |      FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce, ${LshBucketSql("e", 16)} AS sig
+         |      FROM v WHERE vec_id >= 10),
+         |qb AS (SELECT query_id, t, substr(sig, t*4 + 1, 4) AS bucket
+         |       FROM q, range(0, 4) r(t)),
+         |cb AS (SELECT neighbor_id, t, substr(sig, t*4 + 1, 4) AS bucket
+         |       FROM c, range(0, 4) r(t)),
+         |cand AS (SELECT DISTINCT query_id, neighbor_id
+         |         FROM qb JOIN cb USING (t, bucket)),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
+         |      FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id))
+         |SELECT query_id, neighbor_id, sim FROM s WHERE sim >= 0.2""".stripMargin,
 
     "t1_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, $ToksSql AS tk FROM documents),

@@ -107,6 +107,43 @@ object Knn {
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
+  /** Radius (range) search: every corpus neighbor with cosine >=
+    * minSim per query — the "find all sufficiently-similar documents"
+    * shape (retrieval dedup gates, near-duplicate audits), where top-k
+    * is the wrong contract because the answer size is data-dependent.
+    * Candidate generation is [[lshTopK]]'s multi-table OR-construction
+    * verbatim; the verify stage filters on the rounded exact cosine
+    * instead of ranking. Output: (query_id, neighbor_id, sim), one row
+    * per qualifying pair; recall follows the LSH table math (a pair
+    * missed by every table is absent, exactly as in [[lshTopK]]).
+    * Plan shape: explode → hash shuffle on (table, bucket) → equi-join
+    * → distinct → fetch-join → filter; no per-query corpus scan. */
+  def lshRangeSearch(queries: DataFrame, corpus: DataFrame, minSim: Double,
+                     planes: Int = 4, tables: Int = 4): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      Vectors.asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", Vectors.norm(col("qe")))
+      .withColumn("sig", lshBucket(col("qe"), planes * tables))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      Vectors.asDouble(col("embedding")).as("ce"))
+      .withColumn("cn", Vectors.norm(col("ce")))
+      .withColumn("sig", lshBucket(col("ce"), planes * tables))
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(id), explode(
+          transform(sequence(lit(0), lit(tables - 1)),
+            t => struct(t.as("t"),
+              col("sig").substr(t * planes + 1, lit(planes)).as("bucket")))).as("b"))
+        .select(col(id), col("b.t"), col("b.bucket"))
+    banded(q, "query_id").join(banded(c, "neighbor_id"), Seq("t", "bucket"))
+      .select("query_id", "neighbor_id").distinct()
+      .join(q.select("query_id", "qe", "qn"), "query_id")
+      .join(c.select("neighbor_id", "ce", "cn"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** IVF (inverted-file) approximate top-k — the second scale path
     * besides [[lshTopK]]. Centroids are a deterministic uniform sample
     * of the corpus: the nCentroids first ids under md5-hash order (ids

@@ -99,6 +99,38 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Per-document top TF-IDF term — the "most distinctive term" signal
+    * used for topic tagging / cluster labeling in curation pipelines
+    * (tf-idf per Salton & Buckley 1988). tf = in-doc occurrences,
+    * idf = ln(N / df) over the corpus itself, both rounded to 6 dp
+    * before the per-doc argmax so the winner is engine-reproducible
+    * (ties break on the token string).
+    *
+    * Scale shape: explode → map-side-combined (doc, token) counts (one
+    * shuffle) → token-keyed df join (second shuffle, vocabulary-sized)
+    * → per-doc min_by argmax (partial-aggregating, one row per doc per
+    * partition crosses the wire). The corpus size N attaches via a
+    * ONE-ROW broadcast cross join — a |rows| × O(1) constant product
+    * (the same exemption class as the IVF corpus × constant-centroids
+    * pass), not a nested-loop stage; no windows, no driver round-trip.
+    * Docs with no tokens have no terms and drop out, mirroring the SQL
+    * formulation. */
+  def tfIdfTopTerm(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val total = df.agg(count(lit(1)).as("n_corpus"))
+    val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfn"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("score", round(col("tf") * round(
+        log(col("n_corpus").cast(DoubleType) / col("dfn").cast(DoubleType)), 6), 6))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        min_by(col("token"), struct((-col("score")).as("s"), col("token")))
+          .as("top_term"),
+        max(col("score")).as("top_tfidf"))
+  }
+
   // --- repetition signals ----------------------------------------------
 
   /** Gopher-style intra-document repetition signals (Rae et al. 2021

@@ -28,9 +28,12 @@ class EntryPlanSpec extends SparkSpec {
   // probe plan directly).
   // e6b is e6's steady-state probe (same query×constant-codebook ADC
   // product; AnnIndexSpec asserts the bucketed probe plan directly).
+  // t12's product is (doc, token) rows × the ONE-ROW corpus-count
+  // frame (broadcast) — |rows| × O(1), the same constant-side
+  // exemption as the IVF assignment passes.
   private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e3b_knn_ivf_trained",
     "e4_kmeans", "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",
-    "e6b_ann_probe")
+    "e6b_ann_probe", "t12_tfidf")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -157,6 +157,51 @@ class KnnSpec extends SparkSpec {
         s"high-sim recall too low: ${approx.count(hot.contains)}/${hot.size}")
   }
 
+  test("range search: every candidate pair above the threshold, exact sims") {
+    import graft.ann.Knn
+    val v = table("embeddings")
+    val q = v.filter(col("vec_id") < 10)
+    val c = v.filter(col("vec_id") >= 10)
+    // threshold -1 admits every candidate: range search == the full
+    // LSH candidate set, so the thresholded run must equal filtering it
+    val all = Knn.lshRangeSearch(q, c, minSim = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val thr = Knn.lshRangeSearch(q, c, minSim = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(thr == all.filter(_._2 >= 0.2), "threshold must be a pure filter")
+    assert(thr.nonEmpty && thr.values.forall(_ >= 0.2))
+    // sims are the exact rounded cosines (match the brute-force score)
+    val brute = Knn.bruteForceTopK(q, c, k = c.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    all.foreach { case (pair, sim) => assert(brute(pair) == sim, s"$pair") }
+  }
+
+  test("tfIdfTopTerm: distinctive term wins; common term scores zero idf") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    // "shared" appears in every doc (idf = ln(3/3) = 0); "rare" only in
+    // doc 1 (idf = ln(3) ~ 1.0986), twice -> score ~ 2.1972
+    val docs = Seq(
+      (1L, "shared rare rare shared"),
+      (2L, "shared common common"),
+      (3L, "shared common here")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerm(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getDouble(3))).toMap
+    assert(got(1L)._2 == "rare", got(1L).toString)
+    assert(math.abs(got(1L)._3 - 2 * math.round(math.log(3.0) * 1e6) / 1e6) < 1e-9)
+    assert(got(1L)._1 == 2L) // distinct terms in doc 1
+    // doc 3: "here" (df=1) beats "common" (df=2) and "shared" (idf 0)
+    assert(got(3L)._2 == "here", got(3L).toString)
+    // all-common doc: top score can be 0 (every term everywhere) but a
+    // winner still emerges deterministically by token order
+    val common = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val c = TextAnalysis.tfIdfTopTerm(common, col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(2), r.getDouble(3)))
+    assert(c.forall { case (term, s) => term == "x" && s == 0.0 })
+  }
+
   test("IVF top-k: buckets bound candidates, decent recall vs exact") {
     val v = table("embeddings")
     val q = v.filter(col("vec_id") < 5)
