@@ -198,6 +198,17 @@ object LlmEntry {
     "e4_kmeans" -> ((s, dir) =>
       KMeans.lloyd(t(s, dir, "embeddings"), k = 8, iters = 2)),
 
+    "d10_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): k-means clusters the embedding
+      // space (e4's trainer), near-dups are sought only WITHIN a
+      // cluster — candidate cost bounded by cluster occupancy, the
+      // cluster count being the knob that scales with the corpus; the
+      // published semantic-level complement to d5's sign-LSH blocking
+      val v = t(s, dir, "embeddings")
+      Knn.semanticDedupPairs(v, KMeans.lloyd(v, k = 8, iters = 2),
+        minSim = 0.4)
+    }),
+
     "d6_dedup_apply" -> ((s, dir) => {
       // apply the dedup: drop the higher id of every near-dup pair
       // (greedy keep-first); left_anti on the drop set — one keyed
@@ -811,6 +822,29 @@ object LlmEntry {
          |${kmeansCtes("v")}
          |SELECT cent_id, CAST(d AS INTEGER) AS dim, cent[d+1] AS value
          |FROM c2, range(0, 64) r(d)""".stripMargin,
+
+    // d10 = e4's trained centroids (kmeansCtes) + within-cluster pair
+    // generation + exact-cosine verify, mirroring Knn.semanticDedupPairs
+    "d10_semantic_dedup" ->
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |            FROM embeddings),
+         |${kmeansCtes("v0")},
+         |cent AS (SELECT cent_id, cent FROM c2),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v0),
+         |asg0 AS (SELECT neighbor_id, ce, cent_id,
+         |  round(list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM c, cent),
+         |asg AS (SELECT neighbor_id, ce, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+         |  WHERE rn = 1),
+         |p AS (SELECT a.cent_id, a.neighbor_id AS vec_a, b.neighbor_id AS vec_b,
+         |  round(list_dot_product(a.ce, b.ce) /
+         |        (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))), 6) AS sim
+         |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id
+         |                       AND a.neighbor_id < b.neighbor_id)
+         |SELECT cent_id, vec_a, vec_b, sim FROM p WHERE sim >= 0.4""".stripMargin,
 
     "e3b_knn_ivf_trained" ->
       s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -176,13 +176,53 @@ object Knn {
     * value) scalar rows, reassembled here into dim-ordered arrays and
     * broadcast (k·dim scalars — driver-free, one tiny aggregation). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              centroids: DataFrame, nProbe: Int): DataFrame = {
-    val cents = broadcast(centroids
+              centroids: DataFrame, nProbe: Int): DataFrame =
+    ivfCore(queries, prepCorpus(corpus), assembleCentroids(centroids), k, nProbe)
+
+  /** [[KMeans.lloyd]]'s (cent_id, dim, value) scalar rows reassembled
+    * into dim-ordered broadcast arrays (k·dim scalars — driver-free,
+    * one tiny aggregation). */
+  private def assembleCentroids(centroids: DataFrame): DataFrame =
+    broadcast(centroids
       .groupBy(col("cent_id").cast("long").as("cent_id"))
       .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("dv"))
       .select(col("cent_id"), transform(col("dv"), x => x("value")).as("cent"))
       .withColumn("centn", Vectors.norm(col("cent"))))
-    ivfCore(queries, prepCorpus(corpus), cents, k, nProbe)
+
+  /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023: cluster
+    * the embedding space with k-means, then search for near-duplicates
+    * only WITHIN each cluster). The published semantic-level
+    * complement to [[embeddingNearDupPairs]]'s sign-LSH blocking:
+    * blocking here is the trained coarse quantizer itself, so
+    * candidate cost is bounded by cluster occupancy and the cluster
+    * count is the deploy knob that scales with the corpus. `centroids`
+    * takes [[KMeans.lloyd]]'s output directly. Output: (cent_id,
+    * vec_a, vec_b, sim) with vec_a < vec_b, sim rounded to 6 dp before
+    * the threshold. Plan: broadcast-centroid map-only assignment (a
+    * |corpus| × O(1) constant product), one equi-join on cent_id —
+    * never an all-pairs stage across clusters. */
+  def semanticDedupPairs(vectors: DataFrame, centroids: DataFrame,
+                         minSim: Double,
+                         storage: StorageLevel = Caching.Default): DataFrame = {
+    val cents = assembleCentroids(centroids)
+    def centSim(e: Column, n: Column): Column =
+      round(Vectors.dot(e, col("cent")) / (n * col("centn")), 6)
+    val assigned = Caching.persisted(
+      prepCorpus(vectors).join(cents)
+        .withColumn("csim", centSim(col("ce"), col("cn")))
+        .groupBy("neighbor_id")
+        .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
+          max_by(col("cent_id"),
+            struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id")),
+      storage)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.neighbor_id") < col("b.neighbor_id"))
+      .select(col("a.cent_id").as("cent_id"),
+        col("a.neighbor_id").as("vec_a"), col("b.neighbor_id").as("vec_b"),
+        round(Vectors.dot(col("a.ce"), col("b.ce")) / (col("a.cn") * col("b.cn")), 6)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
   }
 
   private def prepCorpus(corpus: DataFrame): DataFrame =

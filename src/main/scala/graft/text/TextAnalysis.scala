@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
+import org.apache.spark.storage.StorageLevel
+
 import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.functions.RollingHash64
@@ -114,11 +116,15 @@ object TextAnalysis {
     * (the same exemption class as the IVF corpus × constant-centroids
     * pass), not a nested-loop stage; no windows, no driver round-trip.
     * Docs with no tokens have no terms and drop out, mirroring the SQL
-    * formulation. */
-  def tfIdfTopTerm(df: DataFrame, id: Column, text: Column): DataFrame = {
+    * formulation. The tf frame feeds both the df aggregation and the
+    * scoring join, so it persists under the standard `storage` knob
+    * (NONE = recompute the tokenize+count branch twice). */
+  def tfIdfTopTerm(df: DataFrame, id: Column, text: Column,
+                   storage: StorageLevel = graft.Caching.Default): DataFrame = {
     val total = df.agg(count(lit(1)).as("n_corpus"))
-    val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tf = graft.Caching.persisted(
+      df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")), storage)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfn"))
     val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(total))

@@ -31,9 +31,11 @@ class EntryPlanSpec extends SparkSpec {
   // t12's product is (doc, token) rows × the ONE-ROW corpus-count
   // frame (broadcast) — |rows| × O(1), the same constant-side
   // exemption as the IVF assignment passes.
+  // d10's product is e4's corpus×constant-centroids assignment pass;
+  // its pair stage is an equi-join on cent_id.
   private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e3b_knn_ivf_trained",
     "e4_kmeans", "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",
-    "e6b_ann_probe", "t12_tfidf")
+    "e6b_ann_probe", "t12_tfidf", "d10_semantic_dedup")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -202,6 +202,28 @@ class KnnSpec extends SparkSpec {
     assert(c.forall { case (term, s) => term == "x" && s == 0.0 })
   }
 
+  test("semantic dedup: within-cluster subset of exact pairs, exact sims") {
+    import graft.ann.{KMeans, Knn}
+    val v = table("embeddings")
+    val cents = KMeans.lloyd(v, k = 8, iters = 2)
+    val pairs = Knn.semanticDedupPairs(v, cents, minSim = 0.2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(pairs.nonEmpty)
+    // every pair's sim is the exact rounded cosine, above the threshold
+    val exact = Knn.embeddingNearDupPairsExact(v, minSim = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.foreach { case (p, s) =>
+      assert(s >= 0.2 && exact(p) == s, s"$p -> $s")
+    }
+    // blocking = the coarse quantizer: both sides of a pair share a
+    // cluster (recall trades at cluster boundaries, as published)
+    assert(pairs.keySet.subsetOf(exact.keySet))
+    // deterministic under repartition (trained centroids + rounded argmax)
+    val again = Knn.semanticDedupPairs(v.repartition(13), cents, minSim = 0.2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(again == pairs)
+  }
+
   test("IVF top-k: buckets bound candidates, decent recall vs exact") {
     val v = table("embeddings")
     val q = v.filter(col("vec_id") < 5)
