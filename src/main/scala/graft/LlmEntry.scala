@@ -164,6 +164,14 @@ object LlmEntry {
       TextAnalysis.tfIdfTopTerm(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
 
+    "t13_surprisal" -> ((s, dir) =>
+      // corpus-unigram LM quality proxy (CCNet-lineage perplexity
+      // filter, cheapest form): mean per-token surprisal under the
+      // corpus distribution — complements t11 (intra-doc entropy)
+      // with a cross-doc probability model
+      TextAnalysis.unigramSurprisal(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
     "x5_exact_k_sample" -> ((s, dir) =>
       // exactly-k-per-stratum eval carving: k-minwise hash sample via
       // the bounded-heap aggregate (partial-aggregating, vs the naive
@@ -788,6 +796,20 @@ object LlmEntry {
          |  FROM terms GROUP BY 1)
          |SELECT d.doc_id, coalesce(e.token_entropy, 0.0) AS token_entropy
          |FROM documents d LEFT JOIN e USING (doc_id)""".stripMargin,
+
+    "t13_surprisal" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(tk) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |ctf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM ctf),
+         |sc AS (SELECT doc_id, tf,
+         |    round(-log2(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS surp
+         |  FROM tf JOIN ctf USING (token) CROSS JOIN n)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
+         |             / sum(tf), 6) AS mean_surprisal
+         |FROM sc GROUP BY doc_id""".stripMargin,
 
     "x5_exact_k_sample" ->
       s"""WITH h AS (SELECT source AS stratum, doc_id,

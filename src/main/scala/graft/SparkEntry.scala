@@ -352,6 +352,14 @@ object SparkEntry {
           count(lit(1)).as("n"),
           Measures.decSum(col("o_totalprice")).as("total"))),
 
+    "g16_outliers" -> ((s, dir) =>
+      // robust claims-anomaly screen: median/MAD per status, count of
+      // amounts beyond 3 scaled MADs — the outlier report a claims
+      // auditor reads; median+MAD so the screen isn't dragged by the
+      // outliers it hunts
+      Measures.robustOutliers(t(s, dir, "orders"),
+        col("o_orderstatus"), col("o_totalprice"))),
+
     "g8_ingestion_log" -> ((s, dir) => {
       // Winner-per-key via max_by over the TOTAL ordering struct (the
       // data has tied (orderkey, shipdate, linenumber) rows whose DQ
@@ -642,6 +650,22 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(status, prio)""".stripMargin,
+
+    "g16_outliers" ->
+      """WITH base AS (SELECT o_orderstatus AS grp, o_totalprice AS v FROM orders),
+        |med AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM base GROUP BY 1),
+        |dev AS (SELECT b.grp, round(abs(b.v - m.med), 4) AS adev
+        |        FROM base b JOIN med m USING (grp)),
+        |mad AS (SELECT d.grp, min(m.med) AS med,
+        |               quantile_cont(d.adev, 0.5) AS mad
+        |        FROM dev d JOIN med m USING (grp) GROUP BY 1),
+        |thr AS (SELECT grp, med, mad, round(3.0 * 1.4826 * mad, 4) AS thr FROM mad)
+        |SELECT d.grp, count(*) AS n,
+        |       round(min(t.med), 4) AS med,
+        |       round(min(t.mad), 4) AS mad,
+        |       CAST(sum(CASE WHEN d.adev > t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN thr t USING (grp)
+        |GROUP BY d.grp""".stripMargin,
 
     "g8_ingestion_log" ->
       s"""WITH ranked AS (

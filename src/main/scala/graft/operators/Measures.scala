@@ -171,4 +171,34 @@ object Measures {
     df.groupBy(key.as("key")).agg(decSum(amount).as("total"))
       .orderBy(col("total").desc, col("key").asc)
       .limit(n)
+
+  /** Robust per-group outlier screen — the claims-anomaly shape
+    * (flag amounts implausibly far from their status's typical value):
+    * median + MAD instead of mean + stddev, so the screen itself isn't
+    * dragged by the outliers it hunts (Hampel/Iglewicz–Hoaglin
+    * |x − med| > z · 1.4826 · MAD, 1.4826 scaling MAD to σ under
+    * normality). Exact interpolated medians (same definition as g9's
+    * percentiles); deviations and the threshold round to 4 dp before
+    * the comparison so engines agree at the boundary.
+    *
+    * Scale: three keyed aggregations and two joins, all on the
+    * (low-cardinality) group key; the group medians frame is tiny and
+    * broadcasts. No global sort. Output per group: n, med, mad,
+    * n_outliers. */
+  def robustOutliers(df: DataFrame, group: Column, value: Column,
+                     z: Double = 3.0): DataFrame = {
+    val base = df.select(group.as("grp"), value.as("v"))
+    val med = base.groupBy("grp").agg(expr("percentile(v, 0.5)").as("med"))
+    val dev = base.join(broadcast(med), "grp")
+      .withColumn("adev", round(abs(col("v") - col("med")), 4))
+    val mad = dev.groupBy("grp")
+      .agg(min(col("med")).as("med"), expr("percentile(adev, 0.5)").as("mad"))
+      .withColumn("thr", round(lit(z) * lit(1.4826) * col("mad"), 4))
+    dev.select("grp", "adev").join(broadcast(mad), "grp")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("med")), 4).as("med"),
+        round(min(col("mad")), 4).as("mad"),
+        sum(when(col("adev") > col("thr"), 1L).otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import org.apache.spark.storage.StorageLevel
 
@@ -135,6 +135,37 @@ object TextAnalysis {
         min_by(col("token"), struct((-col("score")).as("s"), col("token")))
           .as("top_term"),
         max(col("score")).as("top_tfidf"))
+  }
+
+  /** Per-document mean unigram surprisal — the language-model quality
+    * proxy of the CCNet/C4 lineage (Wenzek et al. 2020 filter on LM
+    * perplexity; a corpus-unigram model is its cheapest form): docs
+    * whose tokens are improbable under the corpus distribution score
+    * high (gibberish, boilerplate codes), formulaic docs score low.
+    * mean_surprisal = Σ tf(doc,t) · −log2(ctf(t)/N) / n_tokens, with
+    * the per-token surprisal rounded to 6 dp before the
+    * decimal-exact weighted sum so engines agree.
+    *
+    * Scale shape mirrors [[tfIdfTopTerm]]: one (doc, token) count
+    * shuffle (persisted under `storage` — it feeds both the corpus
+    * counts and the scoring join), a vocabulary-keyed join, the
+    * corpus-total attached by a one-row broadcast product, and a
+    * per-doc decimal aggregation. Docs with no tokens drop out. */
+  def unigramSurprisal(df: DataFrame, id: Column, text: Column,
+                       storage: StorageLevel = graft.Caching.Default): DataFrame = {
+    val tf = graft.Caching.persisted(
+      df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")), storage)
+    val corpus = tf.groupBy("token").agg(sum(col("tf")).as("ctf"))
+    val total = corpus.agg(sum(col("ctf")).as("n_total"))
+    tf.join(corpus, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("surp", round(-log2(
+        col("ctf").cast(DoubleType) / col("n_total").cast(DoubleType)), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        round((sum((col("tf") * col("surp")).cast(DecimalType(28, 12)))
+          / sum(col("tf"))).cast(DoubleType), 6).as("mean_surprisal"))
   }
 
   // --- repetition signals ----------------------------------------------

@@ -176,6 +176,28 @@ class KnnSpec extends SparkSpec {
     all.foreach { case (pair, sim) => assert(brute(pair) == sim, s"$pair") }
   }
 
+  test("unigramSurprisal: hand-computed corpus-model surprisal") {
+    import spark.implicits._
+    // corpus counts: x=2, y=2, z=1, N=5; surp(x)=surp(y)=-log2(2/5),
+    // surp(z)=-log2(1/5); doc1 all at 1.321928, doc2 mean of the two
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sx = math.round(-math.log(2.0 / 5) / math.log(2) * 1e6) / 1e6
+    val sz = math.round(-math.log(1.0 / 5) / math.log(2) * 1e6) / 1e6
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - sx) < 1e-6, got(1L).toString)
+    assert(got(2L)._1 == 2L &&
+      math.abs(got(2L)._2 - math.round((sx + sz) / 2 * 1e6) / 1e6) < 1e-6,
+      got(2L).toString)
+    // a doc of corpus-rare tokens scores strictly higher than a doc of
+    // corpus-common ones (the filter's discriminating direction)
+    val mix = Seq((1L, "common common common common"), (2L, "rare"),
+      (3L, "common common")).toDF("doc_id", "text")
+    val s = TextAnalysis.unigramSurprisal(mix, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(2L) > s(1L))
+  }
+
   test("tfIdfTopTerm: distinctive term wins; common term scores zero idf") {
     import spark.implicits._
     import graft.text.TextAnalysis

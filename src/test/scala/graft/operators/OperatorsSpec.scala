@@ -237,6 +237,19 @@ class MeasuresSpec extends SparkSpec {
       }
   }
 
+  test("robustOutliers: hand-computed median/MAD/threshold") {
+    import spark.implicits._
+    // group a: med 3, adev {2,1,0,1,97}, mad 1, thr 4.4478 -> one
+    // outlier (97); group b: symmetric, no outliers
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0)).toDF("g", "v")
+    val got = Measures.robustOutliers(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got("a") == ((5L, 3.0, 1.0, 1L)), got("a").toString)
+    assert(got("b") == ((3L, 20.0, 10.0, 0L)), got("b").toString)
+  }
+
   test("topN is deterministic and correctly bounded") {
     val top = Measures.topN(table("orders"), col("o_custkey"), col("o_totalprice"), 5)
     val rows = top.collect()
