@@ -202,6 +202,35 @@ class WindowTopOneRewriteSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("fuzz: random data, direction mixes, and k match the window form exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dirs: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Seq(_.asc, _.desc, _.asc_nulls_last, _.desc_nulls_first)
+    for (trial <- 1 to 8) {
+      val n = 50 + rnd.nextInt(150)
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(6).toLong,
+          if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(10)),
+          if (rnd.nextInt(7) == 0) None
+          else Some(math.round(rnd.nextDouble() * 1000) / 10.0),
+          i.toLong) // unique uid total-orders every partition
+      }
+      val df = rows.toDF("k", "o1", "o2", "uid")
+      val (d1, d2) = (dirs(rnd.nextInt(4)), dirs(rnd.nextInt(4)))
+      val k = 1 + rnd.nextInt(4)
+      val w = Window.partitionBy("k")
+        .orderBy(d1(col("o1")), d2(col("o2")), col("uid"))
+      val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      val out = rewritten(q)
+      assert(out.queryExecution.optimizedPlan
+        .collect { case lw: LWindow => lw }.isEmpty, s"trial $trial kept a window")
+      // total ordering => bit-exact row set INCLUDING the rn column
+      assert(out.collect().map(_.toSeq).toSet == q.collect().map(_.toSeq).toSet,
+        s"trial $trial (k=$k) diverged")
+    }
+  }
+
   test("a foreign WindowGroupLimit below the window is kept, not stripped") {
     import org.apache.spark.sql.catalyst.expressions.{RowNumber, SortOrder,
       Ascending, NullsFirst}
