@@ -40,7 +40,10 @@ import graft.functions.TopKRows
   *
   * Value identity:
   *  - a lone `row_number()` window expression, filtered to a literal
-  *    rank prefix (`rn = 1`, `rn <= k`, `rn < k`, and flipped forms);
+  *    rank prefix (`rn = 1`, `rn <= k`, `rn < k`, and flipped forms) —
+  *    possibly among other conjuncts (CombineFilters merges subsequent
+  *    user filters into one And; the non-rank residual re-applies
+  *    above the rewrite, see apply());
   *    partition keys may be any deterministic expressions (the
   *    TopKRows path also allows an EMPTY partition list: the ungrouped
   *    aggregate emits one array row and posexplode of an empty array
@@ -69,14 +72,34 @@ import graft.functions.TopKRows
   * Register with `spark.sql.extensions=graft.GraftExtensions` or
   * `spark.experimental.extraOptimizations ++= Seq(WindowTopOneRewrite)`.
   */
-object WindowTopOneRewrite extends Rule[LogicalPlan] {
+object WindowTopOneRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
+  // The filter may be a conjunction: CombineFilters merges any
+  // subsequent user .filter(p) into Filter(p && rn <= k), so the rank
+  // conjunct must be found among the others, and the residual
+  // predicates re-applied ABOVE the rewritten plan (row-local, and rn
+  // is rebuilt under its original exprId, so residuals referencing rn
+  // — e.g. a pagination rn >= 2 — still resolve and evaluate
+  // identically). Rewriting moves residual evaluation after the rank
+  // cut, which only commutes for deterministic predicates — bail
+  // otherwise.
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, child) =>
-      stripProjects(child).flatMap { case (projs, w) =>
-        rewrite(cond, w).map(agg =>
-          projs.foldRight(agg: LogicalPlan)((list, acc) => Project(list, acc)))
-      }.getOrElse(f)
+      (for {
+        (projs, w) <- stripProjects(child)
+        rn <- rowNumberAttr(w)
+        conjuncts = splitConjunctivePredicates(cond)
+        if conjuncts.forall(_.deterministic)
+        k <- conjuncts.flatMap(filterLimit(_, rn)).minOption
+        agg <- rewrite(rn, k, w)
+      } yield {
+        // every conjunct whose limit IS k is fully enforced by the
+        // k-rank cut itself; everything else re-applies above
+        val residual = conjuncts.filterNot(filterLimit(_, rn).contains(k))
+        val filtered = if (residual.isEmpty) agg
+          else Filter(residual.reduce(And), agg)
+        projs.foldRight(filtered)((list, acc) => Project(list, acc))
+      }).getOrElse(f)
   }
 
   /** Unwraps attribute-only Projects (withColumn and the analyzer's
@@ -161,19 +184,15 @@ object WindowTopOneRewrite extends Rule[LogicalPlan] {
     case c => c
   }
 
-  private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] =
-    for {
-      rn <- rowNumberAttr(w)
-      k <- filterLimit(cond, rn)
-      if k >= 1
-      if w.orderSpec.forall(_.child.deterministic)
-      if w.partitionSpec.forall(_.deterministic)
-      plan <- (formOf(w.orderSpec), k) match {
-        case (Some(form), 1) if w.partitionSpec.nonEmpty =>
-          Some(rewriteTopOne(rn, w, form))
-        case _ => Some(rewriteTopK(rn, w, k))
-      }
-    } yield plan
+  private def rewrite(rn: Attribute, k: Int, w: Window): Option[LogicalPlan] =
+    if (k < 1 ||
+        !w.orderSpec.forall(_.child.deterministic) ||
+        !w.partitionSpec.forall(_.deterministic)) None
+    else (formOf(w.orderSpec), k) match {
+      case (Some(form), 1) if w.partitionSpec.nonEmpty =>
+        Some(rewriteTopOne(rn, w, form))
+      case _ => Some(rewriteTopK(rn, w, k))
+    }
 
   /** rn = 1, uniform directions: one codegen'd min_by/max_by over the
     * whole-row struct. */

@@ -202,6 +202,27 @@ class WindowTopOneRewriteSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("conjunctive filters: rank cut extracted, residuals reapplied") {
+    // CombineFilters merges subsequent user filters into one And — the
+    // rank conjunct must still be found and the rest kept
+    val li = table("lineitem")
+    def win = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_quantity").desc, col("l_linenumber")) // total per key
+    val q = li.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= 3 && col("l_quantity") > 10)
+    val out = rewritten(q)
+    assert(out.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(out.collect().map(_.toSeq).toSet == q.collect().map(_.toSeq).toSet)
+    // pagination shape: both conjuncts are rank bounds; the k=3 cut is
+    // enforced by the aggregate, rn >= 2 reapplies over the rebuilt rn
+    val pag = li.withColumn("rn", row_number().over(win))
+      .filter(col("rn") >= 2 && col("rn") <= 3)
+    val out2 = rewritten(pag)
+    assert(out2.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(out2.collect().map(_.toSeq).toSet == pag.collect().map(_.toSeq).toSet)
+    assert(out2.select("rn").distinct().collect().map(_.getInt(0)).toSet == Set(2, 3))
+  }
+
   test("fuzz: random data, direction mixes, and k match the window form exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
