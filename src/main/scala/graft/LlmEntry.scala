@@ -206,6 +206,15 @@ object LlmEntry {
     "e4_kmeans" -> ((s, dir) =>
       KMeans.lloyd(t(s, dir, "embeddings"), k = 8, iters = 2)),
 
+    "d11_verbatim_overlap" -> ((s, dir) =>
+      // exact-substring (verbatim memorization) overlap: docs sharing
+      // any sampled 40-char window, scored by shared-window count —
+      // the Lee et al. 2021 exact-substring dedup flavor, sampled
+      // (window + stride explode) instead of suffix-arrayed; df cap
+      // keeps one boilerplate header from going quadratic
+      TextDedup.verbatimOverlapPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
     "d10_semantic_dedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): k-means clusters the embedding
       // space (e4's trainer), near-dups are sought only WITHIN a
@@ -844,6 +853,17 @@ object LlmEntry {
          |${kmeansCtes("v")}
          |SELECT cent_id, CAST(d AS INTEGER) AS dim, cent[d+1] AS value
          |FROM c2, range(0, 64) r(d)""".stripMargin,
+
+    "d11_verbatim_overlap" ->
+      """WITH wins AS (
+        |  SELECT DISTINCT doc_id, md5(substr(text, CAST(off AS INTEGER) + 1, 40)) AS wh
+        |  FROM documents, unnest(range(0, strlen(text) - 39, 20)) r(off)
+        |  WHERE strlen(text) >= 40),
+        |cool AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) <= 10),
+        |cw AS (SELECT doc_id, wh FROM wins JOIN cool USING (wh))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM cw a JOIN cw b ON a.wh = b.wh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // d10 = e4's trained centroids (kmeansCtes) + within-cluster pair
     // generation + exact-cosine verify, mirroring Knn.semanticDedupPairs

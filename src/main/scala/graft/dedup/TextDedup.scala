@@ -422,6 +422,50 @@ object TextDedup {
     verified(cand, ta, tb, minJaccard)
   }
 
+  /** Verbatim substring-overlap pairs — the exact-substring dedup
+    * flavor (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", finds verbatim cross-doc runs with a
+    * suffix array; a suffix array is a single-machine artifact, so the
+    * Spark shape samples instead): every doc emits the md5 of each
+    * `window`-char substring at offsets 0, stride, 2·stride, …; docs
+    * sharing any sampled window hash are overlap candidates, scored by
+    * their count of distinct shared window hashes. Detection is
+    * deterministic for any shared run of at least
+    * window + 2·(stride−1) chars (both docs then sample some common
+    * aligned window regardless of phase); shorter shared runs are
+    * caught phase-dependently. `maxDocFreq` drops boilerplate windows
+    * (shared by more than that many docs) from pair generation — the
+    * same viral-blocker cap as the capped Jaccard path, without which
+    * one common header makes m² pairs.
+    *
+    * Scale shape: map-only window explode (|text|/stride rows), one
+    * distinct, df-capped hash equi-join, keyed count — never an
+    * all-pairs stage. Output: (doc_a, doc_b, n_shared) over cool
+    * windows only. */
+  def verbatimOverlapPairs(docs: DataFrame, id: Column, text: Column,
+                           window: Int = 40, stride: Int = 20,
+                           maxDocFreq: Int = 10): DataFrame = {
+    require(window > 0 && stride > 0 && maxDocFreq > 1,
+      s"invalid window=$window stride=$stride maxDocFreq=$maxDocFreq")
+    val wins = docs
+      .select(id.as("doc_id"), text.as("t"))
+      .filter(length(col("t")) >= window)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), length(col("t")) - window, lit(stride))).as("off"))
+      .select(col("doc_id"),
+        md5(col("t").substr(col("off") + 1, lit(window))).as("wh"))
+      .distinct()
+    val cool = wins.groupBy("wh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("wh")
+    val cw = wins.join(cool, "wh")
+    cw.as("a").join(cw.as("b"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** 64-bit SimHash fingerprint as a 16-hex-char string, over word
     * tokens (with multiplicity). Bits come from the two md5 32-bit
     * halves, kept separate to avoid sign overflow; bit j set iff the

@@ -61,6 +61,28 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("verbatim overlap: shared long run detected, boilerplate capped") {
+    import spark.implicits._
+    val run = ("the quick brown fox jumps over the lazy dog again and " * 3).take(90)
+    val boiler = "COMMON HEADER LINE THAT EVERY SINGLE DOCUMENT STARTS WITH VERBATIM " * 2
+    val docs = Seq(
+      (1L, "prefix one " + run + " suffix alpha"),
+      (2L, "totally different lead-in text " + run + " and another tail"),
+      (3L, "unrelated content with nothing shared at all beyond this sentence"),
+      // 4..9: boilerplate-only docs — their shared windows exceed the
+      // df cap and must generate NO pairs
+      (4L, boiler), (5L, boiler), (6L, boiler), (7L, boiler), (8L, boiler),
+      (9L, boiler)).toDF("doc_id", "text")
+    val pairs = TextDedup.verbatimOverlapPairs(docs, col("doc_id"), col("text"),
+        window = 40, stride = 20, maxDocFreq = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 90-char shared run >= 40 + 2*19: guaranteed detection at any phase
+    assert(pairs.contains((1L, 2L)), pairs.toString)
+    // no pair may touch the unrelated doc, and the capped boilerplate
+    // family must not pair at all
+    assert(pairs.keySet == Set((1L, 2L)), pairs.toString)
+  }
+
   test("LSH pairs are a subset of blocked-exact pairs at the same threshold") {
     val docs = table("documents")
     val exact = TextDedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.1)
