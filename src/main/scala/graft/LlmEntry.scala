@@ -9,7 +9,7 @@ import graft.multimodal.Multimodal
 import graft.operators.Sampling
 import graft.streaming.Events
 import graft.sources.Tables
-import graft.text.{Packing, TextAnalysis}
+import graft.text.{Packing, Search, TextAnalysis}
 
 /** LLM-training-data + streaming operators (SURVEY §2: the d, e, t, m
   * and st families), with DuckDB oracles where SQL can express the
@@ -336,6 +336,13 @@ object LlmEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    "e8_bm25" -> ((s, dir) =>
+      // lexical retrieval next to the vector family: BM25 top-5 per
+      // keyword query over the documents corpus (inverted-index shape;
+      // bounded-heap top-k — no windows, no global sort)
+      Search.bm25TopK(t(s, dir, "documents"), col("doc_id"),
+        col("text"), Bm25Queries, k = 5)),
+
     "t1_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -444,6 +451,14 @@ object LlmEntry {
 
   private val ToksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  /** e8's keyword queries — terms drawn from the synthetic corpus
+    * vocabulary so every query has hits. One source of truth for the
+    * Spark entry and the oracle's VALUES list. */
+  private val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "kw1" -> Seq("spark", "window", "agg"),
+    "kw2" -> Seq("customer", "query", "scan"),
+    "kw3" -> Seq("vector", "stream"))
 
   /** Distinct word n-gram shingles over `tk` (1-based inclusive list
     * slices); n=3 is the dedup family's [[ShSql]]. */
@@ -1220,6 +1235,42 @@ object LlmEntry {
          |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
          |      FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id))
          |SELECT query_id, neighbor_id, sim FROM s WHERE sim >= 0.2""".stripMargin,
+
+    // BM25 with the Lucene +1 idf floor; float-op order mirrors
+    // Search.bm25TopK term by term (idf and per-term score rounded to
+    // 6 dp, per-doc sum decimal-exact)
+    "e8_bm25" -> {
+      val vals = Bm25Queries.flatMap { case (q, ts) =>
+        ts.distinct.map(t => s"('$q','$t')") }.mkString(", ")
+      val vocab = Bm25Queries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(tk) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |q(query_id, token) AS (VALUES $vals),
+         |dfq AS (SELECT token, count(*) AS dfn FROM tf
+         |        WHERE token IN ($vocab) GROUP BY 1),
+         |sc AS (SELECT query_id, doc_id,
+         |    round(round(ln((CAST(n_docs AS DOUBLE) - CAST(dfn AS DOUBLE) + 0.5)
+         |        / (CAST(dfn AS DOUBLE) + 0.5) + 1.0), 6)
+         |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |        / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+         |          * (CAST(dl AS DOUBLE)
+         |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))), 6)
+         |      AS term_score
+         |  FROM tf JOIN q USING (token) JOIN dfq USING (token)
+         |       JOIN dl USING (doc_id) CROSS JOIN st),
+         |pd AS (SELECT query_id, doc_id,
+         |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS score
+         |  FROM sc GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, doc_id) AS rank FROM pd)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+         |FROM r WHERE rank <= 5""".stripMargin
+    },
 
     "t1_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, $ToksSql AS tk FROM documents),

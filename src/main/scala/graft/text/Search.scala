@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import org.apache.spark.storage.StorageLevel
+
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.TopKPairs
+
+/** Keyword (lexical) retrieval over a document corpus — the BM25
+  * ranking function (Robertson & Zaragoza 2009; the Okapi BM25 form
+  * with Lucene's +1 idf floor so idf is never negative). Complements
+  * the `graft.ann` family: production retrieval runs lexical and
+  * vector search side by side, and BM25 is the standard lexical leg.
+  *
+  * Scale shape — the inverted-index build is the only corpus-wide
+  * work, and every stage is an equi-join or a partial aggregation:
+  *
+  *  1. postings: explode → map-side-combined (doc, token) counts,
+  *     one shuffle (shared with [[TextAnalysis.tfIdfTopTerm]]'s tf
+  *     frame shape). Persisted under the `storage` knob — it feeds
+  *     doc lengths, document frequencies, and the scoring join.
+  *  2. doc lengths / corpus stats: keyed aggregation off the postings,
+  *     with the (N, Σdl) pair attached downstream as a ONE-ROW
+  *     broadcast product (|rows| × O(1) — the same constant-side
+  *     exemption class as t12's corpus count).
+  *  3. scoring: postings filtered to the query vocabulary (a
+  *     broadcast-side sliver — query terms are O(10)), joined to the
+  *     broadcast term list and per-term document frequencies, then
+  *     summed per (query, doc) with per-term scores rounded to 6 dp
+  *     and accumulated as DECIMAL(28,12), so the result is
+  *     order-independent and engine-reproducible.
+  *  4. top-k: the bounded-heap [[TopKPairs]] aggregate — k rows per
+  *     (query, mapper) cross the wire, never a global sort (the same
+  *     posture as `Knn.rankTopK`).
+  *
+  * At 100 TB the postings/doc-length frames become persisted bucketed
+  * tables (the `sources.BucketedStore` protocol the dedup band index
+  * and ANN index already use) and step 1 drops out of the query path;
+  * steps 3-4 touch only query-vocabulary postings either way.
+  *
+  * Ranking ties break on doc_id asc; docs with no tokens have no
+  * postings and cannot score. Reference behavior: lexical search over
+  * curated text is the retrieval leg next to fabric-claims'
+  * semantic-model measures (DirectLake tables feed both).
+  */
+object Search {
+
+  /** Top-k BM25 hits per keyword query.
+    *
+    * @param queries (query_id, distinct query terms); terms are
+    *                matched against [[TextAnalysis.tokens]] output
+    * @return (query_id, rank, doc_id, score), rank 1..k by
+    *         (score desc, doc_id asc)
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               queries: Seq[(String, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               storage: StorageLevel = graft.Caching.Default): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val postings = graft.Caching.persisted(
+      docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")), storage)
+    val dl = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("query_id", "token")
+    val vocab = queries.flatMap(_._2).distinct
+    val tfq = postings.where(col("token").isInCollection(vocab))
+    val dfq = tfq.groupBy("token").agg(count(lit(1)).as("dfn"))
+    // float-op order below is mirrored verbatim by the SQL oracle:
+    // idf and the per-term score each round to 6 dp, the per-doc sum
+    // is decimal-exact
+    val scored = tfq
+      .join(broadcast(qterms), "token")
+      .join(broadcast(dfq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("idf", round(log(
+        (col("n_docs").cast(DoubleType) - col("dfn").cast(DoubleType) + 0.5)
+          / (col("dfn").cast(DoubleType) + 0.5) + 1.0), 6))
+      .withColumn("term_score", round(col("idf") *
+        ((col("tf").cast(DoubleType) * (lit(k1) + 1.0)) /
+          (col("tf").cast(DoubleType) +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * (col("dl").cast(DoubleType) / col("avgdl"))))), 6))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("term_score").cast(DecimalType(28, 12)))
+        .cast(DoubleType), 6).as("score"))
+    perDoc.groupBy("query_id")
+      .agg(ColumnBridge.column(TopKPairs(
+        ColumnBridge.expression(struct(col("score"), col("doc_id").cast("long"))), k)
+        .toAggregateExpression()).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.sim").as("score"))
+  }
+}

@@ -34,9 +34,13 @@ class EntryPlanSpec extends SparkSpec {
   // d10's product is e4's corpus×constant-centroids assignment pass;
   // its pair stage is an equi-join on cent_id.
   // t13 shares t12's one-row corpus-total broadcast product.
+  // e8's product is query-vocabulary postings × the ONE-ROW (N, Σdl)
+  // corpus-stats frame — the same |rows| × O(1) constant-side
+  // exemption as t12/t13; its corpus-sized joins are all equi-joins.
   private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e3b_knn_ivf_trained",
     "e4_kmeans", "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",
-    "e6b_ann_probe", "t12_tfidf", "t13_surprisal", "d10_semantic_dedup")
+    "e6b_ann_probe", "t12_tfidf", "t13_surprisal", "d10_semantic_dedup",
+    "e8_bm25")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BM25 retrieval ([[Search.bm25TopK]]) against hand-computed scores. */
+class SearchSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry durian")
+    ).toDF("doc_id", "text")
+  }
+
+  test("bm25TopK: hand-computed scores, ranking, and k cut") {
+    // N=3, dl = (3, 2, 4), avgdl = 3.0, df(apple)=1, df(cherry)=2
+    // idf(apple)  = ln((3-1+0.5)/(1+0.5) + 1) = ln(8/3)  -> 0.980829
+    // idf(cherry) = ln((3-2+0.5)/(2+0.5) + 1) = ln(1.6)  -> 0.470004
+    // doc1/apple:  tf=2, denom = 2 + 1.2*(0.25+0.75*3/3) = 3.2
+    //   -> 0.980829 * 4.4/3.2  = 1.348640
+    // doc3/cherry: tf=3, denom = 3 + 1.2*(0.25+0.75*4/3) = 4.5
+    //   -> 0.470004 * 6.6/4.5  = 0.689339
+    // doc2/cherry: tf=1, denom = 1 + 1.2*(0.25+0.75*2/3) = 1.9
+    //   -> 0.470004 * 2.2/1.9  = 0.544215  (cut by k=2)
+    val out = Search.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("q" -> Seq("apple", "cherry")), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ===
+      Seq(("q", 1, 1L), ("q", 2, 3L)))
+    val scores = out.map(_.getDouble(3))
+    assert(math.abs(scores(0) - 1.348640) < 1e-6)
+    assert(math.abs(scores(1) - 0.689339) < 1e-6)
+  }
+
+  test("bm25TopK: multi-term sum and tf saturation") {
+    // doc2 matches both banana and cherry; its score is the SUM of the
+    // per-term scores. And tf saturation: apple's tf=2 contributes less
+    // than 2x a tf=1 hit (k1 bounds the tf gain).
+    val out = Search.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("qb" -> Seq("banana", "cherry")), k = 3).collect()
+    val d2 = out.find(r => r.getLong(2) == 2L).get.getDouble(3)
+    // banana: df=2, idf=0.470004, tf=1, dl=2 -> 0.470004*2.2/1.9 = 0.544215
+    // cherry (doc2) = 0.544215; sum = 1.088430
+    assert(math.abs(d2 - 1.088430) < 1e-6)
+    // saturation check on the first suite's numbers: 1.348640 < 2 * 0.980829
+    assert(1.348640 < 2 * 0.980829)
+  }
+
+  test("bm25TopK: docs without query terms never rank; empty query yields nothing") {
+    val out = Search.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("qa" -> Seq("apple")), k = 5).collect()
+    assert(out.map(_.getLong(2)).toSet === Set(1L))
+    val none = Search.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("qz" -> Seq("zucchini")), k = 5).collect()
+    assert(none.isEmpty)
+  }
+}
