@@ -360,6 +360,22 @@ object SparkEntry {
       Measures.robustOutliers(t(s, dir, "orders"),
         col("o_orderstatus"), col("o_totalprice"))),
 
+    "g17_funnel" -> ((s, dir) =>
+      // ordered-step conversion funnel over the event log: users who
+      // viewed, then clicked at-or-after their first view, then
+      // purchased at-or-after that click — per-step reach counts via
+      // key-aligned joins + partial-aggregating mins (no windows, no
+      // per-user sort)
+      streaming.Events.funnel(Tables.loadEvents(s, dir),
+        Seq("view", "click", "purchase"))),
+
+    "g18_retention" -> ((s, dir) =>
+      // weekly cohort retention triangle: cohort = week of first
+      // event; n_users = cohort members active at each week offset.
+      // Two keyed shuffles; active weeks collect per user (bounded by
+      // calendar weeks, not events)
+      streaming.Events.weeklyRetention(Tables.loadEvents(s, dir))),
+
     "g8_ingestion_log" -> ((s, dir) => {
       // Winner-per-key via max_by over the TOTAL ordering struct (the
       // data has tied (orderkey, shipdate, linenumber) rows whose DQ
@@ -666,6 +682,32 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN d.adev > t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN thr t USING (grp)
         |GROUP BY d.grp""".stripMargin,
+
+    // sequential min-timestamp chain, one CTE per funnel step
+    "g17_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |       (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    "g18_retention" ->
+      """WITH a AS (SELECT user_id, date_trunc('week', ts) AS aw FROM events),
+        |c AS (SELECT user_id, min(aw) AS cohort_week FROM a GROUP BY 1),
+        |d AS (SELECT DISTINCT user_id, aw FROM a)
+        |SELECT cohort_week,
+        |       CAST(floor(date_diff('day', cohort_week, aw) / 7) AS INTEGER)
+        |         AS week_offset,
+        |       count(*) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "g8_ingestion_log" ->
       s"""WITH ranked AS (

@@ -73,6 +73,56 @@ object Events {
          |r_ts BETWEEN l_ts - interval $lookback AND l_ts""".stripMargin))
   }
 
+  /** Ordered-step conversion funnel: for each user, step 1 is their
+    * earliest `steps(0)` event, and step i+1 is their earliest
+    * `steps(i)` event at-or-after their step-i time; the output is one
+    * row per step with the count of users who reached it (the
+    * behavioral-analytics funnel every events warehouse ships).
+    *
+    * Scale shape: step filters push down to the scan; each step is a
+    * user-keyed equi-join + partial-aggregating min — every frame in
+    * the chain hash-partitions on user_id, so the per-step shuffles
+    * are key-aligned and each step's input is only the survivors of
+    * the previous one (monotonically shrinking). No windows, no
+    * per-user event sorting, state per user is one timestamp. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("step_ts"))
+    val perStep = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("step_ts").as("prev_ts")), "user_id")
+        .where(col("ts") >= col("prev_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("step_ts"))
+    }
+    perStep.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Weekly cohort retention: users cohorted by the week of their
+    * first event; `n_users` counts how many of each cohort were active
+    * `week_offset` weeks later (offset 0 = the cohort week itself) —
+    * the standard retention triangle.
+    *
+    * One user-keyed aggregation collects each user's distinct active
+    * weeks (bounded by calendar weeks, not events — O(thousands) even
+    * over decades) alongside their cohort week, then a second keyed
+    * aggregation counts the exploded (cohort, offset) pairs. Two
+    * shuffles total; no distinct-count state, no windows. */
+  def weeklyRetention(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .groupBy("user_id")
+      .agg(min(col("aw")).as("cohort_week"), collect_set(col("aw")).as("weeks"))
+      .select(col("cohort_week"), explode(col("weeks")).as("aw"))
+      .withColumn("week_offset",
+        floor(datediff(col("aw"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+
   /** Streaming exact dedup — the streaming leg of the dedup family
     * (batch analog: d1 / [[graft.dedup.TextDedup.exactDupMetrics]]).
     * Drops events whose key was already seen within the watermark

@@ -293,4 +293,52 @@ class StreamingSpec extends SparkSpec {
     assert(s.filter(col("session_end") < col("session_start")).count() === 0)
     assert(s.filter(col("n_events") <= 0).count() === 0)
   }
+
+  test("funnel: ordering matters, not mere presence") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 converts fully in order; u2 clicked BEFORE viewing (click
+    // must not count); u3 views only; u4 has view->click but the
+    // purchase precedes the click
+    val ev = Seq(
+      (1L, t("2026-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2026-01-01 10:01:00"), 1L, "click"),
+      (3L, t("2026-01-01 10:02:00"), 1L, "purchase"),
+      (4L, t("2026-01-01 09:00:00"), 2L, "click"),
+      (5L, t("2026-01-01 09:30:00"), 2L, "view"),
+      (6L, t("2026-01-01 11:00:00"), 3L, "view"),
+      (7L, t("2026-01-01 08:00:00"), 4L, "purchase"),
+      (8L, t("2026-01-01 08:30:00"), 4L, "view"),
+      (9L, t("2026-01-01 08:45:00"), 4L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // step1: u1,u2,u3,u4 viewed; step2: u1,u4 clicked at-or-after
+    // their first view; step3: only u1 purchased after that click
+    assert(out === Seq((1, "view", 4L), (2, "click", 2L),
+      (3, "purchase", 1L)))
+  }
+
+  test("weeklyRetention: cohorts by first-seen week, offsets count distinct users") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2026-01-05 is a Monday. u1 first seen wk0, active wk0 and wk2
+    // (twice in wk2 — counted once); u2 first seen wk0 only; u3 first
+    // seen wk1, active wk1 and wk2
+    val ev = Seq(
+      (1L, t("2026-01-05 10:00:00"), 1L, "view"),
+      (2L, t("2026-01-19 10:00:00"), 1L, "view"),
+      (3L, t("2026-01-20 10:00:00"), 1L, "click"),
+      (4L, t("2026-01-06 10:00:00"), 2L, "view"),
+      (5L, t("2026-01-12 10:00:00"), 3L, "view"),
+      (6L, t("2026-01-23 10:00:00"), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.weeklyRetention(ev).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(out === Set(
+      ("2026-01-05", 0, 2L), ("2026-01-05", 2, 1L),
+      ("2026-01-12", 0, 1L), ("2026-01-12", 1, 1L)))
+  }
 }
