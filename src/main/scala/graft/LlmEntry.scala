@@ -172,6 +172,16 @@ object LlmEntry {
       TextAnalysis.unigramSurprisal(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
 
+    "t14_quality_bins" -> ((s, dir) =>
+      // curriculum carving: decile bins over the t2 quality score —
+      // exact-percentile boundaries broadcast one-row, map-only bin
+      // assignment, one keyed count (approx_percentile is the 100 TB
+      // swap for the boundary pass)
+      TextAnalysis.quantileBins(
+        TextAnalysis.qualityFeatures(t(s, dir, "documents"), col("text"))
+          .select(col("quality_score")),
+        col("quality_score"), nBins = 10)),
+
     "x5_exact_k_sample" -> ((s, dir) =>
       // exactly-k-per-stratum eval carving: k-minwise hash sample via
       // the bounded-heap aggregate (partial-aggregating, vs the naive
@@ -834,6 +844,27 @@ object LlmEntry {
          |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
          |             / sum(tf), 6) AS mean_surprisal
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // decile boundaries via quantile_cont rounded to 4 dp (the g16
+    // precedent for cross-engine interpolated percentiles); ties fall
+    // to the lower bin on both sides (strict > against the bounds)
+    "t14_quality_bins" ->
+      s"""WITH toks AS (SELECT doc_id, text, $ToksSql AS tk FROM documents),
+         |feat AS (SELECT
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |    greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(tk, x -> x IN ($EnStopsSql))) AS DOUBLE) /
+         |    greatest(len(tk), 1) AS stop_ratio,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens
+         |  FROM toks),
+         |q AS (SELECT round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
+         |        0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS v FROM feat),
+         |b AS (SELECT list_transform(
+         |        quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+         |        x -> round(x, 4)) AS bounds FROM q)
+         |SELECT CAST(len(list_filter(bounds, x -> v > x)) AS INTEGER) AS bin,
+         |       count(*) AS n_docs, min(v) AS min_score, max(v) AS max_score
+         |FROM q CROSS JOIN b GROUP BY 1""".stripMargin,
 
     "x5_exact_k_sample" ->
       s"""WITH h AS (SELECT source AS stratum, doc_id,

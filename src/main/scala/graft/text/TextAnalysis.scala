@@ -233,6 +233,34 @@ object TextAnalysis {
       .na.fill(0.0, Seq("token_entropy"))
   }
 
+  // --- curriculum binning -----------------------------------------------
+
+  /** Quantile (curriculum) bins over a score column: boundaries at the
+    * 1/nBins … (nBins-1)/nBins quantiles (rounded to 4 dp so engines
+    * agree), each row assigned the count of boundaries strictly below
+    * its value (ties fall to the LOWER bin), summarized per bin. The
+    * data-mixing step that carves a corpus into quality tiers for
+    * curriculum schedules / tiered sampling rates.
+    *
+    * Scale shape: one exact-percentile aggregation to a single row
+    * (sort-free Greenwald–Khanna-style percentile agg in Spark),
+    * broadcast as a |rows| × O(1) constant product, then a map-only
+    * bin assignment + one keyed count. At 100 TB swap the boundary
+    * pass to `approx_percentile` — the bin-assignment contract is
+    * unchanged; the oracle pins the exact path at test scale. */
+  def quantileBins(df: DataFrame, value: Column, nBins: Int): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val ps = (1 until nBins).map(_.toDouble / nBins).toArray
+    val bounds = df.agg(
+      transform(percentile(value, lit(ps)), b => round(b, 4)).as("bounds"))
+    df.select(value.as("v"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin", size(filter(col("bounds"), b => col("v") > b)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("v")).as("min_score"), max(col("v")).as("max_score"))
+  }
+
   // --- PII scrubbing ----------------------------------------------------
 
   /** Conservative PII patterns (emails, NNN-NNN-NNNN phones). */

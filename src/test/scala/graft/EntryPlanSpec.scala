@@ -37,10 +37,11 @@ class EntryPlanSpec extends SparkSpec {
   // e8's product is query-vocabulary postings × the ONE-ROW (N, Σdl)
   // corpus-stats frame — the same |rows| × O(1) constant-side
   // exemption as t12/t13; its corpus-sized joins are all equi-joins.
+  // t14's product is scores × the ONE-ROW boundary array (same class).
   private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e3b_knn_ivf_trained",
     "e4_kmeans", "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",
     "e6b_ann_probe", "t12_tfidf", "t13_surprisal", "d10_semantic_dedup",
-    "e8_bm25")
+    "e8_bm25", "t14_quality_bins")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

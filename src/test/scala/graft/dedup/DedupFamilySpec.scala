@@ -353,6 +353,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viol.count() == 0)
   }
 
+  test("quantileBins: quartiles partition evenly, ties fall to the lower bin") {
+    import spark.implicits._
+    // 1..8: quartile boundaries 2.75 / 4.5 / 6.25 -> two values per bin
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val out = TextAnalysis.quantileBins(df, col("v"), 4).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      0 -> ((2L, 1.0, 2.0)), 1 -> ((2L, 3.0, 4.0)),
+      2 -> ((2L, 5.0, 6.0)), 3 -> ((2L, 7.0, 8.0))))
+    // median of (1,2,2,4) is exactly 2.0: the tied 2s land in bin 0
+    val tied = Seq(1.0, 2.0, 2.0, 4.0).toDF("v")
+    val bins = TextAnalysis.quantileBins(tied, col("v"), 2).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bins === Map(0 -> 3L, 1 -> 1L))
+  }
+
   test("quality features bounded and consistent") {
     val q = TextAnalysis.qualityFeatures(table("documents"), col("text"))
     assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
