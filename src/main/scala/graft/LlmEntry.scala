@@ -353,6 +353,23 @@ object LlmEntry {
       Search.bm25TopK(t(s, dir, "documents"), col("doc_id"),
         col("text"), Bm25Queries, k = 5)),
 
+    "e9_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval, the production search stack: an exact-cosine
+      // vector leg and a more-like-this BM25 lexical leg over the SAME
+      // doc ids (documents/embeddings share the id space), fused by
+      // reciprocal rank — no score calibration across legs
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val vec = Knn.bruteForceTopK(emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") >= 10), k = 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      val lex = Search.bm25MoreLikeThis(docs.filter(col("doc_id") >= 10),
+        col("doc_id"), col("text"), docs.filter(col("doc_id") < 10),
+        col("doc_id"), col("text"), k = 20)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      Search.rrfFuse(Seq(vec, lex), k = 10)
+    }),
+
     "t1_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -469,6 +486,17 @@ object LlmEntry {
     "kw1" -> Seq("spark", "window", "agg"),
     "kw2" -> Seq("customer", "query", "scan"),
     "kw3" -> Seq("vector", "stream"))
+
+  /** Search.bm25's per-term score as DuckDB SQL (k1=1.2, b=0.75) over
+    * CTE columns (n_docs, dfn, tf, dl, sum_dl) — shared by the e8 and
+    * e9 oracles so the float-op mirror can't drift. */
+  private val Bm25TermSql =
+    """round(round(ln((CAST(n_docs AS DOUBLE) - CAST(dfn AS DOUBLE) + 0.5)
+      |    / (CAST(dfn AS DOUBLE) + 0.5) + 1.0), 6)
+      |  * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |    / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+      |      * (CAST(dl AS DOUBLE)
+      |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))), 6)""".stripMargin
 
   /** Distinct word n-gram shingles over `tk` (1-based inclusive list
     * slices); n=3 is the dedup family's [[ShSql]]. */
@@ -1283,14 +1311,7 @@ object LlmEntry {
          |q(query_id, token) AS (VALUES $vals),
          |dfq AS (SELECT token, count(*) AS dfn FROM tf
          |        WHERE token IN ($vocab) GROUP BY 1),
-         |sc AS (SELECT query_id, doc_id,
-         |    round(round(ln((CAST(n_docs AS DOUBLE) - CAST(dfn AS DOUBLE) + 0.5)
-         |        / (CAST(dfn AS DOUBLE) + 0.5) + 1.0), 6)
-         |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
-         |        / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
-         |          * (CAST(dl AS DOUBLE)
-         |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))), 6)
-         |      AS term_score
+         |sc AS (SELECT query_id, doc_id, $Bm25TermSql AS term_score
          |  FROM tf JOIN q USING (token) JOIN dfq USING (token)
          |       JOIN dl USING (doc_id) CROSS JOIN st),
          |pd AS (SELECT query_id, doc_id,
@@ -1302,6 +1323,53 @@ object LlmEntry {
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
          |FROM r WHERE rank <= 5""".stripMargin
     },
+
+    // vector leg = e1's exact-cosine CTEs at k=20; lexical leg = MLT
+    // BM25 (query terms = each query doc's distinct tokens) at k=20;
+    // fusion = sum of 1/(60+rank) per leg, decimal-exact
+    "e9_hybrid_rrf" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim FROM q, c),
+         |vr AS (SELECT query_id, neighbor_id AS doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, neighbor_id) AS rank
+         |       FROM s),
+         |tok AS (SELECT doc_id, unnest(tk) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id >= 10)),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id < 10)),
+         |dfq AS (SELECT token, count(*) AS dfn
+         |        FROM tf JOIN (SELECT DISTINCT token FROM qt) USING (token)
+         |        GROUP BY 1),
+         |sc AS (SELECT query_id, doc_id, $Bm25TermSql AS term_score
+         |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
+         |       JOIN dl USING (doc_id) CROSS JOIN st),
+         |pd AS (SELECT query_id, doc_id,
+         |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS score
+         |  FROM sc GROUP BY 1, 2),
+         |lr AS (SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |       FROM pd),
+         |u AS (SELECT query_id, doc_id, rank FROM vr WHERE rank <= 20
+         |      UNION ALL
+         |      SELECT query_id, doc_id, rank FROM lr WHERE rank <= 20),
+         |f AS (SELECT query_id, doc_id,
+         |    round(CAST(sum(CAST(round(CAST(1.0 AS DOUBLE)
+         |        / CAST(60 + rank AS DOUBLE), 9) AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS rrf_score
+         |  FROM u GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY rrf_score DESC, doc_id) AS rn FROM f)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, rrf_score
+         |FROM r WHERE rn <= 10""".stripMargin,
 
     "t1_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, $ToksSql AS tk FROM documents),

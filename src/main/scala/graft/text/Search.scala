@@ -62,15 +62,38 @@ object Search {
                storage: StorageLevel = graft.Caching.Default): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bm25(docs, id, text,
+      queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+        .toDF("query_id", "token"),
+      k, k1, b, storage)
+  }
+
+  /** BM25 where each query is itself a document ("more like this"):
+    * the query's distinct tokens are its terms. Same contract as
+    * [[bm25TopK]] with query_id typed by `qid`. The query side is
+    * assumed small (a probe batch) and broadcasts; corpus-side work
+    * is identical to [[bm25TopK]]. */
+  def bm25MoreLikeThis(corpus: DataFrame, id: Column, text: Column,
+                       queryDocs: DataFrame, qid: Column, qtext: Column,
+                       k: Int, k1: Double = 1.2, b: Double = 0.75,
+                       storage: StorageLevel = graft.Caching.Default): DataFrame =
+    bm25(corpus, id, text,
+      queryDocs.select(qid.as("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(qtext))).as("token")),
+      k, k1, b, storage)
+
+  /** Shared BM25 core over a (query_id, token) term frame — query_id
+    * keeps whatever type the caller gives it. `qterms` must be
+    * distinct per (query, token) and small enough to broadcast. */
+  private def bm25(docs: DataFrame, id: Column, text: Column,
+                   qterms: DataFrame, k: Int, k1: Double, b: Double,
+                   storage: StorageLevel): DataFrame = {
     val postings = graft.Caching.persisted(
       docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")), storage)
     val dl = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
-      .toDF("query_id", "token")
-    val vocab = queries.flatMap(_._2).distinct
-    val tfq = postings.where(col("token").isInCollection(vocab))
+    val tfq = postings.join(broadcast(qterms.select("token").distinct()), "token")
     val dfq = tfq.groupBy("token").agg(count(lit(1)).as("dfn"))
     // float-op order below is mirrored verbatim by the SQL oracle:
     // idf and the per-term score each round to 6 dp, the per-doc sum
@@ -100,5 +123,36 @@ object Search {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("doc_id"), col("col.sim").as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttner 2009): fuse
+    * ranked lists from heterogeneous retrievers (e.g. a BM25 lexical
+    * leg and an ANN vector leg) without score calibration —
+    * `rrf(d) = Σ_legs 1/(kRrf + rank_leg(d))`. The standard hybrid-
+    * search combiner (kRrf = 60 per the paper).
+    *
+    * Each leg is a (query_id, rank, doc_id) frame (extra columns
+    * ignored). Per-leg terms round to 9 dp and sum as DECIMAL so the
+    * fused score is partition-order-independent and engine-
+    * reproducible; final ranking ties break on doc_id asc. Legs are
+    * top-k lists (tiny relative to the corpus), so fusion costs one
+    * keyed aggregation over |Q| × k × legs rows. */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    val u = legs.map(_.select(col("query_id"), col("rank"), col("doc_id")))
+      .reduce(_ unionAll _)
+    val fused = u
+      .withColumn("term",
+        round(lit(1.0) / (lit(kRrf) + col("rank")).cast(DoubleType), 9))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("term").cast(DecimalType(28, 12)))
+        .cast(DoubleType), 6).as("rrf_score"))
+    fused.groupBy("query_id")
+      .agg(ColumnBridge.column(TopKPairs(
+        ColumnBridge.expression(struct(col("rrf_score"), col("doc_id").cast("long"))), k)
+        .toAggregateExpression()).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.sim").as("rrf_score"))
   }
 }

@@ -38,10 +38,12 @@ class EntryPlanSpec extends SparkSpec {
   // corpus-stats frame — the same |rows| × O(1) constant-side
   // exemption as t12/t13; its corpus-sized joins are all equi-joins.
   // t14's product is scores × the ONE-ROW boundary array (same class).
+  // e9 composes e1's vector leg (its broadcast query×corpus product is
+  // e1's contract) with e8's lexical leg (one-row stats product).
   private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e3b_knn_ivf_trained",
     "e4_kmeans", "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",
     "e6b_ann_probe", "t12_tfidf", "t13_surprisal", "d10_semantic_dedup",
-    "e8_bm25", "t14_quality_bins")
+    "e8_bm25", "t14_quality_bins", "e9_hybrid_rrf")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

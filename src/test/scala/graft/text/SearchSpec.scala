@@ -50,6 +50,33 @@ class SearchSpec extends SparkSpec {
     assert(1.348640 < 2 * 0.980829)
   }
 
+  test("bm25MoreLikeThis: the query doc's distinct tokens are its terms") {
+    import spark.implicits._
+    val queryDocs = Seq((100L, "apple apple cherry")).toDF("doc_id", "text")
+    // identical to an explicit keyword query on {apple, cherry}: the
+    // duplicate "apple" in the query text must NOT double-count
+    val mlt = Search.bm25MoreLikeThis(docs, col("doc_id"), col("text"),
+      queryDocs, col("doc_id"), col("text"), k = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val kw = Search.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("q" -> Seq("apple", "cherry")), k = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(mlt === kw)
+  }
+
+  test("rrfFuse: hand-computed fusion, overlap beats single-leg rank 1") {
+    import spark.implicits._
+    // leg A: d1 rank1, d2 rank2 ; leg B: d2 rank1, d3 rank2.
+    // d2 = 1/62 + 1/61 = 0.032523 > d1 = 1/61 = 0.016393 > d3 = 1/62
+    val legA = Seq((1L, 1, 10L), (1L, 2, 20L)).toDF("query_id", "rank", "doc_id")
+    val legB = Seq((1L, 1, 20L), (1L, 2, 30L)).toDF("query_id", "rank", "doc_id")
+    val out = Search.rrfFuse(Seq(legA, legB), k = 3).orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out.map(t => (t._1, t._2)) === Seq((1, 20L), (2, 10L), (3, 30L)))
+    assert(math.abs(out(0)._3 - (1.0 / 62 + 1.0 / 61)) < 1e-5)
+    assert(math.abs(out(1)._3 - 1.0 / 61) < 1e-5)
+  }
+
   test("bm25TopK: docs without query terms never rank; empty query yields nothing") {
     val out = Search.bm25TopK(docs, col("doc_id"), col("text"),
       Seq("qa" -> Seq("apple")), k = 5).collect()
