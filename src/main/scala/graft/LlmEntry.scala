@@ -353,6 +353,38 @@ object LlmEntry {
       Search.bm25TopK(t(s, dir, "documents"), col("doc_id"),
         col("text"), Bm25Queries, k = 5)),
 
+    "e8b_bm25_indexed" -> ((s, dir) => {
+      // the persisted-index lifecycle end to end: build the inverted
+      // index on a base corpus, update it with a batch (EXACT term/
+      // corpus-stats maintenance — unlike e6's frozen quantizers, BM25
+      // stats stay exact in O(batch + vocab)), probe it. Output equals
+      // e8 restricted to the indexed corpus — the oracle recomputes
+      // BM25 over documents with doc_id >= 10.
+      val docs = t(s, dir, "documents")
+      Search.dropIndex(s, "e8ix")
+      Search.writeIndex(docs.filter(col("doc_id") >= 110), col("doc_id"),
+        col("text"), "e8ix", buckets = 8)
+      Search.updateIndex(docs.filter(col("doc_id") >= 10 && col("doc_id") < 110),
+        col("doc_id"), col("text"), "e8ix", buckets = 8)
+      Search.probeIndex(s, "e8ix", Bm25Queries, k = 5)
+    }),
+
+    "e8c_bm25_probe" -> ((s, dir) => {
+      // the STEADY-STATE leg of e8b (the e6b pattern): the index is
+      // built once per (session, sf dir); every later invocation only
+      // probes — the latency a search service quotes
+      val docs = t(s, dir, "documents")
+      val name = s"e8probe_${dir.hashCode.toHexString}"
+      if (Search.indexVersion(s, name).isEmpty) {
+        Search.dropIndex(s, name) // clear orphaned dirs from a prior JVM
+        Search.writeIndex(docs.filter(col("doc_id") >= 110), col("doc_id"),
+          col("text"), name, buckets = 8)
+        Search.updateIndex(docs.filter(col("doc_id") >= 10 && col("doc_id") < 110),
+          col("doc_id"), col("text"), name, buckets = 8)
+      }
+      Search.probeIndex(s, name, Bm25Queries, k = 5)
+    }),
+
     "e9_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval, the production search stack: an exact-cosine
       // vector leg and a more-like-this BM25 lexical leg over the SAME
@@ -486,6 +518,34 @@ object LlmEntry {
     "kw1" -> Seq("spark", "window", "agg"),
     "kw2" -> Seq("customer", "query", "scan"),
     "kw3" -> Seq("vector", "stream"))
+
+  /** The e8-family oracle: BM25 top-5 for [[Bm25Queries]] over
+    * `documents` restricted by `where` ("" = whole corpus). */
+  private def bm25OracleSql(where: String): String = {
+    val vals = Bm25Queries.flatMap { case (q, ts) =>
+      ts.distinct.map(t => s"('$q','$t')") }.mkString(", ")
+    val vocab = Bm25Queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(tk) AS token
+       |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents $where)),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |q(query_id, token) AS (VALUES $vals),
+       |dfq AS (SELECT token, count(*) AS dfn FROM tf
+       |        WHERE token IN ($vocab) GROUP BY 1),
+       |sc AS (SELECT query_id, doc_id, $Bm25TermSql AS term_score
+       |  FROM tf JOIN q USING (token) JOIN dfq USING (token)
+       |       JOIN dl USING (doc_id) CROSS JOIN st),
+       |pd AS (SELECT query_id, doc_id,
+       |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+       |      AS score
+       |  FROM sc GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                ORDER BY score DESC, doc_id) AS rank FROM pd)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
 
   /** Search.bm25's per-term score as DuckDB SQL (k1=1.2, b=0.75) over
     * CTE columns (n_docs, dfn, tf, dl, sum_dl) — shared by the e8 and
@@ -1298,31 +1358,13 @@ object LlmEntry {
     // BM25 with the Lucene +1 idf floor; float-op order mirrors
     // Search.bm25TopK term by term (idf and per-term score rounded to
     // 6 dp, per-doc sum decimal-exact)
-    "e8_bm25" -> {
-      val vals = Bm25Queries.flatMap { case (q, ts) =>
-        ts.distinct.map(t => s"('$q','$t')") }.mkString(", ")
-      val vocab = Bm25Queries.flatMap(_._2).distinct
-        .map(t => s"'$t'").mkString(", ")
-      s"""WITH tok AS (SELECT doc_id, unnest(tk) AS token
-         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-         |q(query_id, token) AS (VALUES $vals),
-         |dfq AS (SELECT token, count(*) AS dfn FROM tf
-         |        WHERE token IN ($vocab) GROUP BY 1),
-         |sc AS (SELECT query_id, doc_id, $Bm25TermSql AS term_score
-         |  FROM tf JOIN q USING (token) JOIN dfq USING (token)
-         |       JOIN dl USING (doc_id) CROSS JOIN st),
-         |pd AS (SELECT query_id, doc_id,
-         |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
-         |      AS score
-         |  FROM sc GROUP BY 1, 2),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |                ORDER BY score DESC, doc_id) AS rank FROM pd)
-         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
-         |FROM r WHERE rank <= 5""".stripMargin
-    },
+    "e8_bm25" -> bm25OracleSql(""),
+
+    // the persisted index scores the same corpus the same way —
+    // lifecycle (e8b) and steady-state probe (e8c) share one oracle
+    // restricted to the indexed corpus
+    "e8b_bm25_indexed" -> bm25OracleSql("WHERE doc_id >= 10"),
+    "e8c_bm25_probe" -> bm25OracleSql("WHERE doc_id >= 10"),
 
     // vector leg = e1's exact-cosine CTEs at k=20; lexical leg = MLT
     // BM25 (query terms = each query doc's distinct tokens) at k=20;

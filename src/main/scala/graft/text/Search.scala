@@ -82,6 +82,15 @@ object Search {
         explode(array_distinct(TextAnalysis.tokens(qtext))).as("token")),
       k, k1, b, storage)
 
+  /** (doc_id, token, tf) postings of a corpus — the inverted index's
+    * data plane and the shared head of every BM25 path. */
+  private def buildPostings(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
+  private def docLengths(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+
   /** Shared BM25 core over a (query_id, token) term frame — query_id
     * keeps whatever type the caller gives it. `qterms` must be
     * distinct per (query, token) and small enough to broadcast. */
@@ -89,15 +98,22 @@ object Search {
                    qterms: DataFrame, k: Int, k1: Double, b: Double,
                    storage: StorageLevel): DataFrame = {
     val postings = graft.Caching.persisted(
-      docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")), storage)
-    val dl = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      buildPostings(docs, id, text), storage)
+    val dl = docLengths(postings)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tfq = postings.join(broadcast(qterms.select("token").distinct()), "token")
     val dfq = tfq.groupBy("token").agg(count(lit(1)).as("dfn"))
-    // float-op order below is mirrored verbatim by the SQL oracle:
-    // idf and the per-term score each round to 6 dp, the per-doc sum
-    // is decimal-exact
+    scoreAndRank(tfq, dfq, dl, stats, qterms, k, k1, b)
+  }
+
+  /** The scoring tail every path shares: per-term BM25 (float-op order
+    * mirrored verbatim by the SQL oracles: idf and the per-term score
+    * each round to 6 dp), decimal-exact per-doc sum, bounded-heap
+    * top-k. `tfq` = postings restricted to the query vocabulary;
+    * `dfq` = (token, dfn) for that vocabulary. */
+  private def scoreAndRank(tfq: DataFrame, dfq: DataFrame, dl: DataFrame,
+                           stats: DataFrame, qterms: DataFrame, k: Int,
+                           k1: Double, b: Double): DataFrame = {
     val scored = tfq
       .join(broadcast(qterms), "token")
       .join(broadcast(dfq), "token")
@@ -123,6 +139,128 @@ object Search {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("doc_id"), col("col.sim").as("score"))
+  }
+
+  // --- persisted inverted index ---------------------------------------
+
+  import org.apache.spark.sql.SparkSession
+  import graft.sources.BucketedStore
+
+  private val IndexTables = Seq("postings", "doclen", "termstats", "stats")
+
+  /** The committed current version of index `name`. */
+  def indexVersion(spark: SparkSession, name: String): Option[Int] =
+    BucketedStore.currentVersion(spark, name)
+
+  /** Drop every catalog object and on-disk remnant of index `name`. */
+  def dropIndex(spark: SparkSession, name: String): Unit =
+    BucketedStore.drop(spark, name, IndexTables)
+
+  private def commitIndex(spark: SparkSession, name: String,
+                          postings: DataFrame, dl: DataFrame,
+                          termstats: DataFrame, stats: DataFrame,
+                          buckets: Int): Int =
+    BucketedStore.commit(spark, name, Seq(
+      BucketedStore.Member("postings", postings, Seq("doc_id")),
+      BucketedStore.Member("doclen", dl, Seq("doc_id")),
+      BucketedStore.Member("termstats", termstats, Seq("token")),
+      BucketedStore.Member("stats", stats)),
+      buckets)
+
+  /** Build and commit a persisted BM25 inverted index over `docs` —
+    * the production search-service shape of [[bm25TopK]], on the same
+    * [[BucketedStore]] protocol as the ANN and dedup indexes (ONE
+    * atomic ptr view; probes pin a version first). Members:
+    *
+    *  - `postings` (doc_id, token, tf) and `doclen` (doc_id, dl),
+    *    both bucketed by doc_id — [[probeIndex]]'s scoring join plans
+    *    NO exchange on either corpus-sized side
+    *  - `termstats` (token, dfn) — document frequencies precomputed
+    *    at build, bucketed by token; a probe touches only the query
+    *    vocabulary's rows
+    *  - `stats` — the one-row (n_docs, sum_dl) pair
+    *
+    * Returns the committed version. */
+  def writeIndex(docs: DataFrame, id: Column, text: Column, name: String,
+                 buckets: Int = 32,
+                 storage: StorageLevel = graft.Caching.Default): Int = {
+    val spark = docs.sparkSession
+    val postings = graft.Caching.persisted(
+      buildPostings(docs, id, text), storage)
+    val dl = docLengths(postings)
+    commitIndex(spark, name, postings, dl,
+      postings.groupBy("token").agg(count(lit(1)).as("dfn")),
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
+      buckets)
+  }
+
+  /** Upsert a document batch into index `name` with EXACT stats
+    * maintenance — unlike the ANN index's frozen-quantizer contract,
+    * BM25's idf/avgdl can be kept exact in O(batch + vocab): the old
+    * postings of re-ingested doc ids are subtracted from the term and
+    * corpus stats before the new ones are added, so a probe after any
+    * update sequence scores identically to a fresh [[writeIndex]] of
+    * the final corpus (spec-asserted). Deleted-then-absent tokens drop
+    * out at dfn 0. One index rewrite pass; returns the new version. */
+  def updateIndex(incoming: DataFrame, id: Column, text: Column,
+                  name: String, buckets: Int = 32,
+                  storage: StorageLevel = graft.Caching.Default): Int = {
+    val spark = incoming.sparkSession
+    val v = indexVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no BM25 index named $name"))
+    def tab(t: String) = BucketedStore.table(spark, name, t, v)
+    val pNew = graft.Caching.persisted(
+      buildPostings(incoming, id, text), storage)
+    val dlNew = docLengths(pNew)
+    val ids = pNew.select("doc_id").distinct()
+    // old contributions of the re-ingested ids (bucketed scans; the
+    // id set is a probe batch — broadcast-joinable)
+    val pOld = graft.Caching.persisted(
+      tab("postings").join(broadcast(ids), "doc_id"), storage)
+    val dlOld = tab("doclen").join(broadcast(ids), "doc_id")
+    def dfOf(p: DataFrame) = p.groupBy("token").agg(count(lit(1)).as("d"))
+    val postings = tab("postings").join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .unionAll(pNew)
+    val dl = tab("doclen").join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .unionAll(dlNew)
+    val termstats = tab("termstats")
+      .join(dfOf(pOld).withColumnRenamed("d", "d_old"), Seq("token"), "full_outer")
+      .join(dfOf(pNew).withColumnRenamed("d", "d_new"), Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("dfn"), lit(0L)) - coalesce(col("d_old"), lit(0L))
+          + coalesce(col("d_new"), lit(0L))).as("dfn"))
+      .filter(col("dfn") > 0)
+    val deltas = dlOld.agg(count(lit(1)).as("o_n"), sum(col("dl")).as("o_s"))
+      .crossJoin(dlNew.agg(count(lit(1)).as("n_n"), sum(col("dl")).as("n_s")))
+    val stats = tab("stats").crossJoin(broadcast(deltas))
+      .select(
+        (col("n_docs") - col("o_n") + col("n_n")).as("n_docs"),
+        (col("sum_dl") - coalesce(col("o_s"), lit(0L))
+          + coalesce(col("n_s"), lit(0L))).as("sum_dl"))
+    commitIndex(spark, name, postings, dl, termstats, stats, buckets)
+  }
+
+  /** Keyword top-k against the current committed index version — same
+    * output as [[bm25TopK]] over the indexed corpus, but the postings
+    * build, doc lengths, and document frequencies are all bucketed
+    * index scans: the only per-probe corpus-sized work is the
+    * exchange-free postings⋈doclen scoring join over the query-
+    * vocabulary sliver. */
+  def probeIndex(spark: SparkSession, name: String,
+                 queries: Seq[(String, Seq[String])], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    // pin ONE version up front — never a torn snapshot mid-commit
+    val v = indexVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no BM25 index named $name"))
+    def tab(t: String) = BucketedStore.table(spark, name, t, v)
+    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("query_id", "token")
+    val qtok = broadcast(qterms.select("token").distinct())
+    scoreAndRank(
+      tab("postings").join(qtok, "token"),
+      tab("termstats").join(qtok, "token"),
+      tab("doclen"), tab("stats"), qterms, k, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttner 2009): fuse

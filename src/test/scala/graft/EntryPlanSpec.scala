@@ -43,7 +43,8 @@ class EntryPlanSpec extends SparkSpec {
   private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e3b_knn_ivf_trained",
     "e4_kmeans", "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",
     "e6b_ann_probe", "t12_tfidf", "t13_surprisal", "d10_semantic_dedup",
-    "e8_bm25", "t14_quality_bins", "e9_hybrid_rrf")
+    "e8_bm25", "e8b_bm25_indexed", "e8c_bm25_probe", "t14_quality_bins",
+    "e9_hybrid_rrf")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

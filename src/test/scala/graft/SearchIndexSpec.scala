@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+import graft.text.Search
+
+/** Persisted BM25 inverted index ([[Search.writeIndex]]/
+  * [[Search.updateIndex]]/[[Search.probeIndex]]) — the lexical twin of
+  * AnnIndexSpec: probe == in-memory pipeline, exact stats maintenance
+  * across updates and re-ingests, exchange-free bucketed probe plan. */
+class SearchIndexSpec extends SparkSpec {
+
+  private lazy val docs = table("documents")
+  private val Q = Seq("q1" -> Seq("spark", "window", "agg"),
+    "q2" -> Seq("customer", "query"))
+
+  override def afterAll(): Unit = {
+    try { Search.dropIndex(spark, "bix"); Search.dropIndex(spark, "bre") }
+    finally super.afterAll()
+  }
+
+  test("probe after write+update equals the in-memory bm25TopK exactly") {
+    Search.dropIndex(spark, "bix")
+    assert(Search.writeIndex(docs.filter(col("doc_id") >= 110),
+      col("doc_id"), col("text"), "bix", buckets = 4) == 0)
+    assert(Search.updateIndex(
+      docs.filter(col("doc_id") >= 10 && col("doc_id") < 110),
+      col("doc_id"), col("text"), "bix", buckets = 4) == 1)
+    val probe = Search.probeIndex(spark, "bix", Q, k = 5)
+      .collect().map(_.toString).sorted
+    val direct = Search.bm25TopK(docs.filter(col("doc_id") >= 10),
+      col("doc_id"), col("text"), Q, k = 5)
+      .collect().map(_.toString).sorted
+    assert(probe.sameElements(direct),
+      "persistence must change where stages run, not what they compute")
+    // the probe reads every member at the pinned committed version
+    assert(Search.indexVersion(spark, "bix").contains(1))
+    val plan = Search.probeIndex(spark, "bix", Q, k = 5)
+      .queryExecution.analyzed.toString
+    Seq("postings", "doclen", "termstats", "stats").foreach { t =>
+      assert(plan.contains(s"bix_${t}_v1"),
+        s"probe does not read bix_${t}_v1:\n$plan")
+    }
+  }
+
+  test("re-ingest subtracts old contributions: stats stay exact") {
+    import spark.implicits._
+    Search.dropIndex(spark, "bre")
+    val base = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry durian")).toDF("doc_id", "text")
+    Search.writeIndex(base, col("doc_id"), col("text"), "bre", buckets = 2)
+    // doc 3 re-ingested WITHOUT cherry/durian; doc 4 is new
+    val batch = Seq((3L, "banana fig"), (4L, "apple fig"))
+      .toDF("doc_id", "text")
+    Search.updateIndex(batch, col("doc_id"), col("text"), "bre", buckets = 2)
+    val finalCorpus = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "banana fig"), (4L, "apple fig")).toDF("doc_id", "text")
+    val qs = Seq("q" -> Seq("apple", "banana", "cherry", "durian", "fig"))
+    val probe = Search.probeIndex(spark, "bre", qs, k = 4)
+      .collect().map(_.toString).sorted
+    val fresh = Search.bm25TopK(finalCorpus, col("doc_id"), col("text"),
+      qs, k = 4).collect().map(_.toString).sorted
+    assert(probe.sameElements(fresh),
+      "update must score identically to a fresh build of the final corpus")
+    // durian left the corpus entirely -> its dfn row is gone; cherry
+    // lost doc 3 -> dfn back to 1
+    val ts = spark.table("bre_termstats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!ts.contains("durian"))
+    assert(ts("cherry") == 1L && ts("banana") == 3L && ts("fig") == 2L)
+    // corpus stats: 4 docs, total length 3+2+2+2 = 9
+    val st = spark.table("bre_stats").collect()(0)
+    assert(st.getLong(0) == 4L && st.getLong(1) == 9L)
+  }
+
+  test("probe plan: bucketed index scans feed their joins with no Exchange") {
+    val conf = spark.conf
+    val oldBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = Search.probeIndex(spark, "bix", Q, k = 5)
+      def feedsDirectly(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+        case j if j.children.length > 1 => false // join boundary
+        case _ => p.children.exists(feedsDirectly)
+      }
+      val plan = probe.queryExecution.executedPlan
+      assert(plan.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.size >= 3, "expected postings + doclen + termstats bucketed scans")
+      val shuffled = plan.collect { case e: Exchange if feedsDirectly(e.child) => e }
+      assert(shuffled.isEmpty, s"index side got re-shuffled:\n${shuffled.mkString("\n")}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+}
