@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.sources.SnapshotStore
+import graft.text.Search
+
+/** Streaming keyword search: a stream of queries (query_id,
+  * terms array<string>) probes a persisted BM25 inverted index — the
+  * lexical twin of [[AnnStream]], sharing its architecture verbatim:
+  * the probe runs inside `foreachBatch` (each micro-batch is a
+  * complete, independent question; no watermark/state needed), the
+  * streaming engine holds NO state beyond the checkpoint's offset log,
+  * index state lives in the metastore tables behind the atomic ptr
+  * view (a [[Search.updateIndex]] between micro-batches is picked up
+  * by the next batch), and results MERGE into a versioned
+  * [[SnapshotStore]] keyed on (query_id, rank) so restart replays
+  * upsert instead of duplicating.
+  */
+object SearchStream {
+
+  def run(queryStream: DataFrame, indexName: String,
+          targetDir: String, checkpointDir: String, k: Int,
+          k1: Double = 1.2, b: Double = 0.75): StreamingQuery =
+    queryStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qterms = batch.select(col("query_id"),
+          explode(array_distinct(col("terms"))).as("token"))
+        val res = Search.probeIndexTerms(batch.sparkSession, indexName,
+          qterms, k, k1, b)
+        if (!res.isEmpty) {
+          SnapshotStore.mergeInto(res, targetDir, Seq("query_id", "rank")): Unit
+        }
+      }
+      .start()
+}

@@ -250,12 +250,21 @@ object Search {
                  queries: Seq[(String, Seq[String])], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
+    probeIndexTerms(spark, name,
+      queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+        .toDF("query_id", "token"),
+      k, k1, b)
+  }
+
+  /** [[probeIndex]] with the query terms as a (query_id, token) frame
+    * (distinct per query; a probe batch — broadcast-sized). The form
+    * streaming probes use. */
+  def probeIndexTerms(spark: SparkSession, name: String, qterms: DataFrame,
+                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // pin ONE version up front — never a torn snapshot mid-commit
     val v = indexVersion(spark, name).getOrElse(
       throw new IllegalStateException(s"no BM25 index named $name"))
     def tab(t: String) = BucketedStore.table(spark, name, t, v)
-    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
-      .toDF("query_id", "token")
     val qtok = broadcast(qterms.select("token").distinct())
     scoreAndRank(
       tab("postings").join(qtok, "token"),

@@ -76,6 +76,32 @@ class SearchIndexSpec extends SparkSpec {
     assert(st.getLong(0) == 4L && st.getLong(1) == 9L)
   }
 
+  test("streaming probe: streamed queries equal the batch probe, restart-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // reuses the bix index built by the first test (suite order)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bm25-ckpt").toString
+    val in = MemoryStream[(String, Seq[String])]
+    in.addData(Q.take(1).map { case (q, ts) => (q, ts.toSeq) })
+    def start() = graft.streaming.SearchStream.run(
+      in.toDF().toDF("query_id", "terms"), "bix", dir, ckpt, k = 5)
+    val s1 = start()
+    try s1.processAllAvailable() finally s1.stop()
+    // restart from the checkpoint with the remaining queries
+    in.addData(Q.drop(1).map { case (q, ts) => (q, ts.toSeq) })
+    val s2 = start()
+    try s2.processAllAvailable() finally s2.stop()
+    val got = graft.sources.SnapshotStore.read(spark, dir).get
+      .select("query_id", "rank", "doc_id", "score")
+      .collect().map(_.toString).sorted
+    val batch = Search.probeIndex(spark, "bix", Q, k = 5)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(batch),
+      "streamed probes across a restart must equal one batch probe")
+  }
+
   test("probe plan: bucketed index scans feed their joins with no Exchange") {
     val conf = spark.conf
     val oldBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
