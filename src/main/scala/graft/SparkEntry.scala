@@ -360,6 +360,18 @@ object SparkEntry {
       Measures.robustOutliers(t(s, dir, "orders"),
         col("o_orderstatus"), col("o_totalprice"))),
 
+    "g19_salted_join" -> ((s, dir) =>
+      // the skew toolkit's JOIN leg (g13 is the aggregation leg): a
+      // deterministically-salted big-big join — hot keys split across
+      // `factor` reducers — must produce exactly the plain join;
+      // summarized per status so the oracle row set stays small
+      Skew.saltedJoin(t(s, dir, "lineitem"),
+          t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"), Seq(col("l_linenumber")), factor = 8)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          Measures.decSum(col("l_extendedprice")).as("total"))),
+
     "g17_funnel" -> ((s, dir) =>
       // ordered-step conversion funnel over the event log: users who
       // viewed, then clicked at-or-after their first view, then
@@ -682,6 +694,12 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN d.adev > t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN thr t USING (grp)
         |GROUP BY d.grp""".stripMargin,
+
+    "g19_salted_join" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // sequential min-timestamp chain, one CTE per funnel step
     "g17_funnel" ->
