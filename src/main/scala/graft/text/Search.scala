@@ -93,31 +93,44 @@ object Search {
 
   /** Shared BM25 core over a (query_id, token) term frame — query_id
     * keeps whatever type the caller gives it. `qterms` must be
-    * distinct per (query, token) and small enough to broadcast. */
+    * distinct per (query, token) and small enough to broadcast.
+    *
+    * One-shot scale shape: the corpus is never aggregated corpus-wide
+    * — doc lengths are map-only (`size(tokens)`), the one-row corpus
+    * stats partial-aggregate off that, and the ONLY shuffle is the
+    * query-vocabulary posting sliver (the filter sits right on the
+    * explode, inside codegen, and `dl` rides the grouping key so no
+    * doc-length join exists). Docs with no tokens drop out, matching
+    * the postings-derived formulation. */
   private def bm25(docs: DataFrame, id: Column, text: Column,
                    qterms: DataFrame, k: Int, k1: Double, b: Double,
                    storage: StorageLevel): DataFrame = {
-    val postings = graft.Caching.persisted(
-      buildPostings(docs, id, text), storage)
-    val dl = docLengths(postings)
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tfq = postings.join(broadcast(qterms.select("token").distinct()), "token")
+    val qtok = broadcast(qterms.select("token").distinct())
+    val base = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("tks"))
+      .withColumn("dl", size(col("tks")).cast("long"))
+      .where(col("dl") > 0)
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tfq = graft.Caching.persisted(
+      base.select(col("doc_id"), col("dl"), explode(col("tks")).as("token"))
+        .join(qtok, "token")
+        .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf")),
+      storage)
     val dfq = tfq.groupBy("token").agg(count(lit(1)).as("dfn"))
-    scoreAndRank(tfq, dfq, dl, stats, qterms, k, k1, b)
+    scoreAndRank(tfq, dfq, stats, qterms, k, k1, b)
   }
 
   /** The scoring tail every path shares: per-term BM25 (float-op order
     * mirrored verbatim by the SQL oracles: idf and the per-term score
     * each round to 6 dp), decimal-exact per-doc sum, bounded-heap
-    * top-k. `tfq` = postings restricted to the query vocabulary;
-    * `dfq` = (token, dfn) for that vocabulary. */
-  private def scoreAndRank(tfq: DataFrame, dfq: DataFrame, dl: DataFrame,
+    * top-k. `tfq` = (doc_id, dl, token, tf) postings restricted to the
+    * query vocabulary WITH the doc length already attached; `dfq` =
+    * (token, dfn) for that vocabulary. */
+  private def scoreAndRank(tfq: DataFrame, dfq: DataFrame,
                            stats: DataFrame, qterms: DataFrame, k: Int,
                            k1: Double, b: Double): DataFrame = {
     val scored = tfq
       .join(broadcast(qterms), "token")
       .join(broadcast(dfq), "token")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl",
         col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType))
@@ -266,10 +279,12 @@ object Search {
       throw new IllegalStateException(s"no BM25 index named $name"))
     def tab(t: String) = BucketedStore.table(spark, name, t, v)
     val qtok = broadcast(qterms.select("token").distinct())
+    // the doc-length attach is the bucketed-bucketed doc_id join —
+    // exchange-free on both corpus-sized sides (spec-asserted)
     scoreAndRank(
-      tab("postings").join(qtok, "token"),
+      tab("postings").join(qtok, "token").join(tab("doclen"), "doc_id"),
       tab("termstats").join(qtok, "token"),
-      tab("doclen"), tab("stats"), qterms, k, k1, b)
+      tab("stats"), qterms, k, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttner 2009): fuse
