@@ -334,6 +334,19 @@ object SparkEntry {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(Measures.decSum(col("o_totalprice")))),
 
+    "g10b_unpivot" -> ((s, dir) =>
+      // the inverse reshape of g10: the pivoted status matrix melted
+      // back to (yr, status, total) long form — the wide→long step
+      // visual/export layers need; Spark's native unpivot (map-only
+      // over the pivoted frame, null cells dropped like melt does)
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(Measures.decSum(col("o_totalprice")))
+        .unpivot(Array(col("yr")), Array(col("F"), col("O"), col("P")),
+          "status", "total")
+        .filter(col("total").isNotNull)),
+
     "g11_rollup" -> ((s, dir) =>
       // subtotal grid (status × priority → status totals → grand total)
       t(s, dir, "orders")
@@ -665,6 +678,17 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
         |  CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // pivot then UNPIVOT back to long form; DuckDB's UNPIVOT drops
+    // NULL cells, matching the entry's isNotNull filter
+    "g10b_unpivot" ->
+      """WITH w AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |    CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+        |    CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+        |    CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
+        |  FROM orders GROUP BY 1)
+        |UNPIVOT w ON F, O, P INTO NAME status VALUE total""".stripMargin,
 
     "g11_rollup" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS prio,
