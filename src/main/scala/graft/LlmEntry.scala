@@ -182,6 +182,16 @@ object LlmEntry {
           .select(col("quality_score")),
         col("quality_score"), nBins = 10)),
 
+    "x6_dense_ids" -> ((s, dir) =>
+      // contiguous example ids in a deterministic total order — range
+      // shuffle + local sort + two-pass zipWithIndex, NEVER a
+      // partition-less row_number window (which funnels the corpus
+      // through one task)
+      operators.Layout.denseIds(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        md5(col("text")), col("doc_id"))
+        .select("doc_id", "dense_id")),
+
     "x5_exact_k_sample" -> ((s, dir) =>
       // exactly-k-per-stratum eval carving: k-minwise hash sample via
       // the bounded-heap aggregate (partial-aggregating, vs the naive
@@ -961,6 +971,12 @@ object LlmEntry {
          |  SELECT *, row_number() OVER (PARTITION BY stratum
          |                               ORDER BY hsh, doc_id) AS rn FROM h)
          |WHERE rn <= 7""".stripMargin,
+
+    "x6_dense_ids" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS BIGINT)
+        |    AS dense_id
+        |FROM documents""".stripMargin,
 
     "x4_zorder" ->
       // bit-for-bit mirror of Layout.zValue: bit i of partkey -> z bit

@@ -56,4 +56,37 @@ object Layout {
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
   }
+
+  /** Dense sequential ids 0..n-1 in the total order of `order` —
+    * WITHOUT the single-reducer `row_number().over(Window.orderBy(…))`
+    * anti-pattern (a partition-less window funnels the whole corpus
+    * through ONE task; Spark itself warns). The training-data staple:
+    * contiguous example/shard ids over a 100 TB corpus.
+    *
+    * Scale shape = Spark's own global sort + the classic zipWithIndex
+    * two-pass: one range shuffle on `order` (disjoint ordered key
+    * ranges per partition), a partition-LOCAL sort, then a count pass
+    * over partition iterators to fix offsets and a map pass to stamp
+    * ids — every stage fully parallel, nothing corpus-sized on one
+    * task. The imperative per-partition stamp is exactly the
+    * documented RDD niche; everything before it is declarative.
+    *
+    * `order` must be a TOTAL order (append a unique id as tiebreak) —
+    * that makes the output deterministic regardless of where the range
+    * sampler places partition boundaries. Output: input columns +
+    * `dense_id` (long). */
+  def denseIds(df: DataFrame, order: Column*): DataFrame = {
+    require(order.nonEmpty, "denseIds needs an ordering")
+    val parted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val spark = df.sparkSession
+    val out = org.apache.spark.sql.types.StructType(
+      parted.schema.fields :+
+        org.apache.spark.sql.types.StructField("dense_id",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(
+      parted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, out)
+  }
 }

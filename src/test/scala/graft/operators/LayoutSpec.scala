@@ -73,6 +73,29 @@ class LayoutSpec extends SparkSpec {
     assert(xa <= 32 && ya <= 32, s"avg spans ($xa, $ya) not local")
   }
 
+  test("denseIds: contiguous 0..n-1 in total order, stable under repartition") {
+    import spark.implicits._
+    val df = Seq((5L, "e"), (1L, "a"), (3L, "c"), (2L, "b"), (4L, "d"))
+      .toDF("k", "s")
+    val out = Layout.denseIds(df, col("s"), col("k"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "e" -> 4L))
+    // input partitioning must not change the assignment
+    val re = Layout.denseIds(df.repartition(7), col("s"), col("k"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(re === out)
+    // real corpus: ids are a permutation of 0..n-1 and follow the order
+    val docs = table("documents").select(col("doc_id"), col("text"))
+    val ids = Layout.denseIds(docs, md5(col("text")), col("doc_id"))
+    val n = docs.count()
+    assert(ids.agg(min("dense_id"), max("dense_id"),
+      countDistinct("dense_id")).collect()(0).toSeq === Seq(0L, n - 1, n))
+    val misordered = ids.select(md5(col("text")).as("h"), col("doc_id"), col("dense_id"))
+      .as[(String, Long, Long)].collect().sortBy(t => (t._1, t._2))
+      .zipWithIndex.filter { case ((_, _, d), i) => d != i }
+    assert(misordered.isEmpty, s"ids off order: ${misordered.take(3).mkString}")
+  }
+
   test("graft_bit_spread registers and matches the expression") {
     graft.GraftFunctions.register(spark)
     val got = spark.sql("SELECT graft_bit_spread(CAST(5 AS BIGINT), 2, 4) AS z")
