@@ -85,6 +85,42 @@ class BucketingSpec extends SparkSpec {
   }
 }
 
+class PartitionedLakeSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.FileSourceScanExec
+  import org.apache.spark.sql.functions._
+
+  test("day-partitioned lake: planning-time pruning, bounded files, lossless") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    val events = Tables.loadEvents(spark, sfDir)
+    PartitionedLake.writeByDay(events, dir, col("ts"))
+    val lake = PartitionedLake.read(spark, dir)
+    // lossless round trip (dt is derived, data columns unchanged)
+    assert(lake.count() === events.count())
+    assert(lake.select("event_id").distinct().count()
+      === events.select("event_id").distinct().count())
+    // one file per day directory (the repartition bounds task fan-out)
+    // partition-column type inference reads dt back as DATE
+    val days = lake.select("dt").distinct().collect().map(_.get(0).toString)
+    days.foreach { d =>
+      val files = new java.io.File(s"$dir/dt=$d")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"day $d has $files files")
+    }
+    // a dt filter prunes partitions at PLANNING time: the scan lists
+    // only the matching day's files
+    val oneDay = lake.filter(col("dt") === days.min)
+    val scan = oneDay.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("dt"),
+      s"no partition filter in: ${scan.metadata("PartitionFilters")}")
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount}")
+    assert(oneDay.count() ===
+      events.filter(date_format(col("ts"), "yyyy-MM-dd") === days.min).count())
+  }
+}
+
 class TablesSpec extends SparkSpec {
   test("snapshot compaction: one file, same data, old versions pruned") {
     import spark.implicits._
