@@ -117,6 +117,15 @@ object GraftFunctions {
         case Seq(a, b) => SortedIntersectCount(a, b)
         case args => throw new IllegalArgumentException(
           s"graft_sorted_intersect_count expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("graft_freq_items"),
+      info("graft_freq_items",
+        "graft_freq_items(item, k) - Misra-Gries heavy-hitters summary of capacity k"),
+      {
+        case Seq(e, Literal(k: Int, IntegerType)) =>
+          MisraGries(e, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_freq_items expects (item, k literal)")
       }))
 
   /** Register all graft SQL functions on a live session. */

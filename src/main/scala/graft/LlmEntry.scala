@@ -172,6 +172,14 @@ object LlmEntry {
       TextAnalysis.unigramSurprisal(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
 
+    "t10b_heavy_hitters" -> ((s, dir) =>
+      // t10's bounded-state sketch leg: Misra-Gries summary (k
+      // counters per mapper, k rows shipped) joined against exact
+      // counts — no oracle (summary content is merge-order-dependent);
+      // the rows carry the deterministic MG bound as evidence
+      // (within_bound must be universally true)
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), col("text"), k = 16)),
+
     "t14_quality_bins" -> ((s, dir) =>
       // curriculum carving: decile bins over the t2 quality score —
       // exact-percentile boundaries broadcast one-row, map-only bin

@@ -101,6 +101,34 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Bounded-state heavy hitters over the corpus token stream — the
+    * 100 TB leg of [[vocab]]: Misra–Gries (1982) in its mergeable form
+    * ([[graft.functions.MisraGries]]), so each map partition holds at
+    * most k counters and ships at most k rows where the exact form
+    * shuffles the full vocabulary. Summary CONTENT depends on merge
+    * order (rows-only at the driver), so every row carries its own
+    * deterministic evidence joined against the exact counts: MG
+    * guarantees `0 <= exact - est <= floor(N/(k+1))` regardless of
+    * partitioning — the `within_bound` column must be universally
+    * true, and any token with exact count above that bound must
+    * appear. The exact leg is the invariant; production uses the
+    * summary alone. */
+  def heavyHitters(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val toks = df.select(explode(tokens(text)).as("token"))
+    val summary = toks
+      .agg(ColumnBridge.column(graft.functions.MisraGries(
+        ColumnBridge.expression(col("token")), k).toAggregateExpression())
+        .as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item").as("token"), col("e.est").as("est"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    summary.join(exact, "token").crossJoin(broadcast(total))
+      .withColumn("bound", floor(col("n_total") / lit(k + 1)))
+      .withColumn("within_bound",
+        col("est") <= col("exact") && col("exact") - col("est") <= col("bound"))
+  }
+
   /** Per-document top TF-IDF term — the "most distinctive term" signal
     * used for topic tagging / cluster labeling in curation pipelines
     * (tf-idf per Salton & Buckley 1988). tf = in-doc occurrences,

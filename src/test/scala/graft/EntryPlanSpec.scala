@@ -44,7 +44,7 @@ class EntryPlanSpec extends SparkSpec {
     "e4_kmeans", "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",
     "e6b_ann_probe", "t12_tfidf", "t13_surprisal", "d10_semantic_dedup",
     "e8_bm25", "e8b_bm25_indexed", "e8c_bm25_probe", "t14_quality_bins",
-    "e9_hybrid_rrf")
+    "e9_hybrid_rrf", "t10b_heavy_hitters")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -41,11 +41,44 @@ class GraftFunctionsSpec extends SparkSpec {
     // the builder list is shared; spot-check identity of the surface
     assert(GraftFunctions.all.map(_._1.funcName).sorted ==
       Seq("graft_bit_spread", "graft_byte_window_means",
-        "graft_byte_window_sums", "graft_dot",
+        "graft_byte_window_sums", "graft_dot", "graft_freq_items",
         "graft_h32_array", "graft_lsh_bucket", "graft_minhash_sig",
         "graft_rolling_hash", "graft_simhash64",
         "graft_sorted_intersect_count", "graft_word_shingles"))
     new GraftExtensions // constructible (config-time entry point)
+  }
+
+  test("misra-gries: exact when vocab fits, bounded + complete when it doesn't") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // vocab (3) fits k=8: the summary IS the exact count table
+    val small = Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(2)("c")
+    small.toDF("t").repartition(5).createOrReplaceTempView("mg_small")
+    val got = spark.sql(
+      "SELECT explode(graft_freq_items(t, 8)) AS e FROM mg_small")
+      .select("e.item", "e.est").as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 10L, "b" -> 5L, "c" -> 2L))
+
+    // skew with vocab (21) > k (4): the MG guarantee must hold under
+    // an adversarial repartition — undercount <= floor(N/(k+1)) and
+    // every token above the bound is present
+    val n = 1000
+    val hot = Seq.fill(n / 2)("hot")
+    val tail = (0 until n / 2).map(i => s"t${i % 20}")
+    val exact = (hot ++ tail).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    (hot ++ tail).toDF("t").repartition(13).createOrReplaceTempView("mg_skew")
+    val s = spark.sql(
+      "SELECT explode(graft_freq_items(t, 4)) AS e FROM mg_skew")
+      .select("e.item", "e.est").as[(String, Long)].collect().toMap
+    assert(s.size <= 4)
+    val bound = n / 5 // floor(N/(k+1))
+    s.foreach { case (t, est) =>
+      assert(est <= exact(t) && exact(t) - est <= bound,
+        s"$t: est $est vs exact ${exact(t)} breaks the MG bound $bound")
+    }
+    exact.filter(_._2 > bound).keys.foreach { t =>
+      assert(s.contains(t), s"heavy item $t (> $bound) missing from summary")
+    }
   }
 
   test("sorted intersect count matches size(array_intersect) on sorted sets") {
