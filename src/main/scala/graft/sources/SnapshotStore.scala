@@ -82,6 +82,45 @@ object SnapshotStore {
     commit(merged, dir)
   }
 
+  /** Change feed between two retained versions — the change-data-feed
+    * analog of the Delta tables this store stands in for: one row per
+    * key whose content differs between `fromV` and `toV`, tagged
+    * `change_type` insert / update_postimage / delete, with `toV`'s
+    * columns (the preimage is a [[readVersion]] away). The downstream
+    * contract every incremental consumer (sync jobs, audit diffs,
+    * cache invalidation) builds on.
+    *
+    * One keyed full-outer join of the two snapshots — same shuffle
+    * shape as the MERGE that produced them; non-key columns compare
+    * null-safely via a struct equality (schema evolution: columns
+    * missing on one side read as NULL there, so a gained column marks
+    * rows as updates only where it is non-null). None if either
+    * version is unreadable (never committed, ahead of the pointer, or
+    * pruned by [[compact]]). */
+  def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int,
+              keys: Seq[String]): Option[DataFrame] =
+    (readVersion(spark, dir, fromV), readVersion(spark, dir, toV)) match {
+      case (Some(before), Some(after)) =>
+        import org.apache.spark.sql.functions._
+        val cols = (before.columns ++ after.columns).distinct
+          .filterNot(keys.contains)
+        def content(df: DataFrame) = struct(cols.map(c =>
+          if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+        val b = before.select(keys.map(col) :+
+          content(before).as("__b") :+ lit(1).as("__in_b"): _*)
+        val a = after.select(keys.map(col) ++
+          after.columns.filterNot(keys.contains).map(col) :+
+          content(after).as("__a") :+ lit(1).as("__in_a"): _*)
+        Some(b.join(a, keys, "full_outer")
+          .withColumn("change_type",
+            when(col("__in_b").isNull, lit("insert"))
+              .when(col("__in_a").isNull, lit("delete"))
+              .when(not(col("__a") <=> col("__b")), lit("update_postimage")))
+          .filter(col("change_type").isNotNull)
+          .drop("__a", "__b", "__in_a", "__in_b"))
+      case _ => None
+    }
+
   /** Compact the current snapshot into `numFiles` files and drop
     * versions older than `retain` behind the new pointer — the
     * maintenance pass every MERGE-loop table needs: each micro-batch

@@ -168,6 +168,33 @@ class TablesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet == v1)
   }
 
+  test("changes: insert/update/delete feed between versions; schema drift safe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+    SnapshotStore.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    // v1: 2 updated, 3 deleted, 4 inserted, 1 untouched
+    SnapshotStore.commit(
+      Seq((1L, "a"), (2L, "b2"), (4L, "d")).toDF("id", "v"), dir)
+    val feed = SnapshotStore.changes(spark, dir, 0, 1, Seq("id")).get
+      .select("id", "v", "change_type").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    assert(feed === Set(
+      (2L, Some("b2"), "update_postimage"),
+      (3L, None, "delete"),
+      (4L, Some("d"), "insert")))
+    // a version gained a column: only rows where it is non-null (or
+    // otherwise changed) count as updates
+    SnapshotStore.mergeInto(
+      Seq((4L, "d", 9L)).toDF("id", "v", "extra"), dir, Seq("id"))
+    val drift = SnapshotStore.changes(spark, dir, 1, 2, Seq("id")).get
+      .select("id", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(drift === Set((4L, "update_postimage")))
+    // unreadable versions: None, not an exception
+    assert(SnapshotStore.changes(spark, dir, 0, 9, Seq("id")).isEmpty)
+  }
+
   test("mergeInto survives schema evolution: batch gains a column") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
