@@ -92,6 +92,12 @@ object LlmEntry {
       // tokenizer-training input: corpus-wide top-50 token frequencies
       TextAnalysis.vocab(t(s, dir, "documents"), col("doc_id"), col("text"), 50)),
 
+    "t15_bpe_pairs" -> ((s, dir) =>
+      // BPE tokenizer training, merge round zero: corpus-wide adjacent
+      // character-pair frequencies (counted over the distinct word list
+      // weighted by word frequency), top-20 merge candidates
+      TextAnalysis.bpePairStats(t(s, dir, "documents"), col("text"), 20)),
+
     "t9_chunking" -> ((s, dir) =>
       // context-window chunking: 40-token chunks, 8-token overlap;
       // summarized per doc so the output stays compact (the chunk rows
@@ -229,6 +235,17 @@ object LlmEntry {
         .join(sampled.groupBy("source").agg(count(lit(1)).as("n_sampled")),
           Seq("source"), "left")
         .na.fill(0L, Seq("n_sampled"))
+    }),
+
+    "x7_data_mix" -> ((s, dir) => {
+      // full mixture recipe in one map-only pass: 2.25 epochs of src0,
+      // half of src1, everything else once — the down-sample and
+      // up-sample legs of a data-mixing config without a union
+      val mixed = Sampling.mix(t(s, dir, "documents"), col("doc_id"),
+        col("source"), Map("src0" -> 2.25, "src1" -> 0.5), default = 1.0)
+      mixed.groupBy("source").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_rows"))
     }),
 
     "e4_kmeans" -> ((s, dir) =>
@@ -850,6 +867,15 @@ object LlmEntry {
          |FROM tok GROUP BY token
          |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
 
+    "t15_bpe_pairs" ->
+      s"""WITH tok AS (SELECT unnest(tk) AS word
+         |  FROM (SELECT $ToksSql AS tk FROM documents)),
+         |w AS (SELECT word, count(*) AS wn FROM tok GROUP BY 1),
+         |p AS (SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, wn
+         |      FROM w, range(1, length(word)) r(i))
+         |SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
     "t9_chunking" ->
       s"""WITH t AS (
          |  SELECT doc_id,
@@ -1004,6 +1030,17 @@ object LlmEntry {
          |                                      THEN 500000 ELSE 200000 END)
          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM b GROUP BY source""".stripMargin,
+
+    "x7_data_mix" ->
+      s"""WITH b AS (SELECT source, doc_id, ${bucketSql(1000000)} AS bkt FROM documents),
+         |c AS (SELECT source, doc_id,
+         |  CASE WHEN source = 'src0' THEN 2 + CASE WHEN bkt < 250000 THEN 1 ELSE 0 END
+         |       WHEN source = 'src1' THEN CASE WHEN bkt < 500000 THEN 1 ELSE 0 END
+         |       ELSE 1 END AS copies FROM b)
+         |SELECT source,
+         |       count(DISTINCT CASE WHEN copies > 0 THEN doc_id END) AS n_docs,
+         |       CAST(sum(copies) AS BIGINT) AS n_rows
+         |FROM c WHERE copies > 0 GROUP BY source""".stripMargin,
 
     "e4_kmeans" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -97,6 +97,36 @@ object Sampling {
       .select(col("stratum"), explode(col("top.id")).as("kept_id"))
   }
 
+  /** Full mixture recipe in one pass: every stratum gets a weight —
+    * below 1.0 down-samples (a hash-selected fraction of keys keeps one
+    * copy), above 1.0 over-samples ([[upsample]]'s whole-copies-plus-
+    * fractional-extra shape) — so "2.5 epochs of wiki, half of crawl,
+    * everything else once" is a single map-only explode instead of a
+    * filter leg unioned with an upsample leg. Emits `copy_id` (0-based)
+    * per surviving copy; weight-0 strata drop entirely. Same md5
+    * determinism contract as [[withSplit]]: the recipe reproduces
+    * exactly under retries, repartitioning, and corpus growth, and the
+    * down-sample keeps the SAME keys [[sampleFraction]] would keep.
+    * Zero shuffles at any scale. */
+  def mix(df: DataFrame, key: Column, stratum: Column,
+          weights: Map[String, Double], default: Double = 1.0): DataFrame = {
+    require((weights.values.toSeq :+ default).forall(_ >= 0),
+      "mixture weights must be >= 0")
+    val b = hashBucket(key, FractionBuckets)
+    def copiesFor(w: Double): Column = {
+      val whole = math.floor(w).toInt
+      val fracCut = math.round((w - whole) * FractionBuckets).toInt
+      when(b < fracCut, whole + 1).otherwise(whole)
+    }
+    val copies = weights.foldLeft(copiesFor(default)) {
+      case (els, (value, w)) => when(stratum === value, copiesFor(w)).otherwise(els)
+    }
+    // sequence(0, -1) would count DOWN; empty array -> explode drops the row
+    df.withColumn("copy_id",
+      explode(when(copies > 0, sequence(lit(0), copies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Per-stratum deterministic sampling (data mixing): rows whose
     * `stratum` value appears in `fractions` keep that fraction,
     * everything else keeps `default`. Upsampling beyond 1.0 is out of

@@ -129,6 +129,34 @@ object TextAnalysis {
         col("est") <= col("exact") && col("exact") - col("est") <= col("bound"))
   }
 
+  /** BPE merge-pair statistics — the inner-loop input of byte-pair-
+    * encoding tokenizer training (Sennrich et al. 2016 "Neural Machine
+    * Translation of Rare Words with Subword Units"): the frequency of
+    * every adjacent symbol pair across the corpus, symbols = characters
+    * at merge round zero. The pair explode runs over the DISTINCT word
+    * list weighted by word frequency — the standard BPE formulation
+    * that makes the count O(|vocab| · word_len) instead of
+    * O(|corpus tokens| · word_len); at 100 TB the word-count shuffle is
+    * the only corpus-sized stage (map-side combined) and everything
+    * after is vocabulary-sized. Output: the k most frequent pairs —
+    * the next-merge candidates — under (count desc, pair asc), a
+    * bounded per-partition heap (TakeOrderedAndProject), never a
+    * global sort. */
+  def bpePairStats(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val words = df.select(explode(tokens(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wn"))
+    // adjacent char pairs of one word: substr(i, 2) for i in 1..len-1
+    // (1-based); single-char words have no pairs
+    val pairList = transform(
+      sequence(lit(1), length(col("word")) - 1),
+      i => col("word").substr(i, lit(2)))
+    words.filter(length(col("word")) > 1)
+      .select(explode(pairList).as("pair"), col("wn"))
+      .groupBy("pair").agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Per-document top TF-IDF term — the "most distinctive term" signal
     * used for topic tagging / cluster labeling in curation pipelines
     * (tf-idf per Salton & Buckley 1988). tf = in-doc occurrences,

@@ -106,6 +106,39 @@ class SamplingPackingSpec extends SparkSpec {
     x2.foreach { r => assert(r.getLong(1) == 2 && r.getInt(2) == 1) }
   }
 
+  test("mix: weights compose downsample and upsample legs exactly") {
+    val docs = table("documents")
+    val mixed = Sampling.mix(docs, col("doc_id"), col("source"),
+      Map("src0" -> 2.25, "src1" -> 0.5), default = 1.0)
+    val bySrc = mixed.groupBy("source", "doc_id").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    // default strata: exactly one copy each
+    bySrc.filter(r => r._1 != "src0" && r._1 != "src1")
+      .foreach(r => assert(r._3 == 1L))
+    // src0 at 2.25: every doc 2 or 3 copies, matching upsample(2.25)
+    val src0 = docs.filter(col("source") === "src0")
+    val upRef = Sampling.upsample(src0, col("doc_id"), 2.25)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(bySrc.filter(_._1 == "src0").map(r => r._2 -> r._3).toMap == upRef)
+    // src1 at 0.5: survivors are exactly sampleFraction(0.5), one copy
+    val fracRef = Sampling.sampleFraction(
+      docs.filter(col("source") === "src1"), col("doc_id"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val src1 = bySrc.filter(_._1 == "src1")
+    assert(src1.map(_._2).toSet == fracRef)
+    assert(src1.forall(_._3 == 1L))
+    // weight 0 drops the stratum entirely; determinism under repartition
+    assert(Sampling.mix(docs, col("doc_id"), col("source"),
+      Map("src0" -> 0.0), default = 1.0)
+      .filter(col("source") === "src0").count() == 0)
+    val again = Sampling.mix(docs.repartition(7), col("doc_id"), col("source"),
+      Map("src0" -> 2.25, "src1" -> 0.5), default = 1.0)
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    assert(again.sorted.toSeq == bySrc.sorted.toSeq)
+  }
+
   test("packIntoBins: greedy fill matches a hand-computed single bucket") {
     // buckets=1 puts everything in bucket 0; cum-before 0,10,30,60,100
     val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
