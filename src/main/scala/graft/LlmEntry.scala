@@ -871,8 +871,9 @@ object LlmEntry {
       s"""WITH tok AS (SELECT unnest(tk) AS word
          |  FROM (SELECT $ToksSql AS tk FROM documents)),
          |w AS (SELECT word, count(*) AS wn FROM tok GROUP BY 1),
-         |p AS (SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, wn
-         |      FROM w, range(1, length(word)) r(i))
+         |p AS (SELECT unnest(list_transform(range(1, length(word)),
+         |        i -> substring(word, CAST(i AS INTEGER), 2))) AS pair, wn
+         |      FROM w)
          |SELECT pair, CAST(sum(wn) AS BIGINT) AS n
          |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 

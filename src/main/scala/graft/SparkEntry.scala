@@ -385,6 +385,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           Measures.decSum(col("l_extendedprice")).as("total"))),
 
+    "g20_profile" -> ((s, dir) =>
+      // table onboarding profile: per-column non-null / exact-distinct
+      // counts and native-typed min/max, one aggregation job (multi-
+      // distinct Expand, map-side partials) — how the b3 DQ thresholds
+      // get chosen before anyone trusts a new feed
+      Profiler.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag"))),
+
     "g17_funnel" -> ((s, dir) =>
       // ordered-step conversion funnel over the event log: users who
       // viewed, then clicked at-or-after their first view, then
@@ -724,6 +732,20 @@ object SparkEntry {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "g20_profile" ->
+      """SELECT 'l_orderkey' AS col_name, count(l_orderkey) AS n_nonnull,
+        |       count(DISTINCT l_orderkey) AS n_distinct,
+        |       CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+        |       CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(l_quantity), count(DISTINCT l_quantity),
+        |       CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(l_returnflag), count(DISTINCT l_returnflag),
+        |       CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |FROM lineitem""".stripMargin,
 
     // sequential min-timestamp chain, one CTE per funnel step
     "g17_funnel" ->

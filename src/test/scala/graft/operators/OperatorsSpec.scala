@@ -250,6 +250,26 @@ class MeasuresSpec extends SparkSpec {
     assert(got("b") == ((3L, 20.0, 10.0, 0L)), got("b").toString)
   }
 
+  test("profile: null handling, native-type ordering, one row per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(10L), Some("b")), (Some(9L), Some("a")),
+      (Some(10L), None), (None, Some("a")))
+      .toDF("k", "s")
+    val got = Profiler.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    // min/max order on the NATIVE type: 9 < 10 numerically even though
+    // "10" < "9" as strings
+    assert(got("k") == ((3L, 2L, "9", "10")), got("k").toString)
+    assert(got("s") == ((3L, 2L, "a", "b")), got("s").toString)
+    // single aggregation job with map-side partials
+    val plan = Profiler.profile(table("lineitem"),
+      Seq("l_orderkey", "l_quantity", "l_returnflag"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
   test("topN is deterministic and correctly bounded") {
     val top = Measures.topN(table("orders"), col("o_custkey"), col("o_totalprice"), 5)
     val rows = top.collect()

@@ -77,6 +77,34 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(out(1)._3 - 1.0 / 61) < 1e-5)
   }
 
+  test("bpePairStats: hand-computed pair counts, in-word repeats, tie order") {
+    import spark.implicits._
+    // words: aaa(1), ab(2), xy(1); pairs: aaa -> aa,aa ; ab -> ab ; xy -> xy
+    // counts: aa=2, ab=2, xy=1; tie aa<ab breaks on the pair string
+    val d = Seq((1L, "aaa ab"), (2L, "ab xy")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairStats(d, col("text"), k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("aa", 2L), ("ab", 2L), ("xy", 1L)))
+    // k cuts deterministically after ordering
+    val top2 = TextAnalysis.bpePairStats(d, col("text"), k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top2 === out.take(2))
+    // single-char words contribute nothing; empty corpus yields no rows
+    val single = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpePairStats(single, col("text"), 5).count() == 0)
+    // repartition-invariant on the real corpus; bounded top-k plan
+    val docs500 = table("documents")
+    val a = TextAnalysis.bpePairStats(docs500, col("text"), 20)
+      .as[(String, Long)].collect().toSeq
+    val b = TextAnalysis.bpePairStats(docs500.repartition(7), col("text"), 20)
+      .as[(String, Long)].collect().toSeq
+    assert(a === b)
+    assert(a.length == 20 && a.map(_._2).sliding(2).forall(s => s.head >= s.last))
+    val plan = TextAnalysis.bpePairStats(docs500, col("text"), 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$plan")
+  }
+
   test("bm25TopK: docs without query terms never rank; empty query yields nothing") {
     val out = Search.bm25TopK(docs, col("doc_id"), col("text"),
       Seq("qa" -> Seq("apple")), k = 5).collect()
