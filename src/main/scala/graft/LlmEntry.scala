@@ -251,6 +251,24 @@ object LlmEntry {
     "e4_kmeans" -> ((s, dir) =>
       KMeans.lloyd(t(s, dir, "embeddings"), k = 8, iters = 2)),
 
+    "d12_fuzzy_join" -> ((s, dir) => {
+      // record linkage: each "dirty" key (one md5-chosen character
+      // deleted from a 24-char doc-text prefix) links back to every
+      // clean key within edit distance 1 — PassJoin segment blocking,
+      // never an all-pairs stage; the fuzzy counterpart of the exact
+      // MERGE key match
+      import graft.operators.FuzzyJoin
+      val clean = t(s, dir, "documents").select(col("doc_id"),
+        lower(col("text")).substr(lit(1), lit(24)).as("name"))
+      val pos = (graft.functions.Hashing.h32(col("doc_id").cast("string"))
+        % length(col("name"))).cast("int") + 1
+      val dirty = clean.select(col("doc_id").as("d_key"),
+        concat(col("name").substr(lit(1), pos - 1),
+          col("name").substr(pos + 1, lit(64))).as("d_name"))
+      FuzzyJoin.byEditDistance(dirty, col("d_key"), col("d_name"),
+        clean, col("doc_id"), col("name"), k = 1)
+    }),
+
     "d11_verbatim_overlap" -> ((s, dir) =>
       // exact-substring (verbatim memorization) overlap: docs sharing
       // any sampled 40-char window, scored by shared-window count —
@@ -1049,6 +1067,20 @@ object LlmEntry {
          |${kmeansCtes("v")}
          |SELECT cent_id, CAST(d AS INTEGER) AS dim, cent[d+1] AS value
          |FROM c2, range(0, 64) r(d)""".stripMargin,
+
+    "d12_fuzzy_join" ->
+      s"""WITH cl AS (SELECT doc_id, substring(lower(text), 1, 24) AS name
+         |  FROM documents),
+         |pz AS (SELECT doc_id, name,
+         |  CAST(${h32Sql("CAST(doc_id AS VARCHAR)")} % length(name) AS INTEGER) + 1 AS p
+         |  FROM cl),
+         |dirty AS (SELECT doc_id AS d_key,
+         |  substring(name, 1, p - 1) || substring(name, p + 1, 64) AS d_name
+         |  FROM pz)
+         |SELECT d.d_key AS left_id, c.doc_id AS right_id,
+         |       CAST(levenshtein(d.d_name, c.name) AS INTEGER) AS dist
+         |FROM dirty d, cl c
+         |WHERE levenshtein(d.d_name, c.name) <= 1""".stripMargin,
 
     "d11_verbatim_overlap" ->
       """WITH wins AS (

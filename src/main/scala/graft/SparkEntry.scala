@@ -393,6 +393,42 @@ object SparkEntry {
       Profiler.profile(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_quantity", "l_returnflag"))),
 
+    "g21_incremental_rollup" -> ((s, dir) => {
+      // O(batch) gold refresh: the orders fact lands in two delta
+      // batches folded into a per-status additive state (count + exact
+      // decimal sum); reading the state after batch 2 must equal the
+      // full recompute — the materialized-view-maintenance contract.
+      // Self-contained per invocation: prior state is wiped first.
+      val state = {
+        val raw = s.conf.get("spark.sql.warehouse.dir")
+        val uri = new java.net.URI(raw)
+        val base = uri.getScheme match {
+          case null => raw
+          case "file" => java.nio.file.Paths.get(uri).toString
+          case other => sys.error(s"local warehouse required, got $other")
+        }
+        java.nio.file.Paths.get(base,
+          "g21_state_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      }
+      val root = java.nio.file.Paths.get(state)
+      if (java.nio.file.Files.exists(root)) {
+        val files = java.nio.file.Files.walk(root)
+        try files.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally files.close()
+      }
+      val orders = t(s, dir, "orders")
+      IncrementalAgg.update(orders.filter(col("o_orderkey") % 2 === 0),
+        state, Seq("o_orderstatus"), Seq("o_totalprice"))
+      IncrementalAgg.update(orders.filter(col("o_orderkey") % 2 =!= 0),
+        state, Seq("o_orderstatus"), Seq("o_totalprice"))
+      IncrementalAgg.read(s, state).get
+        .select(col("o_orderstatus").as("status"), col("n"),
+          col("sum_o_totalprice").cast("double").as("total"),
+          round(col("sum_o_totalprice").cast("double") / col("n"), 6)
+            .as("avg_price"))
+    }),
+
     "g17_funnel" -> ((s, dir) =>
       // ordered-step conversion funnel over the event log: users who
       // viewed, then clicked at-or-after their first view, then
@@ -746,6 +782,13 @@ object SparkEntry {
         |SELECT 'l_returnflag', count(l_returnflag), count(DISTINCT l_returnflag),
         |       CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
         |FROM lineitem""".stripMargin,
+
+    "g21_incremental_rollup" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |             / count(*), 6) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // sequential min-timestamp chain, one CTE per funnel step
     "g17_funnel" ->

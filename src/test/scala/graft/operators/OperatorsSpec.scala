@@ -270,6 +270,78 @@ class MeasuresSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
 
+  test("fuzzy join: hand case, brute-force equivalence, no nested-loop plan") {
+    import spark.implicits._
+    val right = Seq((1L, "kitten"), (2L, "sitting"), (3L, "flaw"))
+      .toDF("id", "s")
+    val left = Seq((10L, "kitten"), (11L, "mitten"), (12L, "sittin"),
+      (13L, "lawn")).toDF("id", "s")
+    val got = FuzzyJoin.byEditDistance(left, col("id"), col("s"),
+        right, col("id"), col("s"), k = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    // kitten=kitten (0), mitten~kitten (1 sub), sittin~sitting (1 del);
+    // lawn~flaw is 2 edits — out
+    assert(got === Set((10L, 1L, 0), (11L, 1L, 1), (12L, 2L, 1)))
+
+    // lossless vs brute force on real diverse strings, k=1 and k=2
+    val names = table("documents")
+      .select(col("doc_id").as("id"), lower(col("text")).substr(lit(1), lit(24)).as("s"))
+    val l = names.filter(col("id") % 2 === 0)
+    val r = names.filter(col("id") % 2 === 1)
+    for (k <- Seq(1, 2)) {
+      val blocked = FuzzyJoin.byEditDistance(l, col("id"), col("s"),
+          r, col("id"), col("s"), k)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = l.toDF("lid", "ls").crossJoin(r.toDF("rid", "rs"))
+        .withColumn("d", levenshtein(col("ls"), col("rs")))
+        .filter(col("d") <= k)
+        .select(col("lid"), col("rid"), col("d"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(blocked === brute, s"k=$k blocking must be lossless")
+    }
+
+    // plan: equi-join candidate generation, never a nested loop
+    val plan = FuzzyJoin.byEditDistance(l, col("id"), col("s"),
+      r, col("id"), col("s"), k = 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+  }
+
+  test("incremental rollup: N batches land bit-identical to one recompute") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-incagg").toString
+    val orders = table("orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+    // three uneven batches, one of them empty-for-some-groups
+    val batches = Seq(
+      orders.filter(col("o_orderkey").isNull), // degenerate: empty batch
+      orders.filter(col("o_totalprice") < 50000),
+      orders.filter(col("o_totalprice") >= 50000))
+    var v = -1
+    batches.zipWithIndex.foreach { case (b, i) =>
+      v = IncrementalAgg.update(b, dir,
+        Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+      assert(v == i, s"version must advance per batch")
+    }
+    val got = IncrementalAgg.read(spark, dir).get
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+        col("sum_o_totalprice").cast("double").as("total"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val full = orders.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === full, "incremental state must equal the full recompute")
+    // state is groups-sized, stable-schema, and time-travelable
+    val state = IncrementalAgg.read(spark, dir).get
+    assert(state.count() == full.size)
+    val prev = graft.sources.SnapshotStore.readVersion(spark, dir, 1).get
+    assert(prev.schema == state.schema,
+      "state schema must not drift across merges")
+    assert(prev.agg(sum("n")).first().getLong(0) <
+      state.agg(sum("n")).first().getLong(0))
+  }
+
   test("topN is deterministic and correctly bounded") {
     val top = Measures.topN(table("orders"), col("o_custkey"), col("o_totalprice"), 5)
     val rows = top.collect()
