@@ -512,6 +512,22 @@ object LlmEntry {
           frameBytes = 64, stride = 4)
         .select("asset_id", "frame_no", "frame_md5")),
 
+    "m4_phash_dedup" -> ((s, dir) => {
+      // perceptual near-dup over binary assets: integer-exact aHash
+      // fingerprints + the SimHash family's quarter-band blocking. The
+      // corpus is each doc plus a copy with one md5-chosen character
+      // substituted (a "re-encoded" asset), so near-identical payloads
+      // demonstrably pair up without an all-pairs stage
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val pos = (graft.functions.Hashing.h32(col("doc_id").cast("string"))
+        % length(col("text"))).cast("int") + 1
+      val dirty = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text").substr(lit(1), pos - 1), lit("a"),
+          col("text").substr(pos + 1, length(col("text")))).as("text"))
+      Multimodal.perceptualDupPairs(
+        Multimodal.asAssets(docs.unionByName(dirty)), maxDist = 3)
+    }),
+
     "st1_windowed_agg" -> ((s, dir) =>
       Events.windowedAgg(Tables.loadEvents(s, dir))),
 
@@ -1588,6 +1604,50 @@ object LlmEntry {
         |       md5(substr(text, CAST(off AS INTEGER) + 1, 64)) AS frame_md5
         |FROM documents, unnest(range(0, strlen(text) - 63, 256)) r(off)
         |WHERE strlen(text) >= 64""".stripMargin,
+
+    // integer-exact aHash mirror of functions.ByteAHash64: window sums
+    // over ascii codes (pure-ASCII corpus, the m1 precedent), bit w =
+    // sum_w*n > total*width_w, halves packed MSB-first then banded and
+    // popcount-verified exactly like d4b
+    "m4_phash_dedup" ->
+      s"""WITH pz AS (SELECT doc_id, text,
+         |    CAST(${h32Sql("CAST(doc_id AS VARCHAR)")} % strlen(text) AS INTEGER) + 1 AS p
+         |  FROM documents),
+         |allp AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substring(text, 1, p - 1) || 'a' || substring(text, p + 1)
+         |  FROM pz),
+         |codes AS (SELECT doc_id,
+         |    list_transform(range(strlen(text)), q -> ascii(text[CAST(q AS INTEGER)+1])) AS cs,
+         |    CAST(strlen(text) AS BIGINT) AS n
+         |  FROM allp),
+         |wins AS (SELECT doc_id, n,
+         |    list_transform(range(0, 64), w -> coalesce(list_sum(
+         |      cs[CAST(w*n//64 AS INTEGER)+1 : CAST((w+1)*n//64 AS INTEGER)]), 0)) AS sums,
+         |    coalesce(list_sum(cs), 0) AS total
+         |  FROM codes),
+         |bits AS (SELECT doc_id,
+         |    list_transform(range(0, 64), w -> CASE
+         |      WHEN sums[CAST(w AS INTEGER)+1] * n > total * ((w+1)*n//64 - w*n//64)
+         |      THEN 1 ELSE 0 END) AS b
+         |  FROM wins),
+         |fp AS (SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 32),
+         |      i -> b[CAST(i AS INTEGER)+1] * (CAST(1 AS BIGINT) << CAST(31-i AS INTEGER)))) AS BIGINT) AS fhi,
+         |    CAST(list_sum(list_transform(range(0, 32),
+         |      i -> b[CAST(i AS INTEGER)+33] * (CAST(1 AS BIGINT) << CAST(31-i AS INTEGER)))) AS BIGINT) AS flo
+         |  FROM bits),
+         |hx AS (SELECT doc_id, fhi, flo, printf('%08x%08x', fhi, flo) AS hex FROM fp),
+         |banded AS (SELECT doc_id, fhi, flo, q, substr(hex, q*4+1, 4) AS qs
+         |           FROM hx, range(0, 4) r(q)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.fhi AS ahi, a.flo AS alo, b.fhi AS bhi, b.flo AS blo
+         |         FROM banded a JOIN banded b
+         |           ON a.q = b.q AND a.qs = b.qs AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3""".stripMargin,
 
     "st1_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

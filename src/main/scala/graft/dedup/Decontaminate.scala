@@ -64,15 +64,20 @@ object Decontaminate {
     * is summarized as a Bloom bitset of `bits` bits (`bits/8` bytes —
     * 128 KiB at the 2^20 default — as a broadcast (word, mask) table,
     * built with one map-side-combined aggregation over eval shingles).
-    * Training shingles probe the bitset map-only: a shingle survives
-    * only if all `hashes` probe bits are set. Survivors (true hits +
-    * the Bloom false-positive rate ~(1-e^{-kn/m})^k of |train
-    * shingles|) are then verified with an EXACT join against the eval
-    * shingle set — so false positives are eliminated and the output is
-    * bit-identical to [[contaminatedDocs]], but the eval-side shuffle
-    * join now sees only the pre-filtered sliver instead of every
-    * training shingle. Cost: O(train tokens) map work + one keyed join
-    * of the candidate sliver; the full corpus never shuffles.
+    * Training shingles probe the bitset map-only — one broadcast-hash
+    * lookup per probe bit, chained, so a shingle survives only if all
+    * `hashes` bits are set and the corpus NEVER explodes or shuffles
+    * during filtering (the earlier posexplode + groupBy("doc_id","s")
+    * formulation paid a corpus-shingle-sized shuffle just to AND the
+    * bits; measured 1.7s vs t6's 0.3s at sf0.1 for it). Survivors
+    * (true hits + the Bloom false-positive rate ~(1-e^{-kn/m})^k of
+    * |train shingles|) are then verified with an EXACT join against
+    * the eval shingle set — so false positives are eliminated and the
+    * output is bit-identical to [[contaminatedDocs]], but the
+    * eval-side join now sees only the pre-filtered sliver instead of
+    * every training shingle. Cost: O(train tokens) map work + one
+    * keyed join of the candidate sliver; the full corpus never
+    * shuffles.
     */
   def bloomContaminatedDocs(train: DataFrame, eval: DataFrame,
                             id: Column, text: Column, n: Int = 5,
@@ -95,24 +100,32 @@ object Decontaminate {
     val evalSh = graft.Caching.persisted(
       eval.select(explode(TextDedup.shingles(text, n)).as("s")).distinct(),
       storage)
-    val bloom = broadcast(evalSh
+    // built once and cached (it feeds one broadcast per probe bit);
+    // bounded by bits/64 rows regardless of eval size
+    val bloom = graft.Caching.persisted(evalSh
       .select(explode(array(positions(Hashing.h32(col("s"))): _*)).as("p"))
       .select(word(col("p")).as("word"), maskOfP.as("m"))
-      .groupBy("word").agg(expr("bit_or(m)").as("mask")))
+      .groupBy("word").agg(expr("bit_or(m)").as("mask")), storage)
 
-    val candidates = train
+    // probe all `hashes` bits with one broadcast-hash lookup each —
+    // an absent word means bit unset, so the inner join itself prunes;
+    // the train side never explodes (h is computed once per shingle,
+    // each probe adds columns) and NOTHING shuffles until the exact
+    // verify sees the surviving sliver
+    val probe0 = train
       .select(id.as("doc_id"), explode(TextDedup.shingles(text, n)).as("s"))
       .withColumn("h", Hashing.h32(col("s")))
-      .select(col("doc_id"), col("s"),
-        posexplode(array(positions(col("h")): _*)).as(Seq("i", "p")))
-      .select(col("doc_id"), col("s"), col("i"),
-        word(col("p")).as("word"), maskOfP.as("m"))
-      .join(bloom, "word")
-      .filter((col("mask").bitwiseAND(col("m"))) =!= 0)
-      .groupBy("doc_id", "s")
-      .agg(count_distinct(col("i")).as("nhit"))
-      .filter(col("nhit") === hashes)
-      .select("doc_id", "s")
+    val candidates = (0 until hashes).foldLeft(probe0) { (probe, i) =>
+      val p = Hashing.affine(col("h"), BloomA(i), BloomB(i)) % bits
+      probe
+        .withColumn("p", p)
+        .withColumn(s"__m$i", maskOfP)
+        .withColumn(s"__w$i", word(col("p")))
+        .drop("p")
+        .join(broadcast(bloom.select(col("word").as(s"__w$i"),
+          col("mask").as(s"__mask$i"))), Seq(s"__w$i"))
+        .filter((col(s"__mask$i").bitwiseAND(col(s"__m$i"))) =!= 0)
+    }.select("doc_id", "s")
 
     candidates.join(evalSh, "s") // exact verify: Bloom FPs die here
       .groupBy("doc_id")

@@ -480,8 +480,18 @@ object TextDedup {
     * equal 16-bit fingerprint quarters (any pair within hamming<=3 of a
     * 64-bit print shares at least one of 4 quarters). */
   def simHashPairs(docs: DataFrame, id: Column, text: Column,
-                   maxDist: Int = 3): DataFrame = {
-    val t = docs.select(id.as("doc_id"), simHashHex(text).as("fp"))
+                   maxDist: Int = 3): DataFrame =
+    hexFingerprintPairs(
+      docs.select(id.as("doc_id"), simHashHex(text).as("fp")), maxDist)
+
+  /** The banding/popcount half of [[simHashPairs]], reusable for ANY
+    * 16-hex-char 64-bit fingerprint column (SimHash, the multimodal
+    * aHash): quarter-band equi-join candidate generation (lossless for
+    * hamming <= 3 by pigeonhole over the 4 quarters; wider maxDist
+    * keeps equal recall guarantees only up to 3 — callers wanting
+    * hamming > 3 guarantees should band eighths), exact popcount
+    * verify on distinct pairs. Input: (doc_id, fp). */
+  def hexFingerprintPairs(t: DataFrame, maxDist: Int = 3): DataFrame = {
     val banded = t.select(col("doc_id"), col("fp"), explode(
       transform(sequence(lit(0), lit(3)),
         q => struct(q.as("q"), substring(col("fp"), q * 4 + 1, lit(4)).as("qs")))).as("b"))

@@ -82,6 +82,28 @@ object Multimodal {
       .withColumn("frame_md5", md5(col("frame")))
   }
 
+  /** 64-bit aHash perceptual fingerprint of the payload, as 16 hex
+    * chars — integer-exact (no floating-point means), codegen'd
+    * ([[graft.functions.ByteAHash64]]). Over the stub resize windows;
+    * swapping the real image scaler into the window step makes it real
+    * image aHash with the same downstream contract. */
+  def aHashHex(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.ByteAHash64(
+      ColumnBridge.expression(payload)))
+  }
+
+  /** Perceptual near-dup pairs over binary assets — image/audio dedup
+    * for a multimodal training corpus: aHash fingerprints, then the
+    * SAME quarter-band blocking + popcount verify the SimHash text
+    * family uses ([[graft.dedup.TextDedup.hexFingerprintPairs]]).
+    * Map-only fingerprinting, one equi-join on 16-bit bands, no
+    * all-pairs stage; lossless for hamming <= 3. */
+  def perceptualDupPairs(assets: DataFrame, maxDist: Int = 3): DataFrame =
+    graft.dedup.TextDedup.hexFingerprintPairs(
+      assets.select(col("asset_id").as("doc_id"), aHashHex(col("payload")).as("fp")),
+      maxDist)
+
   /** STUB decode, partition-batched: a real implementation calls the
     * media codec here (per partition, batched — the iterator shape is
     * what matters; swap the checksum for the codec call and nothing

@@ -99,13 +99,20 @@ class CurationOpsSpec extends SparkSpec {
     // the probe joins the broadcast (word, mask) bitset table
     assert(plan.contains("BroadcastHashJoin"),
       s"expected the bitset table to broadcast-hash join:\n$plan")
-    // only the bitset carries an explicit broadcast HINT — the eval
-    // shingle set must stay size-planned (on test data the planner may
-    // still auto-broadcast it; at benchmark-suite scale it shuffles).
-    // The bitset is bounded by bits/64 rows regardless of eval size,
-    // so its hint is safe; a hint on the raw eval set would not be.
+    // only the bitset carries explicit broadcast HINTs (one per probe
+    // bit — the chained lookup joins) — the eval shingle set must stay
+    // size-planned (on test data the planner may still auto-broadcast
+    // it; at benchmark-suite scale it shuffles). The bitset is bounded
+    // by bits/64 rows regardless of eval size, so its hints are safe;
+    // a hint on the raw eval set would not be.
     val analyzed = df.queryExecution.analyzed.toString
     val nHints = "ResolvedHint".r.findAllIn(analyzed).length
-    assert(nHints == 1, s"expected exactly 1 broadcast hint, got $nHints:\n$analyzed")
+    assert(nHints == 3, s"expected 3 broadcast hints (bitset x probe bits), got $nHints:\n$analyzed")
+    // and the bit-AND filtering itself adds no aggregation: the only
+    // aggregates left are the bitset build (word bit_or) and the final
+    // per-doc count — the old posexplode + groupBy(doc_id, s) pass
+    // (a corpus-shingle-sized shuffle) must stay gone
+    assert(!plan.contains("count(distinct"),
+      s"probe-bit AND must not need a distinct aggregation:\n$plan")
   }
 }

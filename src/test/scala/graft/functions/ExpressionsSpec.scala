@@ -184,6 +184,38 @@ class ExpressionsSpec extends SparkSpec {
     assert(tiny.count(_ == 0.0) == 5 && tiny.length == 8)
   }
 
+  test("ByteAHash64: hand case, integer threshold, perceptual pairing") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // payload bytes 0..63: window w holds the single byte w; total=2016,
+    // n=64, width=1 -> bit w set iff w*64 > 2016 iff w >= 32
+    val ramp = new String((0 until 64).map(_.toChar).toArray)
+    val fp = Multimodal.asAssets(Seq((1L, ramp)).toDF("doc_id", "text"))
+      .select(Multimodal.aHashHex(col("payload"))).first().getString(0)
+    assert(fp == "00000000ffffffff", fp)
+    // scala-side kernel agrees with the column (codegen) path on real docs
+    val both = Multimodal.asAssets(table("documents"))
+      .select(col("payload"), Multimodal.aHashHex(col("payload")).as("fp"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(graft.functions.ByteAHash64.hash(r.getAs[Array[Byte]](0)).toString
+        == r.getString(1))
+    }
+    // near-identical payloads pair at small hamming; disjoint ones don't
+    // all-pair: doc vs its one-char-substituted copy
+    val docs = table("documents").select("doc_id", "text").limit(50)
+    val dirty = docs.select((col("doc_id") + 1000L).as("doc_id"),
+      concat(lit("a"), col("text").substr(lit(2), length(col("text")))).as("text"))
+    val pairs = Multimodal.perceptualDupPairs(
+      Multimodal.asAssets(docs.unionByName(dirty)), maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty, "substituted copies must pair")
+    assert(pairs.forall(_._3 <= 3))
+    val crossSelf = pairs.count(p => p._2 == p._1 + 1000L)
+    assert(crossSelf > 25, s"most dirty copies should pair with their original, got $crossSelf")
+  }
+
   test("sampleFrames slices every stride-th frame, drops the partial tail") {
     import graft.multimodal.Multimodal
     import spark.implicits._
