@@ -36,32 +36,47 @@ object IncrementalAgg {
         col("n").cast("long").as("n")) ++
         sumCols.map(c => col(s"sum_$c").cast("decimal(28,4)").as(s"sum_$c")): _*)
 
+  /** One batch's additive registers: per-group count + exact decimal
+    * sums, normalized to the stable state schema. */
+  def partial(batch: DataFrame, groupCols: Seq[String],
+              sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty && sumCols.nonEmpty,
+      "need at least one group column and one sum column")
+    val aggs = count(lit(1)).as("n") +:
+      sumCols.map(c => sum(col(c).cast("decimal(18,4)")).as(s"sum_$c"))
+    normalize(
+      batch.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*),
+      sumCols)
+  }
+
+  /** Merge any pile of partial-register rows (state + a new partial,
+    * or many per-batch partials) back into one row per group: sums of
+    * sums, exact. */
+  def fold(registers: DataFrame, groupCols: Seq[String],
+           sumCols: Seq[String]): DataFrame = {
+    val reAggs = sum(col("n")).as("n") +:
+      sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+    normalize(
+      registers.groupBy(groupCols.map(col): _*).agg(reAggs.head, reAggs.tail: _*),
+      sumCols)
+  }
+
   /** Fold an append-only `batch` into the aggregate state at `dir`:
     * partial-aggregate the batch on `groupCols` (count + exact decimal
     * sums of `sumCols`), merge with the stored per-group state by
     * summing, commit as the next version. Returns that version.
     * Decimal arithmetic keeps every sum exact and order-independent,
     * so N incremental batches land bit-identical to one full
-    * recompute (spec-asserted). */
+    * recompute (spec-asserted). NOT replay-idempotent — feeding the
+    * same batch twice double-counts; an at-least-once source goes
+    * through [[graft.streaming.RollupStream]]'s batch-keyed partials
+    * instead. */
   def update(batch: DataFrame, dir: String, groupCols: Seq[String],
              sumCols: Seq[String]): Int = {
-    require(groupCols.nonEmpty && sumCols.nonEmpty,
-      "need at least one group column and one sum column")
-    val aggs = count(lit(1)).as("n") +:
-      sumCols.map(c => sum(col(c).cast("decimal(18,4)")).as(s"sum_$c"))
-    val partial = normalize(
-      batch.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*),
-      sumCols)
+    val p = partial(batch, groupCols, sumCols)
     val merged = SnapshotStore.read(batch.sparkSession, dir) match {
-      case Some(state) =>
-        val reAggs = sum(col("n")).as("n") +:
-          sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
-        normalize(
-          state.unionByName(partial)
-            .groupBy(groupCols.map(col): _*)
-            .agg(reAggs.head, reAggs.tail: _*),
-          sumCols)
-      case None => partial
+      case Some(state) => fold(state.unionByName(p), groupCols, sumCols)
+      case None => p
     }
     SnapshotStore.commit(merged, dir)
   }

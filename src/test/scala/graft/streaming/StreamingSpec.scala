@@ -122,6 +122,53 @@ class StreamingSpec extends SparkSpec {
     assert(snap(9003L) > 0L, "corpus copy must hit the band index")
   }
 
+  test("rollup stream: batch-keyed partials fold to the full recompute; replay and compact are safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-rollup-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rollup-ckpt").toString
+    val input = MemoryStream[(String, Double)]
+    val q = RollupStream.run(input.toDF().toDF("k", "v"),
+      stateDir, ckpt, Seq("k"), Seq("v"))
+    try {
+      input.addData(("a", 1.5), ("a", 2.5), ("b", 10.0))
+      q.processAllAvailable()
+      input.addData(("a", 4.0), ("c", 0.25))
+      q.processAllAvailable()
+      val got = RollupStream.read(spark, stateDir, Seq("k"), Seq("v")).get
+        .select(col("k"), col("n"), col("sum_v").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(got === Set(("a", 3L, 8.0), ("b", 1L, 10.0), ("c", 1L, 0.25)))
+      // replay idempotence: re-merging batch 1's partial (same
+      // batch_id) overwrites its own rows, the fold is unchanged
+      val replay = graft.operators.IncrementalAgg.partial(
+        Seq(("a", 4.0), ("c", 0.25)).toDF("k", "v"), Seq("k"), Seq("v"))
+        .withColumn("batch_id", lit(1L))
+      graft.sources.SnapshotStore.mergeInto(replay, stateDir, Seq("batch_id", "k"))
+      val afterReplay = RollupStream.read(spark, stateDir, Seq("k"), Seq("v")).get
+        .select(col("k"), col("n"), col("sum_v").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(afterReplay === got, "replayed batch must not double-count")
+      // compact folds everything below the newest batch into the base;
+      // the newest batch's rows stay keyed (still replayable)
+      RollupStream.compact(spark, stateDir, Seq("k"), Seq("v"))
+      val state = graft.sources.SnapshotStore.read(spark, stateDir).get
+      assert(state.filter(col("batch_id") === -1L).count() > 0)
+      assert(state.agg(max(col("batch_id"))).first().getLong(0) == 1L)
+      val afterCompact = RollupStream.read(spark, stateDir, Seq("k"), Seq("v")).get
+        .select(col("k"), col("n"), col("sum_v").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(afterCompact === got, "compaction must not change the rollup")
+      // and a replay of the newest batch AFTER compaction still lands
+      // idempotently (its rows were kept keyed, not folded)
+      graft.sources.SnapshotStore.mergeInto(replay, stateDir, Seq("batch_id", "k"))
+      val afterCompactReplay = RollupStream.read(spark, stateDir, Seq("k"), Seq("v")).get
+        .select(col("k"), col("n"), col("sum_v").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(afterCompactReplay === got)
+    } finally q.stop()
+  }
+
   test("windowedAggStream: watermark + tumbling window over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
