@@ -178,6 +178,14 @@ object LlmEntry {
       TextAnalysis.unigramSurprisal(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
 
+    "t16_bigram_lm" -> ((s, dir) =>
+      // conditional-LM quality proxy: per-doc mean bigram surprisal
+      // -log2 P(w2|w1) under the corpus bigram model — catches "word
+      // salad" (plausible tokens, implausible order) that t13's
+      // unigram stats miss
+      TextAnalysis.bigramSurprisal(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
     "t10b_heavy_hitters" -> ((s, dir) =>
       // t10's bounded-state sketch leg: Misra-Gries summary (k
       // counters per mapper, k rows shipped) joined against exact
@@ -1008,6 +1016,23 @@ object LlmEntry {
          |    round(-log2(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS surp
          |  FROM tf JOIN ctf USING (token) CROSS JOIN n)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
+         |             / sum(tf), 6) AS mean_surprisal
+         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "t16_bigram_lm" ->
+      s"""WITH tkl AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+         |         i -> tk[CAST(i AS INTEGER)+1] || ' ' || tk[CAST(i AS INTEGER)+2])) AS bigram
+         |       FROM tkl WHERE len(tk) >= 2),
+         |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |c2 AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1),
+         |c2w AS (SELECT bigram, c2, string_split(bigram, ' ')[1] AS w1 FROM c2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2w GROUP BY 1),
+         |sc AS (SELECT doc_id, tf,
+         |         round(-log2(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6) AS surp
+         |       FROM tf JOIN c2w USING (bigram) JOIN c1 USING (w1))
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
          |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
          |             / sum(tf), 6) AS mean_surprisal
          |FROM sc GROUP BY doc_id""".stripMargin,

@@ -429,6 +429,18 @@ object SparkEntry {
             .as("avg_price"))
     }),
 
+    "g22_winsorize" -> ((s, dir) =>
+      // robust totals: amounts clamped into per-status [p05, p95]
+      // before summing — the capped counterpart of g16's outlier screen
+      Measures.winsorizedStats(t(s, dir, "orders"),
+        col("o_orderstatus"), col("o_totalprice"))),
+
+    "g23_event_transitions" -> ((s, dir) =>
+      // first-order Markov transition matrix over each user's event
+      // timeline: (from, to, n, p) — the path-analysis complement of
+      // g17's fixed funnel
+      streaming.Events.transitionMatrix(Tables.loadEvents(s, dir))),
+
     "g17_funnel" -> ((s, dir) =>
       // ordered-step conversion funnel over the event log: users who
       // viewed, then clicked at-or-after their first view, then
@@ -789,6 +801,31 @@ object SparkEntry {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |             / count(*), 6) AS avg_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "g22_winsorize" ->
+      """WITH base AS (SELECT o_orderstatus AS grp, o_totalprice AS v FROM orders),
+        |b AS (SELECT grp, round(quantile_cont(v, 0.05), 4) AS lo,
+        |             round(quantile_cont(v, 0.95), 4) AS hi
+        |      FROM base GROUP BY 1)
+        |SELECT grp, count(*) AS n,
+        |       CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |       CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |       CAST(sum(CAST(least(greatest(v, lo), hi) AS DECIMAL(18,4))) AS DOUBLE) AS wtotal,
+        |       min(lo) AS lo, min(hi) AS hi
+        |FROM base JOIN b USING (grp)
+        |GROUP BY grp""".stripMargin,
+
+    "g23_event_transitions" ->
+      """WITH seqd AS (SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |pairs AS (SELECT from_type, to_type, count(*) AS n
+        |          FROM seqd WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE) /
+        |             sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM pairs""".stripMargin,
 
     // sequential min-timestamp chain, one CTE per funnel step
     "g17_funnel" ->

@@ -49,11 +49,13 @@ object Decontaminate {
         .select(col("doc_id").as(idName)),
       Seq(idName), "left_anti")
 
-  // universal-hash coefficients for the bloom positions (same md5 ->
-  // affine-mod-P32 family the MinHash bank uses); internal only — the
-  // output is exact, so no external engine ever reproduces these
-  private val BloomA = Array(1103581L, 2190911L, 3299717L, 4477457L, 5679979L)
-  private val BloomB = Array(12289L, 24593L, 49157L, 98317L, 196613L)
+  // bloom positions come from per-bit-seeded xxhash64 — the positions
+  // are INTERNAL only (the exact verify join makes the output exact,
+  // so no external engine ever reproduces them), which frees them from
+  // the md5 discipline the oracle-visible hashes follow: xxhash64 is
+  // codegen'd and an order of magnitude cheaper than an md5 per
+  // corpus shingle (profiled: the md5 probe dominated t6b's runtime)
+  private val MaxBloomHashes = 5
 
   /** [[contaminatedDocs]] for LARGE eval corpora — identical output,
     * bloom-pre-filtered plan.
@@ -84,11 +86,10 @@ object Decontaminate {
                             bits: Int = 1 << 20, hashes: Int = 3,
                             storage: org.apache.spark.storage.StorageLevel =
                               graft.Caching.Default): DataFrame = {
-    require(hashes >= 1 && hashes <= BloomA.length, s"1..${BloomA.length} hashes")
+    require(hashes >= 1 && hashes <= MaxBloomHashes, s"1..$MaxBloomHashes hashes")
     require(bits >= 64 && (bits & (bits - 1)) == 0, "bits must be a power of two >= 64")
-    import graft.functions.Hashing
-    def positions(h: Column): Seq[Column] =
-      (0 until hashes).map(i => Hashing.affine(h, BloomA(i), BloomB(i)) % bits)
+    def position(s: Column, i: Int): Column =
+      pmod(xxhash64(lit(i), s), lit(bits.toLong))
     def word(p: Column): Column = floor(p / 64).cast("long")
     // single-bit mask for a bound column named p: 1L << (p % 64). The
     // SQL form because only it takes a COLUMN shift amount (the Scala
@@ -103,7 +104,8 @@ object Decontaminate {
     // built once and cached (it feeds one broadcast per probe bit);
     // bounded by bits/64 rows regardless of eval size
     val bloom = graft.Caching.persisted(evalSh
-      .select(explode(array(positions(Hashing.h32(col("s"))): _*)).as("p"))
+      .select(explode(array((0 until hashes).map(i =>
+        position(col("s"), i)): _*)).as("p"))
       .select(word(col("p")).as("word"), maskOfP.as("m"))
       .groupBy("word").agg(expr("bit_or(m)").as("mask")), storage)
 
@@ -114,9 +116,8 @@ object Decontaminate {
     // verify sees the surviving sliver
     val probe0 = train
       .select(id.as("doc_id"), explode(TextDedup.shingles(text, n)).as("s"))
-      .withColumn("h", Hashing.h32(col("s")))
     val candidates = (0 until hashes).foldLeft(probe0) { (probe, i) =>
-      val p = Hashing.affine(col("h"), BloomA(i), BloomB(i)) % bits
+      val p = position(col("s"), i)
       probe
         .withColumn("p", p)
         .withColumn(s"__m$i", maskOfP)

@@ -201,4 +201,34 @@ object Measures {
         round(min(col("mad")), 4).as("mad"),
         sum(when(col("adev") > col("thr"), 1L).otherwise(0L)).as("n_outliers"))
   }
+
+  /** Winsorized aggregate pack — [[robustOutliers]] detects anomalies,
+    * this CAPS them: per-group [pLo, pHi] bounds (exact R-7
+    * percentiles like g9, rounded 4 dp so engines agree at the
+    * boundary), every value clamped into the bounds before summing.
+    * The robust-total variant a claims report quotes when one fat-
+    * fingered amount would otherwise swamp a month.
+    *
+    * Scale: one bounds aggregation + one broadcast join of the
+    * groups-sized bounds frame + one final aggregation — the exact
+    * per-group percentile is the only history-sized cost (swap in
+    * `approx_percentile`, the g14b posture, at 100 TB). Output per
+    * group: n, n_low/n_high capped counts, exact decimal winsorized
+    * total, the bounds. */
+  def winsorizedStats(df: DataFrame, group: Column, value: Column,
+                      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1")
+    val base = df.select(group.as("grp"), value.as("v"))
+    val bounds = base.groupBy("grp").agg(
+      round(expr(s"percentile(v, $pLo)"), 4).as("lo"),
+      round(expr(s"percentile(v, $pHi)"), 4).as("hi"))
+    base.join(broadcast(bounds), "grp")
+      .withColumn("w", least(greatest(col("v"), col("lo")), col("hi")))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        decSum(col("w")).as("wtotal"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+  }
 }

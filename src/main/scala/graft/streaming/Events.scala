@@ -56,6 +56,28 @@ object Events {
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
   }
 
+  /** First-order event-transition matrix (the path-analysis /
+    * next-action Markov model a product analytics suite derives from
+    * the event log): count of each (from_type, to_type) consecutive
+    * pair within a user's timeline, ordered (ts, event_id) — the same
+    * deterministic total order [[sessionizeBatch]] walks. One lag
+    * window (per-user local sort, bounded by a user's history — the
+    * st2 posture) + one keyed count. Output: (from_type, to_type, n)
+    * plus each row's share of its from_type's outgoing transitions
+    * (the conditional transition probability, exact decimal ratio). */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = events
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = Window.partitionBy(col("from_type"))
+    pairs.withColumn("p",
+      round(col("n").cast(DoubleType) / sum(col("n")).over(outTotals), 6))
+  }
+
   /** Watermarked stream-stream inner join: each left event matches
     * right events of the same user within [left.ts - lookback, left.ts].
     * The watermarks + the time-bound let Spark expire join state — the

@@ -157,6 +157,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Bigram-LM mean surprisal — the next order up from
+    * [[unigramSurprisal]] (t13)'s quality proxy, the cheapest
+    * CONDITIONAL language model (KenLM-lineage filters start here):
+    * per-doc mean of -log2 P(w2|w1) with P estimated from the corpus
+    * itself, P(w2|w1) = c(w1 w2) / c(w1 ·), c(w1 ·) the count of w1 as
+    * a bigram left context (so each context's conditionals sum to 1
+    * exactly). Flags "word salad" that unigram stats miss — plausible
+    * tokens in implausible orders.
+    *
+    * Shapes: doc-bigram explode (map-only) → two keyed counts (bigram,
+    * then left-context — both vocabulary²-bounded, far below corpus
+    * size) → joins back on the same keys → one decimal-exact per-doc
+    * mean. Docs with fewer than 2 tokens have no bigrams and emit no
+    * row. */
+  def bigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = tokens(text)
+    val bg = df.select(id.as("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => concat_ws(" ",
+          element_at(col("tk"), i + 1),
+          element_at(col("tk"), i + 2)))).as("bigram"))
+    val tf = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy("bigram").agg(sum(col("tf")).as("c2"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val scored = tf.join(c2, "bigram").join(c1, "w1")
+      .withColumn("surp",
+        round(-log2(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)), 6))
+    scored.groupBy("doc_id").agg(
+      sum(col("tf")).cast("long").as("n_bigrams"),
+      round(
+        sum((col("tf") * col("surp")).cast(DecimalType(28, 12))).cast(DoubleType)
+          / sum(col("tf")), 6).as("mean_surprisal"))
+  }
+
   /** Per-document top TF-IDF term — the "most distinctive term" signal
     * used for topic tagging / cluster labeling in curation pipelines
     * (tf-idf per Salton & Buckley 1988). tf = in-doc occurrences,

@@ -342,6 +342,21 @@ class MeasuresSpec extends SparkSpec {
       state.agg(sum("n")).first().getLong(0))
   }
 
+  test("winsorizedStats: hand-computed bounds, caps, and robust total") {
+    import spark.implicits._
+    // group a = 1..10: R-7 p05 = 1.45, p95 = 9.55; 1 caps low, 10 caps
+    // high; winsorized total = 2+..+9 + 1.45 + 9.55 = 55.0
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) :+ (("b", 5.0)))
+      .toDF("g", "v")
+    val got = Measures.winsorizedStats(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got("a") == ((10L, 1L, 1L, 55.0, 1.45, 9.55)), got("a").toString)
+    // a single-value group: bounds collapse to it, nothing caps
+    assert(got("b") == ((1L, 0L, 0L, 5.0, 5.0, 5.0)), got("b").toString)
+  }
+
   test("topN is deterministic and correctly bounded") {
     val top = Measures.topN(table("orders"), col("o_custkey"), col("o_totalprice"), 5)
     val rows = top.collect()

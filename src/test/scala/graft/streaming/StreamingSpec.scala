@@ -367,6 +367,33 @@ class StreamingSpec extends SparkSpec {
       (3, "purchase", 1L)))
   }
 
+  test("transitionMatrix: per-user consecutive pairs, conditional shares") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: view->click->view ; u2: view->view. transitions:
+    // view->click 1, click->view 1, view->view 1.
+    // from view: 2 outgoing -> p=0.5 each; from click: 1 -> p=1.0
+    val ev = Seq(
+      (1L, t("2026-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2026-01-01 10:01:00"), 1L, "click"),
+      (3L, t("2026-01-01 10:02:00"), 1L, "view"),
+      (4L, t("2026-01-01 09:00:00"), 2L, "view"),
+      (5L, t("2026-01-01 09:30:00"), 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out === Set(
+      ("view", "click", 1L, 0.5), ("view", "view", 1L, 0.5),
+      ("click", "view", 1L, 1.0)))
+    // cross-user boundaries never pair: one event per user -> no rows
+    val singles = Seq(
+      (1L, t("2026-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2026-01-01 10:01:00"), 2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(Events.transitionMatrix(singles).count() == 0)
+  }
+
   test("weeklyRetention: cohorts by first-seen week, offsets count distinct users") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)

@@ -105,6 +105,19 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$plan")
   }
 
+  test("bigramSurprisal: hand-computed conditionals; short docs drop") {
+    import spark.implicits._
+    // corpus bigrams: "a a" x1, "a b" x2 -> c1(a)=3
+    // surp(a a) = -log2(1/3) = 1.584963 ; surp(a b) = -log2(2/3) = 0.584963
+    val d = Seq((1L, "a a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(d, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - 1.084963) < 1e-6, got(1L).toString)
+    assert(got(2L) == ((1L, 0.584963)), got(2L).toString)
+    assert(!got.contains(3L), "single-token docs have no bigrams")
+  }
+
   test("bm25TopK: docs without query terms never rank; empty query yields nothing") {
     val out = Search.bm25TopK(docs, col("doc_id"), col("text"),
       Seq("qa" -> Seq("apple")), k = 5).collect()
