@@ -803,7 +803,8 @@ object SparkEntry {
         |FROM orders GROUP BY 1""".stripMargin,
 
     "g22_winsorize" ->
-      """WITH base AS (SELECT o_orderstatus AS grp, o_totalprice AS v FROM orders),
+      """WITH base AS (SELECT o_orderstatus AS grp, o_totalprice AS v FROM orders
+        |              WHERE o_totalprice IS NOT NULL),
         |b AS (SELECT grp, round(quantile_cont(v, 0.05), 4) AS lo,
         |             round(quantile_cont(v, 0.95), 4) AS hi
         |      FROM base GROUP BY 1)

@@ -111,9 +111,9 @@ object Decontaminate {
 
     // probe all `hashes` bits with one broadcast-hash lookup each —
     // an absent word means bit unset, so the inner join itself prunes;
-    // the train side never explodes (h is computed once per shingle,
-    // each probe adds columns) and NOTHING shuffles until the exact
-    // verify sees the surviving sliver
+    // the train side never explodes (each probe evaluates its own
+    // seeded xxhash64 on the shingle and adds columns) and NOTHING
+    // shuffles until the exact verify sees the surviving sliver
     val probe0 = train
       .select(id.as("doc_id"), explode(TextDedup.shingles(text, n)).as("s"))
     val candidates = (0 until hashes).foldLeft(probe0) { (probe, i) =>

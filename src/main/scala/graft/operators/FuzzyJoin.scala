@@ -85,8 +85,10 @@ object FuzzyJoin {
     val probe = lBase
       .select(col("__lid"), col("__lstr"), explode(array(probes: _*)).as("c"))
       // a real occurrence fits inside a: start >= 1, end <= len(a);
-      // candidate lengths below 1 can't be a string
-      .filter(col("c.bl") >= 1 && col("c.p0") >= 1 &&
+      // candidate length 0 stays — an empty right string is within k
+      // edits of any left string of length <= k (all its segments are
+      // "" and match at start 1); negative lengths can't be a string
+      .filter(col("c.bl") >= 0 && col("c.p0") >= 1 &&
         col("c.p0") + col("c.pl") - 1 <= aLen)
       .select(col("__lid"), col("__lstr"),
         col("c.i").as("__i"), col("c.bl").as("__bl"), col("c.s").as("__s"))

@@ -42,6 +42,10 @@ object IncrementalAgg {
               sumCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty && sumCols.nonEmpty,
       "need at least one group column and one sum column")
+    // "n" and "sum_*" are the state's register names — a group column
+    // shadowing them would be miscategorized by the schema normalizer
+    require(groupCols.forall(c => c != "n" && !c.startsWith("sum_")),
+      s"group columns must not be named 'n' or start with 'sum_': $groupCols")
     val aggs = count(lit(1)).as("n") +:
       sumCols.map(c => sum(col(c).cast("decimal(18,4)")).as(s"sum_$c"))
     normalize(

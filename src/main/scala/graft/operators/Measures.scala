@@ -218,7 +218,12 @@ object Measures {
   def winsorizedStats(df: DataFrame, group: Column, value: Column,
                       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1")
+    // NULL amounts are excluded up front: percentile already ignores
+    // them, and greatest/least SKIP nulls — an unfiltered null row
+    // would silently clamp to `lo` and fabricate that amount into the
+    // robust total
     val base = df.select(group.as("grp"), value.as("v"))
+      .filter(value.isNotNull)
     val bounds = base.groupBy("grp").agg(
       round(expr(s"percentile(v, $pLo)"), 4).as("lo"),
       round(expr(s"percentile(v, $pHi)"), 4).as("hi"))

@@ -63,8 +63,10 @@ object Events {
     * deterministic total order [[sessionizeBatch]] walks. One lag
     * window (per-user local sort, bounded by a user's history — the
     * st2 posture) + one keyed count. Output: (from_type, to_type, n)
-    * plus each row's share of its from_type's outgoing transitions
-    * (the conditional transition probability, exact decimal ratio). */
+    * plus each row's share of its from_type's outgoing transitions —
+    * the conditional transition probability as a 6-dp-rounded double
+    * (counts are the exact contract; a from_type's shares can sum to
+    * 0.999999/1.000001 after rounding). */
   def transitionMatrix(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)

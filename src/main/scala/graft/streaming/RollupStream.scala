@@ -33,9 +33,12 @@ object RollupStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val p = IncrementalAgg.partial(batch, groupCols, sumCols)
-          .withColumn("batch_id", lit(id))
-        if (!p.isEmpty) {
+        // guard on the RAW batch (a limit-1 scan, the AnnStream sink's
+        // pattern) — guarding on the partial would run the full
+        // aggregation twice per micro-batch
+        if (!batch.isEmpty) {
+          val p = IncrementalAgg.partial(batch, groupCols, sumCols)
+            .withColumn("batch_id", lit(id))
           SnapshotStore.mergeInto(p, stateDir, "batch_id" +: groupCols): Unit
         }
       }
@@ -57,8 +60,12 @@ object RollupStream {
     * newest and leaves the newest batch's rows keyed, where a replay
     * overwrites them idempotently. Folding the newest too would
     * double-count it if the crash landed between its merge and its
-    * checkpoint commit. Single-writer with the stream's maintenance
-    * loop, like every SnapshotStore writer. */
+    * checkpoint commit. SINGLE-WRITER: the micro-batch merges run on
+    * the streaming engine's thread, so compact must NOT run while the
+    * query is active — both are SnapshotStore writers and could claim
+    * the same next version, silently losing whichever commit loses the
+    * pointer race. Compact between restarts (query stopped), the same
+    * window every log-less table format reserves for maintenance. */
   def compact(spark: SparkSession, stateDir: String, groupCols: Seq[String],
               sumCols: Seq[String]): Option[Int] =
     SnapshotStore.read(spark, stateDir).map { s =>

@@ -283,6 +283,16 @@ class MeasuresSpec extends SparkSpec {
     // lawn~flaw is 2 edits — out
     assert(got === Set((10L, 1L, 0), (11L, 1L, 1), (12L, 2L, 1)))
 
+    // empty strings on either side: lev("","")=0, lev("a","")=1 — the
+    // lossless guarantee covers length-0 candidates too
+    val le = Seq((20L, ""), (21L, "a"), (22L, "ab")).toDF("id", "s")
+    val re = Seq((30L, ""), (31L, "b")).toDF("id", "s")
+    val gotE = FuzzyJoin.byEditDistance(le, col("id"), col("s"),
+        re, col("id"), col("s"), k = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gotE === Set((20L, 30L, 0), (20L, 31L, 1), (21L, 30L, 1),
+      (21L, 31L, 1), (22L, 31L, 1)), gotE.toString)
+
     // lossless vs brute force on real diverse strings, k=1 and k=2
     val names = table("documents")
       .select(col("doc_id").as("id"), lower(col("text")).substr(lit(1), lit(24)).as("s"))
