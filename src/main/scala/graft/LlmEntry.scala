@@ -9,7 +9,7 @@ import graft.multimodal.Multimodal
 import graft.operators.Sampling
 import graft.streaming.Events
 import graft.sources.Tables
-import graft.text.{Packing, Search, TextAnalysis}
+import graft.text.{Packing, Search, TextAnalysis, Urls}
 
 /** LLM-training-data + streaming operators (SURVEY §2: the d, e, t, m
   * and st families), with DuckDB oracles where SQL can express the
@@ -496,6 +496,42 @@ object LlmEntry {
           md5(col("scrubbed")).as("scrub_md5"))
     }),
 
+    "t17_charset_audit" -> ((s, dir) => {
+      // encoding-health screen; the corpus is clean ASCII, so every
+      // third doc gets deterministic damage injected (mojibake marker,
+      // control byte, double space) and the audit must find exactly it
+      val damaged = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" café �"), lit("\u0001"), lit("  x")))
+          .otherwise(col("text")))
+      TextAnalysis.charsetAudit(damaged, col("doc_id"), col("text2"))
+    }),
+
+    "d13_url_dedup" -> ((s, dir) => {
+      // crawl-side dedup: deterministic URL variants (scheme/WWW/host
+      // case, default port, trailing slash, param order, utm/fbclid
+      // noise, fragments) derived per doc; the canonicalizer must
+      // collapse them to host/path?sorted-params keys
+      val d = t(s, dir, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".example.com"),
+        when(col("doc_id") % 4 === 1, lit(":443")).otherwise(lit("")),
+        lit("/docs/p"), (col("doc_id") % 3).cast("string"),
+        when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?page="), (col("doc_id") % 2).cast("string"),
+            lit("&lang="), col("lang"), lit("&utm_source=feed")))
+          .otherwise(concat(lit("?utm_source=feed&lang="), col("lang"),
+            lit("&page="), (col("doc_id") % 2).cast("string"))),
+        when(col("doc_id") % 7 === 0, lit("&fbclid=abc")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("#sec")).otherwise(lit("")))
+      Urls.dedupByUrl(d.select(col("doc_id"), url.as("url")),
+        col("doc_id"), col("url"))
+    }),
+
     "m1_multimodal" -> ((s, dir) =>
       // features flattened to scalar columns: the driver's comparator
       // (pandas lexsort) cannot order rows by an array column
@@ -520,6 +556,17 @@ object LlmEntry {
           frameBytes = 64, stride = 4)
         .select("asset_id", "frame_no", "frame_md5")),
 
+    "m5_header_parse" -> ((s, dir) =>
+      // container-header extraction: magic + big-endian uint16 fields
+      // + body size, all codegen'd builtins (hex/conv), map-only
+      Multimodal.headerFields(Multimodal.asAssets(t(s, dir, "documents")))),
+
+    "m6_energy_windows" -> ((s, dir) =>
+      // audio-curation silence screen over the byte-PCM stub: framed
+      // levels + flatness flags, rolled up per asset
+      Multimodal.energyWindows(Multimodal.asAssets(t(s, dir, "documents")),
+        frameBytes = 64, stride = 4, subWindows = 8, flatThreshold = 4.0)),
+
     "m4_phash_dedup" -> ((s, dir) => {
       // perceptual near-dup over binary assets: integer-exact aHash
       // fingerprints + the SimHash family's quarter-band blocking. The
@@ -534,6 +581,21 @@ object LlmEntry {
           col("text").substr(pos + 1, length(col("text")))).as("text"))
       Multimodal.perceptualDupPairs(
         Multimodal.asAssets(docs.unionByName(dirty)), maxDist = 3)
+    }),
+
+    "st6_trending" -> ((s, dir) => {
+      // per-hour top-3 trending event types, written the NAIVE way
+      // (ranked window + rn <= 3) and shipped through
+      // WindowTopOneRewrite's partitioned rn<=k path: executes as the
+      // bounded-heap TopKRows aggregate, no Window exec, no per-hour
+      // sort (EntryPlanSpec asserts) — the trending-dashboard query
+      val counts = Tables.loadEvents(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hr")).orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("hr", "event_type", "n")
     }),
 
     "st1_windowed_agg" -> ((s, dir) =>
@@ -1602,6 +1664,66 @@ object LlmEntry {
          |FROM p""".stripMargin
     },
 
+    // n_chars via length() (codepoints — strlen is BYTES and the damage
+    // is multibyte); chr(1) = the injected control byte
+    "t17_charset_audit" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' café �' || chr(1) || '  x'
+        |       ELSE text END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text2) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text2, '[^\x00-\x7f]')) AS BIGINT) AS n_non_ascii,
+        |  CAST(len(regexp_extract_all(text2, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_control,
+        |  CAST(len(regexp_extract_all(text2, '�')) AS BIGINT) AS n_replacement,
+        |  CAST(len(regexp_extract_all(text2, '  +')) AS BIGINT) AS n_multi_space,
+        |  (text2 = trim(regexp_replace(lower(text2), '[^a-z0-9]+', ' ', 'g'))) AS is_normalized
+        |FROM p""".stripMargin,
+
+    // mirrors Urls.canonicalUrl step by step over the same deterministic
+    // URL variants the entry derives
+    "d13_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+        |  || '.example.com'
+        |  || (CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+        |  || '/docs/p' || CAST(doc_id % 3 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 3 = 0
+        |      THEN '?page=' || CAST(doc_id % 2 AS VARCHAR) || '&lang=' || lang || '&utm_source=feed'
+        |      ELSE '?utm_source=feed&lang=' || lang || '&page=' || CAST(doc_id % 2 AS VARCHAR) END)
+        |  || (CASE WHEN doc_id % 7 = 0 THEN '&fbclid=abc' ELSE '' END)
+        |  || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |         regexp_replace(regexp_replace(url, '#.*$', ''),
+        |                        '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS ns FROM u),
+        |s2 AS (SELECT doc_id, ns,
+        |         CASE WHEN contains(ns, '?') THEN regexp_extract(ns, '\?(.*)$', 1)
+        |              ELSE '' END AS q,
+        |         regexp_replace(ns, '\?.*$', '') AS hp FROM s1),
+        |s3 AS (SELECT doc_id, q,
+        |         regexp_replace(regexp_replace(
+        |           lower(regexp_extract(hp, '^[^/]*', 0)), '^www\.', ''),
+        |           ':(80|443)$', '') AS host,
+        |         regexp_replace(regexp_extract(hp, '^[^/]*(.*)$', 1), '/+$', '') AS p0
+        |       FROM s2),
+        |s4 AS (SELECT doc_id, host,
+        |         CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p,
+        |         array_to_string(list_sort(list_filter(str_split(q, '&'),
+        |           x -> x <> '' AND NOT starts_with(x, 'utm_')
+        |             AND NOT (x = 'fbclid' OR starts_with(x, 'fbclid='))
+        |             AND NOT (x = 'gclid' OR starts_with(x, 'gclid='))
+        |             AND NOT (x = 'ref' OR starts_with(x, 'ref=')))), '&') AS qq
+        |       FROM s3),
+        |c AS (SELECT doc_id,
+        |        host || p || (CASE WHEN qq = '' THEN '' ELSE '?' || qq END) AS canon_url
+        |      FROM s4)
+        |SELECT canon_url, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM c GROUP BY 1""".stripMargin,
+
     "m1_multimodal" -> {
       def f(i: Int) =
         s"""CAST(coalesce(list_sum(list_transform(
@@ -1629,6 +1751,38 @@ object LlmEntry {
         |       md5(substr(text, CAST(off AS INTEGER) + 1, 64)) AS frame_md5
         |FROM documents, unnest(range(0, strlen(text) - 63, 256)) r(off)
         |WHERE strlen(text) >= 64""".stripMargin,
+
+    // ascii() per byte (pure-ASCII corpus, the m1 precedent); big-endian
+    // uint16 = byte*256 + byte
+    "m5_header_parse" ->
+      """SELECT doc_id AS asset_id,
+        |       substring(text, 1, 2) AS magic,
+        |       CAST(ascii(text[3]) * 256 + ascii(text[4]) AS BIGINT) AS width,
+        |       CAST(ascii(text[5]) * 256 + ascii(text[6]) AS BIGINT) AS height,
+        |       CAST(strlen(text) - 6 AS BIGINT) AS body_bytes
+        |FROM documents WHERE strlen(text) >= 6""".stripMargin,
+
+    // frames as in m2 (64-byte windows, stride 4); means over
+    // power-of-two windows are exact binary doubles, so the flatness
+    // compare and the DECIMAL(18,6) mean are engine-identical
+    "m6_energy_windows" ->
+      """WITH f AS (SELECT doc_id AS asset_id,
+        |                  substr(text, CAST(off AS INTEGER) + 1, 64) AS frame
+        |           FROM documents, unnest(range(0, strlen(text) - 63, 256)) r(off)
+        |           WHERE strlen(text) >= 64),
+        |s AS (SELECT asset_id,
+        |        list_avg(list_transform(range(0, 64), p -> ascii(frame[p+1]))) AS level,
+        |        list_transform(range(0, 8), w ->
+        |          list_avg(list_transform(range(w*8, (w+1)*8),
+        |                                  p -> ascii(frame[p+1])))) AS sub
+        |      FROM f),
+        |g AS (SELECT asset_id, level,
+        |        (list_max(sub) - list_min(sub)) < 4.0 AS silent FROM s)
+        |SELECT asset_id, count(*) AS n_frames,
+        |       CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+        |       round(CAST(sum(CAST(level AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 6) AS mean_level
+        |FROM g GROUP BY 1""".stripMargin,
 
     // integer-exact aHash mirror of functions.ByteAHash64: window sums
     // over ascii codes (pure-ASCII corpus, the m1 precedent), bit w =
@@ -1673,6 +1827,15 @@ object LlmEntry {
          |       CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS BIGINT) AS hamming
          |FROM cand
          |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3""".stripMargin,
+
+    "st6_trending" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+        |                  count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT hr, event_type, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY hr
+        |                               ORDER BY n DESC, event_type) AS rn
+        |  FROM c) WHERE rn <= 3""".stripMargin,
 
     "st1_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

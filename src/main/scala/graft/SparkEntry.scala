@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators._
-import graft.sources.{CsvIngest, Tables}
+import graft.sources.{CsvIngest, JsonIngest, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -73,6 +73,33 @@ object SparkEntry {
       ingested.agg(
         sum(when(col(CsvIngest.CorruptCol).isNull, 1L).otherwise(0L)).as("clean_rows"),
         sum(when(col(CsvIngest.CorruptCol).isNotNull, 1L).otherwise(0L)).as("malformed_rows"))
+    }),
+
+    "b6_json_ingest" -> ((s, dir) => {
+      // the b1 contract on the other bronze feed format: JSON lines,
+      // schema-enforced (single pass — no inference scan), PERMISSIVE
+      // corrupt capture. The render is SETUP keyed on a marker file;
+      // two deterministic bad lines (one unparseable, one
+      // type-mismatched) ride in a side file
+      val jsonDir = s"${System.getProperty("java.io.tmpdir")}/graft_b6_${dir.hashCode.toHexString}"
+      val marker = new java.io.File(jsonDir, "_B6_READY")
+      if (!marker.exists()) {
+        t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("overwrite").json(jsonDir)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(jsonDir, "part-badlines.json"),
+          "{{this is not json}}\n{\"doc_id\": \"NaN-ish\", \"lang\": 7, \"source\": \"x\", \"n_chars\": \"many\"}\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        marker.createNewFile(): Unit
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType)))
+      val ing = JsonIngest.read(s, jsonDir, schema).cache()
+      ing.agg(
+        sum(when(col(JsonIngest.CorruptCol).isNull, 1L).otherwise(0L)).as("clean_rows"),
+        sum(when(col(JsonIngest.CorruptCol).isNotNull, 1L).otherwise(0L)).as("malformed_rows"),
+        countDistinct(when(col(JsonIngest.CorruptCol).isNull, col("source"))).as("n_sources"))
     }),
 
     "b2_dedup_latest" -> ((s, dir) =>
@@ -429,6 +456,26 @@ object SparkEntry {
             .as("avg_price"))
     }),
 
+    "g24_dense_months" -> ((s, dir) =>
+      // zero-filled (status, year, month) grid between the fact's
+      // first and last month — silent months read as 0 rows, not
+      // missing rows (the date-dimension guarantee derived from the
+      // fact's own bounds)
+      Measures.denseMonthly(t(s, dir, "orders"),
+        col("o_orderstatus"), col("o_orderdate"), col("o_totalprice"))),
+
+    "g25_share_of_total" -> ((s, dir) =>
+      // % of parent / % of grand total across the status → priority
+      // hierarchy — the DIVIDE-rate idiom at every level
+      Measures.shareOfTotal(t(s, dir, "orders"),
+        col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))),
+
+    "g26_moving_avg" -> ((s, dir) =>
+      // 3-month trailing average + running total per status — the
+      // smoothing layer over the monthly grain
+      Measures.movingAverage(t(s, dir, "orders"),
+        col("o_orderstatus"), col("o_orderdate"), col("o_totalprice"))),
+
     "g22_winsorize" -> ((s, dir) =>
       // robust totals: amounts clamped into per-status [p05, p95]
       // before summing — the capped counterpart of g16's outlier screen
@@ -507,6 +554,12 @@ object SparkEntry {
     "b1_schema_ingest" ->
       """SELECT count(*) AS clean_rows, CAST(0 AS BIGINT) AS malformed_rows
         |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin,
+
+    // the two bad lines are constants of the query's own side file
+    "b6_json_ingest" ->
+      """SELECT count(*) AS clean_rows, CAST(2 AS BIGINT) AS malformed_rows,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents""".stripMargin,
 
     "b2_dedup_latest" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM (
@@ -801,6 +854,51 @@ object SparkEntry {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |             / count(*), 6) AS avg_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "g24_dense_months" ->
+      """WITH b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |                  date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+        |m0 AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS gs FROM b),
+        |m AS (SELECT CAST(year(gs) AS INTEGER) AS yr,
+        |             CAST(month(gs) AS INTEGER) AS mo FROM m0),
+        |grps AS (SELECT DISTINCT o_orderstatus AS grp FROM orders),
+        |f AS (SELECT o_orderstatus AS grp,
+        |             CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |             CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |             count(*) AS n,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |      FROM orders GROUP BY 1, 2, 3)
+        |SELECT grp, yr, mo, coalesce(f.n, 0) AS n,
+        |       coalesce(f.total, 0.0) AS total
+        |FROM grps CROSS JOIN m LEFT JOIN f USING (grp, yr, mo)""".stripMargin,
+
+    "g25_share_of_total" ->
+      """WITH cells AS (SELECT o_orderstatus AS grp, o_orderpriority AS sub,
+        |                      count(*) AS n,
+        |                      sum(CAST(o_totalprice AS DECIMAL(18,4))) AS dt
+        |               FROM orders GROUP BY 1, 2),
+        |g AS (SELECT grp, sum(dt) AS gt FROM cells GROUP BY 1),
+        |a AS (SELECT sum(dt) AS at FROM cells)
+        |SELECT grp, sub, n, CAST(dt AS DOUBLE) AS total,
+        |       round(CAST(dt AS DOUBLE) / CAST(gt AS DOUBLE), 6) AS share_of_group,
+        |       round(CAST(dt AS DOUBLE) / CAST(at AS DOUBLE), 6) AS share_of_grand
+        |FROM cells JOIN g USING (grp) CROSS JOIN a""".stripMargin,
+
+    "g26_moving_avg" ->
+      """WITH m AS (SELECT o_orderstatus AS grp,
+        |                  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |                  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |                  count(*) AS n,
+        |                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS dt
+        |           FROM orders GROUP BY 1, 2, 3)
+        |SELECT grp, yr, mo, n, CAST(dt AS DOUBLE) AS total,
+        |       round(CAST(sum(dt) OVER w3 AS DOUBLE) / count(*) OVER w3, 6) AS ma3,
+        |       CAST(sum(dt) OVER wc AS DOUBLE) AS cum_total
+        |FROM m
+        |WINDOW w3 AS (PARTITION BY grp ORDER BY yr, mo
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |       wc AS (PARTITION BY grp ORDER BY yr, mo
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "g22_winsorize" ->
       """WITH base AS (SELECT o_orderstatus AS grp, o_totalprice AS v FROM orders

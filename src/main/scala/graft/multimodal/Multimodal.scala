@@ -104,6 +104,60 @@ object Multimodal {
       assets.select(col("asset_id").as("doc_id"), aHashHex(col("payload")).as("fp")),
       maxDist)
 
+  /** Container-header field extraction — the parse-the-header step of
+    * media ingestion (think PNG IHDR / WAV fmt), as map-only column
+    * expressions with no UDF: magic = first 2 payload bytes as text,
+    * width/height = big-endian uint16s at byte offsets 2..3 and 4..5
+    * (`hex` + `conv`, codegen'd builtins), body_bytes = payload past
+    * the 6-byte header. Assets shorter than the header are dropped (a
+    * truncated header is not parseable). Swap the offsets/widths for
+    * the real container's layout; the binary-slicing dataflow is the
+    * Spark-side shape. */
+  def headerFields(assets: DataFrame): DataFrame =
+    assets.filter(octet_length(col("payload")) >= 6).select(
+      col("asset_id"),
+      decode(col("payload").substr(lit(1), lit(2)), "UTF-8").as("magic"),
+      conv(hex(col("payload").substr(lit(3), lit(2))), 16, 10)
+        .cast(LongType).as("width"),
+      conv(hex(col("payload").substr(lit(5), lit(2))), 16, 10)
+        .cast(LongType).as("height"),
+      (octet_length(col("payload")) - 6).cast(LongType).as("body_bytes"))
+
+  /** Audio energy / silence segmentation — the trim-the-dead-air step
+    * of audio curation, over the stub byte-PCM model: the payload is
+    * cut into fixed-size frames ([[sampleFrames]]), each frame scored
+    * by its mean level and its FLATNESS (spread of `subWindows`
+    * contiguous sub-window means — a flat frame is tone/silence, a
+    * lively one is speech-like), frames flatter than `flatThreshold`
+    * flagged silent, then rolled up per asset. A real pipeline decodes
+    * PCM samples into the frame step; every stage after the decode is
+    * unchanged.
+    *
+    * Scale: map-only fan-out + one keyed rollup — scan speed, one
+    * shuffle of (asset, frame-stat) rows. Determinism: frame and
+    * sub-window sizes are powers of two, so every mean is an exact
+    * binary double; the per-asset mean goes through DECIMAL(18,6)
+    * (exact for 1/64ths) before the single rounded division. */
+  def energyWindows(assets: DataFrame, frameBytes: Int = 64, stride: Int = 4,
+                    subWindows: Int = 8, flatThreshold: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(Integer.bitCount(frameBytes) == 1 && Integer.bitCount(subWindows) == 1,
+      "frameBytes and subWindows must be powers of two (exact means)")
+    val frames = sampleFrames(assets, frameBytes, stride)
+    val level = ColumnBridge.column(graft.functions.ByteWindowMeans(
+      ColumnBridge.expression(col("frame")), 1))(0)
+    val sub = ColumnBridge.column(graft.functions.ByteWindowMeans(
+      ColumnBridge.expression(col("frame")), subWindows))
+    frames.select(col("asset_id"), level.as("level"), sub.as("sub"))
+      .withColumn("is_silent",
+        array_max(col("sub")) - array_min(col("sub")) < flatThreshold)
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("is_silent"), 1L).otherwise(0L)).as("n_silent"),
+        round(sum(col("level").cast(DecimalType(18, 6))).cast(DoubleType)
+          / count(lit(1)), 6).as("mean_level"))
+  }
+
   /** STUB decode, partition-batched: a real implementation calls the
     * media codec here (per partition, batched — the iterator shape is
     * what matters; swap the checksum for the codec call and nothing

@@ -202,6 +202,96 @@ object Measures {
         sum(when(col("adev") > col("thr"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Dense month grid: one row for EVERY (group, year, month) cell
+    * between the data's first and last month, zero-filled where no
+    * facts landed — the scaffold a time-series visual or
+    * [[timeIntelligence]] consumer needs so a silent month reads as 0,
+    * not as a missing row (the reference gets this from its dedicated
+    * date dimension; this derives the same grid from the fact's own
+    * bounds).
+    *
+    * Scale: the grid is |groups| × months — two tiny aggregated frames
+    * (a distinct-groups pass and a ONE-ROW bounds pass exploded to
+    * months) cross-joined, then one left join back to the monthly
+    * aggregate. The cross product is the documented constant-side
+    * class (|groups| × O(months)); the fact table is touched by
+    * exactly two aggregations. */
+  def denseMonthly(df: DataFrame, group: Column, dateCol: Column,
+                   amount: Column): DataFrame = {
+    val monthly = df.groupBy(group.as("grp"),
+        year(dateCol).as("yr"), month(dateCol).as("mo"))
+      .agg(count(lit(1)).as("n"), decSum(amount).as("total"))
+    val months = df
+      .agg(date_trunc("month", min(dateCol)).cast("date").as("lo"),
+        date_trunc("month", max(dateCol)).cast("date").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 month"))).as("m"))
+      .select(year(col("m")).as("yr"), month(col("m")).as("mo"))
+    df.select(group.as("grp")).distinct()
+      .crossJoin(broadcast(months))
+      .join(monthly, Seq("grp", "yr", "mo"), "left")
+      .na.fill(0L, Seq("n")).na.fill(0.0, Seq("total"))
+  }
+
+  /** Share-of-parent / share-of-total — the "% of total" measure family
+    * every semantic model ships (DAX `DIVIDE([x], CALCULATE([x],
+    * ALL(...)))`, the reference's DIVIDE-rate idiom at Claims.tmdl
+    * scaled from the one-row pack to a hierarchy): each (group, sub)
+    * cell's amount as a fraction of its group's total and of the grand
+    * total. Fractions are single IEEE divisions of decimal-exact sums,
+    * rounded 6 dp so engines agree.
+    *
+    * Scale: ONE corpus-sized keyed aggregation; both denominator
+    * frames re-aggregate the |cells|-sized result (no second pass over
+    * the data) and attach by a |groups|-key join + a one-row broadcast
+    * — no unpartitioned window over the fact table. */
+  def shareOfTotal(df: DataFrame, group: Column, sub: Column,
+                   amount: Column): DataFrame = {
+    val cells = df.groupBy(group.as("grp"), sub.as("sub"))
+      .agg(count(lit(1)).as("n"),
+        sum(amount.cast(DecimalType(18, 4))).as("dec_total"))
+    val byGrp = cells.groupBy("grp").agg(sum(col("dec_total")).as("grp_total"))
+    val grand = cells.agg(sum(col("dec_total")).as("grand_total"))
+    cells.join(byGrp, "grp").crossJoin(broadcast(grand))
+      .select(col("grp"), col("sub"), col("n"),
+        col("dec_total").cast(DoubleType).as("total"),
+        round(col("dec_total").cast(DoubleType) /
+          col("grp_total").cast(DoubleType), 6).as("share_of_group"),
+        round(col("dec_total").cast(DoubleType) /
+          col("grand_total").cast(DoubleType), 6).as("share_of_grand"))
+  }
+
+  /** Trailing moving average + running cumulative total per group at
+    * month grain — the smoothing/running-total pair a time-series
+    * visual layers over [[denseMonthly]]'s grid (DAX
+    * AVERAGEX(DATESINPERIOD(...)) / TOTALYTD without the year reset).
+    * `window` = trailing month count for the average (current month
+    * inclusive; early months average over what exists, the DAX
+    * convention). Money stays DECIMAL through the running sums; the
+    * divide/round happen once at the end.
+    *
+    * Scale: the fact table is reduced to month grain by ONE keyed
+    * aggregation; the windows then run partitioned by group over
+    * months-sized frames (a few hundred rows per group regardless of
+    * input size) with a total order (yr, mo unique within group) — the
+    * same post-aggregation window posture as [[timeIntelligence]]. */
+  def movingAverage(df: DataFrame, group: Column, dateCol: Column,
+                    amount: Column, window: Int = 3): DataFrame = {
+    val monthly = df.groupBy(group.as("grp"),
+        year(dateCol).as("yr"), month(dateCol).as("mo"))
+      .agg(count(lit(1)).as("n"),
+        sum(amount.cast(DecimalType(18, 4))).as("dec_total"))
+    val ord = Window.partitionBy(col("grp"))
+      .orderBy(col("yr"), col("mo"))
+    val trail = ord.rowsBetween(-(window - 1), Window.currentRow)
+    monthly.select(col("grp"), col("yr"), col("mo"), col("n"),
+      col("dec_total").cast(DoubleType).as("total"),
+      round(sum(col("dec_total")).over(trail).cast(DoubleType) /
+        count(lit(1)).over(trail), 6).as(s"ma$window"),
+      sum(col("dec_total")).over(ord.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).cast(DoubleType).as("cum_total"))
+  }
+
   /** Winsorized aggregate pack — [[robustOutliers]] detects anomalies,
     * this CAPS them: per-group [pLo, pHi] bounds (exact R-7
     * percentiles like g9, rounded 4 dp so engines agree at the

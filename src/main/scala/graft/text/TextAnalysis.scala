@@ -354,6 +354,27 @@ object TextAnalysis {
         min(col("v")).as("min_score"), max(col("v")).as("max_score"))
   }
 
+  // --- charset / normalization audit -----------------------------------
+
+  /** Encoding-health audit — the pre-tokenization screen a web-scale
+    * corpus runs before any text op (mojibake, control bytes, and
+    * whitespace damage are the classic crawl pathologies): per doc,
+    * counts of non-ASCII chars, control chars (tab/newline/CR exempt),
+    * U+FFFD replacement chars (the decoder's "this was mojibake"
+    * marker), multi-space runs, and whether the doc is already in
+    * [[normalized]] form. Map-only column expressions; character
+    * classes are spelled as explicit ranges (no `\s`/`\p{...}`) so the
+    * Java-regex and RE2 engines agree symbol for symbol. */
+  def charsetAudit(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      length(text).cast("long").as("n_chars"),
+      regexp_count(text, lit("[^\\x00-\\x7f]")).cast("long").as("n_non_ascii"),
+      regexp_count(text, lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
+        .cast("long").as("n_control"),
+      regexp_count(text, lit("�")).cast("long").as("n_replacement"),
+      regexp_count(text, lit("  +")).cast("long").as("n_multi_space"),
+      (text === normalized(text)).as("is_normalized"))
+
   // --- PII scrubbing ----------------------------------------------------
 
   /** Conservative PII patterns (emails, NNN-NNN-NNNN phones). */

@@ -40,11 +40,16 @@ class EntryPlanSpec extends SparkSpec {
   // t14's product is scores × the ONE-ROW boundary array (same class).
   // e9 composes e1's vector leg (its broadcast query×corpus product is
   // e1's contract) with e8's lexical leg (one-row stats product).
+  // g24's product is distinct-groups × the ONE-ROW month-bounds frame
+  // exploded to months (|groups| × O(months), both aggregated-tiny) —
+  // the same constant-side class as t14's boundary array. g25 attaches
+  // the ONE-ROW grand total to |cells| aggregated rows the same way.
   private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e3b_knn_ivf_trained",
     "e4_kmeans", "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",
     "e6b_ann_probe", "t12_tfidf", "t13_surprisal", "d10_semantic_dedup",
     "e8_bm25", "e8b_bm25_indexed", "e8c_bm25_probe", "t14_quality_bins",
-    "e9_hybrid_rrf", "t10b_heavy_hitters")
+    "e9_hybrid_rrf", "t10b_heavy_hitters", "g24_dense_months",
+    "g25_share_of_total")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -75,6 +80,14 @@ class EntryPlanSpec extends SparkSpec {
     assert(!g7b.contains("Window"), s"g7b still plans a Window:\n$g7b")
     assert(g7b.contains("partial_graft_topk_rows"),
       s"g7b shows no bounded-heap partials:\n$g7b")
+    // st6 proves the PARTITIONED rn <= k path: per-hour trending top-3
+    // written as a ranked window must execute windowless with the
+    // bounded heap
+    val st6 = SparkEntry.queries("st6_trending")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!st6.contains("Window"), s"st6 still plans a Window:\n$st6")
+    assert(st6.contains("partial_graft_topk_rows"),
+      s"st6 shows no bounded-heap partials:\n$st6")
     Seq("b2_dedup_latest", "b2b_dedup_latest_naive", "g7b_topn_naive",
         "g8_ingestion_log",
         "g13_salted_agg",

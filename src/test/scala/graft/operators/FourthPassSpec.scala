@@ -1,0 +1,151 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal
+import graft.text.{TextAnalysis, Urls}
+
+/** Hand-case specs for the round-5 fourth-pass operator families
+  * (g24-g26, t17, d13, m5/m6, b6). The driver's DuckDB oracle covers
+  * the sf0.01 runs; these pin the semantics on adversarial inputs the
+  * synthetic corpus can't produce. */
+class FourthPassSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("denseMonthly zero-fills gap months inside the global bounds") {
+    val df = Seq(
+      ("a", ts("2024-01-15 00:00:00"), 10.0),
+      ("a", ts("2024-03-10 00:00:00"), 20.0),
+      ("b", ts("2024-02-01 00:00:00"), 5.0)
+    ).toDF("g", "d", "v")
+    val out = Measures.denseMonthly(df, col("g"), col("d"), col("v"))
+      .orderBy("grp", "yr", "mo").collect()
+    // grid = 2 groups x 3 months (Jan..Mar from the GLOBAL bounds)
+    assert(out.length === 6)
+    val aFeb = out.find(r => r.getString(0) == "a" && r.getInt(2) == 2).get
+    assert(aFeb.getLong(3) === 0L && aFeb.getDouble(4) === 0.0)
+    val bFeb = out.find(r => r.getString(0) == "b" && r.getInt(2) == 2).get
+    assert(bFeb.getLong(3) === 1L && bFeb.getDouble(4) === 5.0)
+  }
+
+  test("shareOfTotal: shares of group and grand total, hand case") {
+    val df = Seq(("a", "x", 10.0), ("a", "y", 30.0), ("b", "x", 60.0))
+      .toDF("g", "s", "v")
+    val out = Measures.shareOfTotal(df, col("g"), col("s"), col("v"))
+      .orderBy("grp", "sub").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5))).toSeq === Seq(
+      ("a", "x", 10.0, 0.25, 0.1),
+      ("a", "y", 30.0, 0.75, 0.3),
+      ("b", "x", 60.0, 1.0, 0.6)))
+  }
+
+  test("movingAverage: trailing window and running total, hand case") {
+    val df = Seq(
+      ("a", ts("2024-01-05 00:00:00"), 10.0),
+      ("a", ts("2024-01-20 00:00:00"), 20.0),
+      ("a", ts("2024-02-10 00:00:00"), 30.0),
+      ("a", ts("2024-04-01 00:00:00"), 40.0)
+    ).toDF("g", "d", "v")
+    val out = Measures.movingAverage(df, col("g"), col("d"), col("v"), window = 3)
+      .orderBy("yr", "mo").collect()
+    // months present: Jan(30), Feb(30), Apr(40) — no densification here
+    assert(out.map(r => (r.getInt(2), r.getDouble(4), r.getDouble(5),
+      r.getDouble(6))).toSeq === Seq(
+      (1, 30.0, 30.0, 30.0),
+      (2, 30.0, 30.0, 60.0),
+      (4, 40.0, round3(100.0 / 3), 100.0)))
+  }
+  private def round3(v: Double): Double = math.round(v * 1e6) / 1e6
+
+  test("charsetAudit counts each damage class exactly once") {
+    val clean = "plain ascii text"
+    val dirty = "café �\u0001  x"
+    val out = TextAnalysis.charsetAudit(
+      Seq((1L, clean), (2L, dirty)).toDF("id", "t"), col("id"), col("t"))
+      .orderBy("doc_id").collect()
+    val c = out(0)
+    assert((c.getLong(2), c.getLong(3), c.getLong(4), c.getLong(5),
+      c.getBoolean(6)) === (0L, 0L, 0L, 0L, true))
+    val d = out(1)
+    assert(d.getLong(1) === dirty.length.toLong)
+    assert((d.getLong(2), d.getLong(3), d.getLong(4), d.getLong(5),
+      d.getBoolean(6)) === (2L, 1L, 1L, 1L, false))
+  }
+
+  test("canonicalUrl collapses the classic crawl variants to one key") {
+    val variants = Seq(
+      "HTTP://WWW.Site.com:80/a/b/?utm_source=x&q=1&lang=en#frag",
+      "https://site.com/a/b?lang=en&q=1",
+      "https://www.site.com:443/a/b/?q=1&utm_campaign=c&lang=en&fbclid=zz",
+      "site.com/a/b?lang=en&gclid=2&q=1&ref=home")
+    val out = variants.toDF("url").select(Urls.canonicalUrl(col("url")).as("c"))
+      .distinct().collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("site.com/a/b?lang=en&q=1"))
+    // bare host, no query: root path, no '?'
+    val bare = Seq("https://Host.org").toDF("url")
+      .select(Urls.canonicalUrl(col("url"))).head().getString(0)
+    assert(bare === "host.org/")
+  }
+
+  test("dedupByUrl keeps the smallest id per canonical key") {
+    val df = Seq(
+      (5L, "https://a.com/x?b=1&a=2"),
+      (3L, "http://WWW.A.com/x/?a=2&b=1&utm_medium=m"),
+      (9L, "https://a.com/y")
+    ).toDF("id", "url")
+    val out = Urls.dedupByUrl(df, col("id"), col("url"))
+      .orderBy("canon_url").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("a.com/x?a=2&b=1", 2L, 3L), ("a.com/y", 1L, 9L)))
+  }
+
+  test("energyWindows: flat frames silent, varied frames not") {
+    // asset 1: 256 constant bytes -> 4 frames (stride 4 -> offsets 0; 256
+    // bytes = offsets 0..192 by 256 hop -> 1 frame), all flat
+    val flat = Array.fill(300)('m'.toByte)
+    val varied = Array.tabulate(300)(i => if (i % 8 < 4) 'a'.toByte else 'z'.toByte)
+    val df = Seq((1L, flat), (2L, varied)).toDF("asset_id", "payload")
+    val out = Multimodal.energyWindows(df, frameBytes = 64, stride = 4,
+        subWindows = 8, flatThreshold = 4.0)
+      .orderBy("asset_id").collect()
+    val f = out(0)
+    assert(f.getLong(1) === 1L && f.getLong(2) === 1L)
+    assert(f.getDouble(3) === 'm'.toInt.toDouble)
+    val v = out(1)
+    // alternating 4a/4z: every 8-byte sub-window has the same mean ->
+    // flatness 0 -> silent by the flatness test (it measures VARIATION
+    // across sub-windows, not within)
+    assert(v.getLong(1) === 1L && v.getLong(2) === 1L)
+    assert(v.getDouble(3) === ('a'.toInt + 'z'.toInt) / 2.0)
+  }
+
+  test("energyWindows flags frames whose sub-windows diverge") {
+    // first 32 bytes 'a', second 32 'z': sub-window means differ by 25
+    val split = Array.tabulate(64)(i => if (i < 32) 'a'.toByte else 'z'.toByte)
+    val df = Seq((1L, split)).toDF("asset_id", "payload")
+    val out = Multimodal.energyWindows(df, frameBytes = 64, stride = 1,
+      subWindows = 8, flatThreshold = 4.0).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 1L && out(0).getLong(2) === 0L)
+  }
+
+  test("headerFields parses magic, big-endian uint16s, and body size") {
+    val payload = Array[Byte]('P', 'G', 0x01, 0x00, 0x00, 0x40, 1, 2, 3)
+    val out = Multimodal.headerFields(
+      Seq((1L, payload)).toDF("asset_id", "payload")).collect()
+    val r = out(0)
+    assert(r.getString(1) === "PG")
+    assert(r.getLong(2) === 256L && r.getLong(3) === 64L)
+    assert(r.getLong(4) === 3L)
+    // truncated header -> dropped
+    val short = Multimodal.headerFields(
+      Seq((2L, Array[Byte](1, 2, 3))).toDF("asset_id", "payload"))
+    assert(short.count() === 0L)
+  }
+}
