@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.{AnnIndex, KMeans, Knn, Pq}
+import graft.ann.{AnnIndex, KMeans, Knn, Pq, Sq}
 import graft.dedup.{Decontaminate, DupClusters, TextDedup}
 import graft.multimodal.Multimodal
 import graft.operators.Sampling
@@ -365,6 +365,16 @@ object LlmEntry {
       Pq.ivfPqTopK(v.filter(col("vec_id") < 10), corpus, k = 5,
         centroids = KMeans.lloyd(corpus, k = 8, iters = 2), nProbe = 2,
         m = 4, nCodes = 16, shortlist = 100, dim = 64)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "e10_knn_sq8" -> ((s, dir) => {
+      // the training-free compression rung: per-dim scalar quantization
+      // (corpus min/max bounds only), codes-only approximate scoring,
+      // exact re-rank — PQ's simpler sibling (see graft.ann.Sq)
+      val v = t(s, dir, "embeddings")
+      Sq.sqTopK(v.filter(col("vec_id") < 10), v.filter(col("vec_id") >= 10),
+        k = 5)
         .withColumnRenamed("rank", "rnk")
     }),
 
@@ -1369,6 +1379,45 @@ object LlmEntry {
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |                                 ORDER BY adc DESC, neighbor_id) AS rn FROM adc)
          |  WHERE rn <= 100),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
+         |      FROM short JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // mirrors Sq.sqTopK: exact per-dim bounds, step=(hi-lo)/256,
+    // mid-rise reconstruction lo+(code+0.5)*step, 6-dp rounding before
+    // every rank, ties to the smaller id
+    "e10_knn_sq8" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         |dims AS (SELECT d, min(ce[CAST(d AS INTEGER)+1]) AS dlo,
+         |                max(ce[CAST(d AS INTEGER)+1]) AS dhi
+         |         FROM c, range(0, 64) r(d) GROUP BY 1),
+         |b AS (SELECT list(dlo ORDER BY d) AS lo,
+         |             list((dhi - dlo)/256 ORDER BY d) AS st FROM dims),
+         |enc AS (SELECT neighbor_id,
+         |          list_transform(range(0, 64), i -> CASE
+         |            WHEN st[CAST(i AS INTEGER)+1] = 0 THEN 0
+         |            ELSE CAST(least(floor((ce[CAST(i AS INTEGER)+1]
+         |                                   - lo[CAST(i AS INTEGER)+1])
+         |                                  / st[CAST(i AS INTEGER)+1]),
+         |                            255) AS INTEGER) END) AS codes
+         |        FROM c, b),
+         |sqs AS (SELECT query_id, neighbor_id,
+         |          round(list_dot_product(qe,
+         |            list_transform(range(0, 64), i ->
+         |              lo[CAST(i AS INTEGER)+1]
+         |              + (codes[CAST(i AS INTEGER)+1] + 0.5)
+         |                * st[CAST(i AS INTEGER)+1])), 6) AS sq
+         |        FROM q, enc, b),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY sq DESC, neighbor_id) AS rn
+         |    FROM sqs) WHERE rn <= 100),
          |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
          |      FROM short JOIN q USING (query_id) JOIN c USING (neighbor_id)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id

@@ -205,6 +205,25 @@ object SparkEntry {
 
     // ---- Gold ------------------------------------------------------ //
 
+    "s6_scd2_dim" -> ((s, dir) => {
+      // SCD Type-2 history of each customer's order status, built
+      // INCREMENTALLY: the change feed split at a fixed date, two
+      // sequential applyChanges — the result must equal the one-shot
+      // chain the oracle computes (batch-boundary no-ops, closes, and
+      // interval chaining all exercised through the driver gate)
+      val ch = t(s, dir, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate"), col("o_orderkey"))
+      val keys = Seq("o_custkey"); val tracked = Seq("o_orderstatus")
+      val cut = lit("1998-01-01").cast("timestamp")
+      val init = Scd2.empty(ch, keys, tracked, "o_orderdate")
+      val after1 = Scd2.applyChanges(init,
+        ch.filter(col("o_orderdate") < cut), keys, tracked,
+        "o_orderdate", Seq("o_orderkey"))
+      Scd2.applyChanges(after1, ch.filter(col("o_orderdate") >= cut),
+        keys, tracked, "o_orderdate", Seq("o_orderkey"))
+    }),
+
     "g1_distinct_domains" -> ((s, dir) =>
       t(s, dir, "orders").select(col("o_orderstatus")).distinct()),
 
@@ -643,6 +662,23 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    // one-shot SCD2 chain: consecutive-change collapse per key under
+    // the (ts, orderkey) total order, then [ts, next-ts) intervals —
+    // the incremental two-batch build must land exactly here
+    "s6_scd2_dim" ->
+      """WITH ch AS (SELECT o_custkey AS k, o_orderstatus AS v,
+        |                   o_orderdate AS ts, o_orderkey AS tie
+        |            FROM orders WHERE o_custkey < 100),
+        |o AS (SELECT *, lag(v) OVER (PARTITION BY k ORDER BY ts, tie) AS pv
+        |      FROM ch),
+        |kept AS (SELECT * FROM o WHERE pv IS NULL OR v <> pv),
+        |ver AS (SELECT k, v, ts,
+        |          lead(ts) OVER (PARTITION BY k ORDER BY ts, tie) AS eto
+        |        FROM kept)
+        |SELECT k AS o_custkey, v AS o_orderstatus, ts AS effective_from,
+        |       eto AS effective_to, (eto IS NULL) AS is_current
+        |FROM ver""".stripMargin,
 
     "g1_distinct_domains" ->
       "SELECT DISTINCT o_orderstatus FROM orders",
