@@ -36,12 +36,12 @@ object FuzzyJoin {
   /** Segment i's 1-based (start, length) when a string of length `n`
     * splits into k+1 parts: the first (k+1-rem) segments get
     * floor(n/(k+1)) chars, the rest one more (rem = n mod (k+1)). */
-  private def segBounds(n: Column, i: Int, k: Int): (Column, Column) = {
+  private def segBounds(n: Column, i: Column, k: Int): (Column, Column) = {
     val parts = k + 1
     val base = floor(n / lit(parts)).cast("int")
     val thresh = lit(parts) - (n % parts).cast("int")
-    val len = base + when(lit(i) >= thresh, 1).otherwise(0)
-    val start = lit(1) + lit(i) * base + greatest(lit(0), lit(i) - thresh)
+    val len = base + when(i >= thresh, 1).otherwise(0)
+    val start = lit(1) + i * base + greatest(lit(0), i - thresh)
     (start, len)
   }
 
@@ -57,41 +57,48 @@ object FuzzyJoin {
     // index: right splits into k+1 segments keyed (L, seg#, content)
     val rBase = right.select(rightId.as("__rid"), rightStr.as("__rstr"))
     val rLen = length(col("__rstr"))
-    val segs = (0 to k).map { i =>
-      val (st, ln) = segBounds(rLen, i, k)
-      struct(lit(i).as("i"), rLen.as("bl"), col("__rstr").substr(st, ln).as("s"))
+    val idx = {
+      val (st, ln) = segBounds(rLen, col("__i"), k)
+      rBase
+        .select(col("__rid"), col("__rstr"),
+          explode(sequence(lit(0), lit(k))).as("__i"))
+        .select(col("__rid"), col("__rstr"), col("__i"),
+          rLen.as("__bl"), col("__rstr").substr(st, ln).as("__s"))
     }
-    val idx = rBase
-      .select(col("__rid"), col("__rstr"), explode(array(segs: _*)).as("b"))
-      .select(col("__rid"), col("__rstr"),
-        col("b.i").as("__i"), col("b.bl").as("__bl"), col("b.s").as("__s"))
 
     // probe: for every candidate right-length L = len(a)+delta and
     // segment i, every substring of a with segment i's length starting
-    // within ±k of segment i's home position
+    // within ±k of segment i's home position. The (delta, i, shift)
+    // triple is DECODED from one exploded flat index rather than
+    // unrolled into a (2k+1)²(k+1)-element literal array: the unrolled
+    // form's generated doConsume blows janino's 64 KB method limit at
+    // k >= 2 and drops the whole stage out of codegen — the decoded
+    // form is a loop over ints plus one substr, and stays compiled.
     val lBase = left.select(leftId.as("__lid"), leftStr.as("__lstr"))
     val aLen = length(col("__lstr"))
-    val probes = for {
-      delta <- -k to k
-      i <- 0 to k
-      shift <- -k to k
-    } yield {
+    val span = 2 * k + 1
+    val probe = {
+      val t = col("__t")
+      val delta = (t / (span * (k + 1))).cast("int") - k
+      val segI = ((t % (span * (k + 1))) / span).cast("int")
+      val shift = (t % span).cast("int") - k
       val bl = aLen + delta
-      val (st, ln) = segBounds(bl, i, k)
+      val (st, ln) = segBounds(bl, segI, k)
       val start = st + shift
-      struct(lit(i).as("i"), bl.as("bl"), start.as("p0"), ln.as("pl"),
-        col("__lstr").substr(start, ln).as("s"))
+      lBase
+        .select(col("__lid"), col("__lstr"),
+          explode(sequence(lit(0), lit(span * span * (k + 1) - 1))).as("__t"))
+        .select(col("__lid"), col("__lstr"), segI.as("__i"), bl.as("__bl"),
+          start.as("__p0"), ln.as("__pl"),
+          col("__lstr").substr(start, ln).as("__s"))
+        // a real occurrence fits inside a: start >= 1, end <= len(a);
+        // candidate length 0 stays — an empty right string is within k
+        // edits of any left string of length <= k (all its segments are
+        // "" and match at start 1); negative lengths can't be a string
+        .filter(col("__bl") >= 0 && col("__p0") >= 1 &&
+          col("__p0") + col("__pl") - 1 <= length(col("__lstr")))
+        .select(col("__lid"), col("__lstr"), col("__i"), col("__bl"), col("__s"))
     }
-    val probe = lBase
-      .select(col("__lid"), col("__lstr"), explode(array(probes: _*)).as("c"))
-      // a real occurrence fits inside a: start >= 1, end <= len(a);
-      // candidate length 0 stays — an empty right string is within k
-      // edits of any left string of length <= k (all its segments are
-      // "" and match at start 1); negative lengths can't be a string
-      .filter(col("c.bl") >= 0 && col("c.p0") >= 1 &&
-        col("c.p0") + col("c.pl") - 1 <= aLen)
-      .select(col("__lid"), col("__lstr"),
-        col("c.i").as("__i"), col("c.bl").as("__bl"), col("c.s").as("__s"))
 
     probe.join(idx, Seq("__i", "__bl", "__s"))
       .select(col("__lid"), col("__lstr"), col("__rid"), col("__rstr"))
