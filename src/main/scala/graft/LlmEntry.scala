@@ -138,6 +138,22 @@ object LlmEntry {
         col("doc_id"), col("text"), n = 5)
     }),
 
+    "t18_contam_frac" -> ((s, dir) => {
+      // graded contamination: per-doc fraction of 5-gram shingles seen
+      // in the eval set — t6's flag with a severity dial
+      val docs = t(s, dir, "documents")
+      Decontaminate.overlapFractions(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0),
+        col("doc_id"), col("text"), n = 5)
+    }),
+
+    "x8_time_split" -> ((s, dir) =>
+      // temporal holdout over the event log: last 10% of the time span
+      // held out — the anti-leakage split a hash split can't give
+      Sampling.temporalSplit(Tables.loadEvents(s, dir), col("ts"),
+        col("user_id"), trainFrac = 0.9)),
+
     "t7_token_pack" -> ((s, dir) =>
       // training-shard packing: docs -> token-budget bins inside 8
       // deterministic hash buckets; output = per-bin fill stats
@@ -1173,6 +1189,32 @@ object LlmEntry {
          |       count(DISTINCT CASE WHEN copies > 0 THEN doc_id END) AS n_docs,
          |       CAST(sum(copies) AS BIGINT) AS n_rows
          |FROM c WHERE copies > 0 GROUP BY source""".stripMargin,
+
+    "t18_contam_frac" ->
+      s"""WITH toks AS (SELECT doc_id, ${shSqlN(5)} AS sh
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
+         |ev AS (SELECT DISTINCT unnest(sh) AS s FROM toks WHERE doc_id % 25 = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS s FROM toks WHERE doc_id % 25 <> 0),
+         |j AS (SELECT tr.doc_id, CASE WHEN ev.s IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM tr LEFT JOIN ev ON tr.s = ev.s)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |       CAST(sum(hit) AS BIGINT) AS n_shared,
+         |       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS overlap_frac
+         |FROM j GROUP BY 1""".stripMargin,
+
+    // boundary = floor(lo + span*0.9) over epoch micros, the identical
+    // IEEE sequence the operator computes (exact integers < 2^53)
+    "x8_time_split" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |           FROM events),
+        |c AS (SELECT e.ts, e.user_id,
+        |        CASE WHEN epoch_us(e.ts) <
+        |               CAST(floor(lo + (hi - lo) * 0.9) AS BIGINT)
+        |             THEN 'train' ELSE 'test' END AS split
+        |      FROM events e, b)
+        |SELECT split, count(*) AS n, count(DISTINCT user_id) AS n_keys,
+        |       min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM c GROUP BY 1""".stripMargin,
 
     "e4_kmeans" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

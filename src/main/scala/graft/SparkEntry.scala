@@ -495,6 +495,20 @@ object SparkEntry {
       Measures.movingAverage(t(s, dir, "orders"),
         col("o_orderstatus"), col("o_orderdate"), col("o_totalprice"))),
 
+    "g27_abc_class" -> ((s, dir) =>
+      // Pareto tiers: which customers carry each status's revenue —
+      // 80/15/5 cumulative-share classes over the aggregated frame
+      Measures.abcClassification(t(s, dir, "orders"),
+        col("o_orderstatus"), col("o_custkey"), col("o_totalprice"))),
+
+    "g28_fk_audit" -> ((s, dir) =>
+      // star-schema referential-integrity report over both fact->dim
+      // relationships: orphans, null FKs, childless parents
+      Profiler.fkAudit(t(s, dir, "orders"), col("o_custkey"),
+          t(s, dir, "customer"), col("c_custkey"), "orders->customer")
+        .unionByName(Profiler.fkAudit(t(s, dir, "lineitem"), col("l_orderkey"),
+          t(s, dir, "orders"), col("o_orderkey"), "lineitem->orders"))),
+
     "g22_winsorize" -> ((s, dir) =>
       // robust totals: amounts clamped into per-status [p05, p95]
       // before summing — the capped counterpart of g16's outlier screen
@@ -935,6 +949,44 @@ object SparkEntry {
         |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
         |       wc AS (PARTITION BY grp ORDER BY yr, mo
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "g27_abc_class" ->
+      """WITH m AS (SELECT o_orderstatus AS grp, o_custkey AS mem,
+        |                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS dt
+        |           FROM orders GROUP BY 1, 2),
+        |s AS (SELECT grp, dt,
+        |        round(CAST(sum(dt) OVER (PARTITION BY grp ORDER BY dt DESC, mem
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |              / CAST(sum(dt) OVER (PARTITION BY grp) AS DOUBLE), 6) AS share
+        |      FROM m),
+        |c AS (SELECT grp, CASE WHEN share <= 0.8 THEN 'A'
+        |                       WHEN share <= 0.95 THEN 'B'
+        |                       ELSE 'C' END AS abc_class, dt FROM s)
+        |SELECT grp, abc_class, count(*) AS n_members, CAST(sum(dt) AS DOUBLE) AS total
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "g28_fk_audit" ->
+      """SELECT 'orders->customer' AS relationship,
+        |  (SELECT count(*) FROM orders) AS n_child,
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null_keys,
+        |  (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+        |  (SELECT count(*) FROM customer) AS n_parents,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_custkey = c.c_custkey)) AS n_childless_parents
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+        |  (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey)),
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                     WHERE l.l_orderkey = o.o_orderkey))""".stripMargin,
 
     "g22_winsorize" ->
       """WITH base AS (SELECT o_orderstatus AS grp, o_totalprice AS v FROM orders

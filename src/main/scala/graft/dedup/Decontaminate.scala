@@ -39,6 +39,29 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
 
+  /** Graded contamination: per training doc, the FRACTION of its
+    * distinct word n-grams present in the eval corpus — the
+    * severity-scored form of [[contaminatedDocs]]'s boolean flag (the
+    * WMT/GPT-3 "dirtiness" measure that separates a quoted sentence
+    * from a wholesale copy, so the scrub threshold becomes a policy
+    * knob instead of any-overlap). Same broadcast-probe plan: map-only
+    * explode, broadcast eval set, LEFT join so clean shingles still
+    * count in the denominator, one per-doc aggregation. Docs too short
+    * to have any n-gram emit no row. */
+  def overlapFractions(train: DataFrame, eval: DataFrame,
+                       id: Column, text: Column, n: Int = 5): DataFrame = {
+    val evalShingles = broadcast(
+      eval.select(explode(TextDedup.shingles(text, n)).as("s")).distinct()
+        .withColumn("__hit", lit(1L)))
+    train.select(id.as("doc_id"), explode(TextDedup.shingles(text, n)).as("s"))
+      .join(evalShingles, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+  }
+
   /** The decontaminated corpus: training docs minus contaminated ones
     * (one left_anti on the flagged id set; `idName` is the train-side
     * id column). */

@@ -292,6 +292,39 @@ object Measures {
         Window.currentRow)).cast(DoubleType).as("cum_total"))
   }
 
+  /** ABC / Pareto classification — the 80/15/5 contribution tiers every
+    * spend-analysis report ships (which members carry the group): per
+    * group, members rank by exact decimal total (desc, id tiebreak),
+    * the running share of the group total cuts classes at `cutA`/`cutB`
+    * (a member is 'A' while the cumulative share, itself included,
+    * is <= cutA, …), then one rollup row per (group, class).
+    *
+    * Scale: one corpus-sized keyed aggregation to (group, member)
+    * grain; the ranking windows run partitioned by group over the
+    * AGGREGATED frame (members-sized, not fact-sized) — the same
+    * post-aggregation window posture as [[timeIntelligence]]. Shares
+    * are single IEEE divisions of exact decimal sums, rounded 6 dp
+    * before the class cut so engines agree. */
+  def abcClassification(df: DataFrame, group: Column, member: Column,
+                        amount: Column, cutA: Double = 0.8,
+                        cutB: Double = 0.95): DataFrame = {
+    val m = df.groupBy(group.as("grp"), member.as("mem"))
+      .agg(sum(amount.cast(DecimalType(18, 4))).as("dt"))
+    val ord = Window.partitionBy(col("grp"))
+      .orderBy(col("dt").desc, col("mem"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("grp"))
+    m.withColumn("share",
+        round(sum(col("dt")).over(ord).cast(DoubleType) /
+          sum(col("dt")).over(all).cast(DoubleType), 6))
+      .withColumn("abc_class",
+        when(col("share") <= cutA, "A")
+          .when(col("share") <= cutB, "B").otherwise(lit("C")))
+      .groupBy("grp", "abc_class")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dt")).cast(DoubleType).as("total"))
+  }
+
   /** Winsorized aggregate pack — [[robustOutliers]] detects anomalies,
     * this CAPS them: per-group [pLo, pHi] bounds (exact R-7
     * percentiles like g9, rounded 4 dp so engines agree at the

@@ -45,4 +45,36 @@ object Profiler {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Referential-integrity audit of one child→parent relationship —
+    * the star-schema health check that decides whether s5's joins can
+    * be inner (the reference's model relies on Claims→Patients/
+    * Providers FKs holding; this measures whether they do): one row of
+    * counts — child rows, null FKs, orphans (non-null FK with no
+    * parent), parents, childless parents.
+    *
+    * Plan shape: two partial-aggregating counts + two left_anti hash
+    * joins on the key, each aggregated to ONE row before the one-row
+    * cross joins stitch the report row together (the documented
+    * constant-side product class). Nothing fact-sized crosses the wire
+    * unaggregated. */
+  def fkAudit(child: DataFrame, childKey: Column,
+              parent: DataFrame, parentKey: Column,
+              relationship: String): DataFrame = {
+    val c = child.select(childKey.as("__k"))
+    val p = parent.select(parentKey.as("__p"))
+    val cAgg = c.agg(count(lit(1)).as("n_child"),
+      sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+    val orphans = c.filter(col("__k").isNotNull)
+      .join(p, col("__k") === col("__p"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val pAgg = p.agg(count(lit(1)).as("n_parents"))
+    val childless = p
+      .join(c.filter(col("__k").isNotNull), col("__p") === col("__k"), "left_anti")
+      .agg(count(lit(1)).as("n_childless_parents"))
+    cAgg.crossJoin(orphans).crossJoin(pAgg).crossJoin(childless)
+      .select(lit(relationship).as("relationship"), col("n_child"),
+        col("n_null_keys"), col("n_orphans"), col("n_parents"),
+        col("n_childless_parents"))
+  }
 }

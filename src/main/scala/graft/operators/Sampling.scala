@@ -142,4 +142,33 @@ object Sampling {
     }
     df.filter(hashBucket(key, FractionBuckets) < cut)
   }
+
+  /** Temporal holdout split — the anti-leakage split for anything with
+    * a time axis (forecasting, recommendation, event models), where
+    * x1's hash split would leak the future into training: the last
+    * `1 - trainFrac` of the data's OWN time span becomes the test set.
+    * The boundary is derived from min/max event time (one
+    * partial-aggregating pass to ONE row, broadcast back — the
+    * constant-side product class), classification is map-only.
+    * Boundary arithmetic is IEEE double over epoch micros (exact
+    * integers far below 2^53) with a final floor — every engine
+    * computes the identical boundary.
+    *
+    * Output: one summary row per split (n, n_keys, min/max ts). For
+    * the assignment itself, compose the same boundary with a
+    * when/otherwise label column. */
+  def temporalSplit(df: DataFrame, ts: Column, key: Column,
+                    trainFrac: Double = 0.9): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, "trainFrac must be in (0,1)")
+    val b = df.agg(min(unix_micros(ts)).as("__lo"), max(unix_micros(ts)).as("__hi"))
+      .select(floor(col("__lo") +
+        (col("__hi") - col("__lo")) * lit(trainFrac)).cast("long").as("__b"))
+    df.select(ts.as("__ts"), key.as("__key"))
+      .crossJoin(broadcast(b))
+      .withColumn("split",
+        when(unix_micros(col("__ts")) < col("__b"), "train").otherwise(lit("test")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), countDistinct(col("__key")).as("n_keys"),
+        min(col("__ts")).as("min_ts"), max(col("__ts")).as("max_ts"))
+  }
 }

@@ -49,7 +49,10 @@ class EntryPlanSpec extends SparkSpec {
     "e6b_ann_probe", "t12_tfidf", "t13_surprisal", "d10_semantic_dedup",
     "e8_bm25", "e8b_bm25_indexed", "e8c_bm25_probe", "t14_quality_bins",
     "e9_hybrid_rrf", "t10b_heavy_hitters", "g24_dense_months",
-    "g25_share_of_total", "e10_knn_sq8")
+    "g25_share_of_total", "e10_knn_sq8",
+    // g28 stitches four ONE-ROW audit aggregates; x8 attaches the
+    // ONE-ROW time-bounds row — same constant-side class
+    "g28_fk_audit", "x8_time_split")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
