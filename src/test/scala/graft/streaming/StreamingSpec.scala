@@ -415,4 +415,82 @@ class StreamingSpec extends SparkSpec {
       ("2026-01-05", 0, 2L), ("2026-01-05", 2, 1L),
       ("2026-01-12", 0, 1L), ("2026-01-12", 1, 1L)))
   }
+
+  test("trending stream: folded counts rank windowless at read time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-trend-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-trend-ckpt").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = TrendingStream.run(
+      input.toDF().toDF("event_id", "ts", "event_type", "value"),
+      stateDir, ckpt)
+    try {
+      input.addData((1L, t("2026-01-01 10:05:00"), "view", 1.0),
+        (2L, t("2026-01-01 10:10:00"), "view", 1.0),
+        (3L, t("2026-01-01 10:20:00"), "click", 1.0),
+        (4L, t("2026-01-01 10:30:00"), "buy", 1.0))
+      q.processAllAvailable()
+      // second batch flips the leader within the same hour
+      input.addData((5L, t("2026-01-01 10:40:00"), "click", 1.0),
+        (6L, t("2026-01-01 10:45:00"), "click", 1.0),
+        (7L, t("2026-01-01 11:05:00"), "buy", 1.0))
+      q.processAllAvailable()
+      val top = TrendingStream.readTopK(spark, stateDir, k = 2).get
+      // the read-side cut must ride the rn<=k rewrite: no Window exec
+      val plan = top.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"trending read still plans a Window:\n$plan")
+      assert(plan.contains("partial_graft_topk_rows"))
+      val got = top.collect()
+        .map(r => (r.getTimestamp(0).toString.take(13), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got === Set(("2026-01-01 10", "click", 3L),
+        ("2026-01-01 10", "view", 2L), ("2026-01-01 11", "buy", 1L)))
+    } finally q.stop()
+  }
+
+  test("scd2 stream: versions chain across micro-batches; replays are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-scd2-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-ckpt").toString
+    val keys = Seq("k"); val tracked = Seq("v")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Scd2Stream.run(input.toDF().toDF("k", "v", "ts"),
+      stateDir, ckpt, keys, tracked, "ts")
+    try {
+      input.addData((1L, "F", t("2026-01-01 00:00:00")),
+        (2L, "F", t("2026-01-02 00:00:00")))
+      q.processAllAvailable()
+      input.addData((1L, "P", t("2026-01-03 00:00:00")),
+        (2L, "F", t("2026-01-04 00:00:00"))) // no-op for key 2
+      q.processAllAvailable()
+      val cur = Scd2Stream.read(spark, stateDir).get
+        .select(col("k"), col("v"), col("is_current"))
+        .as[(Long, String, Boolean)].collect().toSet
+      assert(cur === Set((1L, "F", false), (1L, "P", true), (2L, "F", true)))
+      // replaying batch 2 verbatim must not change the CONTENT: the
+      // ts-guard drops rows at-or-before their key's open version, and
+      // a value-no-op that postdates the open version (key 2's F@01-04
+      // never opened a version, so it passes the guard again) is
+      // neutralized inside applyChanges
+      val before = Scd2Stream.read(spark, stateDir).get.collect().toSet
+      val replay = Seq((1L, "P", t("2026-01-03 00:00:00")),
+        (2L, "F", t("2026-01-04 00:00:00"))).toDF("k", "v", "ts")
+      Scd2Stream.applyBatch(replay, stateDir, keys, tracked, "ts")
+      assert(Scd2Stream.read(spark, stateDir).get.collect().toSet === before)
+      // a mixed batch (one stale row, one genuinely new) applies only
+      // the new row
+      val mixed = Seq((1L, "P", t("2026-01-03 00:00:00")),
+        (1L, "X", t("2026-01-05 00:00:00"))).toDF("k", "v", "ts")
+      assert(Scd2Stream.applyBatch(mixed, stateDir, keys, tracked, "ts").nonEmpty)
+      val after = Scd2Stream.read(spark, stateDir).get
+        .select(col("k"), col("v"), col("is_current"))
+        .as[(Long, String, Boolean)].collect().toSet
+      assert(after === Set((1L, "F", false), (1L, "P", false),
+        (1L, "X", true), (2L, "F", true)))
+    } finally q.stop()
+  }
 }
