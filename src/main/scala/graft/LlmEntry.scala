@@ -593,6 +593,13 @@ object LlmEntry {
       Multimodal.energyWindows(Multimodal.asAssets(t(s, dir, "documents")),
         frameBytes = 64, stride = 4, subWindows = 8, flatThreshold = 4.0)),
 
+    "m7_scene_cuts" -> ((s, dir) =>
+      // shot segmentation over the byte-frame stub: L1 distance
+      // between consecutive frame signatures, cuts above threshold
+      // (55 ~ the corpus's median transition distance)
+      Multimodal.sceneCuts(Multimodal.asAssets(t(s, dir, "documents")),
+        frameBytes = 64, stride = 4, subWindows = 8, cutThreshold = 55.0)),
+
     "m4_phash_dedup" -> ((s, dir) => {
       // perceptual near-dup over binary assets: integer-exact aHash
       // fingerprints + the SimHash family's quarter-band blocking. The
@@ -1874,6 +1881,32 @@ object LlmEntry {
         |       round(CAST(sum(CAST(level AS DECIMAL(18,6))) AS DOUBLE)
         |             / count(*), 6) AS mean_level
         |FROM g GROUP BY 1""".stripMargin,
+
+    // frames as in m2/m6; sub-window means are exact binary doubles so
+    // the L1 distances and the >55 compare are engine-identical
+    "m7_scene_cuts" ->
+      """WITH f AS (SELECT doc_id AS asset_id, CAST(off // 64 AS BIGINT) AS frame_no,
+        |                  substr(text, CAST(off AS INTEGER) + 1, 64) AS frame
+        |           FROM documents, unnest(range(0, strlen(text) - 63, 256)) r(off)
+        |           WHERE strlen(text) >= 64),
+        |s AS (SELECT asset_id, frame_no,
+        |        list_transform(range(0, 8), w ->
+        |          list_avg(list_transform(range(w*8, (w+1)*8),
+        |                                  p -> ascii(frame[p+1])))) AS sig
+        |      FROM f),
+        |d AS (SELECT asset_id, frame_no, sig,
+        |        lag(sig) OVER (PARTITION BY asset_id ORDER BY frame_no) AS prev
+        |      FROM s),
+        |l AS (SELECT asset_id, frame_no,
+        |        CASE WHEN prev IS NULL THEN NULL
+        |             ELSE list_sum(list_transform(range(0, 8), i ->
+        |                    abs(sig[CAST(i AS INTEGER)+1]
+        |                        - prev[CAST(i AS INTEGER)+1]))) END AS l1
+        |      FROM d)
+        |SELECT asset_id, count(*) AS n_frames,
+        |       CAST(sum(CASE WHEN l1 > 55.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |       coalesce(min(CASE WHEN l1 > 55.0 THEN frame_no END), -1) AS first_cut_frame
+        |FROM l GROUP BY 1""".stripMargin,
 
     // integer-exact aHash mirror of functions.ByteAHash64: window sums
     // over ascii codes (pure-ASCII corpus, the m1 precedent), bit w =

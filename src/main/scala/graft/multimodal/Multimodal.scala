@@ -158,6 +158,44 @@ object Multimodal {
           / count(lit(1)), 6).as("mean_level"))
   }
 
+  /** Scene-change (cut) detection — the shot-segmentation step of video
+    * curation, over the stub byte-frame model: consecutive sampled
+    * frames ([[sampleFrames]]) are compared by the L1 distance between
+    * their `subWindows` sub-window mean signatures; a distance above
+    * `cutThreshold` marks a cut. A real pipeline decodes frames and
+    * swaps the signature for a color histogram — the lag-compare
+    * dataflow and the per-asset rollup are the Spark-side shape.
+    *
+    * Scale: map-only frame fan-out, ONE per-asset window pass ordered
+    * by frame_no (frames of one asset are a bounded partition — the
+    * st2 sessionize posture), one keyed rollup. Determinism:
+    * power-of-two windows make every mean an exact binary double, so
+    * L1 distances and the threshold compare are engine-identical.
+    *
+    * Output per asset: n_frames, n_cuts, first_cut_frame (-1 when the
+    * asset has no cut). */
+  def sceneCuts(assets: DataFrame, frameBytes: Int = 64, stride: Int = 4,
+                subWindows: Int = 8, cutThreshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(Integer.bitCount(frameBytes) == 1 && Integer.bitCount(subWindows) == 1,
+      "frameBytes and subWindows must be powers of two (exact means)")
+    val frames = sampleFrames(assets, frameBytes, stride)
+    val sig = ColumnBridge.column(graft.functions.ByteWindowMeans(
+      ColumnBridge.expression(col("frame")), subWindows))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("frame_no"))
+    frames.select(col("asset_id"), col("frame_no"), sig.as("sig"))
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .withColumn("l1", when(col("prev").isNull, lit(null)).otherwise(
+        aggregate(zip_with(col("sig"), col("prev"), (a, b) => abs(a - b)),
+          lit(0.0), (acc, x) => acc + x)))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("l1") > cutThreshold, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(min(when(col("l1") > cutThreshold, col("frame_no"))), lit(-1L))
+          .as("first_cut_frame"))
+  }
+
   /** STUB decode, partition-batched: a real implementation calls the
     * media codec here (per partition, batched — the iterator shape is
     * what matters; swap the checksum for the codec call and nothing

@@ -148,4 +148,19 @@ class FourthPassSpec extends SparkSpec {
       Seq((2L, Array[Byte](1, 2, 3))).toDF("asset_id", "payload"))
     assert(short.count() === 0L)
   }
+
+  test("sceneCuts: flat run has no cuts, a hard transition is one cut") {
+    val flat = Array.fill(24)('m'.toByte)
+    val jump = Array.fill(8)('a'.toByte) ++ Array.fill(16)('z'.toByte)
+    val df = Seq((1L, flat), (2L, jump)).toDF("asset_id", "payload")
+    // frameBytes=8, stride=1 -> frames at offsets 0,8,16 (3 per asset)
+    val out = Multimodal.sceneCuts(df, frameBytes = 8, stride = 1,
+        subWindows = 2, cutThreshold = 10.0)
+      .orderBy("asset_id").collect()
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 0L
+      && out(0).getLong(3) === -1L)
+    // asset 2: a->z between frames 0 and 1 (l1 = 2*25 = 50), z->z after
+    assert(out(1).getLong(1) === 3L && out(1).getLong(2) === 1L
+      && out(1).getLong(3) === 1L)
+  }
 }
