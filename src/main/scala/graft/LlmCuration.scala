@@ -57,4 +57,25 @@ object LlmCuration {
         Seq("doc_id"), "left_anti")
       .select("doc_id")
   }
+
+  /** [[run]] plus the decontamination stage a training corpus runs
+    * LAST (stage 5): survivors sharing any word `n`-gram with the eval
+    * corpus are dropped ([[graft.dedup.Decontaminate.applyFilter]] —
+    * broadcast eval shingle set, map-only probe). Last because the
+    * probe then sees the smallest surviving corpus, and because eval
+    * membership must win over every retention decision: if the eval
+    * docs themselves ride in `docs` (the usual setup), they self-hit
+    * and drop here regardless of how curation ranked them. */
+  def runDecontaminated(docs: DataFrame, eval: DataFrame,
+                        id: Column, text: Column,
+                        minQuality: Double = 0.5,
+                        lang: Option[String] = Some("en"),
+                        minJaccard: Double = 0.1, n: Int = 5,
+                        storage: StorageLevel = Caching.Default): DataFrame = {
+    val survivors = run(docs, id, text, minQuality, lang, minJaccard, storage)
+    val withText = survivors.join(
+      docs.select(id.as("doc_id"), text.as("text")), Seq("doc_id"))
+    graft.dedup.Decontaminate.applyFilter(withText, eval, "doc_id", col("text"), n)
+      .select("doc_id")
+  }
 }

@@ -60,6 +60,17 @@ object LlmEntry {
       LlmCuration.run(t(s, dir, "documents"), col("doc_id"), col("text"),
         minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)),
 
+    "c2_curate_decontam" -> ((s, dir) => {
+      // the full corpus-prep chain with the eval firewall last: gate ->
+      // exact dedup -> near-dup apply -> decontaminate vs the %25 eval
+      // slice (whose members ride in docs and must drop themselves)
+      val docs = t(s, dir, "documents")
+      LlmCuration.runDecontaminated(docs,
+        docs.filter(col("doc_id") % 25 === 0),
+        col("doc_id"), col("text"),
+        minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
+    }),
+
     "d9_cross_dedup" -> ((s, dir) => {
       // cross-DATASET overlap audit: near-dup pairs where one side is
       // dataset src0 and the other any different source — the "does my
@@ -922,6 +933,42 @@ object LlmEntry {
     "d3_minhash_lsh" ->
       s"""$MinhashCtes
          |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.1""".stripMargin,
+
+    // c1's chain verbatim + the decontamination tail: survivors
+    // sharing any 5-gram with the %25 eval slice drop (eval members
+    // self-hit and drop themselves)
+    "c2_curate_decontam" ->
+      s"""WITH t0 AS (SELECT doc_id, text, $ToksSql AS tk FROM documents),
+         |feat AS (SELECT doc_id, text, tk,
+         |  len(tk) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |    greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(tk, x -> x IN ($EnStopsSql))) AS DOUBLE) /
+         |    greatest(len(tk), 1) AS stop_ratio,
+         |  ${LangScoreSql.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")}
+         |  FROM t0),
+         |keepq AS (SELECT doc_id, text FROM (
+         |    SELECT *,
+         |      round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
+         |            0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS q,
+         |      $LangCaseSql AS lang
+         |    FROM feat)
+         |  WHERE q >= 0.5 AND lang = 'en'),
+         |uniq AS (SELECT min(doc_id) AS doc_id, first(text) AS text
+         |         FROM keepq GROUP BY md5(text)),
+         |${minhashCtes("uniq")},
+         |drops AS (SELECT DISTINCT doc_b FROM ver WHERE jaccard >= 0.1),
+         |surv AS (SELECT doc_id, text FROM uniq
+         |         WHERE doc_id NOT IN (SELECT doc_b FROM drops)),
+         |evsh AS (SELECT DISTINCT unnest(sh) AS s FROM (
+         |    SELECT ${shSqlN(5)} AS sh FROM (
+         |      SELECT $ToksSql AS tk FROM documents WHERE doc_id % 25 = 0))),
+         |ssh AS (SELECT doc_id, unnest(sh) AS s FROM (
+         |    SELECT doc_id, ${shSqlN(5)} AS sh FROM (
+         |      SELECT doc_id, $ToksSql AS tk FROM surv))),
+         |dirty AS (SELECT DISTINCT ssh.doc_id FROM ssh JOIN evsh ON ssh.s = evsh.s)
+         |SELECT doc_id FROM surv
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
 
     "c1_curate" ->
       s"""WITH t0 AS (SELECT doc_id, text, $ToksSql AS tk FROM documents),
