@@ -47,7 +47,7 @@ object Sq {
     * re-rank. Output schema/ordering match [[Knn.bruteForceTopK]]:
     * (query_id, rnk, neighbor_id, sim). */
   def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-             levels: Int = 256, shortlist: Int = 100, dim: Int = 64,
+             levels: Int = 256, shortlist: Int = 100,
              storage: org.apache.spark.storage.StorageLevel =
                graft.Caching.Default): DataFrame = {
     require(levels >= 2, "need at least 2 quantization levels")

@@ -23,12 +23,23 @@ object PartitionedLake {
   val PartCol = "dt"
 
   /** Write `df` partitioned by the day of `ts`. `filesPerDay` bounds
-    * the output file count per partition directory. */
+    * the output file count per partition directory: rows shuffle on
+    * (dt, salt) with `salt = pmod(hash(row), filesPerDay)`, so each day
+    * spreads over at most `filesPerDay` writer tasks (partitionBy then
+    * emits one file per day per task). Keying on dt alone would hash
+    * every row of a day into ONE task regardless of this knob. */
   def writeByDay(df: DataFrame, dir: String, ts: Column,
-                 filesPerDay: Int = 1): Unit =
+                 filesPerDay: Int = 1): Unit = {
+    val salt = pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(filesPerDay))
+    // explicit partition count: a column-only repartition is fair game
+    // for AQE partition coalescing, which would fold the salt groups
+    // back into shared tasks and re-kill the knob on small batches
+    val numParts = math.max(filesPerDay,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
     df.withColumn(PartCol, date_format(ts, "yyyy-MM-dd"))
-      .repartition(filesPerDay, col(PartCol))
+      .repartition(numParts, col(PartCol), salt)
       .write.mode("overwrite").partitionBy(PartCol).parquet(dir)
+  }
 
   /** Read the lake back; `dt` comes back as a DATE partition column
     * (Spark's partition-type inference) — filters on it prune

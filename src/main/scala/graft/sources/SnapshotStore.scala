@@ -82,6 +82,28 @@ object SnapshotStore {
     commit(merged, dir)
   }
 
+  /** MERGE that fully REPLACES each batch-touched group: target rows
+    * whose `groupKeys` value appears in the batch are deleted, then the
+    * batch's rows insert. The shape a "result set per key" sink needs
+    * (e.g. top-k hits keyed (query_id, rank)): a re-submitted group may
+    * SHRINK, and a plain upsert on the full row key would leave the old
+    * tail ranks lingering past the new result size. One left_anti on
+    * the (broadcast-sized) distinct batch group keys + the same
+    * commit protocol as [[mergeInto]]; replay-safe for the same reason
+    * (replacing a group with itself is idempotent). */
+  def replaceGroups(batch: DataFrame, dir: String,
+                    groupKeys: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val merged = read(batch.sparkSession, dir) match {
+      case Some(target) =>
+        target.join(broadcast(batch.select(groupKeys.map(col): _*).distinct()),
+            groupKeys, "left_anti")
+          .unionByName(batch, allowMissingColumns = true)
+      case None => batch
+    }
+    commit(merged, dir)
+  }
+
   /** Change feed between two retained versions — the change-data-feed
     * analog of the Delta tables this store stands in for: one row per
     * key whose content differs between `fromV` and `toV`, tagged

@@ -15,9 +15,12 @@ import graft.text.Search
   * streaming engine holds NO state beyond the checkpoint's offset log,
   * index state lives in the metastore tables behind the atomic ptr
   * view (a [[Search.updateIndex]] between micro-batches is picked up
-  * by the next batch), and results MERGE into a versioned
-  * [[SnapshotStore]] keyed on (query_id, rank) so restart replays
-  * upsert instead of duplicating.
+  * by the next batch), and results land in a versioned
+  * [[SnapshotStore]] via [[SnapshotStore.replaceGroups]] keyed on
+  * query_id: a replayed batch upserts instead of duplicating, and a
+  * RE-SUBMITTED query (or one whose hit list shrank after an index
+  * update) fully replaces its old rows — no stale tail ranks linger
+  * past the new result size.
   */
 object SearchStream {
 
@@ -33,7 +36,7 @@ object SearchStream {
         val res = Search.probeIndexTerms(batch.sparkSession, indexName,
           qterms, k, k1, b)
         if (!res.isEmpty) {
-          SnapshotStore.mergeInto(res, targetDir, Seq("query_id", "rank")): Unit
+          SnapshotStore.replaceGroups(res, targetDir, Seq("query_id")): Unit
         }
       }
       .start()

@@ -225,7 +225,10 @@ object Search {
     val pNew = graft.Caching.persisted(
       buildPostings(incoming, id, text), storage)
     val dlNew = docLengths(pNew)
-    val ids = pNew.select("doc_id").distinct()
+    // the re-ingested id set comes from the INCOMING frame, not the new
+    // postings: a doc re-ingested with token-less text produces no
+    // postings rows, but its old contributions still have to go
+    val ids = incoming.select(id.as("doc_id")).distinct()
     // old contributions of the re-ingested ids (bucketed scans; the
     // id set is a probe batch — broadcast-joinable)
     val pOld = graft.Caching.persisted(

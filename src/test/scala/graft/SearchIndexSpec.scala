@@ -76,6 +76,36 @@ class SearchIndexSpec extends SparkSpec {
     assert(st.getLong(0) == 4L && st.getLong(1) == 9L)
   }
 
+  test("re-ingest with token-less text removes the doc's old contributions") {
+    import spark.implicits._
+    Search.dropIndex(spark, "bre")
+    val base = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry durian")).toDF("doc_id", "text")
+    Search.writeIndex(base, col("doc_id"), col("text"), "bre", buckets = 2)
+    // doc 3 re-ingested with whitespace-only text: zero tokens, zero
+    // postings — its old postings/stats must STILL be subtracted
+    val batch = Seq((3L, "   ")).toDF("doc_id", "text")
+    Search.updateIndex(batch, col("doc_id"), col("text"), "bre", buckets = 2)
+    val qs = Seq("q" -> Seq("apple", "banana", "cherry", "durian"))
+    val probe = Search.probeIndex(spark, "bre", qs, k = 4)
+      .collect().map(_.toString).sorted
+    // fresh build of the final corpus: doc 3 is token-less -> absent
+    val fresh = Search.bm25TopK(
+      Seq((1L, "apple banana apple"), (2L, "banana cherry"), (3L, " "))
+        .toDF("doc_id", "text"),
+      col("doc_id"), col("text"), qs, k = 4)
+      .collect().map(_.toString).sorted
+    assert(probe.sameElements(fresh),
+      "token-less re-ingest must score like a fresh build without the doc")
+    val ts = spark.table("bre_termstats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!ts.contains("durian") && ts("cherry") == 1L,
+      s"doc 3's old postings still counted: $ts")
+    val st = spark.table("bre_stats").collect()(0)
+    assert(st.getLong(0) == 2L && st.getLong(1) == 5L,
+      s"corpus stats kept doc 3: $st")
+  }
+
   test("streaming probe: streamed queries equal the batch probe, restart-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -100,6 +130,20 @@ class SearchIndexSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(got.sameElements(batch),
       "streamed probes across a restart must equal one batch probe")
+    // re-submit q1 with a narrower term list: its result set SHRINKS,
+    // and the group-replace merge must not leave stale tail ranks
+    val Qn = Seq("q1" -> Seq("spark"))
+    in.addData(Qn.map { case (q, ts) => (q, ts.toSeq) })
+    val s3 = start()
+    try s3.processAllAvailable() finally s3.stop()
+    val reGot = graft.sources.SnapshotStore.read(spark, dir).get
+      .filter(col("query_id") === "q1")
+      .select("query_id", "rank", "doc_id", "score")
+      .collect().map(_.toString).sorted
+    val reBatch = Search.probeIndex(spark, "bix", Qn, k = 5)
+      .collect().map(_.toString).sorted
+    assert(reGot.sameElements(reBatch),
+      "re-submitted query left stale ranks behind")
   }
 
   test("probe plan: bucketed index scans feed their joins with no Exchange") {

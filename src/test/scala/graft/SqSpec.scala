@@ -59,8 +59,8 @@ class SqSpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
     val q = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val top = Sq.sqTopK(q, corpus, k = 1, levels = 256, shortlist = 3,
-      dim = 4).collect()
+    val top = Sq.sqTopK(q, corpus, k = 1, levels = 256, shortlist = 3)
+      .collect()
     assert(top.head.getLong(2) === 10L)
   }
 }

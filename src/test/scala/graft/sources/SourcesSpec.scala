@@ -119,6 +119,22 @@ class PartitionedLakeSpec extends SparkSpec {
     assert(oneDay.count() ===
       events.filter(date_format(col("ts"), "yyyy-MM-dd") === days.min).count())
   }
+
+  test("filesPerDay > 1 actually spreads a day over multiple files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lake-fpd").toString
+    val events = Tables.loadEvents(spark, sfDir)
+    PartitionedLake.writeByDay(events, dir, col("ts"), filesPerDay = 3)
+    val lake = PartitionedLake.read(spark, dir)
+    assert(lake.count() === events.count())
+    val days = lake.select("dt").distinct().collect().map(_.get(0).toString)
+    val perDay = days.map { d =>
+      new java.io.File(s"$dir/dt=$d")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(perDay.forall(_ <= 3), s"a day exceeded filesPerDay: ${perDay.toSeq}")
+    assert(perDay.exists(_ > 1),
+      s"salting never split any day — the knob is dead again: ${perDay.toSeq}")
+  }
 }
 
 class TablesSpec extends SparkSpec {
@@ -219,6 +235,30 @@ class TablesSpec extends SparkSpec {
       SnapshotStore.mergeInto(Seq((5L, "e", 1.0)).toDF("id", "v", "score"),
         dir, Seq("id"), evolveSchema = false)
     }
+  }
+
+  test("replaceGroups: a re-submitted group fully replaces, shrink included") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-replace").toString
+    // bootstrap: q1 has 3 ranks, q2 has 2
+    SnapshotStore.replaceGroups(
+      Seq(("q1", 1, 10L), ("q1", 2, 11L), ("q1", 3, 12L),
+        ("q2", 1, 20L), ("q2", 2, 21L)).toDF("query_id", "rank", "doc_id"),
+      dir, Seq("query_id"))
+    // q1 re-submitted with a SHORTER hit list: rank 3 must vanish
+    SnapshotStore.replaceGroups(
+      Seq(("q1", 1, 13L)).toDF("query_id", "rank", "doc_id"),
+      dir, Seq("query_id"))
+    val rows = SnapshotStore.read(spark, dir).get.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows === Set(("q1", 1, 13L), ("q2", 1, 20L), ("q2", 2, 21L)),
+      s"stale ranks lingered: $rows")
+    // replay idempotence: replacing a group with itself changes nothing
+    SnapshotStore.replaceGroups(
+      Seq(("q1", 1, 13L)).toDF("query_id", "rank", "doc_id"),
+      dir, Seq("query_id"))
+    assert(SnapshotStore.read(spark, dir).get.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet === rows)
   }
 
   test("all testdata tables load; events gets a usable timestamp") {
