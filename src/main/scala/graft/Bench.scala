@@ -48,7 +48,13 @@ object Bench {
     // makes all three timed canaries commensurate, so round-over-round
     // deltas are attributable.
     once(); canary()
-    once(); canary(): Unit
+    once(); canary()
+    // two extra canary-only warmups: the canary path itself JITs later
+    // than the queries (it first runs after a full query pass), and r5's
+    // official run still showed the first TIMED canary at 1.5x the
+    // other two (1.136 vs 0.727/0.737) — which poisons the canary-min
+    // host-noise reference. ~1s total cost.
+    canary(); canary(): Unit
     // drop operator-internal .cache() data so timed passes recompute
     // everything — only JIT/codegen warmth carries over, not results.
     // Three interleaved timed passes, per-query min: single-JVM runs
@@ -71,7 +77,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val cs = canaries.map(f3).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","canary_sec":$cs,"canary_min":${f3(canaries.min)},"methodology":"2 warmup passes; min over 3 interleaved timed passes, caches cleared between; canary = fixed ${cpus}-way md5 scan per pass (host-noise ref)","queries":$qs,"total":${f3(total)},"canary":${f3(canaries.min)}}""")
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","canary_sec":$cs,"canary_min":${f3(canaries.min)},"methodology":"2 warmup passes + 2 canary-only warmups; min over 3 interleaved timed passes, caches cleared between; canary = fixed ${cpus}-way md5 scan per pass (host-noise ref)","queries":$qs,"total":${f3(total)},"canary":${f3(canaries.min)}}"""
+    println(json)
+    // ALSO persist the complete record to a committed file: the driver
+    // keeps only a bounded stdout tail, which in r5 truncated 36 of 118
+    // per-query numbers out of the official artifact. The file is the
+    // durable copy; stdout stays the driver contract.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
   }
 }
