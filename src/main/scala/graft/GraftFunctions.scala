@@ -77,6 +77,10 @@ object GraftFunctions {
       info("graft_rolling_hash",
         "graft_rolling_hash(tokens) - order-sensitive 64-bit rolling hash"),
       oneArg("graft_rolling_hash", RollingHash64)),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc",
+        "graft_nfc(text) - Unicode NFC canonical composition"),
+      oneArg("graft_nfc", NfcNormalize)),
     (FunctionIdentifier("graft_lsh_bucket"),
       info("graft_lsh_bucket",
         "graft_lsh_bucket(vec, planes) - sign-quadrant LSH bucket of an array<double>"),

@@ -544,6 +544,24 @@ object LlmEntry {
       TextAnalysis.charsetAudit(damaged, col("doc_id"), col("text2"))
     }),
 
+    "t17b_charset_fix" -> ((s, dir) => {
+      // t17's apply leg: the same deterministic damage class (plus a
+      // combining-accent sequence so the NFC step has work to do) is
+      // injected into every third doc, and the fixer must repair it —
+      // U+FFFD dropped, control chars stripped, whitespace collapsed,
+      // cafe+U+0301 composed to café. DuckDB replays the fix with its
+      // own regex engine + nfc_normalize, so the repair is the tested
+      // contract, not a copied constant.
+      val damaged = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" cafe\u0301 \uFFFD\u0001\u0007  x ")))
+          .otherwise(col("text")))
+      damaged.select(col("doc_id"),
+          TextAnalysis.fixText(col("text2")).as("fixed"))
+        .withColumn("n_chars", length(col("fixed")).cast("long"))
+    }),
+
     "d13_url_dedup" -> ((s, dir) => {
       // crawl-side dedup: deterministic URL variants (scheme/WWW/host
       // case, default port, trailing slash, param order, utm/fbclid
@@ -1824,6 +1842,25 @@ object LlmEntry {
         |  CAST(len(regexp_extract_all(text2, '  +')) AS BIGINT) AS n_multi_space,
         |  (text2 = trim(regexp_replace(lower(text2), '[^a-z0-9]+', ' ', 'g'))) AS is_normalized
         |FROM p""".stripMargin,
+
+    // the fixer replayed step by step with DuckDB's regex engine and
+    // nfc_normalize: drop U+FFFD, strip the audit's control class,
+    // collapse whitespace + trim, NFC-compose
+    "t17b_charset_fix" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN text || ' cafe' || chr(769) || ' ' || chr(65533)
+        |            || chr(1) || chr(7) || '  x '
+        |       ELSE text END AS t2
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |  nfc_normalize(trim(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    chr(65533), '', 'g'),
+        |    '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS fixed
+        |  FROM p)
+        |SELECT doc_id, fixed, CAST(length(fixed) AS BIGINT) AS n_chars
+        |FROM f""".stripMargin,
 
     // mirrors Urls.canonicalUrl step by step over the same deterministic
     // URL variants the entry derives

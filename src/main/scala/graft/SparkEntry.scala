@@ -224,6 +224,29 @@ object SparkEntry {
         keys, tracked, "o_orderdate", Seq("o_orderkey"))
     }),
 
+    "s6b_scd2_asof" -> ((s, dir) => {
+      // s6's consumption leg: each fact looks up the customer-status
+      // version valid 30 days AFTER its own order date, so the lookup
+      // genuinely crosses version boundaries instead of trivially
+      // reading back its own change; every 50th order is back-dated
+      // ~55 years and must come back with NULL dimension attributes
+      // (no version open that early)
+      val ch = t(s, dir, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate"), col("o_orderkey"))
+      val keys = Seq("o_custkey"); val tracked = Seq("o_orderstatus")
+      val dim = Scd2.applyChanges(
+        Scd2.empty(ch, keys, tracked, "o_orderdate"),
+        ch, keys, tracked, "o_orderdate", Seq("o_orderkey"))
+      val fact = ch.select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 50 === 0, date_add(col("o_orderdate"), -20000))
+          .otherwise(date_add(col("o_orderdate"), 30)).as("fact_date"))
+      Scd2.asOfJoin(fact, "fact_date", dim, keys, tracked)
+        .select(col("o_orderkey"), col("o_custkey"), col("fact_date"),
+          col("dim_o_orderstatus").as("asof_status"),
+          col("dim_effective_from").as("asof_from"))
+    }),
+
     "g1_distinct_domains" -> ((s, dir) =>
       t(s, dir, "orders").select(col("o_orderstatus")).distinct()),
 
@@ -693,6 +716,31 @@ object SparkEntry {
         |SELECT k AS o_custkey, v AS o_orderstatus, ts AS effective_from,
         |       eto AS effective_to, (eto IS NULL) AS is_current
         |FROM ver""".stripMargin,
+
+    // s6's version chain, zero-length versions dropped (invisible to
+    // any as-of query), then the point-in-interval lookup as a plain
+    // range-predicate LEFT JOIN — the semantics Scd2.asOfJoin's
+    // interleave must reproduce exactly
+    "s6b_scd2_asof" ->
+      """WITH ch AS (SELECT o_custkey AS k, o_orderstatus AS v,
+        |                   o_orderdate AS ts, o_orderkey AS tie
+        |            FROM orders WHERE o_custkey < 100),
+        |o AS (SELECT *, lag(v) OVER (PARTITION BY k ORDER BY ts, tie) AS pv
+        |      FROM ch),
+        |kept AS (SELECT * FROM o WHERE pv IS NULL OR v <> pv),
+        |ver AS (SELECT k, v, ts,
+        |          lead(ts) OVER (PARTITION BY k ORDER BY ts, tie) AS eto
+        |        FROM kept),
+        |live AS (SELECT * FROM ver WHERE eto IS NULL OR ts < eto),
+        |fact AS (SELECT o_orderkey, o_custkey AS k,
+        |    CASE WHEN o_orderkey % 50 = 0 THEN CAST(o_orderdate AS DATE) - 20000
+        |         ELSE CAST(o_orderdate AS DATE) + 30 END AS fact_date
+        |  FROM orders WHERE o_custkey < 100)
+        |SELECT f.o_orderkey, f.k AS o_custkey, f.fact_date,
+        |       v.v AS asof_status, v.ts AS asof_from
+        |FROM fact f LEFT JOIN live v
+        |  ON f.k = v.k AND v.ts <= f.fact_date
+        | AND (v.eto IS NULL OR f.fact_date < v.eto)""".stripMargin,
 
     "g1_distinct_domains" ->
       "SELECT DISTINCT o_orderstatus FROM orders",

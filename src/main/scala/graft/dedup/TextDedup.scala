@@ -466,6 +466,79 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Span-level dedup removal — the APPLY leg of
+    * [[verbatimOverlapPairs]] (the d6-to-d3 relationship, for
+    * substrings): Lee et al. 2021's actual pipeline output is a
+    * scrubbed corpus with every LATER occurrence of a duplicated span
+    * cut out of the text, not a pair report. Keep-first policy: the
+    * global first occurrence of each sampled `window`-char span —
+    * first in (doc_id, offset) order — is the owner and stays; every
+    * other occurrence (cross-doc or a later repeat inside the same
+    * doc) is marked for removal. Marked windows within a doc are
+    * merged into maximal intervals (overlapping/adjacent strided
+    * windows of one long duplicated run collapse to one cut) and the
+    * text is rebuilt from the surviving gaps.
+    *
+    * No pair join at all — unlike the pair report, the scrub only
+    * needs first-occurrence marking: one partial-aggregated groupBy
+    * on the window hash (min (doc_id, off) struct), one equi-join
+    * back, then per-doc interval merge under batch-sized windows.
+    * At 100 TB every stage is the corpus-linear window explode or a
+    * keyed shuffle on window hashes / doc ids; nothing quadratic.
+    * Sampling caveat inherited from the detector: duplicated runs
+    * shorter than window + 2·(stride−1) are caught phase-dependently.
+    *
+    * Output: one row per input doc — (doc_id, scrubbed, n_cut) with
+    * n_cut = characters removed (0 for untouched docs). */
+  def verbatimScrub(docs: DataFrame, id: Column, text: Column,
+                    window: Int = 40, stride: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    require(window > 0 && stride > 0, s"invalid window=$window stride=$stride")
+    val base = docs.select(id.as("doc_id"), text.as("t"))
+    val wins = base
+      .filter(length(col("t")) >= window)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), length(col("t")) - window, lit(stride))).as("off"))
+      .select(col("doc_id"), col("off"),
+        md5(col("t").substr(col("off") + 1, lit(window))).as("wh"))
+    // keep-first: the minimum (doc_id, off) per window hash owns it
+    val first = wins.groupBy("wh")
+      .agg(min(struct(col("doc_id"), col("off"))).as("f"))
+    val cuts = wins.join(first, "wh")
+      .filter(struct(col("doc_id"), col("off")) =!= col("f"))
+      .select(col("doc_id"), col("off"), (col("off") + window).as("e"))
+    // merge overlapping/adjacent cut windows per doc (gaps-and-islands;
+    // (doc_id, off) is unique so the order is total)
+    val byOff = W.partitionBy("doc_id").orderBy("off")
+    val merged = cuts
+      .withColumn("pmax",
+        max(col("e")).over(byOff.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum((col("pmax").isNull || col("off") > col("pmax")).cast("long"))
+          .over(byOff))
+      .groupBy("doc_id", "island")
+      .agg(min("off").as("s"), max("e").as("e"))
+    // rebuild: kept piece before each cut = [prev cut end, cut start),
+    // plus the tail after the last cut
+    val bys = W.partitionBy("doc_id").orderBy("s")
+    val pieced = merged.join(base, "doc_id")
+      .withColumn("ps", coalesce(lag(col("e"), 1).over(bys), lit(0)))
+      .withColumn("piece",
+        col("t").substr(col("ps") + 1, (col("s") - col("ps")).cast("int")))
+    val rebuilt = pieced.groupBy("doc_id").agg(
+      concat(
+        array_join(transform(
+          array_sort(collect_list(struct(col("s"), col("piece")))),
+          p => p.getField("piece")), ""),
+        max(col("t")).substr(max(col("e")) + 1, length(max(col("t"))))
+      ).as("scrubbed2"),
+      sum(col("e") - col("s")).cast("long").as("n_cut2"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("scrubbed2"), col("t")).as("scrubbed"),
+        coalesce(col("n_cut2"), lit(0L)).as("n_cut"))
+  }
+
   /** 64-bit SimHash fingerprint as a 16-hex-char string, over word
     * tokens (with multiplicity). Bits come from the two md5 32-bit
     * halves, kept separate to avoid sign overflow; bit j set iff the

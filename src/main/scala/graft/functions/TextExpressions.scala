@@ -124,6 +124,15 @@ object TextKernels {
     }
     UTF8String.fromString(f"$hiFp%08x$loFp%08x")
   }
+
+  /** Unicode NFC (canonical composition). Quick-checks first so clean
+    * ASCII/NFC strings pass through without allocation. */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** Distinct word n-gram shingles of the lowercased text (see
@@ -196,6 +205,33 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.rollingHash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+}
+
+/** Unicode NFC normalization (canonical composition) — the missing
+  * Spark built-in the charset-repair path needs (DuckDB ships it as
+  * nfc_normalize; both engines implement the same Unicode standard
+  * form, so results are cross-engine exact). The kernel short-circuits
+  * on already-normalized strings (the overwhelmingly common case for
+  * clean corpora) via Normalizer.isNormalized's quick-check pass. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfc(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
 

@@ -96,4 +96,48 @@ object Scd2 {
 
     closed.unionByName(versions)
   }
+
+  /** Join each fact row to the dimension version valid AS OF the
+    * fact's own date — the lookup the scaladoc above promises and the
+    * step every SCD2 consumer otherwise hand-rolls: the version with
+    * `effective_from <= factTs < effective_to` (open versions have no
+    * upper bound). Facts dated before the key's first version get NULL
+    * dimension attributes.
+    *
+    * Built on [[AsOfJoin.asOf]]'s interleave posture (st3): ONE hash
+    * shuffle on the key + a per-key sort — never the fact × version-
+    * history product of a naive range join. Zero-length versions
+    * (`effective_from == effective_to`, produced when several same-key
+    * changes share a timestamp) are invisible to every as-of query and
+    * are dropped up front — which also makes the surviving versions
+    * unique per (key, effective_from), the uniqueness [[AsOfJoin]]
+    * requires. A carried version whose `effective_to` has passed the
+    * fact date (a gap or retired key) is nulled out rather than
+    * returned stale.
+    *
+    * @param fact    fact frame; must contain `keys` and `factTs`
+    * @param factTs  fact-side event date/timestamp column name
+    * @param dim     SCD2 table: keys ++ tracked ++ [[VersionCols]]
+    * @param prefix  prepended to the carried dimension columns
+    *                (`tracked` + effective_from/effective_to) so they
+    *                never collide with fact columns */
+  def asOfJoin(fact: DataFrame, factTs: String, dim: DataFrame,
+               keys: Seq[String], tracked: Seq[String],
+               prefix: String = "dim_"): DataFrame = {
+    val live = dim.filter(col("effective_to").isNull ||
+      col("effective_from") < col("effective_to"))
+    val payload = (tracked ++ Seq("effective_from", "effective_to"))
+      .map(c => c -> s"$prefix$c").toMap
+    val joined = AsOfJoin.asOf(fact, live, keys,
+      factTs, "effective_from", payload, tiebreak = "is_current")
+    // a version that ENDED before the fact date must not leak forward;
+    // materialize the flag BEFORE nulling any payload column (the check
+    // reads one of them)
+    val flagged = joined.withColumn("__stale",
+      coalesce(col(s"${prefix}effective_to").isNotNull &&
+        col(factTs) >= col(s"${prefix}effective_to"), lit(false)))
+    payload.values.foldLeft(flagged) { (df, c) =>
+      df.withColumn(c, when(!col("__stale"), col(c)))
+    }.drop("__stale")
+  }
 }

@@ -375,6 +375,24 @@ object TextAnalysis {
       regexp_count(text, lit("  +")).cast("long").as("n_multi_space"),
       (text === normalized(text)).as("is_normalized"))
 
+  /** Charset/normalization FIXER — the apply leg of [[charsetAudit]]
+    * (the audit finds encoding damage; this is the map-only repair a
+    * pipeline actually runs next): drop U+FFFD replacement characters
+    * (they mark already-lost bytes — there is nothing to restore),
+    * strip the same control-character class the audit counts, collapse
+    * whitespace runs to single spaces and trim, then NFC-compose
+    * (combining sequences → precomposed forms, via the codegen'd
+    * [[graft.functions.NfcNormalize]] kernel — Spark has no built-in;
+    * DuckDB's nfc_normalize is the oracle twin). Idempotent by
+    * construction (property-tested): no step reintroduces what an
+    * earlier step removes, and NFC output is NFC. */
+  def fixText(text: Column): Column =
+    ColumnBridge.column(graft.functions.NfcNormalize(ColumnBridge.expression(
+      trim(regexp_replace(regexp_replace(regexp_replace(text,
+        lit("�"), lit("")),
+        lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), lit("")),
+        lit("\\s+"), lit(" "))))))
+
   // --- PII scrubbing ----------------------------------------------------
 
   /** Conservative PII patterns (emails, NNN-NNN-NNNN phones). */

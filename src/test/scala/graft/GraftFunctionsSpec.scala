@@ -43,7 +43,7 @@ class GraftFunctionsSpec extends SparkSpec {
       Seq("graft_bit_spread", "graft_byte_window_means",
         "graft_byte_window_sums", "graft_dot", "graft_freq_items",
         "graft_h32_array", "graft_lsh_bucket", "graft_minhash_sig",
-        "graft_rolling_hash", "graft_simhash64",
+        "graft_nfc", "graft_rolling_hash", "graft_simhash64",
         "graft_sorted_intersect_count", "graft_word_shingles"))
     new GraftExtensions // constructible (config-time entry point)
   }

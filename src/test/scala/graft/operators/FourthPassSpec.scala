@@ -78,6 +78,42 @@ class FourthPassSpec extends SparkSpec {
       d.getBoolean(6)) === (2L, 1L, 1L, 1L, false))
   }
 
+  test("fixText repairs each audited damage class and NFC-composes") {
+    // decomposed cafe+U+0301, a control char, U+FFFD, a whitespace run
+    val dirty = "cafe\u0301 \u0007 \uFFFD  x"
+    val fixed = Seq(Tuple1(dirty)).toDF("t")
+      .select(TextAnalysis.fixText(col("t")).as("f")).head().getString(0)
+    assert(fixed === "caf\u00e9 x")
+    // repaired text passes its own audit clean
+    val audit = TextAnalysis.charsetAudit(
+      Seq((1L, fixed)).toDF("id", "t"), col("id"), col("t")).head()
+    // col 2 is the non-ascii count: the composed e-acute legitimately
+    // stays non-ascii; the DAMAGE columns must read zero
+    assert((audit.getLong(3), audit.getLong(4), audit.getLong(5))
+      === (0L, 0L, 0L))
+  }
+
+  test("fixText is idempotent over adversarial inputs") {
+    // every damage class, mixed and repeated, plus already-clean text:
+    // U+FFFD runs, control runs, whitespace runs, decomposed e+U+0301,
+    // multi-combining s+underdot+overdot (NFC-composes to U+1E69)
+    val nasty = Seq("", "   ", "\uFFFD\uFFFD", "a\u0001\u0002bc",
+      "x\t\n\r y", "e\u0301e\u0301", "caf\u00e9", "plain ascii",
+      " \uFFFD cafe\u0301 mix \u000b of\tall", "s\u0323\u0307",
+      "\u1e69")
+    val once = nasty.toDF("t").select(TextAnalysis.fixText(col("t")).as("f"))
+    val twice = once.select(TextAnalysis.fixText(col("f")).as("f2"))
+    val pairs = once.collect().map(_.getString(0))
+      .zip(twice.collect().map(_.getString(0)))
+    pairs.foreach { case (a, b) =>
+      assert(a === b, s"not idempotent: ${a.codePoints().toArray.toSeq}" +
+        s" vs ${b.codePoints().toArray.toSeq}") }
+    // and the two NFC-equivalent spellings converge to one form
+    val forms = Seq("s\u0323\u0307", "\u1e69").toDF("t")
+      .select(TextAnalysis.fixText(col("t"))).distinct().collect()
+    assert(forms.length === 1 && forms(0).getString(0) === "\u1e69")
+  }
+
   test("canonicalUrl collapses the classic crawl variants to one key") {
     val variants = Seq(
       "HTTP://WWW.Site.com:80/a/b/?utm_source=x&q=1&lang=en#frag",

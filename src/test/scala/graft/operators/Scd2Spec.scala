@@ -57,6 +57,48 @@ class Scd2Spec extends SparkSpec {
     assert(out(1).getBoolean(4))
   }
 
+  test("asOfJoin picks the version covering each fact date") {
+    val b = Seq((1L, "F", ts("2024-01-01"), 1L), (1L, "P", ts("2024-01-03"), 2L))
+    val dim = apply1(Scd2.empty(b.toDF("k", "v", "ts", "tie"), keys, tracked,
+      "ts"), b)
+    val facts = Seq(
+      (10L, 1L, ts("2023-12-01")), // before first version -> NULL
+      (11L, 1L, ts("2024-01-01")), // first instant of F
+      (12L, 1L, ts("2024-01-02")), // inside F
+      (13L, 1L, ts("2024-01-03")), // boundary: F closed, P opens
+      (14L, 1L, ts("2024-05-01")), // deep in the open P version
+      (15L, 9L, ts("2024-01-02"))  // unknown key -> NULL
+    ).toDF("fid", "k", "fts")
+    val out = Scd2.asOfJoin(facts, "fts", dim, keys, tracked)
+      .orderBy("fid").collect()
+    assert(out.map(r => Option(r.getAs[String]("dim_v")).orNull).toSeq ===
+      Seq(null, "F", "F", "P", "P", null))
+    // the carried effective_from is the matched version's start
+    assert(out(3).getAs[Timestamp]("dim_effective_from") === ts("2024-01-03"))
+    assert(out(0).getAs[Timestamp]("dim_effective_from") == null)
+  }
+
+  test("asOfJoin nulls retired versions and ignores zero-length ones") {
+    // hand-built dim: key 1 retired (closed version, no successor);
+    // key 2 has a zero-length A at t1 shadowed by the open B at t1
+    val dim = Seq(
+      (1L, "X", ts("2024-01-01"), ts("2024-01-03"), false),
+      (2L, "A", ts("2024-01-01"), ts("2024-01-01"), false),
+      (2L, "B", ts("2024-01-01"), null.asInstanceOf[Timestamp], true)
+    ).toDF("k", "v", "effective_from", "effective_to", "is_current")
+    val facts = Seq(
+      (20L, 1L, ts("2024-01-02")), // inside the closed version -> X
+      (21L, 1L, ts("2024-06-01")), // after retirement -> NULL, not stale X
+      (22L, 2L, ts("2024-01-01"))  // zero-length A invisible -> B
+    ).toDF("fid", "k", "fts")
+    val out = Scd2.asOfJoin(facts, "fts", dim, keys, tracked)
+      .orderBy("fid").collect()
+    assert(out.map(r => Option(r.getAs[String]("dim_v")).orNull).toSeq ===
+      Seq("X", null, "B"))
+    assert(out(1).getAs[Timestamp]("dim_effective_from") == null &&
+      out(1).getAs[Timestamp]("dim_effective_to") == null)
+  }
+
   test("incremental two-batch build equals the one-shot build") {
     val ch = table("orders").filter(col("o_custkey") < 50)
       .select(col("o_custkey").as("k"), col("o_orderstatus").as("v"),
