@@ -313,6 +313,15 @@ object LlmEntry {
       TextDedup.verbatimOverlapPairs(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
 
+    "d11b_overlap_scrub" -> ((s, dir) =>
+      // d11's APPLY leg (the d6-to-d3 relationship, for substrings):
+      // Lee et al. 2021's pipeline output — every later occurrence of
+      // a duplicated sampled span cut out under keep-first, overlapping
+      // strided windows merged to maximal intervals, text rebuilt from
+      // the gaps; one row per doc with the chars-removed count
+      TextDedup.verbatimScrub(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
     "d10_semantic_dedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): k-means clusters the embedding
       // space (e4's trainer), near-dups are sought only WITHIN a
@@ -1319,6 +1328,41 @@ object LlmEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
         |FROM cw a JOIN cw b ON a.wh = b.wh AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // the scrub replayed: rank every sampled window hash by global
+    // (doc_id, off) first-occurrence order, cut all rn>1 windows,
+    // merge them per doc (gaps-and-islands), stitch the survivors
+    "d11b_overlap_scrub" ->
+      """WITH base AS (SELECT doc_id, text AS t FROM documents),
+        |wins AS (
+        |  SELECT doc_id, CAST(off AS INTEGER) AS off,
+        |         md5(substr(t, CAST(off AS INTEGER) + 1, 40)) AS wh
+        |  FROM base, unnest(range(0, strlen(t) - 39, 20)) r(off)
+        |  WHERE strlen(t) >= 40),
+        |rk AS (SELECT doc_id, off,
+        |         row_number() OVER (PARTITION BY wh ORDER BY doc_id, off) AS rn
+        |       FROM wins),
+        |cuts AS (SELECT doc_id, off, off + 40 AS e FROM rk WHERE rn > 1),
+        |isl AS (SELECT doc_id, off, e,
+        |  CASE WHEN off > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY off
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |       THEN 1 ELSE 0 END AS ni
+        |  FROM cuts),
+        |isl2 AS (SELECT doc_id, off, e,
+        |  sum(ni) OVER (PARTITION BY doc_id ORDER BY off) AS island FROM isl),
+        |merged AS (SELECT doc_id, island, min(off) AS s, max(e) AS e
+        |           FROM isl2 GROUP BY 1, 2),
+        |pieced AS (SELECT m.doc_id, s, e, t,
+        |    coalesce(lag(e) OVER (PARTITION BY m.doc_id ORDER BY s), 0) AS ps
+        |  FROM merged m JOIN base USING (doc_id)),
+        |reb AS (SELECT doc_id,
+        |    string_agg(substr(t, ps + 1, s - ps), '' ORDER BY s)
+        |      || substr(max(t), max(e) + 1) AS scrubbed,
+        |    sum(e - s) AS n_cut
+        |  FROM pieced GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(r.scrubbed, b.t) AS scrubbed,
+        |       CAST(coalesce(r.n_cut, 0) AS BIGINT) AS n_cut
+        |FROM base b LEFT JOIN reb r USING (doc_id)""".stripMargin,
 
     // d10 = e4's trained centroids (kmeansCtes) + within-cluster pair
     // generation + exact-cosine verify, mirroring Knn.semanticDedupPairs

@@ -83,6 +83,40 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 2L)), pairs.toString)
   }
 
+  test("verbatimScrub keeps first occurrences, cuts later ones, merges runs") {
+    import spark.implicits._
+    // doc 1 owns the run (first in (doc_id, off) order); doc 2 repeats
+    // it verbatim and must lose the covered windows; doc 3 untouched;
+    // doc 4 is an exact copy of doc 3 — every window cut
+    val run = ("the quick brown fox jumps over the lazy dog again and " * 3).take(100)
+    val solo = "unrelated content with nothing shared at all beyond this sentence plus padding to clear the window size"
+    val docs = Seq(
+      (1L, "prefix one " + run + " suffix alpha"),
+      (2L, "totally different lead-in text " + run + " and another tail"),
+      (3L, solo),
+      (4L, solo)).toDF("doc_id", "text")
+    val out = TextDedup.verbatimScrub(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // owners untouched
+    assert(out(1L)._2 === 0L && out(1L)._1 === "prefix one " + run + " suffix alpha")
+    assert(out(3L)._2 === 0L && out(3L)._1 === solo)
+    // doc 2: one merged interval cut from inside the run; the lead-in
+    // survives and the cut is at least window-sized
+    assert(out(2L)._2 >= 40L, out(2L).toString)
+    assert(out(2L)._1.startsWith("totally different lead-in text "))
+    assert(out(2L)._1.length === ("totally different lead-in text " + run +
+      " and another tail").length - out(2L)._2.toInt)
+    // doc 4: windows at 0,20,40,60 (len >= 100) merge to one cut [0,
+    // last+40); only the sub-stride tail past the last window survives
+    assert(out(4L)._2 >= solo.length - 60L, out(4L).toString)
+    assert(solo.endsWith(out(4L)._1))
+    // idempotence-ish sanity: scrubbing the scrubbed corpus cuts nothing
+    val again = TextDedup.verbatimScrub(
+      out.toSeq.map { case (id, (txt, _)) => (id, txt) }.toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    assert(again.agg(sum(col("n_cut"))).head().getLong(0) === 0L)
+  }
+
   test("LSH pairs are a subset of blocked-exact pairs at the same threshold") {
     val docs = table("documents")
     val exact = TextDedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.1)
