@@ -109,6 +109,14 @@ object LlmEntry {
       // weighted by word frequency), top-20 merge candidates
       TextAnalysis.bpePairStats(t(s, dir, "documents"), col("text"), 20)),
 
+    "t15b_bpe_rounds" -> ((s, dir) =>
+      // the actual training LOOP t15 is round zero of: three full
+      // Sennrich iterations of count-pairs -> pick-top -> merge-apply
+      // over the weighted distinct-word list; output is the merge
+      // table a tokenizer ships. The oracle unrolls all three rounds
+      // in SQL with its own replace-based merge application.
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), col("text"), rounds = 3)),
+
     "t9_chunking" -> ((s, dir) =>
       // context-window chunking: 40-token chunks, 8-token overlap;
       // summarized per doc so the output stays compact (the chunk rows
@@ -1087,6 +1095,45 @@ object LlmEntry {
          |      FROM w)
          |SELECT pair, CAST(sum(wn) AS BIGINT) AS n
          |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // three unrolled Sennrich rounds over the bracket-wrapped symbol
+    // representation: each round counts adjacent symbol pairs weighted
+    // by word frequency, takes the (n desc, a, b) top-1, and applies
+    // the merge via literal replace of '[a][b]' with '[ab]' — the
+    // individually-delimited symbols make left-to-right replace equal
+    // greedy BPE merge application
+    "t15b_bpe_rounds" ->
+      s"""WITH tok AS (SELECT unnest(tk) AS word
+         |  FROM (SELECT $ToksSql AS tk FROM documents)),
+         |w AS (SELECT word, count(*) AS wn FROM tok GROUP BY 1),
+         |w1 AS (SELECT regexp_replace(word, '(.)', '[\\1]', 'g') AS wr, wn FROM w),
+         |p1 AS (SELECT unnest(list_transform(range(1, len(sy)),
+         |         i -> {'a': sy[CAST(i AS INTEGER)], 'b': sy[CAST(i AS INTEGER) + 1]})) AS pr, wn
+         |       FROM (SELECT string_split(substr(wr, 2, length(wr) - 2), '][') AS sy, wn
+         |             FROM w1) s1),
+         |t1 AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(wn) AS BIGINT) AS n
+         |       FROM p1 GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+         |w2 AS (SELECT replace(wr, '[' || a || '][' || b || ']',
+         |                      '[' || a || b || ']') AS wr, wn
+         |       FROM w1 CROSS JOIN t1),
+         |p2 AS (SELECT unnest(list_transform(range(1, len(sy)),
+         |         i -> {'a': sy[CAST(i AS INTEGER)], 'b': sy[CAST(i AS INTEGER) + 1]})) AS pr, wn
+         |       FROM (SELECT string_split(substr(wr, 2, length(wr) - 2), '][') AS sy, wn
+         |             FROM w2) s2),
+         |t2 AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(wn) AS BIGINT) AS n
+         |       FROM p2 GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+         |w3 AS (SELECT replace(wr, '[' || a || '][' || b || ']',
+         |                      '[' || a || b || ']') AS wr, wn
+         |       FROM w2 CROSS JOIN t2),
+         |p3 AS (SELECT unnest(list_transform(range(1, len(sy)),
+         |         i -> {'a': sy[CAST(i AS INTEGER)], 'b': sy[CAST(i AS INTEGER) + 1]})) AS pr, wn
+         |       FROM (SELECT string_split(substr(wr, 2, length(wr) - 2), '][') AS sy, wn
+         |             FROM w3) s3),
+         |t3 AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(wn) AS BIGINT) AS n
+         |       FROM p3 GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)
+         |SELECT CAST(1 AS INTEGER) AS round, a AS sym_a, b AS sym_b, n FROM t1
+         |UNION ALL SELECT 2, a, b, n FROM t2
+         |UNION ALL SELECT 3, a, b, n FROM t3""".stripMargin,
 
     "t9_chunking" ->
       s"""WITH t AS (

@@ -157,6 +157,68 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Multi-round BPE training — the loop [[bpePairStats]] (t15) is
+    * round zero of (Sennrich et al. 2016): each round counts adjacent
+    * symbol-pair frequencies over the weighted DISTINCT word list,
+    * picks the most frequent pair (ties by (count desc, pair asc)),
+    * merges it everywhere, and repeats. Output: the merge table —
+    * (round, sym_a, sym_b, n), the artifact a BPE tokenizer ships.
+    *
+    * Words are carried as bracket-wrapped symbol strings
+    * (`[t][h][e]` → after merging (t,h) → `[th][e]`): a merge is then
+    * ONE literal string `replace` of `[a][b]` with `[ab]`, and because
+    * every symbol is individually delimited, adjacent matches share no
+    * boundary characters — left-to-right non-overlapping replace
+    * semantics IS greedy BPE merge application, including the
+    * a == b run case (`[a][a][a]` → `[aa][a]`). Symbols never contain
+    * brackets (tokens are lowercased word chars), so false matches
+    * are impossible, and an external SQL engine replays the merge
+    * bit-for-bit with its own `replace`.
+    *
+    * Scale shape: the corpus-sized stage is the one word-count shuffle
+    * (map-side combined), cached once; every round after is
+    * vocabulary-sized — pair explode bounded by |vocab|·word_len,
+    * partial-aggregated counts, top-1 via a bounded heap
+    * (TakeOrderedAndProject), and a ONE-row collect per round
+    * (control-plane, like the k-means trainer's centroid pull). */
+  def bpeTrain(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val spark = df.sparkSession
+    val words0 = df.select(explode(tokens(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wn"))
+      .select(regexp_replace(col("word"), "(.)", "[$1]").as("wr"), col("wn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = words0
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = split(col("wr").substr(lit(2), length(col("wr")) - 2), "\\]\\[")
+      val top = cur
+        .select(col("wn"), syms.as("sy"))
+        .filter(size(col("sy")) > 1)
+        .select(col("wn"), explode(transform(
+          sequence(lit(1), size(col("sy")) - 1),
+          i => struct(element_at(col("sy"), i).as("a"),
+            element_at(col("sy"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, n))
+        cur = cur.withColumn("wr",
+          replace(col("wr"), lit(s"[$a][$b]"), lit(s"[$a$b]")))
+        r += 1
+      }
+    }
+    words0.unpersist()
+    import spark.implicits._
+    merges.result().toDF("round", "sym_a", "sym_b", "n")
+  }
+
   /** Bigram-LM mean surprisal — the next order up from
     * [[unigramSurprisal]] (t13)'s quality proxy, the cheapest
     * CONDITIONAL language model (KenLM-lineage filters start here):

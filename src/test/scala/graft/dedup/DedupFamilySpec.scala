@@ -324,6 +324,37 @@ class KnnSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import graft.text.TextAnalysis
 
+  test("bpeTrain replays hand-computed merges, including an a==b run") {
+    import spark.implicits._
+    // word counts: "loot" x3, "tool" x2, "lot" x1. Round 1 pairs:
+    // lo:3+1=4, oo:3+2=5, ot:3+1=4, to:2, ol:2 -> merge (o,o) n=5.
+    // Round 2 over {l,oo,t}: l-oo:3, oo-t:3, t-oo:2, oo-l:2, l-o:1,
+    // o-t:1 -> tie l-oo vs oo-t broken by sym asc: (l,oo) n=3.
+    // Round 3: loo-t:3, t-oo:2, oo-l:2, ... -> (loo,t) n=3.
+    val df = Seq((1L, "loot tool loot lot"), (2L, "loot tool"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(df, col("text"), rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq((1, "o", "o", 5L), (2, "l", "oo", 3L),
+      (3, "loo", "t", 3L)))
+    // round 1's winner agrees with the round-zero pair stats (t15)
+    val top0 = TextAnalysis.bpePairStats(df, col("text"), 1).head()
+    assert(top0.getString(0) === "oo" && top0.getLong(1) === 5L)
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    import spark.implicits._
+    // single-char words only: zero mergeable pairs in round 1
+    val df = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(df, col("text"), rounds = 4).count() === 0L)
+    // two-char word exhausts after one merge
+    val df2 = Seq((1L, "ab ab a")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrain(df2, col("text"), rounds = 4).collect()
+    assert(m2.length === 1)
+    assert(m2(0).getString(1) === "a" && m2(0).getString(2) === "b")
+  }
+
   test("scrubPii redacts and counts emails and phone numbers") {
     import spark.implicits._
     val df = Seq(
