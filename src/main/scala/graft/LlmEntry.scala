@@ -9,7 +9,7 @@ import graft.multimodal.Multimodal
 import graft.operators.Sampling
 import graft.streaming.Events
 import graft.sources.Tables
-import graft.text.{Packing, Search, TextAnalysis, Urls}
+import graft.text.{Html, Packing, Search, TextAnalysis, Urls}
 
 /** LLM-training-data + streaming operators (SURVEY §2: the d, e, t, m
   * and st families), with DuckDB oracles where SQL can express the
@@ -577,6 +577,28 @@ object LlmEntry {
       damaged.select(col("doc_id"),
           TextAnalysis.fixText(col("text2")).as("fixed"))
         .withColumn("n_chars", length(col("fixed")).cast("long"))
+    }),
+
+    "t19_extract" -> ((s, dir) => {
+      // HTML -> main text, the crawl pipeline's FRONT gate ahead of
+      // c1: each doc is rendered into a deterministic page (title +
+      // style block, pure-link nav bar, two content paragraphs with
+      // an &amp; entity, a "read more" teaser, a footer link farm),
+      // and the extractor must keep exactly the content paragraphs —
+      // nav/teaser/footer die by link density, title by length,
+      // style by invisible-subtree removal
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p { margin: 0; }</style></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">Section A</a> <a href=\"/b\">Section B</a></div>"),
+        lit("<p>intro &amp; overview: "), substring(col("text"), 1, 200),
+        lit("</p><p>"), substring(col("text"), 201, 400), lit("</p>"),
+        lit("<div>Read more <a href=\"/x\">click here</a> now</div>"),
+        lit("<div class=\"footer\">Copyright 2024 <a href=\"/terms\">Terms of Service</a> <a href=\"/privacy\">Privacy Policy</a></div>"),
+        lit("</body></html>"))
+      Html.extract(docs.select(col("doc_id"), page.as("html")),
+        col("doc_id"), col("html"))
     }),
 
     "d13_url_dedup" -> ((s, dir) => {
@@ -1952,6 +1974,51 @@ object LlmEntry {
         |  FROM p)
         |SELECT doc_id, fixed, CAST(length(fixed) AS BIGINT) AS n_chars
         |FROM f""".stripMargin,
+
+    // the extractor replayed: same page render, invisible-subtree
+    // strip, block split on the closer set, per-block visible/anchor
+    // text (tag strip -> entity decode with &amp; last -> whitespace
+    // collapse), length + link-density gate, survivors joined in order
+    "t19_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |  || '</title><style>p { margin: 0; }</style></head><body>'
+        |  || '<div class="nav"><a href="/">Home</a> <a href="/a">Section A</a> <a href="/b">Section B</a></div>'
+        |  || '<p>intro &amp; overview: ' || substr(text, 1, 200)
+        |  || '</p><p>' || substr(text, 201, 400) || '</p>'
+        |  || '<div>Read more <a href="/x">click here</a> now</div>'
+        |  || '<div class="footer">Copyright 2024 <a href="/terms">Terms of Service</a> <a href="/privacy">Privacy Policy</a></div>'
+        |  || '</body></html>' AS html
+        |  FROM documents),
+        |b AS (SELECT doc_id, string_split_regex(
+        |    regexp_replace(regexp_replace(html,
+        |      '(?s)<script[^>]*>.*?</script>', '', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', '', 'g'),
+        |    '</(?:p|div|h[1-6]|li|title|td|th|blockquote)>') AS bs
+        |  FROM h),
+        |m AS (SELECT doc_id, bs,
+        |  list_transform(bs, x -> trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(x, '<[^>]*>', '', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g'))) AS vs,
+        |  list_transform(bs, x -> trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      coalesce(array_to_string(regexp_extract_all(x, '(?s)<a[^>]*>(.*?)</a>', 1), ''), ''),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g'))) AS ls
+        |  FROM b),
+        |k AS (SELECT doc_id, len(bs) AS nb, vs,
+        |    list_filter(range(1, len(bs) + 1), i ->
+        |      length(vs[CAST(i AS INTEGER)]) >= 30
+        |      AND 3 * length(ls[CAST(i AS INTEGER)]) <= length(vs[CAST(i AS INTEGER)])) AS ki
+        |  FROM m)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_transform(ki, i -> vs[CAST(i AS INTEGER)]), ' '), '') AS extracted,
+        |  CAST(nb AS BIGINT) AS n_blocks, CAST(len(ki) AS BIGINT) AS n_kept
+        |FROM k""".stripMargin,
 
     // mirrors Urls.canonicalUrl step by step over the same deterministic
     // URL variants the entry derives

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.multimodal.Multimodal
-import graft.text.{TextAnalysis, Urls}
+import graft.text.{Html, TextAnalysis, Urls}
 
 /** Hand-case specs for the round-5 fourth-pass operator families
   * (g24-g26, t17, d13, m5/m6, b6). The driver's DuckDB oracle covers
@@ -112,6 +112,41 @@ class FourthPassSpec extends SparkSpec {
     val forms = Seq("s\u0323\u0307", "\u1e69").toDF("t")
       .select(TextAnalysis.fixText(col("t"))).distinct().collect()
     assert(forms.length === 1 && forms(0).getString(0) === "\u1e69")
+  }
+
+  test("Html.extract keeps content blocks, drops boilerplate by density") {
+    val body = "this paragraph carries the actual article content of the " +
+      "page and is comfortably longer than the minimum character gate"
+    val page = "<html><head><title>Short</title>" +
+      "<style>p { color: red; } .hidden { display: none; }</style>" +
+      "<script>var tracking = 'do not extract me ever';</script></head>" +
+      "<body><div><a href=\"/\">Home</a> <a href=\"/b\">Blog</a> " +
+      "<a href=\"/c\">Contact page</a></div>" +
+      "<p>" + body + "</p>" +
+      "<p>Tom &amp; Jerry &lt;3 say &quot;hi&quot; and stay " +
+      "long enough to pass the length gate easily</p>" +
+      "<div>More <a href=\"/n\">next article teaser link text</a></div>" +
+      "</body></html>"
+    val out = Html.extract(Seq((1L, page)).toDF("doc_id", "html"),
+      col("doc_id"), col("html")).head()
+    val extracted = out.getString(1)
+    // content survives; entities decoded; boilerplate and invisible
+    // subtrees gone
+    assert(extracted.contains(body))
+    assert(extracted.contains("Tom & Jerry <3 say \"hi\""))
+    assert(!extracted.contains("tracking") && !extracted.contains("color"))
+    assert(!extracted.contains("Home") && !extracted.contains("teaser"))
+    assert(out.getLong(3) === 2L) // exactly the two content paragraphs
+  }
+
+  test("Html link density gate: mostly-anchor blocks die even when long") {
+    // long block, but >1/3 of its chars are anchor text
+    val page = "<p>" + ("x" * 40) + " <a href=\"/\">" + ("y" * 40) +
+      "</a></p><p>" + ("z" * 40) + " plain tail with no links at all</p>"
+    val out = Html.extract(Seq((1L, page)).toDF("doc_id", "html"),
+      col("doc_id"), col("html")).head()
+    assert(out.getLong(3) === 1L)
+    assert(out.getString(1).startsWith("z" * 40))
   }
 
   test("canonicalUrl collapses the classic crawl variants to one key") {
