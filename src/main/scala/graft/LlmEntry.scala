@@ -517,6 +517,65 @@ object LlmEntry {
       Search.rrfFuse(Seq(vec, lex), k = 10)
     }),
 
+    "e9b_hybrid_indexed" -> ((s, dir) => {
+      // the 100 TB form of e9 (closing its documented brute-leg
+      // caveat): BOTH legs are steady-state probes of PERSISTED
+      // indexes — the e6b IVF-PQ vector index and the e8c BM25
+      // inverted index (shared with those entries: built once per
+      // (session, sf dir), reused here) — fused by the same RRF tail.
+      // Per probe batch nothing corpus-sized shuffles on either leg.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val aname = s"e6probe_${dir.hashCode.toHexString}"
+      if (AnnIndex.currentVersion(s, aname).isEmpty) {
+        AnnIndex.drop(s, aname)
+        AnnIndex.write(emb.filter(col("vec_id") >= 110), aname, buckets = 8)
+        AnnIndex.update(emb.filter(col("vec_id") >= 10 && col("vec_id") < 110),
+          aname, buckets = 8)
+      }
+      val sname = s"e8probe_${dir.hashCode.toHexString}"
+      if (Search.indexVersion(s, sname).isEmpty) {
+        Search.dropIndex(s, sname)
+        Search.writeIndex(docs.filter(col("doc_id") >= 110), col("doc_id"),
+          col("text"), sname, buckets = 8)
+        Search.updateIndex(docs.filter(col("doc_id") >= 10 && col("doc_id") < 110),
+          col("doc_id"), col("text"), sname, buckets = 8)
+      }
+      val vec = AnnIndex.topK(s, aname, emb.filter(col("vec_id") < 10), k = 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      // more-like-this terms: each query doc's distinct tokens probe
+      // the inverted index (the probe-batch form SearchStream uses)
+      val qterms = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      val lex = Search.probeIndexTerms(s, sname, qterms, k = 20)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      Search.rrfFuse(Seq(vec, lex), k = 10)
+    }),
+
+    "e12_recall_eval" -> ((s, dir) => {
+      // the recall@k audit every ANN rollout runs before trading
+      // recall for latency: e2's LSH leg scored against e1's exact
+      // baseline, per query (Knn.recallAtK) — both legs |Q|×k frames,
+      // the audit itself is join-and-count trivia
+      val v = t(s, dir, "embeddings")
+      val q = v.filter(col("vec_id") < 10)
+      val c = v.filter(col("vec_id") >= 10)
+      Knn.recallAtK(
+        Knn.lshTopK(q, c, k = 5),
+        Knn.bruteForceTopK(q, c, k = 5))
+    }),
+
+    "t15c_bpe_encode" -> ((s, dir) =>
+      // the consumption leg of t15b: tokenize the corpus with the
+      // 3-round trained merge table — per doc, words split to chars
+      // and the merges replayed in order; n_bpe_tokens is the count a
+      // model sees, n_chars the pre-merge symbol count. Training's
+      // one-row-per-round collects are the only non-map work; encode
+      // itself is map-only (zero shuffles).
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), col("doc_id"),
+        col("text"), rounds = 3)),
+
     "t1_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -588,17 +647,23 @@ object LlmEntry {
       // nav/teaser/footer die by link density, title by length,
       // style by invisible-subtree removal
       val docs = t(s, dir, "documents")
-      val page = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit("</title><style>p { margin: 0; }</style></head><body>"),
-        lit("<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">Section A</a> <a href=\"/b\">Section B</a></div>"),
-        lit("<p>intro &amp; overview: "), substring(col("text"), 1, 200),
-        lit("</p><p>"), substring(col("text"), 201, 400), lit("</p>"),
-        lit("<div>Read more <a href=\"/x\">click here</a> now</div>"),
-        lit("<div class=\"footer\">Copyright 2024 <a href=\"/terms\">Terms of Service</a> <a href=\"/privacy\">Privacy Policy</a></div>"),
-        lit("</body></html>"))
-      Html.extract(docs.select(col("doc_id"), page.as("html")),
+      Html.extract(docs.select(col("doc_id"), renderedPage.as("html")),
         col("doc_id"), col("html"))
+    }),
+
+    "c3_curate_html" -> ((s, dir) => {
+      // the pipeline a CRAWL actually runs, front to back: t19's HTML
+      // extraction feeds c1's curation chain (gate -> exact dedup ->
+      // near-dup apply) — the raw-markup-to-training-corpus
+      // composition, with the extractor's output column simply renamed
+      // into the chain's text contract
+      val docs = t(s, dir, "documents")
+      val extracted = Html.extract(
+        docs.select(col("doc_id"), renderedPage.as("html")),
+        col("doc_id"), col("html"))
+        .select(col("doc_id"), col("extracted").as("text"))
+      LlmCuration.run(extracted, col("doc_id"), col("text"),
+        minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
     }),
 
     "d13_url_dedup" -> ((s, dir) => {
@@ -748,8 +813,72 @@ object LlmEntry {
 
   // ------------------------------------------------------------------ //
 
-  private val ToksSql =
-    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  /** The deterministic synthetic page t19/c3 render per doc (Spark
+    * side) — boilerplate chrome around two content paragraphs carved
+    * from the doc's own text. [[RenderSql]] is the DuckDB twin. */
+  private def renderedPage: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style>p { margin: 0; }</style></head><body>"),
+    lit("<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">Section A</a> <a href=\"/b\">Section B</a></div>"),
+    lit("<p>intro &amp; overview: "), substring(col("text"), 1, 200),
+    lit("</p><p>"), substring(col("text"), 201, 400), lit("</p>"),
+    lit("<div>Read more <a href=\"/x\">click here</a> now</div>"),
+    lit("<div class=\"footer\">Copyright 2024 <a href=\"/terms\">Terms of Service</a> <a href=\"/privacy\">Privacy Policy</a></div>"),
+    lit("</body></html>"))
+
+  /** [[renderedPage]]'s DuckDB twin plus the extractor replay: CTEs
+    * h (render) -> b (invisible strip + block split) -> m (visible +
+    * anchor text per block) -> k (length + link-density keep set),
+    * ending with per-doc (extracted, n_blocks, n_kept) in CTE `xt`.
+    * Shared by the t19 oracle and c3's composed chain. */
+  private val ExtractCtes: String =
+    // NOTE: embedded into oracles that run stripMargin AFTER
+    // interpolation — no line here may begin with whitespace + '|'
+    // (the concatenation '||'s therefore trail their lines)
+    """h AS (SELECT doc_id,
+      |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |  '</title><style>p { margin: 0; }</style></head><body>' ||
+      |  '<div class="nav"><a href="/">Home</a> <a href="/a">Section A</a> <a href="/b">Section B</a></div>' ||
+      |  '<p>intro &amp; overview: ' || substr(text, 1, 200) ||
+      |  '</p><p>' || substr(text, 201, 400) || '</p>' ||
+      |  '<div>Read more <a href="/x">click here</a> now</div>' ||
+      |  '<div class="footer">Copyright 2024 <a href="/terms">Terms of Service</a> <a href="/privacy">Privacy Policy</a></div>' ||
+      |  '</body></html>' AS html
+      |  FROM documents),
+      |b AS (SELECT doc_id, string_split_regex(
+      |    regexp_replace(regexp_replace(html,
+      |      '(?s)<script[^>]*>.*?</script>', '', 'g'),
+      |      '(?s)<style[^>]*>.*?</style>', '', 'g'),
+      |    '</(?:p|div|h[1-6]|li|title|td|th|blockquote)>') AS bs
+      |  FROM h),
+      |m AS (SELECT doc_id, bs,
+      |  list_transform(bs, x -> trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(x, '<[^>]*>', '', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&nbsp;', ' '), '&amp;', '&'),
+      |    '\s+', ' ', 'g'))) AS vs,
+      |  list_transform(bs, x -> trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      coalesce(array_to_string(regexp_extract_all(x, '(?s)<a[^>]*>(.*?)</a>', 1), ''), ''),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&nbsp;', ' '), '&amp;', '&'),
+      |    '\s+', ' ', 'g'))) AS ls
+      |  FROM b),
+      |k AS (SELECT doc_id, len(bs) AS nb, vs,
+      |    list_filter(range(1, len(bs) + 1), i ->
+      |      length(vs[CAST(i AS INTEGER)]) >= 30
+      |      AND 3 * length(ls[CAST(i AS INTEGER)]) <= length(vs[CAST(i AS INTEGER)])) AS ki
+      |  FROM m),
+      |xt AS (SELECT doc_id,
+      |  coalesce(array_to_string(list_transform(ki, i -> vs[CAST(i AS INTEGER)]), ' '), '') AS extracted,
+      |  CAST(nb AS BIGINT) AS n_blocks, CAST(len(ki) AS BIGINT) AS n_kept
+      |FROM k)""".stripMargin
+
+  private def ToksSqlOn(c: String): String =
+    s"""list_filter(string_split_regex(lower($c), '\\s+'), x -> x <> '')"""
+
+  private val ToksSql = ToksSqlOn("text")
 
   /** e8's keyword queries — terms drawn from the synthetic corpus
     * vocabulary so every query has hits. One source of truth for the
@@ -929,6 +1058,72 @@ object LlmEntry {
        |c2 AS (${carry("c2n", "c1")})""".stripMargin
   }
 
+  /** The e6 persisted-index oracle: e5's IVF-PQ search pipeline with
+    * quantizers sampled from the BASE corpus only (vec_id >= 110) —
+    * the write()-then-update() state: update encodes the batch under
+    * the frozen base quantizers, so the probed index equals this
+    * direct computation. Parameterized by the final rank cut (5 for
+    * e6/e6b; 20 for e9b's vector leg). */
+  private def ivfPqIndexSql(rankLimit: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+       |base AS (SELECT neighbor_id, ce FROM c WHERE neighbor_id >= 110),
+       |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM base
+       |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
+       |cbs AS (SELECT neighbor_id AS code_id, ce FROM base
+       |        ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
+       |cb AS (SELECT code_id, CAST(j AS INTEGER) AS j,
+       |              list_slice(ce, j*16+1, j*16+16) AS cw
+       |       FROM cbs, range(0, 4) r(j)),
+       |sv AS (SELECT neighbor_id, CAST(j AS INTEGER) AS j,
+       |              list_slice(ce, j*16+1, j*16+16) AS xs
+       |       FROM c, range(0, 4) r(j)),
+       |enc0 AS (SELECT neighbor_id, j, code_id,
+       |    round(list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
+       |          + list_dot_product(cw, cw), 6) AS d2
+       |  FROM sv JOIN cb USING (j)),
+       |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
+       |                                 ORDER BY d2, code_id) AS rn FROM enc0)
+       |  WHERE rn = 1),
+       |asg0 AS (SELECT neighbor_id, cent_id,
+       |  round(list_dot_product(ce, cent) /
+       |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+       |  FROM c, cent),
+       |asg AS (SELECT neighbor_id, cent_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+       |  WHERE rn = 1),
+       |pr0 AS (SELECT query_id, cent_id,
+       |  round(list_dot_product(qe, cent) /
+       |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+       |  FROM q, cent),
+       |pr AS (SELECT query_id, cent_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
+       |  WHERE rn <= 4),
+       |qtab AS (SELECT query_id, j, code_id AS code,
+       |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
+       |  FROM q, cb),
+       |adc AS (SELECT query_id, neighbor_id,
+       |    round(CAST(sum(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc
+       |  FROM pr JOIN asg USING (cent_id)
+       |       JOIN enc USING (neighbor_id)
+       |       JOIN qtab USING (query_id, j, code)
+       |  GROUP BY 1, 2),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc DESC, neighbor_id) AS rn FROM adc)
+       |  WHERE rn <= 100),
+       |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
+       |      FROM short JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+       |FROM r WHERE rnk <= $rankLimit""".stripMargin
+
   /** 30-min-gap session assignment CTEs (w → f → sx), shared by the
     * st2 and st4 oracles. */
   private val SessionCtes =
@@ -945,7 +1140,96 @@ object LlmEntry {
     // e6b probes the identical (base-quantizer, update-merged) index
     // state e6 builds — output is the same by construction, so the two
     // share one oracle
-    baseOracleSql + ("e6b_ann_probe" -> baseOracleSql("e6_ann_index"))
+    baseOracleSql +
+      ("e6b_ann_probe" -> baseOracleSql("e6_ann_index")) +
+      // e9b: vector leg = the e6/e6b persisted-index pipeline ranked
+      // to 20 (as a subquery); lexical leg = e9's MLT CTEs verbatim
+      // over doc_id >= 10 (the indexed corpus — e8b's EXACT stats
+      // maintenance makes probe == fresh recompute); same RRF tail
+      ("e9b_hybrid_indexed" ->
+        s"""WITH vr AS (SELECT query_id, neighbor_id AS doc_id, rnk AS rank
+           |           FROM (${ivfPqIndexSql(20)}) iv),
+           |tok AS (SELECT doc_id, unnest(tk) AS token
+           |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id >= 10)),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+           |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+           |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS token
+           |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id < 10)),
+           |dfq AS (SELECT token, count(*) AS dfn
+           |        FROM tf JOIN (SELECT DISTINCT token FROM qt) USING (token)
+           |        GROUP BY 1),
+           |sc AS (SELECT query_id, doc_id, $Bm25TermSql AS term_score
+           |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
+           |       JOIN dl USING (doc_id) CROSS JOIN st),
+           |pd AS (SELECT query_id, doc_id,
+           |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+           |      AS score
+           |  FROM sc GROUP BY 1, 2),
+           |lr AS (SELECT query_id, doc_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY score DESC, doc_id) AS rank
+           |       FROM pd),
+           |u AS (SELECT query_id, doc_id, rank FROM vr WHERE rank <= 20
+           |      UNION ALL
+           |      SELECT query_id, doc_id, rank FROM lr WHERE rank <= 20),
+           |f AS (SELECT query_id, doc_id,
+           |    round(CAST(sum(CAST(round(CAST(1.0 AS DOUBLE)
+           |        / CAST(60 + rank AS DOUBLE), 9) AS DECIMAL(28,12))) AS DOUBLE), 6)
+           |      AS rrf_score
+           |  FROM u GROUP BY 1, 2),
+           |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |                 ORDER BY rrf_score DESC, doc_id) AS rn FROM f)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, rrf_score
+           |FROM fr WHERE rn <= 10""".stripMargin) +
+      // e12: the e2 (approx) and e1 (exact) pipelines as subqueries,
+      // joined per query — hit count over the shared (query, neighbor)
+      // pairs, recall = hits/exact
+      ("e12_recall_eval" ->
+        s"""WITH ap AS (SELECT query_id, neighbor_id
+           |           FROM (${baseOracleSql("e2_knn_lsh")}) a),
+           |ex AS (SELECT query_id, neighbor_id
+           |       FROM (${baseOracleSql("e1_knn_brute")}) b),
+           |ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+           |       FROM ex GROUP BY 1),
+           |nh AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+           |       FROM ap JOIN ex USING (query_id, neighbor_id) GROUP BY 1)
+           |SELECT query_id, n_exact,
+           |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           |  round(CAST(coalesce(n_hits, 0) AS DOUBLE)
+           |        / CAST(n_exact AS DOUBLE), 6) AS recall
+           |FROM ne LEFT JOIN nh USING (query_id)""".stripMargin) +
+      // t15c: the t15b merge table (as a subquery) replayed over every
+      // word of every doc — bracket-wrap then one literal replace per
+      // round in training order (identical greedy semantics); missing
+      // rounds (exhausted training) coalesce to an unmatchable needle
+      ("t15c_bpe_encode" ->
+        s"""WITH m AS (SELECT * FROM (${baseOracleSql("t15b_bpe_rounds")}) mm),
+           |w AS (SELECT doc_id, unnest(tk) AS word
+           |      FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
+           |wx1 AS (SELECT doc_id, word, replace(
+           |    regexp_replace(word, '(.)', '[\\1]', 'g'),
+           |    coalesce((SELECT '[' || sym_a || '][' || sym_b || ']' FROM m WHERE round = 1), chr(1)),
+           |    coalesce((SELECT '[' || sym_a || sym_b || ']' FROM m WHERE round = 1), '')) AS wr
+           |  FROM w),
+           |wx2 AS (SELECT doc_id, word, replace(wr,
+           |    coalesce((SELECT '[' || sym_a || '][' || sym_b || ']' FROM m WHERE round = 2), chr(1)),
+           |    coalesce((SELECT '[' || sym_a || sym_b || ']' FROM m WHERE round = 2), '')) AS wr
+           |  FROM wx1),
+           |wx3 AS (SELECT doc_id, word, replace(wr,
+           |    coalesce((SELECT '[' || sym_a || '][' || sym_b || ']' FROM m WHERE round = 3), chr(1)),
+           |    coalesce((SELECT '[' || sym_a || sym_b || ']' FROM m WHERE round = 3), '')) AS wr
+           |  FROM wx2),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           |    CAST(sum(length(wr) - length(replace(wr, '[', ''))) AS BIGINT)
+           |      AS n_bpe_tokens
+           |  FROM wx3 GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(agg.n_words, 0) AS BIGINT) AS n_words,
+           |  CAST(coalesce(agg.n_chars, 0) AS BIGINT) AS n_chars,
+           |  CAST(coalesce(agg.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+           |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin)
 
   private lazy val baseOracleSql: Map[String, String] = Map(
 
@@ -1549,69 +1833,7 @@ object LlmEntry {
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
          |FROM r WHERE rnk <= 5""".stripMargin,
 
-    "e6_ann_index" ->
-      // e5's search pipeline with quantizers sampled from the BASE
-      // corpus only (vec_id >= 110) — the write()-then-update() state:
-      // update encodes the batch under the frozen base quantizers, so
-      // the probed index equals this direct computation
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |           FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
-         |base AS (SELECT neighbor_id, ce FROM c WHERE neighbor_id >= 110),
-         |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM base
-         |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
-         |cbs AS (SELECT neighbor_id AS code_id, ce FROM base
-         |        ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
-         |cb AS (SELECT code_id, CAST(j AS INTEGER) AS j,
-         |              list_slice(ce, j*16+1, j*16+16) AS cw
-         |       FROM cbs, range(0, 4) r(j)),
-         |sv AS (SELECT neighbor_id, CAST(j AS INTEGER) AS j,
-         |              list_slice(ce, j*16+1, j*16+16) AS xs
-         |       FROM c, range(0, 4) r(j)),
-         |enc0 AS (SELECT neighbor_id, j, code_id,
-         |    round(list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
-         |          + list_dot_product(cw, cw), 6) AS d2
-         |  FROM sv JOIN cb USING (j)),
-         |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
-         |                                 ORDER BY d2, code_id) AS rn FROM enc0)
-         |  WHERE rn = 1),
-         |asg0 AS (SELECT neighbor_id, cent_id,
-         |  round(list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
-         |  FROM c, cent),
-         |asg AS (SELECT neighbor_id, cent_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
-         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
-         |  WHERE rn = 1),
-         |pr0 AS (SELECT query_id, cent_id,
-         |  round(list_dot_product(qe, cent) /
-         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
-         |  FROM q, cent),
-         |pr AS (SELECT query_id, cent_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
-         |  WHERE rn <= 4),
-         |qtab AS (SELECT query_id, j, code_id AS code,
-         |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
-         |  FROM q, cb),
-         |adc AS (SELECT query_id, neighbor_id,
-         |    round(CAST(sum(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc
-         |  FROM pr JOIN asg USING (cent_id)
-         |       JOIN enc USING (neighbor_id)
-         |       JOIN qtab USING (query_id, j, code)
-         |  GROUP BY 1, 2),
-         |short AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                 ORDER BY adc DESC, neighbor_id) AS rn FROM adc)
-         |  WHERE rn <= 100),
-         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
-         |      FROM short JOIN q USING (query_id) JOIN c USING (neighbor_id)),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
-         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
-         |FROM r WHERE rnk <= 5""".stripMargin,
+    "e6_ann_index" -> ivfPqIndexSql(5),
 
     // mirrors Sq.sqTopK: exact per-dim bounds, step=(hi-lo)/256,
     // mid-rise reconstruction lo+(code+0.5)*step, 6-dp rounding before
@@ -1980,45 +2202,36 @@ object LlmEntry {
     // text (tag strip -> entity decode with &amp; last -> whitespace
     // collapse), length + link-density gate, survivors joined in order
     "t19_extract" ->
-      """WITH h AS (SELECT doc_id,
-        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-        |  || '</title><style>p { margin: 0; }</style></head><body>'
-        |  || '<div class="nav"><a href="/">Home</a> <a href="/a">Section A</a> <a href="/b">Section B</a></div>'
-        |  || '<p>intro &amp; overview: ' || substr(text, 1, 200)
-        |  || '</p><p>' || substr(text, 201, 400) || '</p>'
-        |  || '<div>Read more <a href="/x">click here</a> now</div>'
-        |  || '<div class="footer">Copyright 2024 <a href="/terms">Terms of Service</a> <a href="/privacy">Privacy Policy</a></div>'
-        |  || '</body></html>' AS html
-        |  FROM documents),
-        |b AS (SELECT doc_id, string_split_regex(
-        |    regexp_replace(regexp_replace(html,
-        |      '(?s)<script[^>]*>.*?</script>', '', 'g'),
-        |      '(?s)<style[^>]*>.*?</style>', '', 'g'),
-        |    '</(?:p|div|h[1-6]|li|title|td|th|blockquote)>') AS bs
-        |  FROM h),
-        |m AS (SELECT doc_id, bs,
-        |  list_transform(bs, x -> trim(regexp_replace(
-        |    replace(replace(replace(replace(replace(replace(
-        |      regexp_replace(x, '<[^>]*>', '', 'g'),
-        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-        |      '&nbsp;', ' '), '&amp;', '&'),
-        |    '\s+', ' ', 'g'))) AS vs,
-        |  list_transform(bs, x -> trim(regexp_replace(
-        |    replace(replace(replace(replace(replace(replace(
-        |      coalesce(array_to_string(regexp_extract_all(x, '(?s)<a[^>]*>(.*?)</a>', 1), ''), ''),
-        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-        |      '&nbsp;', ' '), '&amp;', '&'),
-        |    '\s+', ' ', 'g'))) AS ls
-        |  FROM b),
-        |k AS (SELECT doc_id, len(bs) AS nb, vs,
-        |    list_filter(range(1, len(bs) + 1), i ->
-        |      length(vs[CAST(i AS INTEGER)]) >= 30
-        |      AND 3 * length(ls[CAST(i AS INTEGER)]) <= length(vs[CAST(i AS INTEGER)])) AS ki
-        |  FROM m)
-        |SELECT doc_id,
-        |  coalesce(array_to_string(list_transform(ki, i -> vs[CAST(i AS INTEGER)]), ' '), '') AS extracted,
-        |  CAST(nb AS BIGINT) AS n_blocks, CAST(len(ki) AS BIGINT) AS n_kept
-        |FROM k""".stripMargin,
+      s"""WITH $ExtractCtes
+         |SELECT doc_id, extracted, n_blocks, n_kept FROM xt""".stripMargin,
+
+    // t19's extraction feeding c1's chain verbatim: the extracted text
+    // IS the text column from t0 on
+    "c3_curate_html" ->
+      s"""WITH $ExtractCtes,
+         |t0 AS (SELECT doc_id, extracted AS text, ${ToksSqlOn("extracted")} AS tk
+         |       FROM xt),
+         |feat AS (SELECT doc_id, text, tk,
+         |  len(tk) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |    greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(tk, x -> x IN ($EnStopsSql))) AS DOUBLE) /
+         |    greatest(len(tk), 1) AS stop_ratio,
+         |  ${LangScoreSql.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")}
+         |  FROM t0),
+         |keepq AS (SELECT doc_id, text FROM (
+         |    SELECT *,
+         |      round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
+         |            0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS q,
+         |      $LangCaseSql AS lang
+         |    FROM feat)
+         |  WHERE q >= 0.5 AND lang = 'en'),
+         |uniq AS (SELECT min(doc_id) AS doc_id, first(text) AS text
+         |         FROM keepq GROUP BY md5(text)),
+         |${minhashCtes("uniq")},
+         |drops AS (SELECT DISTINCT doc_b FROM ver WHERE jaccard >= 0.1)
+         |SELECT doc_id FROM uniq
+         |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin,
 
     // mirrors Urls.canonicalUrl step by step over the same deterministic
     // URL variants the entry derives

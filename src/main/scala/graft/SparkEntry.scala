@@ -532,6 +532,13 @@ object SparkEntry {
         .unionByName(Profiler.fkAudit(t(s, dir, "lineitem"), col("l_orderkey"),
           t(s, dir, "orders"), col("o_orderkey"), "lineitem->orders"))),
 
+    "g30_skew_report" -> ((s, dir) =>
+      // the heavy-hitter planning report behind g13/g19's salt factor:
+      // top-10 hottest event users with exact counts and table share —
+      // one map-side-combined keyed count (the same shuffle the
+      // prospective join would pay) + a bounded-heap top-k
+      Skew.keyShareReport(Tables.loadEvents(s, dir), col("user_id"), k = 10)),
+
     "g22_winsorize" -> ((s, dir) =>
       // robust totals: amounts clamped into per-status [p05, p95]
       // before summing — the capped counterpart of g16's outlier screen
@@ -1035,6 +1042,17 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders o
         |   WHERE NOT EXISTS (SELECT 1 FROM lineitem l
         |                     WHERE l.l_orderkey = o.o_orderkey))""".stripMargin,
+
+    "g30_skew_report" ->
+      """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_rows
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c),
+        |r AS (SELECT key, n_rows,
+        |        round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |        row_number() OVER (ORDER BY n_rows DESC, key) AS rnk
+        |      FROM c CROSS JOIN t)
+        |SELECT key, n_rows, share, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 10""".stripMargin,
 
     "g22_winsorize" ->
       """WITH base AS (SELECT o_orderstatus AS grp, o_totalprice AS v FROM orders

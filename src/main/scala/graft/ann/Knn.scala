@@ -317,4 +317,28 @@ object Knn {
           .as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** Recall@k audit of an approximate retriever against the exact
+    * baseline — the number every ANN deployment quotes before trading
+    * recall for latency (choosing tables/planes for [[lshTopK]], nProbe
+    * for IVF, m for PQ). Both inputs are (query_id, neighbor_id) top-k
+    * frames (extra columns ignored; [[bruteForceTopK]] output feeds
+    * `exact`, any e2/e3/e5-family output feeds `approx`). Returns one
+    * row per query: (query_id, n_exact, n_hits, recall), recall =
+    * hits/exact rounded to 6 dp. Queries the approximate leg misses
+    * entirely still report (recall 0) — the audit must not hide them.
+    *
+    * Cost: both sides are |Q|×k frames, so the equi-join and keyed
+    * counts are trivia next to the searches themselves. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val ap = approx.select(col("query_id"), col("neighbor_id"))
+    val nExact = ex.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val nHits = ap.join(ex, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    nExact.join(nHits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6))
+  }
 }

@@ -50,4 +50,33 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__psum")).as("total"), sum(col("__pcnt")).as("n"))
   }
+
+  /** The PLANNING input for the tools above: the top-k hottest keys of
+    * a prospective shuffle column with each key's exact row count and
+    * share of the table. Whether a join needs [[saltedJoin]] (and with
+    * what factor — a key holding share `s` of the data needs roughly
+    * `s × shuffle.partitions` reducers' worth of splitting) is decided
+    * from exactly this report; it is also the heavy-hitter audit a
+    * skew incident starts from.
+    *
+    * Shape: ONE map-side-combined keyed count (the same single shuffle
+    * the prospective join would pay), the total re-aggregated from the
+    * counts frame into a one-row broadcast, top-k via bounded
+    * per-partition heaps (TakeOrderedAndProject — t10's posture, never
+    * a global sort). Output (key, n_rows, share, rnk), ties on key
+    * asc; share rounds to 6 dp. */
+  def keyShareReport(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n_rows").cast("double") / col("__total").cast("double"), 6))
+      .drop("__total")
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(k)
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_rows").desc, col("key"))).cast("int"))
+  }
 }

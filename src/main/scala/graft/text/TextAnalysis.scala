@@ -219,6 +219,47 @@ object TextAnalysis {
     merges.result().toDF("round", "sym_a", "sym_b", "n")
   }
 
+  /** Tokenize the corpus with a TRAINED BPE merge table — the
+    * consumption leg of [[bpeTrain]] (what "a tokenizer ships" is
+    * for): per document, every word is split to characters and the
+    * merge table applied in training order, giving the token count a
+    * model would actually see. The per-doc compression ratio
+    * (chars → BPE tokens) is the budget number sequence packing (t7)
+    * and context chunking (t9) consume once a real tokenizer replaces
+    * their whitespace proxy.
+    *
+    * Mechanics: training runs first ([[bpeTrain]] — its one-row-per-
+    * round collects are the only control-plane work); the learned
+    * merges (a `rounds`-row local table) then fold into ONE chained
+    * literal-replace expression over bracket-wrapped words, exactly
+    * the representation training used, so encode and train agree
+    * bit-for-bit (incl. greedy left-to-right a==b runs). Encoding is
+    * MAP-ONLY: no join, no shuffle — each doc computes its counts from
+    * its own tokens via higher-order functions.
+    *
+    * Output per doc: n_words, n_chars (symbols before any merge =
+    * summed word lengths), n_bpe_tokens (symbols after all merges;
+    * equals n_chars when the merge table is empty). */
+  def bpeEncode(df: DataFrame, id: Column, text: Column,
+                rounds: Int): DataFrame = {
+    val merges = bpeTrain(df, text, rounds).collect()
+    val encodeWord = (w: Column) => merges.foldLeft(
+      regexp_replace(w, "(.)", "[$1]")) { (c, m) =>
+      val (a, b) = (m.getString(1), m.getString(2))
+      replace(c, lit(s"[$a][$b]"), lit(s"[$a$b]"))
+    }
+    // symbols in a bracket-wrapped word = number of '[' delimiters
+    val symCount = (wr: Column) =>
+      (length(wr) - length(replace(wr, lit("["), lit("")))).cast("long")
+    val tk = tokens(text)
+    df.select(id.as("doc_id"),
+      size(tk).cast("long").as("n_words"),
+      aggregate(tk, lit(0L), (acc, w) => acc + length(w).cast("long"))
+        .as("n_chars"),
+      aggregate(tk, lit(0L), (acc, w) => acc + symCount(encodeWord(w)))
+        .as("n_bpe_tokens"))
+  }
+
   /** Bigram-LM mean surprisal — the next order up from
     * [[unigramSurprisal]] (t13)'s quality proxy, the cheapest
     * CONDITIONAL language model (KenLM-lineage filters start here):

@@ -52,7 +52,12 @@ class EntryPlanSpec extends SparkSpec {
     "g25_share_of_total", "e10_knn_sq8",
     // g28 stitches four ONE-ROW audit aggregates; x8 attaches the
     // ONE-ROW time-bounds row — same constant-side class
-    "g28_fk_audit", "x8_time_split")
+    "g28_fk_audit", "x8_time_split",
+    // e9b composes e6b's probe (query×constant-codebook ADC product)
+    // with e8c's (one-row corpus-stats product); e12 composes e1's
+    // exempt brute baseline with e2's LSH leg; g30 attaches the
+    // ONE-ROW total to the aggregated counts frame (t12's class)
+    "e9b_hybrid_indexed", "e12_recall_eval", "g30_skew_report")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ann.Knn
+import graft.text.TextAnalysis
+
+/** Hand-case specs for the round-6 sixth-pass operators (g30 skew
+  * report, e12 recall audit, t15c BPE encode) on inputs whose expected
+  * values are computable by hand. */
+class SixthPassSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keyShareReport: exact counts, shares, rank ties on key asc") {
+    // 10 rows: a×5, b×3, c×1, d×1 — c and d tie at 1 and must rank in
+    // key order; k=3 cuts d off
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val out = Skew.keyShareReport(df, col("k"), k = 3).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      r.getInt(3))).toSeq === Seq(
+      ("a", 5L, 0.5, 1), ("b", 3L, 0.3, 2), ("c", 1L, 0.1, 3)))
+  }
+
+  test("recallAtK: perfect, partial, and empty approximate legs") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    // q1 perfect, q2 half right (one hit, one miss), q3 missed entirely
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val out = Knn.recallAtK(approx, exact).orderBy("query_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq === Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+  }
+
+  test("bpeEncode: trained merges shrink token counts, greedy a==b runs") {
+    // corpus: "aaab aaab ab" — round 1 merges the most frequent pair.
+    // pairs of aaab (per word): aa, aa, ab; weighted ×2 -> aa:4, ab:3
+    // (ab also from the lone "ab" word) -> merge (a,a).
+    // greedy left-to-right on [a][a][a][b] -> [aa][a][b] (3 symbols)
+    val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out1 = TextAnalysis.bpeEncode(df, col("doc_id"), col("text"),
+      rounds = 1).collect().head
+    assert(out1.getLong(1) === 3L) // n_words
+    assert(out1.getLong(2) === 10L) // n_chars: 4+4+2
+    // aaab -> 3 symbols each, ab -> 2 (untouched by the (a,a) merge)
+    assert(out1.getLong(3) === 8L)
+    // more rounds never increase the count; round 0 of training is
+    // the char count itself
+    val out3 = TextAnalysis.bpeEncode(df, col("doc_id"), col("text"),
+      rounds = 3).collect().head
+    assert(out3.getLong(3) <= out1.getLong(3))
+  }
+
+  test("bpeEncode matches bpeTrain's merge table applied by hand") {
+    // two docs; verify the merge table drives the encode (the count
+    // drops by exactly the number of merged-pair occurrences, greedily
+    // counted)
+    val df = Seq((1L, "the then the"), (2L, "then")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, col("text"), rounds = 1).collect()
+    assert(merges.length === 1)
+    val (a, b) = (merges.head.getString(1), merges.head.getString(2))
+    // most frequent pair across {the×2, then×2}: th and he tie at 4
+    // ((t,h) in every word; (h,e) in every word) -> tie breaks on
+    // (a, b) asc -> (h,e)... "he" vs "th": 'h' < 't' so (h,e) wins
+    assert((a, b) === ("h", "e"))
+    val out = TextAnalysis.bpeEncode(df, col("doc_id"), col("text"),
+      rounds = 1).orderBy("doc_id").collect()
+    // doc 1: the(3->2) the(3->2) then(4->3) = 7; doc 2: then = 3
+    assert(out(0).getLong(3) === 7L)
+    assert(out(1).getLong(3) === 3L)
+  }
+}
