@@ -784,6 +784,26 @@ object LlmEntry {
           col("session_idx").cast("long").as("session_idx"))
     }),
 
+    "st7_interval_join" -> ((s, dir) => {
+      // the BATCH twin of Events.streamStreamJoin (same intervalJoin
+      // core, minus the watermarks — so the stream-stream leg's join
+      // semantics become driver-checkable): every click matched to the
+      // same user's views in the trailing hour, reduced per click to
+      // bounded stats. The user equi-key carries the one exchange per
+      // side; the hour bound is a residual filter, never a per-key
+      // nested loop.
+      val ev = Tables.loadEvents(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      Events.intervalJoin(clicks, views, "1 hour")
+        .groupBy(col("l_event_id").as("click_id"))
+        .agg(count(lit(1)).as("n_views"),
+          min(col("r_ts")).as("first_view_ts"),
+          max(col("r_ts")).as("last_view_ts"))
+    }),
+
     "st5_json_extract" -> ((s, dir) =>
       // schema-on-read over the semi-structured props payload:
       // from_json with an explicit schema (codegen'd Jackson parse),
@@ -2445,6 +2465,18 @@ object LlmEntry {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    "st7_interval_join" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT c.event_id AS click_id, v.ts AS vts
+        |      FROM c JOIN v ON c.user_id = v.user_id
+        |       AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts)
+        |SELECT click_id, CAST(count(*) AS BIGINT) AS n_views,
+        |       min(vts) AS first_view_ts, max(vts) AS last_view_ts
+        |FROM j GROUP BY 1""".stripMargin,
 
     "st3_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events

@@ -560,6 +560,13 @@ object SparkEntry {
       streaming.Events.funnel(Tables.loadEvents(s, dir),
         Seq("view", "click", "purchase"))),
 
+    "g17b_funnel_latency" -> ((s, dir) =>
+      // the latency leg of g17: seconds from each step to the next
+      // over the users who converted — n_users, exact decimal mean,
+      // exact R-7 p50/p90 (g9's percentile definition)
+      streaming.Events.funnelLatency(Tables.loadEvents(s, dir),
+        Seq("view", "click", "purchase"))),
+
     "g18_retention" -> ((s, dir) =>
       // weekly cohort retention triangle: cohort = week of first
       // event; n_users = cohort members active at each week offset.
@@ -1094,6 +1101,39 @@ object SparkEntry {
         |       (SELECT count(*) FROM s1) AS n_users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    // the same earliest-qualifying-event chain as g17, keeping each
+    // converting user's step timestamps; per-step seconds-from-previous
+    // mirror funnelLatency's float-op order (epoch-micros diff as
+    // DOUBLE / 1000000.0, mean over DECIMAL(28,6), R-7 percentiles)
+    "g17b_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1),
+        |l2 AS (SELECT CAST(epoch_us(s2.t) - epoch_us(s1.t) AS DOUBLE)
+        |              / 1000000.0 AS secs
+        |       FROM s2 JOIN s1 USING (user_id)),
+        |l3 AS (SELECT CAST(epoch_us(s3.t) - epoch_us(s2.t) AS DOUBLE)
+        |              / 1000000.0 AS secs
+        |       FROM s3 JOIN s2 USING (user_id))
+        |SELECT 2 AS step, 'click' AS event_type,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       round(CAST(avg(CAST(secs AS DECIMAL(28,6))) AS DOUBLE), 4)
+        |         AS mean_secs,
+        |       round(quantile_cont(secs, 0.5), 4) AS p50_secs,
+        |       round(quantile_cont(secs, 0.9), 4) AS p90_secs
+        |FROM l2
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+        |       round(CAST(avg(CAST(secs AS DECIMAL(28,6))) AS DOUBLE), 4),
+        |       round(quantile_cont(secs, 0.5), 4),
+        |       round(quantile_cont(secs, 0.9), 4)
+        |FROM l3""".stripMargin,
 
     "g18_retention" ->
       """WITH a AS (SELECT user_id, date_trunc('week', ts) AS aw FROM events),

@@ -80,16 +80,29 @@ object Events {
       round(col("n").cast(DoubleType) / sum(col("n")).over(outTotals), 6))
   }
 
-  /** Watermarked stream-stream inner join: each left event matches
-    * right events of the same user within [left.ts - lookback, left.ts].
-    * The watermarks + the time-bound let Spark expire join state — the
-    * knob that keeps state finite at production fan-in. Column names
-    * are prefixed l_/r_ to keep the join self-describing. */
+  private def prefixed(df: DataFrame, p: String): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
+
+  /** The interval join both [[streamStreamJoin]] and its batch twin
+    * (st7) share: each left event matches right events of the same
+    * user within [left.ts - lookback, left.ts]. The user equi-key
+    * carries the shuffle (key-aligned, one exchange per side); the
+    * time bound is a residual filter on the joined pairs — never a
+    * per-key nested loop over the whole table. Column names are
+    * prefixed l_/r_ to keep the join self-describing. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lookback: String = "1 hour"): DataFrame =
+    prefixed(left, "l_").join(prefixed(right, "r_"), expr(
+      s"""l_user_id = r_user_id AND
+         |r_ts BETWEEN l_ts - interval $lookback AND l_ts""".stripMargin))
+
+  /** Watermarked stream-stream inner join — [[intervalJoin]] with
+    * watermarks on both sides: the watermarks + the time-bound let
+    * Spark expire join state, the knob that keeps state finite at
+    * production fan-in. */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
                        lookback: String = "1 hour",
                        watermark: String = "1 hour"): DataFrame = {
-    def prefixed(df: DataFrame, p: String): DataFrame =
-      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
     val l = prefixed(left, "l_").withWatermark("l_ts", watermark)
     val r = prefixed(right, "r_").withWatermark("r_ts", watermark)
     l.join(r, expr(
@@ -123,6 +136,47 @@ object Events {
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).as("step"), lit(step).as("event_type"),
           col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Time-to-convert distribution per funnel step — the latency leg of
+    * [[funnel]] (reach counts say HOW MANY converted; this says HOW
+    * LONG each conversion took, the number a growth team actually
+    * tunes against). Walks the identical per-user earliest-qualifying-
+    * event chain, but keeps each user's step timestamps and reports,
+    * per step i >= 2, the seconds from step i-1 over the users who
+    * reached step i: n_users, exact decimal mean, exact R-7 p50/p90
+    * (g9's percentile definition, so DuckDB's quantile_cont replays
+    * it; rounded 4 dp).
+    *
+    * Scale shape = funnel's: per-step key-aligned equi-joins +
+    * partial-aggregating mins over monotonically shrinking survivor
+    * sets; the final stats aggregate one row per converting user per
+    * step. The per-step percentile is the only survivors-sized cost
+    * (the g14b sketch is the 100 TB swap). */
+  def funnelLatency(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "funnelLatency needs at least two steps")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("step_ts"))
+    val perStep = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("step_ts").as("prev_ts")), "user_id")
+        .where(col("ts") >= col("prev_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("step_ts"))
+    }
+    perStep.sliding(2).toSeq.zip(steps.tail).zipWithIndex.map {
+      case ((Seq(prev, cur), step), i) =>
+        cur.join(prev.select(col("user_id"), col("step_ts").as("prev_ts")), "user_id")
+          .select(col("user_id"),
+            (unix_micros(col("step_ts")) - unix_micros(col("prev_ts")))
+              .cast(DoubleType).divide(1000000.0).as("secs"))
+          .agg(count(lit(1)).as("n_users"),
+            round(avg(col("secs").cast(DecimalType(28, 6))).cast(DoubleType), 4)
+              .as("mean_secs"),
+            round(expr("percentile(secs, 0.5)"), 4).as("p50_secs"),
+            round(expr("percentile(secs, 0.9)"), 4).as("p90_secs"))
+          .select(lit(i + 2).as("step"), lit(step).as("event_type"),
+            col("n_users"), col("mean_secs"), col("p50_secs"), col("p90_secs"))
     }.reduce(_ unionAll _)
   }
 

@@ -1,9 +1,12 @@
 package graft.operators
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.ann.Knn
+import graft.streaming.Events
 import graft.text.TextAnalysis
 
 /** Hand-case specs for the round-6 sixth-pass operators (g30 skew
@@ -52,6 +55,48 @@ class SixthPassSpec extends SparkSpec {
     val out3 = TextAnalysis.bpeEncode(df, col("doc_id"), col("text"),
       rounds = 3).collect().head
     assert(out3.getLong(3) <= out1.getLong(3))
+  }
+
+  test("funnelLatency: per-step conversion latencies incl. R-7 percentiles") {
+    def ts(secs: Long) = new Timestamp(secs * 1000L)
+    // u1 converts fully (view->click 60s, click->purchase 60s); u2
+    // clicks 30s after viewing but never purchases; u3 clicks without
+    // ever viewing (not in the funnel at all)
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(60), 1L, "click", 0.0),
+      (3L, ts(120), 1L, "purchase", 0.0),
+      (4L, ts(0), 2L, "view", 0.0), (5L, ts(30), 2L, "click", 0.0),
+      (6L, ts(10), 3L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.funnelLatency(ev, Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+    // step 2: secs {60, 30} -> mean 45, p50 45, p90 R-7 = 30+0.9*30 = 57
+    assert(out(0).getInt(0) === 2 && out(0).getString(1) === "click")
+    assert(out(0).getLong(2) === 2L)
+    assert(out(0).getDouble(3) === 45.0)
+    assert(out(0).getDouble(4) === 45.0)
+    assert(out(0).getDouble(5) === 57.0)
+    // step 3: only u1 -> all stats 60
+    assert(out(1).getInt(0) === 3 && out(1).getString(1) === "purchase")
+    assert(out(1).getLong(2) === 1L)
+    assert(out(1).getDouble(3) === 60.0)
+    assert(out(1).getDouble(4) === 60.0)
+    assert(out(1).getDouble(5) === 60.0)
+  }
+
+  test("intervalJoin: trailing-window matches, boundaries inclusive") {
+    def ts(secs: Long) = new Timestamp(secs * 1000L)
+    val clicks = Seq((10L, 1L, ts(3600))).toDF("event_id", "user_id", "ts")
+    val views = Seq(
+      (1L, 1L, ts(0)),     // exactly lookback before the click: IN
+      (2L, 1L, ts(1800)),  // inside the window: IN
+      (3L, 1L, ts(3600)),  // same instant: IN
+      (4L, 1L, ts(3601)),  // after the click: OUT
+      (5L, 2L, ts(3500))   // other user: OUT
+    ).toDF("event_id", "user_id", "ts")
+    val out = Events.intervalJoin(clicks, views, "1 hour")
+      .select("r_event_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L, 3L))
   }
 
   test("bpeEncode matches bpeTrain's merge table applied by hand") {
