@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g measured faster than 32g here (G1 on a huge heap collects less
   // often but much longer, which shows up in per-query timings)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the 130-query suite × 5 bench passes JIT-compiles far more than
+  // the 240m default code cache holds; when it fills, the JIT stops
+  // compiling and everything drifts slower together (r6's fleet-wide
+  // 1.13x pattern — see Bench.scala scaladoc)
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -14,6 +14,29 @@ import org.apache.spark.sql.functions.{col, max, md5}
   * if the canary moved with the queries, the host moved, not the code
   * (measured r2: the same binary's total drifted 36s→70s over a day
   * of host contention while per-query plans were unchanged).
+  *
+  * r6 postmortem (the fleet-wide ~1.13x drift on untouched queries
+  * while the canary ran FASTER): Spark's generated-class cache
+  * (`spark.sql.codegen.cache.maxEntries`) defaults to 100 entries,
+  * and the suite generates far more distinct codegen sources than
+  * that PER PASS — so by r6's 130 queries every pass re-compiled
+  * ~everything through Janino, churning JIT code cache and metaspace
+  * for all 5 passes. The canary's one tiny early-compiled plan
+  * doesn't see it, which is exactly the observed signature (queries
+  * drift together; canary doesn't; drift grows with query count:
+  * 118 -> 130 queries between r5 and r6). Fix: raise the cache so a
+  * pass's classes are compiled once and reused by every later pass.
+  *
+  * Per-query MEDIANS of the timed passes are recorded alongside mins
+  * in the durable BENCH_FULL.json (medians are robust to the one-off
+  * fast/slow outliers that made the d2b/d2 cost ratio unverifiable
+  * from mins alone in r6), plus the d2b/d2 median ratio as a
+  * first-class field — the committed <=1.5x target, now measurable
+  * from the official artifact.
+  *
+  * `SPARK_GRAFT_QUERIES` (comma-separated names) restricts the run —
+  * the standalone-profiling mode the bench-artifact discipline calls
+  * for when a full-run number looks off.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,8 +48,17 @@ object Bench {
       .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // hold every pass's generated classes (default 100 is far below
+      // one pass's distinct codegen sources — see scaladoc)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val onlyQ: Option[Set[String]] = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = onlyQ match {
+      case Some(qs) => SparkEntry.queries.filter { case (n, _) => qs(n) }
+      case None => SparkEntry.queries
+    }
     def canary(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 8000000L, 1L, cpus.toInt)
@@ -35,7 +67,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def once(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
@@ -57,35 +89,55 @@ object Bench {
     canary(); canary(): Unit
     // drop operator-internal .cache() data so timed passes recompute
     // everything — only JIT/codegen warmth carries over, not results.
+    // A full GC between passes keeps warmup garbage from being
+    // collected mid-pass inside someone's timing window.
     // Three interleaved timed passes, per-query min: single-JVM runs
     // jitter by whole seconds (GC, compile threads) and min-of-n is
     // the standard steady-state estimator.
     val passes = Seq.fill(3) {
       spark.catalog.clearCache()
+      System.gc()
       (once(), canary())
     }
-    val results = passes.map(_._1).flatten.groupMapReduce(_._1)(_._2)(math.min)
+    val byQuery = passes.map(_._1).flatten.groupMap(_._1)(_._2)
+    val results = byQuery.view.mapValues(_.min).toMap
+    // median of the 3 timed passes (robust companion to the min)
+    val medians = byQuery.view.mapValues { ts =>
+      val s = ts.sorted; s(s.length / 2)
+    }.toMap
     val canaries = passes.map(_._2)
     // ms precision + short field set: the driver captures a bounded
     // tail of stdout, and r3's full-precision doubles (~18 chars each
     // over 64 queries) pushed the line past the window, truncating 8
     // queries and the total. total/canary also repeat AFTER the query
-    // map so they survive truncation from either end.
+    // map so they survive truncation from either end. The per-query
+    // MEDIAN map goes only to the durable file (below), keeping the
+    // stdout line within the driver's window.
     def f3(v: Double): String = f"$v%.3f"
-    val qs = results.toSeq.sortBy(_._1)
+    def qmap(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val cs = canaries.map(f3).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","canary_sec":$cs,"canary_min":${f3(canaries.min)},"methodology":"2 warmup passes + 2 canary-only warmups; min over 3 interleaved timed passes, caches cleared between; canary = fixed ${cpus}-way md5 scan per pass (host-noise ref)","queries":$qs,"total":${f3(total)},"canary":${f3(canaries.min)}}"""
+    // the committed d2b/d2 <=1.5x target, measured on medians so one
+    // anomalous pass can't hide or fake it (r6: d2's full-run MIN sat
+    // below its standalone band, making the ratio unverifiable)
+    val d2Ratio = (medians.get("d2b_ngram_jaccard_capped"), medians.get("d2_ngram_jaccard")) match {
+      case (Some(b), Some(a)) if a > 0 => s""","d2b_over_d2_med":${f3(b / a)}"""
+      case _ => ""
+    }
+    val core = s""""metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","canary_sec":$cs,"canary_min":${f3(canaries.min)}$d2Ratio,"methodology":"2 warmup passes + 2 canary-only warmups; min over 3 interleaved timed passes, caches cleared + full GC between; codegen class cache 4096; canary = fixed ${cpus}-way md5 scan per pass (host-noise ref); medians of the same passes in queries_med (BENCH_FULL.json)""""
+    val json = s"""{$core,"queries":${qmap(results)},"total":${f3(total)},"canary":${f3(canaries.min)}}"""
     println(json)
     // ALSO persist the complete record to a committed file: the driver
     // keeps only a bounded stdout tail, which in r5 truncated 36 of 118
     // per-query numbers out of the official artifact. The file is the
-    // durable copy; stdout stays the driver contract.
+    // durable copy (incl. per-query medians); stdout stays the driver
+    // contract.
+    val full = s"""{$core,"queries":${qmap(results)},"queries_med":${qmap(medians)},"total":${f3(total)},"canary":${f3(canaries.min)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()

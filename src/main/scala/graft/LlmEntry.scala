@@ -21,6 +21,33 @@ object LlmEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Build the shared per-(session, sf dir) ANN probe index iff absent
+    * OR INCOMPLETE. A complete build is exactly version 1 (write
+    * commits v0, update commits v1), so the gate is `contains(1)`, not
+    * `isEmpty`: a crash between write() and update() leaves a
+    * version-VISIBLE index missing the 10..110 batch, which an
+    * existence gate would silently reuse forever — this gate detects
+    * the torn state and rebuilds. */
+  private def ensureAnnProbeIndex(s: SparkSession, emb: DataFrame,
+                                  name: String): Unit =
+    if (!AnnIndex.currentVersion(s, name).contains(1)) {
+      AnnIndex.drop(s, name) // clear partial/orphaned state
+      AnnIndex.write(emb.filter(col("vec_id") >= 110), name, buckets = 8)
+      AnnIndex.update(emb.filter(col("vec_id") >= 10 && col("vec_id") < 110),
+        name, buckets = 8)
+    }
+
+  /** BM25 twin of [[ensureAnnProbeIndex]] — same complete-is-v1 gate. */
+  private def ensureBm25ProbeIndex(s: SparkSession, docs: DataFrame,
+                                   name: String): Unit =
+    if (!Search.indexVersion(s, name).contains(1)) {
+      Search.dropIndex(s, name) // clear partial/orphaned state
+      Search.writeIndex(docs.filter(col("doc_id") >= 110), col("doc_id"),
+        col("text"), name, buckets = 8)
+      Search.updateIndex(docs.filter(col("doc_id") >= 10 && col("doc_id") < 110),
+        col("doc_id"), col("text"), name, buckets = 8)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "d1_exact_dedup" -> ((s, dir) =>
@@ -451,13 +478,27 @@ object LlmEntry {
       // same frozen-quantizer update — so both share one oracle.
       val v = t(s, dir, "embeddings")
       val name = s"e6probe_${dir.hashCode.toHexString}"
-      if (AnnIndex.currentVersion(s, name).isEmpty) {
-        AnnIndex.drop(s, name) // clear orphaned dirs from a prior JVM
-        AnnIndex.write(v.filter(col("vec_id") >= 110), name, buckets = 8)
-        AnnIndex.update(v.filter(col("vec_id") >= 10 && col("vec_id") < 110),
-          name, buckets = 8)
-      }
+      ensureAnnProbeIndex(s, v, name)
       AnnIndex.topK(s, name, v.filter(col("vec_id") < 10), k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "e6c_ann_delete" -> ((s, dir) => {
+      // the DELETE leg of the ANN index lifecycle (e8d's vector twin):
+      // build+update as e6, then remove a vector set under the frozen-
+      // quantizer contract — cents/codebook untouched, the deleted ids
+      // leave assign/codes/vectors — and probe. The oracle runs the
+      // e6 pipeline with quantizers sampled from the FULL base but the
+      // searchable corpus minus the deleted set.
+      val v = t(s, dir, "embeddings")
+      AnnIndex.drop(s, "e6dix")
+      AnnIndex.write(v.filter(col("vec_id") >= 110), "e6dix", buckets = 8)
+      AnnIndex.update(v.filter(col("vec_id") >= 10 && col("vec_id") < 110),
+        "e6dix", buckets = 8)
+      AnnIndex.delete(
+        v.filter(col("vec_id") >= 10 && col("vec_id") % 9 === 0)
+          .select("vec_id"), "e6dix", buckets = 8)
+      AnnIndex.topK(s, "e6dix", v.filter(col("vec_id") < 10), k = 5)
         .withColumnRenamed("rank", "rnk")
     }),
 
@@ -490,14 +531,27 @@ object LlmEntry {
       // probes — the latency a search service quotes
       val docs = t(s, dir, "documents")
       val name = s"e8probe_${dir.hashCode.toHexString}"
-      if (Search.indexVersion(s, name).isEmpty) {
-        Search.dropIndex(s, name) // clear orphaned dirs from a prior JVM
-        Search.writeIndex(docs.filter(col("doc_id") >= 110), col("doc_id"),
-          col("text"), name, buckets = 8)
-        Search.updateIndex(docs.filter(col("doc_id") >= 10 && col("doc_id") < 110),
-          col("doc_id"), col("text"), name, buckets = 8)
-      }
+      ensureBm25ProbeIndex(s, docs, name)
       Search.probeIndex(s, name, Bm25Queries, k = 5)
+    }),
+
+    "e8d_bm25_delete" -> ((s, dir) => {
+      // the DELETE leg of the index lifecycle — the GDPR-takedown /
+      // recrawl-tombstone flow e8b/e8c lacked: build+update as e8b,
+      // then remove a doc set with the same EXACT stats subtraction
+      // updateIndex does, and probe. The oracle recomputes BM25 over
+      // the SURVIVING corpus from scratch — the probe must match a
+      // fresh build bit for bit (also spec-asserted).
+      val docs = t(s, dir, "documents")
+      Search.dropIndex(s, "e8dix")
+      Search.writeIndex(docs.filter(col("doc_id") >= 110), col("doc_id"),
+        col("text"), "e8dix", buckets = 8)
+      Search.updateIndex(docs.filter(col("doc_id") >= 10 && col("doc_id") < 110),
+        col("doc_id"), col("text"), "e8dix", buckets = 8)
+      Search.deleteFromIndex(
+        docs.filter(col("doc_id") >= 10 && col("doc_id") % 7 === 0)
+          .select("doc_id"), "e8dix", buckets = 8)
+      Search.probeIndex(s, "e8dix", Bm25Queries, k = 5)
     }),
 
     "e9_hybrid_rrf" -> ((s, dir) => {
@@ -527,20 +581,9 @@ object LlmEntry {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       val aname = s"e6probe_${dir.hashCode.toHexString}"
-      if (AnnIndex.currentVersion(s, aname).isEmpty) {
-        AnnIndex.drop(s, aname)
-        AnnIndex.write(emb.filter(col("vec_id") >= 110), aname, buckets = 8)
-        AnnIndex.update(emb.filter(col("vec_id") >= 10 && col("vec_id") < 110),
-          aname, buckets = 8)
-      }
+      ensureAnnProbeIndex(s, emb, aname)
       val sname = s"e8probe_${dir.hashCode.toHexString}"
-      if (Search.indexVersion(s, sname).isEmpty) {
-        Search.dropIndex(s, sname)
-        Search.writeIndex(docs.filter(col("doc_id") >= 110), col("doc_id"),
-          col("text"), sname, buckets = 8)
-        Search.updateIndex(docs.filter(col("doc_id") >= 10 && col("doc_id") < 110),
-          col("doc_id"), col("text"), sname, buckets = 8)
-      }
+      ensureBm25ProbeIndex(s, docs, sname)
       val vec = AnnIndex.topK(s, aname, emb.filter(col("vec_id") < 10), k = 20)
         .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
       // more-like-this terms: each query doc's distinct tokens probe
@@ -1083,13 +1126,16 @@ object LlmEntry {
     * the write()-then-update() state: update encodes the batch under
     * the frozen base quantizers, so the probed index equals this
     * direct computation. Parameterized by the final rank cut (5 for
-    * e6/e6b; 20 for e9b's vector leg). */
-  private def ivfPqIndexSql(rankLimit: Int): String =
+    * e6/e6b; 20 for e9b's vector leg) and an extra searchable-corpus
+    * predicate (e6c's delete leg: the corpus sheds the deleted ids but
+    * the quantizer sample stays the FULL base — the frozen contract). */
+  private def ivfPqIndexSql(rankLimit: Int, corpusExtra: String = ""): String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |           FROM embeddings),
        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
-       |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
-       |base AS (SELECT neighbor_id, ce FROM c WHERE neighbor_id >= 110),
+       |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v
+       |      WHERE vec_id >= 10$corpusExtra),
+       |base AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 110),
        |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM base
        |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
        |cbs AS (SELECT neighbor_id AS code_id, ce FROM base
@@ -1225,8 +1271,10 @@ object LlmEntry {
       // rounds (exhausted training) coalesce to an unmatchable needle
       ("t15c_bpe_encode" ->
         s"""WITH m AS (SELECT * FROM (${baseOracleSql("t15b_bpe_rounds")}) mm),
-           |w AS (SELECT doc_id, unnest(tk) AS word
-           |      FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
+           |w AS (SELECT doc_id, word FROM (
+           |        SELECT doc_id, unnest(tk) AS word
+           |        FROM (SELECT doc_id, $ToksSql AS tk FROM documents)) uw
+           |      WHERE NOT contains(word, '[') AND NOT contains(word, ']')),
            |wx1 AS (SELECT doc_id, word, replace(
            |    regexp_replace(word, '(.)', '[\\1]', 'g'),
            |    coalesce((SELECT '[' || sym_a || '][' || sym_b || ']' FROM m WHERE round = 1), chr(1)),
@@ -1427,11 +1475,14 @@ object LlmEntry {
     // by word frequency, takes the (n desc, a, b) top-1, and applies
     // the merge via literal replace of '[a][b]' with '[ab]' — the
     // individually-delimited symbols make left-to-right replace equal
-    // greedy BPE merge application
+    // greedy BPE merge application. Tokens containing '[' or ']' are
+    // excluded (TextAnalysis.bpeWords — they'd break the delimiters).
     "t15b_bpe_rounds" ->
       s"""WITH tok AS (SELECT unnest(tk) AS word
          |  FROM (SELECT $ToksSql AS tk FROM documents)),
-         |w AS (SELECT word, count(*) AS wn FROM tok GROUP BY 1),
+         |w AS (SELECT word, count(*) AS wn FROM tok
+         |      WHERE NOT contains(word, '[') AND NOT contains(word, ']')
+         |      GROUP BY 1),
          |w1 AS (SELECT regexp_replace(word, '(.)', '[\\1]', 'g') AS wr, wn FROM w),
          |p1 AS (SELECT unnest(list_transform(range(1, len(sy)),
          |         i -> {'a': sy[CAST(i AS INTEGER)], 'b': sy[CAST(i AS INTEGER) + 1]})) AS pr, wn
@@ -1855,6 +1906,11 @@ object LlmEntry {
 
     "e6_ann_index" -> ivfPqIndexSql(5),
 
+    // e6c: the e6 pipeline with the searchable corpus minus the
+    // deleted set; quantizers still sample the FULL base (frozen
+    // contract — delete touches assign/codes/vectors only)
+    "e6c_ann_delete" -> ivfPqIndexSql(5, " AND vec_id % 9 <> 0"),
+
     // mirrors Sq.sqTopK: exact per-dim bounds, step=(hi-lo)/256,
     // mid-rise reconstruction lo+(code+0.5)*step, 6-dp rounding before
     // every rank, ties to the smaller id
@@ -2080,6 +2136,10 @@ object LlmEntry {
     // restricted to the indexed corpus
     "e8b_bm25_indexed" -> bm25OracleSql("WHERE doc_id >= 10"),
     "e8c_bm25_probe" -> bm25OracleSql("WHERE doc_id >= 10"),
+    // e8d: exact-stats delete — the probe must equal BM25 recomputed
+    // from scratch over the SURVIVING corpus
+    "e8d_bm25_delete" ->
+      bm25OracleSql("WHERE doc_id >= 10 AND doc_id % 7 <> 0"),
 
     // vector leg = e1's exact-cosine CTEs at k=20; lexical leg = MLT
     // BM25 (query terms = each query doc's distinct tokens) at k=20;

@@ -162,6 +162,28 @@ object AnnIndex {
       buckets)
   }
 
+  /** Remove a vector id set from index `name` — the takedown /
+    * tombstone leg next to [[update]], under the same frozen-quantizer
+    * contract: cents/codebook pass through untouched (retraining is a
+    * separate cadence), and the deleted ids leave `assign`, `codes`,
+    * and `vectors` by one anti-join each — so a probe after delete
+    * equals a probe of an index whose corpus never contained them
+    * (spec-asserted). Ids absent from the index are no-ops. `ids`'
+    * first column is the vector id; a delete set is
+    * takedown-request-sized — broadcast. Returns the new version. */
+  def delete(ids: DataFrame, name: String, buckets: Int = 32): Int = {
+    val spark = ids.sparkSession
+    val v = currentVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no ANN index named $name"))
+    val del = broadcast(
+      ids.select(col(ids.columns.head).as("neighbor_id")).distinct())
+    def anti(t: String) = spark.table(s"${name}_${t}_v$v")
+      .join(del, Seq("neighbor_id"), "left_anti")
+    commit(spark, name,
+      spark.table(s"${name}_cents_v$v"), spark.table(s"${name}_codebook_v$v"),
+      anti("assign"), anti("codes"), anti("vectors"), buckets)
+  }
+
   /** IVF-PQ top-k against the current index version — same pipeline,
     * ranking, and output schema as [[Pq.ivfPqTopK]], but every
     * corpus-sized input is a bucketed index scan: candidates join

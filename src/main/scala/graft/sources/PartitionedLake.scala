@@ -24,13 +24,17 @@ object PartitionedLake {
 
   /** Write `df` partitioned by the day of `ts`. `filesPerDay` bounds
     * the output file count per partition directory: rows shuffle on
-    * (dt, salt) with `salt = pmod(hash(row), filesPerDay)`, so each day
-    * spreads over at most `filesPerDay` writer tasks (partitionBy then
-    * emits one file per day per task). Keying on dt alone would hash
-    * every row of a day into ONE task regardless of this knob. */
+    * (dt, salt) with a ROW-LOCAL salt (hashed per-row unique id), so
+    * each day spreads over at most `filesPerDay` writer tasks
+    * (partitionBy then emits one file per day per task). Keying on dt
+    * alone would hash every row of a day into ONE task regardless of
+    * this knob. The salt deliberately does NOT hash the row's columns:
+    * `hash(<all cols>)` fails analysis on MapType columns and sends
+    * fully-duplicate rows to one bucket, quietly defeating the spread
+    * on low-cardinality batches. */
   def writeByDay(df: DataFrame, dir: String, ts: Column,
                  filesPerDay: Int = 1): Unit = {
-    val salt = pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(filesPerDay))
+    val salt = pmod(hash(monotonically_increasing_id()), lit(filesPerDay))
     // explicit partition count: a column-only repartition is fair game
     // for AQE partition coalescing, which would fold the salt groups
     // back into shared tasks and re-kill the knob on small batches

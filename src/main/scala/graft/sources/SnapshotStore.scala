@@ -82,22 +82,29 @@ object SnapshotStore {
     commit(merged, dir)
   }
 
-  /** MERGE that fully REPLACES each batch-touched group: target rows
-    * whose `groupKeys` value appears in the batch are deleted, then the
-    * batch's rows insert. The shape a "result set per key" sink needs
-    * (e.g. top-k hits keyed (query_id, rank)): a re-submitted group may
-    * SHRINK, and a plain upsert on the full row key would leave the old
-    * tail ranks lingering past the new result size. One left_anti on
-    * the (broadcast-sized) distinct batch group keys + the same
+  /** MERGE that fully REPLACES each touched group: target rows whose
+    * `groupKeys` value appears in the delete-key set are deleted, then
+    * the batch's rows insert. The shape a "result set per key" sink
+    * needs (e.g. top-k hits keyed (query_id, rank)): a re-submitted
+    * group may SHRINK, and a plain upsert on the full row key would
+    * leave the old tail ranks lingering past the new result size. One
+    * left_anti on the (broadcast-sized) distinct group keys + the same
     * commit protocol as [[mergeInto]]; replay-safe for the same reason
-    * (replacing a group with itself is idempotent). */
-  def replaceGroups(batch: DataFrame, dir: String,
-                    groupKeys: Seq[String]): Int = {
+    * (replacing a group with itself is idempotent).
+    *
+    * `keySource` (default: the batch itself) supplies the groups to
+    * delete. Pass the REQUEST frame when a group's new result set may
+    * legitimately be EMPTY — keys derived from the result rows alone
+    * can never delete a group whose re-computation returned zero rows,
+    * so its stale rows would linger indefinitely. */
+  def replaceGroups(batch: DataFrame, dir: String, groupKeys: Seq[String],
+                    keySource: Option[DataFrame] = None): Int = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    val delKeys = keySource.getOrElse(batch)
+      .select(groupKeys.map(col): _*).distinct()
     val merged = read(batch.sparkSession, dir) match {
       case Some(target) =>
-        target.join(broadcast(batch.select(groupKeys.map(col): _*).distinct()),
-            groupKeys, "left_anti")
+        target.join(broadcast(delKeys), groupKeys, "left_anti")
           .unionByName(batch, allowMissingColumns = true)
       case None => batch
     }

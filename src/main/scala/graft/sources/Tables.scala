@@ -38,13 +38,25 @@ object Tables {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
-  /** The events table is written with parquet TIMESTAMP(NANOS), which
-    * Spark's reader rejects; read nanos as long (legacy conf) and
-    * convert to a microsecond timestamp (integer division — exact). */
+  /** Events loader, adaptive to how the generator wrote `ts`:
+    *  - parquet TIMESTAMP(NANOS) (Spark's reader rejects it): read
+    *    nanos as long (legacy conf) and convert to a microsecond
+    *    timestamp (integer division — exact);
+    *  - timestamp[us] without UTC adjustment (reads as TIMESTAMP_NTZ):
+    *    cast to the session-zoned type — the session runs UTC, so the
+    *    cast is value-preserving and matches a naive external read;
+    *  - already session-zoned TIMESTAMP: pass through. */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     // read-path conf also consulted at execution time — set, don't reset
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = load(spark, sfDir, "events")
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => ev
+      case _ =>
+        ev.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }

@@ -20,7 +20,10 @@ import graft.text.Search
   * query_id: a replayed batch upserts instead of duplicating, and a
   * RE-SUBMITTED query (or one whose hit list shrank after an index
   * update) fully replaces its old rows — no stale tail ranks linger
-  * past the new result size.
+  * past the new result size. The delete-key set is the INCOMING
+  * batch's query_ids, not the probe results': a re-submitted query
+  * whose new probe returns ZERO hits still clears its old rows (keys
+  * derived from results alone could never delete an emptied group).
   */
 object SearchStream {
 
@@ -31,12 +34,14 @@ object SearchStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val qterms = batch.select(col("query_id"),
-          explode(array_distinct(col("terms"))).as("token"))
-        val res = Search.probeIndexTerms(batch.sparkSession, indexName,
-          qterms, k, k1, b)
-        if (!res.isEmpty) {
-          SnapshotStore.replaceGroups(res, targetDir, Seq("query_id")): Unit
+        val qids = batch.select(col("query_id")).distinct()
+        if (!qids.isEmpty) {
+          val qterms = batch.select(col("query_id"),
+            explode(array_distinct(col("terms"))).as("token"))
+          val res = Search.probeIndexTerms(batch.sparkSession, indexName,
+            qterms, k, k1, b)
+          SnapshotStore.replaceGroups(res, targetDir, Seq("query_id"),
+            keySource = Some(qids)): Unit
         }
       }
       .start()

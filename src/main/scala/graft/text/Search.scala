@@ -256,6 +256,45 @@ object Search {
     commitIndex(spark, name, postings, dl, termstats, stats, buckets)
   }
 
+  /** Remove a document id set from index `name` — the lifecycle leg a
+    * GDPR erasure / takedown / recrawl-tombstone flow needs, with the
+    * same EXACT stats maintenance as [[updateIndex]] (it is
+    * [[updateIndex]] with an empty incoming batch): the deleted ids'
+    * postings leave `postings`/`doclen` by one anti-join each, their
+    * document-frequency contributions subtract out of `termstats`
+    * (tokens now in no document drop at dfn 0), and the one-row corpus
+    * stats shed their (count, Σdl). A probe after any
+    * write/update/delete sequence therefore scores identically to a
+    * fresh [[writeIndex]] of the surviving corpus (spec-asserted).
+    * Ids absent from the index are no-ops. `ids`' first column is the
+    * doc id; a delete set is takedown-request-sized — broadcast.
+    * One index rewrite pass; returns the new committed version. */
+  def deleteFromIndex(ids: DataFrame, name: String, buckets: Int = 32,
+                      storage: StorageLevel = graft.Caching.Default): Int = {
+    val spark = ids.sparkSession
+    val v = indexVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no BM25 index named $name"))
+    def tab(t: String) = BucketedStore.table(spark, name, t, v)
+    val del = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+    val pOld = graft.Caching.persisted(
+      tab("postings").join(broadcast(del), "doc_id"), storage)
+    val dlOld = tab("doclen").join(broadcast(del), "doc_id")
+    val termstats = tab("termstats")
+      .join(pOld.groupBy("token").agg(count(lit(1)).as("d_old")),
+        Seq("token"), "left_outer")
+      .select(col("token"),
+        (col("dfn") - coalesce(col("d_old"), lit(0L))).as("dfn"))
+      .filter(col("dfn") > 0)
+    val deltas = dlOld.agg(count(lit(1)).as("o_n"), sum(col("dl")).as("o_s"))
+    val stats = tab("stats").crossJoin(broadcast(deltas))
+      .select((col("n_docs") - col("o_n")).as("n_docs"),
+        (col("sum_dl") - coalesce(col("o_s"), lit(0L))).as("sum_dl"))
+    commitIndex(spark, name,
+      tab("postings").join(broadcast(del), Seq("doc_id"), "left_anti"),
+      tab("doclen").join(broadcast(del), Seq("doc_id"), "left_anti"),
+      termstats, stats, buckets)
+  }
+
   /** Keyword top-k against the current committed index version — same
     * output as [[bm25TopK]] over the indexed corpus, but the postings
     * build, doc lengths, and document frequencies are all bucketed

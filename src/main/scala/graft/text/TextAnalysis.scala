@@ -24,6 +24,15 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** [[tokens]] restricted to words the BPE bracket-wrapped symbol
+    * representation can carry: tokens containing `[` or `]` are
+    * excluded (the delimiters of the wrapped form — a symbol holding
+    * one would break the `][` split and the literal replace needles of
+    * every later merge round). Both [[bpeTrain]] and [[bpeEncode]] use
+    * this same word list, so train and encode stay bit-identical. */
+  def bpeWords(text: Column): Column =
+    filter(tokens(text), t => !t.contains("[") && !t.contains("]"))
+
   // --- language ID ---------------------------------------------------
 
   /** Stopword profiles; tiebreak = declaration order (alphabetical). */
@@ -170,10 +179,14 @@ object TextAnalysis {
     * every symbol is individually delimited, adjacent matches share no
     * boundary characters — left-to-right non-overlapping replace
     * semantics IS greedy BPE merge application, including the
-    * a == b run case (`[a][a][a]` → `[aa][a]`). Symbols never contain
-    * brackets (tokens are lowercased word chars), so false matches
-    * are impossible, and an external SQL engine replays the merge
-    * bit-for-bit with its own `replace`.
+    * a == b run case (`[a][a][a]` → `[aa][a]`). The representation is
+    * only sound when symbols never contain the delimiters themselves,
+    * so [[bpeWords]] ENFORCES it: whitespace tokens containing `[` or
+    * `]` are excluded from the word list (a merged symbol containing a
+    * bracket would desynchronize both the `][` split and later replace
+    * needles, silently corrupting every subsequent round). With that
+    * invariant held, false matches are impossible and an external SQL
+    * engine replays the merge bit-for-bit with its own `replace`.
     *
     * Scale shape: the corpus-sized stage is the one word-count shuffle
     * (map-side combined), cached once; every round after is
@@ -184,7 +197,7 @@ object TextAnalysis {
   def bpeTrain(df: DataFrame, text: Column, rounds: Int): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     val spark = df.sparkSession
-    val words0 = df.select(explode(tokens(text)).as("word"))
+    val words0 = df.select(explode(bpeWords(text)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wn"))
       .select(regexp_replace(col("word"), "(.)", "[$1]").as("wr"), col("wn"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -239,7 +252,9 @@ object TextAnalysis {
     *
     * Output per doc: n_words, n_chars (symbols before any merge =
     * summed word lengths), n_bpe_tokens (symbols after all merges;
-    * equals n_chars when the merge table is empty). */
+    * equals n_chars when the merge table is empty). All three counts
+    * range over [[bpeWords]] — the same bracket-safe word list
+    * training used. */
   def bpeEncode(df: DataFrame, id: Column, text: Column,
                 rounds: Int): DataFrame = {
     val merges = bpeTrain(df, text, rounds).collect()
@@ -251,7 +266,7 @@ object TextAnalysis {
     // symbols in a bracket-wrapped word = number of '[' delimiters
     val symCount = (wr: Column) =>
       (length(wr) - length(replace(wr, lit("["), lit("")))).cast("long")
-    val tk = tokens(text)
+    val tk = bpeWords(text)
     df.select(id.as("doc_id"),
       size(tk).cast("long").as("n_words"),
       aggregate(tk, lit(0L), (acc, w) => acc + length(w).cast("long"))

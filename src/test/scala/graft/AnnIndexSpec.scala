@@ -91,6 +91,36 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("delete: probe equals an index that never contained the deleted ids") {
+    dropIndex("adel"); dropIndex("aref")
+    try {
+      val base = corpus.filter(col("vec_id") >= 110)
+      val batch = corpus.filter(col("vec_id") < 110)
+      val dels = batch.filter(col("vec_id") % 3 === 0).select("vec_id")
+      AnnIndex.write(base, "adel", buckets = 4)
+      AnnIndex.update(batch, "adel", buckets = 4)
+      assert(AnnIndex.delete(dels, "adel", buckets = 4) == 2)
+      // reference: SAME base write (same frozen quantizer samples),
+      // update batch minus the deleted set — the index state a delete
+      // must be indistinguishable from
+      AnnIndex.write(base, "aref", buckets = 4)
+      AnnIndex.update(batch.join(dels, Seq("vec_id"), "left_anti"),
+        "aref", buckets = 4)
+      val got = AnnIndex.topK(spark, "adel", queries, k = 5)
+        .collect().map(_.toString).sorted
+      val ref = AnnIndex.topK(spark, "aref", queries, k = 5)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(ref),
+        "delete must probe like an index that never held those ids")
+      // data-plane rows really gone; quantizers untouched
+      assert(spark.table("adel_vectors")
+        .join(dels.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id")).count() == 0)
+      assert(spark.table("adel_cents").collect().map(_.toString).sorted
+        .sameElements(spark.table("aref_cents").collect().map(_.toString).sorted))
+    } finally { dropIndex("adel"); dropIndex("aref") }
+  }
+
   test("update: batch joins the index under frozen quantizers, versions advance") {
     dropIndex("aup")
     val base = corpus.filter(col("vec_id") >= 110)

@@ -22,6 +22,39 @@ class SearchIndexSpec extends SparkSpec {
     finally super.afterAll()
   }
 
+  test("delete subtracts a doc set exactly: probe equals a fresh build of survivors") {
+    Search.dropIndex(spark, "bdel"); Search.dropIndex(spark, "bfre")
+    try {
+      val dels = docs.filter(col("doc_id") >= 10 && col("doc_id") % 7 === 0)
+        .select("doc_id")
+      Search.writeIndex(docs.filter(col("doc_id") >= 110), col("doc_id"),
+        col("text"), "bdel", buckets = 2)
+      Search.updateIndex(docs.filter(col("doc_id") >= 10 && col("doc_id") < 110),
+        col("doc_id"), col("text"), "bdel", buckets = 2)
+      assert(Search.deleteFromIndex(dels, "bdel", buckets = 2) == 2)
+      Search.writeIndex(
+        docs.filter(col("doc_id") >= 10 && col("doc_id") % 7 =!= 0),
+        col("doc_id"), col("text"), "bfre", buckets = 2)
+      val got = Search.probeIndex(spark, "bdel", Q, k = 5)
+        .collect().map(_.toString).sorted
+      val fresh = Search.probeIndex(spark, "bfre", Q, k = 5)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(fresh),
+        "delete must score identically to a fresh build of the survivors")
+      // member-table state matches the fresh build bit for bit
+      Seq("termstats", "stats").foreach { t =>
+        val a = spark.table(s"bdel_$t").collect().map(_.toString).sorted
+        val b = spark.table(s"bfre_$t").collect().map(_.toString).sorted
+        assert(a.sameElements(b), s"$t diverged from the fresh build")
+      }
+      // the deleted ids are really gone from the data plane
+      assert(spark.table("bdel_postings")
+        .join(dels, Seq("doc_id")).count() == 0)
+    } finally {
+      Search.dropIndex(spark, "bdel"); Search.dropIndex(spark, "bfre")
+    }
+  }
+
   test("probe after write+update equals the in-memory bm25TopK exactly") {
     Search.dropIndex(spark, "bix")
     assert(Search.writeIndex(docs.filter(col("doc_id") >= 110),
@@ -144,6 +177,16 @@ class SearchIndexSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(reGot.sameElements(reBatch),
       "re-submitted query left stale ranks behind")
+    // re-submit q1 with a term absent from the corpus: ZERO hits — its
+    // old rows must STILL be cleared (the delete-key set comes from the
+    // incoming batch's query_ids, not from the probe results, which
+    // contribute no rows for an emptied group)
+    in.addData(Seq(("q1", Seq("zzzabsentterm"))))
+    val s4 = start()
+    try s4.processAllAvailable() finally s4.stop()
+    assert(graft.sources.SnapshotStore.read(spark, dir).get
+      .filter(col("query_id") === "q1").count() === 0L,
+      "zero-hit re-submission left stale rows behind")
   }
 
   test("probe plan: bucketed index scans feed their joins with no Exchange") {

@@ -99,6 +99,24 @@ class SixthPassSpec extends SparkSpec {
     assert(out === Set(1L, 2L, 3L))
   }
 
+  test("bpe bracket safety: tokens containing '[' or ']' are excluded") {
+    // '[a]' (and 'ab]') would desynchronize the bracket-wrapped symbol
+    // representation — bpeWords drops them from train AND encode, so
+    // the result equals the clean corpus "aaab aaab ab" bit for bit
+    val df = Seq((1L, "aaab [a] aaab ab]"), (2L, "ab")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(df, col("text"), rounds = 1).collect()
+    assert(m.length === 1)
+    assert((m.head.getString(1), m.head.getString(2)) === ("a", "a"))
+    val out = TextAnalysis.bpeEncode(df, col("doc_id"), col("text"),
+      rounds = 1).orderBy("doc_id").collect()
+    // doc 1 counts range over {aaab, aaab} only: 2 words, 8 chars,
+    // [aa][a][b] ×2 = 6 tokens; doc 2 is untouched clean text
+    assert(out(0).getLong(1) === 2L)
+    assert(out(0).getLong(2) === 8L)
+    assert(out(0).getLong(3) === 6L)
+    assert(out(1).getLong(3) === 2L)
+  }
+
   test("bpeEncode matches bpeTrain's merge table applied by hand") {
     // two docs; verify the merge table drives the encode (the count
     // drops by exactly the number of merged-pair occurrences, greedily

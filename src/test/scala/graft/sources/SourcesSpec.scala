@@ -259,6 +259,16 @@ class TablesSpec extends SparkSpec {
       dir, Seq("query_id"))
     assert(SnapshotStore.read(spark, dir).get.collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet === rows)
+    // keySource: a group whose re-computation returned ZERO rows is
+    // still cleared — keys derived from the (empty) result rows alone
+    // could never delete it
+    SnapshotStore.replaceGroups(
+      Seq.empty[(String, Int, Long)].toDF("query_id", "rank", "doc_id"),
+      dir, Seq("query_id"),
+      keySource = Some(Seq(Tuple1("q1")).toDF("query_id")))
+    assert(SnapshotStore.read(spark, dir).get.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet ===
+      Set(("q2", 1, 20L), ("q2", 2, 21L)))
   }
 
   test("all testdata tables load; events gets a usable timestamp") {
