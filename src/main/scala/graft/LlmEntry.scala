@@ -701,10 +701,14 @@ object LlmEntry {
       // composition, with the extractor's output column simply renamed
       // into the chain's text contract
       val docs = t(s, dir, "documents")
-      val extracted = Html.extract(
+      // persist the extracted corpus ONCE ahead of the chain: the
+      // render+extract expression tree is the most expensive map work
+      // in the pipeline and must not re-run in any downstream branch
+      val extracted = graft.Caching.persisted(Html.extract(
         docs.select(col("doc_id"), renderedPage.as("html")),
         col("doc_id"), col("html"))
-        .select(col("doc_id"), col("extracted").as("text"))
+        .select(col("doc_id"), col("extracted").as("text")),
+        graft.Caching.Default)
       LlmCuration.run(extracted, col("doc_id"), col("text"),
         minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
     }),
