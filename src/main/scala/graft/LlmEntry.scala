@@ -9,7 +9,7 @@ import graft.multimodal.Multimodal
 import graft.operators.Sampling
 import graft.streaming.Events
 import graft.sources.Tables
-import graft.text.{Html, Packing, Search, TextAnalysis, Urls}
+import graft.text.{Html, LangIdNgram, Packing, Search, TextAnalysis, Urls}
 
 /** LLM-training-data + streaming operators (SURVEY §2: the d, e, t, m
   * and st families), with DuckDB oracles where SQL can express the
@@ -619,9 +619,43 @@ object LlmEntry {
       TextAnalysis.bpeEncode(t(s, dir, "documents"), col("doc_id"),
         col("text"), rounds = 3)),
 
+    "t7b_bpe_pack" -> ((s, dir) =>
+      // t7's shard packing driven by the REAL tokenizer budget t15c
+      // produces (bins fill on trained-BPE token counts, not the
+      // regex proxy) — the wiring SURVEY promised when t15c shipped
+      Packing.binStats(Packing.packIntoBins(
+        TextAnalysis.bpeEncode(t(s, dir, "documents"), col("doc_id"),
+          col("text"), rounds = 3)
+          .select(col("doc_id"), col("n_bpe_tokens")),
+        col("doc_id"), col("n_bpe_tokens"), budget = 2000L, buckets = 8))),
+
+    "t9b_bpe_chunks" -> ((s, dir) =>
+      // t9's context chunking under a trained-BPE token budget: chunk
+      // boundaries fall where the running BPE cost crosses 40 tokens
+      // (per-doc window; per-word costs are a map-only merge replay)
+      TextAnalysis.bpeChunkStats(t(s, dir, "documents"), col("doc_id"),
+        col("text"), rounds = 3, budget = 40L)),
+
     "t1_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "t1b_langid_ngram" -> ((s, dir) => {
+      // multilingual language ID: Cavnar-Trenkle char-trigram rank
+      // profiles (t1's stopword heuristic stays as the cheap gate)
+      // over a deterministic multi-language synthetic corpus — each
+      // doc carries the held-out phrase of language (doc_id % 5),
+      // repeated (doc_id % 3)+1 times
+      val idx = (col("doc_id") % 5).cast("int")
+      val phrase = LangIdNgram.TestPhrases.zipWithIndex
+        .foldLeft(lit(""): org.apache.spark.sql.Column) {
+          case (acc, ((_, p), i)) => when(idx === i, lit(p)).otherwise(acc)
+        }
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        repeat(concat(phrase, lit(" ")),
+          (col("doc_id") % 3).cast("int") + 1).as("text"))
+      LangIdNgram.classify(synth, col("doc_id"), col("text"))
+    }),
 
     "t2_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), col("text"))
@@ -1279,19 +1313,7 @@ object LlmEntry {
            |        SELECT doc_id, unnest(tk) AS word
            |        FROM (SELECT doc_id, $ToksSql AS tk FROM documents)) uw
            |      WHERE NOT contains(word, '[') AND NOT contains(word, ']')),
-           |wx1 AS (SELECT doc_id, word, replace(
-           |    regexp_replace(word, '(.)', '[\\1]', 'g'),
-           |    coalesce((SELECT '[' || sym_a || '][' || sym_b || ']' FROM m WHERE round = 1), chr(1)),
-           |    coalesce((SELECT '[' || sym_a || sym_b || ']' FROM m WHERE round = 1), '')) AS wr
-           |  FROM w),
-           |wx2 AS (SELECT doc_id, word, replace(wr,
-           |    coalesce((SELECT '[' || sym_a || '][' || sym_b || ']' FROM m WHERE round = 2), chr(1)),
-           |    coalesce((SELECT '[' || sym_a || sym_b || ']' FROM m WHERE round = 2), '')) AS wr
-           |  FROM wx1),
-           |wx3 AS (SELECT doc_id, word, replace(wr,
-           |    coalesce((SELECT '[' || sym_a || '][' || sym_b || ']' FROM m WHERE round = 3), chr(1)),
-           |    coalesce((SELECT '[' || sym_a || sym_b || ']' FROM m WHERE round = 3), '')) AS wr
-           |  FROM wx2),
+           |${bpeWxCtes("doc_id")},
            |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
            |    CAST(sum(length(word)) AS BIGINT) AS n_chars,
            |    CAST(sum(length(wr) - length(replace(wr, '[', ''))) AS BIGINT)
@@ -1301,7 +1323,117 @@ object LlmEntry {
            |  CAST(coalesce(agg.n_words, 0) AS BIGINT) AS n_words,
            |  CAST(coalesce(agg.n_chars, 0) AS BIGINT) AS n_chars,
            |  CAST(coalesce(agg.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
-           |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin)
+           |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin) +
+      // t7b: the t15c per-doc BPE budget driving t7's packing window —
+      // bins fill on real tokenizer counts, not the regex proxy
+      ("t7b_bpe_pack" ->
+        s"""WITH m AS (SELECT * FROM (${baseOracleSql("t15b_bpe_rounds")}) mm),
+           |w AS (SELECT doc_id, word FROM (
+           |        SELECT doc_id, unnest(tk) AS word
+           |        FROM (SELECT doc_id, $ToksSql AS tk FROM documents)) uw
+           |      WHERE NOT contains(word, '[') AND NOT contains(word, ']')),
+           |${bpeWxCtes("doc_id")},
+           |agg AS (SELECT doc_id,
+           |    CAST(sum(length(wr) - length(replace(wr, '[', ''))) AS BIGINT)
+           |      AS n_bpe FROM wx3 GROUP BY 1),
+           |c AS (SELECT d.doc_id, CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_tokens,
+           |        ${bucketSql(8)} AS bucket
+           |      FROM documents d LEFT JOIN agg USING (doc_id)),
+           |p AS (SELECT *, CAST(floor(coalesce(
+           |        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
+           |      AS BIGINT) AS bin FROM c)
+           |SELECT bucket, bin, count(*) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+           |FROM p GROUP BY 1, 2""".stripMargin) +
+      // t9b: per-WORD BPE costs (same replay, position carried through)
+      // chunked by running-total division — TextAnalysis.bpeChunkStats
+      ("t9b_bpe_chunks" ->
+        s"""WITH m AS (SELECT * FROM (${baseOracleSql("t15b_bpe_rounds")}) mm),
+           |w AS (SELECT doc_id, pos, word FROM (
+           |        SELECT doc_id, i AS pos, tk[CAST(i AS INTEGER)] AS word
+           |        FROM (SELECT doc_id, $ToksSql AS tk FROM documents) d,
+           |             unnest(range(1, len(tk) + 1)) r(i)) uw
+           |      WHERE NOT contains(word, '[') AND NOT contains(word, ']')),
+           |${bpeWxCtes("doc_id, pos")},
+           |cost AS (SELECT doc_id, pos,
+           |    CAST(length(wr) - length(replace(wr, '[', '')) AS BIGINT) AS cost
+           |  FROM wx3),
+           |p AS (SELECT doc_id, cost, CAST(floor(coalesce(
+           |        sum(cost) OVER (PARTITION BY doc_id ORDER BY pos
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 40)
+           |      AS BIGINT) AS chunk_id FROM cost),
+           |ch AS (SELECT doc_id, chunk_id, CAST(sum(cost) AS BIGINT) AS chunk_bpe
+           |       FROM p GROUP BY 1, 2)
+           |SELECT doc_id, count(*) AS n_chunks,
+           |       CAST(sum(chunk_bpe) AS BIGINT) AS n_bpe_tokens,
+           |       CAST(max(chunk_bpe) AS BIGINT) AS max_chunk_bpe_tokens
+           |FROM ch GROUP BY doc_id""".stripMargin) +
+      // t1b: Cavnar-Trenkle out-of-place scoring over the synthetic
+      // multi-language corpus; profiles/phrases are literals generated
+      // from the operator's own constants
+      ("t1b_langid_ngram" ->
+        s"""WITH ph(i, lang, phrase) AS (VALUES $langPhraseSql),
+           |pr(lang, tg, pr) AS (VALUES $langProfSql),
+           |langs(lang) AS (VALUES $langListSql),
+           |d0 AS (SELECT doc_id, repeat(phrase || ' ',
+           |         CAST(doc_id % 3 + 1 AS INTEGER)) AS text
+           |       FROM documents JOIN ph ON ph.i = doc_id % 5),
+           |d AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+           |        lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+           |      FROM d0),
+           |g AS (SELECT doc_id, substring(s, CAST(i AS INTEGER), 3) AS tg
+           |      FROM d, unnest(range(1, length(s) - 1)) r(i)
+           |      WHERE length(s) >= 3),
+           |c AS (SELECT doc_id, tg, count(*) AS n FROM g GROUP BY 1, 2),
+           |top AS (SELECT doc_id, tg, rn AS dr FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY doc_id
+           |                  ORDER BY n DESC, tg) AS rn FROM c) t
+           |        WHERE rn <= ${LangIdNgram.K}),
+           |sc AS (SELECT doc_id, l.lang,
+           |         CAST(sum(coalesce(abs(dr - pr.pr), ${LangIdNgram.K}))
+           |           AS BIGINT) AS dist
+           |       FROM top CROSS JOIN langs l
+           |            LEFT JOIN pr ON pr.lang = l.lang AND pr.tg = top.tg
+           |       GROUP BY 1, 2),
+           |best AS (SELECT doc_id, lang, dist,
+           |           row_number() OVER (PARTITION BY doc_id
+           |             ORDER BY dist, lang) AS rn FROM sc)
+           |SELECT doc_id, lang AS lang_pred, dist
+           |FROM best WHERE rn = 1""".stripMargin)
+
+  /** [[LangIdNgram]]'s trained profiles / test phrases / language list
+    * as SQL literals — generated from the same Scala constants the
+    * operator uses, one source of truth (trigrams are `[a-z ]` only by
+    * normalization, so plain single-quoting is safe). */
+  private def langProfSql: String = LangIdNgram.Profiles
+    .map { case (l, g, r) => s"('$l', '$g', $r)" }.mkString(", ")
+  private def langPhraseSql: String = LangIdNgram.TestPhrases.zipWithIndex
+    .map { case ((l, p), i) => s"($i, '$l', '$p')" }.mkString(", ")
+  private def langListSql: String = LangIdNgram.Seeds
+    .map(s => s"('${s._1}')").mkString(", ")
+
+  /** The trained-merge replay CTE chain (wx1..wx3) shared by the
+    * t15c/t7b/t9b oracles: each round's `[a][b]` -> `[ab]` literal
+    * replace over bracket-wrapped words, in training order; missing
+    * rounds (exhausted training) coalesce to an unmatchable chr(1)
+    * needle. `carry` = the key columns to thread through (word and wr
+    * ride alongside). Expects CTEs `m` (the merge table) and `w`
+    * (carry + word) in scope. */
+  private def bpeWxCtes(carry: String): String =
+    s"""wx1 AS (SELECT $carry, word, replace(
+       |    regexp_replace(word, '(.)', '[\\1]', 'g'),
+       |    coalesce((SELECT '[' || sym_a || '][' || sym_b || ']' FROM m WHERE round = 1), chr(1)),
+       |    coalesce((SELECT '[' || sym_a || sym_b || ']' FROM m WHERE round = 1), '')) AS wr
+       |  FROM w),
+       |wx2 AS (SELECT $carry, word, replace(wr,
+       |    coalesce((SELECT '[' || sym_a || '][' || sym_b || ']' FROM m WHERE round = 2), chr(1)),
+       |    coalesce((SELECT '[' || sym_a || sym_b || ']' FROM m WHERE round = 2), '')) AS wr
+       |  FROM wx1),
+       |wx3 AS (SELECT $carry, word, replace(wr,
+       |    coalesce((SELECT '[' || sym_a || '][' || sym_b || ']' FROM m WHERE round = 3), chr(1)),
+       |    coalesce((SELECT '[' || sym_a || sym_b || ']' FROM m WHERE round = 3), '')) AS wr
+       |  FROM wx2)""".stripMargin
 
   private lazy val baseOracleSql: Map[String, String] = Map(
 

@@ -47,6 +47,33 @@ object SparkEntry {
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Pipeline -------------------------------------------------- //
+
+    "p1_medallion" -> ((s, dir) => {
+      // the full bronze→silver→gold chain as ONE oracle-checked query
+      // (Medallion.run mirrors PLclaims_bronze → silver → gold
+      // orchestration incl. watermark advance): runs against a FRESH
+      // work dir (self-contained per invocation, the e6/e8b pattern),
+      // then emits the per-stage run metrics PLUS the gold rollup as
+      // gold_<status> rows — layer counts AND end-state values in one
+      // deterministic frame. The oracle replays the chain from the
+      // orders feed (empty watermark ⇒ the whole feed is the slice).
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_p1_" +
+        dir.hashCode.toHexString
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(work))
+      val metrics = Medallion.run(s, dir, work)
+      val gold = graft.sources.SnapshotStore.read(s, s"$work/gold").get
+      metrics.withColumnRenamed("rows", "n")
+        .withColumn("amount", lit(null).cast("double"))
+        .unionByName(gold.select(
+          concat(lit("gold_"), col("status")).as("stage"),
+          col("n_claims").as("n"),
+          col("total_amount").as("amount")))
+    }),
+
     // ---- Bronze ---------------------------------------------------- //
 
     "b1_schema_ingest" -> ((s, dir) => {
@@ -620,6 +647,37 @@ object SparkEntry {
   def oracleSql: Map[String, String] = coreOracleSql ++ LlmEntry.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
+
+    // p1: the medallion chain replayed from the orders feed — empty
+    // watermark ⇒ whole feed; latest-per-claim (keys are unique in
+    // this data, but the dedup is replayed anyway), DQ gate, fact =
+    // clean (MERGE into empty store), dim = distinct customer
+    // attributes, gold = status rollup with the DECIMAL(18,4) sum
+    "p1_medallion" ->
+      """WITH latest AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY o_orderdate DESC, o_totalprice DESC) AS rn
+        |    FROM orders) x WHERE rn = 1),
+        |clean AS (SELECT * FROM latest
+        |          WHERE NOT (o_totalprice <= 0
+        |                     OR o_orderstatus NOT IN ('F','O','P'))),
+        |gold AS (SELECT o_orderstatus AS status, count(*) AS n_claims,
+        |           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |             AS total_amount
+        |         FROM clean GROUP BY 1)
+        |SELECT 'fresh_rows' AS stage,
+        |       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n,
+        |       CAST(NULL AS DOUBLE) AS amount
+        |UNION ALL SELECT 'clean_rows',
+        |       (SELECT count(*) FROM clean), NULL
+        |UNION ALL SELECT 'quarantined_rows',
+        |       (SELECT count(*) FROM latest) - (SELECT count(*) FROM clean), NULL
+        |UNION ALL SELECT 'fact_rows', (SELECT count(*) FROM clean), NULL
+        |UNION ALL SELECT 'dim_rows',
+        |       (SELECT count(*) FROM (SELECT DISTINCT c_custkey, c_name,
+        |                              c_mktsegment FROM customer) d), NULL
+        |UNION ALL SELECT 'gold_rows', (SELECT count(*) FROM gold), NULL
+        |UNION ALL SELECT 'gold_' || status, n_claims, total_amount FROM gold""".stripMargin,
 
     "b1_schema_ingest" ->
       """SELECT count(*) AS clean_rows, CAST(0 AS BIGINT) AS malformed_rows

@@ -255,17 +255,26 @@ object TextAnalysis {
     * equals n_chars when the merge table is empty). All three counts
     * range over [[bpeWords]] — the same bracket-safe word list
     * training used. */
-  def bpeEncode(df: DataFrame, id: Column, text: Column,
-                rounds: Int): DataFrame = {
-    val merges = bpeTrain(df, text, rounds).collect()
-    val encodeWord = (w: Column) => merges.foldLeft(
-      regexp_replace(w, "(.)", "[$1]")) { (c, m) =>
+  /** Chained literal-replace expression applying a trained merge table
+    * (a local [[bpeTrain]] result) to one bracket-wrapped word, in
+    * training order — the shared encode kernel of [[bpeEncode]] and
+    * [[bpeChunkStats]]. */
+  private def mergeReplay(merges: Array[org.apache.spark.sql.Row])
+                         (w: Column): Column =
+    merges.foldLeft(regexp_replace(w, "(.)", "[$1]")) { (c, m) =>
       val (a, b) = (m.getString(1), m.getString(2))
       replace(c, lit(s"[$a][$b]"), lit(s"[$a$b]"))
     }
-    // symbols in a bracket-wrapped word = number of '[' delimiters
-    val symCount = (wr: Column) =>
-      (length(wr) - length(replace(wr, lit("["), lit("")))).cast("long")
+
+  /** Symbols in a bracket-wrapped word = number of `[` delimiters. */
+  private def wrSymCount(wr: Column): Column =
+    (length(wr) - length(replace(wr, lit("["), lit("")))).cast("long")
+
+  def bpeEncode(df: DataFrame, id: Column, text: Column,
+                rounds: Int): DataFrame = {
+    val merges = bpeTrain(df, text, rounds).collect()
+    val encodeWord = mergeReplay(merges) _
+    val symCount = wrSymCount _
     val tk = bpeWords(text)
     df.select(id.as("doc_id"),
       size(tk).cast("long").as("n_words"),
@@ -273,6 +282,46 @@ object TextAnalysis {
         .as("n_chars"),
       aggregate(tk, lit(0L), (acc, w) => acc + symCount(encodeWord(w)))
         .as("n_bpe_tokens"))
+  }
+
+  /** Context-window chunking under a BPE TOKEN budget — [[bpeEncode]]
+    * wired into the chunker the way t9's whitespace proxy promised:
+    * chunk boundaries fall where the running BPE token total crosses
+    * `budget`, so every chunk costs what the model actually pays, not
+    * a whitespace approximation. Same contiguous greedy-fill semantics
+    * as [[Packing.packIntoBins]] (chunk = floor(tokens_before/budget)
+    * over words in document order): a jumbo word can overshoot its
+    * chunk's boundary, and the next chunk starts at the next word.
+    *
+    * Shapes: training first ([[bpeTrain]], one-row-per-round collects);
+    * then per-word costs are a map-only merge replay, and the ONE wide
+    * op is a window partitioned BY DOCUMENT — each partition sorts only
+    * its own doc's words (massively parallel at corpus scale, the same
+    * posture as t7's per-bucket window). Docs with no BPE-eligible
+    * words emit no row.
+    *
+    * Output per doc: n_chunks, n_bpe_tokens (= [[bpeEncode]]'s count),
+    * max_chunk_bpe_tokens (the fullest chunk — capacity-planning's
+    * number). */
+  def bpeChunkStats(df: DataFrame, id: Column, text: Column,
+                    rounds: Int, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val merges = bpeTrain(df, text, rounds).collect()
+    val words = df
+      .select(id.as("doc_id"), posexplode(bpeWords(text)).as(Seq("pos", "word")))
+      .withColumn("cost", wrSymCount(mergeReplay(merges)(col("word"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    words
+      .withColumn("chunk_id",
+        floor(coalesce(sum(col("cost")).over(w), lit(0L)) / budget))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sum(col("cost")).as("chunk_bpe"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_bpe")).as("n_bpe_tokens"),
+        max(col("chunk_bpe")).as("max_chunk_bpe_tokens"))
   }
 
   /** Bigram-LM mean surprisal — the next order up from

@@ -57,7 +57,13 @@ class EntryPlanSpec extends SparkSpec {
     // with e8c's (one-row corpus-stats product); e12 composes e1's
     // exempt brute baseline with e2's LSH leg; g30 attaches the
     // ONE-ROW total to the aggregated counts frame (t12's class)
-    "e9b_hybrid_indexed", "e12_recall_eval", "g30_skew_report")
+    "e9b_hybrid_indexed", "e12_recall_eval", "g30_skew_report",
+    // e8d probes after delete (e8c's one-row stats product); e6c
+    // probes after delete (e6b's query×constant-codebook ADC
+    // product); t1b fans the bounded per-doc top-K out across the
+    // 5-row constant language list — |top| × O(1), the same
+    // constant-side class as t14's boundary array
+    "e8d_bm25_delete", "e6c_ann_delete", "t1b_langid_ngram")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

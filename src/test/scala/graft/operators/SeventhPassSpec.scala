@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.{LangIdNgram, TextAnalysis}
+
+/** Hand-case specs for the round-7 seventh-pass operators. */
+class SeventhPassSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpeChunkStats: greedy-fill chunk boundaries on trained-BPE costs") {
+    // corpus "aaab aaab ab", 1 round -> merge (a,a) (pairs: aa:4, ab:3)
+    // costs: aaab -> [aa][a][b] = 3, aaab -> 3, ab -> 2
+    // budget 4, chunk = floor(bpe_before/4):
+    //   w1 before=0 -> chunk 0; w2 before=3 -> chunk 0; w3 before=6 -> 1
+    // chunk 0 holds 6 tokens (overshoot allowed), chunk 1 holds 2
+    val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeChunkStats(df, col("doc_id"), col("text"),
+      rounds = 1, budget = 4L).collect().head
+    assert(out.getLong(1) === 2L) // n_chunks
+    assert(out.getLong(2) === 8L) // n_bpe_tokens
+    assert(out.getLong(3) === 6L) // max_chunk_bpe_tokens
+  }
+
+  test("langIdNgram: every held-out phrase classifies as its own language") {
+    val df = LangIdNgram.TestPhrases.zipWithIndex
+      .map { case ((l, p), i) => (i.toLong, l, p) }
+      .toDF("doc_id", "expected", "text")
+    val out = LangIdNgram.classify(df, col("doc_id"), col("text"))
+      .join(df.select("doc_id", "expected"), "doc_id")
+    val wrong = out.filter(col("lang_pred") =!= col("expected")).collect()
+    assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
+    // profiles are exactly K deep per language, ranks 1..K
+    assert(LangIdNgram.Profiles.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted == (1 to LangIdNgram.K)
+    })
+  }
+
+  test("langIdNgram: trigram-less docs emit no row; ties break on lang asc") {
+    val df = Seq((1L, "!!"), (2L, "zz")).toDF("doc_id", "text")
+    assert(LangIdNgram.classify(df, col("doc_id"), col("text"))
+      .count() === 0L)
+    // a text matching NO profile trigram scores K*|top| for every
+    // language -> all tied -> alphabetically first language wins
+    val qq = Seq((1L, "qqq qqq")).toDF("doc_id", "text")
+    val r = LangIdNgram.classify(qq, col("doc_id"), col("text")).collect().head
+    assert(r.getString(1) === LangIdNgram.Seeds.head._1)
+  }
+
+  test("bpeChunkStats: bracket words excluded, empty docs emit no row") {
+    val df = Seq((1L, "aaab [x] ab"), (2L, "[only] [brackets]"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeChunkStats(df, col("doc_id"), col("text"),
+      rounds = 1, budget = 100L).collect()
+    // doc 2 has no BPE-eligible words -> absent; doc 1 counts aaab+ab
+    assert(out.length === 1 && out.head.getLong(0) === 1L)
+    assert(out.head.getLong(1) === 1L) // one chunk under the big budget
+    // merge (a,a) on {aaab, ab}: aa:2, ab:2 -> tie breaks (a,b) asc
+    // -> (a,a); aaab -> 3 tokens, ab -> 2
+    assert(out.head.getLong(2) === 5L)
+  }
+}
