@@ -378,6 +378,27 @@ object TextDedup {
     commitBucketed(merged, name, buckets)
   }
 
+  /** Remove a doc id set from the bucketed index — the takedown /
+    * recrawl-tombstone leg completing the store's lifecycle (the
+    * dedup twin of `Search.deleteFromIndex` / `AnnIndex.delete`):
+    * the surviving docs table is one anti-join, and the bands table
+    * re-derives from it at commit, so bands can never hold a deleted
+    * doc's signatures. A probe after delete equals a probe of an
+    * index built fresh on the surviving corpus (signatures are
+    * per-doc deterministic; spec-asserted). Returns the new version. */
+  def deleteFromDedupIndexBucketed(ids: DataFrame, name: String,
+                                   buckets: Int = 32): Int = {
+    val spark = ids.sparkSession
+    val v = currentBucketedVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no bucketed dedup index named $name"))
+    val del = broadcast(
+      ids.select(col(ids.columns.head).as("doc_id")).distinct())
+    commitBucketed(
+      BucketedStore.table(spark, name, "docs", v)
+        .join(del, Seq("doc_id"), "left_anti"),
+      name, buckets)
+  }
+
   /** [[minHashLshPairsAgainstIndex]] against the BUCKETED index:
     * candidate generation joins `<name>_bands` on its bucketing key
     * (band, bsig) and verification fetches `<name>_docs` on its

@@ -138,6 +138,49 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("bucketed index delete: probe equals a fresh build of the survivors") {
+    import spark.implicits._
+    val corpus = table("documents")
+    TextDedup.dropDedupIndexBucketed(spark, "ddel")
+    TextDedup.dropDedupIndexBucketed(spark, "dfre")
+    try {
+      val copied = corpus.filter(col("doc_id") === 7L)
+        .select("text").collect()(0).getString(0)
+      val batch = Seq((9001L, copied), (9002L, copied))
+        .toDF("doc_id", "text")
+      TextDedup.writeDedupIndexBucketed(corpus, col("doc_id"), col("text"),
+        "ddel", buckets = 4)
+      TextDedup.updateDedupIndexBucketed(batch, col("doc_id"), col("text"),
+        "ddel", buckets = 4)
+      // takedown: doc 7 AND its first re-ingest leave the index
+      val dels = Seq(7L, 9001L).toDF("doc_id")
+      assert(TextDedup.deleteFromDedupIndexBucketed(dels, "ddel",
+        buckets = 4) == 2)
+      // reference: fresh build on exactly the surviving corpus
+      TextDedup.writeDedupIndexBucketed(
+        corpus.select("doc_id", "text").filter(col("doc_id") =!= 7L)
+          .unionByName(batch.filter(col("doc_id") === 9002L)),
+        col("doc_id"), col("text"), "dfre", buckets = 4)
+      val probeBatch = Seq((9003L, copied)).toDF("doc_id", "text")
+      val got = TextDedup.minHashLshPairsAgainstBucketedIndex(
+          spark, "ddel", probeBatch, col("doc_id"), col("text"), 0.1)
+        .collect().map(_.toString).sorted
+      val fresh = TextDedup.minHashLshPairsAgainstBucketedIndex(
+          spark, "dfre", probeBatch, col("doc_id"), col("text"), 0.1)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(fresh),
+        "delete must probe like a fresh build of the survivors")
+      // only the surviving copy still pairs; deleted ids are gone from
+      // BOTH member tables (bands re-derive from the surviving docs)
+      assert(got.nonEmpty)
+      assert(spark.table("ddel_docs").join(dels, Seq("doc_id")).count() == 0)
+      assert(spark.table("ddel_bands").join(dels, Seq("doc_id")).count() == 0)
+    } finally {
+      TextDedup.dropDedupIndexBucketed(spark, "ddel")
+      TextDedup.dropDedupIndexBucketed(spark, "dfre")
+    }
+  }
+
   test("readBandIndex feeds the streaming probe shape") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-band-index").toString
