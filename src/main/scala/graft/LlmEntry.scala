@@ -220,6 +220,34 @@ object LlmEntry {
       Sampling.withSplit(t(s, dir, "documents"), col("doc_id"))
         .groupBy("split").agg(count(lit(1)).as("n_docs"))),
 
+    "x9_group_split" -> ((s, dir) =>
+      // leakage-safe GROUPED split: the hash key is the GROUP (source),
+      // so every doc of a group lands in ONE split — near-dup content
+      // within a source can never straddle train/test, the hole x1's
+      // per-doc keying leaves open (same map-only hash, different key)
+      Sampling.withSplit(t(s, dir, "documents"), col("source"),
+          trainPct = 80, valPct = 10)
+        .groupBy("split")
+        .agg(countDistinct(col("source")).as("n_groups"),
+          count(lit(1)).as("n_docs"))),
+
+    "x10_epoch_shuffle" -> ((s, dir) => {
+      // per-epoch deterministic shard shuffle: each epoch is a
+      // different reproducible permutation (md5(epoch:key)), no
+      // rand() anywhere; the entry emits each epoch's first 5 docs —
+      // ranked via the rn<=k bounded-heap path, not a global sort
+      val d = t(s, dir, "documents")
+      val epochs = Seq(0, 1, 2).map { e =>
+        d.select(lit(e).as("epoch"), col("doc_id"),
+          Sampling.epochOrderKey(col("doc_id"), e).as("ek"))
+      }.reduce(_ unionAll _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("epoch").orderBy(col("ek"), col("doc_id"))
+      epochs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("epoch"), col("rn").as("rank"), col("doc_id"))
+    }),
+
     "t11_token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(t(s, dir, "documents"),
         col("doc_id"), col("text"))
@@ -1720,6 +1748,29 @@ object LlmEntry {
          |            WHEN bkt < 100 THEN 'val' ELSE 'test' END AS split,
          |       count(*) AS n_docs
          |FROM b GROUP BY 1""".stripMargin,
+
+    // x9: the same hash split keyed on the GROUP — group atomicity is
+    // structural (one bucket per source), the oracle replays it
+    "x9_group_split" ->
+      s"""WITH b AS (SELECT source, ${h32Sql("source")} % 100 AS bkt
+         |           FROM documents)
+         |SELECT CASE WHEN bkt < 80 THEN 'train'
+         |            WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+         |       count(DISTINCT source) AS n_groups,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM b GROUP BY 1""".stripMargin,
+
+    // x10: md5(epoch:doc_id) ordering replayed per epoch
+    "x10_epoch_shuffle" ->
+      s"""WITH e(epoch) AS (VALUES (0), (1), (2)),
+         |k AS (SELECT epoch, doc_id,
+         |        ${h32Sql("CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS ek
+         |      FROM documents CROSS JOIN e),
+         |r AS (SELECT epoch, doc_id, row_number() OVER (
+         |        PARTITION BY epoch ORDER BY ek, doc_id) AS rank FROM k)
+         |SELECT CAST(epoch AS INTEGER) AS epoch, CAST(rank AS INTEGER) AS rank,
+         |       doc_id
+         |FROM r WHERE rank <= 5""".stripMargin,
 
     "t11_token_entropy" ->
       s"""WITH toks AS (SELECT doc_id, unnest(tk) AS tok

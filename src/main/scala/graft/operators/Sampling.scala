@@ -41,6 +41,16 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Deterministic per-EPOCH ordering key: md5 of (epoch, key) — the
+    * shard-shuffle a training loop runs every epoch without `rand()`.
+    * Each epoch induces a different but fully reproducible permutation
+    * (same rows, same order, under retries/re-partitioning/appends);
+    * ties (hash collisions) break on the key downstream. Map-only: the
+    * sort itself belongs to the shard WRITER (one per-shard sort, the
+    * same work a deterministic shard file needs anyway), not here. */
+  def epochOrderKey(key: Column, epoch: Int): Column =
+    Hashing.h32(concat_ws(":", lit(epoch.toString), key.cast("string")))
+
   /** Keep a deterministic `fraction` of rows
     * (hash bucket < [[FractionBuckets]]·f, millionth granularity). */
   def sampleFraction(df: DataFrame, key: Column, fraction: Double): DataFrame = {

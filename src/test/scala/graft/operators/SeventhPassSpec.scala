@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.text.{LangIdNgram, TextAnalysis}
+import graft.operators.Sampling
 
 /** Hand-case specs for the round-7 seventh-pass operators. */
 class SeventhPassSpec extends SparkSpec {
@@ -46,6 +47,31 @@ class SeventhPassSpec extends SparkSpec {
     val qq = Seq((1L, "qqq qqq")).toDF("doc_id", "text")
     val r = LangIdNgram.classify(qq, col("doc_id"), col("text")).collect().head
     assert(r.getString(1) === LangIdNgram.Seeds.head._1)
+  }
+
+  test("grouped split is group-atomic: no group ever straddles splits") {
+    // many docs per group; every doc must inherit its group's split
+    val df = (0L until 200L).map(i => (i, s"g${i % 7}")).toDF("doc_id", "grp")
+    val s = Sampling.withSplit(df, col("grp"), trainPct = 60, valPct = 20)
+    assert(s.groupBy("grp").agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") =!= 1).count() === 0L)
+    // and the split really is the group's own hash split
+    val bySplit = s.select("grp", "split").distinct()
+    val direct = Sampling.withSplit(df.select("grp").distinct(), col("grp"),
+      trainPct = 60, valPct = 20)
+    assert(bySplit.except(direct).isEmpty && direct.except(bySplit).isEmpty)
+  }
+
+  test("epochOrderKey: per-epoch permutations differ, each is reproducible") {
+    val df = (0L until 100L).toDF("doc_id")
+    def order(e: Int): Seq[Long] =
+      df.select(col("doc_id"), Sampling.epochOrderKey(col("doc_id"), e).as("k"))
+        .orderBy(col("k"), col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val e0, e0again = order(0)
+    val e1 = order(1)
+    assert(e0 === e0again)           // reproducible
+    assert(e0 !== e1)                // a different permutation per epoch
+    assert(e0.sorted === e1.sorted)  // same rows, reordered
   }
 
   test("bpeChunkStats: bracket words excluded, empty docs emit no row") {
