@@ -714,6 +714,34 @@ object LlmEntry {
           md5(col("scrubbed")).as("scrub_md5"))
     }),
 
+    "t5b_pii_extended" -> ((s, dir) => {
+      // the scrub breadth a crawl needs beyond t5: range-valid IPv4s
+      // (999.999.999.999 must NOT count) and Luhn-VALID 16-digit cards
+      // (a card-shaped run failing the checksum counts 0 but still
+      // redacts). Injection recipe: email always; phone on %3; real ip
+      // on %2; bogus ip on %7; Luhn-valid card on %4; Luhn-invalid
+      // card-shaped run on %5 — all deterministic from doc_id.
+      val withPii = t(s, dir, "documents").withColumn("text2", concat(
+        col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" or call 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.42"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" at 999.999.999.999"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" card 4111 1111 1111 1111"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ref 1234-5678-9012-3456"))
+          .otherwise(lit(""))))
+      TextAnalysis.scrubPiiExtended(withPii, col("text2"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), col("n_cards"), md5(col("scrubbed")).as("scrub_md5"))
+    }),
+
     "t17_charset_audit" -> ((s, dir) => {
       // encoding-health screen; the corpus is clean ASCII, so every
       // third doc gets deterministic damage injected (mojibake marker,
@@ -2412,6 +2440,40 @@ object LlmEntry {
          |                   s -> ${h32Sql("s")})),
          |    (a, b) -> (a*31 + b) % ${graft.functions.Hashing.RollP}) AS rolling_fp
          |FROM n""".stripMargin,
+
+    // t5b: the Luhn check is inlined as a list_filter lambda — digits
+    // reversed, every second doubled (minus 9 past 9), total % 10 = 0
+    "t5b_pii_extended" -> {
+      import graft.text.TextAnalysis.{EmailRe, PhoneRe, IpRe, CardRe}
+      val ds = "reverse(regexp_replace(c, '[^0-9]', '', 'g'))"
+      val d = s"CAST(substring($ds, CAST(i AS INTEGER), 1) AS INTEGER)"
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN ' or call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |       ELSE '' END ||
+         |  CASE WHEN doc_id % 2 = 0
+         |       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.42'
+         |       ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' at 999.999.999.999' ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' ref 1234-5678-9012-3456' ELSE '' END
+         |    AS text2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text2, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text2, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text2, '$IpRe')) AS BIGINT) AS n_ips,
+         |  CAST(len(list_filter(regexp_extract_all(text2, '$CardRe'), c ->
+         |    list_sum(list_transform(range(1, length($ds) + 1), i ->
+         |      CASE WHEN i % 2 = 0
+         |           THEN CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END
+         |           ELSE $d END)) % 10 = 0)) AS BIGINT) AS n_cards,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text2,
+         |    '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'),
+         |    '$IpRe', '[IP]', 'g'), '$CardRe', '[CARD]', 'g')) AS scrub_md5
+         |FROM p""".stripMargin
+    },
 
     "t5_pii_scrub" -> {
       import graft.text.TextAnalysis.{EmailRe, PhoneRe}

@@ -575,6 +575,57 @@ object TextAnalysis {
       .withColumn("scrubbed",
         regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"))
 
+  /** Range-validated IPv4 (each octet 0-255; the naive `\d{1,3}` form
+    * counts `999.999.999.999`). Spelled without backreferences so Java
+    * regex and RE2 agree. */
+  val IpRe: String = {
+    val octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    s"\\b$octet(?:\\.$octet){3}\\b"
+  }
+
+  /** 16-digit card-shaped runs in 4-4-4-4 grouping with optional
+    * space/dash separators — the CANDIDATE shape; validity is Luhn's
+    * ([[luhnValid]]), which no regex can express. */
+  val CardRe: String = "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b"
+
+  /** Luhn checksum (ISO/IEC 7812) over a candidate's digits — the
+    * check that separates a real card number from 16 arbitrary digits:
+    * from the RIGHT, double every second digit (subtracting 9 when it
+    * exceeds 9) and the total must divide by 10. Pure higher-order
+    * column functions (codegen'd; no UDF). */
+  def luhnValid(cand: Column): Column = {
+    val ds = reverse(regexp_replace(cand, "[^0-9]", ""))
+    val total = aggregate(sequence(lit(1), length(ds)), lit(0),
+      (acc, i) => {
+        val d = ds.substr(i, lit(1)).cast("int")
+        acc + when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    total % 10 === 0
+  }
+
+  /** [[scrubPii]] with the breadth a crawl scrub actually needs:
+    * emails, phones, range-valid IPv4s, and Luhn-VALID 16-digit card
+    * numbers. `n_cards` counts only candidates passing [[luhnValid]]
+    * (a 16-digit order id is not PII); the scrub itself redacts EVERY
+    * card-shaped candidate — conservative over-redaction is the
+    * standard call, and it keeps the replace a plain regex. Replace
+    * order (emails → phones → ips → cards) is part of the contract:
+    * the earlier patterns cannot match inside a later one's span
+    * (digit runs have no internal word boundaries), so the order is
+    * observationally stable. Map-only, zero shuffles. */
+  def scrubPiiExtended(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_emails", regexp_count(text, lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(text, lit(PhoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(text, lit(IpRe)).cast("long"))
+      .withColumn("n_cards",
+        size(filter(regexp_extract_all(text, lit(CardRe), lit(0)),
+          luhnValid(_))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), IpRe, "[IP]"),
+          CardRe, "[CARD]"))
+
   // --- fingerprinting ---------------------------------------------------
 
   /** Normalized text: lowercase, non-alphanumerics collapsed to single

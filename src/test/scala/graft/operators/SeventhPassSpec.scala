@@ -49,6 +49,26 @@ class SeventhPassSpec extends SparkSpec {
     assert(r.getString(1) === LangIdNgram.Seeds.head._1)
   }
 
+  test("scrubPiiExtended: Luhn separates real cards, IP octets range-check") {
+    val df = Seq(
+      (1L, "pay 4111 1111 1111 1111 now"),        // Luhn-valid (Visa test)
+      (2L, "ref 1234-5678-9012-3456 thanks"),     // card-shaped, Luhn-invalid
+      (3L, "pay 4111111111111111 now"),           // unseparated, Luhn-valid
+      (4L, "host 10.0.255.9 up"),                 // valid ip
+      (5L, "bogus 999.999.999.999 down"),         // out-of-range: NOT an ip
+      (6L, "mixed 4111 1111 1111 1111 at 192.168.1.1")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPiiExtended(df, col("text"))
+      .select("doc_id", "n_ips", "n_cards", "scrubbed")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 1L), (0L, 0L), (0L, 1L), (1L, 0L), (0L, 0L), (1L, 1L)))
+    // invalid card still REDACTS (conservative over-redaction)
+    assert(out(1).getString(3) === "ref [CARD] thanks")
+    assert(out(4).getString(3) === "bogus 999.999.999.999 down")
+    assert(out(5).getString(3) === "mixed [CARD] at [IP]")
+  }
+
   test("grouped split is group-atomic: no group ever straddles splits") {
     // many docs per group; every doc must inherit its group's split
     val df = (0L until 200L).map(i => (i, s"g${i % 7}")).toDF("doc_id", "grp")
