@@ -714,6 +714,18 @@ object LlmEntry {
           md5(col("scrubbed")).as("scrub_md5"))
     }),
 
+    "t8b_line_dedup" -> ((s, dir) => {
+      // the APPLY leg of t8's repetition audit (C4's duplicate-line
+      // rule): the corpus has no newlines, so build a deterministic
+      // 4-line doc with the first line repeated thrice — the dedup
+      // must keep exactly (first line, unique line), in order
+      val withLines = t(s, dir, "documents").withColumn("text2",
+        concat_ws("\n", substring(col("text"), 1, 80),
+          concat(lit("only line "), col("doc_id").cast("string")),
+          substring(col("text"), 1, 80), substring(col("text"), 1, 80)))
+      TextAnalysis.dedupLines(withLines, col("doc_id"), col("text2"))
+    }),
+
     "t5b_pii_extended" -> ((s, dir) => {
       // the scrub breadth a crawl needs beyond t5: range-valid IPv4s
       // (999.999.999.999 must NOT count) and Luhn-VALID 16-digit cards
@@ -2440,6 +2452,27 @@ object LlmEntry {
          |                   s -> ${h32Sql("s")})),
          |    (a, b) -> (a*31 + b) % ${graft.functions.Hashing.RollP}) AS rolling_fp
          |FROM n""".stripMargin,
+
+    // t8b: order-preserving first-occurrence line dedup replayed via
+    // min-position per (doc, line) + position-ordered string_agg
+    "t8b_line_dedup" ->
+      """WITH p AS (SELECT doc_id,
+        |    substring(text, 1, 80) || chr(10) ||
+        |    'only line ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    substring(text, 1, 80) || chr(10) ||
+        |    substring(text, 1, 80) AS text2
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(text2, chr(10)) AS ls FROM p),
+        |l AS (SELECT doc_id, ls[CAST(i AS INTEGER)] AS line, i
+        |      FROM s, unnest(range(1, len(ls) + 1)) r(i)),
+        |f AS (SELECT doc_id, line, min(i) AS fi FROM l GROUP BY 1, 2),
+        |j AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY fi) AS txt,
+        |        count(*) AS n_kept
+        |      FROM f GROUP BY 1),
+        |n AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM s)
+        |SELECT doc_id, n_lines, CAST(n_kept AS BIGINT) AS n_kept,
+        |       md5(txt) AS dedup_md5
+        |FROM n JOIN j USING (doc_id)""".stripMargin,
 
     // t5b: the Luhn check is inlined as a list_filter lambda — digits
     // reversed, every second doubled (minus 9 past 9), total % 10 = 0

@@ -626,6 +626,27 @@ object TextAnalysis {
           EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), IpRe, "[IP]"),
           CardRe, "[CARD]"))
 
+  /** Intra-document duplicate-LINE removal — the APPLY leg of the t8
+    * repetition audit and the C4 recipe's document-level rule (Raffel
+    * et al. 2020 drop repeated lines; boilerplate headers/footers
+    * surviving HTML extraction are the usual victims): keep each
+    * distinct line's FIRST occurrence, in order (`array_distinct`
+    * preserves first-occurrence order), drop the rest. Map-only —
+    * split, distinct, rejoin are all column expressions; at 100 TB
+    * this runs at scan speed with zero shuffles.
+    *
+    * Output per doc: n_lines, n_kept, md5 of the rejoined text (the
+    * full scrubbed text is the operator's product; the digest keeps
+    * the driver row compact). */
+  def dedupLines(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val ls = split(text, "\n")
+    val kept = array_distinct(ls)
+    df.select(id.as("doc_id"),
+      size(ls).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      md5(array_join(kept, "\n")).as("dedup_md5"))
+  }
+
   // --- fingerprinting ---------------------------------------------------
 
   /** Normalized text: lowercase, non-alphanumerics collapsed to single

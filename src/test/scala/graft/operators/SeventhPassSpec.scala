@@ -49,6 +49,18 @@ class SeventhPassSpec extends SparkSpec {
     assert(r.getString(1) === LangIdNgram.Seeds.head._1)
   }
 
+  test("dedupLines keeps first occurrences in order") {
+    val df = Seq((1L, "a\nb\na\nc\nb\na"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 6L && out(0).getLong(2) === 3L)
+    // kept text is exactly "a\nb\nc" (first occurrences, in order)
+    val expected = df.sparkSession.range(1)
+      .select(md5(lit("a\nb\nc"))).collect().head.getString(0)
+    assert(out(0).getString(3) === expected)
+    assert(out(1).getLong(1) === 1L && out(1).getLong(2) === 1L)
+  }
+
   test("scrubPiiExtended: Luhn separates real cards, IP octets range-check") {
     val df = Seq(
       (1L, "pay 4111 1111 1111 1111 now"),        // Luhn-valid (Visa test)
