@@ -624,6 +624,20 @@ object LlmEntry {
       Search.rrfFuse(Seq(vec, lex), k = 10)
     }),
 
+    "e13_diverse_topk" -> ((s, dir) => {
+      // SERP-style diversification: BM25 top-20 collapsed to at most
+      // 2 hits per source, re-ranked to a final top-5 — both windows
+      // are partitioned rn<=k filters (bounded-heap path), everything
+      // after retrieval is |Q|×20 list-sized work
+      val docs = t(s, dir, "documents")
+      val hits = Search.bm25TopK(docs, col("doc_id"), col("text"),
+          Bm25Queries, k = 20)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      Search.diversifyTopK(hits, col("source"), k = 5, perGroup = 2)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("grp").as("source"), col("score"))
+    }),
+
     "e12_recall_eval" -> ((s, dir) => {
       // the recall@k audit every ANN rollout runs before trading
       // recall for latency: e2's LSH leg scored against e1's exact
@@ -1059,7 +1073,7 @@ object LlmEntry {
 
   /** The e8-family oracle: BM25 top-5 for [[Bm25Queries]] over
     * `documents` restricted by `where` ("" = whole corpus). */
-  private def bm25OracleSql(where: String): String = {
+  private def bm25OracleSql(where: String, rankLimit: Int = 5): String = {
     val vals = Bm25Queries.flatMap { case (q, ts) =>
       ts.distinct.map(t => s"('$q','$t')") }.mkString(", ")
     val vocab = Bm25Queries.flatMap(_._2).distinct
@@ -1082,7 +1096,7 @@ object LlmEntry {
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |                ORDER BY score DESC, doc_id) AS rank FROM pd)
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
-       |FROM r WHERE rank <= 5""".stripMargin
+       |FROM r WHERE rank <= $rankLimit""".stripMargin
   }
 
   /** Search.bm25's per-term score as DuckDB SQL (k1=1.2, b=0.75) over
@@ -2363,6 +2377,20 @@ object LlmEntry {
     // restricted to the indexed corpus
     "e8b_bm25_indexed" -> bm25OracleSql("WHERE doc_id >= 10"),
     "e8c_bm25_probe" -> bm25OracleSql("WHERE doc_id >= 10"),
+
+    // e13: the e8 pipeline at rank 20, collapsed to <=2 per source,
+    // re-ranked to 5 — both row_numbers replayed verbatim
+    "e13_diverse_topk" ->
+      s"""WITH j AS (SELECT b.query_id, b.rank, b.doc_id, b.score, d.source
+         |           FROM (${bm25OracleSql("", 20)}) b
+         |           JOIN documents d USING (doc_id)),
+         |c AS (SELECT *, row_number() OVER (PARTITION BY query_id, source
+         |                ORDER BY rank) AS srn FROM j),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY rank) AS nr
+         |      FROM c WHERE srn <= 2)
+         |SELECT query_id, CAST(nr AS INTEGER) AS rank, doc_id, source, score
+         |FROM f WHERE nr <= 5""".stripMargin,
     // e8d: exact-stats delete — the probe must equal BM25 recomputed
     // from scratch over the SURVIVING corpus
     "e8d_bm25_delete" ->

@@ -329,6 +329,33 @@ object Search {
       tab("stats"), qterms, k, k1, b)
   }
 
+  /** Search-results diversification by group collapsing — the SERP
+    * host-collapse move (at most `perGroup` hits per (query, group) in
+    * the final list, e.g. "no more than 2 results per domain"): rank
+    * survivors keep their relative order, then the list re-ranks and
+    * cuts to `k`. Both windows are PARTITIONED rn<=k filters — the
+    * WindowTopOneRewrite bounded-heap path — and the input is already
+    * a top-N list (|Q|×N rows), so this is list-sized work start to
+    * finish; nothing corpus-sized is touched.
+    *
+    * `hits` must carry (query_id, rank, ...); `group` is the collapse
+    * key (it rides into the output as `grp`). */
+  def diversifyTopK(hits: DataFrame, group: Column, k: Int,
+                    perGroup: Int): DataFrame = {
+    require(k > 0 && perGroup > 0, "k and perGroup must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("query_id"), col("grp"))
+      .orderBy(col("rank"))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    hits.withColumn("grp", group)
+      .withColumn("srn", row_number().over(w1))
+      .filter(col("srn") <= perGroup)
+      .withColumn("new_rank", row_number().over(w2))
+      .filter(col("new_rank") <= k)
+      .drop("srn", "rank")
+      .withColumnRenamed("new_rank", "rank")
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttner 2009): fuse
     * ranked lists from heterogeneous retrievers (e.g. a BM25 lexical
     * leg and an ANN vector leg) without score calibration —

@@ -63,7 +63,10 @@ class EntryPlanSpec extends SparkSpec {
     // product); t1b fans the bounded per-doc top-K out across the
     // 5-row constant language list — |top| × O(1), the same
     // constant-side class as t14's boundary array
-    "e8d_bm25_delete", "e6c_ann_delete", "t1b_langid_ngram")
+    "e8d_bm25_delete", "e6c_ann_delete", "t1b_langid_ngram",
+    // e13 retrieves via e8's pipeline (one-row corpus-stats product);
+    // its own diversification windows are list-sized rn<=k filters
+    "e13_diverse_topk")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

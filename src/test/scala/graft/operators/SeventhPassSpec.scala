@@ -49,6 +49,19 @@ class SeventhPassSpec extends SparkSpec {
     assert(r.getString(1) === LangIdNgram.Seeds.head._1)
   }
 
+  test("diversifyTopK: per-group cap holds, survivors keep relative order") {
+    // q1 ranks 1..6 with sources AAABBC: cap 2/source -> 1,2(A) 4,5(B)
+    // 6(C); re-ranked 1..5
+    val hits = Seq(
+      ("q1", 1, 10L, "A"), ("q1", 2, 11L, "A"), ("q1", 3, 12L, "A"),
+      ("q1", 4, 13L, "B"), ("q1", 5, 14L, "B"), ("q1", 6, 15L, "C")
+    ).toDF("query_id", "rank", "doc_id", "source")
+    val out = graft.text.Search.diversifyTopK(hits, col("source"),
+      k = 5, perGroup = 2).orderBy("rank").collect()
+    assert(out.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"))).toSeq
+      === Seq((1, 10L), (2, 11L), (3, 13L), (4, 14L), (5, 15L)))
+  }
+
   test("dedupLines keeps first occurrences in order") {
     val df = Seq((1L, "a\nb\na\nc\nb\na"), (2L, "x")).toDF("doc_id", "text")
     val out = TextAnalysis.dedupLines(df, col("doc_id"), col("text"))
