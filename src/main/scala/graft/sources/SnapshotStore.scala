@@ -82,6 +82,43 @@ object SnapshotStore {
     commit(merged, dir)
   }
 
+  /** `DELETE FROM <store> WHERE cond` — the Delta DELETE this store
+    * stands in for (the GDPR-erasure / tombstone primitive at the
+    * snapshot level, next to the persisted indexes' delete legs):
+    * surviving rows re-commit as the next version, so time travel
+    * still reads the pre-delete state at the prior version and
+    * [[changes]] reports the deletions as a change feed. Returns the
+    * new version, or None when the store doesn't exist yet. */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  cond: org.apache.spark.sql.Column): Option[Int] =
+    read(spark, dir).map(t => commit(t.filter(!cond), dir))
+
+  /** `UPDATE <store> SET col = expr WHERE cond` — Delta UPDATE:
+    * `assignments` apply only where `cond` holds, every other row
+    * passes through unchanged. One map-only pass + commit; the same
+    * versioning/time-travel/CDF guarantees as [[deleteWhere]].
+    * Assigned columns must already exist (UPDATE, not evolution).
+    * Returns the new version, or None when the store doesn't exist. */
+  def updateWhere(spark: SparkSession, dir: String,
+                  cond: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column])
+      : Option[Int] = {
+    import org.apache.spark.sql.functions.{col, when}
+    read(spark, dir).map { t =>
+      val missing = assignments.keySet -- t.columns.toSet
+      require(missing.isEmpty, s"unknown columns in UPDATE: $missing")
+      // ONE select so every assignment (and cond) reads the ORIGINAL
+      // row — SQL UPDATE semantics; chained withColumns would leak one
+      // assignment's result into the next
+      commit(t.select(t.columns.toIndexedSeq.map { c =>
+        assignments.get(c) match {
+          case Some(expr) => when(cond, expr).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*), dir)
+    }
+  }
+
   /** MERGE that fully REPLACES each touched group: target rows whose
     * `groupKeys` value appears in the delete-key set are deleted, then
     * the batch's rows insert. The shape a "result set per key" sink

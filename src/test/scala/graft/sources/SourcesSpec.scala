@@ -271,6 +271,35 @@ class TablesSpec extends SparkSpec {
       Set(("q2", 1, 20L), ("q2", 2, 21L)))
   }
 
+  test("deleteWhere/updateWhere: Delta DELETE/UPDATE semantics with versioning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-delupd").toString
+    SnapshotStore.commit(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+        .toDF("id", "k", "v"), dir)
+    // UPDATE ... SET v = v * 2, k = 'x' WHERE k = 'a' — assignments
+    // see the ORIGINAL row (cond on k while k is being assigned)
+    assert(SnapshotStore.updateWhere(spark, dir, col("k") === "a",
+      Map("v" -> (col("v") * 2), "k" -> lit("x"))).contains(1))
+    val afterU = SnapshotStore.read(spark, dir).get.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(afterU === Seq((1L, "x", 20.0), (2L, "b", 20.0), (3L, "x", 60.0)))
+    // DELETE WHERE v >= 60
+    assert(SnapshotStore.deleteWhere(spark, dir, col("v") >= 60).contains(2))
+    assert(SnapshotStore.read(spark, dir).get.count() === 2L)
+    // time travel still sees the pre-delete state
+    assert(SnapshotStore.readVersion(spark, dir, 1).get.count() === 3L)
+    // CDF reports the delete
+    val ch = SnapshotStore.changes(spark, dir, 1, 2, Seq("id")).get
+      .filter(col("change_type") === "delete").collect()
+    assert(ch.length === 1 && ch.head.getAs[Long]("id") === 3L)
+    // unknown column fails fast; missing store is None
+    intercept[IllegalArgumentException] {
+      SnapshotStore.updateWhere(spark, dir, lit(true), Map("zz" -> lit(1)))
+    }
+    assert(SnapshotStore.deleteWhere(spark, dir + "/nope", lit(true)).isEmpty)
+  }
+
   test("all testdata tables load; events gets a usable timestamp") {
     Tables.names.filter(_ != "events").foreach { n =>
       assert(Tables.load(spark, sfDir, n).count() > 0, n)
