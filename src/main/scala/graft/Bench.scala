@@ -97,7 +97,13 @@ object Bench {
     val passes = Seq.fill(3) {
       spark.catalog.clearCache()
       System.gc()
-      (once(), canary())
+      val qs = once()
+      // GC once more before the canary: the pass's 140-query allocation
+      // debt otherwise lands on the FIRST canary (r7 saw pass-1 canary
+      // 1.6x the others), polluting the host-noise reference with
+      // in-JVM state
+      System.gc()
+      (qs, canary())
     }
     val byQuery = passes.map(_._1).flatten.groupMap(_._1)(_._2)
     val results = byQuery.view.mapValues(_.min).toMap
