@@ -58,8 +58,13 @@ object SparkEntry {
       // gold_<status> rows — layer counts AND end-state values in one
       // deterministic frame. The oracle replays the chain from the
       // orders feed (empty watermark ⇒ the whole feed is the slice).
+      // per-JVM discriminator (pid): Verify and Bench may run this
+      // entry concurrently on the same sf dir from separate JVMs, and
+      // a work path keyed on dir alone would let one rm the other's
+      // mid-run silver/gold stores
       val work = s"${System.getProperty("java.io.tmpdir")}/graft_p1_" +
-        dir.hashCode.toHexString
+        dir.hashCode.toHexString + "_" +
+        ProcessHandle.current().pid().toHexString
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }

@@ -24,17 +24,28 @@ object PartitionedLake {
 
   /** Write `df` partitioned by the day of `ts`. `filesPerDay` bounds
     * the output file count per partition directory: rows shuffle on
-    * (dt, salt) with a ROW-LOCAL salt (hashed per-row unique id), so
-    * each day spreads over at most `filesPerDay` writer tasks
-    * (partitionBy then emits one file per day per task). Keying on dt
-    * alone would hash every row of a day into ONE task regardless of
-    * this knob. The salt deliberately does NOT hash the row's columns:
-    * `hash(<all cols>)` fails analysis on MapType columns and sends
-    * fully-duplicate rows to one bucket, quietly defeating the spread
-    * on low-cardinality batches. */
+    * (dt, salt) so each day spreads over at most `filesPerDay` writer
+    * tasks (partitionBy then emits one file per day per task). Keying
+    * on dt alone would hash every row of a day into ONE task
+    * regardless of this knob.
+    *
+    * The salt is a DETERMINISTIC row-content hash over the hash-safe
+    * columns (MapType anywhere in a column's type is excluded —
+    * `hash` fails analysis on maps). A non-deterministic salt
+    * (`rand()`, `monotonically_increasing_id()`) as a repartition key
+    * is the SPARK-23207 bug class: on a stage retry rows re-salt
+    * differently than the surviving shuffle outputs, duplicating or
+    * losing rows in the written lake. The trade-off is accepted and
+    * bounded: fully-duplicate rows co-bucket (mild write skew on
+    * low-cardinality batches), but every retry re-derives the SAME
+    * bucket for every row. */
   def writeByDay(df: DataFrame, dir: String, ts: Column,
                  filesPerDay: Int = 1): Unit = {
-    val salt = pmod(hash(monotonically_increasing_id()), lit(filesPerDay))
+    val safeCols = df.schema.fields.filter(f => hashSafe(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    val salt =
+      if (safeCols.isEmpty) lit(0) // all-map schema: one file per day
+      else pmod(hash(safeCols: _*), lit(filesPerDay))
     // explicit partition count: a column-only repartition is fair game
     // for AQE partition coalescing, which would fold the salt groups
     // back into shared tasks and re-kill the knob on small batches
@@ -50,4 +61,17 @@ object PartitionedLake {
     * directories before any file is opened. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Whether `hash()` accepts a column of this type (no MapType at any
+    * nesting depth — Spark's HashExpression rejects maps because their
+    * entry order is undefined). */
+  private[sources] def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashSafe(f.dataType))
+      case a: ArrayType => hashSafe(a.elementType)
+      case _ => true
+    }
+  }
 }

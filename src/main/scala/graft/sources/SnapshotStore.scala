@@ -87,11 +87,17 @@ object SnapshotStore {
     * snapshot level, next to the persisted indexes' delete legs):
     * surviving rows re-commit as the next version, so time travel
     * still reads the pre-delete state at the prior version and
-    * [[changes]] reports the deletions as a change feed. Returns the
+    * [[changes]] reports the deletions as a change feed. SQL DELETE
+    * three-valued logic: a row is removed only where `cond` is
+    * definitively TRUE — rows where it evaluates NULL survive, the
+    * same no-op treatment [[updateWhere]]'s `when` gives them (a bare
+    * `filter(!cond)` would silently erase them). Returns the
     * new version, or None when the store doesn't exist yet. */
   def deleteWhere(spark: SparkSession, dir: String,
-                  cond: org.apache.spark.sql.Column): Option[Int] =
-    read(spark, dir).map(t => commit(t.filter(!cond), dir))
+                  cond: org.apache.spark.sql.Column): Option[Int] = {
+    import org.apache.spark.sql.functions.{lit, not}
+    read(spark, dir).map(t => commit(t.filter(not(cond <=> lit(true))), dir))
+  }
 
   /** `UPDATE <store> SET col = expr WHERE cond` — Delta UPDATE:
     * `assignments` apply only where `cond` holds, every other row

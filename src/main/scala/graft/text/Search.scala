@@ -289,6 +289,14 @@ object Search {
     val stats = tab("stats").crossJoin(broadcast(deltas))
       .select((col("n_docs") - col("o_n")).as("n_docs"),
         (col("sum_dl") - coalesce(col("o_s"), lit(0L))).as("sum_dl"))
+    // empty-index boundary: deleting the FULL corpus would commit
+    // n_docs=0 and a later probe's avgdl = sum_dl/n_docs would go
+    // NULL instead of matching a fresh build of the (empty) survivor
+    // set — that lifecycle end is dropIndex's job, so refuse here.
+    // One one-row job over delete-set-sized inputs; takedown batches
+    // are tiny, so the extra action is noise.
+    require(stats.head().getLong(0) > 0,
+      s"deleteFromIndex would empty BM25 index '$name'; use dropIndex")
     commitIndex(spark, name,
       tab("postings").join(broadcast(del), Seq("doc_id"), "left_anti"),
       tab("doclen").join(broadcast(del), Seq("doc_id"), "left_anti"),
@@ -338,22 +346,27 @@ object Search {
     * a top-N list (|Q|×N rows), so this is list-sized work start to
     * finish; nothing corpus-sized is touched.
     *
-    * `hits` must carry (query_id, rank, ...); `group` is the collapse
-    * key (it rides into the output as `grp`). */
+    * `hits` must carry (query_id, rank, ...) and must NOT already
+    * have a `grp` column (the collapse key rides into the output as
+    * `grp`, and `withColumn` would silently clobber a pre-existing
+    * one — asserted). Working columns use collision-proof internal
+    * names, so any other caller column passes through untouched. */
   def diversifyTopK(hits: DataFrame, group: Column, k: Int,
                     perGroup: Int): DataFrame = {
     require(k > 0 && perGroup > 0, "k and perGroup must be positive")
+    require(!hits.columns.contains("grp"),
+      "diversifyTopK writes the collapse key as 'grp'; input already has one")
     import org.apache.spark.sql.expressions.Window
     val w1 = Window.partitionBy(col("query_id"), col("grp"))
       .orderBy(col("rank"))
     val w2 = Window.partitionBy(col("query_id")).orderBy(col("rank"))
     hits.withColumn("grp", group)
-      .withColumn("srn", row_number().over(w1))
-      .filter(col("srn") <= perGroup)
-      .withColumn("new_rank", row_number().over(w2))
-      .filter(col("new_rank") <= k)
-      .drop("srn", "rank")
-      .withColumnRenamed("new_rank", "rank")
+      .withColumn("__dv_srn", row_number().over(w1))
+      .filter(col("__dv_srn") <= perGroup)
+      .withColumn("__dv_rank", row_number().over(w2))
+      .filter(col("__dv_rank") <= k)
+      .drop("__dv_srn", "rank")
+      .withColumnRenamed("__dv_rank", "rank")
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttner 2009): fuse

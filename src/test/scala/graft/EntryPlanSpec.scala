@@ -105,6 +105,15 @@ class EntryPlanSpec extends SparkSpec {
     assert(!st6.contains("Window"), s"st6 still plans a Window:\n$st6")
     assert(st6.contains("partial_graft_topk_rows"),
       s"st6 shows no bounded-heap partials:\n$st6")
+    // e13 proves BOTH of diversifyTopK's partitioned rn <= k windows
+    // (per-group cap, then re-rank) ride WindowTopOneRewrite: the
+    // diversified list must execute with no Window exec at all and
+    // bounded-heap partials in their place
+    val e13 = SparkEntry.queries("e13_diverse_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!e13.contains("Window"), s"e13 still plans a Window:\n$e13")
+    assert(e13.contains("partial_graft_topk_rows"),
+      s"e13 shows no bounded-heap partials:\n$e13")
     Seq("b2_dedup_latest", "b2b_dedup_latest_naive", "g7b_topn_naive",
         "g8_ingestion_log",
         "g13_salted_agg",

@@ -55,6 +55,27 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("deleting the full corpus is refused — that lifecycle end is dropIndex") {
+    import spark.implicits._
+    Search.dropIndex(spark, "bempty")
+    try {
+      val base = Seq((1L, "apple banana"), (2L, "cherry")).toDF("doc_id", "text")
+      Search.writeIndex(base, col("doc_id"), col("text"), "bempty", buckets = 2)
+      // committing n_docs=0 would make a later probe's avgdl NULL —
+      // refuse, and leave the index exactly as it was
+      intercept[IllegalArgumentException] {
+        Search.deleteFromIndex(Seq(1L, 2L).toDF("doc_id"), "bempty", buckets = 2)
+      }
+      assert(Search.indexVersion(spark, "bempty").contains(0),
+        "a refused delete must not commit a version")
+      // ...and a partial delete on the same index still works
+      assert(Search.deleteFromIndex(Seq(1L).toDF("doc_id"), "bempty",
+        buckets = 2) == 1)
+      val st = spark.table("bempty_stats").collect()(0)
+      assert(st.getLong(0) == 1L, s"survivor count wrong: $st")
+    } finally Search.dropIndex(spark, "bempty")
+  }
+
   test("probe after write+update equals the in-memory bm25TopK exactly") {
     Search.dropIndex(spark, "bix")
     assert(Search.writeIndex(docs.filter(col("doc_id") >= 110),

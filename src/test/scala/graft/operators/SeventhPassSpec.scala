@@ -49,6 +49,25 @@ class SeventhPassSpec extends SparkSpec {
     assert(r.getString(1) === LangIdNgram.Seeds.head._1)
   }
 
+  test("langIdNgram: non-Latin scripts survive normalization and classify") {
+    // digit/punctuation-laced Russian and Greek: the old `[^a-z ]`
+    // normalization mapped BOTH to empty strings (no row at all);
+    // the script-aware form must classify them correctly
+    val df = Seq(
+      (1L, "в 2024 году было 3 решения, но никто не мог объяснить их!"),
+      (2L, "το 2024 ειχε 3 αποφασεις, και κανεις δεν μπορουσε να τις εξηγησει."))
+      .toDF("doc_id", "text")
+    val out = LangIdNgram.classify(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.length === 2, "non-Latin docs must emit rows now")
+    assert(out(0).getString(1) === "ru", s"got ${out(0)}")
+    assert(out(1).getString(1) === "el", s"got ${out(1)}")
+    // the widened seed set stays alphabetical (the tiebreak contract)
+    assert(LangIdNgram.Seeds.map(_._1) ===
+      LangIdNgram.Seeds.map(_._1).sorted)
+    assert(LangIdNgram.Seeds.map(_._1) === LangIdNgram.TestPhrases.map(_._1))
+  }
+
   test("diversifyTopK: per-group cap holds, survivors keep relative order") {
     // q1 ranks 1..6 with sources AAABBC: cap 2/source -> 1,2(A) 4,5(B)
     // 6(C); re-ranked 1..5
@@ -60,6 +79,23 @@ class SeventhPassSpec extends SparkSpec {
       k = 5, perGroup = 2).orderBy("rank").collect()
     assert(out.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"))).toSeq
       === Seq((1, 10L), (2, 11L), (3, 13L), (4, 14L), (5, 15L)))
+  }
+
+  test("diversifyTopK: caller columns pass through; a pre-existing grp refuses") {
+    val hits = Seq(
+      ("q1", 1, 10L, "A", "keep1"), ("q1", 2, 11L, "B", "keep2")
+    ).toDF("query_id", "rank", "doc_id", "source", "srn")
+    // a caller column named after an OLD working name (srn) survives
+    // untouched now that working columns use internal names
+    val out = graft.text.Search.diversifyTopK(hits, col("source"),
+      k = 2, perGroup = 1).orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("srn")).toSeq === Seq("keep1", "keep2"))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+    // grp is the one reserved output name — clobbering is refused
+    intercept[IllegalArgumentException] {
+      graft.text.Search.diversifyTopK(
+        hits.withColumnRenamed("srn", "grp"), col("source"), 2, 1)
+    }
   }
 
   test("dedupLines keeps first occurrences in order") {

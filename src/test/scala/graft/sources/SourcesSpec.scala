@@ -135,6 +135,45 @@ class PartitionedLakeSpec extends SparkSpec {
     assert(perDay.exists(_ > 1),
       s"salting never split any day — the knob is dead again: ${perDay.toSeq}")
   }
+
+  test("salt is deterministic and analysis-safe with MapType + duplicate rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lake-map").toString
+    // a MapType column (hash() would fail analysis on it) plus fully
+    // duplicated rows: the content-hash salt must skip the map, write
+    // fine, and stay within the file bound
+    val rows = (0 until 60).map(i =>
+      (i % 5L, s"2024-03-0${1 + i % 2} 10:00:00", Map("k" -> (i % 3))))
+    val df = rows.toDF("id", "tss", "attrs")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    PartitionedLake.writeByDay(df, dir, col("ts"), filesPerDay = 4)
+    val lake = PartitionedLake.read(spark, dir)
+    assert(lake.count() === 60L)
+    val days = lake.select("dt").distinct().collect().map(_.get(0).toString)
+    assert(days.length === 2)
+    days.foreach { d =>
+      val files = new java.io.File(s"$dir/dt=$d")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files <= 4, s"day $d has $files files")
+    }
+    // the same frame written again salts IDENTICALLY (retry safety is
+    // exactly this property: recomputation re-derives the same bucket)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-lake-map2").toString
+    PartitionedLake.writeByDay(df, dir2, col("ts"), filesPerDay = 4)
+    def layout(d: String) = PartitionedLake.read(spark, d)
+      .groupBy(input_file_name(), col("dt")).count()
+      .select("dt", "count").collect().map(_.toString).sorted.toSeq
+    assert(layout(dir) === layout(dir2),
+      "re-writing the same frame produced a different salt layout")
+    // MapType at any nesting depth is excluded; everything else is safe
+    import org.apache.spark.sql.types._
+    assert(!PartitionedLake.hashSafe(MapType(StringType, IntegerType)))
+    assert(!PartitionedLake.hashSafe(ArrayType(MapType(StringType, IntegerType))))
+    assert(!PartitionedLake.hashSafe(
+      StructType(Seq(StructField("m", MapType(StringType, IntegerType))))))
+    assert(PartitionedLake.hashSafe(ArrayType(StructType(Seq(
+      StructField("x", DecimalType(18, 4)))))))
+  }
 }
 
 class TablesSpec extends SparkSpec {
@@ -298,6 +337,19 @@ class TablesSpec extends SparkSpec {
       SnapshotStore.updateWhere(spark, dir, lit(true), Map("zz" -> lit(1)))
     }
     assert(SnapshotStore.deleteWhere(spark, dir + "/nope", lit(true)).isEmpty)
+  }
+
+  test("deleteWhere: NULL-predicate rows survive (SQL three-valued DELETE)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-delnull").toString
+    SnapshotStore.commit(
+      Seq((1L, Some(10.0)), (2L, None), (3L, Some(70.0)))
+        .toDF("id", "v"), dir)
+    // v >= 60 is NULL for id=2 — SQL DELETE only removes definitively
+    // TRUE rows, so id=2 must survive (updateWhere already no-ops it)
+    assert(SnapshotStore.deleteWhere(spark, dir, col("v") >= 60).contains(1))
+    assert(SnapshotStore.read(spark, dir).get.select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
   test("all testdata tables load; events gets a usable timestamp") {
