@@ -145,10 +145,32 @@ object Bench {
     // contract.
     val full = s"""{$core,"queries":${qmap(results)},"queries_med":${qmap(medians)},"total":${f3(total)},"canary":${f3(canaries.min)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: $e") }
+    // PLUS a round-stamped copy that is never overwritten: BENCH_FULL
+    // .json alone loses round N-1's per-query medians the moment round
+    // N runs, and the driver's BENCH_rNN.json keeps only a truncated
+    // stdout tail (r6 lost 60 of 130 per-query numbers that way). The
+    // round number is inferred as max(committed BENCH_rNN.json) + 1 —
+    // the driver commits its artifact at each round boundary, so at
+    // bench time the highest committed round is the PREVIOUS one.
+    val round = try {
+      val dir = java.nio.file.Paths.get(out).toAbsolutePath.getParent
+      val rx = "BENCH_r(\\d+)\\.json".r
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(dir)
+      val rs = try listing.iterator().asScala
+        .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString)
+          .map(_.group(1).toInt)).toSeq
+      finally listing.close()
+      if (rs.isEmpty) None else Some(rs.max + 1)
+    } catch { case _: Throwable => None }
+    val targets = out +: round.toSeq.map(r =>
+      out.replace("BENCH_FULL", f"BENCH_FULL_r$r%02d"))
+    targets.foreach { t =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(t),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $t: $e") }
+    }
     spark.stop()
   }
 }
