@@ -686,9 +686,10 @@ object LlmEntry {
       // multilingual language ID: Cavnar-Trenkle char-trigram rank
       // profiles (t1's stopword heuristic stays as the cheap gate)
       // over a deterministic multi-language synthetic corpus — each
-      // doc carries the held-out phrase of language (doc_id % 5),
-      // repeated (doc_id % 3)+1 times
-      val idx = (col("doc_id") % 5).cast("int")
+      // doc carries the held-out phrase of language (doc_id % 7,
+      // Cyrillic and Greek included: the normalization is
+      // script-aware), repeated (doc_id % 3)+1 times
+      val idx = (col("doc_id") % LangIdNgram.TestPhrases.size).cast("int")
       val phrase = LangIdNgram.TestPhrases.zipWithIndex
         .foldLeft(lit(""): org.apache.spark.sql.Column) {
           case (acc, ((_, p), i)) => when(idx === i, lit(p)).otherwise(acc)
@@ -1460,9 +1461,10 @@ object LlmEntry {
            |langs(lang) AS (VALUES $langListSql),
            |d0 AS (SELECT doc_id, repeat(phrase || ' ',
            |         CAST(doc_id % 3 + 1 AS INTEGER)) AS text
-           |       FROM documents JOIN ph ON ph.i = doc_id % 5),
+           |       FROM documents
+           |       JOIN ph ON ph.i = doc_id % ${LangIdNgram.TestPhrases.size}),
            |d AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
-           |        lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+           |        lower(text), '[^\\p{L} ]', ' ', 'g'), ' +', ' ', 'g')) AS s
            |      FROM d0),
            |g AS (SELECT doc_id, substring(s, CAST(i AS INTEGER), 3) AS tg
            |      FROM d, unnest(range(1, length(s) - 1)) r(i)
@@ -1486,8 +1488,10 @@ object LlmEntry {
 
   /** [[LangIdNgram]]'s trained profiles / test phrases / language list
     * as SQL literals — generated from the same Scala constants the
-    * operator uses, one source of truth (trigrams are `[a-z ]` only by
-    * normalization, so plain single-quoting is safe). */
+    * operator uses, one source of truth (trigrams are letters/spaces
+    * only by normalization — apostrophes and every other punctuation
+    * character are stripped — so plain single-quoting is safe for any
+    * script). */
   private def langProfSql: String = LangIdNgram.Profiles
     .map { case (l, g, r) => s"('$l', '$g', $r)" }.mkString(", ")
   private def langPhraseSql: String = LangIdNgram.TestPhrases.zipWithIndex

@@ -31,19 +31,30 @@ object LangIdNgram {
 
   /** Profile depth (top-K trigrams per language and per document) and
     * the out-of-place penalty for absent trigrams. The paper uses up
-    * to 300; 40 separates these five languages' function-word
+    * to 300; 40 separates these seven languages' function-word
     * distributions with margin (20 left fr/it too close). */
   val K = 40
 
-  /** Per-language seed text (function-word soup — ASCII-only so the
-    * `[^a-z ]` normalization both engines apply never mangles it).
-    * Alphabetical by language code: the classifier's tiebreak order. */
+  /** Per-language seed text (function-word soup). The normalization is
+    * SCRIPT-AWARE (`[^\p{L} ]` — any Unicode letter survives, digits/
+    * punctuation/symbols don't), so non-Latin seeds work directly:
+    * el/ru below are Cyrillic and Greek — the scripts most of a real
+    * crawl's non-English text is written in. Seeds are pre-lowercased
+    * (lower() is a no-op on them, so engine case-folding differences
+    * can't bite). Alphabetical by language code: the classifier's
+    * tiebreak order. */
   val Seeds: Seq[(String, String)] = Seq(
     "de" -> ("der die das und ist von mit nicht sich auf fur als auch "
       + "wird bei einem einer eines dem den des ein eine zu im in aus "
       + "nach uber unter wieder gegen zwischen durch wenn aber oder "
       + "doch schon noch nur sehr kann muss soll haben sein werden "
       + "wurde sind war waren hat hatte beim vom zum zur dass"),
+    "el" -> ("και το η ο του της των στο στη στον στην με για απο δεν "
+      + "να θα που ως προς κατα μετα πριν χωρις μεσα εξω πανω κατω "
+      + "αυτο αυτη αυτος εκεινος ενα μια ενας ειναι ηταν εχει εχουν "
+      + "ειχε θελει μπορει πρεπει οταν οπου πως γιατι επειδη αλλα η "
+      + "ουτε ακομα πολυ λιγο απο τους τις τα ενος εναν οπως τοτε "
+      + "τωρα εδω εκει καθε ολα ολοι"),
     "en" -> ("the and of to in that it is was for on with as at by "
       + "from up about into over after under again further then once "
       + "here there all any both each few more most other some such "
@@ -65,7 +76,12 @@ object LangIdNgram {
       + "molto bene anche ma o quindi perche non questo questa questi "
       + "queste quello quella si suo sua suoi sue noi voi loro al "
       + "allo alla ai agli alle stato essere avere fatto fare come "
-      + "quando"))
+      + "quando"),
+    "ru" -> ("и в не на я что он с как это по но они мы она к у из за "
+      + "от для же бы ты вы о при этот тот так вот быть был была были "
+      + "есть нет да ли уже или если когда где потом здесь там чтобы "
+      + "перед после между под над через про без до около его ее их "
+      + "наш ваш свой кто весь все еще только можно нужно очень"))
 
   /** Held-out test phrases (distinct word sequences, same function-
     * word distributions) — the deterministic multi-language corpus the
@@ -73,6 +89,9 @@ object LangIdNgram {
   val TestPhrases: Seq[(String, String)] = Seq(
     "de" -> ("es gibt etwas uber die art und weise wie es gemacht "
       + "wurde das niemand erklaren kann und auch nicht verstehen"),
+    "el" -> ("υπηρχε κατι στον τροπο με τον οποιο ειχε γινει που "
+      + "κανεις δεν μπορουσε να εξηγησει και που δεν θα αλλαζε με τον "
+      + "καιρο οπως και να το δει κανεις"),
     "en" -> ("there was something about the way it had been done that "
       + "no one could quite explain and it would not change"),
     "es" -> ("habia algo sobre la manera en que se habia hecho que "
@@ -81,12 +100,20 @@ object LangIdNgram {
       + "fait avec les mots que personne ne pouvait expliquer et qui "
       + "ne changerait pas avec le temps pour nous"),
     "it" -> ("c era qualcosa nel modo in cui era stato fatto che "
-      + "nessuno poteva spiegare e che non poteva cambiare"))
+      + "nessuno poteva spiegare e che non poteva cambiare"),
+    "ru" -> ("было что то в том как это было сделано что никто не мог "
+      + "объяснить и что не могло измениться со временем как бы кто "
+      + "ни смотрел на это дело"))
 
   /** The normalization both engines apply before trigram extraction:
-    * lowercase, non-[a-z ] → space, space runs collapsed, trimmed. */
+    * lowercase, anything that is not a Unicode LETTER or space →
+    * space (script-aware: Cyrillic/Greek/CJK letters survive where the
+    * old `[^a-z ]` form mapped whole non-Latin documents to empty
+    * strings), space runs collapsed, trimmed. Locale.ROOT casing so a
+    * host locale (tr_TR's dotless-i) can't skew the trained profiles. */
   private def normalize(s: String): String =
-    s.toLowerCase.replaceAll("[^a-z ]", " ").replaceAll(" +", " ").trim
+    s.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^\\p{L} ]", " ").replaceAll(" +", " ").trim
 
   /** Top-[[K]] trigram rank profile of a text — pure and deterministic
     * (count desc, trigram asc), the offline trainer. 1-based ranks. */
@@ -111,7 +138,7 @@ object LangIdNgram {
     val prof = broadcast(Profiles.toDF("lang", "tg", "pr"))
     val langs = broadcast(Seeds.map(_._1).toDF("lang"))
     val norm = trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z ]", " "), " +", " "))
+      regexp_replace(lower(text), "[^\\p{L} ]", " "), " +", " "))
     val grams = docs
       .select(id.as("doc_id"), norm.as("s"))
       .select(col("doc_id"), explode(
