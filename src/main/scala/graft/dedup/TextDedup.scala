@@ -72,6 +72,17 @@ object TextDedup {
     * every common shingle is ultra-hot). None = exhaustive (oracle
     * semantics).
     *
+    * SIZE THE CAP RELATIVE TO THE CORPUS (a df fraction, not a fixed
+    * absolute). Measured (SCALING.md round 8): on a Heaps-law corpus
+    * the cost crossover vs the exhaustive branch lands between 1× and
+    * 5× the sf0.1 size with identical recall at every size (near-dup
+    * pairs share RARE shingles, which survive any sane cap); but on a
+    * closed-vocabulary corpus where every shingle's df grows with the
+    * corpus, a fixed cap=10 still neutralizes the superlinear blowup
+    * while recall collapses to ZERO once all shingles exceed it. A
+    * corpus-relative cap (e.g. df ≤ 0.2% of docs) tracked both cost
+    * and full recall across the measured 10× spread.
+    *
     * The capped branch runs ENTIRELY in the h32 shingle-hash domain:
     * each doc's set is `array_distinct(h32(shingle))`, the df cap,
     * blocking join, and verification all operate on those longs, and

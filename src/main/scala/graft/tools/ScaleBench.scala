@@ -1,0 +1,166 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftExtensions, SparkEntry}
+import graft.operators.Skew
+import graft.sources.Tables
+
+/** The scaling experiment harness (SCALING.md): runs the headline
+  * "this would hold at 100 TB" stories over [[ScaleGen]] corpora at
+  * several sizes and records per-size wall times, so the claims argued
+  * from plan shape are MEASURED as curves:
+  *
+  *  - d2 vs d2b — the committed claim that the df-capped candidate
+  *    generation's savings grow with corpus size (the d2b/d2 ratio
+  *    falls as the corpus grows)
+  *  - e6b / e8c — persisted-index probe latency should stay ~flat in
+  *    corpus size (the probe touches query-sliver postings only);
+  *    the build legs are timed separately and may scale linearly
+  *  - d3 / c1 — LSH banding and the curation chain should scale
+  *    near-linearly (no quadratic blowup)
+  *  - salted vs plain agg/join on a 60%-hot key — the skew toolkit's
+  *    payoff curve (AQE and broadcast are disabled for these four so
+  *    the salting effect is isolated, not handed to the runtime)
+  *
+  * Timing: per (size, op) one untimed warmup then `SCALE_PASSES`
+  * (default 3) timed passes, min + median recorded; operator-internal
+  * caches cleared between passes; same codegen-cache posture as Bench.
+  * Index builds are timed once (their cost IS the lifecycle number).
+  *
+  * Usage: `runMain graft.tools.ScaleBench <root> <mult...>` after
+  * `ScaleGen` wrote `<root>/x<mult>`; writes SCALING.json.
+  */
+object ScaleBench {
+
+  private val ReusedQueries = Seq(
+    "d1_exact_dedup", "d2_ngram_jaccard", "d2b_ngram_jaccard_capped",
+    "d3_minhash_lsh", "c1_curate")
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft_scale")
+    val mults = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 5, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SCALE_PASSES", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timeOf(fn: () => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = fn()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    // one untimed warmup + `passes` timed, caches cleared between
+    def bench(fn: () => Long): (Double, Double, Long) = {
+      fn()
+      val timed = Seq.fill(passes) {
+        spark.catalog.clearCache(); System.gc()
+        timeOf(fn)
+      }
+      val ts = timed.map(_._1).sorted
+      (ts.min, ts(ts.length / 2), timed.head._2)
+    }
+
+    val results = mults.map { m =>
+      val dir = s"$root/x$m"
+      println(s"[scalebench] === x$m ($dir) ===")
+      val ops = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Long)]()
+
+      ReusedQueries.foreach { q =>
+        ops(q) = bench(() => SparkEntry.queries(q)(spark, dir).count())
+        println(f"[scalebench] x$m $q min=${ops(q)._1}%.3f med=${ops(q)._2}%.3f rows=${ops(q)._3}")
+      }
+
+      // d2b with the cap sized RELATIVE to the corpus (10 per 5k docs
+      // = 0.2% document frequency): a fixed absolute cap's recall is
+      // corpus-size-sensitive — the first run of this experiment
+      // measured the shipped cap=10 dropping from full recall at x1
+      // to ZERO pairs at x5 on an all-common-word corpus — while a
+      // relative cap tracks the df distribution as the corpus grows
+      ops("d2b_rel_cap") = bench(() =>
+        graft.dedup.TextDedup.ngramJaccardPairs(
+          Tables.load(spark, dir, "documents"), col("doc_id"), col("text"),
+          minJaccard = 0.05, maxDocFreq = Some(10 * m)).count())
+      println(f"[scalebench] x$m d2b_rel_cap min=${ops("d2b_rel_cap")._1}%.3f " +
+        f"med=${ops("d2b_rel_cap")._2}%.3f rows=${ops("d2b_rel_cap")._3}")
+
+      // persisted-index legs: drop any prior state so the lifecycle
+      // number is a REAL build, then probe steady-state
+      val annName = s"e6probe_${dir.hashCode.toHexString}"
+      val bmName = s"e8probe_${dir.hashCode.toHexString}"
+      graft.ann.AnnIndex.drop(spark, annName)
+      graft.text.Search.dropIndex(spark, bmName)
+      ops("e6b_lifecycle") = {
+        val (t, r) = timeOf(() =>
+          SparkEntry.queries("e6b_ann_probe")(spark, dir).count())
+        (t, t, r)
+      }
+      ops("e6b_probe") = bench(() =>
+        SparkEntry.queries("e6b_ann_probe")(spark, dir).count())
+      ops("e8c_lifecycle") = {
+        val (t, r) = timeOf(() =>
+          SparkEntry.queries("e8c_bm25_probe")(spark, dir).count())
+        (t, t, r)
+      }
+      ops("e8c_probe") = bench(() =>
+        SparkEntry.queries("e8c_bm25_probe")(spark, dir).count())
+      Seq("e6b_lifecycle", "e6b_probe", "e8c_lifecycle", "e8c_probe").foreach(q =>
+        println(f"[scalebench] x$m $q min=${ops(q)._1}%.3f med=${ops(q)._2}%.3f"))
+
+      // skew story: AQE + broadcast OFF so the comparison isolates the
+      // salting tools (AQE skew-join is the runtime's own answer; the
+      // toolkit exists for engines/paths where it isn't available)
+      val conf = spark.conf
+      val oldAqe = conf.get("spark.sql.adaptive.enabled")
+      val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def fact: DataFrame = Tables.load(spark, dir, "skew_fact")
+        def dim: DataFrame = Tables.load(spark, dir, "skew_dim")
+        ops("skew_agg_plain") = bench(() =>
+          fact.groupBy("key")
+            .agg(sum("amount").as("total"), count(lit(1)).as("n")).count())
+        ops("skew_agg_salted") = bench(() =>
+          Skew.saltedSumCount(fact, Seq("key"), col("amount"),
+            saltFrom = Seq(col("rid")), factor = 32).count())
+        ops("skew_join_plain") = bench(() =>
+          fact.join(dim, "key").groupBy("attr")
+            .agg(count(lit(1)).as("n"), sum("amount").as("total")).count())
+        ops("skew_join_salted") = bench(() =>
+          Skew.saltedJoin(fact, dim, Seq("key"), Seq(col("rid")), factor = 32)
+            .groupBy("attr")
+            .agg(count(lit(1)).as("n"), sum("amount").as("total")).count())
+      } finally {
+        conf.set("spark.sql.adaptive.enabled", oldAqe)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      }
+      Seq("skew_agg_plain", "skew_agg_salted", "skew_join_plain",
+        "skew_join_salted").foreach(q =>
+        println(f"[scalebench] x$m $q min=${ops(q)._1}%.3f med=${ops(q)._2}%.3f"))
+
+      m -> ops.toSeq
+    }
+
+    def f3(v: Double) = f"$v%.3f"
+    val json = results.map { case (m, ops) =>
+      val opsJson = ops.map { case (n, (mn, md, rows)) =>
+        s""""$n":{"min":${f3(mn)},"med":${f3(md)},"rows":$rows}"""
+      }.mkString(",")
+      s"""{"mult":$m,"docs":${ScaleGen.BaseDocs * m},"vecs":${ScaleGen.BaseVecs * m},"fact":${ScaleGen.BaseFact * m},"ops":{$opsJson}}"""
+    }.mkString("[", ",", "]")
+    val out = sys.env.getOrElse("SCALE_OUT", "SCALING.json")
+    val doc = s"""{"passes":$passes,"cpus":$cpus,"root":"$root","sizes":$json}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[scalebench] wrote $out")
+    spark.stop()
+  }
+}
