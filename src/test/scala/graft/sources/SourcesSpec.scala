@@ -339,6 +339,29 @@ class TablesSpec extends SparkSpec {
     assert(SnapshotStore.deleteWhere(spark, dir + "/nope", lit(true)).isEmpty)
   }
 
+  test("LakehouseTable seam: SnapshotTable is exact SnapshotStore parity") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lht").toString
+    val t: LakehouseTable = SnapshotTable(dir)
+    assert(t.read(spark).isEmpty)
+    t.mergeInto(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "v"),
+      Seq("id"))
+    t.mergeInto(Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("id", "k", "v"),
+      Seq("id"))
+    assert(t.read(spark).get.count() === 3L)
+    assert(t.updateWhere(spark, col("k") === "a",
+      Map("v" -> (col("v") + 1))).contains(2))
+    assert(t.deleteWhere(spark, col("v") >= 30).contains(3))
+    // the trait surface and direct SnapshotStore calls see ONE table
+    assert(t.read(spark).get.collect().map(_.toString).sorted.toSeq ===
+      SnapshotStore.read(spark, dir).get.collect().map(_.toString).sorted.toSeq)
+    assert(t.readVersion(spark, 1).get.count() === 3L)
+    val ch = t.changes(spark, 2, 3, Seq("id")).get.collect()
+    assert(ch.length === 1 && ch.head.getAs[String]("change_type") === "delete")
+    assert(t.compact(spark, numFiles = 1).contains(4))
+    assert(t.read(spark).get.count() === 2L)
+  }
+
   test("deleteWhere: NULL-predicate rows survive (SQL three-valued DELETE)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-delnull").toString
