@@ -414,6 +414,17 @@ object LlmEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    "e11_filtered_knn" -> ((s, dir) => {
+      // metadata-filtered vector search: each query's neighbors are
+      // drawn ONLY from corpus vectors with the query's own label —
+      // the filter rides candidate generation as the join key, so a
+      // post-hoc-filtered top-k can never underfill
+      val v = t(s, dir, "embeddings")
+      Knn.filteredTopK(v.filter(col("vec_id") < 10),
+        v.filter(col("vec_id") >= 10), Seq("label"), k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     "e2_knn_lsh" -> ((s, dir) => {
       val v = t(s, dir, "embeddings")
       Knn.lshTopK(v.filter(col("vec_id") < 10), v.filter(col("vec_id") >= 10), k = 5)
@@ -1851,7 +1862,7 @@ object LlmEntry {
          |ctf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
          |n AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM ctf),
          |sc AS (SELECT doc_id, tf,
-         |    round(-log2(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS surp
+         |    -log2(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE)) AS surp
          |  FROM tf JOIN ctf USING (token) CROSS JOIN n)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
@@ -1868,7 +1879,7 @@ object LlmEntry {
          |c2w AS (SELECT bigram, c2, string_split(bigram, ' ')[1] AS w1 FROM c2),
          |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2w GROUP BY 1),
          |sc AS (SELECT doc_id, tf,
-         |         round(-log2(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6) AS surp
+         |         -log2(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS surp
          |       FROM tf JOIN c2w USING (bigram) JOIN c1 USING (w1))
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
          |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
@@ -2298,6 +2309,18 @@ object LlmEntry {
          |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
          |s AS (SELECT query_id, neighbor_id, $CosSql AS sim FROM q, c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "e11_filtered_knn" ->
+      s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label, e AS qe FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, label, e AS ce FROM v WHERE vec_id >= 10),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
+         |      FROM q JOIN c USING (label)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim

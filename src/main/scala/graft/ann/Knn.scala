@@ -61,6 +61,37 @@ object Knn {
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
+  /** Exact top-k by cosine RESTRICTED to corpus rows sharing the
+    * query's metadata (`filterKeys` equality) — filtered vector
+    * search, the production-retrieval shape every vector store grew
+    * ("nearest products in MY category", "nearest docs with MY
+    * license"): the filter is applied DURING candidate generation,
+    * not post-hoc on a top-k that may then underfill.
+    *
+    * Scale shape: the filter keys ARE the blocking key — the join is
+    * an equi-join on them (queries broadcast, corpus-side work
+    * proportional to the matching slices, never |Q|×|C| unless every
+    * row shares one key value; a hot filter value degrades to the
+    * brute scan of that slice, which is what correctness requires).
+    * Same float ops and rounding as [[bruteForceTopK]], so results
+    * are engine-reproducible. */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame,
+                   filterKeys: Seq[String], k: Int): DataFrame = {
+    require(filterKeys.nonEmpty, "filteredTopK needs at least one filter key")
+    val q = broadcast(queries.select(
+      (col("vec_id").as("query_id") +: filterKeys.map(col)) :+
+        Vectors.asDouble(col("embedding")).as("qe"): _*)
+      .withColumn("qn", Vectors.norm(col("qe"))))
+    val c = corpus.select(
+      (col("vec_id").as("neighbor_id") +: filterKeys.map(col)) :+
+        Vectors.asDouble(col("embedding")).as("ce"): _*)
+      .withColumn("cn", Vectors.norm(col("ce")))
+    val scored = q.join(c, filterKeys)
+      .withColumn("sim",
+        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
+  }
+
   /** Sign-bucket of a vector under `planes` hyperplanes: a bit string
     * like "0110...". Map-only; the codegen'd
     * [[graft.functions.LshSignBucket]] kernel (spec-checked

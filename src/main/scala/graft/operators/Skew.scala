@@ -40,7 +40,17 @@ object Skew {
     * shuffle still lands that key on one reducer with all its partial
     * rows; pre-splitting by salt bounds any reducer's share to
     * 1/factor of a hot key. Aggregations must be algebraic (sum/count
-    * here — extend with min/max as needed). */
+    * here — extend with min/max as needed).
+    *
+    * Measured honestly (SCALING.md r8): for plain SUM/COUNT this buys
+    * ~nothing even on a 60%-hot key — map-side combine already
+    * collapses the hot key to one partial row per mapper, so the
+    * final shuffle ships O(mappers) rows regardless of skew. The
+    * salted form's domain is aggregation state the partial CAN'T
+    * pre-collapse under a hot key: high-cardinality DISTINCT,
+    * collect_list/set, sketch merges with large per-key state. For
+    * the JOIN leg the salted win is real and grows with size —
+    * see [[saltedJoin]] and SCALING.md's curve. */
   def saltedSumCount(df: DataFrame, keys: Seq[String], amount: Column,
                      saltFrom: Seq[Column], factor: Int): DataFrame = {
     require(factor > 0)

@@ -351,9 +351,12 @@ object TextAnalysis {
     val c2 = tf.groupBy("bigram").agg(sum(col("tf")).as("c2"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    // surp is NOT pre-rounded — see unigramSurprisal's determinism
+    // note (an intermediate round amplifies engine log2 ulp
+    // disagreements; the DECIMAL cast below is the quantizer)
     val scored = tf.join(c2, "bigram").join(c1, "w1")
       .withColumn("surp",
-        round(-log2(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)), 6))
+        -log2(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)))
     scored.groupBy("doc_id").agg(
       sum(col("tf")).cast("long").as("n_bigrams"),
       round(
@@ -402,9 +405,17 @@ object TextAnalysis {
     * perplexity; a corpus-unigram model is its cheapest form): docs
     * whose tokens are improbable under the corpus distribution score
     * high (gibberish, boilerplate codes), formulaic docs score low.
-    * mean_surprisal = Σ tf(doc,t) · −log2(ctf(t)/N) / n_tokens, with
-    * the per-token surprisal rounded to 6 dp before the
-    * decimal-exact weighted sum so engines agree.
+    * mean_surprisal = Σ tf(doc,t) · −log2(ctf(t)/N) / n_tokens, the
+    * weighted sum decimal-exact with ONE final 6 dp round.
+    *
+    * Determinism note (found by the r8 sf0.1 second-dataset sweep):
+    * the per-term surprisal is deliberately NOT pre-rounded. Engines'
+    * log2 may disagree by an ulp (~1e-16); an intermediate 6 dp round
+    * AMPLIFIES that to a full 1e-6 whenever a value sits on a
+    * rounding boundary (two docs flipped at sf0.1). Quantization
+    * happens only in the DECIMAL(28,12) cast — 1e6× finer — so a
+    * boundary flip needs the per-doc MEAN itself within ~1e-12 of a
+    * 6 dp edge.
     *
     * Scale shape mirrors [[tfIdfTopTerm]]: one (doc, token) count
     * shuffle (persisted under `storage` — it feeds both the corpus
@@ -420,8 +431,8 @@ object TextAnalysis {
     val total = corpus.agg(sum(col("ctf")).as("n_total"))
     tf.join(corpus, "token")
       .crossJoin(broadcast(total))
-      .withColumn("surp", round(-log2(
-        col("ctf").cast(DoubleType) / col("n_total").cast(DoubleType)), 6))
+      .withColumn("surp", -log2(
+        col("ctf").cast(DoubleType) / col("n_total").cast(DoubleType)))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),
         round((sum((col("tf") * col("surp")).cast(DecimalType(28, 12)))

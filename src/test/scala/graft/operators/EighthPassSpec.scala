@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ann.Knn
+
+/** Hand-case specs for the round-8 operators. */
+class EighthPassSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("filteredTopK: neighbors come only from the query's own slice") {
+    // label 0: q1 nearest c10 then c11; label 1: q2's only candidate
+    // is c12 — c10 (closer in space, wrong label) must NOT appear
+    val emb = Seq(
+      (1L, vec(1, 0), 0), (2L, vec(0, 1), 1),
+      (10L, vec(0.9, 0.1), 0), (11L, vec(0.5, 0.5), 0),
+      (12L, vec(0.1, 0.9), 1), (13L, vec(0.95, 0.05), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Knn.filteredTopK(emb.filter(col("vec_id") < 10),
+      emb.filter(col("vec_id") >= 10), Seq("label"), k = 2)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 12L)))
+    // an underfilled slice yields fewer rows, never cross-label fill
+    assert(!out.exists { case (q, _, n) => q == 2L && n != 12L })
+  }
+
+  test("filteredTopK result equals brute force restricted per slice") {
+    val emb = (0L until 60L).map(i =>
+      (i, vec(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 2.1)),
+        (i % 3).toInt)).toDF("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val got = Knn.filteredTopK(q, c, Seq("label"), k = 3)
+      .collect().map(_.toString).sorted
+    val want = (0 until 3).flatMap { l =>
+      Knn.bruteForceTopK(q.filter(col("label") === l),
+        c.filter(col("label") === l), k = 3).collect()
+    }.map(_.toString).sorted
+    assert(got.sameElements(want),
+      "filtered search must equal per-slice brute force")
+  }
+
+  test("PipelineRunner: retry, failure isolation, deterministic log") {
+    val attempts = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    def stage(name: String, failFirst: Int, rows: Long,
+              maxAttempts: Int = 2): PipelineStage =
+      PipelineStage(name, maxAttempts) { () =>
+        attempts(name) += 1
+        if (attempts(name) <= failFirst) sys.error(s"$name transient")
+        rows
+      }
+    // b succeeds on its 2nd try; c exhausts retries; d is skipped
+    val log = PipelineRunner.run(spark, "run1", Seq(
+      stage("a", failFirst = 0, rows = 10),
+      stage("b", failFirst = 1, rows = 20),
+      stage("c", failFirst = 99, rows = 30, maxAttempts = 3),
+      stage("d", failFirst = 0, rows = 40)))
+      .orderBy("stage_no").collect()
+      .map(r => (r.getString(2), r.getString(3), r.getInt(4), r.getLong(5)))
+    assert(log.toSeq === Seq(
+      ("a", "succeeded", 1, 10L), ("b", "succeeded", 2, 20L),
+      ("c", "failed", 3, 0L), ("d", "skipped", 0, 0L)))
+    assert(attempts("d") === 0, "skipped stages must never execute")
+    // misuse throws; stage failure never does
+    intercept[IllegalArgumentException] {
+      PipelineRunner.run(spark, "r", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      PipelineRunner.run(spark, "r",
+        Seq(stage("x", 0, 1), stage("x", 0, 1)))
+    }
+  }
+
+  test("PipelineRunner: the log persists through the SnapshotStore MERGE pattern") {
+    import graft.sources.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-runlog").toString
+    val l1 = PipelineRunner.run(spark, "run1",
+      Seq(PipelineStage("ingest")(() => 5L), PipelineStage("publish")(() => 3L)))
+    SnapshotStore.mergeInto(l1, dir, Seq("run_id", "stage"))
+    // a re-run (same run_id) upserts its own rows; a new run appends
+    val l2 = PipelineRunner.run(spark, "run2",
+      Seq(PipelineStage("ingest")(() => 7L), PipelineStage("publish")(() => 2L)))
+    SnapshotStore.mergeInto(l2, dir, Seq("run_id", "stage"))
+    SnapshotStore.mergeInto(l1, dir, Seq("run_id", "stage"))
+    val all = SnapshotStore.read(spark, dir).get
+    assert(all.count() === 4L, "replayed run must upsert, not duplicate")
+    assert(all.filter(col("run_id") === "run2" && col("stage") === "ingest")
+      .head().getAs[Long]("rows") === 7L)
+  }
+}
