@@ -488,6 +488,23 @@ object LlmEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    "e11b_filtered_ann" -> ((s, dir) => {
+      // e11's persisted twin: the ANN index written WITH the metadata
+      // member (metaCols), a batch MERGEd in (meta stays current),
+      // then a FILTERED probe — the label equality lands on the
+      // candidate set before ADC, so the top-k never underfills by
+      // post-filtering. Self-contained lifecycle, the e6 pattern.
+      val v = t(s, dir, "embeddings")
+      AnnIndex.drop(s, "e11ix")
+      AnnIndex.write(v.filter(col("vec_id") >= 110), "e11ix", buckets = 8,
+        metaCols = Seq("label"))
+      AnnIndex.update(v.filter(col("vec_id") >= 10 && col("vec_id") < 110),
+        "e11ix", buckets = 8)
+      AnnIndex.topKFiltered(s, "e11ix", v.filter(col("vec_id") < 10),
+        Seq("label"), k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     "e6_ann_index" -> ((s, dir) => {
       // the persisted-index lifecycle end to end: build the index on a
       // base corpus, MERGE an incoming batch in under the frozen
@@ -1261,7 +1278,8 @@ object LlmEntry {
     * e6/e6b; 20 for e9b's vector leg) and an extra searchable-corpus
     * predicate (e6c's delete leg: the corpus sheds the deleted ids but
     * the quantizer sample stays the FULL base — the frozen contract). */
-  private def ivfPqIndexSql(rankLimit: Int, corpusExtra: String = ""): String =
+  private def ivfPqIndexSql(rankLimit: Int, corpusExtra: String = "",
+                            candExtra: String = ""): String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |           FROM embeddings),
        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
@@ -1309,7 +1327,7 @@ object LlmEntry {
        |    round(CAST(sum(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc
        |  FROM pr JOIN asg USING (cent_id)
        |       JOIN enc USING (neighbor_id)
-       |       JOIN qtab USING (query_id, j, code)
+       |       JOIN qtab USING (query_id, j, code)$candExtra
        |  GROUP BY 1, 2),
        |short AS (SELECT query_id, neighbor_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2166,6 +2184,15 @@ object LlmEntry {
     // deleted set; quantizers still sample the FULL base (frozen
     // contract — delete touches assign/codes/vectors only)
     "e6c_ann_delete" -> ivfPqIndexSql(5, " AND vec_id % 9 <> 0"),
+
+    // e11b: the e6 pipeline with the candidate set label-filtered
+    // BEFORE ADC — each query admits only neighbors sharing its label
+    // (inner equality, exactly the Spark candidate filter)
+    "e11b_filtered_ann" -> ivfPqIndexSql(5, "",
+      """
+        |       JOIN embeddings ql ON ql.vec_id = query_id
+        |       JOIN embeddings nl ON nl.vec_id = neighbor_id
+        |                         AND nl.label = ql.label""".stripMargin),
 
     // mirrors Sq.sqTopK: exact per-dim bounds, step=(hi-lo)/256,
     // mid-rise reconstruction lo+(code+0.5)*step, 6-dp rounding before

@@ -52,7 +52,8 @@ object AnnIndex {
 
   import graft.sources.BucketedStore
 
-  private val IndexTables = Seq("cents", "codebook", "assign", "codes", "vectors")
+  private val IndexTables =
+    Seq("cents", "codebook", "assign", "codes", "vectors", "meta")
 
   /** The committed current version (see [[BucketedStore.currentVersion]]). */
   def currentVersion(spark: SparkSession, name: String): Option[Int] =
@@ -97,14 +98,24 @@ object AnnIndex {
     * atomic for readers. */
   private def commit(spark: SparkSession, name: String,
                      cents: DataFrame, cb: DataFrame, asg: DataFrame,
-                     codes: DataFrame, vectors: DataFrame, buckets: Int): Int =
+                     codes: DataFrame, vectors: DataFrame, buckets: Int,
+                     meta: Option[DataFrame] = None): Int =
     BucketedStore.commit(spark, name, Seq(
       BucketedStore.Member("cents", cents),
       BucketedStore.Member("codebook", cb),
       BucketedStore.Member("assign", asg, Seq("cent_id")),
       BucketedStore.Member("codes", codes, Seq("neighbor_id")),
-      BucketedStore.Member("vectors", vectors, Seq("neighbor_id"))),
+      BucketedStore.Member("vectors", vectors, Seq("neighbor_id"))) ++
+      meta.map(m => BucketedStore.Member("meta", m, Seq("neighbor_id"))),
       buckets)
+
+  /** Whether version `v` of index `name` carries the optional metadata
+    * member (written by [[write]]'s `metaCols`). */
+  private def hasMeta(spark: SparkSession, name: String, v: Int): Boolean =
+    spark.catalog.tableExists(s"${name}_meta_v$v")
+
+  private def metaOf(df: DataFrame, metaCols: Seq[String]): DataFrame =
+    df.select((col("vec_id").as("neighbor_id") +: metaCols.map(col)): _*)
 
   /** Build and commit a full index over `corpus` (vec_id, embedding);
     * returns the committed version. Quantizers are [[Pq]]'s
@@ -112,7 +123,8 @@ object AnnIndex {
     * k-means/trained codebooks at retrain cadence if desired. */
   def write(corpus: DataFrame, name: String,
             nCentroids: Int = 16, m: Int = 4, nCodes: Int = 16,
-            dim: Int = 64, buckets: Int = 32): Int = {
+            dim: Int = 64, buckets: Int = 32,
+            metaCols: Seq[String] = Nil): Int = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val spark = corpus.sparkSession
     val sub = dim / m
@@ -130,7 +142,8 @@ object AnnIndex {
     val bCents = broadcast(cents)
     val bCb = broadcast(cb)
     commit(spark, name, cents, cb,
-      assign(c, bCents), encode(c, bCb), storedVectors(corpus), buckets)
+      assign(c, bCents), encode(c, bCb), storedVectors(corpus), buckets,
+      if (metaCols.isEmpty) None else Some(metaOf(corpus, metaCols)))
   }
 
   /** The float-typed persisted form of the re-rank table: source
@@ -151,6 +164,16 @@ object AnnIndex {
     val cb = broadcast(spark.table(s"${name}_codebook_v$v"))
     val inc = Pq.prep(incoming)
     import graft.operators.Merge
+    // an index written with metaCols keeps its metadata current: the
+    // incoming batch must carry the same columns (fail-fast select)
+    val meta =
+      if (!hasMeta(spark, name, v)) None
+      else {
+        val stored = spark.table(s"${name}_meta_v$v")
+        Some(Merge.upsert(stored,
+          metaOf(incoming, stored.columns.filter(_ != "neighbor_id").toIndexedSeq),
+          Seq("neighbor_id")))
+      }
     commit(spark, name,
       spark.table(s"${name}_cents_v$v"), spark.table(s"${name}_codebook_v$v"),
       Merge.upsert(spark.table(s"${name}_assign_v$v"), assign(inc, cents),
@@ -159,7 +182,7 @@ object AnnIndex {
         Seq("neighbor_id", "j")),
       Merge.upsert(spark.table(s"${name}_vectors_v$v"), storedVectors(incoming),
         Seq("neighbor_id")),
-      buckets)
+      buckets, meta)
   }
 
   /** Remove a vector id set from index `name` — the takedown /
@@ -181,7 +204,8 @@ object AnnIndex {
       .join(del, Seq("neighbor_id"), "left_anti")
     commit(spark, name,
       spark.table(s"${name}_cents_v$v"), spark.table(s"${name}_codebook_v$v"),
-      anti("assign"), anti("codes"), anti("vectors"), buckets)
+      anti("assign"), anti("codes"), anti("vectors"), buckets,
+      if (hasMeta(spark, name, v)) Some(anti("meta")) else None)
   }
 
   /** IVF-PQ top-k against the current index version — same pipeline,
@@ -190,15 +214,41 @@ object AnnIndex {
     * `_assign` on its bucket key, ADC scores `_codes` on its bucket
     * key, and only |Q| x shortlist rows of `_vectors` are fetched. */
   def topK(spark: SparkSession, name: String, queries: DataFrame, k: Int,
-           nProbe: Int = 4, shortlist: Int = 100): DataFrame = {
+           nProbe: Int = 4, shortlist: Int = 100): DataFrame =
+    probe(spark, name, queries, k, nProbe, shortlist, filterKeys = Nil)
+
+  /** [[topK]] restricted to corpus vectors sharing the query's
+    * `filterKeys` metadata — filtered ANN search at the INDEX level
+    * (the e11 brute-force leg's persisted twin): the index must have
+    * been written with `metaCols` covering `filterKeys`, and the
+    * equality filter lands on the CANDIDATE set (probed cells ⋈ meta),
+    * BEFORE ADC scoring — so the shortlist holds only admissible
+    * neighbors and the top-k can never underfill by post-filtering,
+    * the failure mode of filter-after-search. Costs one extra
+    * bucketed-meta join on the candidate sliver; everything
+    * corpus-sized stays a bucketed scan. */
+  def topKFiltered(spark: SparkSession, name: String, queries: DataFrame,
+                   filterKeys: Seq[String], k: Int,
+                   nProbe: Int = 4, shortlist: Int = 100): DataFrame = {
+    require(filterKeys.nonEmpty, "topKFiltered needs at least one filter key")
+    probe(spark, name, queries, k, nProbe, shortlist, filterKeys)
+  }
+
+  private def probe(spark: SparkSession, name: String, queries: DataFrame,
+                    k: Int, nProbe: Int, shortlist: Int,
+                    filterKeys: Seq[String]): DataFrame = {
     // pin ONE version up front and read every table at it — the probe
     // can never resolve a torn snapshot from a concurrent commit
     val v = currentVersion(spark, name).getOrElse(
       throw new IllegalStateException(s"no ANN index named $name"))
+    if (filterKeys.nonEmpty)
+      require(hasMeta(spark, name, v),
+        s"index $name has no metadata member; write it with metaCols")
     val cents = broadcast(spark.table(s"${name}_cents_v$v"))
     val cb = broadcast(spark.table(s"${name}_codebook_v$v"))
-    val q = queries.select(col("vec_id").as("query_id"),
-      Vectors.asDouble(col("embedding")).as("qe"))
+    val q = queries.select((col("vec_id").as("query_id") +:
+        filterKeys.map(fk => col(fk).as(s"__q_$fk"))) :+
+        Vectors.asDouble(col("embedding")).as("qe"): _*)
       .withColumn("qn", Vectors.norm(col("qe")))
     val probes = q.join(cents)
       .withColumn("csim", centSim(col("qe"), col("qn")))
@@ -210,9 +260,23 @@ object AnnIndex {
         round(Vectors.dot(
           slice(col("qe"), col("j") * size(col("cw")) + 1, size(col("cw"))),
           col("cw")), 6).as("qdot")))
-    val adc = probes
+    val rawCand = probes
       .join(spark.table(s"${name}_assign_v$v"), "cent_id")
       .select("query_id", "neighbor_id")
+    // metadata filter BEFORE ADC: join the bucketed meta member on the
+    // candidate sliver, then keep rows matching the query's own values
+    // (broadcast — the query batch is probe-sized). Inner equality:
+    // NULL metadata never matches, like the brute leg's equi-join.
+    val cand =
+      if (filterKeys.isEmpty) rawCand
+      else filterKeys.foldLeft(
+        rawCand
+          .join(spark.table(s"${name}_meta_v$v"), "neighbor_id")
+          .join(broadcast(q.select(col("query_id") +:
+            filterKeys.map(fk => col(s"__q_$fk")): _*)), "query_id")) {
+        (df, fk) => df.filter(col(fk) === col(s"__q_$fk"))
+      }.select("query_id", "neighbor_id")
+    val adc = cand
       .join(spark.table(s"${name}_codes_v$v"), "neighbor_id")
       .join(qtab, Seq("query_id", "j", "code"))
       .groupBy("query_id", "neighbor_id")

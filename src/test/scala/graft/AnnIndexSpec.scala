@@ -21,6 +21,53 @@ class AnnIndexSpec extends SparkSpec {
     try { dropIndex("aix"); dropIndex("aup") } finally super.afterAll()
   }
 
+  test("filtered probe: exact vs unfiltered on uniform labels, strict on mixed") {
+    import spark.implicits._
+    dropIndex("afx"); dropIndex("afu")
+    try {
+      // 1) every row shares one label -> the filter admits everything
+      // and the filtered probe must equal the plain probe BIT FOR BIT
+      val uni = v.withColumn("label", lit(7))
+      AnnIndex.write(uni.filter(col("vec_id") >= 110), "afu", buckets = 4,
+        metaCols = Seq("label"))
+      AnnIndex.update(uni.filter(col("vec_id") >= 10 && col("vec_id") < 110),
+        "afu", buckets = 4)
+      val plain = AnnIndex.topK(spark, "afu", uni.filter(col("vec_id") < 10),
+        k = 5).collect().map(_.toString).sorted
+      val filt = AnnIndex.topKFiltered(spark, "afu",
+        uni.filter(col("vec_id") < 10), Seq("label"), k = 5)
+        .collect().map(_.toString).sorted
+      assert(filt.sameElements(plain),
+        "an all-admitting filter must not change the probe result")
+      // 2) real labels: every hit's label equals its query's label,
+      // and delete keeps the meta member coherent
+      AnnIndex.write(v.filter(col("vec_id") >= 110), "afx", buckets = 4,
+        metaCols = Seq("label"))
+      AnnIndex.update(v.filter(col("vec_id") >= 10 && col("vec_id") < 110),
+        "afx", buckets = 4)
+      AnnIndex.delete(v.filter(col("vec_id") % 13 === 0).select("vec_id"),
+        "afx", buckets = 4)
+      val hits = AnnIndex.topKFiltered(spark, "afx", queries, Seq("label"), k = 5)
+      val lab = v.select(col("vec_id"), col("label"))
+      val crossed = hits
+        .join(lab.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "qlab"), "query_id")
+        .join(lab.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("label", "nlab"), "neighbor_id")
+        .filter(col("qlab") =!= col("nlab")).count()
+      assert(crossed === 0L, "a hit crossed its query's label filter")
+      assert(hits.join(v.filter(col("vec_id") % 13 === 0)
+          .select(col("vec_id").as("neighbor_id")), "neighbor_id")
+        .count() === 0L, "a deleted id resurfaced through the meta member")
+      // probing with a filter key the index never stored fails fast
+      intercept[IllegalArgumentException] {
+        AnnIndex.drop(spark, "afn")
+        AnnIndex.write(v.filter(col("vec_id") >= 110), "afn", buckets = 4)
+        AnnIndex.topKFiltered(spark, "afn", queries, Seq("label"), k = 5)
+      }
+    } finally { dropIndex("afx"); dropIndex("afu"); dropIndex("afn") }
+  }
+
   test("streaming probe: streamed queries equal the batch topK, restart-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

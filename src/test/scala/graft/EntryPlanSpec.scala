@@ -66,7 +66,11 @@ class EntryPlanSpec extends SparkSpec {
     "e8d_bm25_delete", "e6c_ann_delete", "t1b_langid_ngram",
     // e13 retrieves via e8's pipeline (one-row corpus-stats product);
     // its own diversification windows are list-sized rn<=k filters
-    "e13_diverse_topk")
+    "e13_diverse_topk",
+    // e11b is e6's lifecycle with the meta filter: the same
+    // query×constant-cents probe and query×constant-codebook ADC
+    // products (|Q| × O(16)); the filter itself is two equi-joins
+    "e11b_filtered_ann")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
