@@ -610,6 +610,26 @@ object LlmEntry {
       Search.probeIndex(s, "e8dix", Bm25Queries, k = 5)
     }),
 
+    "e8e_filtered_search" -> ((s, dir) => {
+      // field-filtered keyword search (the "lang:en" clause), e11b's
+      // lexical twin: the BM25 index written WITH the metadata member,
+      // a batch MERGEd in (meta stays current), then a probe whose
+      // admission filter lands on the scoring sliver BEFORE ranking.
+      // Corpus stats stay GLOBAL (Lucene filter-clause semantics): the
+      // filter gates matches, it does not re-estimate the model.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Search.dropIndex(s, "e8fix")
+      Search.writeIndex(docs.filter(col("doc_id") >= 110), col("doc_id"),
+        col("text"), "e8fix", buckets = 8, metaCols = Seq("lang"))
+      Search.updateIndex(docs.filter(col("doc_id") >= 10 && col("doc_id") < 110),
+        col("doc_id"), col("text"), "e8fix", buckets = 8)
+      val q = Bm25Queries.zip(Bm25FilterLangs).map {
+        case ((qid, ts), (_, lang)) => (qid, ts, lang)
+      }.toDF("query_id", "terms", "lang")
+      Search.probeIndexFiltered(s, "e8fix", q, Seq("lang"), k = 5)
+    }),
+
     "e9_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval, the production search stack: an exact-cosine
       // vector leg and a more-like-this BM25 lexical leg over the SAME
@@ -1099,6 +1119,11 @@ object LlmEntry {
     "kw1" -> Seq("spark", "window", "agg"),
     "kw2" -> Seq("customer", "query", "scan"),
     "kw3" -> Seq("vector", "stream"))
+
+  /** Per-query language filter for the e8e field-filtered probe —
+    * aligned with [[Bm25Queries]] by position. */
+  private val Bm25FilterLangs: Seq[(String, String)] =
+    Seq("kw1" -> "en", "kw2" -> "fr", "kw3" -> "zh")
 
   /** The e8-family oracle: BM25 top-5 for [[Bm25Queries]] over
     * `documents` restricted by `where` ("" = whole corpus). */
@@ -2431,6 +2456,40 @@ object LlmEntry {
     // restricted to the indexed corpus
     "e8b_bm25_indexed" -> bm25OracleSql("WHERE doc_id >= 10"),
     "e8c_bm25_probe" -> bm25OracleSql("WHERE doc_id >= 10"),
+
+    // e8e: the e8 pipeline with GLOBAL stats (tok/tf/dl/st/dfq over
+    // the full indexed corpus — the filter gates matches, it does not
+    // re-estimate the model) and a per-query lang admission join on
+    // the scoring sliver
+    "e8e_filtered_search" -> {
+      val vals = Bm25Queries.zip(Bm25FilterLangs).flatMap {
+        case ((q, ts), (_, lang)) =>
+          ts.distinct.map(t => s"('$q','$t','$lang')") }.mkString(", ")
+      val vocab = Bm25Queries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(tk) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id >= 10)),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |q(query_id, token, lang) AS (VALUES $vals),
+         |dfq AS (SELECT token, count(*) AS dfn FROM tf
+         |        WHERE token IN ($vocab) GROUP BY 1),
+         |sc AS (SELECT query_id, doc_id, $Bm25TermSql AS term_score
+         |  FROM tf JOIN q USING (token)
+         |       JOIN (SELECT doc_id AS mdoc, lang AS mlang FROM documents) dd
+         |            ON dd.mdoc = doc_id AND dd.mlang = q.lang
+         |       JOIN dfq USING (token)
+         |       JOIN dl USING (doc_id) CROSS JOIN st),
+         |pd AS (SELECT query_id, doc_id,
+         |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS score
+         |  FROM sc GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, doc_id) AS rank FROM pd)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+         |FROM r WHERE rank <= 5""".stripMargin
+    },
 
     // e13: the e8 pipeline at rank 20, collapsed to <=2 per source,
     // re-ranked to 5 — both row_numbers replayed verbatim

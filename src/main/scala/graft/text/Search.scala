@@ -127,9 +127,17 @@ object Search {
     * (token, dfn) for that vocabulary. */
   private def scoreAndRank(tfq: DataFrame, dfq: DataFrame,
                            stats: DataFrame, qterms: DataFrame, k: Int,
-                           k1: Double, b: Double): DataFrame = {
-    val scored = tfq
-      .join(broadcast(qterms), "token")
+                           k1: Double, b: Double): DataFrame =
+    rankScored(tfq.join(broadcast(qterms), "token"), dfq, stats, k, k1, b)
+
+  /** [[scoreAndRank]] for a sliver ALREADY keyed by query_id —
+    * the filtered probe's entry point (its per-query admission filter
+    * must survive into scoring, so re-joining terms by token alone
+    * would re-admit rows another query filtered out). */
+  private def rankScored(withQ: DataFrame, dfq: DataFrame,
+                         stats: DataFrame, k: Int,
+                         k1: Double, b: Double): DataFrame = {
+    val scored = withQ
       .join(broadcast(dfq), "token")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl",
@@ -159,7 +167,8 @@ object Search {
   import org.apache.spark.sql.SparkSession
   import graft.sources.BucketedStore
 
-  private val IndexTables = Seq("postings", "doclen", "termstats", "stats")
+  private val IndexTables =
+    Seq("postings", "doclen", "termstats", "stats", "meta")
 
   /** The committed current version of index `name`. */
   def indexVersion(spark: SparkSession, name: String): Option[Int] =
@@ -172,13 +181,20 @@ object Search {
   private def commitIndex(spark: SparkSession, name: String,
                           postings: DataFrame, dl: DataFrame,
                           termstats: DataFrame, stats: DataFrame,
-                          buckets: Int): Int =
+                          buckets: Int,
+                          meta: Option[DataFrame] = None): Int =
     BucketedStore.commit(spark, name, Seq(
       BucketedStore.Member("postings", postings, Seq("doc_id")),
       BucketedStore.Member("doclen", dl, Seq("doc_id")),
       BucketedStore.Member("termstats", termstats, Seq("token")),
-      BucketedStore.Member("stats", stats)),
+      BucketedStore.Member("stats", stats)) ++
+      meta.map(m => BucketedStore.Member("meta", m, Seq("doc_id"))),
       buckets)
+
+  /** Whether version `v` of index `name` carries the optional metadata
+    * member (written by [[writeIndex]]'s `metaCols`). */
+  private def hasMeta(spark: SparkSession, name: String, v: Int): Boolean =
+    spark.catalog.tableExists(s"${name}_meta_v$v")
 
   /** Build and commit a persisted BM25 inverted index over `docs` —
     * the production search-service shape of [[bm25TopK]], on the same
@@ -196,7 +212,8 @@ object Search {
     * Returns the committed version. */
   def writeIndex(docs: DataFrame, id: Column, text: Column, name: String,
                  buckets: Int = 32,
-                 storage: StorageLevel = graft.Caching.Default): Int = {
+                 storage: StorageLevel = graft.Caching.Default,
+                 metaCols: Seq[String] = Nil): Int = {
     val spark = docs.sparkSession
     val postings = graft.Caching.persisted(
       buildPostings(docs, id, text), storage)
@@ -204,7 +221,9 @@ object Search {
     commitIndex(spark, name, postings, dl,
       postings.groupBy("token").agg(count(lit(1)).as("dfn")),
       dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
-      buckets)
+      buckets,
+      if (metaCols.isEmpty) None
+      else Some(docs.select((id.as("doc_id") +: metaCols.map(col)): _*)))
   }
 
   /** Upsert a document batch into index `name` with EXACT stats
@@ -253,7 +272,18 @@ object Search {
         (col("n_docs") - col("o_n") + col("n_n")).as("n_docs"),
         (col("sum_dl") - coalesce(col("o_s"), lit(0L))
           + coalesce(col("n_s"), lit(0L))).as("sum_dl"))
-    commitIndex(spark, name, postings, dl, termstats, stats, buckets)
+    // an index written with metaCols keeps its metadata current: the
+    // incoming batch must carry the same columns (fail-fast select)
+    val meta =
+      if (!hasMeta(spark, name, v)) None
+      else {
+        val stored = tab("meta")
+        Some(graft.operators.Merge.upsert(stored,
+          incoming.select((id.as("doc_id") +:
+            stored.columns.filter(_ != "doc_id").toIndexedSeq.map(col)): _*),
+          Seq("doc_id")))
+      }
+    commitIndex(spark, name, postings, dl, termstats, stats, buckets, meta)
   }
 
   /** Remove a document id set from index `name` — the lifecycle leg a
@@ -300,7 +330,10 @@ object Search {
     commitIndex(spark, name,
       tab("postings").join(broadcast(del), Seq("doc_id"), "left_anti"),
       tab("doclen").join(broadcast(del), Seq("doc_id"), "left_anti"),
-      termstats, stats, buckets)
+      termstats, stats, buckets,
+      if (hasMeta(spark, name, v))
+        Some(tab("meta").join(broadcast(del), Seq("doc_id"), "left_anti"))
+      else None)
   }
 
   /** Keyword top-k against the current committed index version — same
@@ -335,6 +368,52 @@ object Search {
       tab("postings").join(qtok, "token").join(tab("doclen"), "doc_id"),
       tab("termstats").join(qtok, "token"),
       tab("stats"), qterms, k, k1, b)
+  }
+
+  /** [[probeIndex]] restricted per query to documents sharing the
+    * query's `filterKeys` metadata — field-filtered keyword search
+    * (the "lang:en" / "site:…" clause), the lexical twin of
+    * [[graft.ann.AnnIndex.topKFiltered]]. The index must have been
+    * written with `metaCols` covering `filterKeys`; `queries` rows
+    * are (query_id, terms Seq, <filterKeys values>).
+    *
+    * Contract (the Lucene/Elasticsearch filter-clause semantics):
+    * corpus stats (idf, avgdl) stay GLOBAL — the filter gates which
+    * documents may MATCH, it does not re-estimate the model on the
+    * subcorpus — so a document's score for a query is identical with
+    * or without the filter, and the filter only removes rows. The
+    * admission join lands on the query-vocabulary scoring sliver
+    * BEFORE ranking (bucketed meta on doc_id — exchange-free on the
+    * corpus side), so the top-k never underfills by post-filtering. */
+  def probeIndexFiltered(spark: SparkSession, name: String,
+                         queries: DataFrame, filterKeys: Seq[String], k: Int,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(filterKeys.nonEmpty, "probeIndexFiltered needs a filter key")
+    val v = indexVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no BM25 index named $name"))
+    require(hasMeta(spark, name, v),
+      s"BM25 index $name has no metadata member; write it with metaCols")
+    def tab(t: String) = BucketedStore.table(spark, name, t, v)
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(col("terms"))).as("token"))
+    val qtok = broadcast(qterms.select("token").distinct())
+    val qfilter = broadcast(queries.select(col("query_id") +:
+      filterKeys.map(fk => col(fk).as(s"__q_$fk")): _*))
+    // admission BEFORE scoring: the sliver joins bucketed meta on
+    // doc_id, attaches each query (term match), then keeps only rows
+    // matching that query's admitted values (inner equality — NULL
+    // metadata never matches). The result stays keyed by query_id
+    // through scoring: re-joining by token alone would re-admit rows
+    // another query filtered out.
+    val withQ = filterKeys.foldLeft(
+      tab("postings").join(qtok, "token").join(tab("doclen"), "doc_id")
+        .join(tab("meta"), "doc_id")
+        .join(broadcast(qterms), "token")
+        .join(qfilter, "query_id")) {
+      (df, fk) => df.filter(col(fk) === col(s"__q_$fk"))
+    }.select("query_id", "doc_id", "dl", "token", "tf")
+    rankScored(withQ, tab("termstats").join(qtok, "token"),
+      tab("stats"), k, k1, b)
   }
 
   /** Search-results diversification by group collapsing — the SERP

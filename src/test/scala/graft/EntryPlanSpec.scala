@@ -70,7 +70,10 @@ class EntryPlanSpec extends SparkSpec {
     // e11b is e6's lifecycle with the meta filter: the same
     // query×constant-cents probe and query×constant-codebook ADC
     // products (|Q| × O(16)); the filter itself is two equi-joins
-    "e11b_filtered_ann")
+    "e11b_filtered_ann",
+    // e8e is e8b's lifecycle with the meta admission join: the same
+    // one-row corpus-stats product; the filter itself is equi-joins
+    "e8e_filtered_search")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -55,6 +55,59 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("filtered probe: all-admitting == plain; mixed fields never cross") {
+    import spark.implicits._
+    Search.dropIndex(spark, "bflt")
+    try {
+      // lang derives from doc_id so update/delete coherence is checkable
+      val base = docs.withColumn("lang",
+        concat(lit("l"), col("doc_id") % 3))
+      Search.writeIndex(base.filter(col("doc_id") >= 110), col("doc_id"),
+        col("text"), "bflt", buckets = 2, metaCols = Seq("lang"))
+      Search.updateIndex(base.filter(col("doc_id") >= 10 && col("doc_id") < 110),
+        col("doc_id"), col("text"), "bflt", buckets = 2)
+      // 1) a filter value covering EVERY doc: identical to the plain
+      // probe (global stats — the filter only gates matches)
+      val allL = base.withColumn("lang", lit("all"))
+      Search.dropIndex(spark, "ball")
+      Search.writeIndex(allL.filter(col("doc_id") >= 10), col("doc_id"),
+        col("text"), "ball", buckets = 2, metaCols = Seq("lang"))
+      val qAll = Q.map { case (q, ts) => (q, ts, "all") }
+        .toDF("query_id", "terms", "lang")
+      val filt = Search.probeIndexFiltered(spark, "ball", qAll,
+        Seq("lang"), k = 5).collect().map(_.toString).sorted
+      val plain = Search.probeIndex(spark, "ball", Q, k = 5)
+        .collect().map(_.toString).sorted
+      assert(filt.sameElements(plain),
+        "an all-admitting filter must not change scores or ranking")
+      // 2) per-query langs: every hit's doc has the query's lang; a
+      // delete also leaves the meta member (no resurfacing)
+      Search.deleteFromIndex(
+        base.filter(col("doc_id") % 11 === 0).select("doc_id"),
+        "bflt", buckets = 2)
+      val q2 = Q.zipWithIndex.map { case ((q, ts), i) => (q, ts, s"l$i") }
+        .toDF("query_id", "terms", "lang")
+      val hits = Search.probeIndexFiltered(spark, "bflt", q2, Seq("lang"), k = 5)
+      val crossed = hits
+        .join(base.select(col("doc_id"), col("lang").as("dlang")), "doc_id")
+        .join(q2.select(col("query_id"), col("lang").as("qlang")), "query_id")
+        .filter(col("dlang") =!= col("qlang")).count()
+      assert(crossed === 0L, "a hit crossed its query's field filter")
+      assert(hits.filter(col("doc_id") % 11 === 0).count() === 0L,
+        "a deleted id resurfaced through the meta member")
+      // probing a meta-less index with a filter fails fast
+      Search.dropIndex(spark, "bnometa")
+      Search.writeIndex(base.filter(col("doc_id") >= 110), col("doc_id"),
+        col("text"), "bnometa", buckets = 2)
+      intercept[IllegalArgumentException] {
+        Search.probeIndexFiltered(spark, "bnometa", q2, Seq("lang"), k = 5)
+      }
+    } finally {
+      Search.dropIndex(spark, "bflt"); Search.dropIndex(spark, "ball")
+      Search.dropIndex(spark, "bnometa")
+    }
+  }
+
   test("deleting the full corpus is refused — that lifecycle end is dropIndex") {
     import spark.implicits._
     Search.dropIndex(spark, "bempty")
