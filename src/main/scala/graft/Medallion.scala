@@ -103,4 +103,70 @@ object Medallion {
     flagged.unpersist()
     metrics
   }
+
+  /** [[run]]'s chain expressed through [[operators.PipelineRunner]] —
+    * the retry/failure-isolation posture of the reference's master
+    * pipeline on the flagship chain itself. Stage order IS the
+    * correctness argument: every store write is a MERGE/commit
+    * (idempotent under replay — re-merging the same slice upserts the
+    * same rows), and the watermark advances in the LAST stage only, so
+    * any mid-run failure leaves the feed slice re-processable — the
+    * retried or re-invoked run converges to exactly [[run]]'s end
+    * state (spec-asserted against a parallel [[run]] work dir; that
+    * parity spec is also the drift guard between the two forms).
+    * Returns the deterministic run log (run_id, stage_no, stage,
+    * status, attempts, rows). */
+  def runResilient(spark: SparkSession, sfDir: String, workDir: String,
+                   runId: String, maxAttempts: Int = 2): DataFrame = {
+    val wmPath = s"$workDir/watermark.json"
+    def fresh = Watermark.newerThan(Tables.load(spark, sfDir, "orders"),
+      col("o_orderdate"), Watermark.read(wmPath))
+    PipelineRunner.run(spark, runId, Seq(
+      PipelineStage("bronze", maxAttempts) { () =>
+        val latest = Dedup.latestByKeyAgg(fresh, Seq("o_orderkey"),
+          struct(col("o_orderdate"), col("o_totalprice")))
+        val rules = Seq(
+          QualityRules.Rule(col("o_totalprice") <= 0, "NonPositiveAmount"),
+          QualityRules.Rule(!col("o_orderstatus").isin("F", "O", "P"),
+            "UnknownStatus"))
+        val clean = QualityRules.withReasons(latest, rules)
+          .filter(length(col(QualityRules.ReasonCol)) === 0)
+          .drop(QualityRules.ReasonCol)
+        SnapshotStore.mergeInto(clean, s"$workDir/bronze", Seq("o_orderkey"))
+        SnapshotStore.read(spark, s"$workDir/bronze").get.count()
+      },
+      PipelineStage("silver", maxAttempts) { () =>
+        val bronze = SnapshotStore.read(spark, s"$workDir/bronze").get
+        val fact = bronze.select(
+          col("o_orderkey").as("claim_id"),
+          Pii.saltedSha256(col("o_custkey"), Salt).as("patient_key"),
+          col("o_totalprice").as("amount"),
+          col("o_orderdate").as("claim_date"),
+          col("o_orderstatus").as("status"))
+        SnapshotStore.mergeInto(fact, s"$workDir/fact", Seq("claim_id"))
+        SnapshotStore.read(spark, s"$workDir/fact").get.count()
+      },
+      PipelineStage("gold", maxAttempts) { () =>
+        val fact = SnapshotStore.read(spark, s"$workDir/fact").get
+        val gold = fact.groupBy(col("status"))
+          .agg(count(lit(1)).as("n_claims"),
+            Measures.decSum(col("amount")).as("total_amount"))
+        SnapshotStore.commit(gold, s"$workDir/gold")
+        SnapshotStore.read(spark, s"$workDir/gold").get.count()
+      },
+      // LAST, deliberately: a failure anywhere above leaves the
+      // watermark untouched and the slice replayable
+      PipelineStage("advance_watermark", maxAttempts) { () =>
+        val st = fresh
+          .agg(count(lit(1)).as("n"), max(col("o_orderdate")).as("mx"))
+          .collect()(0)
+        st.get(1) match {
+          case t: java.sql.Timestamp => Watermark.write(wmPath, t.toInstant)
+          case d: java.time.LocalDateTime =>
+            Watermark.write(wmPath, d.toInstant(java.time.ZoneOffset.UTC))
+          case _ => // empty increment: leave the watermark untouched
+        }
+        st.getLong(0)
+      }))
+  }
 }

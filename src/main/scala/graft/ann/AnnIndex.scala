@@ -38,6 +38,10 @@ import graft.functions.Vectors
   *    neighbor_id: the exact re-rank fetches only |Q| x shortlist
   *    rows. Stored as the source floats (half the bytes of the
   *    double-cast working form; the cast back is exact)
+  *  - `<name>_meta`     (neighbor_id, metadata…) — OPTIONAL, written
+  *    via [[write]]'s `metaCols`, bucketed by neighbor_id, kept
+  *    current through [[update]]/[[delete]]; [[topKFiltered]]'s
+  *    admission join. Indexes without it are unchanged.
   *
   * [[update]] encodes an incoming batch with the STORED quantizers
   * (map-only over the batch) and upserts — the index stays coherent
