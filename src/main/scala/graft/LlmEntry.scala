@@ -753,6 +753,32 @@ object LlmEntry {
         .select("doc_id", "n_chars_chk", "n_tokens", "punct_ratio", "stop_ratio",
           "quality_score")),
 
+    "t20_gopher_rules" -> ((s, dir) => {
+      // the corpus has no line structure / degenerate docs, so inject a
+      // deterministic mix that exercises every rule: %13 all-bullet
+      // lists (bullet_lines + word_count), %17 numeric docs
+      // (alpha_words), %19 two-char words (word_length), %11 tiny docs
+      // (word_count + stop_words), else the natural text wrapped with
+      // a bullet line (%4), a double-ellipsis tail (%5 — 2 of <=6
+      // lines > 0.3) and a hash-heavy line (%7)
+      val d = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 13 === 0, lit(
+          "• the list\n• of and\n• that have\n• with be to"))
+        .when(col("doc_id") % 17 === 0, lit("12 34 56 78 90 11 22 33 the of"))
+        .when(col("doc_id") % 19 === 0, lit("aa bb cc dd ee ff gg hh the of"))
+        .when(col("doc_id") % 11 === 0, lit("tiny doc"))
+        .otherwise(concat_ws("\n", col("text"),
+          when(col("doc_id") % 4 === 0, lit("• bullet item one"))
+            // stopword-bearing middle line: the synthetic corpus
+            // vocabulary has no English stopwords, so without this
+            // every doc fails stop_words and keep=true is never
+            // exercised
+            .otherwise(lit("the state of the art and that of design")),
+          when(col("doc_id") % 5 === 0, lit("to be continued...\nmore soon…")),
+          when(col("doc_id") % 7 === 0, lit("## ## ## ## ## ##")))))
+      TextAnalysis.gopherRules(d, col("doc_id"), col("text2"))
+    }),
+
     "t3_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), col("text"))
         .select("doc_id", "ws_tokens", "bpe_tokens")),
@@ -787,6 +813,20 @@ object LlmEntry {
           concat(lit("only line "), col("doc_id").cast("string")),
           substring(col("text"), 1, 80), substring(col("text"), 1, 80)))
       TextAnalysis.dedupLines(withLines, col("doc_id"), col("text2"))
+    }),
+
+    "t21_boilerplate_lines" -> ((s, dir) => {
+      // cross-doc keep-first line dedup (CCNet's paragraph dedup): the
+      // corpus has no line structure, so inject a shared header (every
+      // doc — only the global-min doc keeps it), the doc's 60-char
+      // prefix (duplicated exactly when prefixes collide), a %3 promo
+      // footer, and a per-doc unique line
+      val d = t(s, dir, "documents").withColumn("text2", concat_ws("\n",
+        lit("SHARED SITE HEADER — all pages"),
+        substring(col("text"), 1, 60),
+        when(col("doc_id") % 3 === 0, lit("promo footer: subscribe now")),
+        concat(lit("unique line "), col("doc_id").cast("string"))))
+      TextDedup.crossDocLineDedup(d, col("doc_id"), col("text2"))
     }),
 
     "t5b_pii_extended" -> ((s, dir) => {
@@ -1111,6 +1151,11 @@ object LlmEntry {
     s"""list_filter(string_split_regex(lower($c), '\\s+'), x -> x <> '')"""
 
   private val ToksSql = ToksSqlOn("text")
+
+  /** t20's required-stopword list as a DuckDB list literal — generated
+    * from the same Scala constant the operator uses. */
+  private val GopherStopsSql: String =
+    TextAnalysis.GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** e8's keyword queries — terms drawn from the synthetic corpus
     * vocabulary so every query has hits. One source of truth for the
@@ -2578,6 +2623,70 @@ object LlmEntry {
          |        0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS quality_score
          |FROM feat""".stripMargin,
 
+    // t20: the Gopher gate replayed rule by rule — the injected text2
+    // CASE chain, token/line lists, exact-integer numerators over
+    // greatest(n,1) denominators (single IEEE divisions, bit-identical
+    // to the Spark entry), verdicts on UNROUNDED values
+    "t20_gopher_rules" ->
+      s"""WITH t2 AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 13 = 0 THEN '• the list' || chr(10) || '• of and' || chr(10) || '• that have' || chr(10) || '• with be to'
+         |       WHEN doc_id % 17 = 0 THEN '12 34 56 78 90 11 22 33 the of'
+         |       WHEN doc_id % 19 = 0 THEN 'aa bb cc dd ee ff gg hh the of'
+         |       WHEN doc_id % 11 = 0 THEN 'tiny doc'
+         |       ELSE concat_ws(chr(10), text,
+         |         CASE WHEN doc_id % 4 = 0 THEN '• bullet item one' ELSE 'the state of the art and that of design' END,
+         |         CASE WHEN doc_id % 5 = 0 THEN 'to be continued...' || chr(10) || 'more soon…' END,
+         |         CASE WHEN doc_id % 7 = 0 THEN '## ## ## ## ## ##' END)
+         |  END AS text2 FROM documents),
+         |f AS (SELECT doc_id, text2, ${ToksSqlOn("text2")} AS tk,
+         |  string_split(text2, chr(10)) AS ls FROM t2),
+         |g AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS DOUBLE)
+         |    / greatest(len(tk), 1) AS mean_word_len,
+         |  CAST(len(regexp_extract_all(text2, '#')) AS DOUBLE)
+         |    / greatest(len(tk), 1) AS hash_ratio,
+         |  CAST(len(regexp_extract_all(text2, '\\.\\.\\.')) AS DOUBLE)
+         |    / greatest(len(tk), 1) AS dots_ratio,
+         |  CAST(len(list_filter(ls, l -> starts_with(l, '• ')
+         |    OR starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE)
+         |    / greatest(len(ls), 1) AS bullet_line_frac,
+         |  CAST(len(list_filter(ls, l -> ends_with(l, '...')
+         |    OR ends_with(l, '…'))) AS DOUBLE)
+         |    / greatest(len(ls), 1) AS ellipsis_line_frac,
+         |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |    / greatest(len(tk), 1) AS alpha_word_frac,
+         |  CAST(len(list_filter(${GopherStopsSql},
+         |    w -> list_contains(tk, w))) AS BIGINT) AS n_stop_types
+         |  FROM f),
+         |v AS (SELECT *,
+         |  n_words >= 50 AND n_words <= 100000 AS ok_wc,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_wl,
+         |  hash_ratio <= 0.1 AND dots_ratio <= 0.1 AS ok_sym,
+         |  bullet_line_frac <= 0.9 AS ok_bul,
+         |  ellipsis_line_frac <= 0.3 AS ok_ell,
+         |  alpha_word_frac >= 0.8 AS ok_alpha,
+         |  n_stop_types >= 2 AS ok_stop
+         |  FROM g)
+         |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+         |  round(hash_ratio, 6) AS hash_ratio,
+         |  round(dots_ratio, 6) AS dots_ratio,
+         |  round(bullet_line_frac, 6) AS bullet_line_frac,
+         |  round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+         |  round(alpha_word_frac, 6) AS alpha_word_frac,
+         |  n_stop_types,
+         |  ok_wc AND ok_wl AND ok_sym AND ok_bul AND ok_ell AND ok_alpha AND ok_stop AS keep,
+         |  coalesce(array_to_string(list_filter([
+         |    CASE WHEN NOT ok_wc THEN 'word_count' END,
+         |    CASE WHEN NOT ok_wl THEN 'word_length' END,
+         |    CASE WHEN NOT ok_sym THEN 'symbol_ratio' END,
+         |    CASE WHEN NOT ok_bul THEN 'bullet_lines' END,
+         |    CASE WHEN NOT ok_ell THEN 'ellipsis_lines' END,
+         |    CASE WHEN NOT ok_alpha THEN 'alpha_words' END,
+         |    CASE WHEN NOT ok_stop THEN 'stop_words' END
+         |  ], x -> x IS NOT NULL), ';'), '') AS reasons
+         |FROM v""".stripMargin,
+
     "t3_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len($ToksSql) AS BIGINT) AS ws_tokens,
@@ -2614,6 +2723,35 @@ object LlmEntry {
         |SELECT doc_id, n_lines, CAST(n_kept AS BIGINT) AS n_kept,
         |       md5(txt) AS dedup_md5
         |FROM n JOIN j USING (doc_id)""".stripMargin,
+
+    // t21: cross-doc keep-first line dedup replayed — injected text2,
+    // 1-based positions (order-isomorphic to the entry's 0-based),
+    // rn=1 over (doc_id, pos) per line keeps the global first
+    // occurrence, blank lines pass through (none injected)
+    "t21_boilerplate_lines" ->
+      """WITH t2 AS (SELECT doc_id, concat_ws(chr(10),
+        |    'SHARED SITE HEADER — all pages',
+        |    substring(text, 1, 60),
+        |    CASE WHEN doc_id % 3 = 0 THEN 'promo footer: subscribe now' END,
+        |    'unique line ' || CAST(doc_id AS VARCHAR)) AS text2
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(text2, chr(10)) AS ls FROM t2),
+        |l AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |        ls[CAST(i AS INTEGER)] AS line
+        |      FROM s, unnest(range(1, len(ls) + 1)) r(i)),
+        |rk AS (SELECT doc_id, pos, line,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |       FROM l WHERE line <> ''),
+        |kept AS (SELECT doc_id, pos, line FROM rk WHERE rn = 1
+        |         UNION ALL SELECT doc_id, pos, line FROM l WHERE line = ''),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(line, chr(10) ORDER BY pos) AS dedup_text
+        |        FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM s)
+        |SELECT n.doc_id, n.n_lines,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |       md5(coalesce(r.dedup_text, '')) AS dedup_md5
+        |FROM n LEFT JOIN reb r USING (doc_id)""".stripMargin,
 
     // t5b: the Luhn check is inlined as a list_filter lambda — digits
     // reversed, every second doubled (minus 9 past 9), total % 10 = 0

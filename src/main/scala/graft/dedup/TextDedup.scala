@@ -498,6 +498,56 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-document duplicate-LINE removal — the corpus-level line
+    * dedup of the CCNet recipe (Wenzek et al. 2020 deduplicate crawl
+    * text at paragraph granularity before anything else; boilerplate
+    * navigation/footer lines shared across a site's every page are
+    * the dominant duplicate mass in a web crawl). Keep-first policy at
+    * line granularity: each distinct non-blank line's global FIRST
+    * occurrence — first in (doc_id, line position) order — survives;
+    * every later occurrence in ANY document is dropped. The cross-doc
+    * complement of [[graft.text.TextAnalysis.dedupLines]] (intra-doc
+    * only, map-only) and the line-granularity sibling of
+    * [[verbatimScrub]]'s window-hash keep-first (which catches
+    * duplicated runs inside lines; this catches whole repeated lines
+    * exactly, with no sampling caveat). Blank lines pass through — they
+    * are document structure, and hashing '' corpus-wide would collapse
+    * every paragraph break onto one owner.
+    *
+    * Scale shape: map-only line explode, ONE partial-aggregating
+    * groupBy on the line to its min-(doc_id, pos) owner, one equi-join
+    * back, one per-doc regroup (collect_list bounded by the doc's own
+    * line count). Two keyed shuffles, no windows over corpus-sized
+    * frames, no driver collect. At 100 TB hash the line (md5) for the
+    * owner groupBy key if raw-line shuffle width matters; semantics
+    * are unchanged.
+    *
+    * Output: one row per input doc — (doc_id, n_lines, n_kept,
+    * dedup_md5 of the rejoined surviving text; empty-string digest
+    * when every line was dropped). */
+  def crossDocLineDedup(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("t"))
+    val lines = base.select(col("doc_id"),
+      posexplode(split(col("t"), "\n")).as(Seq("pos", "line")))
+    val owner = lines.filter(col("line") =!= "")
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val kept = lines.join(owner, Seq("line"), "left")
+      .filter(col("line") === "" ||
+        struct(col("doc_id"), col("pos")) === col("f"))
+    val reb = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept2"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        p => p.getField("line")), "\n").as("dedup_text"))
+    base.select(col("doc_id"),
+        size(split(col("t"), "\n")).cast("long").as("n_lines"))
+      .join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept2"), lit(0L)).cast("long").as("n_kept"),
+        md5(coalesce(col("dedup_text"), lit(""))).as("dedup_md5"))
+  }
+
   /** Span-level dedup removal — the APPLY leg of
     * [[verbatimOverlapPairs]] (the d6-to-d3 relationship, for
     * substrings): Lee et al. 2021's actual pipeline output is a

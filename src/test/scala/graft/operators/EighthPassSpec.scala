@@ -91,4 +91,56 @@ class EighthPassSpec extends SparkSpec {
     assert(all.filter(col("run_id") === "run2" && col("stage") === "ingest")
       .head().getAs[Long]("rows") === 7L)
   }
+
+  test("gopherRules: each rule fires on its own pathology, clean doc keeps") {
+    import graft.text.TextAnalysis
+    val stops = "the of and that have with be to" // 8 distinct stop types
+    val clean = (s"$stops lorem ipsum dolor sit amet " * 8).trim // 112 words
+    val docs = Seq(
+      1L -> clean,
+      2L -> s"$stops tiny",                       // word_count (9 words)
+      3L -> (s"$stops " + "aa bb cc " * 16).trim, // mean len < 3
+      4L -> (clean + " " + "#### " * 4).trim,     // 16 '#' / 116 > 0.1
+      5L -> (s"• $stops\n" * 9 + "plain tail line"), // 9/10 bullets > 0.9... wait 0.9 is <=; 9/10=0.9 passes — use 10/11? see below
+      6L -> (s"$stops...\n" * 4 + "plain\nplain2"),  // 4/6 ellipsis > 0.3
+      7L -> (s"$stops " + "12 34 56 78 90 " * 8).trim, // alpha 8/48 < 0.8
+      8L -> (clean.replaceAll("\\b(the|of|and|that|have|with|be|to)\\b", "x")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, col("doc_id"), col("text"),
+      minWords = 20).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(9), r.getString(10))).toMap
+    assert(out(1L) === ((true, "")))
+    assert(out(2L)._2.contains("word_count"))
+    assert(out(3L)._2.contains("word_length"))
+    assert(out(4L)._2.contains("symbol_ratio"))
+    assert(out(6L)._2.contains("ellipsis_lines"))
+    assert(out(7L)._2.contains("alpha_words"))
+    assert(out(8L)._2.contains("stop_words"))
+    // bullet rule: 10 of 10 lines bulleted fails, 9 of 10 passes (<= 0.9)
+    val bul = TextAnalysis.gopherRules(
+      Seq(10L -> Array.fill(10)(s"• $stops line").mkString("\n"),
+          11L -> (Array.fill(9)(s"• $stops line") :+ "plain").mkString("\n"))
+        .toDF("doc_id", "text"), col("doc_id"), col("text"), minWords = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(10)).toMap
+    assert(bul(10L).contains("bullet_lines"))
+    assert(!bul(11L).contains("bullet_lines"))
+  }
+
+  test("crossDocLineDedup: global keep-first, blanks survive, md5 checks out") {
+    import graft.dedup.TextDedup
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "header\nalpha\n\nbeta"),   // owns header/alpha/beta; blank kept
+      (2L, "header\ngamma\nalpha"),    // header+alpha duped -> gamma only
+      (3L, "gamma\nheader\n\n\ndelta") // everything duped but delta; 2 blanks
+    ).toDF("doc_id", "text")
+    val out = TextDedup.crossDocLineDedup(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((4L, 4L, md5hex("header\nalpha\n\nbeta"))))
+    assert(out(2L) === ((3L, 1L, md5hex("gamma"))))
+    assert(out(3L) === ((5L, 3L, md5hex("\n\ndelta"))))
+  }
 }
