@@ -64,6 +64,22 @@ object LlmEntry {
       TextDedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
         minJaccard = 0.05, maxDocFreq = Some(10))),
 
+    "d14_containment" -> ((s, dir) => {
+      // containment needs genuine fragment⊂whole relations: every 10th
+      // doc emits a fragment twin (id + 1e6) holding its first 25
+      // (lowercased) words — containment 1.0 by construction since a
+      // prefix's 3-gram shingles are a subset of the doc's; natural
+      // high-overlap near-dup pairs surface too
+      val d = t(s, dir, "documents")
+      val frags = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 25), " ")
+            .as("text"))
+      TextDedup.containmentPairs(
+        d.select(col("doc_id"), col("text")).unionByName(frags),
+        col("doc_id"), col("text"), minContainment = 0.9)
+    }),
+
     "d3_minhash_lsh" -> ((s, dir) =>
       TextDedup.minHashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
         minJaccard = 0.1)),
@@ -1659,6 +1675,32 @@ object LlmEntry {
          |    (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jaccard
          |  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.05""".stripMargin,
+
+    // d14: d2's exhaustive pipeline over the corpus + injected
+    // fragment twins, scored by containment |A∩B|/min(|A|,|B|) and
+    // oriented smaller-set-first (ties → smaller id)
+    "d14_containment" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         array_to_string(($ToksSql)[1:25], ' ') AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |toks AS (
+         |  SELECT doc_id, $ShSql AS sh
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM base)
+         |  WHERE len(tk) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |st AS (SELECT doc_a, doc_b, inter, len(ta.sh) AS na, len(tb.sh) AS nb
+         |  FROM pairs JOIN toks ta ON ta.doc_id = doc_a
+         |             JOIN toks tb ON tb.doc_id = doc_b)
+         |SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_small,
+         |       CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_big,
+         |       CAST(inter AS BIGINT) AS inter,
+         |       CAST(inter AS DOUBLE) / least(na, nb) AS containment
+         |FROM st WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.9""".stripMargin,
 
     "d3_minhash_lsh" ->
       s"""$MinhashCtes

@@ -583,6 +583,11 @@ object SparkEntry {
       // g17's fixed funnel
       streaming.Events.transitionMatrix(Tables.loadEvents(s, dir))),
 
+    "g31_event_paths" -> ((s, dir) =>
+      // top-10 whole user journeys (8-step horizon) — the sequence
+      // report next to g23's one-step transition matrix
+      streaming.Events.topPaths(Tables.loadEvents(s, dir))),
+
     "g17_funnel" -> ((s, dir) =>
       // ordered-step conversion funnel over the event log: users who
       // viewed, then clicked at-or-after their first view, then
@@ -1149,6 +1154,17 @@ object SparkEntry {
         |       round(CAST(n AS DOUBLE) /
         |             sum(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM pairs""".stripMargin,
+
+    // g31: per-user ordered type list (ts, event_id tiebreak — the
+    // same total order as g23), truncated at 8 steps, counted, top-10
+    // with path-string tiebreak
+    "g31_event_paths" ->
+      """WITH p AS (SELECT user_id,
+        |    array_to_string((list(event_type ORDER BY ts, event_id))[1:8],
+        |                    '>') AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
 
     // sequential min-timestamp chain, one CTE per funnel step
     "g17_funnel" ->

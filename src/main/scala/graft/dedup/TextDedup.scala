@@ -108,7 +108,48 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         minJaccard: Double,
                         maxDocFreq: Option[Int] = None,
-                        storage: StorageLevel = Caching.Default): DataFrame = {
+                        storage: StorageLevel = Caching.Default): DataFrame =
+    pairIntersections(docs, id, text, maxDocFreq, storage)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** Asymmetric CONTAINMENT near-dup pairs — the "is this doc mostly
+    * inside that one" relation Jaccard structurally under-reports
+    * (Broder 1997 defines both: a 30-shingle excerpt fully inside a
+    * 300-shingle article has containment 1.0 but Jaccard 0.1, so any
+    * Jaccard threshold that keeps real near-dup pairs misses every
+    * excerpt/quote/syndication-fragment relation). Score =
+    * |A∩B| / min(|A|,|B|) — the smaller set's coverage — computed on
+    * the same exact pair-intersection stats as [[ngramJaccardPairs]]
+    * (shared [[pairIntersections]] core: same blocking join, same
+    * optional df cap with hashed-domain exact verify, same
+    * scale posture). Output: (doc_small, doc_big, inter, containment)
+    * with doc_small the smaller shingle set (ties → smaller id). */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+                       minContainment: Double,
+                       maxDocFreq: Option[Int] = None,
+                       storage: StorageLevel = Caching.Default): DataFrame = {
+    val st = pairIntersections(docs, id, text, maxDocFreq, storage)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= minContainment)
+    val aSmall = col("na") < col("nb") || col("na") === col("nb")
+    st.select(
+      when(aSmall, col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
+      when(aSmall, col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
+      col("inter").cast("long").as("inter"),
+      col("containment"))
+  }
+
+  /** Exact per-pair intersection stats (doc_a, doc_b, inter, na, nb)
+    * with doc_a < doc_b, shared by [[ngramJaccardPairs]] and
+    * [[containmentPairs]] — the blocking join, optional df cap, and
+    * hashed-domain verify documented on [[ngramJaccardPairs]]. */
+  private def pairIntersections(docs: DataFrame, id: Column, text: Column,
+                                maxDocFreq: Option[Int],
+                                storage: StorageLevel): DataFrame = {
     maxDocFreq match {
       case None =>
         // exhaustive: |A∩B| counted directly off the blocking join
@@ -121,10 +162,7 @@ object TextDedup {
         pairs
           .join(t.select(col("doc_id").as("doc_a"), size(col("sh")).as("na")), "doc_a")
           .join(t.select(col("doc_id").as("doc_b"), size(col("sh")).as("nb")), "doc_b")
-          .withColumn("jaccard",
-            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard") >= minJaccard)
-          .select("doc_a", "doc_b", "jaccard")
+          .select("doc_a", "doc_b", "inter", "na", "nb")
       case Some(cap) =>
         // Candidate generation on cool (df <= cap) hashed shingles
         // only. The intersection over the hashed sets is EXACT:
@@ -173,10 +211,7 @@ object TextDedup {
           .withColumn("inter", col("inter_cool") + ColumnBridge.column(
             SortedIntersectCount(ColumnBridge.expression(col("hota")),
               ColumnBridge.expression(col("hotb")))))
-          .withColumn("jaccard",
-            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard") >= minJaccard)
-          .select("doc_a", "doc_b", "jaccard")
+          .select("doc_a", "doc_b", "inter", "na", "nb")
     }
   }
 

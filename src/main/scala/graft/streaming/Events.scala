@@ -80,6 +80,32 @@ object Events {
       round(col("n").cast(DoubleType) / sum(col("n")).over(outTotals), 6))
   }
 
+  /** Top-k most common user journeys — the path-analysis report next
+    * to [[transitionMatrix]]'s one-step view (the transition matrix
+    * says which step follows which; this says which WHOLE sequences
+    * dominate): each user's events in (ts, event_id) order collapse to
+    * a '>'-joined path string truncated at `maxLen` steps (journeys
+    * have a reporting horizon; unbounded paths make every power user a
+    * unique row), then one keyed count and a bounded top-k cut with
+    * ties broken on the path string.
+    *
+    * Scale shape: one keyed shuffle on user (collect_list bounded by
+    * the user's own event count — per-user state, the st2/g23
+    * posture), one partial-aggregating count on path, and the final
+    * cut is TakeOrderedAndProject (each partition keeps k rows) —
+    * never a global sort. */
+  def topPaths(events: DataFrame, maxLen: Int = 8, k: Int = 10): DataFrame = {
+    require(maxLen > 0 && k > 0, s"invalid maxLen=$maxLen k=$k")
+    val per = events
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        slice(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))), 1, maxLen),
+        p => p.getField("event_type")), ">").as("path"))
+    per.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(k)
+  }
+
   private def prefixed(df: DataFrame, p: String): DataFrame =
     df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
 

@@ -143,4 +143,47 @@ class EighthPassSpec extends SparkSpec {
     assert(out(2L) === ((3L, 1L, md5hex("gamma"))))
     assert(out(3L) === ((5L, 3L, md5hex("\n\ndelta"))))
   }
+
+  test("containmentPairs: fragment⊂whole scores 1.0 where Jaccard is low") {
+    import graft.dedup.TextDedup
+    val docs = Seq(
+      (1L, "a b c d e"),                      // 3 shingles, all inside doc 2
+      (2L, "a b c d e f g h i j k l m"),      // 11 shingles
+      (3L, "x y z w v"))                      // disjoint
+      .toDF("doc_id", "text")
+    val out = TextDedup.containmentPairs(docs, col("doc_id"), col("text"),
+      minContainment = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 2L, 3L, 1.0)))
+    // the same pair under Jaccard: 3/11 — a 0.5 threshold misses it
+    assert(TextDedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      minJaccard = 0.5).count() === 0L)
+    // capped branch (hashed domain) agrees with the exhaustive one here
+    val capped = TextDedup.containmentPairs(docs, col("doc_id"), col("text"),
+      minContainment = 0.9, maxDocFreq = Some(10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(capped.toSeq === out.toSeq)
+  }
+
+  test("topPaths: ordered truncated journeys, deterministic top-k tiebreak") {
+    import graft.streaming.{Events => Ev}
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // users 1,2 share view>click>buy; user 3 diverges; user 4 has 10
+    // events — the path truncates at maxLen=3
+    val rows =
+      Seq((1L, 1L, "view"), (2L, 1L, "click"), (3L, 1L, "buy"),
+          (1L, 2L, "view"), (2L, 2L, "click"), (3L, 2L, "buy"),
+          (1L, 3L, "view"), (2L, 3L, "bounce")) ++
+      (1L to 10L).map(i => (i, 4L, s"e$i"))
+    val ev = rows.zipWithIndex
+      .map { case ((s, u, e), i) => (i.toLong, t(s), u, e) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Ev.topPaths(ev, maxLen = 3, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head === (("view>click>buy", 2L)))
+    assert(out.length === 2)
+    // ties: both 1-user paths exist; the lexicographically smaller wins
+    assert(out(1)._1 === "e1>e2>e3") // '<' "view>bounce" lexicographically
+  }
 }
