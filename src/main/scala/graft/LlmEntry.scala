@@ -430,6 +430,14 @@ object LlmEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    "e14_mmr" -> ((s, dir) => {
+      // embedding-space diversity: greedy MMR re-rank of the brute
+      // top-10 pool to 3 slots at λ=0.7
+      val v = t(s, dir, "embeddings")
+      Knn.mmrTopK(v.filter(col("vec_id") < 10), v.filter(col("vec_id") >= 10),
+        k = 3, poolSize = 10, lambda = 0.7)
+    }),
+
     "e11_filtered_knn" -> ((s, dir) => {
       // metadata-filtered vector search: each query's neighbors are
       // drawn ONLY from corpus vectors with the query's own label —
@@ -2452,6 +2460,62 @@ object LlmEntry {
          |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
          |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // e14: e1's candidate pool + two unrolled greedy MMR rounds after
+    // the relevance seed — candidate-selected cosines use the same
+    // 6-dp-rounded formula, (1.0 - 0.7) evaluated as IEEE, argmax =
+    // rn=1 with neighbor-id tiebreak, exactly the Spark sequence
+    "e14_mmr" -> {
+      // exact-integer MMR replay (see mmrTopK scaladoc): sims in 1e-6
+      // units, mmr_u = 7*rel_u - 3*maxsim_u in 1e-7 units
+      def ucos(a: String, b: String) =
+        s"CAST(round(round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))),6)*1000000, 0) AS BIGINT)"
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         |s AS (SELECT query_id, neighbor_id, ce, $CosSql AS sim,
+         |        ${ucos("qe", "ce")} AS rel_u FROM q, c),
+         |cand AS (SELECT query_id, neighbor_id, ce, sim, rel_u, rnk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |  WHERE rnk <= 10),
+         |sel1 AS (SELECT query_id, neighbor_id, sim AS mmr_score, ce
+         |         FROM cand WHERE rnk = 1),
+         |sc2 AS (SELECT cd.query_id, cd.neighbor_id, cd.rel_u,
+         |    max(${ucos("cd.ce", "sl.ce")}) AS maxsim_u
+         |  FROM cand cd JOIN sel1 sl USING (query_id)
+         |  WHERE cd.neighbor_id <> sl.neighbor_id
+         |  GROUP BY 1, 2, 3),
+         |p2 AS (SELECT query_id, neighbor_id, mmr_u FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr_u DESC, neighbor_id) AS rn
+         |    FROM (SELECT *, 7*rel_u - 3*maxsim_u AS mmr_u FROM sc2))
+         |  WHERE rn = 1),
+         |sa2 AS (SELECT query_id, neighbor_id, ce FROM sel1
+         |  UNION ALL
+         |  SELECT p.query_id, p.neighbor_id, cd.ce FROM p2 p
+         |  JOIN cand cd ON cd.query_id = p.query_id
+         |              AND cd.neighbor_id = p.neighbor_id),
+         |sc3 AS (SELECT cd.query_id, cd.neighbor_id, cd.rel_u,
+         |    max(${ucos("cd.ce", "sl.ce")}) AS maxsim_u
+         |  FROM cand cd JOIN sa2 sl USING (query_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM sa2 x
+         |    WHERE x.query_id = cd.query_id AND x.neighbor_id = cd.neighbor_id)
+         |  GROUP BY 1, 2, 3),
+         |p3 AS (SELECT query_id, neighbor_id, mmr_u FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr_u DESC, neighbor_id) AS rn
+         |    FROM (SELECT *, 7*rel_u - 3*maxsim_u AS mmr_u FROM sc3))
+         |  WHERE rn = 1)
+         |SELECT query_id, 1 AS mmr_rank, neighbor_id, mmr_score FROM sel1
+         |UNION ALL
+         |SELECT query_id, 2 AS mmr_rank, neighbor_id,
+         |       CAST(mmr_u AS DOUBLE)/10000000.0 AS mmr_score FROM p2
+         |UNION ALL
+         |SELECT query_id, 3 AS mmr_rank, neighbor_id,
+         |       CAST(mmr_u AS DOUBLE)/10000000.0 AS mmr_score FROM p3""".stripMargin
+    },
 
     "e11_filtered_knn" ->
       s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -92,6 +92,88 @@ object Knn {
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the EMBEDDING-space diversity leg next to
+    * [[graft.text.Search.diversifyTopK]]'s metadata group collapse:
+    * where e13 can only diversify on a label it can see (source/host),
+    * MMR removes redundancy the embedding itself reveals (five
+    * rephrasings of one answer collapse to one slot). Greedy: seed
+    * with the most-relevant candidate, then k-1 rounds of
+    * argmax( λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s) ), ties on
+    * the smaller neighbor id.
+    *
+    * Scale shape: retrieval is [[bruteForceTopK]] (swap in any rung of
+    * the ANN ladder — MMR only needs (id, sim, embedding) per
+    * candidate); everything AFTER retrieval operates on the
+    * |Q|×poolSize candidate frame — per-round work is candidate×
+    * selected (≤ poolSize·k rows per query), the argmax is a
+    * partitioned rn=1 window riding the bounded-heap rewrite, and the
+    * candidate frame is cached once for all rounds. The greedy loop
+    * unrolls at PLAN level (k is a small constant); nothing
+    * corpus-sized recomputes per round. Pool membership orders on the
+    * 6-dp-rounded sims (bruteForceTopK's e1-gated contract); the MMR
+    * arithmetic itself runs in exact scaled-INTEGER units of those
+    * sims (λ constrained to tenths), so scores and selection replay
+    * bit-for-bit on any engine — see the in-body note.
+    *
+    * Output: (query_id, mmr_rank 1..k, neighbor_id, mmr_score) —
+    * rank 1's score is its relevance; later ranks score their
+    * selection-round MMR value. Queries with fewer than k candidates
+    * underfill, never pad. */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
+              poolSize: Int = 10, lambda: Double = 0.7,
+              storage: StorageLevel = Caching.Default): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"invalid k=$k poolSize=$poolSize")
+    val lam10 = math.round(lambda * 10).toInt
+    require(lam10 >= 0 && lam10 <= 10 && lam10 / 10.0 == lambda,
+      s"lambda must be a multiple of 0.1 in [0,1], got $lambda")
+    import org.apache.spark.sql.expressions.Window
+    // Determinism: every similarity enters the MMR math as an exact
+    // INTEGER in 1e-6 units of its 6-dp-rounded value (the ×1e6
+    // product of a 6-dp double sits within 1e-9 of an integer, so the
+    // to-integer round has no half-way cases on any engine), and
+    // λ=lam10/10 makes mmr_u = lam10·rel_u − (10−lam10)·maxsim_u an
+    // exact long in 1e-7 units — cross-engine float drift cannot
+    // reorder the selection. A double λ-combination of 6-dp inputs,
+    // by contrast, lands ON decimal grid boundaries where the two
+    // engines' round() disagree by an ulp.
+    val cand = Caching.persisted(
+      broadcast(bruteForceTopK(queries, corpus, poolSize))
+        .join(corpus.select(col("vec_id").as("neighbor_id"),
+          Vectors.asDouble(col("embedding")).as("ce")), "neighbor_id")
+        .withColumn("cn", Vectors.norm(col("ce")))
+        .withColumn("rel_u", round(col("sim") * 1e6, 0).cast("long"))
+        .select("query_id", "rank", "neighbor_id", "sim", "rel_u", "ce", "cn"),
+      storage)
+    var all = cand.filter(col("rank") === 1)
+      .select(col("query_id"), lit(1).as("mmr_rank"), col("neighbor_id"),
+        col("sim").as("mmr_score"), col("ce"), col("cn"))
+    for (r <- 2 to k) {
+      val rem = cand.join(all.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val scored = rem.join(all.select(col("query_id"),
+          col("ce").as("se"), col("cn").as("sn")), Seq("query_id"))
+        .withColumn("psim_u", round(round(
+          Vectors.dot(col("ce"), col("se")) / (col("cn") * col("sn")), 6)
+          * 1e6, 0).cast("long"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(max(col("rel_u")).as("rel_u"), max(col("psim_u")).as("maxsim_u"))
+        .withColumn("mmr_u", lit(lam10.toLong) * col("rel_u") -
+          lit((10 - lam10).toLong) * col("maxsim_u"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("mmr_u").desc, col("neighbor_id"))
+      val sel = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(cand.select("query_id", "neighbor_id", "ce", "cn"),
+          Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), lit(r).as("mmr_rank"), col("neighbor_id"),
+          (col("mmr_u").cast("double") / 1e7).as("mmr_score"),
+          col("ce"), col("cn"))
+      all = all.unionByName(sel)
+    }
+    all.select("query_id", "mmr_rank", "neighbor_id", "mmr_score")
+  }
+
   /** Sign-bucket of a vector under `planes` hyperplanes: a bit string
     * like "0110...". Map-only; the codegen'd
     * [[graft.functions.LshSignBucket]] kernel (spec-checked

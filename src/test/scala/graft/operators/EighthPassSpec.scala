@@ -165,6 +165,31 @@ class EighthPassSpec extends SparkSpec {
     assert(capped.toSeq === out.toSeq)
   }
 
+  test("mmrTopK: diversity beats a redundant higher-relevance candidate") {
+    // q=(1,0); a=(1,0.1) seeds; b=(1,0.11) is nearly a's duplicate,
+    // c=(0.5,0.5) is diverse. At λ=0.3 MMR must pick c over b even
+    // though rel(b) > rel(c); at λ=1.0 it degrades to pure relevance.
+    val emb = Seq(
+      (1L, vec(1, 0), 0), (10L, vec(1, 0.1), 0),
+      (11L, vec(1, 0.11), 0), (12L, vec(0.5, 0.5), 0))
+      .toDF("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id") < 10)
+    val c = emb.filter(col("vec_id") >= 10)
+    val diverse = Knn.mmrTopK(q, c, k = 2, poolSize = 3, lambda = 0.3)
+      .orderBy("mmr_rank").collect().map(_.getLong(2))
+    assert(diverse.toSeq === Seq(10L, 12L), "λ=0.3 must select the diverse c")
+    val pure = Knn.mmrTopK(q, c, k = 3, poolSize = 3, lambda = 1.0)
+      .orderBy("mmr_rank").collect().map(_.getLong(2))
+    assert(pure.toSeq === Knn.bruteForceTopK(q, c, k = 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq,
+      "λ=1 must reduce to relevance order")
+    // underfill: 3 candidates, k wants 3 — all appear exactly once
+    assert(pure.distinct.length === 3)
+    intercept[IllegalArgumentException] {
+      Knn.mmrTopK(q, c, k = 2, poolSize = 3, lambda = 0.75)
+    }
+  }
+
   test("topPaths: ordered truncated journeys, deterministic top-k tiebreak") {
     import graft.streaming.{Events => Ev}
     import java.sql.Timestamp
