@@ -178,6 +178,21 @@ object LlmEntry {
         TextDedup.minHashLshPairs(t(s, dir, "documents"),
           col("doc_id"), col("text"), minJaccard = 0.1))),
 
+    "d15_dup_stats" -> ((s, dir) =>
+      // the duplication profile read before choosing drop vs
+      // downweight: cluster-size histogram over d7's components
+      DupClusters.clusterSizeHistogram(DupClusters.connectedComponents(
+        TextDedup.minHashLshPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), minJaccard = 0.1)))),
+
+    "x11_dedup_weights" -> ((s, dir) =>
+      // soft dedup: weight 1/|cluster| per doc (singletons 1.0) — each
+      // near-dup cluster contributes one doc's worth of training mass
+      DupClusters.dedupWeights(t(s, dir, "documents"), "doc_id",
+        DupClusters.connectedComponents(
+          TextDedup.minHashLshPairs(t(s, dir, "documents"),
+            col("doc_id"), col("text"), minJaccard = 0.1)))),
+
     "t6_decontam" -> ((s, dir) => {
       // benchmark decontamination: every 25th doc plays the eval set;
       // training docs sharing any word 5-gram with it are flagged
@@ -1911,6 +1926,45 @@ object LlmEntry {
          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
          |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY node""".stripMargin,
+
+    // d15: d7's components → per-cluster sizes → size histogram
+    "d15_dup_stats" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |pr AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.1),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |       count(*) AS n_clusters,
+         |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM szs GROUP BY cluster_size""".stripMargin,
+
+    // x11: d7's components + sizes, left-joined to the corpus —
+    // weight = 1/|cluster|, singletons 1.0 with their own id
+    "x11_dedup_weights" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |pr AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.1),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |szs AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1),
+         |w AS (SELECT cl.doc_id, cl.cluster_id, szs.sz
+         |      FROM cl JOIN szs USING (cluster_id))
+         |SELECT d.doc_id,
+         |       CAST(coalesce(w.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+         |       CAST(1.0 AS DOUBLE) / coalesce(w.sz, 1) AS weight
+         |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id""".stripMargin,
 
     "t6_decontam" ->
       s"""WITH toks AS (SELECT doc_id, ${shSqlN(5)} AS sh

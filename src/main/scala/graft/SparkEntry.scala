@@ -597,6 +597,14 @@ object SparkEntry {
       streaming.Events.funnel(Tables.loadEvents(s, dir),
         Seq("view", "click", "purchase"))),
 
+    "g32_window_funnel" -> ((s, dir) =>
+      // g17 with a 24h per-step conversion deadline (the ClickHouse
+      // windowFunnel contract): step i counts only within window OF
+      // step i-1 — late conversions drop out of every later step
+      // (at sf0.01: 150/60/25 vs the unbounded 150/150/150)
+      streaming.Events.windowFunnel(Tables.loadEvents(s, dir),
+        Seq("view", "click", "purchase"), windowSeconds = 86400L)),
+
     "g17b_funnel_latency" -> ((s, dir) =>
       // the latency leg of g17: seconds from each step to the next
       // over the users who converted — n_users, exact decimal mean,
@@ -1176,6 +1184,24 @@ object SparkEntry {
         |s3 AS (SELECT e.user_id, min(e.ts) AS t
         |       FROM events e JOIN s2 ON e.user_id = s2.user_id
         |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |       (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    // g17's chain with the per-step 24h deadline as an extra residual
+    // predicate on each join
+    "g32_window_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t
+        |         AND e.ts <= s1.t + INTERVAL 86400 SECOND GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+        |         AND e.ts <= s2.t + INTERVAL 86400 SECOND GROUP BY 1)
         |SELECT 1 AS step, 'view' AS event_type,
         |       (SELECT count(*) FROM s1) AS n_users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)

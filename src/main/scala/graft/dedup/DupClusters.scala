@@ -97,4 +97,38 @@ object DupClusters {
       .select(col("doc_id").as(idName))
     docs.join(drops, Seq(idName), "left_anti")
   }
+
+  /** Duplication profile of a corpus — the report a curation run reads
+    * BEFORE deciding drop-vs-downweight: per duplicate-cluster size,
+    * how many clusters have that size and how many docs they hold
+    * (singletons are not in `clusters` and so not in the histogram —
+    * the histogram describes the duplicated mass). Two partial-
+    * aggregating keyed counts over the clusters frame; output is
+    * distinct-sizes-sized. */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
+  /** SOFT dedup — the downweight alternative to [[survivors]]' hard
+    * drop (the mixture-building move: duplicated content still trains,
+    * but each cluster contributes ONE doc's worth of expected mass):
+    * every doc gets weight 1/|its cluster| (singletons weight 1.0,
+    * cluster_id = own id), ready to feed `Sampling.mix`-style
+    * per-stratum recipes or a weighted sampler. One keyed count over
+    * the clusters frame + one left equi-join against the corpus ids —
+    * nothing corpus-quadratic, weights are single IEEE divisions. */
+  def dedupWeights(docs: DataFrame, idName: String,
+                   clusters: DataFrame): DataFrame = {
+    val sz = clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val cl = clusters.join(sz, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("sz"))
+    docs.select(col(idName).as("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        (lit(1.0) / coalesce(col("sz"), lit(1L))).as("weight"))
+  }
 }

@@ -165,6 +165,41 @@ object Events {
     }.reduce(_ unionAll _)
   }
 
+  /** Conversion-window funnel — [[funnel]] with a per-step deadline
+    * (the ClickHouse `windowFunnel` contract): step i counts only if
+    * it happens within `windowSeconds` OF STEP i-1, not merely ever
+    * after — "clicked within 7 days of the first view" is the number
+    * a campaign is actually judged on, and the unbounded funnel
+    * overstates it by counting conversions a quarter later. Semantics:
+    * per user, step 1 anchors at the first occurrence; step i>1 at the
+    * first occurrence in [prev_ts, prev_ts + window]. A user missing
+    * the deadline drops out of every later step (the funnel property
+    * is preserved: counts are non-increasing).
+    *
+    * Scale shape identical to [[funnel]]: one keyed equi-join + one
+    * partial-aggregating min per step over monotonically shrinking
+    * survivor sets; the deadline is a residual filter on the joined
+    * rows — no windows, no per-user sort. */
+  def windowFunnel(events: DataFrame, steps: Seq[String],
+                   windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowSeconds > 0, s"invalid windowSeconds=$windowSeconds")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("step_ts"))
+    val perStep = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("step_ts").as("prev_ts")), "user_id")
+        .where(col("ts") >= col("prev_ts") &&
+          col("ts") <= col("prev_ts") + expr(s"interval $windowSeconds seconds"))
+        .groupBy("user_id").agg(min(col("ts")).as("step_ts"))
+    }
+    perStep.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Time-to-convert distribution per funnel step — the latency leg of
     * [[funnel]] (reach counts say HOW MANY converted; this says HOW
     * LONG each conversion took, the number a growth team actually

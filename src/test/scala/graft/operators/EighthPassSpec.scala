@@ -165,6 +165,44 @@ class EighthPassSpec extends SparkSpec {
     assert(capped.toSeq === out.toSeq)
   }
 
+  test("windowFunnel: the deadline drops late converters; counts non-increasing") {
+    import graft.streaming.{Events => Ev}
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // u1 converts in time; u2's click is 2h after the view (misses a
+    // 1h window) so u2 leaves the funnel at step 2 AND step 3 even
+    // though its purchase would qualify against its own click
+    val ev = Seq(
+      (1L, t(0), 1L, "view"), (2L, t(600), 1L, "click"), (3L, t(1200), 1L, "buy"),
+      (4L, t(0), 2L, "view"), (5L, t(7200), 2L, "click"), (6L, t(7300), 2L, "buy"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val bounded = Ev.windowFunnel(ev, Seq("view", "click", "buy"), 3600L)
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(bounded.toSeq === Seq((1, 2L), (2, 1L), (3, 1L)))
+    // the unbounded funnel counts u2 everywhere — the overstatement
+    val unbounded = Ev.funnel(ev, Seq("view", "click", "buy"))
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(unbounded.toSeq === Seq((1, 2L), (2, 2L), (3, 2L)))
+  }
+
+  test("clusterSizeHistogram + dedupWeights over hand-built components") {
+    import graft.dedup.DupClusters
+    // pairs: {1,2,3} one component, {7,8} another; 9 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val cl = DupClusters.connectedComponents(pairs)
+    val hist = DupClusters.clusterSizeHistogram(cl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(hist.toSeq === Seq((2L, 1L, 2L), (3L, 1L, 3L)))
+    val docs = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
+    val w = DupClusters.dedupWeights(docs, "doc_id", cl).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(w(1L) === ((1L, 1.0 / 3)) && w(3L) === ((1L, 1.0 / 3)))
+    assert(w(8L) === ((7L, 0.5)))
+    assert(w(9L) === ((9L, 1.0)), "singletons weight 1.0 with own id")
+    // expected mass per cluster is exactly one doc
+    assert(math.abs(w.values.map(_._2).sum - 3.0) < 1e-12)
+  }
+
   test("mmrTopK: diversity beats a redundant higher-relevance candidate") {
     // q=(1,0); a=(1,0.1) seeds; b=(1,0.11) is nearly a's duplicate,
     // c=(0.5,0.5) is diverse. At λ=0.3 MMR must pick c over b even
