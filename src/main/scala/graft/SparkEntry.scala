@@ -530,6 +530,13 @@ object SparkEntry {
             .as("avg_price"))
     }),
 
+    "g33_new_vs_returning" -> ((s, dir) =>
+      // monthly acquisition split: distinct active customers, first-
+      // ever-month news, returning remainder, cumulative distinct —
+      // the dashboard complement of g18's retention triangle
+      Measures.newVsReturning(t(s, dir, "orders"),
+        col("o_custkey"), col("o_orderdate"))),
+
     "g24_dense_months" -> ((s, dir) =>
       // zero-filled (status, year, month) grid between the fact's
       // first and last month — silent months read as 0 rows, not
@@ -1042,6 +1049,25 @@ object SparkEntry {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |             / count(*), 6) AS avg_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // g33: (entity, month) distinct → actives; first month per entity
+    // (lexicographic min as yr*100+mo) → news; months-sized running sum
+    "g33_new_vs_returning" ->
+      """WITH em AS (SELECT DISTINCT o_custkey AS ent,
+        |    CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |    CAST(month(o_orderdate) AS INTEGER) AS mo FROM orders),
+        |act AS (SELECT yr, mo, count(*) AS n_active FROM em GROUP BY 1, 2),
+        |fst AS (SELECT ent, min(yr * 100 + mo) AS ym FROM em GROUP BY 1),
+        |news AS (SELECT CAST(ym // 100 AS INTEGER) AS yr,
+        |    CAST(ym % 100 AS INTEGER) AS mo, count(*) AS n_new
+        |  FROM fst GROUP BY 1, 2)
+        |SELECT a.yr, a.mo, a.n_active,
+        |  CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+        |  a.n_active - CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_returning,
+        |  CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.yr, a.mo
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_entities
+        |FROM act a LEFT JOIN news n USING (yr, mo)""".stripMargin,
 
     "g24_dense_months" ->
       """WITH b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,

@@ -233,6 +233,36 @@ object Measures {
       .na.fill(0L, Seq("n")).na.fill(0.0, Seq("total"))
   }
 
+  /** New-vs-returning cohort split at month grain — the acquisition
+    * dashboard staple next to g18's retention triangle (retention asks
+    * "of January's cohort, who came back"; this asks "of this month's
+    * actives, who is brand new"): per month, distinct active entities,
+    * entities whose FIRST-ever month this is (`n_new`), the returning
+    * remainder, and the running cumulative distinct-entity count
+    * (= Σ n_new — each entity is new exactly once, so the cumulative
+    * needs no second distinct pass).
+    *
+    * Scale shape: one distinct on (entity, month) — the only
+    * corpus-sized shuffle, partial-aggregated; the first-month frame
+    * reduces per entity off that same distinct frame; everything after
+    * is months-sized, including the cumulative window (partitioned by
+    * nothing but over ~tens of rows, the g6/g26 posture). */
+  def newVsReturning(df: DataFrame, entity: Column, dateCol: Column): DataFrame = {
+    val em = df.select(entity.as("ent"),
+      year(dateCol).as("yr"), month(dateCol).as("mo")).distinct()
+    val active = em.groupBy("yr", "mo").agg(count(lit(1)).as("n_active"))
+    val news = em.groupBy("ent")
+      .agg(min(struct(col("yr"), col("mo"))).as("f"))
+      .groupBy(col("f.yr").as("yr"), col("f.mo").as("mo"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("yr", "mo")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(news, Seq("yr", "mo"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("cum_entities", sum(col("n_new")).over(w))
+  }
+
   /** Share-of-parent / share-of-total — the "% of total" measure family
     * every semantic model ships (DAX `DIVIDE([x], CALCULATE([x],
     * ALL(...)))`, the reference's DIVIDE-rate idiom at Claims.tmdl

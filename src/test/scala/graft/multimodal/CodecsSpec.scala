@@ -101,4 +101,30 @@ class CodecsSpec extends SparkSpec {
     assert(rows(1L) === rows(2L))
     assert(rows(1L) !== rows(3L))
   }
+
+  test("real decode feeds the m4 perceptual-dedup pipeline end to end") {
+    // the full composition the stub entries promise: PNG decode →
+    // 64-band luminance features → byte quantization → the SAME
+    // aHash + quarter-band near-dup pairing m4 runs on stub windows.
+    // One image is a NEAR duplicate (single corner pixel flipped, so
+    // container bytes AND decoded features differ slightly) — the
+    // perceptual pair must still be found; the gradient image must not.
+    def grad(flip: Boolean) = pngBytes(16, 16)((x, y) =>
+      if (flip && x == 0 && y == 0) 0x808080
+      else if (y < 8) 0xffffff else 0)
+    val other = pngBytes(16, 16)((x, _) => (x * 16) * 0x010101)
+    val assets = Seq((1L, grad(false)), (2L, grad(true)), (3L, other))
+      .toDF("asset_id", "payload")
+    val feats = Codecs.decodeImagePartitioned(assets, featureDim = 64)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](4).map(m => math.min(255, math.max(0,
+          math.round(m))).toByte).toArray))
+    val quantized = feats.toSeq.toDF("asset_id", "payload")
+    val fps = quantized.select(col("asset_id").as("doc_id"),
+      graft.multimodal.Multimodal.aHashHex(col("payload")).as("fp"))
+    val pairs = graft.dedup.TextDedup.hexFingerprintPairs(fps, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)),
+      s"expected only the near-dup pair, got ${pairs.mkString(", ")}")
+  }
 }
