@@ -178,6 +178,12 @@ object LlmEntry {
         TextDedup.minHashLshPairs(t(s, dir, "documents"),
           col("doc_id"), col("text"), minJaccard = 0.1))),
 
+    "d16_lsh_recall" -> ((s, dir) =>
+      // the dedup family's e12: banding recall vs the exhaustive exact
+      // pair set at the same threshold, one audit row
+      TextDedup.lshRecallAudit(t(s, dir, "documents"),
+        col("doc_id"), col("text"), minJaccard = 0.1)),
+
     "d15_dup_stats" -> ((s, dir) =>
       // the duplication profile read before choosing drop vs
       // downweight: cluster-size histogram over d7's components
@@ -1061,6 +1067,11 @@ object LlmEntry {
     "st2_sessionize" -> ((s, dir) =>
       Events.sessionizeBatch(Tables.loadEvents(s, dir))),
 
+    "g34_session_stats" -> ((s, dir) =>
+      // one-row session-quality card over st2's sessionizer: counts,
+      // exact-decimal means, R-7 duration percentiles, bounce rate
+      Events.sessionStats(Tables.loadEvents(s, dir))),
+
     "st4_range" -> ((s, dir) => {
       import graft.operators.RangeJoin
       val ev = Tables.loadEvents(s, dir)
@@ -1926,6 +1937,30 @@ object LlmEntry {
          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
          |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY node""".stripMargin,
+
+    // d16: minhashCtes' `ver` (banding + exact verify) vs the
+    // exhaustive blocking join over the SAME `toks` shingle sets
+    "d16_lsh_recall" ->
+      s"""WITH ${minhashCtes("documents")},
+         |found AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.1),
+         |ex2 AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+         |ep AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |       FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |exact AS (SELECT doc_a, doc_b
+         |  FROM ep JOIN toks ta ON ta.doc_id = doc_a
+         |          JOIN toks tb ON tb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE) /
+         |        (len(ta.sh) + len(tb.sh) - inter) >= 0.1),
+         |j AS (SELECT e.doc_a, e.doc_b,
+         |        CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM exact e LEFT JOIN found f
+         |        ON f.doc_a = e.doc_a AND f.doc_b = e.doc_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_found,
+         |  CAST(count(*) - sum(hit) AS BIGINT) AS n_missed,
+         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM j""".stripMargin,
 
     // d15: d7's components → per-cluster sizes → size histogram
     "d15_dup_stats" ->
@@ -3230,6 +3265,27 @@ object LlmEntry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM sx GROUP BY 1, 2""".stripMargin,
+
+    // g34: st2's session CTEs → per-session depth/duration → one-row
+    // stats in g17b's idiom (decimal means, R-7 quantile_cont, 4-dp
+    // rounds; bounce rate a single 6-dp-rounded division)
+    "g34_session_stats" ->
+      s"""$SessionCtes,
+        |sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+        |    CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
+        |      / 1000000.0 AS dur_s
+        |  FROM sx GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(CAST(avg(CAST(n_events AS DECIMAL(28,6))) AS DOUBLE), 4)
+        |    AS mean_events,
+        |  round(CAST(avg(CAST(dur_s AS DECIMAL(28,6))) AS DOUBLE), 4)
+        |    AS mean_dur_s,
+        |  round(quantile_cont(dur_s, 0.5), 4) AS p50_dur_s,
+        |  round(quantile_cont(dur_s, 0.9), 4) AS p90_dur_s,
+        |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS bounce_rate
+        |FROM sess""".stripMargin,
 
     "st4_range" ->
       s"""$SessionCtes,

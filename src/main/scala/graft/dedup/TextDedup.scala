@@ -215,6 +215,36 @@ object TextDedup {
     }
   }
 
+  /** LSH banding RECALL audit — the dedup family's analog of the ANN
+    * family's `e12_recall_eval` (every approximate retriever ships
+    * with its recall number; the banding dedup path should too): how
+    * many of the EXACT near-dup pairs (exhaustive [[ngramJaccardPairs]]
+    * at `minJaccard`) does [[minHashLshPairs]]' band-blocking find?
+    * Both legs verify with the same exact string-domain Jaccard, so
+    * the found set is a subset of the exact set by construction and
+    * recall = n_found / n_exact is the banding miss rate exactly (the
+    * 1-(1-s^r)^b curve, measured on this corpus instead of assumed).
+    * One row: (n_exact, n_found, n_missed, recall 6-dp). Returns a
+    * NULL recall on a pair-free corpus rather than inventing 1.0.
+    *
+    * Cost = the two pair pipelines it audits + a pairs-sized join —
+    * an audit you run on a sample slice, not the full 100 TB corpus
+    * (the e12 posture). */
+  def lshRecallAudit(docs: DataFrame, id: Column, text: Column,
+                     minJaccard: Double,
+                     storage: StorageLevel = Caching.Default): DataFrame = {
+    val exact = ngramJaccardPairs(docs, id, text, minJaccard, None, storage)
+      .select("doc_a", "doc_b")
+    val found = minHashLshPairs(docs, id, text, minJaccard, storage)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    val hits = coalesce(col("hit"), lit(0L))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(hits).as("n_found"),
+        (count(lit(1)) - sum(hits)).as("n_missed"),
+        round(sum(hits).cast("double") / count(lit(1)), 6).as("recall"))
+  }
+
   /** MinHash parameters: K = bands * rowsPerBand signatures from the
     * affine family (A(i)*h + B(i)) mod P32. Constants are part of the
     * operator contract (the oracle uses the same ones). */

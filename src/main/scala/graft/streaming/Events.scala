@@ -241,6 +241,36 @@ object Events {
     }.reduce(_ unionAll _)
   }
 
+  /** Session-quality rollup — the dashboard card over
+    * [[sessionizeBatch]]'s raw sessions (the sessionizer says where
+    * each session starts and ends; this says what a TYPICAL session
+    * looks like): one row of n_sessions, distinct users, exact decimal
+    * mean events-per-session, mean/p50/p90 session duration seconds
+    * (funnelLatency's stat idiom: micros-diff as double, R-7
+    * percentiles, 4-dp rounds), and the single-event-session share
+    * (the bounce rate) as a 6-dp-rounded division.
+    *
+    * Scale shape: sessionization's per-user lag/cumsum windows
+    * (bounded by a user's own history), one keyed session agg, then
+    * the final stats over the sessions-sized frame in ONE aggregation
+    * — the exact percentile pair is the only sessions-sized sort
+    * state (g14b's sketch is the 100 TB swap). */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionizeBatch(events, gapMinutes)
+      .select(col("user_id"), col("n_events"),
+        (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .cast(DoubleType).divide(1000000.0).as("dur_s"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count_distinct(col("user_id")).as("n_users"),
+        round(avg(col("n_events").cast(DecimalType(28, 6))).cast(DoubleType), 4)
+          .as("mean_events"),
+        round(avg(col("dur_s").cast(DecimalType(28, 6))).cast(DoubleType), 4)
+          .as("mean_dur_s"),
+        round(expr("percentile(dur_s, 0.5)"), 4).as("p50_dur_s"),
+        round(expr("percentile(dur_s, 0.9)"), 4).as("p90_dur_s"),
+        round(sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)), 6).as("bounce_rate"))
+
   /** Weekly cohort retention: users cohorted by the week of their
     * first event; `n_users` counts how many of each cohort were active
     * `week_offset` weeks later (offset 0 = the cohort week itself) —

@@ -203,6 +203,42 @@ class EighthPassSpec extends SparkSpec {
     assert(math.abs(w.values.map(_._2).sum - 3.0) < 1e-12)
   }
 
+  test("sessionStats: counts, duration stats and bounce rate on hand sessions") {
+    import graft.streaming.{Events => Ev}
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // u1: one 2-event session (600s) + one bounce 2h later;
+    // u2: one bounce. => 3 sessions, 2 users, bounce rate 2/3
+    val ev = Seq(
+      (1L, t(0), 1L, "view", 1.0, "{}"), (2L, t(600), 1L, "click", 1.0, "{}"),
+      (3L, t(10000), 1L, "view", 1.0, "{}"), (4L, t(0), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Ev.sessionStats(ev, gapMinutes = 30).collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.3333) // mean events (2+1+1)/3, 4dp
+    assert(r.getDouble(3) === 200.0)   // mean duration (600+0+0)/3
+    assert(r.getDouble(4) === 0.0)     // p50 of (600,0,0)
+    assert(r.getDouble(6) === 0.666667) // bounce rate 6dp
+  }
+
+  test("lshRecallAudit: identical pair always found, found is a subset of exact") {
+    import graft.dedup.TextDedup
+    val many = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // jaccard 1.0
+      (3L, s"$many shared tail here"),                   // shares its tail
+      (4L, s"shared tail here ${(50 to 90).map(i => s"v$i").mkString(" ")}"),
+      (5L, "x y z q r s t u v w")).toDF("doc_id", "text")
+    val r = TextDedup.lshRecallAudit(docs, col("doc_id"), col("text"),
+      minJaccard = 0.005).collect().head
+    val (nExact, nFound, nMissed, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nExact === 2L, s"expected pairs (1,2) and (3,4), got $nExact")
+    assert(nFound >= 1L, "the identical pair shares every minhash — always found")
+    assert(nMissed === nExact - nFound && nMissed >= 0L)
+    assert(recall === math.rint(nFound.toDouble / nExact * 1e6) / 1e6)
+  }
+
   test("mmrTopK: diversity beats a redundant higher-relevance candidate") {
     // q=(1,0); a=(1,0.1) seeds; b=(1,0.11) is nearly a's duplicate,
     // c=(0.5,0.5) is diverse. At λ=0.3 MMR must pick c over b even
