@@ -231,6 +231,35 @@ object LlmEntry {
         col("doc_id"), col("text"), n = 5)
     }),
 
+    "t22_eval_leakage" -> ((s, dir) => {
+      // the reverse of t6/t18: per EVAL doc, how many distinct train
+      // docs share any 5-gram with it and how many distinct 5-grams —
+      // the benchmark owner's is-my-item-dead report. The synthetic
+      // corpus has almost no natural cross-doc 5-gram overlap, so
+      // every 7th doc carries an injected viral phrase: eval docs
+      // divisible by 7 must report the ~60 train docs carrying it
+      val docs = t(s, dir, "documents").withColumn("text2",
+        concat(col("text"), when(col("doc_id") % 7 === 0,
+          lit(" the quick brown fox jumps over the lazy dog today"))
+          .otherwise(lit(""))))
+      Decontaminate.evalLeakage(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0),
+        col("doc_id"), col("doc_id"), col("text2"), n = 5)
+    }),
+
+    "t23_script_mix" -> ((s, dir) => {
+      // the corpus is pure ASCII, so inject deterministic script mixes
+      // incl. two Latin/Cyrillic homoglyph words — the spoof signal
+      val d = t(s, dir, "documents").withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" привет мир"))
+        .when(col("doc_id") % 6 === 1, lit(" γεια σας κόσμε"))
+        .when(col("doc_id") % 6 === 2, lit(" 你好世界"))
+        .when(col("doc_id") % 6 === 3, lit(" pаypal miхed"))
+        .otherwise(lit(""))))
+      TextAnalysis.scriptMixAudit(d, col("doc_id"), col("text2"))
+    }),
+
     "x8_time_split" -> ((s, dir) =>
       // temporal holdout over the event log: last 10% of the time span
       // held out — the anti-leakage split a hash split can't give
@@ -2189,6 +2218,55 @@ object LlmEntry {
          |       CAST(sum(hit) AS BIGINT) AS n_shared,
          |       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS overlap_frac
          |FROM j GROUP BY 1""".stripMargin,
+
+    // t22: t18's shingle CTEs joined the OTHER way — per eval doc,
+    // distinct train docs and distinct shared shingles
+    "t22_eval_leakage" ->
+      s"""WITH t2 AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN ' the quick brown fox jumps over the lazy dog today'
+         |         ELSE '' END AS text2 FROM documents),
+         |toks AS (SELECT doc_id, ${shSqlN(5)} AS sh
+         |  FROM (SELECT doc_id, ${ToksSqlOn("text2")} AS tk FROM t2)),
+         |ev AS (SELECT DISTINCT doc_id AS eval_id, unnest(sh) AS s
+         |       FROM toks WHERE doc_id % 25 = 0),
+         |tr AS (SELECT doc_id AS train_id, unnest(sh) AS s
+         |       FROM toks WHERE doc_id % 25 <> 0)
+         |SELECT eval_id, count(DISTINCT train_id) AS n_train_docs,
+         |       count(DISTINCT s) AS n_shared_shingles
+         |FROM tr JOIN ev USING (s) GROUP BY 1""".stripMargin,
+
+    // t23: per-script regexp counts over the injected text2, mixed
+    // words via >=2 script-class hits per token, argmax CASE chain
+    "t23_script_mix" -> {
+      // the Scala pattern strings embed verbatim: DuckDB standard
+      // strings don't process backslashes, so '[\x{0400}-...]' reaches
+      // RE2 exactly as Java regex reads it
+      val classes = TextAnalysis.ScriptClasses
+      val cnt = classes.map { case (nm, re) =>
+        s"CAST(len(regexp_extract_all(text2, '$re')) AS BIGINT) AS n_$nm"
+      }.mkString(",\n  ")
+      val nScr = classes.map { case (_, re) =>
+        s"CASE WHEN regexp_matches(w, '$re') THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+      val names = classes.map(_._1)
+      val dom = names.map { nm =>
+        val ge = names.filter(_ != nm).map(o => s"n_$nm >= n_$o").mkString(" AND ")
+        s"WHEN $ge AND n_$nm > 0 THEN '$nm'"
+      }.mkString(" ")
+      s"""WITH t2 AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 6 = 0 THEN ' привет мир'
+         |       WHEN doc_id % 6 = 1 THEN ' γεια σας κόσμε'
+         |       WHEN doc_id % 6 = 2 THEN ' 你好世界'
+         |       WHEN doc_id % 6 = 3 THEN ' pаypal miхed'
+         |       ELSE '' END AS text2 FROM documents),
+         |f AS (SELECT doc_id,
+         |  $cnt,
+         |  CAST(len(list_filter(${ToksSqlOn("text2")},
+         |    w -> ($nScr) >= 2)) AS BIGINT) AS n_mixed_words
+         |  FROM t2)
+         |SELECT *, CASE $dom ELSE 'none' END AS dominant_script FROM f""".stripMargin
+    },
 
     // boundary = floor(lo + span*0.9) over epoch micros, the identical
     // IEEE sequence the operator computes (exact integers < 2^53)

@@ -80,6 +80,33 @@ object Decontaminate {
   // corpus shingle (profiled: the md5 probe dominated t6b's runtime)
   private val MaxBloomHashes = 5
 
+  /** Eval-side leakage report — the REVERSE direction of
+    * [[contaminatedDocs]] (that flags which TRAINING docs to scrub;
+    * this tells the benchmark owner which EVAL items are already
+    * compromised and how broadly): per eval doc, the number of
+    * distinct training docs sharing any word n-gram with it and the
+    * number of distinct shared n-grams. An eval item leaked into
+    * thousands of training docs is dead for measurement even after a
+    * scrub — memorization pressure came from everywhere (the GPT-3
+    * appendix-C reporting direction).
+    *
+    * Same broadcast-probe plan as the forward leg, keeping the eval id
+    * on the broadcast side: corpus-sized work stays one map-only
+    * explode + broadcast join; the double distinct-count aggregates
+    * (hits-sized, not corpus-sized) rows. */
+  def evalLeakage(train: DataFrame, eval: DataFrame,
+                  trainId: Column, evalId: Column, text: Column,
+                  n: Int = 5): DataFrame = {
+    val es = broadcast(eval.select(evalId.as("eval_id"),
+      explode(TextDedup.shingles(text, n)).as("s")).distinct())
+    train.select(trainId.as("train_id"),
+        explode(TextDedup.shingles(text, n)).as("s"))
+      .join(es, "s")
+      .groupBy("eval_id")
+      .agg(count_distinct(col("train_id")).as("n_train_docs"),
+        count_distinct(col("s")).as("n_shared_shingles"))
+  }
+
   /** [[contaminatedDocs]] for LARGE eval corpora — identical output,
     * bloom-pre-filtered plan.
     *

@@ -630,6 +630,45 @@ object TextAnalysis {
       regexp_count(text, lit("  +")).cast("long").as("n_multi_space"),
       (text === normalized(text)).as("is_normalized"))
 
+  /** Script classes for [[scriptMixAudit]]: name → regex char class,
+    * declaration order = the dominant-script tiebreak. Explicit
+    * `\x{...}` ranges so Java regex and RE2 read them identically. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\x{0400}-\\x{04ff}]",
+    "greek" -> "[\\x{0370}-\\x{03ff}]",
+    "han" -> "[\\x{4e00}-\\x{9fff}]")
+
+  /** Script-mix audit — the homoglyph/obfuscation screen next to
+    * [[charsetAudit]]'s encoding health (a crawl's "pаypal" with a
+    * Cyrillic а passes every charset check and is exactly how spam and
+    * phishing text defeats naive filters; mixed-script WORDS are the
+    * signal, mixed-script documents are often legitimate): per doc,
+    * character counts per script class, the count of tokens mixing ≥2
+    * scripts (Unicode UTS-39's confusable-detection cue, reduced to
+    * the map-only form), and the dominant script (argmax char count,
+    * declaration-order tiebreak, 'none' when no class hits). All
+    * map-only codegen'd regexes — a scan-speed gate at 100 TB. */
+  def scriptMixAudit(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val names = ScriptClasses.map(_._1)
+    val counts = ScriptClasses.map { case (nm, re) =>
+      regexp_count(text, lit(re)).cast("long").as(s"n_$nm") }
+    def nScripts(w: Column): Column =
+      ScriptClasses.map { case (_, re) => w.rlike(re).cast("int") }
+        .reduce(_ + _)
+    val mixed = size(filter(tokens(text), w => nScripts(w) >= 2))
+      .cast("long").as("n_mixed_words")
+    val base = df.select((id.as("doc_id") +: counts) :+ mixed: _*)
+    val dom = names.map { nm =>
+      val geAll = names.filter(_ != nm)
+        .map(o => col(s"n_$nm") >= col(s"n_$o")).reduce(_ && _)
+      (nm, geAll && col(s"n_$nm") > 0)
+    }.foldRight(lit("none")) { case ((nm, c), els) =>
+      when(c, lit(nm)).otherwise(els)
+    }
+    base.withColumn("dominant_script", dom)
+  }
+
   /** Charset/normalization FIXER — the apply leg of [[charsetAudit]]
     * (the audit finds encoding damage; this is the map-only repair a
     * pipeline actually runs next): drop U+FFFD replacement characters

@@ -203,6 +203,38 @@ class EighthPassSpec extends SparkSpec {
     assert(math.abs(w.values.map(_._2).sum - 3.0) < 1e-12)
   }
 
+  test("evalLeakage: per-eval-item breadth, clean items absent") {
+    import graft.dedup.Decontaminate
+    val phrase = "alpha beta gamma delta epsilon"
+    val train = Seq(
+      (1L, s"one two three $phrase"), (2L, s"$phrase four five six"),
+      (3L, "nothing shared here at all seven words")).toDF("doc_id", "text")
+    val eval = Seq((100L, s"question about $phrase"),
+      (101L, "completely clean eval item words here")).toDF("doc_id", "text")
+    val out = Decontaminate.evalLeakage(train, eval,
+      col("doc_id"), col("doc_id"), col("text"), n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((100L, 2L, 1L)),
+      s"E100 leaked into docs 1,2 via one shared 5-gram; got ${out.mkString(",")}")
+  }
+
+  test("scriptMixAudit: homoglyph words flagged, dominant script correct") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "plain latin text only"),
+      (2L, "привет мир как дела"),          // Cyrillic dominant
+      (3L, "pay with pаypal now"),          // Cyrillic а inside a Latin word
+      (4L, "12345 !!! ...")).toDF("doc_id", "text") // no script at all
+    val out = TextAnalysis.scriptMixAudit(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5), r.getString(6)))).toMap
+    assert(out(1L) === ((18L, 0L, 0L, "latin")))
+    assert(out(2L)._4 === "cyrillic" && out(2L)._3 === 0L)
+    assert(out(3L)._3 === 1L, "pаypal is a mixed-script word")
+    assert(out(3L)._4 === "latin")
+    assert(out(4L) === ((0L, 0L, 0L, "none")))
+  }
+
   test("sessionStats: counts, duration stats and bounce rate on hand sessions") {
     import graft.streaming.{Events => Ev}
     import java.sql.Timestamp
