@@ -474,6 +474,18 @@ object LlmEntry {
         .select("doc_id")
     }),
 
+    "d17_cross_dedup_apply" -> ((s, dir) => {
+      // the APPLY leg of d9's audit: the incoming (non-src0) corpus
+      // minus every doc near-dup to the kept src0 reference — the
+      // dedup-new-crawl-against-kept-corpus move; src0 never filters
+      val docs = t(s, dir, "documents")
+      TextDedup.crossDedupApply(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "doc_id", col("text"), minJaccard = 0.1)
+        .select("doc_id", "source")
+    }),
+
     "e1_knn_brute" -> ((s, dir) => {
       val v = t(s, dir, "embeddings")
       Knn.bruteForceTopK(v.filter(col("vec_id") < 10), v.filter(col("vec_id") >= 10), k = 5)
@@ -1834,6 +1846,17 @@ object LlmEntry {
          |drops AS (SELECT DISTINCT doc_b FROM ver WHERE jaccard >= 0.1)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin,
+
+    // d17: d9's between-sides candidates (reference=src0 on side a,
+    // incoming elsewhere on side b) → drop set → anti-join survivors
+    "d17_cross_dedup_apply" ->
+      s"""WITH ${minhashCtes("documents",
+             candPred = "a.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')" +
+               " AND b.doc_id IN (SELECT doc_id FROM documents WHERE source <> 'src0')")},
+         |drops AS (SELECT DISTINCT doc_b FROM ver WHERE jaccard >= 0.1)
+         |SELECT doc_id, source FROM documents
+         |WHERE source <> 'src0'
+         |  AND doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin,
 
     "d8_incremental_dedup" ->
       s"""WITH ${minhashCtes("documents",

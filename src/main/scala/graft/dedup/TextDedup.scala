@@ -519,6 +519,28 @@ object TextDedup {
     verified(cand, ta, tb, minJaccard)
   }
 
+  /** Cross-corpus dedup APPLY — the d6-to-d3 relationship for
+    * [[minHashLshPairsBetween]]'s d9 audit (the audit counts the
+    * overlap; this removes it): the `incoming` corpus minus every doc
+    * near-duplicate to ANY `reference` doc — the RefinedWeb/CCNet move
+    * of deduplicating a new crawl snapshot against the corpus already
+    * kept, and the near-dup generalization of exact cross-corpus
+    * decontamination. The reference side is never filtered (it is the
+    * kept truth); survivors are incoming docs only.
+    *
+    * One between-sides band join (sides never self-join — O(incoming)
+    * work against the reference band index, the d8 posture) + one
+    * left_anti on the drop id set. `idName` names the incoming-side id
+    * column for the anti-join. */
+  def crossDedupApply(reference: DataFrame, incoming: DataFrame,
+                      idName: String, text: Column, minJaccard: Double,
+                      storage: StorageLevel = Caching.Default): DataFrame = {
+    val drops = minHashLshPairsBetween(reference, incoming, col(idName),
+      text, minJaccard, storage)
+      .select(col("doc_b").as(idName)).distinct()
+    incoming.join(drops, Seq(idName), "left_anti")
+  }
+
   /** Verbatim substring-overlap pairs — the exact-substring dedup
     * flavor (Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better", finds verbatim cross-doc runs with a

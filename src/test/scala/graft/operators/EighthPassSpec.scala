@@ -203,6 +203,29 @@ class EighthPassSpec extends SparkSpec {
     assert(math.abs(w.values.map(_._2).sum - 3.0) < 1e-12)
   }
 
+  test("crossDedupApply: incoming loses near-dups of the reference, reference untouched") {
+    import graft.dedup.TextDedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val ref = Seq((1L, base)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base + " lambda"),                       // near-dup of ref -> drops
+      (11L, "totally different words entirely here now one two three"),
+      (12L, base + " lambda")                        // also near-dup -> drops
+    ).toDF("doc_id", "text")
+    val out = TextDedup.crossDedupApply(ref, incoming, "doc_id", col("text"),
+      minJaccard = 0.5).collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === Seq(11L),
+      s"only the unrelated incoming doc survives, got ${out.mkString(",")}")
+    // incoming-internal near-dups (10 vs 12) are NOT this operator's
+    // job — both dropped here only because both matched the reference;
+    // an incoming-only near-dup pair survives intact
+    val inc2 = Seq((20L, "one two three four five six seven eight nine ten"),
+      (21L, "one two three four five six seven eight nine eleven"))
+      .toDF("doc_id", "text")
+    assert(TextDedup.crossDedupApply(ref, inc2, "doc_id", col("text"),
+      minJaccard = 0.3).count() === 2L)
+  }
+
   test("evalLeakage: per-eval-item breadth, clean items absent") {
     import graft.dedup.Decontaminate
     val phrase = "alpha beta gamma delta epsilon"
