@@ -248,6 +248,18 @@ object LlmEntry {
         col("doc_id"), col("doc_id"), col("text2"), n = 5)
     }),
 
+    "t24_sentence_stats" -> ((s, dir) => {
+      // the corpus has no sentence punctuation, so build a 3-4
+      // sentence doc deterministically (%3 adds a long question)
+      val d = t(s, dir, "documents").withColumn("text2", concat_ws(" ",
+        concat(substring(col("text"), 1, 60), lit(".")),
+        lit("Short one!"),
+        when(col("doc_id") % 3 === 0,
+          lit("A much longer sentence with quite a few words in it?")),
+        lit("End.")))
+      TextAnalysis.sentenceStats(d, col("doc_id"), col("text2"))
+    }),
+
     "t23_script_mix" -> ((s, dir) => {
       // the corpus is pure ASCII, so inject deterministic script mixes
       // incl. two Latin/Cyrillic homoglyph words — the spoof signal
@@ -731,6 +743,22 @@ object LlmEntry {
         col("doc_id"), col("text"), k = 20)
         .select(col("query_id"), col("rank"), col("doc_id"))
       Search.rrfFuse(Seq(vec, lex), k = 10)
+    }),
+
+    "e15_hybrid_linear" -> ((s, dir) => {
+      // e9's legs fused by normalized convex combination (α=0.5)
+      // instead of reciprocal rank — the score-shape-preserving form
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val vec = Knn.bruteForceTopK(emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") >= 10), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("sim").as("score"))
+      val lex = Search.bm25MoreLikeThis(docs.filter(col("doc_id") >= 10),
+        col("doc_id"), col("text"), docs.filter(col("doc_id") < 10),
+        col("doc_id"), col("text"), k = 20)
+        .select(col("query_id"), col("doc_id"), col("score"))
+      Search.linearFuse(vec, lex, k = 10, alpha = 0.5)
     }),
 
     "e9b_hybrid_indexed" -> ((s, dir) => {
@@ -2259,6 +2287,32 @@ object LlmEntry {
          |       count(DISTINCT s) AS n_shared_shingles
          |FROM tr JOIN ev USING (s) GROUP BY 1""".stripMargin,
 
+    // t24: same injected sentences, split-ahead segmentation, list
+    // aggregates for the per-sentence word stats
+    "t24_sentence_stats" ->
+      s"""WITH t2 AS (SELECT doc_id, concat_ws(' ',
+         |    substring(text, 1, 60) || '.',
+         |    'Short one!',
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN 'A much longer sentence with quite a few words in it?' END,
+         |    'End.') AS text2 FROM documents),
+         |f AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text2, '[.!?]+\\s+'), x -> x <> '') AS ls
+         |  FROM t2),
+         |g AS (SELECT doc_id, ls,
+         |    list_transform(ls, s -> len(list_filter(
+         |      string_split_regex(s, '\\s+'), w -> w <> ''))) AS wp
+         |  FROM f)
+         |SELECT doc_id,
+         |  CAST(len(ls) AS BIGINT) AS n_sentences,
+         |  CAST(coalesce(list_aggregate(wp, 'sum'), 0) AS BIGINT)
+         |    AS n_sentence_words,
+         |  CAST(coalesce(list_aggregate(wp, 'max'), 0) AS BIGINT)
+         |    AS max_sentence_words,
+         |  round(CAST(coalesce(list_aggregate(wp, 'sum'), 0) AS DOUBLE)
+         |    / greatest(len(ls), 1), 6) AS mean_sentence_words
+         |FROM g""".stripMargin,
+
     // t23: per-script regexp counts over the injected text2, mixed
     // words via >=2 script-class hits per token, argmax CASE chain
     "t23_script_mix" -> {
@@ -2895,6 +2949,60 @@ object LlmEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |                ORDER BY rrf_score DESC, doc_id) AS rn FROM f)
          |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, rrf_score
+         |FROM r WHERE rn <= 10""".stripMargin,
+
+    // e15: e9's leg pipelines kept through their scores, then per-leg
+    // per-query min-max normalization, a full-outer combine at α=0.5,
+    // fused emitted RAW (see linearFuse scaladoc)
+    "e15_hybrid_linear" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim FROM q, c),
+         |vtop AS (SELECT query_id, doc_id, score FROM (
+         |    SELECT query_id, neighbor_id AS doc_id, sim AS score,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY sim DESC, neighbor_id) AS rank
+         |    FROM s) WHERE rank <= 20),
+         |tok AS (SELECT doc_id, unnest(tk) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id >= 10)),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id < 10)),
+         |dfq AS (SELECT token, count(*) AS dfn
+         |        FROM tf JOIN (SELECT DISTINCT token FROM qt) USING (token)
+         |        GROUP BY 1),
+         |sc AS (SELECT query_id, doc_id, $Bm25TermSql AS term_score
+         |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
+         |       JOIN dl USING (doc_id) CROSS JOIN st),
+         |pd AS (SELECT query_id, doc_id,
+         |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS score
+         |  FROM sc GROUP BY 1, 2),
+         |ltop AS (SELECT query_id, doc_id, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY score DESC, doc_id) AS rank
+         |    FROM pd) WHERE rank <= 20),
+         |vn AS (SELECT t.query_id, t.doc_id,
+         |    CASE WHEN m.mx = m.mn THEN 1.0
+         |         ELSE (t.score - m.mn) / (m.mx - m.mn) END AS nv
+         |  FROM vtop t JOIN (SELECT query_id, min(score) AS mn, max(score) AS mx
+         |                    FROM vtop GROUP BY 1) m USING (query_id)),
+         |ln AS (SELECT t.query_id, t.doc_id,
+         |    CASE WHEN m.mx = m.mn THEN 1.0
+         |         ELSE (t.score - m.mn) / (m.mx - m.mn) END AS nl
+         |  FROM ltop t JOIN (SELECT query_id, min(score) AS mn, max(score) AS mx
+         |                    FROM ltop GROUP BY 1) m USING (query_id)),
+         |f AS (SELECT query_id, doc_id,
+         |    0.5 * coalesce(nv, CAST(0.0 AS DOUBLE)) +
+         |    0.5 * coalesce(nl, CAST(0.0 AS DOUBLE)) AS fused_score
+         |  FROM vn FULL OUTER JOIN ln USING (query_id, doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY fused_score DESC, doc_id) AS rn FROM f)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, fused_score
          |FROM r WHERE rn <= 10""".stripMargin,
 
     "t1_lang_id" ->

@@ -460,6 +460,52 @@ object Search {
     * reproducible; final ranking ties break on doc_id asc. Legs are
     * top-k lists (tiny relative to the corpus), so fusion costs one
     * keyed aggregation over |Q| × k × legs rows. */
+  /** Score-based linear hybrid fusion — the normalized
+    * convex-combination alternative to [[rrfFuse]] (the "hybrid α"
+    * every vector store exposes next to RRF): per (query, leg), scores
+    * min-max normalize over that leg's OWN top-k list to [0,1] (a
+    * constant list normalizes to 1.0 — it only says "these matched"),
+    * then fused = α·vec + (1−α)·lex, a doc absent from a leg
+    * contributing 0 from it. Unlike RRF this preserves score SHAPE —
+    * a runaway-best vector hit stays runaway-best — at the cost of
+    * needing the per-leg normalization RRF exists to avoid.
+    *
+    * Determinism (e14's lesson): the legs' scores are 6-dp-grid
+    * values, so re-rounding their combination lands exactly on
+    * decimal half-way points where engines' round() differ by an ulp
+    * — the fused score is therefore emitted RAW; the normalization
+    * and combination are one fixed IEEE sequence over engine-equal
+    * inputs, bit-identical everywhere.
+    *
+    * Both inputs are |Q|×k frames (query_id, doc_id, score);
+    * everything here is list-sized: two per-query min/max aggs, one
+    * full-outer equi-join, one bounded-heap top-k. */
+  def linearFuse(vec: DataFrame, lex: DataFrame, k: Int,
+                 alpha: Double = 0.5): DataFrame = {
+    require(k >= 1, s"invalid k=$k")
+    require(alpha >= 0.0 && alpha <= 1.0, s"invalid alpha=$alpha")
+    def norm(leg: DataFrame, out: String): DataFrame = {
+      val mm = leg.groupBy("query_id")
+        .agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      leg.join(mm, "query_id")
+        .withColumn(out, when(col("mx") === col("mn"), lit(1.0))
+          .otherwise((col("score") - col("mn")) / (col("mx") - col("mn"))))
+        .select(col("query_id"), col("doc_id"), col(out))
+    }
+    val fused = norm(vec.select(col("query_id"), col("doc_id"), col("score")), "nv")
+      .join(norm(lex.select(col("query_id"), col("doc_id"), col("score")), "nl"),
+        Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("fused", lit(alpha) * coalesce(col("nv"), lit(0.0)) +
+        lit(1.0 - alpha) * coalesce(col("nl"), lit(0.0)))
+    fused.groupBy("query_id")
+      .agg(ColumnBridge.column(TopKPairs(
+        ColumnBridge.expression(struct(col("fused"), col("doc_id").cast("long"))), k)
+        .toAggregateExpression()).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.sim").as("fused_score"))
+  }
+
   def rrfFuse(legs: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
     require(legs.nonEmpty, "rrfFuse needs at least one leg")
     val u = legs.map(_.select(col("query_id"), col("rank"), col("doc_id")))

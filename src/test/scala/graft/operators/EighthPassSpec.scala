@@ -203,6 +203,38 @@ class EighthPassSpec extends SparkSpec {
     assert(math.abs(w.values.map(_._2).sum - 3.0) < 1e-12)
   }
 
+  test("linearFuse: min-max normalization, missing-leg zeros, constant list = 1.0") {
+    import graft.text.Search
+    // q1 vec: d1=0.9 d2=0.5 d3=0.1 -> norm 1.0/0.5/0.0
+    // q1 lex: d2=10.0 d4=10.0 (constant list) -> both norm 1.0
+    val vec = Seq((1L, 10L, 0.9), (1L, 20L, 0.5), (1L, 30L, 0.1))
+      .toDF("query_id", "doc_id", "score")
+    val lex = Seq((1L, 20L, 10.0), (1L, 40L, 10.0))
+      .toDF("query_id", "doc_id", "score")
+    val out = Search.linearFuse(vec, lex, k = 4, alpha = 0.5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    // d20: 0.5*0.5 + 0.5*1.0 = 0.75; d10: 0.5*1.0 = 0.5;
+    // d40: 0.5*1.0 = 0.5 (tie with d10 -> id order); d30: 0.0
+    assert(out.toSeq === Seq((20L, 0.75), (10L, 0.5), (40L, 0.5), (30L, 0.0)))
+    // α=1.0 reduces to the vector leg's normalized order
+    val pure = Search.linearFuse(vec, lex, k = 2, alpha = 1.0)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(pure.toSeq === Seq(10L, 20L))
+  }
+
+  test("sentenceStats: segmentation and per-sentence word stats") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "One two three. Four five! Six seven eight nine?"),
+      (2L, "no terminal punctuation at all here")).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((3L, 9L, 4L, 3.0)))
+    assert(out(2L) === ((1L, 6L, 6L, 6.0)), "unpunctuated doc = one sentence")
+  }
+
   test("crossDedupApply: incoming loses near-dups of the reference, reference untouched") {
     import graft.dedup.TextDedup
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
