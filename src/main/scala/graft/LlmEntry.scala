@@ -199,6 +199,17 @@ object LlmEntry {
           TextDedup.minHashLshPairs(t(s, dir, "documents"),
             col("doc_id"), col("text"), minJaccard = 0.1)))),
 
+    "d18_best_keeper" -> ((s, dir) => {
+      // keep the BEST copy, not the lowest id: per d7 cluster, the
+      // keeper maximizes (n_chars, then lowest id) — winner-per-key
+      // max_by, no per-cluster sort
+      val docs = t(s, dir, "documents")
+      DupClusters.bestKeepers(
+        DupClusters.connectedComponents(TextDedup.minHashLshPairs(docs,
+          col("doc_id"), col("text"), minJaccard = 0.1)),
+        docs, col("doc_id"), col("n_chars"))
+    }),
+
     "t6_decontam" -> ((s, dir) => {
       // benchmark decontamination: every 25th doc plays the eval set;
       // training docs sharing any word 5-gram with it are flagged
@@ -258,6 +269,18 @@ object LlmEntry {
           lit("A much longer sentence with quite a few words in it?")),
         lit("End.")))
       TextAnalysis.sentenceStats(d, col("doc_id"), col("text2"))
+    }),
+
+    "t25_readability" -> ((s, dir) => {
+      // LIX readability over t24's injected sentences (the raw corpus
+      // has no punctuation, so every doc would be one "sentence")
+      val d = t(s, dir, "documents").withColumn("text2", concat_ws(" ",
+        concat(substring(col("text"), 1, 60), lit(".")),
+        lit("Short one!"),
+        when(col("doc_id") % 3 === 0,
+          lit("A much longer sentence with quite a few words in it?")),
+        lit("End.")))
+      TextAnalysis.readability(d, col("doc_id"), col("text2"))
     }),
 
     "t23_script_mix" -> ((s, dir) => {
@@ -424,6 +447,13 @@ object LlmEntry {
         count(lit(1)).as("n_rows"))
     }),
 
+    "x12_temperature_mix" -> ((s, dir) =>
+      // multilingual mixture smoothing: each language's p^0.5 share
+      // renormalized — the boost column is x7's per-stratum weight
+      Sampling.temperatureWeights(t(s, dir, "documents"), col("lang"),
+          alpha = 0.5)
+        .withColumnRenamed("stratum", "lang")),
+
     "e4_kmeans" -> ((s, dir) =>
       KMeans.lloyd(t(s, dir, "embeddings"), k = 8, iters = 2)),
 
@@ -528,6 +558,13 @@ object LlmEntry {
       Knn.lshTopK(v.filter(col("vec_id") < 10), v.filter(col("vec_id") >= 10), k = 5)
         .withColumnRenamed("rank", "rnk")
     }),
+
+    "e16_knn_graph" -> ((s, dir) =>
+      // the corpus's own neighborhood structure: per-vector top-3
+      // adjacency list over ALL embeddings, self excluded — one LSH
+      // signature pass, self equi-join candidate gen
+      Knn.knnGraph(t(s, dir, "embeddings"), k = 3)
+        .withColumnRenamed("rank", "rnk")),
 
     "e7_range_search" -> ((s, dir) => {
       // radius search: ALL neighbors with cosine >= 0.2 per query (not
@@ -759,6 +796,19 @@ object LlmEntry {
         col("doc_id"), col("text"), k = 20)
         .select(col("query_id"), col("doc_id"), col("score"))
       Search.linearFuse(vec, lex, k = 10, alpha = 0.5)
+    }),
+
+    "e17_rerank_cascade" -> ((s, dir) => {
+      // retrieve-then-rerank: the BM25 more-like-this recall stage
+      // bounds the candidate list to 20 per query; only those pairs
+      // ever fetch embeddings for the cosine precision stage
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val hits = Search.bm25MoreLikeThis(docs.filter(col("doc_id") >= 10),
+        col("doc_id"), col("text"), docs.filter(col("doc_id") < 10),
+        col("doc_id"), col("text"), k = 20)
+      Knn.rerankByCosine(hits, emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") >= 10), k = 5)
     }),
 
     "e9b_hybrid_indexed" -> ((s, dir) => {
@@ -2018,6 +2068,28 @@ object LlmEntry {
          |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY node""".stripMargin,
 
+    // d18: d7's components joined to n_chars — the keeper is rn=1
+    // under (n_chars DESC, doc_id ASC), replayed as min(rn=1 id)
+    "d18_best_keeper" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |pr AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.1),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |cl AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+         |      FROM cl JOIN documents d USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY n_chars DESC, doc_id) AS rn FROM j)
+         |SELECT cluster_id, count(*) AS n_members,
+         |  CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_id,
+         |  CAST(max(n_chars) AS BIGINT) AS keeper_quality
+         |FROM r GROUP BY 1""".stripMargin,
+
     // d16: minhashCtes' `ver` (banding + exact verify) vs the
     // exhaustive blocking join over the SAME `toks` shingle sets
     "d16_lsh_recall" ->
@@ -2258,6 +2330,23 @@ object LlmEntry {
          |       CAST(sum(copies) AS BIGINT) AS n_rows
          |FROM c WHERE copies > 0 GROUP BY source""".stripMargin,
 
+    // x12: the only cross-row float sum (Σ√p) rides a 9-dp round +
+    // DECIMAL(38,9) in both engines, so summation order can't matter;
+    // sqrt and the divisions are IEEE-correctly-rounded in both
+    "x12_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |t AS (SELECT sum(n_docs) AS tot FROM c),
+         |p AS (SELECT lang, n_docs,
+         |    CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE) AS p,
+         |    CAST(round(sqrt(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+         |         AS DECIMAL(38,9)) AS pa
+         |  FROM c, t),
+         |d AS (SELECT sum(pa) AS den FROM p)
+         |SELECT lang, n_docs, round(p, 6) AS p_natural,
+         |  round(CAST(pa AS DOUBLE) / CAST(den AS DOUBLE), 6) AS p_temp,
+         |  round((CAST(pa AS DOUBLE) / CAST(den AS DOUBLE)) / p, 6) AS boost
+         |FROM p, d""".stripMargin,
+
     "t18_contam_frac" ->
       s"""WITH toks AS (SELECT doc_id, ${shSqlN(5)} AS sh
          |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
@@ -2311,6 +2400,31 @@ object LlmEntry {
          |    AS max_sentence_words,
          |  round(CAST(coalesce(list_aggregate(wp, 'sum'), 0) AS DOUBLE)
          |    / greatest(len(ls), 1), 6) AS mean_sentence_words
+         |FROM g""".stripMargin,
+
+    // t25: t24's injected text2, LIX = words/sentences +
+    // 100*longwords/words with both divisions IEEE in written order
+    "t25_readability" ->
+      s"""WITH t2 AS (SELECT doc_id, concat_ws(' ',
+         |    substring(text, 1, 60) || '.',
+         |    'Short one!',
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN 'A much longer sentence with quite a few words in it?' END,
+         |    'End.') AS text2 FROM documents),
+         |f AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text2, '[.!?]+\\s+'), x -> x <> '') AS ls,
+         |    list_filter(string_split_regex(text2, '\\s+'), w -> w <> '') AS ws
+         |  FROM t2),
+         |g AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(ls) AS BIGINT) AS n_sentences,
+         |    CAST(len(list_filter(ws, w -> length(w) > 6)) AS BIGINT)
+         |      AS n_long_words
+         |  FROM f)
+         |SELECT doc_id, n_words, n_sentences, n_long_words,
+         |  round(CAST(n_words AS DOUBLE) / greatest(n_sentences, 1)
+         |    + 100.0 * CAST(n_long_words AS DOUBLE) / greatest(n_words, 1), 6)
+         |    AS lix
          |FROM g""".stripMargin,
 
     // t23: per-script regexp counts over the injected text2, mixed
@@ -2823,6 +2937,26 @@ object LlmEntry {
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
          |FROM r WHERE rnk <= 5""".stripMargin,
 
+    // e16 = e2's candidate CTEs with the corpus on BOTH sides and
+    // self-pairs excluded before the rank
+    "e16_knn_graph" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |a AS (SELECT vec_id, e, ${LshBucketSql("e", 16)} AS sig FROM v),
+         |ab AS (SELECT vec_id, t, substr(sig, t*4 + 1, 4) AS bucket
+         |       FROM a, range(0, 4) r(t)),
+         |cand AS (SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+         |         FROM ab x JOIN ab y USING (t, bucket)
+         |         WHERE x.vec_id <> y.vec_id),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM a),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM a),
+         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
+         |      FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+         |FROM r WHERE rnk <= 3""".stripMargin,
+
     // e7 = e2's candidate CTEs with a range filter instead of a rank
     "e7_range_search" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2950,6 +3084,44 @@ object LlmEntry {
          |                ORDER BY rrf_score DESC, doc_id) AS rn FROM f)
          |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, rrf_score
          |FROM r WHERE rn <= 10""".stripMargin,
+
+    // e17: e9's MLT lexical pipeline at rank 20 is the recall stage;
+    // only those (query, doc) pairs fetch embeddings for the cosine
+    // precision re-rank to 5
+    "e17_rerank_cascade" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |tok AS (SELECT doc_id, unnest(tk) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id >= 10)),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id < 10)),
+         |dfq AS (SELECT token, count(*) AS dfn
+         |        FROM tf JOIN (SELECT DISTINCT token FROM qt) USING (token)
+         |        GROUP BY 1),
+         |sc AS (SELECT query_id, doc_id, $Bm25TermSql AS term_score
+         |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
+         |       JOIN dl USING (doc_id) CROSS JOIN st),
+         |pd AS (SELECT query_id, doc_id,
+         |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS score
+         |  FROM sc GROUP BY 1, 2),
+         |h AS (SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY score DESC, doc_id) AS rank
+         |    FROM pd) WHERE rank <= 20),
+         |s2 AS (SELECT query_id, doc_id, $CosSql AS sim
+         |       FROM h JOIN (SELECT vec_id AS query_id, e AS qe FROM v)
+         |                USING (query_id)
+         |              JOIN (SELECT vec_id AS doc_id, e AS ce FROM v)
+         |                USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY sim DESC, doc_id) AS rank FROM s2)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, sim
+         |FROM r WHERE rank <= 5""".stripMargin,
 
     // e15: e9's leg pipelines kept through their scores, then per-leg
     // per-query min-max normalization, a full-outer combine at α=0.5,

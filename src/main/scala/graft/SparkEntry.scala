@@ -563,6 +563,13 @@ object SparkEntry {
       Measures.abcClassification(t(s, dir, "orders"),
         col("o_orderstatus"), col("o_custkey"), col("o_totalprice"))),
 
+    "g35_gini" -> ((s, dir) =>
+      // concentration in one number per status: the Gini coefficient
+      // of customer revenue — g27's Pareto tiers reduced to the scalar
+      // a KPI row tracks over time
+      Measures.giniConcentration(t(s, dir, "orders"),
+        col("o_orderstatus"), col("o_custkey"), col("o_totalprice"))),
+
     "g28_fk_audit" -> ((s, dir) =>
       // star-schema referential-integrity report over both fact->dim
       // relationships: orphans, null FKs, childless parents
@@ -1128,6 +1135,21 @@ object SparkEntry {
         |                       ELSE 'C' END AS abc_class, dt FROM s)
         |SELECT grp, abc_class, count(*) AS n_members, CAST(sum(dt) AS DOUBLE) AS total
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // g35: exact-decimal rank formula — the only double op is the
+    // final division, so both engines agree bit for bit at 6 dp
+    "g35_gini" ->
+      """WITH m AS (SELECT o_orderstatus AS grp, o_custkey AS mem,
+        |                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS v
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT grp, v, CAST(row_number() OVER (PARTITION BY grp
+        |        ORDER BY v, mem) AS BIGINT) AS i FROM m),
+        |a AS (SELECT grp, count(*) AS n_members, sum(v) AS s0,
+        |             sum(i * v) AS s1 FROM r GROUP BY 1)
+        |SELECT grp, n_members, CAST(s0 AS DOUBLE) AS total,
+        |  round(CAST(2*s1 - (n_members+1)*s0 AS DOUBLE)
+        |        / CAST(n_members*s0 AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
 
     "g28_fk_audit" ->
       """SELECT 'orders->customer' AS relationship,

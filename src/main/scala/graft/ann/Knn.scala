@@ -257,6 +257,72 @@ object Knn {
       .filter(col("sim") >= minSim)
   }
 
+  /** Approximate kNN GRAPH — per-vector top-k over the corpus ITSELF
+    * (self excluded): the neighborhood structure that graph-based
+    * curation consumes (kNN-graph clustering, graph-connectivity dedup
+    * audits, label propagation over near-neighbors; the k-NN-graph
+    * stage of NN-Descent-style pipelines — Dong et al. 2011 — built
+    * here in one LSH pass instead of iterative refinement). Candidate
+    * generation is [[lshTopK]]'s multi-table OR-construction with ONE
+    * signature pass over the single input (the corpus is both sides),
+    * then self-pairs are filtered before the distinct: explode → hash
+    * shuffle on (table, bucket) → self equi-join → exact-cosine
+    * bounded-heap top-k. Per-pair recall follows the same table math;
+    * cost is bounded by bucket occupancy, never |V|². Output:
+    * (query_id, rank, neighbor_id, sim) — one bounded-k adjacency
+    * list per vector that made it into any candidate pair. */
+  def knnGraph(vectors: DataFrame, k: Int,
+               planes: Int = 4, tables: Int = 4): DataFrame = {
+    val v = vectors.select(col("vec_id").as("query_id"),
+      Vectors.asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", Vectors.norm(col("qe")))
+      .withColumn("sig", lshBucket(col("qe"), planes * tables))
+    val banded = v.select(col("query_id"), explode(
+        transform(sequence(lit(0), lit(tables - 1)),
+          t => struct(t.as("t"),
+            col("sig").substr(t * planes + 1, lit(planes)).as("bucket")))).as("b"))
+      .select(col("query_id"), col("b.t"), col("b.bucket"))
+    val cand = banded
+      .join(banded.select(col("query_id").as("neighbor_id"),
+        col("t"), col("bucket")), Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(v.select("query_id", "qe", "qn"), "query_id")
+      .join(v.select(col("query_id").as("neighbor_id"),
+        col("qe").as("ce"), col("qn").as("cn")), "neighbor_id")
+      .withColumn("sim",
+        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
+  }
+
+  /** Second-stage re-rank of a retrieved candidate list by embedding
+    * cosine — the retrieve-then-rerank cascade (BM25 recall stage →
+    * semantic precision stage) that production search stacks run where
+    * [[graft.text.Search.rrfFuse]]/linearFuse MERGE two full legs,
+    * this one lets a cheap lexical stage bound how many vectors are
+    * ever scored: only `hits`' (query_id, doc_id) pairs fetch
+    * embeddings (two equi-joins), cosine is rounded to 6 dp, and the
+    * bounded-heap top-k keeps the final k. Cost is |hits| — never
+    * corpus-sized, no products of any kind. Output: (query_id, rank,
+    * doc_id, sim). */
+  def rerankByCosine(hits: DataFrame, queries: DataFrame,
+                     corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      Vectors.asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", Vectors.norm(col("qe")))
+    val c = corpus.select(col("vec_id").as("doc_id"),
+      Vectors.asDouble(col("embedding")).as("ce"))
+      .withColumn("cn", Vectors.norm(col("ce")))
+    val scored = hits.select("query_id", "doc_id")
+      .join(q, "query_id").join(c, "doc_id")
+      .withColumn("sim",
+        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    rankTopK(scored.select(col("query_id"),
+        col("doc_id").as("neighbor_id"), col("sim")), k)
+      .withColumnRenamed("neighbor_id", "doc_id")
+  }
+
   /** IVF (inverted-file) approximate top-k — the second scale path
     * besides [[lshTopK]]. Centroids are a deterministic uniform sample
     * of the corpus: the nCentroids first ids under md5-hash order (ids

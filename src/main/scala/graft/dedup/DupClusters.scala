@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: connected components over the near-dup
@@ -131,4 +131,26 @@ object DupClusters {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         (lit(1.0) / coalesce(col("sz"), lit(1L))).as("weight"))
   }
+
+  /** Quality-based keeper selection — the "keep the BEST copy" policy
+    * real curation runs use where `d6`'s keep-lowest-id is arbitrary
+    * (near-dup clusters routinely hold one full article and N
+    * truncated/boilerplate-wrapped copies; Lee et al. 2021 keep one
+    * member per cluster — WHICH member is a quality call): per
+    * cluster, the keeper is the member maximizing (quality, then
+    * lowest id as the deterministic tiebreak). One equi-join of the
+    * clusters frame against the per-doc quality column + one
+    * partial-aggregating `max_by` over a total-ordering struct — the
+    * winner-per-key posture (no per-cluster sort, no window). Output:
+    * (cluster_id, n_members, keeper_id, keeper_quality). */
+  def bestKeepers(clusters: DataFrame, docs: DataFrame,
+                  id: Column, quality: Column): DataFrame =
+    clusters
+      .join(docs.select(id.as("doc_id"), quality.cast("long").as("q")),
+        "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("q"), -col("doc_id")))
+          .as("keeper_id"),
+        max(col("q")).as("keeper_quality"))
 }

@@ -355,6 +355,39 @@ object Measures {
         sum(col("dt")).cast(DoubleType).as("total"))
   }
 
+  /** Gini concentration coefficient per group — the single-number
+    * complement of [[abcClassification]]'s Pareto tiers (ABC answers
+    * "which members carry the value", Gini answers "HOW concentrated
+    * is it", 0 = perfectly even, →1 = one member carries everything):
+    * per-member exact decimal totals, ranked ascending, then the
+    * classic rank formula G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)
+    * (i = ascending 1-based rank). Numerator and denominator are both
+    * EXACT decimal sums — the one double op per group is the final
+    * division (IEEE, engine-identical), so ties and summation order
+    * can't wobble the 6-dp output.
+    *
+    * Scale: one partial-aggregated member-totals shuffle + one
+    * per-group ranking sort over the MEMBER-sized frame (the same cost
+    * class as any exact rank measure — at extreme member counts swap
+    * the rank for a quantile-binned Lorenz approximation); ties rank
+    * deterministically by member id. */
+  def giniConcentration(df: DataFrame, group: Column, member: Column,
+                        amount: Column): DataFrame = {
+    val m = df.groupBy(group.as("grp"), member.as("mem"))
+      .agg(sum(amount.cast(DecimalType(18, 4))).as("v"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("mem"))
+    m.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("v")).as("s0"),
+        sum(col("i") * col("v")).as("s1"))
+      .select(col("grp"), col("n_members"),
+        col("s0").cast(DoubleType).as("total"),
+        round((lit(2) * col("s1") - (col("n_members") + 1) * col("s0"))
+            .cast(DoubleType) /
+          (col("n_members") * col("s0")).cast(DoubleType), 6).as("gini"))
+  }
+
   /** Winsorized aggregate pack — [[robustOutliers]] detects anomalies,
     * this CAPS them: per-group [pLo, pHi] bounds (exact R-7
     * percentiles like g9, rounded 4 dp so engines agree at the

@@ -137,6 +137,45 @@ object Sampling {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** Temperature-scaled mixture weights — the exponent-smoothed
+    * sampling recipe of multilingual pretraining (Conneau & Lample
+    * 2019 "Cross-lingual Language Model Pretraining" §3.1; the same
+    * `p^α / Σ p^α` smoothing mBERT and XLM-R use): raising each
+    * stratum's natural share to α < 1 and renormalizing boosts
+    * low-resource strata without flattening the mixture entirely.
+    * Output per stratum: count, natural share, temperature share, and
+    * the boost factor (`p_temp / p_natural` — the weight to feed
+    * [[mix]] as that stratum's epoch multiplier).
+    *
+    * Determinism: the only cross-row float reduction (Σ p^α) would be
+    * summation-order-sensitive in IEEE doubles, so each p^α is rounded
+    * to 9 dp and summed as DECIMAL(38,9) — exact in any order, engine
+    * identical. α = 0.5 (the common default) is computed via `sqrt`,
+    * which IEEE 754 requires to be correctly rounded; other exponents
+    * go through `pow`, correct to ~1 ulp (inside the 9-dp round except
+    * at knife edges). Cost: one partial-aggregated count shuffle over
+    * strata-sized data, two one-row broadcast attaches — free at any
+    * corpus size. */
+  def temperatureWeights(df: DataFrame, stratum: Column,
+                         alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("__tot"))
+    val p = col("n_docs").cast("double") / col("__tot").cast("double")
+    val pa = if (alpha == 0.5) sqrt(col("__p")) else pow(col("__p"), lit(alpha))
+    val shared = counts.crossJoin(broadcast(tot))
+      .withColumn("__p", p)
+      .withColumn("__pa", round(pa, 9).cast("decimal(38,9)"))
+    val denom = shared.agg(sum(col("__pa")).as("__den"))
+    shared.crossJoin(broadcast(denom))
+      .withColumn("__q", col("__pa").cast("double") / col("__den").cast("double"))
+      .select(col("stratum"), col("n_docs"),
+        round(col("__p"), 6).as("p_natural"),
+        round(col("__q"), 6).as("p_temp"),
+        round(col("__q") / col("__p"), 6).as("boost"))
+  }
+
   /** Per-stratum deterministic sampling (data mixing): rows whose
     * `stratum` value appears in `fractions` keep that fraction,
     * everything else keeps `default`. Upsampling beyond 1.0 is out of

@@ -656,6 +656,35 @@ object TextAnalysis {
         .as("mean_sentence_words"))
   }
 
+  /** Readability — the LIX index (Björnsson 1968, "Läsbarhetsindex"):
+    * `words/sentences + 100 * longwords/words`, long word = more than
+    * 6 characters. LIX is the readability measure that needs NO
+    * syllable model (Flesch/Kincaid do), so it is exactly computable
+    * from the same splits both engines already agree on — sentence
+    * segmentation as [[sentenceStats]] (`[.!?]+\s+` split-ahead),
+    * words = whitespace tokens, long-word length counted on the raw
+    * token (trailing punctuation included; a documented simplification
+    * that is engine-identical and shifts LIX by well under one band).
+    * Per doc: word/sentence/long-word counts and the 6-dp LIX score
+    * (both divisions IEEE-evaluated in the formula's written order).
+    * Map-only column expressions — a scan-speed quality gate that
+    * pairs with [[gopherRules]]' hard filters: corpora are routinely
+    * binned by readability band (LIX <25 very easy … >55 very hard)
+    * when building curriculum mixes. */
+  def readability(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val sents = filter(split(text, "[.!?]+\\s+"), s => s =!= "")
+    val words = filter(split(text, "\\s+"), w => w =!= "")
+    val nw = size(words).cast("long")
+    val ns = size(sents).cast("long")
+    val nl = size(filter(words, w => length(w) > 6)).cast("long")
+    df.select(id.as("doc_id"),
+      nw.as("n_words"), ns.as("n_sentences"), nl.as("n_long_words"),
+      round(nw.cast(DoubleType) /
+          greatest(ns, lit(1L)).cast(DoubleType) +
+        lit(100.0) * nl.cast(DoubleType) /
+          greatest(nw, lit(1L)).cast(DoubleType), 6).as("lix"))
+  }
+
   /** Script classes for [[scriptMixAudit]]: name → regex char class,
     * declaration order = the dominant-script tiebreak. Explicit
     * `\x{...}` ranges so Java regex and RE2 read them identically. */

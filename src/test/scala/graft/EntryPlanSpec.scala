@@ -73,7 +73,22 @@ class EntryPlanSpec extends SparkSpec {
     "e11b_filtered_ann",
     // e8e is e8b's lifecycle with the meta admission join: the same
     // one-row corpus-stats product; the filter itself is equi-joins
-    "e8e_filtered_search")
+    "e8e_filtered_search",
+    // e15 composes exactly e9's legs (e1's broadcast query×corpus
+    // brute product + e8's one-row corpus-stats product); the linear
+    // fusion itself is an equi-join on (query_id, doc_id)
+    "e15_hybrid_linear",
+    // e14's candidate pool is e1's broadcast query×corpus brute
+    // product (its documented baseline contract); each greedy round
+    // then scores the |Q|×poolSize candidate frame against the ≤2-row
+    // selected set — |rows| × O(1), t14's constant-side class
+    "e14_mmr",
+    // x12 attaches the ONE-ROW corpus total and the ONE-ROW Σ√p
+    // denominator to the strata-sized counts frame — x8's class
+    "x12_temperature_mix",
+    // e17's recall stage is e8's MLT pipeline (one-row corpus-stats
+    // product); the re-rank itself is two equi-joins over |hits|
+    "e17_rerank_cascade")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

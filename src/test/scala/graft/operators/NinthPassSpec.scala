@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ann.Knn
+import graft.dedup.DupClusters
+import graft.text.TextAnalysis
+
+/** Ninth-pass operators: LIX readability (t25), temperature-scaled
+  * mixture weights (x12), Gini concentration (g35), kNN graph (e16),
+  * rerank cascade (e17), best-copy keeper (d18). */
+class NinthPassSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("readability: hand-counted LIX, long words need >6 chars") {
+    // "Seven little words in the first sentence. Extraordinary
+    // compound!" — 9 words, 2 sentences, long words (>6 chars):
+    // "sentence." (9), "Extraordinary" (13), "compound!" (9) = 3
+    val df = Seq((1L,
+      "Seven little words in the first sentence. Extraordinary compound!"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df, col("doc_id"), col("text"))
+      .collect().head
+    assert(r.getLong(1) === 9L, "n_words")
+    assert(r.getLong(2) === 2L, "n_sentences")
+    assert(r.getLong(3) === 3L, "n_long_words")
+    val lix = 9.0 / 2.0 + 100.0 * 3.0 / 9.0
+    assert(r.getDouble(4) === math.rint(lix * 1e6) / 1e6)
+  }
+
+  test("readability: empty doc divides by the floor, not by zero") {
+    val r = TextAnalysis.readability(Seq((1L, "")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect().head
+    assert(r.getLong(1) === 0L && r.getLong(2) === 0L)
+    assert(r.getDouble(4) === 0.0)
+  }
+
+  test("temperatureWeights: sqrt smoothing boosts the minority stratum") {
+    // 8 a's + 2 b's: p = .8/.2, √p renormalized → b's share rises
+    // from .2 to √.2/(√.8+√.2) while the mix still favors a
+    val df = (1 to 8).map(i => (i.toLong, "a")) ++ Seq((9L, "b"), (10L, "b"))
+    val out = Sampling.temperatureWeights(
+        df.toDF("doc_id", "lang"), col("lang"), alpha = 0.5)
+      .orderBy("stratum").collect()
+    val Seq(a, b) = out.toSeq
+    assert(a.getString(0) === "a" && b.getString(0) === "b")
+    assert(a.getDouble(2) === 0.8 && b.getDouble(2) === 0.2)
+    val sa = BigDecimal(math.sqrt(0.8)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val sb = BigDecimal(math.sqrt(0.2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val den = (sa + sb).toDouble
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(a.getDouble(3) === r6(sa.toDouble / den))
+    assert(b.getDouble(3) === r6(sb.toDouble / den))
+    // shares still sum to ~1 and the boost direction is right
+    assert(b.getDouble(4) > 1.0 && a.getDouble(4) < 1.0)
+    assert(math.abs(a.getDouble(3) + b.getDouble(3) - 1.0) < 2e-6)
+  }
+
+  test("giniConcentration: even split is 0, max-concentration is (n-1)/n") {
+    val df = Seq(
+      ("even", 1L, 5.0), ("even", 2L, 5.0), ("even", 3L, 5.0),
+      ("onehot", 1L, 0.0), ("onehot", 2L, 0.0), ("onehot", 3L, 12.0))
+      .toDF("grp", "mem", "amt")
+    val out = Measures.giniConcentration(df, col("grp"), col("mem"),
+        col("amt")).orderBy("grp").collect()
+    val Seq(even, onehot) = out.toSeq
+    assert(even.getDouble(3) === 0.0)
+    assert(even.getLong(1) === 3L && even.getDouble(2) === 15.0)
+    // x = [0, 0, 12]: G = (2·(3·12) − 4·12) / (3·12) = 24/36
+    assert(onehot.getDouble(3) === math.rint(24.0 / 36.0 * 1e6) / 1e6)
+  }
+
+  test("giniConcentration: per-member totals aggregate before ranking") {
+    // two rows for member 1 must first sum to 6 — making the group
+    // perfectly even with member 2's single 6
+    val df = Seq(("g", 1L, 2.0), ("g", 1L, 4.0), ("g", 2L, 6.0))
+      .toDF("grp", "mem", "amt")
+    val r = Measures.giniConcentration(df, col("grp"), col("mem"),
+      col("amt")).collect().head
+    assert(r.getLong(1) === 2L && r.getDouble(3) === 0.0)
+  }
+
+  test("knnGraph: no self-pairs, cluster structure respected, k bounded") {
+    // two tight clusters far apart: every vector's rank-1 neighbor
+    // must come from its own cluster, and no row pairs a vector
+    // with itself
+    val emb = Seq(
+      (1L, vec(1, 0.01)), (2L, vec(1, 0.02)), (3L, vec(0.99, 0.015)),
+      (10L, vec(-0.01, 1)), (11L, vec(-0.02, 1)), (12L, vec(-0.015, 0.99)))
+      .toDF("vec_id", "embedding")
+    val g = Knn.knnGraph(emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(!g.exists { case (q, _, n) => q == n }, "self-pair leaked")
+    assert(g.groupBy(_._1).forall(_._2.length <= 2), "k bound")
+    val top1 = g.filter(_._2 == 1).map { case (q, _, n) => (q, n) }.toMap
+    top1.foreach { case (q, n) =>
+      assert((q < 10) === (n < 10), s"$q's nearest $n crossed clusters")
+    }
+  }
+
+  test("knnGraph equals self lshTopK with the self-match dropped") {
+    val emb = (0L until 40L).map(i =>
+      (i, vec(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 2.1))))
+      .toDF("vec_id", "embedding")
+    val got = Knn.knnGraph(emb, k = 3).collect().map(_.toString).sorted
+    // same candidates (identical buckets), same (sim desc, id) order:
+    // drop self rows from a k+1 self-search and recompute ranks
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val want = Knn.lshTopK(emb, emb, k = 4)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank2", row_number().over(w))
+      .filter(col("rank2") <= 3)
+      .select(col("query_id"), col("rank2").cast("int").as("rank"),
+        col("neighbor_id"), col("sim"))
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(want))
+  }
+
+  test("rerankByCosine: the semantic stage reorders the lexical hits") {
+    // hits arrive in lexical order (20, 21, 22); embeddings say the
+    // true semantic order for q1 is 22 > 20 > 21
+    val hits = Seq((1L, 20L), (1L, 21L), (1L, 22L)).toDF("query_id", "doc_id")
+    val emb = Seq(
+      (1L, vec(1, 0)), (20L, vec(0.8, 0.6)), (21L, vec(0, 1)),
+      (22L, vec(1, 0.05)), (99L, vec(-1, 0)))
+      .toDF("vec_id", "embedding")
+    val out = Knn.rerankByCosine(hits, emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") >= 10), k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 22L), (2, 20L)))
+    // doc 99 never scored: it was not in the candidate list
+  }
+
+  test("bestKeepers: longest doc wins, ties break to the lowest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, 50L), (2L, 90L), (3L, 90L), (7L, 10L), (9L, 10L))
+      .toDF("doc_id", "n_chars")
+    val out = DupClusters.bestKeepers(clusters, docs, col("doc_id"),
+        col("n_chars")).orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 3L, 2L, 90L), (7L, 2L, 7L, 10L)))
+  }
+}
