@@ -563,6 +563,13 @@ object SparkEntry {
       Measures.abcClassification(t(s, dir, "orders"),
         col("o_orderstatus"), col("o_custkey"), col("o_totalprice"))),
 
+    "g36_histogram" -> ((s, dir) =>
+      // distribution shape for the profile: 20 equi-width bins over
+      // order totals — one (min,max) broadcast + one map-only
+      // classification + one 20-key count
+      Profiler.histogram(t(s, dir, "orders"), col("o_totalprice"),
+        nBins = 20)),
+
     "g35_gini" -> ((s, dir) =>
       // concentration in one number per status: the Gini coefficient
       // of customer revenue — g27's Pareto tiers reduced to the scalar
@@ -1135,6 +1142,22 @@ object SparkEntry {
         |                       ELSE 'C' END AS abc_class, dt FROM s)
         |SELECT grp, abc_class, count(*) AS n_members, CAST(sum(dt) AS DOUBLE) AS total
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // g36: every arithmetic step replayed in Spark's written order
+    // ((v-lo)/((hi-lo)/20.0) then floor/clamp) so bin edges agree
+    // bit for bit
+    "g36_histogram" ->
+      """WITH b AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+        |                  max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+        |c AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |      WHERE o_totalprice IS NOT NULL),
+        |x AS (SELECT CASE WHEN hi = lo THEN 0
+        |        ELSE least(CAST(floor((v - lo)/((hi - lo)/20.0)) AS BIGINT), 19)
+        |        END AS bin, lo, hi FROM c, b)
+        |SELECT bin, round(min(lo) + bin*((min(hi) - min(lo))/20.0), 6) AS bin_lo,
+        |  round(min(lo) + (bin+1)*((min(hi) - min(lo))/20.0), 6) AS bin_hi,
+        |  count(*) AS n
+        |FROM x GROUP BY bin""".stripMargin,
 
     // g35: exact-decimal rank formula — the only double op is the
     // final division, so both engines agree bit for bit at 6 dp

@@ -46,6 +46,45 @@ object Profiler {
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Equi-width numeric histogram — the distribution-SHAPE companion
+    * to [[profile]]'s min/max (a profile says the range; a histogram
+    * says where the mass sits — the modality/tail view that picks
+    * binning thresholds, spots sentinel spikes, and feeds dashboard
+    * sparklines; `TextAnalysis.quantileBins` is the equi-DEPTH dual).
+    * Bounds come from ONE (min, max) partial aggregation broadcast
+    * back (the constant-side one-row class); each value then maps to
+    * `floor((v−min)/width)` clamped to the last bin — pure IEEE ops
+    * in written order, engine-identical — and one keyed count per bin
+    * finishes. Empty bins are absent (a dashboard densifies against
+    * `sequence(0, nBins−1)` if it wants zeros). Per bin: index,
+    * 6-dp-rounded [lo, hi) bounds, count.
+    *
+    * Scale: one map-only classification pass + one partial-aggregated
+    * count shuffle over nBins keys — scan speed at 100 TB; no sort,
+    * no per-row window. Degenerate min==max corpus lands wholly in
+    * bin 0 (width 0 guard). */
+  def histogram(df: DataFrame, value: Column, nBins: Int): DataFrame = {
+    require(nBins >= 1, "histogram needs at least one bin")
+    val bounds = df.agg(
+      min(value.cast("double")).as("__lo"),
+      max(value.cast("double")).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / lit(nBins.toDouble)
+    df.select(value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("__v") - col("__lo")) / width),
+            lit(nBins - 1L))).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("__lo")) + col("bin") * first(width), 6).as("bin_lo"),
+        round(first(col("__lo")) + (col("bin") + 1) * first(width), 6)
+          .as("bin_hi"))
+      .select("bin", "bin_lo", "bin_hi", "n")
+  }
+
   /** Referential-integrity audit of one child→parent relationship —
     * the star-schema health check that decides whether s5's joins can
     * be inner (the reference's model relies on Claims→Patients/

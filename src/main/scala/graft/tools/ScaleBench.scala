@@ -36,7 +36,11 @@ object ScaleBench {
 
   private val ReusedQueries = Seq(
     "d1_exact_dedup", "d2_ngram_jaccard", "d2b_ngram_jaccard_capped",
-    "d3_minhash_lsh", "c1_curate")
+    "d3_minhash_lsh", "c1_curate",
+    // the kNN-graph build: candidate cost is bounded by LSH bucket
+    // occupancy, so the curve should stay near-linear in |V| (bucket
+    // count is fixed, occupancy grows linearly)
+    "e16_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft_scale")

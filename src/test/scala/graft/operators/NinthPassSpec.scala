@@ -84,6 +84,23 @@ class NinthPassSpec extends SparkSpec {
     assert(r.getLong(1) === 2L && r.getDouble(3) === 0.0)
   }
 
+  test("histogram: equi-width bins, max value clamps into the last bin") {
+    val df = Seq(0.0, 1.0, 4.0, 5.0, 9.0, 10.0).map(Tuple1(_)).toDF("v")
+    val out = Profiler.histogram(df, col("v"), nBins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // lo=0, hi=10, width=5: [0,5) holds 0,1,4; [5,10) holds 5,9 and
+    // the clamped max value 10
+    assert(out.toSeq === Seq((0L, 0.0, 5.0, 3L), (1L, 5.0, 10.0, 3L)))
+  }
+
+  test("histogram: degenerate min==max corpus lands in bin 0") {
+    val df = Seq(7.0, 7.0, 7.0).map(Tuple1(_)).toDF("v")
+    val out = Profiler.histogram(df, col("v"), nBins = 4).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 0L && out.head.getLong(3) === 3L)
+  }
+
   test("knnGraph: no self-pairs, cluster structure respected, k bounded") {
     // two tight clusters far apart: every vector's rank-1 neighbor
     // must come from its own cluster, and no row pairs a vector

@@ -244,6 +244,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel conversions stream: completions emit, stalls and wrong order don't") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "cart", "buy")
+    val events = Seq(
+      // user 7 converts: view@0 -> cart@2 -> buy@5 (each hop <= 10 min)
+      Events.Event(1, ts(0), 7, "view", 1.0),
+      Events.Event(2, ts(2), 7, "cart", 1.0),
+      Events.Event(3, ts(5), 7, "buy", 1.0),
+      // user 8 stalls after cart (no buy) — must not emit
+      Events.Event(4, ts(1), 8, "view", 1.0),
+      Events.Event(5, ts(3), 8, "cart", 1.0),
+      // user 9's cart comes BEFORE any view — chain never starts
+      Events.Event(6, ts(0), 9, "cart", 1.0),
+      Events.Event(7, ts(2), 9, "buy", 1.0),
+      // user 11 breaks the deadline: cart 20 min after view
+      Events.Event(8, ts(0), 11, "view", 1.0),
+      Events.Event(9, ts(20), 11, "cart", 1.0),
+      Events.Event(10, ts(21), 11, "buy", 1.0))
+    val input = MemoryStream[Events.Event]
+    input.addData(events: _*)
+    val q = FunnelStream.conversions(input.toDS(), steps,
+        windowSeconds = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("conversions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // push the watermark past every open chain's timeout
+      input.addData(Events.Event(99, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, started, converted, seconds FROM conversions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getDouble(3)))
+      assert(got.toSeq === Seq((7L, ts(0), ts(5), 300.0)))
+      // the streamed conversion count equals the batch window funnel's
+      // final-step reach over the same log
+      val batchFinal = Events.windowFunnel(events.toDF(), steps, 600)
+        .filter(col("step") === steps.size).collect().head.getLong(2)
+      assert(batchFinal === got.length.toLong)
+    } finally q.stop()
+  }
+
+  test("funnel conversions stream: chains survive across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Events.Event]
+    val q = FunnelStream.conversions(input.toDS(), Seq("view", "buy"),
+        windowSeconds = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("conv2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Events.Event(1, ts(0), 5, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Events.Event(2, ts(4), 5, "buy", 1.0))
+      q.processAllAvailable()
+      input.addData(Events.Event(99, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, seconds FROM conv2")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq === Seq((5L, 240.0)))
+    } finally q.stop()
+  }
+
   test("streamStreamJoin: same-user events within the lookback window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
