@@ -369,6 +369,12 @@ object LlmEntry {
       TextAnalysis.unigramSurprisal(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
 
+    "t26_ppl_buckets" -> ((s, dir) =>
+      // the CCNet carve: head/middle/tail terciles under the t13
+      // surprisal model — per bucket docs, token mass, surprisal range
+      TextAnalysis.perplexityBuckets(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
     "t16_bigram_lm" -> ((s, dir) =>
       // conditional-LM quality proxy: per-doc mean bigram surprisal
       // -log2 P(w2|w1) under the corpus bigram model — catches "word
@@ -2247,6 +2253,32 @@ object LlmEntry {
          |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
          |             / sum(tf), 6) AS mean_surprisal
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // t26: t13's per-doc surprisal CTEs + 4-dp-rounded exact terciles
+    // (quantile_cont = Spark's percentile, both R-7) + the strict-
+    // above-bound bucket rule, replayed over the same fractions
+    "t26_ppl_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(tk) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |ctf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM ctf),
+         |sc AS (SELECT doc_id, tf,
+         |    -log2(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE)) AS surp
+         |  FROM tf JOIN ctf USING (token) CROSS JOIN n),
+         |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
+         |             / sum(tf), 6) AS ms
+         |      FROM sc GROUP BY doc_id),
+         |b AS (SELECT list_transform(
+         |        quantile_cont(ms, [1.0/3, 2.0/3]), x -> round(x, 4)) AS bounds
+         |      FROM d)
+         |SELECT CASE len(list_filter(bounds, x -> ms > x))
+         |         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+         |       END AS bucket,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(ms) AS min_surprisal, max(ms) AS max_surprisal
+         |FROM d CROSS JOIN b GROUP BY 1""".stripMargin,
 
     "t16_bigram_lm" ->
       s"""WITH tkl AS (SELECT doc_id, $ToksSql AS tk FROM documents),

@@ -609,6 +609,38 @@ object TextAnalysis {
         min(col("v")).as("min_score"), max(col("v")).as("max_score"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
+    * every document under a reference LM, split the corpus into
+    * head/middle/tail TERCILES, train preferentially on the head) —
+    * the canonical curriculum carve, here under the corpus-unigram
+    * surprisal model [[unigramSurprisal]] already provides (the
+    * cheapest member of the CCNet model family; swap the scorer, keep
+    * the carve). Tercile boundaries are exact percentiles rounded to
+    * 4 dp (t14's engine-agreement posture; `approx_percentile` is the
+    * 100 TB swap), bucket = strictly-above-bound count (0 → head =
+    * LOWEST surprisal = most natural text). Per bucket: doc count,
+    * token mass (what a mixture actually budgets), min/max surprisal.
+    *
+    * Scale: the surprisal model's two keyed shuffles + one one-row
+    * boundary broadcast + map-only bucketing + a 3-key count. */
+  def perplexityBuckets(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val s = unigramSurprisal(df, id, text)
+    val bounds = s.agg(transform(
+      percentile(col("mean_surprisal"), lit(Array(1.0 / 3, 2.0 / 3))),
+      b => round(b, 4)).as("bounds"))
+    s.crossJoin(broadcast(bounds))
+      .withColumn("nb",
+        size(filter(col("bounds"), b => col("mean_surprisal") > b)))
+      .withColumn("bucket",
+        when(col("nb") === 0, "head")
+          .when(col("nb") === 1, "middle").otherwise(lit("tail")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("mean_surprisal")).as("min_surprisal"),
+        max(col("mean_surprisal")).as("max_surprisal"))
+  }
+
   // --- charset / normalization audit -----------------------------------
 
   /** Encoding-health audit — the pre-tokenization screen a web-scale

@@ -95,6 +95,32 @@ object ScaleBench {
       println(f"[scalebench] x$m d2b_rel_cap min=${ops("d2b_rel_cap")._1}%.3f " +
         f"med=${ops("d2b_rel_cap")._2}%.3f rows=${ops("d2b_rel_cap")._3}")
 
+      // e16 at doubled plane count: the first x10 run measured the
+      // 4-plane graph build going SUPERLINEAR on this corpus (16 tight
+      // clusters -> whole clusters share buckets -> within-cluster
+      // candidates grow quadratically). Bucket granularity is the
+      // scale knob: 8 planes = 256 buckets/table splits the clusters
+      // via the per-vector noise component. Rank-1 mean cosine is the
+      // quality check (printed + recorded below as e16_q{4,8} in
+      // 1e-6 units): identical means = the finer buckets cost no
+      // neighbor quality on this corpus.
+      ops("e16_planes8") = bench(() =>
+        graft.ann.Knn.knnGraph(Tables.load(spark, dir, "embeddings"),
+          k = 3, planes = 8, tables = 4).count())
+      println(f"[scalebench] x$m e16_planes8 min=${ops("e16_planes8")._1}%.3f " +
+        f"med=${ops("e16_planes8")._2}%.3f rows=${ops("e16_planes8")._3}")
+      def rank1MeanSim(planes: Int): Long = {
+        val d = graft.ann.Knn.knnGraph(Tables.load(spark, dir, "embeddings"),
+          k = 3, planes = planes, tables = 4)
+          .filter(col("rank") === 1)
+          .agg(avg(col("sim")).as("m")).collect()(0).getDouble(0)
+        math.round(d * 1e6)
+      }
+      ops("e16_q4") = (0.0, 0.0, rank1MeanSim(4))
+      ops("e16_q8") = (0.0, 0.0, rank1MeanSim(8))
+      println(s"[scalebench] x$m e16 rank-1 mean sim (1e-6): " +
+        s"planes4=${ops("e16_q4")._3} planes8=${ops("e16_q8")._3}")
+
       // persisted-index legs: drop any prior state so the lifecycle
       // number is a REAL build, then probe steady-state
       val annName = s"e6probe_${dir.hashCode.toHexString}"

@@ -88,7 +88,13 @@ class EntryPlanSpec extends SparkSpec {
     "x12_temperature_mix",
     // e17's recall stage is e8's MLT pipeline (one-row corpus-stats
     // product); the re-rank itself is two equi-joins over |hits|
-    "e17_rerank_cascade")
+    "e17_rerank_cascade",
+    // t26 composes t13's one-row corpus-total product with t14's
+    // one-row boundary-array attach — both constant-side classes
+    "t26_ppl_buckets",
+    // g36 attaches the ONE-ROW (min, max) bounds frame to the values
+    // — x8's one-row-bounds class
+    "g36_histogram")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

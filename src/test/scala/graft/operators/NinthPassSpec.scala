@@ -101,6 +101,22 @@ class NinthPassSpec extends SparkSpec {
     assert(out.head.getLong(0) === 0L && out.head.getLong(3) === 3L)
   }
 
+  test("perplexityBuckets: terciles split a 3-level surprisal corpus") {
+    // three surprisal levels, 4 docs each (a: ctf 24, b: ctf 8,
+    // uniques: ctf 1) — the interpolated tercile bounds land strictly
+    // BETWEEN the levels, so head/middle/tail are the three groups
+    val docs = ((1 to 4).map(i => (i.toLong, "a a a a a a")) ++
+      (5 to 8).map(i => (i.toLong, "b b")) ++
+      (9 to 12).map(i => (i.toLong, s"u${i}x u${i}y")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.map(_._2._1).sum === 12L, "every doc bucketed exactly once")
+    assert(out("head") === (4L, 24L), "low-surprisal docs + their token mass")
+    assert(out("middle") === (4L, 8L))
+    assert(out("tail") === (4L, 8L))
+  }
+
   test("knnGraph: no self-pairs, cluster structure respected, k bounded") {
     // two tight clusters far apart: every vector's rank-1 neighbor
     // must come from its own cluster, and no row pairs a vector
