@@ -268,9 +268,19 @@ object Knn {
     * then self-pairs are filtered before the distinct: explode → hash
     * shuffle on (table, bucket) → self equi-join → exact-cosine
     * bounded-heap top-k. Per-pair recall follows the same table math;
-    * cost is bounded by bucket occupancy, never |V|². Output:
-    * (query_id, rank, neighbor_id, sim) — one bounded-k adjacency
-    * list per vector that made it into any candidate pair. */
+    * cost is bounded by bucket OCCUPANCY (≈ |V| / 2^planes per
+    * table), never |V|² — which makes `planes` the scale knob: size
+    * it to corpus density, because a corpus of tight duplicate
+    * clusters can put whole clusters in shared buckets and push
+    * within-cluster candidates quadratic (SCALING.md measured exactly
+    * this at planes=4 on a 16-cluster corpus — 13.5× cost for 10×
+    * corpus — and planes=8 restoring a near-linear curve at
+    * 5th-decimal-identical rank-1 quality). For densities that defeat
+    * any hyperplane count, the IVF-cell form (k-means assign, rank
+    * within cells — [[ivfTopK]]'s posture) bounds work per cell.
+    * Output: (query_id, rank, neighbor_id, sim) — one bounded-k
+    * adjacency list per vector that made it into any candidate
+    * pair. */
   def knnGraph(vectors: DataFrame, k: Int,
                planes: Int = 4, tables: Int = 4): DataFrame = {
     val v = vectors.select(col("vec_id").as("query_id"),
