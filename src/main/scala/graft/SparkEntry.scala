@@ -563,6 +563,12 @@ object SparkEntry {
       Measures.abcClassification(t(s, dir, "orders"),
         col("o_orderstatus"), col("o_custkey"), col("o_totalprice"))),
 
+    "g37_anomaly_days" -> ((s, dir) =>
+      // daily-ops alerting: per event type, each day's total vs the
+      // trailing-7-day baseline (today excluded), z-scores flagged >3
+      Measures.anomalousDays(t(s, dir, "events"), col("event_type"),
+        to_date(col("ts")), col("value"))),
+
     "g36_histogram" -> ((s, dir) =>
       // distribution shape for the profile: 20 equi-width bins over
       // order totals — one (min,max) broadcast + one map-only
@@ -1142,6 +1148,31 @@ object SparkEntry {
         |                       ELSE 'C' END AS abc_class, dt FROM s)
         |SELECT grp, abc_class, count(*) AS n_members, CAST(sum(dt) AS DOUBLE) AS total
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // g37: the window carries exact decimal Σx/Σx²; mean/var/z are
+    // IEEE from those exact sums in written order, z rounded before
+    // the threshold compare — both engines bit-agree
+    "g37_anomaly_days" ->
+      """WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |    sum(CAST("value" AS DECIMAL(18,4))) AS dt FROM events GROUP BY 1, 2),
+        |w AS (SELECT grp, day, dt,
+        |    count(dt) OVER win AS n_base,
+        |    sum(dt) OVER win AS s1,
+        |    sum(CAST(dt*dt AS DECIMAL(38,8))) OVER win AS s2
+        |  FROM daily WINDOW win AS (PARTITION BY grp ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT grp, day, CAST(dt AS DOUBLE) AS total,
+        |    CAST(s1 AS DOUBLE)/7 AS mean,
+        |    (CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/7)/6 AS vr
+        |  FROM w WHERE n_base = 7),
+        |g AS (SELECT grp, day, total, round(mean, 6) AS baseline_mean,
+        |    CASE WHEN vr > 0
+        |         THEN round((total - mean)/sqrt(vr), 6) END AS z
+        |  FROM f)
+        |SELECT grp, day, total, baseline_mean, z,
+        |  coalesce(z > 3.0, false) AS is_anomaly
+        |FROM g""".stripMargin,
 
     // g36: every arithmetic step replayed in Spark's written order
     // ((v-lo)/((hi-lo)/20.0) then floor/clamp) so bin edges agree

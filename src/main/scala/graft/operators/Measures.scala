@@ -322,6 +322,49 @@ object Measures {
         Window.currentRow)).cast(DoubleType).as("cum_total"))
   }
 
+  /** Trailing-baseline anomaly detection — the daily-ops alerting
+    * query next to [[movingAverage]]'s smoothing (the moving average
+    * says the trend; this says WHICH days broke it): per (group, day),
+    * total vs the mean/std of the preceding `lookback` days (current
+    * day EXCLUDED — today must not launder its own spike into the
+    * baseline), z-score flagged above `zThreshold`. Days without a
+    * full baseline window are dropped (a 3-day-old series has no
+    * honest z). Determinism: the window carries EXACT decimal Σx and
+    * Σx² (products widened to DECIMAL(38,8)); mean/variance/z are
+    * IEEE doubles derived from those exact sums in written order, z
+    * rounded 6 dp BEFORE the threshold compare, constant-baseline
+    * variance (≤ 0 after the subtraction) yields NULL z / false flag.
+    *
+    * Scale: one corpus-sized partial-aggregated daily rollup, then
+    * all windows run over the DAYS-sized frame (groups × days rows) —
+    * [[timeIntelligence]]'s post-aggregation window posture. */
+  def anomalousDays(df: DataFrame, group: Column, dateCol: Column,
+                    amount: Column, lookback: Int = 7,
+                    zThreshold: Double = 3.0): DataFrame = {
+    require(lookback >= 2, "need at least 2 baseline days for a std")
+    val daily = df.groupBy(group.as("grp"), dateCol.as("day"))
+      .agg(sum(amount.cast(DecimalType(18, 4))).as("dt"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    val n = lit(lookback)
+    daily.select(col("grp"), col("day"),
+        col("dt").cast(DoubleType).as("total"),
+        count(col("dt")).over(w).as("n_base"),
+        sum(col("dt")).over(w).as("s1"),
+        sum((col("dt") * col("dt")).cast(DecimalType(38, 8))).over(w).as("s2"))
+      .filter(col("n_base") === lookback)
+      .withColumn("mean", col("s1").cast(DoubleType) / n)
+      .withColumn("vr",
+        (col("s2").cast(DoubleType) -
+          col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / n) /
+          lit(lookback - 1))
+      .withColumn("z", when(col("vr") > 0,
+        round((col("total") - col("mean")) / sqrt(col("vr")), 6)))
+      .select(col("grp"), col("day"), col("total"),
+        round(col("mean"), 6).as("baseline_mean"), col("z"),
+        coalesce(col("z") > zThreshold, lit(false)).as("is_anomaly"))
+  }
+
   /** ABC / Pareto classification — the 80/15/5 contribution tiers every
     * spend-analysis report ships (which members carry the group): per
     * group, members rank by exact decimal total (desc, id tiebreak),

@@ -169,6 +169,54 @@ class NinthPassSpec extends SparkSpec {
     // doc 99 never scored: it was not in the candidate list
   }
 
+  test("anomalousDays: spike z-scores against the trailing week, short history drops") {
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-03-$day%02d")
+    // 7 baseline days (10/12 alternating) then a 100 spike; a second
+    // group gets a tame day 8 instead
+    val rows =
+      (1 to 7).map(i => ("spiky", d(i), if (i % 2 == 1) 10.0 else 12.0)) ++
+      Seq(("spiky", d(8), 100.0)) ++
+      (1 to 7).map(i => ("calm", d(i), if (i % 2 == 1) 10.0 else 12.0)) ++
+      Seq(("calm", d(8), 11.0))
+    val out = Measures.anomalousDays(rows.toDF("grp", "day", "v"),
+        col("grp"), col("day"), col("v"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getDouble(4),
+        r.getBoolean(5)))
+    // only day 8 has a full 7-day baseline in either group
+    assert(out.length === 2)
+    val mean = 76.0 / 7
+    val vr = (832.0 - 76.0 * 76.0 / 7) / 6
+    def z(x: Double) = math.rint((x - mean) / math.sqrt(vr) * 1e6) / 1e6
+    val byGrp = out.map(r => r._1 -> r).toMap
+    assert(byGrp("spiky")._3 === z(100.0) && byGrp("spiky")._4)
+    assert(byGrp("calm")._3 === z(11.0) && !byGrp("calm")._4)
+  }
+
+  test("anomalousDays: constant baseline yields null z, never a flag") {
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-03-$day%02d")
+    val rows = (1 to 7).map(i => ("g", d(i), 10.0)) :+ (("g", d(8), 99.0))
+    val r = Measures.anomalousDays(rows.toDF("grp", "day", "v"),
+      col("grp"), col("day"), col("v")).collect().head
+    assert(r.isNullAt(4) && !r.getBoolean(5))
+  }
+
+  test("schema drift audit: added/removed/type/nullability, empty = green") {
+    import org.apache.spark.sql.types._
+    val declared = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("amount", DoubleType), StructField("note", StringType)))
+    val batch = StructType(Seq(
+      StructField("id", LongType, nullable = true),     // loosened
+      StructField("amount", StringType),                // retyped
+      StructField("extra", IntegerType)))               // note gone, extra new
+    val out = graft.sources.SchemaDrift.audit(spark, declared, batch)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("id", "nullability_changed"),
+      ("amount", "type_changed"), ("note", "removed"), ("extra", "added")))
+    assert(graft.sources.SchemaDrift.audit(spark, declared, declared)
+      .count() === 0L)
+  }
+
   test("bestKeepers: longest doc wins, ties break to the lowest id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
       .toDF("doc_id", "cluster_id")
