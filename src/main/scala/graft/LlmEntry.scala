@@ -572,6 +572,13 @@ object LlmEntry {
       Knn.knnGraph(t(s, dir, "embeddings"), k = 3)
         .withColumnRenamed("rank", "rnk")),
 
+    "e18_knn_graph_ivf" -> ((s, dir) =>
+      // e16's bounded alternative for densities that defeat any
+      // hyperplane count: one centroid-assignment pass, top-3 within
+      // each vector's own IVF cell
+      Knn.knnGraphIvf(t(s, dir, "embeddings"), k = 3)
+        .withColumnRenamed("rank", "rnk")),
+
     "e7_range_search" -> ((s, dir) => {
       // radius search: ALL neighbors with cosine >= 0.2 per query (not
       // top-k — the answer size is data-dependent); LSH-bucketed
@@ -2986,6 +2993,31 @@ object LlmEntry {
          |      FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // e18 = e3's centroid-sample + assignment CTEs over the WHOLE
+    // corpus, candidates = same-cell pairs, self excluded
+    "e18_knn_graph_ivf" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, e AS cent FROM v
+         |         ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
+         |asg0 AS (SELECT vec_id, e, cent_id,
+         |  round(list_dot_product(e, cent) /
+         |        (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM v, cent),
+         |asg AS (SELECT vec_id, e, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+         |  WHERE rn = 1),
+         |s AS (SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+         |        x.e AS qe, y.e AS ce
+         |      FROM asg x JOIN asg y USING (cent_id)
+         |      WHERE x.vec_id <> y.vec_id),
+         |sc AS (SELECT query_id, neighbor_id, $CosSql AS sim FROM s),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
          |FROM r WHERE rnk <= 3""".stripMargin,
 

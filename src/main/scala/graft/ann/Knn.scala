@@ -451,6 +451,47 @@ object Knn {
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
+  /** IVF-cell kNN graph — the bounded alternative [[knnGraph]]'s
+    * scaladoc points at for corpora whose duplicate clusters defeat
+    * any hyperplane count: assign every vector to its nearest
+    * broadcast centroid (the [[ivfTopK]] assignment pass — corpus ×
+    * constant-centroids, the documented exemption class), then rank
+    * each vector's top-k by exact cosine WITHIN its cell (one
+    * equi-join on cent_id, self excluded). Work per cell is
+    * (|cell|)², so sizing nCentroids to corpus density bounds the
+    * build the way planes bound [[knnGraph]] — with the difference
+    * that a cell partition always exists regardless of how vectors
+    * cluster (the centroid sample splits dense regions by
+    * construction). Recall contract: neighbors OUTSIDE the cell are
+    * invisible (nProbe=1 semantics) — the standard IVF-graph
+    * trade-off; raise nCentroids for cost, not recall. Output:
+    * (query_id, rank, neighbor_id, sim). */
+  def knnGraphIvf(vectors: DataFrame, k: Int,
+                  nCentroids: Int = 16): DataFrame = {
+    val c = prepCorpus(vectors)
+    val cents = broadcast(c.orderBy(
+        graft.functions.Hashing.h32(col("neighbor_id").cast("string")),
+        col("neighbor_id")).limit(nCentroids)
+      .select(col("neighbor_id").as("cent_id"), col("ce").as("cent"),
+        col("cn").as("centn")))
+    def centSim(e: Column, n: Column): Column =
+      round(Vectors.dot(e, col("cent")) / (n * col("centn")), 6)
+    val assigned = c.join(cents)
+      .withColumn("csim", centSim(col("ce"), col("cn")))
+      .groupBy("neighbor_id")
+      .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
+        max_by(col("cent_id"),
+          struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id"))
+    val scored = assigned
+      .select(col("neighbor_id").as("query_id"), col("ce").as("qe"),
+        col("cn").as("qn"), col("cent_id"))
+      .join(assigned, "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
+  }
+
   /** Embedding-cosine near-dup pairs with sim >= minSim (rounded to
     * 6 dp before the threshold so engines agree at the boundary).
     *

@@ -120,6 +120,17 @@ object ScaleBench {
       ops("e16_q8") = (0.0, 0.0, rank1MeanSim(8))
       println(s"[scalebench] x$m e16 rank-1 mean sim (1e-6): " +
         s"planes4=${ops("e16_q4")._3} planes8=${ops("e16_q8")._3}")
+      // the IVF-cell graph (e18) on the same corpus: nCentroids ∝ √|V|
+      // balances the |V|·C assignment pass against the |V|·(|V|/C)
+      // in-cell pairing — the classic IVF sizing; cells always exist
+      // no matter how the vectors cluster
+      val ivfCents = (64 * math.sqrt(m)).toInt
+      ops("e18_graph_ivf") = bench(() =>
+        graft.ann.Knn.knnGraphIvf(Tables.load(spark, dir, "embeddings"),
+          k = 3, nCentroids = ivfCents).count())
+      println(f"[scalebench] x$m e18_graph_ivf (C=$ivfCents) " +
+        f"min=${ops("e18_graph_ivf")._1}%.3f med=${ops("e18_graph_ivf")._2}%.3f " +
+        f"rows=${ops("e18_graph_ivf")._3}")
 
       // persisted-index legs: drop any prior state so the lifecycle
       // number is a REAL build, then probe steady-state

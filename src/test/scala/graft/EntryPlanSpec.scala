@@ -94,7 +94,10 @@ class EntryPlanSpec extends SparkSpec {
     "t26_ppl_buckets",
     // g36 attaches the ONE-ROW (min, max) bounds frame to the values
     // — x8's one-row-bounds class
-    "g36_histogram")
+    "g36_histogram",
+    // e18's assignment pass is e3's corpus×constant-centroids
+    // product; the in-cell pairing is an equi-join on cent_id
+    "e18_knn_graph_ivf")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

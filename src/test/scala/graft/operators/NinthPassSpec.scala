@@ -153,6 +153,27 @@ class NinthPassSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("knnGraphIvf: exact twins share a cell and list each other at 1.0") {
+    // two triplets of exact copies, far apart, plus noise vectors:
+    // identical vectors assign to the same centroid by determinism,
+    // so every copy's rank-1 neighbor is a twin at sim 1.0
+    val emb = (Seq(1L, 2L, 3L).map((_, vec(1, 0.01, 0))) ++
+      Seq(10L, 11L, 12L).map((_, vec(-0.01, 1, 0))) ++
+      (20L to 27L).map(i => (i, vec(math.sin(i * 0.9), math.cos(i * 1.7),
+        math.sin(i * 2.3))))).toDF("vec_id", "embedding")
+    val g = Knn.knnGraphIvf(emb, k = 2, nCentroids = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(!g.exists { case (q, _, n, _) => q == n }, "self-pair leaked")
+    assert(g.groupBy(_._1).forall(_._2.length <= 2), "k bound")
+    val twins = Set(1L, 2L, 3L, 10L, 11L, 12L)
+    twins.foreach { id =>
+      val r1 = g.find(r => r._1 == id && r._2 == 1).get
+      assert(twins.contains(r1._3) && r1._4 === 1.0,
+        s"$id's rank-1 must be a twin at sim 1.0, got $r1")
+      assert((id < 10) === (r1._3 < 10), s"$id crossed twin groups")
+    }
+  }
+
   test("rerankByCosine: the semantic stage reorders the lexical hits") {
     // hits arrive in lexical order (20, 21, 22); embeddings say the
     // true semantic order for q1 is 22 > 20 > 21
