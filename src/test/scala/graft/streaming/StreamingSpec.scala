@@ -513,6 +513,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaly stream: streamed registers reproduce the batch z report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-anom-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-anom-ckpt").toString
+    // 7 alternating baseline days then a spike, split across batches
+    // mid-window so the register fold is actually exercised
+    val events = (1 to 7).map(i => (i.toLong,
+      t(f"2026-02-$i%02d 10:00:00"), "buy",
+      if (i % 2 == 1) 10.0 else 12.0)) :+
+      ((8L, t("2026-02-08 10:00:00"), "buy", 100.0))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = AnomalyStream.run(
+      input.toDF().toDF("event_id", "ts", "event_type", "value"),
+      stateDir, ckpt)
+    try {
+      input.addData(events.take(4): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = AnomalyStream.readAnomalies(spark, stateDir).get
+        .collect().map(_.toString).sorted
+      val batch = graft.operators.Measures.anomalousDays(
+        events.toDF("event_id", "ts", "event_type", "value"),
+        col("event_type"), to_date(col("ts")), col("value"))
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch),
+        "streamed anomaly report must equal the batch operator's")
+      assert(streamed.length === 1, "only day 8 has a full baseline")
+      assert(streamed.head.contains("true"), "the spike day flags")
+    } finally q.stop()
+  }
+
   test("scd2 stream: versions chain across micro-batches; replays are no-ops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
