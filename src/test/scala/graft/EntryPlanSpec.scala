@@ -150,7 +150,12 @@ class EntryPlanSpec extends SparkSpec {
         "g13_salted_agg",
         "g4_measure_pack", "e3_knn_ivf", "e3b_knn_ivf_trained",
         "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",
-        "e6b_ann_probe")
+        "e6b_ann_probe",
+        // the ninth-pass winner-per-key/bounded-heap ops: e16/e18's
+        // per-vector top-k, e17's re-rank, d18's max_by keeper all
+        // must map-side combine before their exchange
+        "e16_knn_graph", "e17_rerank_cascade", "e18_knn_graph_ivf",
+        "d18_best_keeper")
       .foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
