@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.dedup.TextDedup
@@ -56,6 +57,41 @@ object LlmCuration {
     uniq.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .select("doc_id")
+  }
+
+  /** Corpus report card — the per-source summary a data team reads
+    * BEFORE choosing mixture weights (the decision input upstream of
+    * [[run]]'s gates and `Sampling.mix`'s recipe: which feeds are
+    * big, clean, duplicated, multilingual): per source, doc count,
+    * distinct languages, exact-duplicate membership (docs whose text
+    * md5 is shared with ANY doc corpus-wide — cross-source mirrors
+    * count in both sources, which is the number that matters for
+    * mixing), token mass, and 6-dp exact-decimal means of the t2
+    * quality score and tokens-per-doc.
+    *
+    * Scale: one map-only feature pass, one keyed md5 count + one
+    * equi-join back, one partial-aggregated rollup to sources-sized
+    * output. Means are single IEEE divisions of exact decimal sums. */
+  def corpusReport(docs: DataFrame, id: Column, text: Column,
+                   source: Column, lang: Column): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"),
+      source.as("source"), lang.as("lang"))
+    val scored = TextAnalysis.qualityFeatures(base, col("text"))
+      .withColumn("__h", md5(col("text")))
+    val hc = scored.groupBy("__h").agg(count(lit(1)).as("__hc"))
+    scored.join(hc, "__h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("__hc") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("quality_score").cast(DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1)), 6).as("mean_quality"),
+        round(sum(col("n_tokens")).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_tokens"))
+      .withColumn("dup_frac",
+        round(col("n_dup_docs").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6))
   }
 
   /** [[run]] plus the decontamination stage a training corpus runs

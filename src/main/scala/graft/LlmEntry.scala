@@ -103,6 +103,13 @@ object LlmEntry {
       LlmCuration.run(t(s, dir, "documents"), col("doc_id"), col("text"),
         minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)),
 
+    "c4_corpus_report" -> ((s, dir) =>
+      // the per-source report card read before choosing mixture
+      // weights: docs, languages, corpus-wide exact-dup membership,
+      // token mass, mean quality/tokens
+      LlmCuration.corpusReport(t(s, dir, "documents"), col("doc_id"),
+        col("text"), col("source"), col("lang"))),
+
     "c2_curate_decontam" -> ((s, dir) => {
       // the full corpus-prep chain with the eval firewall last: gate ->
       // exact dedup -> near-dup apply -> decontaminate vs the %25 eval
@@ -1907,6 +1914,35 @@ object LlmEntry {
          |dirty AS (SELECT DISTINCT ssh.doc_id FROM ssh JOIN evsh ON ssh.s = evsh.s)
          |SELECT doc_id FROM surv
          |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+
+    // c4: t14's per-doc quality features + a corpus-wide md5 count,
+    // rolled up per source; means = IEEE divisions of exact decimal
+    // (quality) / exact long (tokens) sums
+    "c4_corpus_report" ->
+      s"""WITH toks AS (SELECT doc_id, text, source, lang, $ToksSql AS tk
+         |              FROM documents),
+         |feat AS (SELECT source, lang, text,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |      greatest(length(text), 1) AS punct_ratio,
+         |    CAST(len(list_filter(tk, x -> x IN ($EnStopsSql))) AS DOUBLE) /
+         |      greatest(len(tk), 1) AS stop_ratio,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens
+         |  FROM toks),
+         |q AS (SELECT source, lang, n_tokens, md5(text) AS h,
+         |    round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
+         |      0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS qs
+         |  FROM feat),
+         |hc AS (SELECT h, count(*) AS hc FROM q GROUP BY 1)
+         |SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_quality,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens,
+         |  round(CAST(sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+         |FROM q JOIN hc USING (h) GROUP BY source""".stripMargin,
 
     "c1_curate" ->
       s"""WITH t0 AS (SELECT doc_id, text, $ToksSql AS tk FROM documents),

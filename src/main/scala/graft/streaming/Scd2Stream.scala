@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 import graft.operators.Scd2
 import graft.sources.SnapshotStore
@@ -65,4 +65,40 @@ object Scd2Stream {
   /** The current SCD2 table. None before the first batch. */
   def read(spark: SparkSession, stateDir: String): Option[DataFrame] =
     SnapshotStore.read(spark, stateDir)
+
+  /** Streaming as-of ENRICHMENT — the consumption leg of the
+    * maintenance loop above (s6b's point-in-time join, always-on):
+    * each fact micro-batch joins the SCD2 table at `dimDir` as of its
+    * OWN event time ([[graft.operators.Scd2.asOfJoin]] verbatim — the
+    * version whose [effective_from, effective_to) bracket covers the
+    * fact's ts, facts before the first version keeping null dims),
+    * results MERGE into a versioned [[SnapshotStore]] keyed on
+    * `factKeys` — [[AnnStream]]'s sink contract, so restart replays
+    * upsert instead of duplicating.
+    *
+    * State posture: the streaming engine holds NO state (offsets
+    * only); dimension state lives in the snapshot store, shared with
+    * the maintenance stream — a dim version committed between
+    * micro-batches is picked up by the next batch through the atomic
+    * pointer. Late facts are therefore enriched against the dim AS
+    * MAINTAINED, never against a future version (the as-of bracket
+    * gates by event time). The enrich query and the maintenance query
+    * must not share a Spark session's checkpoint but may share the
+    * store: reads ride the version pointer, the single writer remains
+    * the maintenance loop. */
+  def enrich(facts: DataFrame, dimDir: String, targetDir: String,
+             checkpointDir: String, keys: Seq[String], tracked: Seq[String],
+             factTs: String, factKeys: Seq[String]): StreamingQuery =
+    facts.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        SnapshotStore.read(batch.sparkSession, dimDir).foreach { dim =>
+          val res = Scd2.asOfJoin(batch, factTs, dim, keys, tracked)
+          if (!res.isEmpty) {
+            SnapshotStore.mergeInto(res, targetDir, factKeys): Unit
+          }
+        }
+      }
+      .start()
 }

@@ -238,6 +238,21 @@ class NinthPassSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("corpusReport: cross-source mirrors count as dups in BOTH sources") {
+    val docs = Seq(
+      (1L, "a b c", "en", "A"), (2L, "x y z", "de", "A"),
+      (3L, "a b c", "en", "B"), (4L, "p q", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.LlmCuration.corpusReport(docs, col("doc_id"),
+        col("text"), col("source"), col("lang"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(6), r.getDouble(7)))
+    val Seq(a, b) = out.toSeq
+    assert(a === ("A", 2L, 2L, 1L, 6L, 3.0, 0.5))
+    assert(b === ("B", 2L, 1L, 1L, 5L, 2.5, 0.5))
+  }
+
   test("bestKeepers: longest doc wins, ties break to the lowest id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
       .toDF("doc_id", "cluster_id")

@@ -590,4 +590,44 @@ class StreamingSpec extends SparkSpec {
         (1L, "X", true), (2L, "F", true)))
     } finally q.stop()
   }
+
+  test("scd2 enrich stream: facts pick the dim version as of their own ts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-scd2e-dim").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-scd2e-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2e-ckpt").toString
+    // maintain the dim: key 1 is F until 01-03, P after
+    Scd2Stream.applyBatch(Seq((1L, "F", t("2026-01-01 00:00:00")))
+      .toDF("k", "v", "ts"), dimDir, Seq("k"), Seq("v"), "ts")
+    Scd2Stream.applyBatch(Seq((1L, "P", t("2026-01-03 00:00:00")))
+      .toDF("k", "v", "ts"), dimDir, Seq("k"), Seq("v"), "ts")
+    val facts = Seq(
+      (100L, 1L, t("2026-01-02 12:00:00")),  // inside the F bracket
+      (101L, 1L, t("2026-01-04 12:00:00")),  // after the P version opened
+      (102L, 1L, t("2025-12-25 00:00:00")))  // before any version: null dim
+      .toDF("event_id", "k", "fts")
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = Scd2Stream.enrich(input.toDF().toDF("event_id", "k", "fts"),
+      dimDir, outDir, ckpt, Seq("k"), Seq("v"), "fts", Seq("event_id"))
+    try {
+      input.addData((100L, 1L, t("2026-01-02 12:00:00")),
+        (101L, 1L, t("2026-01-04 12:00:00")))
+      q.processAllAvailable()
+      input.addData((102L, 1L, t("2025-12-25 00:00:00")))
+      q.processAllAvailable()
+      val streamed = graft.sources.SnapshotStore.read(spark, outDir).get
+        .select("event_id", "dim_v").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(streamed === Set((100L, Some("F")), (101L, Some("P")),
+        (102L, None)))
+      // the streamed enrichment equals the batch as-of join verbatim
+      val batch = graft.operators.Scd2.asOfJoin(facts, "fts",
+        Scd2Stream.read(spark, dimDir).get, Seq("k"), Seq("v"))
+        .select("event_id", "dim_v").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
