@@ -1201,8 +1201,9 @@ object SparkEntry {
         |a AS (SELECT grp, count(*) AS n_members, sum(v) AS s0,
         |             sum(i * v) AS s1 FROM r GROUP BY 1)
         |SELECT grp, n_members, CAST(s0 AS DOUBLE) AS total,
-        |  round(CAST(2*s1 - (n_members+1)*s0 AS DOUBLE)
-        |        / CAST(n_members*s0 AS DOUBLE), 6) AS gini
+        |  CASE WHEN s0 = 0 THEN NULL
+        |       ELSE round(CAST(2*s1 - (n_members+1)*s0 AS DOUBLE)
+        |                  / CAST(n_members*s0 AS DOUBLE), 6) END AS gini
         |FROM a""".stripMargin,
 
     "g28_fk_audit" ->

@@ -426,9 +426,12 @@ object Measures {
         sum(col("i") * col("v")).as("s1"))
       .select(col("grp"), col("n_members"),
         col("s0").cast(DoubleType).as("total"),
-        round((lit(2) * col("s1") - (col("n_members") + 1) * col("s0"))
-            .cast(DoubleType) /
-          (col("n_members") * col("s0")).cast(DoubleType), 6).as("gini"))
+        // zero-total groups have no defined concentration: null, not
+        // the NaN the raw division would produce
+        when(col("s0") === 0, lit(null).cast(DoubleType)).otherwise(
+          round((lit(2) * col("s1") - (col("n_members") + 1) * col("s0"))
+              .cast(DoubleType) /
+            (col("n_members") * col("s0")).cast(DoubleType), 6)).as("gini"))
   }
 
   /** Winsorized aggregate pack — [[robustOutliers]] detects anomalies,

@@ -74,6 +74,13 @@ class NinthPassSpec extends SparkSpec {
     assert(onehot.getDouble(3) === math.rint(24.0 / 36.0 * 1e6) / 1e6)
   }
 
+  test("giniConcentration: zero-total group yields null, not NaN") {
+    val df = Seq(("z", 1L, 0.0), ("z", 2L, 0.0)).toDF("grp", "mem", "amt")
+    val r = Measures.giniConcentration(df, col("grp"), col("mem"),
+      col("amt")).collect().head
+    assert(r.isNullAt(3))
+  }
+
   test("giniConcentration: per-member totals aggregate before ranking") {
     // two rows for member 1 must first sum to 6 — making the group
     // perfectly even with member 2's single 6
