@@ -286,6 +286,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel conversions stream: out-of-order arrivals inside a batch sort first") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Events.Event]
+    val q = FunnelStream.conversions(input.toDS(), Seq("view", "buy"),
+        windowSeconds = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("conv3")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // delivered buy-then-view in one batch; event-time order is
+      // view@1 -> buy@3, so the chain must still complete
+      input.addData(Events.Event(2, ts(3), 6, "buy", 1.0),
+        Events.Event(1, ts(1), 6, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Events.Event(99, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, seconds FROM conv3")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq === Seq((6L, 120.0)))
+    } finally q.stop()
+  }
+
   test("funnel conversions stream: chains survive across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
