@@ -177,6 +177,13 @@ class EntryPlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(wm.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"),
       s"watermark cutoff not pushed to the scan:\n$wm")
+    // g37 touches only (ts, event_type, value) of the events feed —
+    // the daily rollup must not drag event_id/props through the scan
+    val g37 = SparkEntry.queries("g37_anomaly_days")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(g37.contains("ReadSchema: struct<ts:timestamp") &&
+      g37.contains("event_type:string,value:double"),
+      s"events scan reads more than (ts, event_type, value):\n$g37")
   }
 
   test("curation pipeline: survivors are gated, deduped, near-dup-free") {

@@ -101,6 +101,22 @@ class NinthPassSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 0.0, 5.0, 3L), (1L, 5.0, 10.0, 3L)))
   }
 
+  test("histogram invariants hold over seeded random data") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 50 + rnd.nextInt(200)
+      val vals = Seq.fill(n)(rnd.nextDouble() * 1000 - 500)
+      val bins = 2 + rnd.nextInt(14)
+      val out = Profiler.histogram(vals.map(Tuple1(_)).toDF("v"),
+        col("v"), bins).collect()
+      assert(out.map(_.getLong(3)).sum === n.toLong, "mass conserved")
+      assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) < bins),
+        "bin indexes in range")
+      assert(out.forall(r => r.getDouble(1) < r.getDouble(2)),
+        "bin bounds ordered")
+    }
+  }
+
   test("histogram: degenerate min==max corpus lands in bin 0") {
     val df = Seq(7.0, 7.0, 7.0).map(Tuple1(_)).toDF("v")
     val out = Profiler.histogram(df, col("v"), nBins = 4).collect()
