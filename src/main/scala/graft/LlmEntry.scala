@@ -460,6 +460,18 @@ object LlmEntry {
         count(lit(1)).as("n_rows"))
     }),
 
+    "x14_split_leakage" -> ((s, dir) => {
+      // the audit x9 exists to zero out: near-dup pairs straddling a
+      // per-doc hash split are memorization leaks — count them per
+      // unordered split combination
+      val docs = t(s, dir, "documents")
+      Sampling.splitLeakageAudit(
+        TextDedup.minHashLshPairs(docs, col("doc_id"), col("text"),
+          minJaccard = 0.1),
+        Sampling.withSplit(docs.select("doc_id"), col("doc_id"),
+          trainPct = 80, valPct = 10))
+    }),
+
     "x12_temperature_mix" -> ((s, dir) =>
       // multilingual mixture smoothing: each language's p^0.5 share
       // renormalized — the boost column is x7's per-stratum weight
@@ -2238,6 +2250,23 @@ object LlmEntry {
          |SELECT source, count(DISTINCT doc_id) AS n_docs,
          |       CAST(sum(CASE WHEN bkt < 500000 THEN 2 ELSE 1 END) AS BIGINT) AS n_rows
          |FROM b GROUP BY source""".stripMargin,
+
+    // x14: d3's banding+verify pair CTEs joined against x1's split
+    // rule on both endpoints, canonicalized unordered
+    "x14_split_leakage" ->
+      s"""WITH ${minhashCtes("documents")},
+         |pr AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.1),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN bkt < 80 THEN 'train'
+         |         WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${bucketSql(100)} AS bkt FROM documents)),
+         |j AS (SELECT sa.split AS s1, sb.split AS s2
+         |      FROM pr JOIN sp sa ON sa.doc_id = pr.doc_a
+         |              JOIN sp sb ON sb.doc_id = pr.doc_b)
+         |SELECT least(s1, s2) AS split_lo, greatest(s1, s2) AS split_hi,
+         |  count(*) AS n_pairs,
+         |  least(s1, s2) <> greatest(s1, s2) AS leaked
+         |FROM j GROUP BY 1, 2""".stripMargin,
 
     "x1_hash_split" ->
       s"""WITH b AS (SELECT ${bucketSql(100)} AS bkt FROM documents)

@@ -41,6 +41,34 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Split-leakage audit — the measurement x9's grouped split exists
+    * to zero out (Lee et al. 2021 §6.2 measured benchmark-corpus
+    * near-dups straddling published train/test splits; any per-doc
+    * hash split leaves the same hole when near-duplicate content
+    * rides both sides): given a near-dup pair set and a split
+    * assignment, count pairs per unordered split combination. The
+    * off-diagonal rows (`leaked = true`) are memorization leaks — a
+    * model can score test docs it effectively saw in train. Run it
+    * BEFORE training: a nonzero train/test row means re-split by
+    * group or scrub with `d6`-style drops first.
+    *
+    * Inputs: `pairs` (doc_a, doc_b) — any pair generator (d2/d3/d4/
+    * d5's outputs all qualify); `assignment` (doc_id, split) —
+    * [[withSplit]]'s shape. Two keyed equi-joins + one tiny rollup;
+    * pair labels are canonicalized (least/greatest) so train/test and
+    * test/train land in ONE row. */
+  def splitLeakageAudit(pairs: DataFrame, assignment: DataFrame): DataFrame = {
+    val a = assignment.select(col("doc_id").as("doc_a"),
+      col("split").as("__sa"))
+    val b = assignment.select(col("doc_id").as("doc_b"),
+      col("split").as("__sb"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .groupBy(least(col("__sa"), col("__sb")).as("split_lo"),
+        greatest(col("__sa"), col("__sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_lo") =!= col("split_hi"))
+  }
+
   /** Deterministic per-EPOCH ordering key: md5 of (epoch, key) — the
     * shard-shuffle a training loop runs every epoch without `rand()`.
     * Each epoch induces a different but fully reproducible permutation

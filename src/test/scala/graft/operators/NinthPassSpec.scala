@@ -261,6 +261,20 @@ class NinthPassSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("splitLeakageAudit: straddling pairs flag, within-split pairs don't") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val assign = Seq((1L, "train"), (2L, "test"),   // straddles
+      (3L, "train"), (4L, "train"),                 // clean
+      (5L, "test"), (6L, "train"))                  // straddles, reversed
+      .toDF("doc_id", "split")
+    val out = Sampling.splitLeakageAudit(pairs, assign)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    // both straddle orientations canonicalize into ONE leaked row
+    assert(out === Set(("test", "train", 2L, true),
+      ("train", "train", 1L, false)))
+  }
+
   test("corpusReport: cross-source mirrors count as dups in BOTH sources") {
     val docs = Seq(
       (1L, "a b c", "en", "A"), (2L, "x y z", "de", "A"),
