@@ -325,11 +325,19 @@ object Measures {
   /** Trailing-baseline anomaly detection — the daily-ops alerting
     * query next to [[movingAverage]]'s smoothing (the moving average
     * says the trend; this says WHICH days broke it): per (group, day),
-    * total vs the mean/std of the preceding `lookback` days (current
-    * day EXCLUDED — today must not launder its own spike into the
-    * baseline), z-score flagged above `zThreshold`. Days without a
-    * full baseline window are dropped (a 3-day-old series has no
-    * honest z). Determinism: the window carries EXACT decimal Σx and
+    * total vs the mean/std of the preceding `lookback` OBSERVED days
+    * (current day EXCLUDED — today must not launder its own spike into
+    * the baseline), z-score flagged above `zThreshold`. "Preceding
+    * days" is a ROWS frame over the group's observed daily series, not
+    * a calendar RANGE: with gaps (days with zero events produce no
+    * row) the baseline reaches back past the gap to the previous
+    * `lookback` rows — the right contract for always-on series, and
+    * for sparse ones it grades against typical ACTIVE days rather
+    * than zero-filling the quiet ones into the mean (zero-fill would
+    * flag every active day after a quiet week; densify the series
+    * first, [[denseMonthly]]-style, if calendar semantics are wanted).
+    * Days without a full baseline window are dropped (a 3-day-old
+    * series has no honest z). Determinism: the window carries EXACT decimal Σx and
     * Σx² (products widened to DECIMAL(38,8)); mean/variance/z are
     * IEEE doubles derived from those exact sums in written order, z
     * rounded 6 dp BEFORE the threshold compare, constant-baseline

@@ -87,8 +87,21 @@ object FunnelStream {
             }
             cur match {
               case Some(s) =>
-                state.update(s)
-                state.setTimeoutTimestamp(s.lastTs + windowMs)
+                // A chain kept alive only by wrong-step/out-of-window
+                // arrivals can retain a stale lastTs whose deadline the
+                // event-time watermark has already passed; registering
+                // that past deadline as a timeout throws in
+                // GroupStateImpl (and checkpoint replay re-crashes).
+                // Such a chain can never be extended — any event inside
+                // its window is now behind the watermark and dropped —
+                // so expire it here, exactly as the timeout would have.
+                val deadline = s.lastTs + windowMs
+                if (deadline <= state.getCurrentWatermarkMs()) {
+                  if (state.exists) state.remove()
+                } else {
+                  state.update(s)
+                  state.setTimeoutTimestamp(deadline)
+                }
               case None => if (state.exists) state.remove()
             }
             out.result().iterator

@@ -71,10 +71,18 @@ object Scd2Stream {
     * each fact micro-batch joins the SCD2 table at `dimDir` as of its
     * OWN event time ([[graft.operators.Scd2.asOfJoin]] verbatim — the
     * version whose [effective_from, effective_to) bracket covers the
-    * fact's ts, facts before the first version keeping null dims),
-    * results MERGE into a versioned [[SnapshotStore]] keyed on
+    * fact's ts, facts predating the earliest version keeping null
+    * dims), results MERGE into a versioned [[SnapshotStore]] keyed on
     * `factKeys` — [[AnnStream]]'s sink contract, so restart replays
     * upsert instead of duplicating.
+    *
+    * Cold start: if `dimDir` has NO committed version yet the batch
+    * FAILS (so its offsets are never checkpointed) rather than being
+    * silently skipped — a skipped-but-committed batch would be
+    * permanently absent from the target. The facts replay once the
+    * maintenance loop commits its first version and the query is
+    * restarted; the null-dim contract above needs a dim schema and so
+    * begins at version 0, not before it.
     *
     * State posture: the streaming engine holds NO state (offsets
     * only); dimension state lives in the snapshot store, shared with
@@ -93,11 +101,14 @@ object Scd2Stream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        SnapshotStore.read(batch.sparkSession, dimDir).foreach { dim =>
-          val res = Scd2.asOfJoin(batch, factTs, dim, keys, tracked)
-          if (!res.isEmpty) {
-            SnapshotStore.mergeInto(res, targetDir, factKeys): Unit
-          }
+        val dim = SnapshotStore.read(batch.sparkSession, dimDir)
+          .getOrElse(throw new IllegalStateException(
+            s"scd2 enrich: no committed dimension version at $dimDir yet " +
+              "— failing the batch so it retries after the maintenance " +
+              "stream's first commit (offsets stay uncheckpointed)"))
+        val res = Scd2.asOfJoin(batch, factTs, dim, keys, tracked)
+        if (!res.isEmpty) {
+          SnapshotStore.mergeInto(res, targetDir, factKeys): Unit
         }
       }
       .start()

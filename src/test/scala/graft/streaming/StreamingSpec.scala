@@ -329,6 +329,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel conversions stream: stale chain behind the watermark expires, never crashes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Events.Event]
+    // Disable no-data micro-batches so the timeout never gets a chance
+    // to evict between data batches — the production race, made
+    // deterministic: data arrives for a user whose stale chain deadline
+    // the watermark has already passed (a chain kept alive only by
+    // wrong-step arrivals retains its stale lastTs). Data is processed
+    // before timeout eviction, so without the expiry guard the update
+    // path registers a timeout BEHIND the watermark and GroupStateImpl
+    // throws, failing the query (and checkpoint replay re-crashes).
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = FunnelStream.conversions(input.toDS(), Seq("view", "buy"),
+        windowSeconds = 600, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("conv4")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u5 opens a chain (deadline ts(10)); u6's event pushes the
+      // watermark to ts(30) at the end of this batch
+      input.addData(Events.Event(1, ts(0), 5, "view", 1.0),
+        Events.Event(2, ts(30), 6, "view", 1.0))
+      q.processAllAvailable()
+      // u5 data with watermark ts(30) > deadline ts(10): the guard
+      // must expire the chain instead of registering a past timeout
+      input.addData(Events.Event(3, ts(60), 5, "view", 1.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      // the wrong-step event above was swallowed by the stale chain
+      // before expiry; a fresh chain now starts and converts
+      input.addData(Events.Event(4, ts(61), 5, "view", 1.0),
+        Events.Event(5, ts(62), 5, "buy", 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, started, seconds FROM conv4")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      assert(got.toSeq === Seq((5L, ts(61), 60.0)))
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    }
+  }
+
   test("streamStreamJoin: same-user events within the lookback window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -651,5 +693,40 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
       assert(streamed === batch)
     } finally q.stop()
+  }
+
+  test("scd2 enrich stream: cold start fails the batch, replays after first dim commit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-scd2c-dim").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-scd2c-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2c-ckpt").toString
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    // no dim version committed yet: the batch must FAIL (offsets stay
+    // uncheckpointed) rather than silently dropping the facts forever
+    val q1 = Scd2Stream.enrich(input.toDF().toDF("event_id", "k", "fts"),
+      dimDir, outDir, ckpt, Seq("k"), Seq("v"), "fts", Seq("event_id"))
+    input.addData((100L, 1L, t("2026-01-02 12:00:00")))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(ex.getMessage.contains("no committed dimension version") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no committed dimension version")))
+    q1.stop()
+    assert(graft.sources.SnapshotStore.read(spark, outDir).isEmpty)
+    // after the maintenance loop's first commit, a restart from the
+    // SAME checkpoint replays the failed batch — the fact is not lost
+    Scd2Stream.applyBatch(Seq((1L, "F", t("2026-01-01 00:00:00")))
+      .toDF("k", "v", "ts"), dimDir, Seq("k"), Seq("v"), "ts")
+    val q2 = Scd2Stream.enrich(input.toDF().toDF("event_id", "k", "fts"),
+      dimDir, outDir, ckpt, Seq("k"), Seq("v"), "fts", Seq("event_id"))
+    try {
+      q2.processAllAvailable()
+      val got = graft.sources.SnapshotStore.read(spark, outDir).get
+        .select("event_id", "dim_v").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got === Set((100L, Some("F"))))
+    } finally q2.stop()
   }
 }
