@@ -567,6 +567,21 @@ object LlmEntry {
         k = 3, poolSize = 10, lambda = 0.7)
     }),
 
+    "e14b_mmr_indexed" -> ((s, dir) => {
+      // the e9b move for MMR (closing e14's documented brute-leg
+      // exemption): the candidate pool is the PERSISTED IVF-PQ index's
+      // steady-state probe (e6b's index, shared per (session, sf dir)),
+      // greedily re-ranked by Knn.mmrRerank over the |Q|×pool frame;
+      // the only corpus touch outside the probe is the broadcast-pool
+      // embedding fetch (e17's shape) — nothing corpus-sized shuffles
+      val emb = t(s, dir, "embeddings")
+      val aname = s"e6probe_${dir.hashCode.toHexString}"
+      ensureAnnProbeIndex(s, emb, aname)
+      Knn.mmrRerank(
+        AnnIndex.topK(s, aname, emb.filter(col("vec_id") < 10), k = 10),
+        emb, k = 3, lambda = 0.7)
+    }),
+
     "e11_filtered_knn" -> ((s, dir) => {
       // metadata-filtered vector search: each query's neighbors are
       // drawn ONLY from corpus vectors with the query's own label —
@@ -826,6 +841,31 @@ object LlmEntry {
       val lex = Search.bm25MoreLikeThis(docs.filter(col("doc_id") >= 10),
         col("doc_id"), col("text"), docs.filter(col("doc_id") < 10),
         col("doc_id"), col("text"), k = 20)
+        .select(col("query_id"), col("doc_id"), col("score"))
+      Search.linearFuse(vec, lex, k = 10, alpha = 0.5)
+    }),
+
+    "e15b_hybrid_linear_indexed" -> ((s, dir) => {
+      // the e9b move for linear fusion (closing e15's documented
+      // brute-leg caveat): BOTH legs are steady-state probes of
+      // PERSISTED indexes — e6b's IVF-PQ vector index and e8c's BM25
+      // inverted index (more-like-this terms via probeIndexTerms, the
+      // e9b form) — min-max normalized and α-combined by the same
+      // |Q|×k-sized linearFuse tail. Per probe batch nothing
+      // corpus-sized shuffles on either leg.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val aname = s"e6probe_${dir.hashCode.toHexString}"
+      ensureAnnProbeIndex(s, emb, aname)
+      val sname = s"e8probe_${dir.hashCode.toHexString}"
+      ensureBm25ProbeIndex(s, docs, sname)
+      val vec = AnnIndex.topK(s, aname, emb.filter(col("vec_id") < 10), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("sim").as("score"))
+      val qterms = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      val lex = Search.probeIndexTerms(s, sname, qterms, k = 20)
         .select(col("query_id"), col("doc_id"), col("score"))
       Search.linearFuse(vec, lex, k = 10, alpha = 0.5)
     }),
@@ -2979,6 +3019,59 @@ object LlmEntry {
          |       CAST(mmr_u AS DOUBLE)/10000000.0 AS mmr_score FROM p3""".stripMargin
     },
 
+    "e14b_mmr_indexed" -> {
+      // e14's exact-integer greedy replay, the candidate pool swapped
+      // for the e6/e6b persisted-index pipeline at k=10 (the pool's
+      // sims are the probe's exact re-ranked cosines, so rel_u is
+      // round(sim*1e6) — identical to mmrRerank's pool contract)
+      def ucos(a: String, b: String) =
+        s"CAST(round(round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))),6)*1000000, 0) AS BIGINT)"
+      s"""WITH iv AS (SELECT query_id, neighbor_id, sim, rnk
+         |            FROM (${ivfPqIndexSql(10)}) x),
+         |v2 AS (SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS e
+         |       FROM embeddings),
+         |c2 AS (SELECT vec_id AS neighbor_id, e AS ce FROM v2 WHERE vec_id >= 10),
+         |cand AS (SELECT iv.query_id, iv.neighbor_id, c2.ce, iv.sim,
+         |                CAST(round(iv.sim*1000000, 0) AS BIGINT) AS rel_u,
+         |                iv.rnk
+         |         FROM iv JOIN c2 USING (neighbor_id)),
+         |sel1 AS (SELECT query_id, neighbor_id, sim AS mmr_score, ce
+         |         FROM cand WHERE rnk = 1),
+         |sc2 AS (SELECT cd.query_id, cd.neighbor_id, cd.rel_u,
+         |    max(${ucos("cd.ce", "sl.ce")}) AS maxsim_u
+         |  FROM cand cd JOIN sel1 sl USING (query_id)
+         |  WHERE cd.neighbor_id <> sl.neighbor_id
+         |  GROUP BY 1, 2, 3),
+         |p2 AS (SELECT query_id, neighbor_id, mmr_u FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr_u DESC, neighbor_id) AS rn
+         |    FROM (SELECT *, 7*rel_u - 3*maxsim_u AS mmr_u FROM sc2))
+         |  WHERE rn = 1),
+         |sa2 AS (SELECT query_id, neighbor_id, ce FROM sel1
+         |  UNION ALL
+         |  SELECT p.query_id, p.neighbor_id, cd.ce FROM p2 p
+         |  JOIN cand cd ON cd.query_id = p.query_id
+         |              AND cd.neighbor_id = p.neighbor_id),
+         |sc3 AS (SELECT cd.query_id, cd.neighbor_id, cd.rel_u,
+         |    max(${ucos("cd.ce", "sl.ce")}) AS maxsim_u
+         |  FROM cand cd JOIN sa2 sl USING (query_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM sa2 x
+         |    WHERE x.query_id = cd.query_id AND x.neighbor_id = cd.neighbor_id)
+         |  GROUP BY 1, 2, 3),
+         |p3 AS (SELECT query_id, neighbor_id, mmr_u FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr_u DESC, neighbor_id) AS rn
+         |    FROM (SELECT *, 7*rel_u - 3*maxsim_u AS mmr_u FROM sc3))
+         |  WHERE rn = 1)
+         |SELECT query_id, 1 AS mmr_rank, neighbor_id, mmr_score FROM sel1
+         |UNION ALL
+         |SELECT query_id, 2 AS mmr_rank, neighbor_id,
+         |       CAST(mmr_u AS DOUBLE)/10000000.0 AS mmr_score FROM p2
+         |UNION ALL
+         |SELECT query_id, 3 AS mmr_rank, neighbor_id,
+         |       CAST(mmr_u AS DOUBLE)/10000000.0 AS mmr_score FROM p3""".stripMargin
+    },
+
     "e11_filtered_knn" ->
       s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
@@ -3266,6 +3359,53 @@ object LlmEntry {
          |           row_number() OVER (PARTITION BY query_id
          |                              ORDER BY sim DESC, neighbor_id) AS rank
          |    FROM s) WHERE rank <= 20),
+         |tok AS (SELECT doc_id, unnest(tk) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id >= 10)),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS token
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id < 10)),
+         |dfq AS (SELECT token, count(*) AS dfn
+         |        FROM tf JOIN (SELECT DISTINCT token FROM qt) USING (token)
+         |        GROUP BY 1),
+         |sc AS (SELECT query_id, doc_id, $Bm25TermSql AS term_score
+         |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
+         |       JOIN dl USING (doc_id) CROSS JOIN st),
+         |pd AS (SELECT query_id, doc_id,
+         |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS score
+         |  FROM sc GROUP BY 1, 2),
+         |ltop AS (SELECT query_id, doc_id, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY score DESC, doc_id) AS rank
+         |    FROM pd) WHERE rank <= 20),
+         |vn AS (SELECT t.query_id, t.doc_id,
+         |    CASE WHEN m.mx = m.mn THEN 1.0
+         |         ELSE (t.score - m.mn) / (m.mx - m.mn) END AS nv
+         |  FROM vtop t JOIN (SELECT query_id, min(score) AS mn, max(score) AS mx
+         |                    FROM vtop GROUP BY 1) m USING (query_id)),
+         |ln AS (SELECT t.query_id, t.doc_id,
+         |    CASE WHEN m.mx = m.mn THEN 1.0
+         |         ELSE (t.score - m.mn) / (m.mx - m.mn) END AS nl
+         |  FROM ltop t JOIN (SELECT query_id, min(score) AS mn, max(score) AS mx
+         |                    FROM ltop GROUP BY 1) m USING (query_id)),
+         |f AS (SELECT query_id, doc_id,
+         |    0.5 * coalesce(nv, CAST(0.0 AS DOUBLE)) +
+         |    0.5 * coalesce(nl, CAST(0.0 AS DOUBLE)) AS fused_score
+         |  FROM vn FULL OUTER JOIN ln USING (query_id, doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY fused_score DESC, doc_id) AS rn FROM f)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, fused_score
+         |FROM r WHERE rn <= 10""".stripMargin,
+
+    // e15b: e15's fusion tail with the vector leg swapped for the
+    // e6/e6b persisted-index pipeline at k=20; the lexical leg stays
+    // e15's MLT recompute over doc_id >= 10 (= the indexed corpus —
+    // e8b's EXACT stats maintenance makes probe == fresh recompute)
+    "e15b_hybrid_linear_indexed" ->
+      s"""WITH vtop AS (SELECT query_id, neighbor_id AS doc_id, sim AS score
+         |              FROM (${ivfPqIndexSql(20)}) iv),
          |tok AS (SELECT doc_id, unnest(tk) AS token
          |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id >= 10)),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),

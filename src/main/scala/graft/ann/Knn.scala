@@ -123,7 +123,24 @@ object Knn {
   def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
               poolSize: Int = 10, lambda: Double = 0.7,
               storage: StorageLevel = Caching.Default): DataFrame = {
-    require(k >= 1 && poolSize >= k, s"invalid k=$k poolSize=$poolSize")
+    require(poolSize >= k, s"invalid k=$k poolSize=$poolSize")
+    mmrRerank(bruteForceTopK(queries, corpus, poolSize), corpus, k,
+      lambda, storage)
+  }
+
+  /** The retrieval-agnostic core of [[mmrTopK]]: MMR re-rank of a
+    * PRE-RETRIEVED candidate pool. `pool` is any (query_id, rank,
+    * neighbor_id, sim) frame — e1's brute product, e2's LSH leg, or
+    * the e6b persisted-index probe ([[AnnIndex.topK]]) for the 100 TB
+    * posture where nothing corpus-sized is scanned per probe batch;
+    * `vectors` supplies (vec_id, embedding) for the |pool|-sized
+    * candidate-embedding fetch (one broadcast-pool equi-join — the
+    * e17 fetch shape, never a corpus-wide shuffle). Pool sims must be
+    * 6-dp-rounded exact cosines (every retrieval rung's contract). */
+  def mmrRerank(pool: DataFrame, vectors: DataFrame, k: Int = 3,
+                lambda: Double = 0.7,
+                storage: StorageLevel = Caching.Default): DataFrame = {
+    require(k >= 1, s"invalid k=$k")
     val lam10 = math.round(lambda * 10).toInt
     require(lam10 >= 0 && lam10 <= 10 && lam10 / 10.0 == lambda,
       s"lambda must be a multiple of 0.1 in [0,1], got $lambda")
@@ -138,8 +155,8 @@ object Knn {
     // by contrast, lands ON decimal grid boundaries where the two
     // engines' round() disagree by an ulp.
     val cand = Caching.persisted(
-      broadcast(bruteForceTopK(queries, corpus, poolSize))
-        .join(corpus.select(col("vec_id").as("neighbor_id"),
+      broadcast(pool)
+        .join(vectors.select(col("vec_id").as("neighbor_id"),
           Vectors.asDouble(col("embedding")).as("ce")), "neighbor_id")
         .withColumn("cn", Vectors.norm(col("ce")))
         .withColumn("rel_u", round(col("sim") * 1e6, 0).cast("long"))

@@ -30,7 +30,16 @@ object DupClusters {
   /** Connected components of the (doc_a, doc_b) pair graph.
     * Returns (doc_id, cluster_id) — cluster_id = the component's
     * minimum doc_id — for every doc that appears in `pairs`. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to converge — the observable behind the O(log diameter)
+    * claim in the scaladoc above, measured (not argued) by the scaling
+    * experiment on chain-shaped graphs (SCALING.md: rounds grow with
+    * log(chain length), NOT with corpus size at fixed chain length). */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+                                    maxIter: Int = 25): (DataFrame, Int) = {
     // reject id columns whose cast("long") could silently null or
     // truncate (the propagation join would never converge on nulls);
     // integer-valued decimals cast exactly and are allowed
@@ -86,7 +95,7 @@ object DupClusters {
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    (labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id")), i)
   }
 
   /** Cluster-aware dedup apply: survivors = docs that are their
@@ -142,11 +151,17 @@ object DupClusters {
     * clusters frame against the per-doc quality column + one
     * partial-aggregating `max_by` over a total-ordering struct — the
     * winner-per-key posture (no per-cluster sort, no window). Output:
-    * (cluster_id, n_members, keeper_id, keeper_quality). */
+    * (cluster_id, n_members, keeper_id, keeper_quality) with
+    * `keeper_quality` in the quality column's NATIVE type — a cast
+    * here would silently truncate fractional qualities (a [0,1]
+    * quality score cast to long is 0 for every doc, degrading "keep
+    * the best copy" to keep-lowest-id); struct ordering ranks any
+    * orderable type as-is (doubles order NaN greatest, Spark's
+    * standard sort order). */
   def bestKeepers(clusters: DataFrame, docs: DataFrame,
                   id: Column, quality: Column): DataFrame =
     clusters
-      .join(docs.select(id.as("doc_id"), quality.cast("long").as("q")),
+      .join(docs.select(id.as("doc_id"), quality.as("q")),
         "doc_id")
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),

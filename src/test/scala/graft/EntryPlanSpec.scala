@@ -97,7 +97,16 @@ class EntryPlanSpec extends SparkSpec {
     "g36_histogram",
     // e18's assignment pass is e3's corpus×constant-centroids
     // product; the in-cell pairing is an equi-join on cent_id
-    "e18_knn_graph_ivf")
+    "e18_knn_graph_ivf",
+    // e14b pools from e6b's probe (query×constant-codebook ADC
+    // product, |Q| × O(16)); the greedy rounds score the |Q|×pool
+    // candidate frame against the ≤2-row selected set via query_id
+    // equi-joins — no corpus-sized product outside the probe
+    "e14b_mmr_indexed",
+    // e15b composes e6b's probe (query×constant-codebook ADC product)
+    // with e8c's terms probe (one-row corpus-stats product); the
+    // fusion tail is |Q|×k equi-joins — e9b's exemption class
+    "e15b_hybrid_linear_indexed")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -300,4 +300,44 @@ class NinthPassSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq === Seq((1L, 3L, 2L, 90L), (7L, 2L, 7L, 10L)))
   }
+
+  test("mmrRerank: pool-driven re-rank trades redundancy for diversity") {
+    // q=(1,0); n11/n12 are near-duplicates both highly relevant, n13
+    // is moderately relevant but diverse. At λ=0.3 the redundancy
+    // penalty dominates: slot 2 must go to the diverse n13 even though
+    // the pool ranks the duplicate n12 higher.
+    val emb = Seq(
+      (1L, vec(1.0, 0.0)),
+      (11L, vec(1.0, 0.05)),
+      (12L, vec(1.0, 0.06)),
+      (13L, vec(0.4, 0.9))).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 1)
+    val corpus = emb.filter(col("vec_id") > 1)
+    val pool = Knn.bruteForceTopK(queries, corpus, k = 3)
+    val out = Knn.mmrRerank(pool, corpus, k = 2, lambda = 0.3)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 11L), (2, 13L)))
+    // the refactor is behavior-preserving: mmrTopK (brute pool inside)
+    // agrees with the explicit pool composition
+    val direct = Knn.mmrTopK(queries, corpus, k = 2, poolSize = 3,
+        lambda = 0.3)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(direct.toSeq === out.toSeq)
+  }
+
+  test("bestKeepers: fractional qualities rank at native precision") {
+    // a [0,1] quality score must NOT truncate to 0-for-everyone (which
+    // would silently degrade best-copy to keep-lowest-id): doc 3's
+    // 0.91 beats doc 1's 0.90, and keeper_quality reports the double
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, 0.90), (2L, 0.15), (3L, 0.91))
+      .toDF("doc_id", "quality_score")
+    val out = DupClusters.bestKeepers(clusters, docs, col("doc_id"),
+        col("quality_score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 3L, 3L, 0.91)))
+  }
 }
