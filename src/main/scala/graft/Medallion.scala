@@ -28,11 +28,43 @@ import graft.sources.{SnapshotStore, Tables, Watermark}
 object Medallion {
 
   private val Salt = "graft_pii_salt_2024"
+  private val DefaultStatuses = Seq("F", "O", "P")
+
+  /** The variable names the parameterized overloads read — the
+    * VL_claims declaration set (source/work locations, the PII salt,
+    * the DQ status domain, the retry policy), with this chain's
+    * current constants as the defaults. Callers build value sets over
+    * THIS library (or their own superset) and hand [[run]] /
+    * [[runResilient]] a resolved set — same pipeline, any environment,
+    * zero code change (spec-asserted under two value sets). */
+  val Variables: operators.VariableLibrary = operators.VariableLibrary(
+    variables = Map(
+      "source_dir" -> "/root/testdata/sf0.001",
+      "work_dir" -> "/tmp/graft_medallion",
+      "pii_salt" -> Salt,
+      "valid_statuses" -> DefaultStatuses.mkString(","),
+      "max_attempts" -> "2"))
+
+  /** [[run]] under an environment's resolved variable set (the
+    * VL_claims consumption shape). */
+  def run(spark: SparkSession,
+          vars: operators.ResolvedVariables): DataFrame =
+    run(spark, vars("source_dir"), vars("work_dir"), vars("pii_salt"),
+      vars.list("valid_statuses"))
+
+  /** [[runResilient]] under an environment's resolved variable set. */
+  def runResilient(spark: SparkSession, vars: operators.ResolvedVariables,
+                   runId: String): DataFrame =
+    runResilient(spark, vars("source_dir"), vars("work_dir"), runId,
+      vars.int("max_attempts"), vars("pii_salt"),
+      vars.list("valid_statuses"))
 
   /** Run one incremental pass; returns the run-metrics DataFrame
     * (stage, rows). Layout under `workDir`: bronze/, fact/, gold/,
     * watermark.json. */
-  def run(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String, workDir: String,
+          salt: String = Salt,
+          validStatuses: Seq[String] = DefaultStatuses): DataFrame = {
     import spark.implicits._
     val wmPath = s"$workDir/watermark.json"
     val wm = Watermark.read(wmPath)
@@ -50,7 +82,8 @@ object Medallion {
       struct(col("o_orderdate"), col("o_totalprice")))
     val rules = Seq(
       QualityRules.Rule(col("o_totalprice") <= 0, "NonPositiveAmount"),
-      QualityRules.Rule(!col("o_orderstatus").isin("F", "O", "P"), "UnknownStatus"))
+      QualityRules.Rule(!col("o_orderstatus").isin(validStatuses: _*),
+        "UnknownStatus"))
     val flagged = QualityRules.withReasons(latest, rules).cache()
     val clean = flagged
       .filter(length(col(QualityRules.ReasonCol)) === 0).drop(QualityRules.ReasonCol)
@@ -60,7 +93,7 @@ object Medallion {
     val bronze = SnapshotStore.read(spark, s"$workDir/bronze").get
     val fact = bronze.select(
       col("o_orderkey").as("claim_id"),
-      Pii.saltedSha256(col("o_custkey"), Salt).as("patient_key"),
+      Pii.saltedSha256(col("o_custkey"), salt).as("patient_key"),
       col("o_totalprice").as("amount"),
       col("o_orderdate").as("claim_date"),
       col("o_orderstatus").as("status"))
@@ -117,7 +150,9 @@ object Medallion {
     * Returns the deterministic run log (run_id, stage_no, stage,
     * status, attempts, rows). */
   def runResilient(spark: SparkSession, sfDir: String, workDir: String,
-                   runId: String, maxAttempts: Int = 2): DataFrame = {
+                   runId: String, maxAttempts: Int = 2,
+                   salt: String = Salt,
+                   validStatuses: Seq[String] = DefaultStatuses): DataFrame = {
     val wmPath = s"$workDir/watermark.json"
     def fresh = Watermark.newerThan(Tables.load(spark, sfDir, "orders"),
       col("o_orderdate"), Watermark.read(wmPath))
@@ -127,7 +162,7 @@ object Medallion {
           struct(col("o_orderdate"), col("o_totalprice")))
         val rules = Seq(
           QualityRules.Rule(col("o_totalprice") <= 0, "NonPositiveAmount"),
-          QualityRules.Rule(!col("o_orderstatus").isin("F", "O", "P"),
+          QualityRules.Rule(!col("o_orderstatus").isin(validStatuses: _*),
             "UnknownStatus"))
         val clean = QualityRules.withReasons(latest, rules)
           .filter(length(col(QualityRules.ReasonCol)) === 0)
@@ -139,7 +174,7 @@ object Medallion {
         val bronze = SnapshotStore.read(spark, s"$workDir/bronze").get
         val fact = bronze.select(
           col("o_orderkey").as("claim_id"),
-          Pii.saltedSha256(col("o_custkey"), Salt).as("patient_key"),
+          Pii.saltedSha256(col("o_custkey"), salt).as("patient_key"),
           col("o_totalprice").as("amount"),
           col("o_orderdate").as("claim_date"),
           col("o_orderstatus").as("status"))

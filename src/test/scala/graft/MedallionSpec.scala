@@ -40,6 +40,58 @@ class MedallionSpec extends SparkSpec {
     assert(g1.sameElements(g2), "replay changed the gold state")
   }
 
+  test("one pipeline, two value sets: environments differ by config only") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.VariableLibrary
+    // the VL_claims shape: Medallion.Variables declares the defaults;
+    // Dev/Prod override work_dir + pii_salt (and Prod tightens the DQ
+    // status domain) — the PIPELINE CODE is byte-identical across envs
+    val devDir = java.nio.file.Files.createTempDirectory("graft-med-dev").toString
+    val prodDir = java.nio.file.Files.createTempDirectory("graft-med-prod").toString
+    val lib = VariableLibrary(
+      variables = Medallion.Variables.variables + ("source_dir" -> sfDir),
+      valueSets = Map(
+        "Dev" -> Map("work_dir" -> devDir, "pii_salt" -> "dev_salt"),
+        "Prod" -> Map("work_dir" -> prodDir, "pii_salt" -> "prod_salt",
+          "valid_statuses" -> "F,O")))
+    val mDev = Medallion.run(spark, lib.resolve("Dev"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mProd = Medallion.run(spark, lib.resolve("Prod"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same feed slice; Prod's tighter status domain quarantines MORE
+    assert(mDev("fresh_rows") === mProd("fresh_rows"))
+    assert(mProd("quarantined_rows") > mDev("quarantined_rows"))
+    // each env wrote its own isolated stores
+    Seq(devDir, prodDir).foreach { d =>
+      assert(SnapshotStore.read(spark, s"$d/fact").isDefined, d)
+    }
+    // different salts pseudonymize to disjoint keys for the same facts
+    val kDev = SnapshotStore.read(spark, s"$devDir/fact").get
+      .select("patient_key").collect().map(_.getString(0)).toSet
+    val kProd = SnapshotStore.read(spark, s"$prodDir/fact").get
+      .select("patient_key").collect().map(_.getString(0)).toSet
+    assert(kDev.intersect(kProd).isEmpty, "salts must not collide")
+    // misconfigurations fail fast at construction/resolution
+    intercept[IllegalArgumentException] {
+      VariableLibrary(Map("a" -> "1"), Map("X" -> Map("typo" -> "2")))
+    }
+    intercept[NoSuchElementException] { lib.resolve("Staging") }
+    intercept[NoSuchElementException] { lib.resolve("Dev")("undeclared") }
+    // runResilient consumes the same resolved sets (fresh dir so the
+    // watermark written above doesn't empty the slice)
+    val devDir2 = java.nio.file.Files.createTempDirectory("graft-med-dev2").toString
+    val lib2 = VariableLibrary(
+      variables = Medallion.Variables.variables +
+        ("source_dir" -> sfDir) + ("work_dir" -> devDir2) +
+        ("pii_salt" -> "dev_salt"))
+    val log = Medallion.runResilient(spark, lib2.default, "env-r1")
+      .filter(col("status") =!= "succeeded").count()
+    assert(log === 0L)
+    val kDev2 = SnapshotStore.read(spark, s"$devDir2/fact").get
+      .select("patient_key").collect().map(_.getString(0)).toSet
+    assert(kDev2 === kDev, "same value set => same pseudonymized keys")
+  }
+
   test("full run then incremental no-op run") {
     val work = java.nio.file.Files.createTempDirectory("graft-medallion").toString
     val m1 = Medallion.run(spark, sfDir, work)
