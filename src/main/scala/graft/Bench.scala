@@ -37,6 +37,13 @@ import org.apache.spark.sql.functions.{col, max, md5}
   * `SPARK_GRAFT_QUERIES` (comma-separated names) restricts the run —
   * the standalone-profiling mode the bench-artifact discipline calls
   * for when a full-run number looks off.
+  *
+  * d2b/d2 self-policing (r8 verdict): when the full-run ratio
+  * estimator leaves its committed 1.5-2.1 band, the bench immediately
+  * re-profiles the pair standalone (3 timed passes over only those
+  * two queries) and stamps `d2b_over_d2_pair_min/med` next to the
+  * fleet numbers — the artifact carries its own tie-breaker instead
+  * of deferring to SURVEY prose.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -66,12 +73,13 @@ object Bench {
         .agg(max("h")).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    def once(): Map[String, Double] =
-      queries.map { case (name, fn) =>
+    def onceOf(qs: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]): Map[String, Double] =
+      qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    def once(): Map[String, Double] = onceOf(queries)
     // TWO untimed warmup passes: r4 measured the first TIMED canary at
     // 7x the others (3.08s vs 0.44s) — one pass leaves JIT/codegen
     // warmup bleeding into the first timed pass, which polluted
@@ -129,12 +137,47 @@ object Bench {
     // measured band is 1.5-2.1 (either estimator flickers ~±20% on a
     // jittery host at these 1-2s magnitudes — SURVEY §12 treats only
     // a sustained reading above 2.5 as a regression signal)
-    val d2Ratio = (for {
-      bMin <- results.get("d2b_ngram_jaccard_capped")
-      aMin <- results.get("d2_ngram_jaccard") if aMin > 0
-      bMed <- medians.get("d2b_ngram_jaccard_capped")
-      aMed <- medians.get("d2_ngram_jaccard") if aMed > 0
-    } yield s""","d2b_over_d2_min":${f3(bMin / aMin)},"d2b_over_d2_med":${f3(bMed / aMed)}""").getOrElse("")
+    def d2RatioOf(res: Map[String, Double],
+                  med: Map[String, Double]): Option[(Double, Double)] = for {
+      bMin <- res.get("d2b_ngram_jaccard_capped")
+      aMin <- res.get("d2_ngram_jaccard") if aMin > 0
+      bMed <- med.get("d2b_ngram_jaccard_capped")
+      aMed <- med.get("d2_ngram_jaccard") if aMed > 0
+    } yield (bMin / aMin, bMed / aMed)
+    val fullD2 = d2RatioOf(results, medians)
+    // SELF-POLICING (r8 verdict): a full-run estimator outside the
+    // committed 1.5-2.1 band has, every time it happened, been fleet-
+    // position flicker (d2 landing anomalously fast mid-pass), and the
+    // SURVEY §12 tie-breaker is a pair-only standalone profile — but
+    // that resolution used to live only in SURVEY prose while the
+    // artifact carried the bad number. Now the bench runs the pair-only
+    // protocol ITSELF whenever either estimator leaves the band and
+    // stamps both readings side by side, so the committed artifact is
+    // self-explaining. (Same methodology over just the two queries:
+    // one re-warmup, min/median over 3 timed passes, caches cleared +
+    // GC between — fleet-position effects removed by construction.)
+    val d2Band = (1.5, 2.1)
+    val pairD2: Option[(Double, Double)] = fullD2.flatMap { case (rMin, rMed) =>
+      val inBand = (r: Double) => r >= d2Band._1 && r <= d2Band._2
+      if (inBand(rMin) && inBand(rMed)) None
+      else {
+        val pq = SparkEntry.queries.filter { case (n, _) =>
+          n == "d2_ngram_jaccard" || n == "d2b_ngram_jaccard_capped" }
+        spark.catalog.clearCache(); onceOf(pq): Unit // pair re-warmup
+        val pp = Seq.fill(3) {
+          spark.catalog.clearCache(); System.gc(); onceOf(pq)
+        }
+        val by = pp.flatten.groupMap(_._1)(_._2)
+        d2RatioOf(by.view.mapValues(_.min).toMap,
+          by.view.mapValues { ts => val s = ts.sorted; s(s.length / 2) }.toMap)
+      }
+    }
+    val d2Ratio = fullD2.map { case (rMin, rMed) =>
+      s""","d2b_over_d2_min":${f3(rMin)},"d2b_over_d2_med":${f3(rMed)}""" +
+        pairD2.map { case (pMin, pMed) =>
+          s""","d2b_over_d2_pair_min":${f3(pMin)},"d2b_over_d2_pair_med":${f3(pMed)}"""
+        }.getOrElse("")
+    }.getOrElse("")
     val core = s""""metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","canary_sec":$cs,"canary_min":${f3(canaries.min)}$d2Ratio,"methodology":"2 warmup passes + 2 canary-only warmups; min over 3 interleaved timed passes, caches cleared + full GC between; codegen class cache 4096; canary = fixed ${cpus}-way md5 scan per pass (host-noise ref); medians of the same passes in queries_med (BENCH_FULL.json)""""
     val json = s"""{$core,"queries":${qmap(results)},"total":${f3(total)},"canary":${f3(canaries.min)}}"""
     println(json)
