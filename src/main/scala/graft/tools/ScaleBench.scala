@@ -40,7 +40,16 @@ object ScaleBench {
     // the kNN-graph build: candidate cost is bounded by LSH bucket
     // occupancy, so the curve should stay near-linear in |V| (bucket
     // count is fixed, occupancy grows linearly)
-    "e16_knn_graph")
+    "e16_knn_graph",
+    // the full near-dup -> connected-components composition (d7) on
+    // the generated corpus's real pair graph (mostly 2-doc chains);
+    // the adversarial LONG-chain shape is measured separately below
+    "d7_dup_clusters",
+    // event analytics (r8 verdict: the last unmeasured family): all
+    // four are per-user key-aligned joins/regroups, so the curves
+    // should stay near-linear as growth adds USERS at constant
+    // per-user activity (ScaleGen.events' growth model)
+    "g17_funnel", "g32_window_funnel", "g18_retention", "g31_event_paths")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft_scale")
@@ -110,11 +119,15 @@ object ScaleBench {
       println(f"[scalebench] x$m e16_planes8 min=${ops("e16_planes8")._1}%.3f " +
         f"med=${ops("e16_planes8")._2}%.3f rows=${ops("e16_planes8")._3}")
       def rank1MeanSim(planes: Int): Long = {
-        val d = graft.ann.Knn.knnGraph(Tables.load(spark, dir, "embeddings"),
+        // avg(sim) is NULL on an empty kNN graph (no LSH candidate
+        // pairs on a degenerate corpus) — report -1 instead of NPEing
+        // mid-benchmark
+        val row = graft.ann.Knn.knnGraph(Tables.load(spark, dir, "embeddings"),
           k = 3, planes = planes, tables = 4)
           .filter(col("rank") === 1)
-          .agg(avg(col("sim")).as("m")).collect()(0).getDouble(0)
-        math.round(d * 1e6)
+          .agg(avg(col("sim")).as("m")).collect()(0)
+        Option(row.get(0)).map(d =>
+          math.round(d.asInstanceOf[Double] * 1e6)).getOrElse(-1L)
       }
       ops("e16_q4") = (0.0, 0.0, rank1MeanSim(4))
       ops("e16_q8") = (0.0, 0.0, rank1MeanSim(8))
@@ -131,6 +144,35 @@ object ScaleBench {
       println(f"[scalebench] x$m e18_graph_ivf (C=$ivfCents) " +
         f"min=${ops("e18_graph_ivf")._1}%.3f med=${ops("e18_graph_ivf")._2}%.3f " +
         f"rows=${ops("e18_graph_ivf")._3}")
+
+      // d7's O(log diameter) claim, measured on its adversarial shape:
+      // templated near-dup CHAINS (docs 0-1-2-…, each adjacent pair a
+      // near-dup — diameter = chain length, the worst case for label
+      // propagation; the generated corpus's own pairs are mostly
+      // 2-doc components and never stress the jump). Two chain
+      // lengths × growing corpus: ROUNDS must track log(chain length)
+      // and stay FLAT in corpus size; wall-time ~linear in total
+      // nodes. Pairs are generated directly (the claim under test is
+      // the CC kernel, not the pair generator — d7_dup_clusters above
+      // measures the full composition).
+      def chainPairs(total: Long, chainLen: Long): DataFrame =
+        spark.range(0L, total - 1, 1L, 32)
+          .filter(pmod(col("id"), lit(chainLen)) =!= chainLen - 1)
+          .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      Seq(1000L, 10000L).foreach { cl =>
+        val total = 20000L * m
+        val key = s"d7_chain${cl / 1000}k"
+        var rounds = 0
+        ops(key) = bench(() => {
+          val (cc, r) = graft.dedup.DupClusters
+            .connectedComponentsWithRounds(chainPairs(total, cl), maxIter = 40)
+          rounds = r
+          cc.count()
+        })
+        ops(s"${key}_rounds") = (0.0, 0.0, rounds.toLong)
+        println(f"[scalebench] x$m $key min=${ops(key)._1}%.3f " +
+          f"med=${ops(key)._2}%.3f nodes=${ops(key)._3} rounds=$rounds")
+      }
 
       // persisted-index legs: drop any prior state so the lifecycle
       // number is a REAL build, then probe steady-state

@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *  - `skew_fact` (key, rid, amount) / `skew_dim` (key, attr): a
   *    deliberately hot-keyed fact (~60% of rows on key 0, remainder
   *    over 1k keys) for the salted-vs-plain agg/join story.
+  *  - `events` (event_id, ts, user_id, event_type, value, props):
+  *    the driver testdata's event-log shape for the event-analytics
+  *    curves; growth adds users at constant per-user activity.
   *
   * Everything is a DETERMINISTIC function of the row id via `hash` —
   * no rand(), no timestamps — so any size regenerates bit-identically
@@ -47,6 +50,8 @@ object ScaleGen {
   val BaseDocs = 5000L
   val BaseVecs = 2000L
   val BaseFact = 200000L
+  val BaseEvents = 100000L
+  val BaseUsers = 1500L
 
   def documents(spark: SparkSession, n: Long): DataFrame = {
     val vocab = array(Vocab.map(lit): _*)
@@ -98,6 +103,30 @@ object ScaleGen {
             .cast("double") / 1000.0).cast("float")))
       .select("vec_id", "embedding", "label")
 
+  /** Event log mimicking the driver testdata's `events` shape (5 event
+    * types, ~67 events/user over a 30-day span): growth adds USERS at
+    * constant per-user activity — the realistic fan-in model, so the
+    * event-analytics curves (g17/g32/g18/g31) measure corpus growth,
+    * not per-user timeline growth. Uniform hash-drawn types/times give
+    * every funnel step real survivors at any size. */
+  def events(spark: SparkSession, n: Long, users: Long): DataFrame = {
+    val types = array(Seq("view", "click", "purchase", "signup", "error").map(lit): _*)
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    spark.range(0L, n, 1L, 32).select(col("id").as("event_id"))
+      .withColumn("user_id",
+        pmod(hash(col("event_id") * 13 + 3), lit(users)).cast("long"))
+      .withColumn("event_type", element_at(types,
+        pmod(hash(col("event_id"), lit(5)), lit(5)).cast("int") + 1))
+      .withColumn("ts", timestamp_micros(lit(baseUs) +
+        pmod(hash(col("event_id"), lit(7)), lit(2592000)).cast("long") * 1000000L +
+        pmod(hash(col("event_id"), lit(8)), lit(1000000)).cast("long")))
+      .withColumn("value",
+        pmod(hash(col("event_id"), lit(9)), lit(10000)).cast("double") / 100.0)
+      .withColumn("props",
+        concat(lit("{\"p\":"), pmod(col("event_id"), lit(7)), lit("}")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   /** ~60% of rows land on key 0; the rest spread over 1k keys. */
   def skewFact(spark: SparkSession, n: Long): DataFrame =
     spark.range(0L, n, 1L, 32)
@@ -123,6 +152,8 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$dir/skew_fact.parquet")
     skewDim(spark).repartition(1)
       .write.mode("overwrite").parquet(s"$dir/skew_dim.parquet")
+    events(spark, BaseEvents * mult, BaseUsers * mult).repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -138,7 +169,8 @@ object ScaleGen {
     mults.foreach { m =>
       writeAll(spark, root, m)
       println(s"[scalegen] wrote $root/x$m (docs=${BaseDocs * m}, " +
-        s"vecs=${BaseVecs * m}, fact=${BaseFact * m})")
+        s"vecs=${BaseVecs * m}, fact=${BaseFact * m}, " +
+        s"events=${BaseEvents * m})")
     }
     spark.stop()
   }
