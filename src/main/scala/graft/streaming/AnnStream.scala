@@ -37,11 +37,15 @@ object AnnStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // persisted: the emptiness guard and the MERGE are two actions,
+        // and without the persist each would run the full probe again
         val res = AnnIndex.topK(batch.sparkSession, indexName, batch, k,
-          nProbe, shortlist)
-        if (!res.isEmpty) {
-          SnapshotStore.mergeInto(res, targetDir, Seq("query_id", "rank")): Unit
-        }
+          nProbe, shortlist).persist()
+        try {
+          if (!res.isEmpty) {
+            SnapshotStore.mergeInto(res, targetDir, Seq("query_id", "rank")): Unit
+          }
+        } finally { res.unpersist(): Unit }
       }
       .start()
 }

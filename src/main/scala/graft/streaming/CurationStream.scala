@@ -62,17 +62,26 @@ object CurationStream {
       .drop("__h")
     // the band-hit count is an aggregation, which would be a SECOND
     // stateful op on the stream; inside foreachBatch the micro-batch
-    // is a plain frame, so the probe + count run stateless per batch
+    // is a plain frame, so the probe + count run stateless per batch.
+    // The batch MUST be persisted before the self-join: the foreachBatch
+    // frame wraps the micro-batch PLAN (including the stateful dedup),
+    // so referencing it from two join branches re-executes that
+    // stateful subtree twice per batch — double state-store work and
+    // two commits of the same state version (StreamBench measured the
+    // dedup operator's state metrics doubled before this persist).
     deduped.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val flagged = batch
-          .join(nearDupFlagStream(batch, col("doc_id"), col("text"), corpusIndex)
-              .groupBy("doc_id").agg(count(lit(1)).as("n_band_hits")),
-            Seq("doc_id"), "left")
-          .na.fill(0L, Seq("n_band_hits"))
-        SnapshotStore.mergeInto(flagged, targetDir, Seq("doc_id")): Unit
+        val b = batch.persist()
+        try {
+          val flagged = b
+            .join(nearDupFlagStream(b, col("doc_id"), col("text"), corpusIndex)
+                .groupBy("doc_id").agg(count(lit(1)).as("n_band_hits")),
+              Seq("doc_id"), "left")
+            .na.fill(0L, Seq("n_band_hits"))
+          SnapshotStore.mergeInto(flagged, targetDir, Seq("doc_id")): Unit
+        } finally { b.unpersist(): Unit }
       }
       .start()
   }

@@ -106,10 +106,14 @@ object Scd2Stream {
             s"scd2 enrich: no committed dimension version at $dimDir yet " +
               "— failing the batch so it retries after the maintenance " +
               "stream's first commit (offsets stay uncheckpointed)"))
-        val res = Scd2.asOfJoin(batch, factTs, dim, keys, tracked)
-        if (!res.isEmpty) {
-          SnapshotStore.mergeInto(res, targetDir, factKeys): Unit
-        }
+        // persisted: the emptiness guard and the MERGE are two actions,
+        // and without the persist each would run the as-of join again
+        val res = Scd2.asOfJoin(batch, factTs, dim, keys, tracked).persist()
+        try {
+          if (!res.isEmpty) {
+            SnapshotStore.mergeInto(res, targetDir, factKeys): Unit
+          }
+        } finally { res.unpersist(): Unit }
       }
       .start()
 }

@@ -34,15 +34,22 @@ object SearchStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val qids = batch.select(col("query_id")).distinct()
-        if (!qids.isEmpty) {
-          val qterms = batch.select(col("query_id"),
-            explode(array_distinct(col("terms"))).as("token"))
-          val res = Search.probeIndexTerms(batch.sparkSession, indexName,
-            qterms, k, k1, b)
-          SnapshotStore.replaceGroups(res, targetDir, Seq("query_id"),
-            keySource = Some(qids)): Unit
-        }
+        // persisted: the batch feeds three consumers (the emptiness
+        // guard, the term explode, and replaceGroups' key source) and
+        // each action on an un-persisted foreachBatch frame re-scans
+        // the micro-batch source
+        val b0 = batch.persist()
+        try {
+          val qids = b0.select(col("query_id")).distinct()
+          if (!qids.isEmpty) {
+            val qterms = b0.select(col("query_id"),
+              explode(array_distinct(col("terms"))).as("token"))
+            val res = Search.probeIndexTerms(b0.sparkSession, indexName,
+              qterms, k, k1, b)
+            SnapshotStore.replaceGroups(res, targetDir, Seq("query_id"),
+              keySource = Some(qids)): Unit
+          }
+        } finally { b0.unpersist(): Unit }
       }
       .start()
 }

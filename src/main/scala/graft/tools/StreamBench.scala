@@ -68,6 +68,12 @@ object StreamBench {
         off += m
       }
       val secs = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("STREAMBENCH_DEBUG")) {
+        q.recentProgress.foreach(p => p.stateOperators.foreach(s =>
+          println(s"[streambench-debug] batch=${p.batchId} op=${s.operatorName} " +
+            s"rows=${s.numRowsTotal} updated=${s.numRowsUpdated} " +
+            s"removed=${s.numRowsRemoved} wm=${p.eventTime.get("watermark")}")))
+      }
       val state = q.recentProgress.flatMap(_.stateOperators)
         .map(_.numRowsTotal).foldLeft(0L)(math.max)
       (secs, state)
@@ -103,19 +109,25 @@ object StreamBench {
         val in = MemoryStream[Events.Event]
         val qname = s"sb_conv_$n"
         val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        // cohorts of `active` users step together (all views, then all
+        // carts, then all buys), so chains STRADDLE micro-batches and
+        // the state store genuinely holds ~active in-flight chains —
+        // per-user hops are `active` seconds apart, inside the window
+        val active = 2000
         val q = FunnelStream.conversions(in.toDS(),
-            Seq("view", "cart", "buy"), windowSeconds = 600,
+            Seq("view", "cart", "buy"), windowSeconds = 4 * active,
             watermark = "10 minutes")
           .writeStream.format("memory").queryName(qname)
           .outputMode(OutputMode.Append()).start()
         try {
-          // user i/3 emits view,cart,buy at 1s hops; ts advances 1s
-          // per event so the watermark sweeps old chains out behind
-          // the stream — state must track the ACTIVE window, not n
+          // ts advances 1s per event: the watermark sweeps completed
+          // cohorts out behind the stream — state must track the
+          // ACTIVE cohort (~`active` rows), not n
           val (secs, state) = drive(q, n, (off, m) =>
             in.addData((off until off + m).map { i =>
+              val user = (i % active) + (i / (3 * active)) * active
               Events.Event(i.toLong, new Timestamp(base + i * 1000L),
-                i / 3L, Seq("view", "cart", "buy")(i % 3), 1.0)
+                user.toLong, Seq("view", "cart", "buy")((i / active) % 3), 1.0)
             }): Unit)
           val conv = spark.table(qname).count()
           ops("funnel") = s"""{"rows":$n,"secs":${f3(secs)},""" +
