@@ -120,6 +120,17 @@ class StreamingSpec extends SparkSpec {
     assert(snap.keySet == Set(9001L, 9003L))
     assert(snap(9001L) == 0L, "fresh text has no corpus band hits")
     assert(snap(9003L) > 0L, "corpus copy must hit the band index")
+    // regression guard for the foreachBatch persist: the stateful
+    // dedup must execute ONCE per batch — 3 gate survivors, 2 distinct
+    // hashes, so the state store commits exactly 2 updated rows. The
+    // un-persisted self-join re-executed the dedup subtree and
+    // reported every state metric doubled (4 here).
+    val dedupOps = q.recentProgress.flatMap(_.stateOperators)
+      .filter(_.operatorName == "dedupeWithinWatermark")
+    assert(dedupOps.nonEmpty, "no dedup state operator in progress")
+    assert(dedupOps.map(_.numRowsUpdated).max === 2L,
+      s"dedup state updated ${dedupOps.map(_.numRowsUpdated).max} rows " +
+        "for 2 distinct survivors — the stateful subtree ran more than once")
   }
 
   test("rollup stream: batch-keyed partials fold to the full recompute; replay and compact are safe") {
