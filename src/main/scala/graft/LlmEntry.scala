@@ -567,6 +567,25 @@ object LlmEntry {
         k = 3, poolSize = 10, lambda = 0.7)
     }),
 
+    "e19_index_stats" -> ((s, dir) => {
+      // cell-occupancy report over the shared persisted index (the
+      // g30-for-ANN planning input: skew/empty cells decide nProbe
+      // and retrain cadence); nCentroids-sized output, the count
+      // rides the bucketed assign member
+      val emb = t(s, dir, "embeddings")
+      val aname = s"e6probe_${dir.hashCode.toHexString}"
+      ensureAnnProbeIndex(s, emb, aname)
+      AnnIndex.stats(s, aname)
+    }),
+
+    "t27_pack_report" -> ((s, dir) =>
+      // packing-efficiency report over t7's bins: the one-row summary
+      // a pipeline checks before committing a token budget (fill rate
+      // IS training throughput)
+      Packing.packReport(
+        TextAnalysis.tokenCounts(t(s, dir, "documents"), col("text")),
+        col("doc_id"), col("bpe_tokens"), budget = 2000L, buckets = 8)),
+
     "e14b_mmr_indexed" -> ((s, dir) => {
       // the e9b move for MMR (closing e14's documented brute-leg
       // exemption): the candidate pool is the PERSISTED IVF-PQ index's
@@ -2285,6 +2304,37 @@ object LlmEntry {
          |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          |FROM p GROUP BY 1, 2""".stripMargin,
 
+    // t27: t7's packing CTEs rolled up to the one-row efficiency
+    // report — every ratio one IEEE division of exact integer sums,
+    // per-bin fills rounded BEFORE min/max (identical op order to the
+    // Spark entry)
+    "t27_pack_report" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+         |  ${bucketSql(8)} AS bucket
+         |  FROM documents),
+         |p AS (SELECT *, CAST(floor(coalesce(
+         |        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
+         |      AS BIGINT) AS bin FROM c),
+         |b AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |      FROM p GROUP BY 1, 2),
+         |f AS (SELECT *, round(CAST(bin_tokens AS DOUBLE) / 2000.0, 6) AS fill
+         |      FROM b),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         |             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |             CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+         |             min(fill) AS min_fill, max(fill) AS max_fill
+         |      FROM f)
+         |SELECT n_bins, n_docs, total_tokens,
+         |  round(CAST(n_docs AS DOUBLE) / CAST(n_bins AS DOUBLE), 6) AS mean_docs_per_bin,
+         |  round(CAST(total_tokens AS DOUBLE) / (CAST(n_bins AS DOUBLE) * 2000.0), 6) AS mean_fill,
+         |  min_fill, max_fill,
+         |  round(greatest(0.0, 1.0 - CAST(total_tokens AS DOUBLE) /
+         |        (CAST(n_bins AS DOUBLE) * 2000.0)), 6) AS waste_frac
+         |FROM a""".stripMargin,
+
     "x3_upsample" ->
       s"""WITH b AS (SELECT source, doc_id, ${bucketSql(1000000)} AS bkt FROM documents)
          |SELECT source, count(DISTINCT doc_id) AS n_docs,
@@ -3018,6 +3068,32 @@ object LlmEntry {
          |SELECT query_id, 3 AS mmr_rank, neighbor_id,
          |       CAST(mmr_u AS DOUBLE)/10000000.0 AS mmr_score FROM p3""".stripMargin
     },
+
+    // e19: the e6 pipeline's centroid-assignment CTEs (quantizers
+    // sampled from base >= 110, corpus = everything >= 10), rolled up
+    // to per-cell occupancy with a left join from the cent list so
+    // empty cells report 0
+    "e19_index_stats" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         |base AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 110),
+         |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM base
+         |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
+         |asg0 AS (SELECT neighbor_id, cent_id,
+         |  round(list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM c, cent),
+         |asg AS (SELECT neighbor_id, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+         |  WHERE rn = 1),
+         |occ AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors
+         |        FROM asg GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS t FROM occ)
+         |SELECT cent.cent_id, CAST(coalesce(occ.n_vectors, 0) AS BIGINT) AS n_vectors,
+         |  round(CAST(coalesce(occ.n_vectors, 0) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+         |FROM cent LEFT JOIN occ USING (cent_id) CROSS JOIN tot""".stripMargin,
 
     "e14b_mmr_indexed" -> {
       // e14's exact-integer greedy replay, the candidate pool swapped

@@ -221,6 +221,33 @@ object AnnIndex {
            nProbe: Int = 4, shortlist: Int = 100): DataFrame =
     probe(spark, name, queries, k, nProbe, shortlist, filterKeys = Nil)
 
+  /** Cell-occupancy report over the persisted index — the ANN twin of
+    * `Skew.keyShareReport` (g30) and the planning input behind nProbe
+    * and retrain decisions: per centroid, vectors assigned and the
+    * corpus share. A skewed report means probes pay full cost on hot
+    * cells while empty cells waste probe budget — the signal to
+    * retrain the coarse quantizer (e4) or raise nCentroids (the
+    * √|V| sizing SCALING.md measures). Cells with ZERO occupancy
+    * still report (left join from the cents member) — an empty cell
+    * IS the finding. One partial-aggregating count over the assign
+    * member (bucketed on cent_id — the count never re-shuffles
+    * corpus-sized data), output nCentroids-sized; the share is a
+    * single IEEE division of exact longs, rounded 6 dp. */
+  def stats(spark: SparkSession, name: String): DataFrame = {
+    val v = currentVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no ANN index named $name"))
+    val occ = spark.table(s"${name}_assign_v$v")
+      .groupBy("cent_id").agg(count(lit(1)).as("n_vectors"))
+    val tot = occ.agg(sum(col("n_vectors")).as("__tot"))
+    spark.table(s"${name}_cents_v$v").select("cent_id")
+      .join(occ, Seq("cent_id"), "left")
+      .na.fill(0L, Seq("n_vectors"))
+      .crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"))
+  }
+
   /** [[topK]] restricted to corpus vectors sharing the query's
     * `filterKeys` metadata — filtered ANN search at the INDEX level
     * (the e11 brute-force leg's persisted twin): the index must have

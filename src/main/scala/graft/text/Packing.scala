@@ -45,6 +45,46 @@ object Packing {
     packed.groupBy("bucket", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
 
+  /** Corpus-level packing-efficiency report — the number a training
+    * pipeline checks BEFORE committing a budget (fill rate IS training
+    * throughput: a 60%-full bin wastes 40% of every forward pass it
+    * feeds): one row of n_bins, n_docs, total_tokens, mean docs/bin,
+    * mean/min/max fill and the padding-waste fraction
+    * `1 − total_tokens/(n_bins·budget)` clamped at 0. A bin's fill can
+    * EXCEED 1.0 — [[packIntoBins]] assigns the boundary-straddling doc
+    * to the bin of its prefix — so fill > 1 flags budget-crossing
+    * jumbo docs, not an error; chunk those docs first (t9) if strict
+    * caps are needed.
+    *
+    * Determinism: every reported ratio is ONE IEEE division of exact
+    * integer sums, rounded 6 dp (per-bin fills are rounded BEFORE the
+    * min/max so engines agree). Scale: [[packIntoBins]]'s per-bucket
+    * windows, then a bins-sized partial-aggregating rollup and a
+    * one-row reduce. */
+  def packReport(docs: DataFrame, id: Column, tokens: Column,
+                 budget: Long, buckets: Int = 32): DataFrame = {
+    val bins = binStats(packIntoBins(docs, id, tokens, budget, buckets))
+      .withColumn("fill",
+        round(col("bin_tokens").cast("double") / lit(budget.toDouble), 6))
+    bins.agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("total_tokens"),
+        min(col("fill")).as("min_fill"),
+        max(col("fill")).as("max_fill"))
+      .select(col("n_bins"), col("n_docs"), col("total_tokens"),
+        round(col("n_docs").cast("double") / col("n_bins").cast("double"), 6)
+          .as("mean_docs_per_bin"),
+        round(col("total_tokens").cast("double") /
+          (col("n_bins").cast("double") * lit(budget.toDouble)), 6)
+          .as("mean_fill"),
+        col("min_fill"), col("max_fill"),
+        round(greatest(lit(0.0),
+          lit(1.0) - col("total_tokens").cast("double") /
+            (col("n_bins").cast("double") * lit(budget.toDouble))), 6)
+          .as("waste_frac"))
+  }
+
   /** Split each document into fixed-size token chunks with overlap —
     * the context-window chunking step of a pretraining/RAG pipeline.
     * Chunk c covers whitespace tokens [c·stride, c·stride + chunkSize)

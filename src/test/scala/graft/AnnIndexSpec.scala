@@ -99,6 +99,32 @@ class AnnIndexSpec extends SparkSpec {
     } finally dropIndex("asx")
   }
 
+  test("stats: occupancy covers the corpus, empty cells report zero") {
+    dropIndex("ast")
+    try {
+      AnnIndex.write(corpus.filter(col("vec_id") >= 110), "ast", buckets = 4)
+      AnnIndex.update(corpus.filter(col("vec_id") < 110), "ast", buckets = 4)
+      val rows = AnnIndex.stats(spark, "ast").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // one row per centroid, occupancies sum to the indexed corpus,
+      // shares sum to ~1 (each share is independently rounded 6 dp)
+      assert(rows.length === 16, "one row per centroid")
+      assert(rows.map(_._2).sum === corpus.count(), "occupancy covers corpus")
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "shares sum to 1")
+      assert(rows.forall(r => r._2 >= 0 && r._3 >= 0.0))
+      // deleting every vector of one cell leaves the cell reporting 0,
+      // not vanishing from the report (an empty cell IS the finding)
+      val cell = rows.maxBy(_._2)._1
+      val v1 = spark.table("ast_assign")
+        .filter(col("cent_id") === cell).select("neighbor_id")
+      AnnIndex.delete(v1, "ast", buckets = 4)
+      val after = AnnIndex.stats(spark, "ast").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(after.size === 16, "empty cells still report")
+      assert(after(cell) === 0L, "emptied cell reports zero occupancy")
+    } finally dropIndex("ast")
+  }
+
   test("probing a written index equals the direct Pq pipeline exactly") {
     dropIndex("aix")
     assert(AnnIndex.write(corpus, "aix", buckets = 4) == 0)

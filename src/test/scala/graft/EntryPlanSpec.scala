@@ -106,7 +106,10 @@ class EntryPlanSpec extends SparkSpec {
     // e15b composes e6b's probe (query×constant-codebook ADC product)
     // with e8c's terms probe (one-row corpus-stats product); the
     // fusion tail is |Q|×k equi-joins — e9b's exemption class
-    "e15b_hybrid_linear_indexed")
+    "e15b_hybrid_linear_indexed",
+    // e19 attaches the ONE-ROW occupancy total to the nCentroids-sized
+    // cell report — g30's one-row-total class
+    "e19_index_stats")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -165,6 +165,23 @@ class SamplingPackingSpec extends SparkSpec {
     assert(packed.map(_._1).distinct.length > 1, "multiple buckets in play")
   }
 
+  test("packReport: one-row efficiency stats match the hand-packed bins") {
+    // same bins as the hand case above: bin0 = {10,20,30} (60 tokens,
+    // fill 1.2), bin1 = {40} (0.8), bin2 = {50} (1.0)
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("doc_id", "n_tokens")
+    val r = Packing.packReport(docs, col("doc_id"), col("n_tokens"),
+      budget = 50L, buckets = 1).collect().head
+    assert(r.getLong(0) === 3L, "n_bins")
+    assert(r.getLong(1) === 5L, "n_docs")
+    assert(r.getLong(2) === 150L, "total_tokens")
+    assert(r.getDouble(3) === 1.666667, "mean_docs_per_bin")
+    assert(r.getDouble(4) === 1.0, "mean_fill = 150/(3*50)")
+    assert(r.getDouble(5) === 0.8, "min_fill")
+    assert(r.getDouble(6) === 1.2, "max_fill (jumbo-straddle bin)")
+    assert(r.getDouble(7) === 0.0, "waste_frac clamps at 0 when full")
+  }
+
   test("chunk: overlapping windows, short tail, empty doc") {
     // 10 tokens, chunkSize 4, overlap 2 -> starts 0,2,4,6,8
     val docs = Seq(
