@@ -41,22 +41,40 @@ object LlmCuration {
           minQuality: Double = 0.5, lang: Option[String] = Some("en"),
           minJaccard: Double = 0.1,
           storage: StorageLevel = Caching.Default): DataFrame = {
+    val kept = gateStage(docs, id, text, minQuality, lang)
+    // cached: feeds both the near-dup pair generation and the final
+    // left_anti — without it the gates + hash-dedup shuffle run twice
+    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    nearDupStage(uniq, minJaccard, storage).select("doc_id")
+  }
+
+  /** Stage 1: the map-only quality + language gate → (doc_id, text).
+    * Factored out so [[run]] and [[attritionReport]] cannot drift. */
+  private def gateStage(docs: DataFrame, id: Column, text: Column,
+                        minQuality: Double,
+                        lang: Option[String]): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("text"))
     val scored = TextAnalysis.qualityFeatures(base, col("text"))
       .withColumn("lang_pred", TextAnalysis.langId(col("text")))
-    val kept = lang.foldLeft(scored.filter(col("quality_score") >= minQuality)) {
+    lang.foldLeft(scored.filter(col("quality_score") >= minQuality)) {
       (df, l) => df.filter(col("lang_pred") === l)
     }.select("doc_id", "text")
-    // cached: feeds both the near-dup pair generation and the final
-    // left_anti — without it the gates + hash-dedup shuffle run twice
-    val uniq = Caching.persisted(kept.groupBy(md5(col("text")).as("__h"))
+  }
+
+  /** Stage 2: exact dedup, min-id keeper per content hash. */
+  private def exactDedupStage(kept: DataFrame): DataFrame =
+    kept.groupBy(md5(col("text")).as("__h"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
-      .select("doc_id", "text"), storage)
+      .select("doc_id", "text")
+
+  /** Stage 3: near-dup apply — survivors of the greedy MinHash-LSH
+    * drop, keeping (doc_id, text). */
+  private def nearDupStage(uniq: DataFrame, minJaccard: Double,
+                           storage: StorageLevel): DataFrame = {
     val pairs = TextDedup.minHashLshPairs(uniq, col("doc_id"), col("text"),
       minJaccard, storage)
     uniq.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-      .select("doc_id")
+      Seq("doc_id"), "left_anti")
   }
 
   /** Corpus report card — the per-source summary a data team reads
@@ -113,5 +131,49 @@ object LlmCuration {
       docs.select(id.as("doc_id"), text.as("text")), Seq("doc_id"))
     graft.dedup.Decontaminate.applyFilter(withText, eval, "doc_id", col("text"), n)
       .select("doc_id")
+  }
+
+  /** Per-stage attrition report over [[runDecontaminated]]'s chain —
+    * the ops log every curation run emits (HOW MUCH did each stage
+    * drop; a gate suddenly eating 40% instead of 4% is a feed
+    * regression, a near-dup stage dropping ~0% says the corpus was
+    * already deduped upstream): one row per stage with rows in / rows
+    * out / drop fraction, stages the EXACT same factored functions
+    * [[run]] executes ([[gateStage]]/[[exactDedupStage]]/
+    * [[nearDupStage]] — report and pipeline cannot drift).
+    *
+    * The four counts are control-plane one-row aggregates (the
+    * [[Medallion.run]] metrics pattern); each intermediate is
+    * persisted so a stage's corpus is computed once and fed to both
+    * its count and the next stage. drop_frac is one IEEE division of
+    * exact longs, rounded 6 dp. */
+  def attritionReport(docs: DataFrame, eval: DataFrame,
+                      id: Column, text: Column,
+                      minQuality: Double = 0.5,
+                      lang: Option[String] = Some("en"),
+                      minJaccard: Double = 0.1, n: Int = 5,
+                      storage: StorageLevel = Caching.Default): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nAll = docs.count()
+    val kept = Caching.persisted(
+      gateStage(docs, id, text, minQuality, lang), storage)
+    val nKept = kept.count()
+    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val nUniq = uniq.count()
+    val surv = Caching.persisted(
+      nearDupStage(uniq, minJaccard, storage), storage)
+    val nSurv = surv.count()
+    val clean = graft.dedup.Decontaminate.applyFilter(
+      surv, eval, "doc_id", col("text"), n)
+    val nClean = clean.count()
+    Seq(kept, uniq, surv).foreach(_.unpersist())
+    Seq((1, "gate", nAll, nKept),
+        (2, "exact_dedup", nKept, nUniq),
+        (3, "near_dup", nUniq, nSurv),
+        (4, "decontam", nSurv, nClean))
+      .toDF("stage_no", "stage", "n_in", "n_out")
+      .withColumn("drop_frac", round(lit(1.0) -
+        col("n_out").cast("double") / col("n_in").cast("double"), 6))
   }
 }

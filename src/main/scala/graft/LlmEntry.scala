@@ -121,6 +121,33 @@ object LlmEntry {
         minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
     }),
 
+    "c5_attrition_report" -> ((s, dir) => {
+      // c2's chain as the per-stage ops log: rows in/out + drop
+      // fraction per stage (gate, exact dedup, near-dup, decontam) —
+      // the stages are run()'s own factored functions, so report and
+      // pipeline cannot drift
+      val docs = t(s, dir, "documents")
+      LlmCuration.attritionReport(docs,
+        docs.filter(col("doc_id") % 25 === 0),
+        col("doc_id"), col("text"),
+        minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
+    }),
+
+    "x13_stride_interleave" -> ((s, dir) => {
+      // stride-scheduled training order: any prefix of the sorted
+      // order holds each source near its corpus share (no accidental
+      // source curriculum); entry emits epoch-1's first 120 slots via
+      // the partition-less rn<=k bounded-heap path
+      val ord = Sampling.strideInterleave(t(s, dir, "documents"),
+        col("doc_id"), col("source"), epoch = 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("order_key"), col("stratum"), col("doc_id"))
+      ord.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 120)
+        .select(col("rnk"), col("doc_id"), col("stratum"),
+          round(col("order_key"), 6).as("okey"))
+    }),
+
     "d9_cross_dedup" -> ((s, dir) => {
       // cross-DATASET overlap audit: near-dup pairs where one side is
       // dataset src0 and the other any different source — the "does my
@@ -1986,6 +2013,56 @@ object LlmEntry {
          |SELECT doc_id FROM surv
          |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
 
+    // c5: c2's CTE chain with per-stage counts assembled into the
+    // attrition rows; drop_frac = one IEEE division of exact counts,
+    // identical op order to the Spark entry
+    "c5_attrition_report" ->
+      s"""WITH t0 AS (SELECT doc_id, text, $ToksSql AS tk FROM documents),
+         |feat AS (SELECT doc_id, text, tk,
+         |  len(tk) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |    greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(tk, x -> x IN ($EnStopsSql))) AS DOUBLE) /
+         |    greatest(len(tk), 1) AS stop_ratio,
+         |  ${LangScoreSql.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")}
+         |  FROM t0),
+         |keepq AS (SELECT doc_id, text FROM (
+         |    SELECT *,
+         |      round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
+         |            0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS q,
+         |      $LangCaseSql AS lang
+         |    FROM feat)
+         |  WHERE q >= 0.5 AND lang = 'en'),
+         |uniq AS (SELECT min(doc_id) AS doc_id, first(text) AS text
+         |         FROM keepq GROUP BY md5(text)),
+         |${minhashCtes("uniq")},
+         |drops AS (SELECT DISTINCT doc_b FROM ver WHERE jaccard >= 0.1),
+         |surv AS (SELECT doc_id, text FROM uniq
+         |         WHERE doc_id NOT IN (SELECT doc_b FROM drops)),
+         |evsh AS (SELECT DISTINCT unnest(sh) AS s FROM (
+         |    SELECT ${shSqlN(5)} AS sh FROM (
+         |      SELECT $ToksSql AS tk FROM documents WHERE doc_id % 25 = 0))),
+         |ssh AS (SELECT doc_id, unnest(sh) AS s FROM (
+         |    SELECT doc_id, ${shSqlN(5)} AS sh FROM (
+         |      SELECT doc_id, $ToksSql AS tk FROM surv))),
+         |dirty AS (SELECT DISTINCT ssh.doc_id FROM ssh JOIN evsh ON ssh.s = evsh.s),
+         |clean AS (SELECT doc_id FROM surv
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |st AS (
+         |  SELECT 1 AS stage_no, 'gate' AS stage,
+         |         (SELECT count(*) FROM documents) AS n_in,
+         |         (SELECT count(*) FROM keepq) AS n_out
+         |  UNION ALL SELECT 2, 'exact_dedup',
+         |         (SELECT count(*) FROM keepq), (SELECT count(*) FROM uniq)
+         |  UNION ALL SELECT 3, 'near_dup',
+         |         (SELECT count(*) FROM uniq), (SELECT count(*) FROM surv)
+         |  UNION ALL SELECT 4, 'decontam',
+         |         (SELECT count(*) FROM surv), (SELECT count(*) FROM clean))
+         |SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
+         |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+         |  round(1.0 - CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 6) AS drop_frac
+         |FROM st""".stripMargin,
+
     // c4: t14's per-doc quality features + a corpus-wide md5 count,
     // rolled up per source; means = IEEE divisions of exact decimal
     // (quality) / exact long (tokens) sums
@@ -2387,6 +2464,29 @@ object LlmEntry {
          |SELECT CAST(epoch AS INTEGER) AS epoch, CAST(rank AS INTEGER) AS rank,
          |       doc_id
          |FROM r WHERE rank <= 5""".stripMargin,
+
+    // x13: stride-scheduled interleave replay — natural shares and
+    // order keys are the identical two IEEE divisions, positions the
+    // same per-stratum (epoch key, id) order as epochOrderKey
+    "x13_stride_interleave" ->
+      s"""WITH b AS (SELECT doc_id, source AS stratum FROM documents),
+         |c AS (SELECT stratum, count(*) AS n FROM b GROUP BY 1),
+         |tt AS (SELECT sum(n) AS tot FROM c),
+         |s AS (SELECT stratum, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS w
+         |      FROM c CROSS JOIN tt),
+         |p AS (SELECT doc_id, stratum,
+         |        CAST(row_number() OVER (PARTITION BY stratum
+         |          ORDER BY ${h32Sql("'1:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |        AS BIGINT) AS pos
+         |      FROM b),
+         |o AS (SELECT p.doc_id, p.stratum, p.pos,
+         |        (CAST(pos AS DOUBLE) - 0.5) / w AS order_key
+         |      FROM p JOIN s USING (stratum)),
+         |r AS (SELECT *, row_number() OVER (
+         |        ORDER BY order_key, stratum, doc_id) AS rnk FROM o)
+         |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, stratum,
+         |       round(order_key, 6) AS okey
+         |FROM r WHERE rnk <= 120""".stripMargin,
 
     "t11_token_entropy" ->
       s"""WITH toks AS (SELECT doc_id, unnest(tk) AS tok

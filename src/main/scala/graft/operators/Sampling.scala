@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -78,6 +79,48 @@ object Sampling {
     * same work a deterministic shard file needs anyway), not here. */
   def epochOrderKey(key: Column, epoch: Int): Column =
     Hashing.h32(concat_ws(":", lit(epoch.toString), key.cast("string")))
+
+  /** Stride-scheduled stratum interleave — the deterministic TRAINING
+    * ORDER for a mixed corpus ([[mix]] says how MUCH of each stratum;
+    * this says in WHAT ORDER): every stratum advances through the
+    * global order at a rate proportional to its share, so ANY prefix
+    * of the sorted order holds each stratum in ≈ its share — the
+    * anti-curriculum guarantee (sorting a mixed corpus by id or
+    * source silently trains 3 epochs of one feed before the first doc
+    * of another; an interleaved order never does). Classic stride
+    * scheduling (Waldspurger & Weihl 1995, lottery/stride CPU
+    * scheduling): the stratum's p-th item (1-based, per-epoch
+    * deterministic order via [[epochOrderKey]]) gets
+    * `order_key = (p − 0.5) / share`; consumers sort by
+    * (order_key, stratum, id) — the tiebreak makes the order total.
+    * Shares are each stratum's natural corpus share, so every prefix
+    * looks like the corpus; to interleave a REWEIGHTED mixture, apply
+    * [[mix]] first and interleave its output (copies carry copy_id
+    * into the id, so they spread across the epoch too).
+    *
+    * Scale: shares are one partial-aggregated strata-sized count
+    * broadcast back; positions are ONE window partitioned by stratum
+    * ordered by the epoch key — the same per-partition sort a
+    * deterministic shard writer pays anyway (t7's argument); the
+    * order KEY is emitted, never a global sort (the shard writer's
+    * range partitioner consumes it). Determinism: share and order_key
+    * are two IEEE divisions in fixed order from exact longs — any
+    * engine replays them bit for bit. */
+  def strideInterleave(df: DataFrame, id: Column, stratum: Column,
+                       epoch: Int = 0): DataFrame = {
+    val base = df.select(id.as("doc_id"), stratum.as("stratum"))
+    val counts = base.groupBy("stratum").agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(col("__n")).as("__tot"))
+    val shares = counts.crossJoin(broadcast(tot))
+      .select(col("stratum"),
+        (col("__n").cast("double") / col("__tot").cast("double")).as("__w"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(epochOrderKey(col("doc_id"), epoch), col("doc_id"))
+    base.withColumn("pos", row_number().over(w).cast("long"))
+      .join(broadcast(shares), "stratum")
+      .select(col("doc_id"), col("stratum"), col("pos"),
+        ((col("pos").cast("double") - 0.5) / col("__w")).as("order_key"))
+  }
 
   /** Keep a deterministic `fraction` of rows
     * (hash bucket < [[FractionBuckets]]·f, millionth granularity). */

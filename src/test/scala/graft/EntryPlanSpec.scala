@@ -109,7 +109,11 @@ class EntryPlanSpec extends SparkSpec {
     "e15b_hybrid_linear_indexed",
     // e19 attaches the ONE-ROW occupancy total to the nCentroids-sized
     // cell report — g30's one-row-total class
-    "e19_index_stats")
+    "e19_index_stats",
+    // x13 attaches the ONE-ROW corpus total to the strata-sized share
+    // frame — x12's class; the per-stratum ranking window is a full
+    // ranking by design (the shard writer's own sort, t7's argument)
+    "x13_stride_interleave")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -39,6 +39,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L, 11L, 12L))
   }
 
+  test("attritionReport: stages chain and agree with the pipeline itself") {
+    val docs = table("documents")
+    val eval = docs.filter(col("doc_id") % 25 === 0)
+    val rows = graft.LlmCuration.attritionReport(docs, eval,
+        col("doc_id"), col("text"))
+      .orderBy("stage_no").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSeq ===
+      Seq("gate", "exact_dedup", "near_dup", "decontam"))
+    // each stage's output IS the next stage's input (no gaps, no
+    // double counting), attrition is monotone non-increasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 === b._3, s"stage ${a._2} out != stage ${b._2} in")
+    }
+    assert(rows.head._3 === docs.count())
+    rows.foreach { case (_, st, in, out) =>
+      assert(out <= in, s"stage $st grew the corpus") }
+    // the report's final survivor count equals the pipeline the report
+    // describes (they share the SAME factored stage functions)
+    val survivors = graft.LlmCuration.runDecontaminated(docs, eval,
+      col("doc_id"), col("text")).count()
+    assert(rows.last._4 === survivors, "report disagrees with pipeline")
+  }
+
   test("decontam: flags exactly the docs sharing a 5-gram; filter drops them") {
     val eva = Seq((100L, "the quick brown fox jumps over a lazy dog"))
       .toDF("doc_id", "text")

@@ -165,6 +165,39 @@ class SamplingPackingSpec extends SparkSpec {
     assert(packed.map(_._1).distinct.length > 1, "multiple buckets in play")
   }
 
+  test("strideInterleave: every prefix holds each stratum near its share") {
+    val docs = table("documents")
+    val ord = Sampling.strideInterleave(docs, col("doc_id"), col("source"),
+        epoch = 1)
+      .orderBy("order_key", "stratum", "doc_id")
+      .select("stratum").as[String].collect()
+    val n = ord.length
+    assert(n === docs.count())
+    val shares = ord.groupBy(identity).view.mapValues(_.length.toDouble / n)
+    // stride scheduling's lag bound: stratum s appears in any prefix T
+    // floor/ceil of T·w_s times (within 1 item per stratum)
+    Seq(n / 10, n / 4, n / 2).foreach { t =>
+      val prefix = ord.take(t).groupBy(identity).view.mapValues(_.length)
+      shares.foreach { case (s, w) =>
+        val got = prefix.getOrElse(s, 0)
+        assert(math.abs(got - t * w) <= 1.0 + 1e-9,
+          s"prefix $t: stratum $s has $got vs expected ${t * w}")
+      }
+    }
+    // per-epoch reshuffle: a different epoch yields a different
+    // within-stratum order but the identical prefix-share property
+    val ord2 = Sampling.strideInterleave(docs, col("doc_id"), col("source"),
+        epoch = 2)
+      .orderBy("order_key", "stratum", "doc_id")
+      .select("doc_id").as[Long].collect()
+    val ord1Ids = Sampling.strideInterleave(docs, col("doc_id"), col("source"),
+        epoch = 1)
+      .orderBy("order_key", "stratum", "doc_id")
+      .select("doc_id").as[Long].collect()
+    assert(!ord1Ids.sameElements(ord2), "epochs must permute the order")
+    assert(ord1Ids.sorted.sameElements(ord2.sorted), "same corpus either way")
+  }
+
   test("packReport: one-row efficiency stats match the hand-packed bins") {
     // same bins as the hand case above: bin0 = {10,20,30} (60 tokens,
     // fill 1.2), bin1 = {40} (0.8), bin2 = {50} (1.0)
