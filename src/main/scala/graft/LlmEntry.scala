@@ -1254,6 +1254,28 @@ object LlmEntry {
       // + body size, all codegen'd builtins (hex/conv), map-only
       Multimodal.headerFields(Multimodal.asAssets(t(s, dir, "documents")))),
 
+    "m8_type_sniff" -> ((s, dir) => {
+      // magic-byte content-type audit: the corpus payloads are pure
+      // ASCII (all 'unknown' to libmagic), so real container magics
+      // are injected deterministically per asset_id % 6 — t5's
+      // PII-injection move, for bytes; the report must count exactly
+      // the injected mix plus the raw-text remainder
+      val magics = Seq(
+        "89504E470D0A1A0A",         // PNG
+        "FFD8FFE000104A464946",     // JPEG/JFIF
+        "52494646AAAA000057415645", // RIFF....WAVE
+        "255044462D312E37",         // %PDF-1.7
+        "1F8B08")                   // gzip; id % 6 == 5 stays raw text
+      val assets = Multimodal.asAssets(t(s, dir, "documents"))
+        .withColumn("payload",
+          when(pmod(col("asset_id"), lit(6)) === 5, col("payload"))
+            .otherwise(concat(
+              unhex(element_at(array(magics.map(lit): _*),
+                (pmod(col("asset_id"), lit(6)) + 1).cast("int"))),
+              col("payload"))))
+      Multimodal.typeMix(assets)
+    }),
+
     "m6_energy_windows" -> ((s, dir) =>
       // audio-curation silence screen over the byte-PCM stub: framed
       // levels + flatness flags, rolled up per asset
@@ -3969,6 +3991,40 @@ object LlmEntry {
 
     // ascii() per byte (pure-ASCII corpus, the m1 precedent); big-endian
     // uint16 = byte*256 + byte
+    // m8: the injected-magic payloads rebuilt blob-for-blob, the sniff
+    // CASE replayed over the hex prefix (hex() is uppercase in both
+    // engines; prefix chars of hex(payload) == hex of the byte prefix)
+    "m8_type_sniff" ->
+      s"""WITH a AS (SELECT doc_id % 6 AS k, encode(text) AS body FROM documents),
+         |p AS (SELECT CASE CAST(k AS INTEGER)
+         |    WHEN 0 THEN unhex('89504E470D0A1A0A') || body
+         |    WHEN 1 THEN unhex('FFD8FFE000104A464946') || body
+         |    WHEN 2 THEN unhex('52494646AAAA000057415645') || body
+         |    WHEN 3 THEN unhex('255044462D312E37') || body
+         |    WHEN 4 THEN unhex('1F8B08') || body
+         |    ELSE body END AS payload FROM a),
+         |h AS (SELECT payload, substr(hex(payload), 1, 24) AS hx FROM p),
+         |s AS (SELECT CASE
+         |    WHEN substr(hx,1,8) = '89504E47' THEN 'image/png'
+         |    WHEN substr(hx,1,6) = 'FFD8FF' THEN 'image/jpeg'
+         |    WHEN substr(hx,1,8) = '47494638' THEN 'image/gif'
+         |    WHEN substr(hx,1,8) = '52494646' AND substr(hx,17,8) = '57415645'
+         |      THEN 'audio/wav'
+         |    WHEN substr(hx,1,8) = '25504446' THEN 'application/pdf'
+         |    WHEN substr(hx,1,8) = '504B0304' THEN 'application/zip'
+         |    WHEN substr(hx,1,4) = '1F8B' THEN 'application/gzip'
+         |    WHEN substr(hx,9,8) = '66747970' THEN 'video/mp4'
+         |    WHEN substr(hx,1,6) = 'EFBBBF' THEN 'text/utf8-bom'
+         |    ELSE 'unknown' END AS sniffed_type,
+         |    octet_length(payload) AS nb FROM h),
+         |c AS (SELECT sniffed_type, CAST(count(*) AS BIGINT) AS n_assets,
+         |             CAST(sum(nb) AS BIGINT) AS total_bytes
+         |      FROM s GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_assets) AS BIGINT) AS tot FROM c)
+         |SELECT sniffed_type, n_assets, total_bytes,
+         |  round(CAST(n_assets AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+         |FROM c CROSS JOIN tt""".stripMargin,
+
     "m5_header_parse" ->
       """SELECT doc_id AS asset_id,
         |       substring(text, 1, 2) AS magic,

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,6 +32,49 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"))
       .withColumn("n_bytes", octet_length(col("payload")).cast(LongType))
       .withColumn("content_md5", md5(col("payload")))
+
+  /** Content-type sniffing by leading MAGIC BYTES — the multimodal
+    * ingest's FIRST gate, before [[headerFields]] can even pick a
+    * container layout (the file(1)/libmagic move: extensions and
+    * Content-Type headers lie on a crawl; leading bytes don't).
+    * Recognizes the common container magics (PNG, JPEG, GIF,
+    * RIFF/WAVE, PDF, ZIP/OOXML, gzip, MP4 ftyp, UTF-8 BOM);
+    * unmatched payloads classify 'unknown' and lead the triage list.
+    * Map-only codegen'd hex-prefix compares — scan speed at 100 TB. */
+  def sniffType(payload: Column): Column = {
+    val hx = hex(payload.substr(lit(1), lit(12)))
+    def pre(n: Int) = substring(hx, 1, n)
+    when(pre(8) === "89504E47", "image/png")
+      .when(pre(6) === "FFD8FF", "image/jpeg")
+      .when(pre(8) === "47494638", "image/gif")
+      .when(pre(8) === "52494646" &&
+        substring(hx, 17, 8) === "57415645", "audio/wav")
+      .when(pre(8) === "25504446", "application/pdf")
+      .when(pre(8) === "504B0304", "application/zip")
+      .when(pre(4) === "1F8B", "application/gzip")
+      .when(substring(hx, 9, 8) === "66747970", "video/mp4")
+      .when(pre(6) === "EFBBBF", "text/utf8-bom")
+      .otherwise(lit("unknown"))
+  }
+
+  /** Corpus type-mix report over [[sniffType]] — what an ingest run
+    * reads before sizing its decoder fleets (and the mismatch audit's
+    * input: a declared media_type that disagrees with the sniffed one
+    * is a mislabeled feed): per sniffed type, asset count, byte mass,
+    * and the corpus share. One map-only classification pass + one
+    * types-sized keyed count; share = a single IEEE division of exact
+    * longs attached from a one-row broadcast. */
+  def typeMix(assets: DataFrame): DataFrame = {
+    val typed = assets.select(sniffType(col("payload")).as("sniffed_type"),
+      octet_length(col("payload")).cast(LongType).as("nb"))
+    val counts = typed.groupBy("sniffed_type")
+      .agg(count(lit(1)).as("n_assets"), sum(col("nb")).as("total_bytes"))
+    val tot = counts.agg(sum(col("n_assets")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("sniffed_type"), col("n_assets"), col("total_bytes"),
+        round(col("n_assets").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"))
+  }
 
   /** STUB decode as a native Catalyst expression: derives the
     * deterministic fixed-size "feature" vector from payload bytes with

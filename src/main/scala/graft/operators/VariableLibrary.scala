@@ -58,3 +58,44 @@ final case class VariableLibrary(
     else ResolvedVariables(set, variables ++ valueSets.getOrElse(set,
       throw new NoSuchElementException(s"no value set named '$set'")))
 }
+
+object VariableLibrary {
+
+  /** Build a library from the JSON wire shape the reference deploys
+    * (`variables.json` declares `{"variables": [{"name": …,
+    * "value": …}, …]}`; each value-set file carries `{"name": …,
+    * "variableOverrides": [{"name": …, "value": …}, …]}`) — so a repo
+    * of checked-in environment files loads without hand-translation.
+    * Values of any JSON scalar type flatten to their text form (the
+    * typed accessors on [[ResolvedVariables]] re-interpret at use);
+    * the same construction-time validation applies, so an override of
+    * an undeclared variable fails at LOAD, not at 2 a.m. in Prod.
+    * Parsing rides Spark's bundled Jackson — no new dependency. */
+  def fromJson(variablesJson: String,
+               valueSetJsons: Seq[String] = Nil): VariableLibrary = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def entries(node: com.fasterxml.jackson.databind.JsonNode,
+                field: String, src: String): Map[String, String] = {
+      val arr = node.get(field)
+      require(arr != null && arr.isArray, s"$src: missing '$field' array")
+      import scala.jdk.CollectionConverters._
+      arr.elements().asScala.map { e =>
+        val n = e.get("name"); val v = e.get("value")
+        require(n != null && n.isTextual, s"$src: entry without a name")
+        require(v != null && !v.isNull,
+          s"$src: variable '${n.asText}' has no value")
+        n.asText -> v.asText
+      }.toMap
+    }
+    val vars = entries(om.readTree(variablesJson), "variables",
+      "variables.json")
+    val sets = valueSetJsons.map { s =>
+      val node = om.readTree(s)
+      val name = node.get("name")
+      require(name != null && name.isTextual, "value set without a name")
+      name.asText -> entries(node, "variableOverrides",
+        s"value set '${name.asText}'")
+    }.toMap
+    VariableLibrary(vars, sets)
+  }
+}

@@ -113,7 +113,10 @@ class EntryPlanSpec extends SparkSpec {
     // x13 attaches the ONE-ROW corpus total to the strata-sized share
     // frame — x12's class; the per-stratum ranking window is a full
     // ranking by design (the shard writer's own sort, t7's argument)
-    "x13_stride_interleave")
+    "x13_stride_interleave",
+    // m8 attaches the ONE-ROW asset total to the types-sized mix
+    // report — the same class
+    "m8_type_sniff")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -92,6 +92,44 @@ class MedallionSpec extends SparkSpec {
     assert(kDev2 === kDev, "same value set => same pseudonymized keys")
   }
 
+  test("variable library loads the reference's JSON wire shape") {
+    import graft.operators.VariableLibrary
+    val lib = VariableLibrary.fromJson(
+      """{"variables": [
+        |  {"name": "work_dir", "type": "String", "value": "/data/dev"},
+        |  {"name": "max_attempts", "type": "Integer", "value": 2},
+        |  {"name": "strict", "type": "Boolean", "value": false}
+        |]}""".stripMargin,
+      Seq("""{"name": "Prod", "variableOverrides": [
+            |  {"name": "work_dir", "value": "/data/prod"},
+            |  {"name": "strict", "value": true}
+            |]}""".stripMargin))
+    // non-string JSON scalars flatten to text; typed accessors
+    // re-interpret at use
+    val dev = lib.default
+    assert(dev("work_dir") === "/data/dev")
+    assert(dev.int("max_attempts") === 2)
+    assert(!dev.bool("strict"))
+    val prod = lib.resolve("Prod")
+    assert(prod("work_dir") === "/data/prod")
+    assert(prod.bool("strict"))
+    assert(prod.int("max_attempts") === 2, "non-overridden keeps default")
+    // an override of an undeclared variable fails at LOAD
+    intercept[IllegalArgumentException] {
+      VariableLibrary.fromJson(
+        """{"variables": [{"name": "a", "value": "1"}]}""",
+        Seq("""{"name": "X", "variableOverrides": [{"name": "typo", "value": "2"}]}"""))
+    }
+    // malformed shapes fail fast with a pointer at the file
+    intercept[IllegalArgumentException] {
+      VariableLibrary.fromJson("""{"notvariables": []}""")
+    }
+    intercept[IllegalArgumentException] {
+      VariableLibrary.fromJson(
+        """{"variables": [{"name": "a"}]}""") // value missing
+    }
+  }
+
   test("full run then incremental no-op run") {
     val work = java.nio.file.Files.createTempDirectory("graft-medallion").toString
     val m1 = Medallion.run(spark, sfDir, work)

@@ -23,6 +23,39 @@ class CodecsSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("sniffType: real magics classify, truncated and plain bytes do not") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "89504E470D0A1A0A0000"),         // PNG
+      (2L, "FFD8FFE000104A464946"),         // JPEG/JFIF
+      (3L, "474946383961AA"),               // GIF89a
+      (4L, "52494646AAAA000057415645FF"),   // RIFF....WAVE
+      (5L, "52494646AAAA000041564920"),     // RIFF....AVI -> not wav
+      (6L, "255044462D312E37"),             // %PDF-1.7
+      (7L, "504B0304AA"),                   // ZIP local header
+      (8L, "1F8B08"),                       // gzip
+      (9L, "000000186674797069736F6D"),     // ....ftypisom (MP4)
+      (10L, "EFBBBF68656C6C6F"),            // UTF-8 BOM text
+      (11L, "68656C6C6F20776F726C64"),      // plain ascii -> unknown
+      (12L, "89"),                          // truncated PNG -> unknown
+      (13L, ""))                            // empty -> unknown
+      .toDF("id", "hx")
+    val got = cases
+      .select(col("id"), Multimodal.sniffType(unhex(col("hx"))).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "image/png", 2L -> "image/jpeg", 3L -> "image/gif",
+      4L -> "audio/wav", 5L -> "unknown", 6L -> "application/pdf",
+      7L -> "application/zip", 8L -> "application/gzip",
+      9L -> "video/mp4", 10L -> "text/utf8-bom",
+      11L -> "unknown", 12L -> "unknown", 13L -> "unknown"))
+    // a REAL codec-generated PNG sniffs as PNG (the in-test generator
+    // used by the decode specs below)
+    val pngRow = Seq(Tuple1(pngBytes(2, 2)((x, y) => 0xFF000000))).toDF("payload")
+    assert(pngRow.select(Multimodal.sniffType(col("payload")))
+      .as[String].collect().head === "image/png")
+  }
+
   test("PNG decode: real pixels through the partition-batched boundary") {
     // 8x8: top half black, bottom half white -> with featureDim=2 the
     // band luminance means are exactly 0.0 and 255.0
