@@ -1030,6 +1030,21 @@ object LlmEntry {
       LangIdNgram.classify(synth, col("doc_id"), col("text"))
     }),
 
+    "t28_langid_margin" -> ((s, dir) => {
+      // t1b's classifier with the CONFIDENCE signal a routing pipeline
+      // gates on: runner-up language + exact-integer margin over the
+      // same synthetic multilingual corpus
+      val idx = (col("doc_id") % LangIdNgram.TestPhrases.size).cast("int")
+      val phrase = LangIdNgram.TestPhrases.zipWithIndex
+        .foldLeft(lit(""): org.apache.spark.sql.Column) {
+          case (acc, ((_, p), i)) => when(idx === i, lit(p)).otherwise(acc)
+        }
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        repeat(concat(phrase, lit(" ")),
+          (col("doc_id") % 3).cast("int") + 1).as("text"))
+      LangIdNgram.classifyWithMargin(synth, col("doc_id"), col("text"))
+    }),
+
     "t2_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), col("text"))
         .select("doc_id", "n_chars_chk", "n_tokens", "punct_ratio", "stop_ratio",
@@ -1892,7 +1907,46 @@ object LlmEntry {
            |           row_number() OVER (PARTITION BY doc_id
            |             ORDER BY dist, lang) AS rn FROM sc)
            |SELECT doc_id, lang AS lang_pred, dist
-           |FROM best WHERE rn = 1""".stripMargin)
+           |FROM best WHERE rn = 1""".stripMargin) +
+      // t28: t1b's scoring CTEs with the top-2 cut pivoted to the
+      // margin row — distances are exact integers, so margins replay
+      // bit-for-bit
+      ("t28_langid_margin" ->
+        s"""WITH ph(i, lang, phrase) AS (VALUES $langPhraseSql),
+           |pr(lang, tg, pr) AS (VALUES $langProfSql),
+           |langs(lang) AS (VALUES $langListSql),
+           |d0 AS (SELECT doc_id, repeat(phrase || ' ',
+           |         CAST(doc_id % 3 + 1 AS INTEGER)) AS text
+           |       FROM documents
+           |       JOIN ph ON ph.i = doc_id % ${LangIdNgram.TestPhrases.size}),
+           |d AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+           |        lower(text), '[^\\p{L} ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+           |      FROM d0),
+           |g AS (SELECT doc_id, substring(s, CAST(i AS INTEGER), 3) AS tg
+           |      FROM d, unnest(range(1, length(s) - 1)) r(i)
+           |      WHERE length(s) >= 3),
+           |c AS (SELECT doc_id, tg, count(*) AS n FROM g GROUP BY 1, 2),
+           |top AS (SELECT doc_id, tg, rn AS dr FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY doc_id
+           |                  ORDER BY n DESC, tg) AS rn FROM c) t
+           |        WHERE rn <= ${LangIdNgram.K}),
+           |sc AS (SELECT doc_id, l.lang,
+           |         CAST(sum(coalesce(abs(dr - pr.pr), ${LangIdNgram.K}))
+           |           AS BIGINT) AS dist
+           |       FROM top CROSS JOIN langs l
+           |            LEFT JOIN pr ON pr.lang = l.lang AND pr.tg = top.tg
+           |       GROUP BY 1, 2),
+           |r2 AS (SELECT doc_id, lang, dist,
+           |         row_number() OVER (PARTITION BY doc_id
+           |           ORDER BY dist, lang) AS rn FROM sc)
+           |SELECT doc_id,
+           |  max(CASE WHEN rn = 1 THEN lang END) AS lang_pred,
+           |  max(CASE WHEN rn = 1 THEN dist END) AS dist,
+           |  max(CASE WHEN rn = 2 THEN lang END) AS lang_second,
+           |  max(CASE WHEN rn = 2 THEN dist END) AS dist_second,
+           |  max(CASE WHEN rn = 2 THEN dist END) -
+           |    max(CASE WHEN rn = 1 THEN dist END) AS margin
+           |FROM r2 WHERE rn <= 2 GROUP BY doc_id""".stripMargin)
 
   /** [[LangIdNgram]]'s trained profiles / test phrases / language list
     * as SQL literals — generated from the same Scala constants the

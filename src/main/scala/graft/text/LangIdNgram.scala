@@ -130,9 +130,10 @@ object LangIdNgram {
   val Profiles: Seq[(String, String, Int)] =
     Seeds.flatMap { case (l, s) => profile(s).map { case (g, r) => (l, g, r) } }
 
-  /** Classify every document: (doc_id, lang_pred, dist). Documents
-    * whose normalized text has no trigram emit no row. */
-  def classify(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  /** Per-(doc, language) out-of-place distances — the scoring frame
+    * [[classify]] and [[classifyWithMargin]] share (factored so the
+    * two cannot drift): |langs| rows per doc with a trigram. */
+  private def scores(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val prof = broadcast(Profiles.toDF("lang", "tg", "pr"))
@@ -154,8 +155,37 @@ object LangIdNgram {
       .join(prof, Seq("lang", "tg"), "left_outer")
       .groupBy("doc_id", "lang")
       .agg(sum(coalesce(abs(col("dr") - col("pr")), lit(K))).as("dist"))
+  }
+
+  /** Classify every document: (doc_id, lang_pred, dist). Documents
+    * whose normalized text has no trigram emit no row. */
+  def classify(docs: DataFrame, id: Column, text: Column): DataFrame =
+    scores(docs, id, text)
       .groupBy("doc_id")
       .agg(min_by(col("lang"), struct(col("dist"), col("lang"))).as("lang_pred"),
         min(col("dist")).as("dist"))
+
+  /** [[classify]] plus the CONFIDENCE signal a routing pipeline gates
+    * on (the CLD-style "is the top guess reliable" margin): the
+    * runner-up language and `margin = dist_second − dist` in exact
+    * out-of-place units — a near-zero margin means the profiles can't
+    * tell the languages apart (too short, mixed-language, or
+    * off-vocabulary text; route to a heavier model or drop), a large
+    * one is a confident call. Same scoring frame as [[classify]]; the
+    * top-2 cut is a per-doc rn<=2 window over the |langs|-sized score
+    * frame riding the bounded-heap rewrite, and every distance is an
+    * exact integer — margins replay bit-for-bit on any engine. */
+  def classifyWithMargin(docs: DataFrame, id: Column,
+                         text: Column): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("dist"), col("lang"))
+    scores(docs, id, text)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("rn") === 1, col("lang"))).as("lang_pred"),
+        max(when(col("rn") === 1, col("dist"))).as("dist"),
+        max(when(col("rn") === 2, col("lang"))).as("lang_second"),
+        max(when(col("rn") === 2, col("dist"))).as("dist_second"))
+      .withColumn("margin", col("dist_second") - col("dist"))
   }
 }

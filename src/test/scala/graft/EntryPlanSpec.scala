@@ -116,7 +116,9 @@ class EntryPlanSpec extends SparkSpec {
     "x13_stride_interleave",
     // m8 attaches the ONE-ROW asset total to the types-sized mix
     // report — the same class
-    "m8_type_sniff")
+    "m8_type_sniff",
+    // t28 shares t1b's bounded top-K × constant-language-list product
+    "t28_langid_margin")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -38,6 +38,27 @@ class SeventhPassSpec extends SparkSpec {
     })
   }
 
+  test("langIdNgram margin: confident calls score wide, no-signal text scores zero") {
+    // a real held-out phrase: top-1 agrees with classify() and the
+    // runner-up sits a wide exact-integer margin away
+    val en = Seq((1L, LangIdNgram.TestPhrases.find(_._1 == "en").get._2))
+      .toDF("doc_id", "text")
+    val m = LangIdNgram.classifyWithMargin(en, col("doc_id"), col("text"))
+      .collect().head
+    assert(m.getString(1) === "en", "top-1 language")
+    assert(m.getString(3) !== "en", "runner-up is a different language")
+    assert(m.getLong(5) > 0L, "confident call has a positive margin")
+    val c = LangIdNgram.classify(en, col("doc_id"), col("text")).collect().head
+    assert(m.getString(1) === c.getString(1) && m.getLong(2) === c.getLong(2),
+      "margin form agrees with classify on the top-1 call")
+    // text matching no profile trigram ties every language at K*|top|:
+    // margin 0 is exactly the 'route to a heavier model' signal
+    val qq = Seq((1L, "qqq qqq")).toDF("doc_id", "text")
+    val z = LangIdNgram.classifyWithMargin(qq, col("doc_id"), col("text"))
+      .collect().head
+    assert(z.getLong(5) === 0L, "no-signal text must have zero margin")
+  }
+
   test("langIdNgram: trigram-less docs emit no row; ties break on lang asc") {
     val df = Seq((1L, "!!"), (2L, "zz")).toDF("doc_id", "text")
     assert(LangIdNgram.classify(df, col("doc_id"), col("text"))
