@@ -605,6 +605,17 @@ object LlmEntry {
       AnnIndex.stats(s, aname)
     }),
 
+    "e19b_index_fit" -> ((s, dir) => {
+      // the FIT half of the retrain signal: per occupied cell, exact-
+      // decimal mean cosine of each stored vector to its assigned
+      // centroid — decaying fit under frozen-quantizer MERGEs is the
+      // silent ADC-quality leak this report surfaces
+      val emb = t(s, dir, "embeddings")
+      val aname = s"e6probe_${dir.hashCode.toHexString}"
+      ensureAnnProbeIndex(s, emb, aname)
+      AnnIndex.fit(s, aname)
+    }),
+
     "t27_pack_report" -> ((s, dir) =>
       // packing-efficiency report over t7's bins: the one-row summary
       // a pipeline checks before committing a token budget (fill rate
@@ -3270,6 +3281,29 @@ object LlmEntry {
          |SELECT cent.cent_id, CAST(coalesce(occ.n_vectors, 0) AS BIGINT) AS n_vectors,
          |  round(CAST(coalesce(occ.n_vectors, 0) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
          |FROM cent LEFT JOIN occ USING (cent_id) CROSS JOIN tot""".stripMargin,
+
+    // e19b: the same assignment CTEs keeping csim, rolled up to the
+    // per-cell exact-decimal mean fit (the funnelLatency mean idiom:
+    // DECIMAL(28,12) sum, one IEEE division, round 6)
+    "e19b_index_fit" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         |base AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 110),
+         |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM base
+         |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
+         |asg0 AS (SELECT neighbor_id, cent_id,
+         |  round(list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  FROM c, cent),
+         |asg AS (SELECT neighbor_id, cent_id, csim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+         |  WHERE rn = 1)
+         |SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  round(CAST(sum(CAST(csim AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+         |    AS mean_fit
+         |FROM asg GROUP BY 1""".stripMargin,
 
     "e14b_mmr_indexed" -> {
       // e14's exact-integer greedy replay, the candidate pool swapped

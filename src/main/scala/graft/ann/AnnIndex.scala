@@ -221,6 +221,34 @@ object AnnIndex {
            nProbe: Int = 4, shortlist: Int = 100): DataFrame =
     probe(spark, name, queries, k, nProbe, shortlist, filterKeys = Nil)
 
+  /** Coarse-quantizer FIT report — [[stats]]' companion and the other
+    * half of the retrain signal (occupancy says whether cells are
+    * BALANCED; this says whether they are TIGHT): per occupied cell,
+    * the exact-decimal mean cosine between each stored vector and its
+    * assigned centroid. A cell whose mean fit decays as batches MERGE
+    * in under the frozen quantizers is drifting away from its
+    * centroid — ADC scoring quality degrades silently until a
+    * retrain (e4) re-centers it; this report is the maintenance-
+    * cadence number that says when. One bucketed-assign ⋈ vectors
+    * join + a broadcast cents attach + a partial-aggregating per-cell
+    * rollup — a maintenance-time scan, never on the probe path. */
+  def fit(spark: SparkSession, name: String): DataFrame = {
+    val v = currentVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no ANN index named $name"))
+    val cents = broadcast(spark.table(s"${name}_cents_v$v"))
+    val vecs = spark.table(s"${name}_vectors_v$v")
+      .select(col("neighbor_id"),
+        Vectors.asDouble(col("embedding")).as("ce"), col("cn"))
+    spark.table(s"${name}_assign_v$v")
+      .join(vecs, "neighbor_id")
+      .join(cents, "cent_id")
+      .withColumn("csim", centSim(col("ce"), col("cn")))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("csim").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1)), 6).as("mean_fit"))
+  }
+
   /** Cell-occupancy report over the persisted index — the ANN twin of
     * `Skew.keyShareReport` (g30) and the planning input behind nProbe
     * and retrain decisions: per centroid, vectors assigned and the

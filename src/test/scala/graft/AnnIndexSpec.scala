@@ -122,6 +122,16 @@ class AnnIndexSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(after.size === 16, "empty cells still report")
       assert(after(cell) === 0L, "emptied cell reports zero occupancy")
+      // fit report: occupied cells only, occupancies agree with stats,
+      // and every mean fit is a valid cosine with the cell's own
+      // centroid pulling it positive on this clustered corpus
+      val fit = AnnIndex.fit(spark, "ast").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(!fit.exists(_._1 == cell), "emptied cell has no fit row")
+      fit.foreach { case (cid, n, mf) =>
+        assert(after(cid) === n, s"fit/stats occupancy disagree for $cid")
+        assert(mf > 0.0 && mf <= 1.0, s"cell $cid mean fit $mf out of range")
+      }
     } finally dropIndex("ast")
   }
 
