@@ -340,6 +340,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel conversions stream: in-flight chains survive a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // flatMapGroupsWithState state must recover from the checkpoint: a
+    // chain OPENED before the stop converts AFTER the restart. The
+    // memory sink cannot recover, so conversions MERGE into a snapshot
+    // store keyed (user_id, started) — restart replays upsert.
+    val dir = java.nio.file.Files.createTempDirectory("graft-fnl-snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fnl-ckpt").toString
+    val in = MemoryStream[Events.Event]
+    def start() = FunnelStream.conversions(in.toDS(), Seq("view", "buy"),
+        windowSeconds = 600, watermark = "10 minutes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelStream.Conversion], _: Long) =>
+        val df = b.toDF().persist()
+        try {
+          if (!df.isEmpty) {
+            graft.sources.SnapshotStore.mergeInto(df, dir,
+              Seq("user_id", "started")): Unit
+          }
+        } finally { df.unpersist(): Unit }
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData(Events.Event(1, ts(0), 5, "view", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(graft.sources.SnapshotStore.read(spark, dir).isEmpty,
+      "no conversion before the buy")
+    val q2 = start()
+    try {
+      in.addData(Events.Event(2, ts(4), 5, "buy", 1.0))
+      q2.processAllAvailable()
+      val got = graft.sources.SnapshotStore.read(spark, dir).get
+        .select("user_id", "started", "seconds").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      // started = ts(0): the pre-restart chain state, recovered
+      assert(got.toSeq === Seq((5L, ts(0), 240.0)))
+    } finally q2.stop()
+  }
+
   test("funnel conversions stream: stale chain behind the watermark expires, never crashes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
