@@ -32,15 +32,22 @@ object Medallion {
 
   /** The variable names the parameterized overloads read — the
     * VL_claims declaration set (source/work locations, the PII salt,
-    * the DQ status domain, the retry policy), with this chain's
-    * current constants as the defaults. Callers build value sets over
-    * THIS library (or their own superset) and hand [[run]] /
+    * the DQ status domain, the retry policy). Callers build value sets
+    * over THIS library (or their own superset) and hand [[run]] /
     * [[runResilient]] a resolved set — same pipeline, any environment,
-    * zero code change (spec-asserted under two value sets). */
+    * zero code change (spec-asserted under two value sets).
+    *
+    * Location defaults are environment-sourced, not baked-in host
+    * paths: `source_dir` comes from `GRAFT_SOURCE_DIR` (empty when
+    * unset — [[run]] fails fast with a clear message rather than
+    * silently reading a machine-specific path), `work_dir` from
+    * `GRAFT_WORK_DIR` falling back to a `graft_medallion` dir under
+    * the JVM temp dir. */
   val Variables: operators.VariableLibrary = operators.VariableLibrary(
     variables = Map(
-      "source_dir" -> "/root/testdata/sf0.001",
-      "work_dir" -> "/tmp/graft_medallion",
+      "source_dir" -> sys.env.getOrElse("GRAFT_SOURCE_DIR", ""),
+      "work_dir" -> sys.env.getOrElse("GRAFT_WORK_DIR",
+        s"${sys.props("java.io.tmpdir")}/graft_medallion"),
       "pii_salt" -> Salt,
       "valid_statuses" -> DefaultStatuses.mkString(","),
       "max_attempts" -> "2"))
@@ -65,6 +72,10 @@ object Medallion {
   def run(spark: SparkSession, sfDir: String, workDir: String,
           salt: String = Salt,
           validStatuses: Seq[String] = DefaultStatuses): DataFrame = {
+    require(sfDir.nonEmpty, "source_dir is empty — set it in the value " +
+      "set (or export GRAFT_SOURCE_DIR) before running the pipeline")
+    require(workDir.nonEmpty, "work_dir is empty — set it in the value " +
+      "set (or export GRAFT_WORK_DIR) before running the pipeline")
     import spark.implicits._
     val wmPath = s"$workDir/watermark.json"
     val wm = Watermark.read(wmPath)

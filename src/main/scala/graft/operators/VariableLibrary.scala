@@ -84,6 +84,11 @@ object VariableLibrary {
         require(n != null && n.isTextual, s"$src: entry without a name")
         require(v != null && !v.isNull,
           s"$src: variable '${n.asText}' has no value")
+        // Jackson's asText on an object/array node returns "" — a
+        // malformed nested value would load as empty string instead of
+        // failing at load, breaking the fail-fast contract.
+        require(v.isValueNode,
+          s"$src: variable '${n.asText}' has a non-scalar value")
         n.asText -> v.asText
       }.toMap
     }

@@ -66,7 +66,17 @@ object FunnelStream {
             Iterator.empty
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // Expire a stale chain BEFORE folding this batch's events: a
+            // chain whose deadline is already behind the watermark can
+            // never be extended (any in-window event is now dropped as
+            // late), so treating it as alive would swallow a fresh
+            // first-step event arriving in this same micro-batch — the
+            // batch form would have started the earlier chain. Filtering
+            // here lets that event open a new chain immediately; the
+            // post-loop guard still handles chains that go stale within
+            // the batch.
             var cur = state.getOption
+              .filter(s => s.lastTs + windowMs > state.getCurrentWatermarkMs())
             val out = Seq.newBuilder[Conversion]
             sorted.foreach { e =>
               val t = e.ts.getTime

@@ -128,6 +128,16 @@ class MedallionSpec extends SparkSpec {
       VariableLibrary.fromJson(
         """{"variables": [{"name": "a"}]}""") // value missing
     }
+    // a non-scalar value must fail at LOAD, not flatten to "" (Jackson
+    // asText on object/array nodes returns empty string)
+    intercept[IllegalArgumentException] {
+      VariableLibrary.fromJson(
+        """{"variables": [{"name": "a", "value": {"nested": 1}}]}""")
+    }
+    intercept[IllegalArgumentException] {
+      VariableLibrary.fromJson(
+        """{"variables": [{"name": "a", "value": [1, 2]}]}""")
+    }
   }
 
   test("full run then incremental no-op run") {

@@ -406,18 +406,21 @@ class StreamingSpec extends SparkSpec {
         Events.Event(2, ts(30), 6, "view", 1.0))
       q.processAllAvailable()
       // u5 data with watermark ts(30) > deadline ts(10): the guard
-      // must expire the chain instead of registering a past timeout
+      // must expire the chain instead of registering a past timeout —
+      // and expiry runs BEFORE the batch's events fold, so this view
+      // opens a NEW chain immediately (the start the batch earliest-
+      // chain form would report), not one event later
       input.addData(Events.Event(3, ts(60), 5, "view", 1.0))
       q.processAllAvailable()
       assert(q.exception.isEmpty, s"query failed: ${q.exception}")
-      // the wrong-step event above was swallowed by the stale chain
-      // before expiry; a fresh chain now starts and converts
+      // ts(61) view is now the wrong-step arrival (chain already at
+      // step 1 from ts(60)); the buy converts against the ts(60) start
       input.addData(Events.Event(4, ts(61), 5, "view", 1.0),
         Events.Event(5, ts(62), 5, "buy", 1.0))
       q.processAllAvailable()
       val got = spark.sql("SELECT user_id, started, seconds FROM conv4")
         .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
-      assert(got.toSeq === Seq((5L, ts(61), 60.0)))
+      assert(got.toSeq === Seq((5L, ts(60), 120.0)))
     } finally {
       q.stop()
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
