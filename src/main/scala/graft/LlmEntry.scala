@@ -37,6 +37,20 @@ object LlmEntry {
         name, buckets = 8)
     }
 
+  /** [[ensureAnnProbeIndex]] with the metadata member (metaCols) — the
+    * shared index behind e11c's probe-only leg. Same complete-is-v1
+    * gate; the update keeps meta current, so the filtered probe sees
+    * the full 10.. corpus with labels. */
+  private def ensureFilteredProbeIndex(s: SparkSession, emb: DataFrame,
+                                       name: String): Unit =
+    if (!AnnIndex.currentVersion(s, name).contains(1)) {
+      AnnIndex.drop(s, name)
+      AnnIndex.write(emb.filter(col("vec_id") >= 110), name, buckets = 8,
+        metaCols = Seq("label"))
+      AnnIndex.update(emb.filter(col("vec_id") >= 10 && col("vec_id") < 110),
+        name, buckets = 8)
+    }
+
   /** BM25 twin of [[ensureAnnProbeIndex]] — same complete-is-v1 gate. */
   private def ensureBm25ProbeIndex(s: SparkSession, docs: DataFrame,
                                    name: String): Unit =
@@ -170,6 +184,31 @@ object LlmEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
         col("doc_id"), col("text"), minJaccard = 0.1)
+    }),
+
+    "d19_incremental_clusters" -> ((s, dir) => {
+      // the O(batch) maintenance leg of d7 for the nightly-append
+      // shape: stored components cover the existing (even-id) corpus;
+      // the odd-id batch's pairs — d8's between-sides band join plus
+      // the within-batch pairs — MERGE in via component contraction,
+      // so the iterative propagation runs on the touched-clusters +
+      // batch graph only, never the corpus. Per-doc banding is
+      // deterministic, so within-even ∪ between ∪ within-odd is
+      // exactly the full corpus's pair set — the result must equal a
+      // one-shot d7, which is exactly what the (shared) oracle
+      // recomputes.
+      val docs = t(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val stored = DupClusters.connectedComponents(
+        TextDedup.minHashLshPairs(existing, col("doc_id"), col("text"),
+          minJaccard = 0.1))
+      val batchPairs = TextDedup.minHashLshPairsBetween(existing, batch,
+          col("doc_id"), col("text"), minJaccard = 0.1)
+        .select("doc_a", "doc_b")
+        .unionByName(TextDedup.minHashLshPairs(batch, col("doc_id"),
+          col("text"), minJaccard = 0.1).select("doc_a", "doc_b"))
+      DupClusters.mergeComponents(stored, batchPairs)
     }),
 
     "t8_repetition" -> ((s, dir) =>
@@ -797,6 +836,38 @@ object LlmEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    "e20_index_retrain" -> ((s, dir) => {
+      // the ANN maintenance loop CLOSED: e19 (occupancy) and e19b
+      // (fit) emit the retrain signal; this is the operator that acts
+      // on it. Build with sampled quantizers, then retrain IN PLACE —
+      // k-means re-fits the coarse quantizer from the STORED vectors,
+      // codes re-encode, v+1 commits behind the atomic ptr — and
+      // probe. Output == a fresh trained build (the e5b pipeline over
+      // the same corpus), which is exactly what the oracle computes.
+      val v = t(s, dir, "embeddings")
+      AnnIndex.drop(s, "e20ix")
+      AnnIndex.write(v.filter(col("vec_id") >= 10), "e20ix", buckets = 8)
+      AnnIndex.retrain(s, "e20ix", k = 8, iters = 2, buckets = 8)
+      AnnIndex.topK(s, "e20ix", v.filter(col("vec_id") < 10), k = 5,
+        nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "e11c_filtered_probe" -> ((s, dir) => {
+      // the STEADY-STATE leg of e11b (the e6b pattern): the metadata-
+      // carrying index is built once per (session, sf dir); every later
+      // invocation only runs the filtered probe — the latency a
+      // filtered-search service quotes. Output is identical to e11b by
+      // construction (same base/batch split, same frozen-quantizer
+      // update), so both share one oracle.
+      val v = t(s, dir, "embeddings")
+      val name = s"e11probe_${dir.hashCode.toHexString}"
+      ensureFilteredProbeIndex(s, v, name)
+      AnnIndex.topKFiltered(s, name, v.filter(col("vec_id") < 10),
+        Seq("label"), k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     "e8_bm25" -> ((s, dir) =>
       // lexical retrieval next to the vector family: BM25 top-5 per
       // keyword query over the documents corpus (inverted-index shape;
@@ -1027,9 +1098,10 @@ object LlmEntry {
       // multilingual language ID: Cavnar-Trenkle char-trigram rank
       // profiles (t1's stopword heuristic stays as the cheap gate)
       // over a deterministic multi-language synthetic corpus — each
-      // doc carries the held-out phrase of language (doc_id % 7,
-      // Cyrillic and Greek included: the normalization is
-      // script-aware), repeated (doc_id % 3)+1 times
+      // doc carries the held-out phrase of language (doc_id % 9;
+      // Cyrillic, Greek, and UNSEGMENTED Han/kana included: the
+      // normalization is script-aware and char trigrams need no word
+      // boundaries), repeated (doc_id % 3)+1 times
       val idx = (col("doc_id") % LangIdNgram.TestPhrases.size).cast("int")
       val phrase = LangIdNgram.TestPhrases.zipWithIndex
         .foldLeft(lit(""): org.apache.spark.sql.Column) {
@@ -1745,6 +1817,72 @@ object LlmEntry {
        |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
        |FROM r WHERE rnk <= $rankLimit""".stripMargin
 
+  /** The trained IVF-PQ oracle — e5's PQ pipeline over e3b's k-means-
+    * trained coarse quantizer: kmeansCtes trains cent (c2), everything
+    * from cbs on mirrors Pq.ivfPqCore exactly as in the e5 oracle,
+    * with nProbe = 2. Shared by e5b (the direct trained composition)
+    * and e20 (a retrained persisted index probes identically to a
+    * fresh trained build over the same corpus). */
+  private lazy val TrainedIvfPqSql: String =
+    s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |            FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v0 WHERE vec_id < 10),
+       |v AS (SELECT vec_id, e FROM v0 WHERE vec_id >= 10),
+       |${kmeansCtes("v")},
+       |cent AS (SELECT cent_id, cent FROM c2),
+       |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v),
+       |cbs AS (SELECT neighbor_id AS code_id, ce FROM c
+       |        ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
+       |cb AS (SELECT code_id, CAST(j AS INTEGER) AS j,
+       |              list_slice(ce, j*16+1, j*16+16) AS cw
+       |       FROM cbs, range(0, 4) r(j)),
+       |sv AS (SELECT neighbor_id, CAST(j AS INTEGER) AS j,
+       |              list_slice(ce, j*16+1, j*16+16) AS xs
+       |       FROM c, range(0, 4) r(j)),
+       |enc0 AS (SELECT neighbor_id, j, code_id,
+       |    round(list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
+       |          + list_dot_product(cw, cw), 6) AS d2
+       |  FROM sv JOIN cb USING (j)),
+       |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
+       |                                 ORDER BY d2, code_id) AS rn FROM enc0)
+       |  WHERE rn = 1),
+       |asg0 AS (SELECT neighbor_id, cent_id,
+       |  round(list_dot_product(ce, cent) /
+       |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+       |  FROM c, cent),
+       |asg AS (SELECT neighbor_id, cent_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+       |  WHERE rn = 1),
+       |pr0 AS (SELECT query_id, cent_id,
+       |  round(list_dot_product(qe, cent) /
+       |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+       |  FROM q, cent),
+       |pr AS (SELECT query_id, cent_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
+       |  WHERE rn <= 2),
+       |qtab AS (SELECT query_id, j, code_id AS code,
+       |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
+       |  FROM q, cb),
+       |adc AS (SELECT query_id, neighbor_id,
+       |    round(CAST(sum(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc
+       |  FROM pr JOIN asg USING (cent_id)
+       |       JOIN enc USING (neighbor_id)
+       |       JOIN qtab USING (query_id, j, code)
+       |  GROUP BY 1, 2),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc DESC, neighbor_id) AS rn FROM adc)
+       |  WHERE rn <= 100),
+       |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
+       |      FROM short JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
+       |FROM r WHERE rnk <= 5""".stripMargin
+
   /** 30-min-gap session assignment CTEs (w → f → sx), shared by the
     * st2 and st4 oracles. */
   private val SessionCtes =
@@ -2341,6 +2479,22 @@ object LlmEntry {
          |FROM s GROUP BY doc_id""".stripMargin,
 
     "d7_dup_clusters" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |pr AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.1),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY node""".stripMargin,
+
+    // d19: the incremental merge must be indistinguishable from a
+    // one-shot d7 over the full accumulated pair set (per-doc banding
+    // is deterministic, so the split pair generation covers exactly
+    // the full corpus's pairs) — the two entries share one oracle
+    "d19_incremental_clusters" ->
       s"""WITH RECURSIVE ${minhashCtes("documents")},
          |pr AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.1),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
@@ -3053,6 +3207,15 @@ object LlmEntry {
         |       JOIN embeddings nl ON nl.vec_id = neighbor_id
         |                         AND nl.label = ql.label""".stripMargin),
 
+    // e11c: identical to e11b by construction (the shared probe index
+    // holds the same base+batch corpus with current labels) — the
+    // steady-state leg shares the lifecycle leg's oracle, as e6b/e6
+    "e11c_filtered_probe" -> ivfPqIndexSql(5, "",
+      """
+        |       JOIN embeddings ql ON ql.vec_id = query_id
+        |       JOIN embeddings nl ON nl.vec_id = neighbor_id
+        |                         AND nl.label = ql.label""".stripMargin),
+
     // mirrors Sq.sqTopK: exact per-dim bounds, step=(hi-lo)/256,
     // mid-rise reconstruction lo+(code+0.5)*step, 6-dp rounding before
     // every rank, ties to the smaller id
@@ -3092,68 +3255,14 @@ object LlmEntry {
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
          |FROM r WHERE rnk <= 5""".stripMargin,
 
-    "e5b_knn_ivfpq_trained" ->
-      // e5's PQ pipeline over e3b's k-means-trained coarse quantizer:
-      // kmeansCtes trains cent (c2), everything from cbs on mirrors
-      // Pq.ivfPqCore exactly as in the e5 oracle, with nProbe = 2
-      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |            FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, e AS qe FROM v0 WHERE vec_id < 10),
-         |v AS (SELECT vec_id, e FROM v0 WHERE vec_id >= 10),
-         |${kmeansCtes("v")},
-         |cent AS (SELECT cent_id, cent FROM c2),
-         |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v),
-         |cbs AS (SELECT neighbor_id AS code_id, ce FROM c
-         |        ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
-         |cb AS (SELECT code_id, CAST(j AS INTEGER) AS j,
-         |              list_slice(ce, j*16+1, j*16+16) AS cw
-         |       FROM cbs, range(0, 4) r(j)),
-         |sv AS (SELECT neighbor_id, CAST(j AS INTEGER) AS j,
-         |              list_slice(ce, j*16+1, j*16+16) AS xs
-         |       FROM c, range(0, 4) r(j)),
-         |enc0 AS (SELECT neighbor_id, j, code_id,
-         |    round(list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
-         |          + list_dot_product(cw, cw), 6) AS d2
-         |  FROM sv JOIN cb USING (j)),
-         |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
-         |                                 ORDER BY d2, code_id) AS rn FROM enc0)
-         |  WHERE rn = 1),
-         |asg0 AS (SELECT neighbor_id, cent_id,
-         |  round(list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
-         |  FROM c, cent),
-         |asg AS (SELECT neighbor_id, cent_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
-         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
-         |  WHERE rn = 1),
-         |pr0 AS (SELECT query_id, cent_id,
-         |  round(list_dot_product(qe, cent) /
-         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
-         |  FROM q, cent),
-         |pr AS (SELECT query_id, cent_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
-         |  WHERE rn <= 2),
-         |qtab AS (SELECT query_id, j, code_id AS code,
-         |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
-         |  FROM q, cb),
-         |adc AS (SELECT query_id, neighbor_id,
-         |    round(CAST(sum(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc
-         |  FROM pr JOIN asg USING (cent_id)
-         |       JOIN enc USING (neighbor_id)
-         |       JOIN qtab USING (query_id, j, code)
-         |  GROUP BY 1, 2),
-         |short AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                 ORDER BY adc DESC, neighbor_id) AS rn FROM adc)
-         |  WHERE rn <= 100),
-         |s AS (SELECT query_id, neighbor_id, $CosSql AS sim
-         |      FROM short JOIN q USING (query_id) JOIN c USING (neighbor_id)),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
-         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
-         |FROM r WHERE rnk <= 5""".stripMargin,
+    "e5b_knn_ivfpq_trained" -> TrainedIvfPqSql,
+
+    // e20: a retrain of a sampled-quantizer index equals a FRESH
+    // trained build over the stored corpus — which is exactly the e5b
+    // computation (k-means coarse quantizer k=8/iters=2 over
+    // vec_id >= 10, hash-order codebook over the same corpus,
+    // nProbe 2), so the two entries share one oracle
+    "e20_index_retrain" -> TrainedIvfPqSql,
 
     "d4_simhash" ->
       s"""$SimHashFpCtes

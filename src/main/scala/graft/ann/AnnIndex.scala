@@ -121,28 +121,44 @@ object AnnIndex {
   private def metaOf(df: DataFrame, metaCols: Seq[String]): DataFrame =
     df.select((col("vec_id").as("neighbor_id") +: metaCols.map(col)): _*)
 
-  /** Build and commit a full index over `corpus` (vec_id, embedding);
-    * returns the committed version. Quantizers are [[Pq]]'s
-    * deterministic hash-order samples — swap the corpus for
-    * k-means/trained codebooks at retrain cadence if desired. */
-  def write(corpus: DataFrame, name: String,
-            nCentroids: Int = 16, m: Int = 4, nCodes: Int = 16,
-            dim: Int = 64, buckets: Int = 32,
-            metaCols: Seq[String] = Nil): Int = {
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val spark = corpus.sparkSession
-    val sub = dim / m
-    val c = Pq.prep(corpus)
-    val cents = c.orderBy(Pq.sampleOrd: _*).limit(nCentroids)
-      .select(col("neighbor_id").as("cent_id"), col("ce").as("cent"),
-        col("cn").as("centn"))
-    val cb = c.orderBy(Pq.sampleOrd: _*).limit(nCodes)
+  /** The [[Pq]]-rule deterministic codebook sample over a prepped
+    * corpus: the first `nCodes` ids under hash order, each split into
+    * `m` subvectors of length `sub`. Shared by [[write]] and
+    * [[retrain]] so a retrain's codebook can't drift from the build
+    * rule. */
+  private def sampleCodebook(c: DataFrame, nCodes: Int, m: Int,
+                             sub: Int): DataFrame =
+    c.orderBy(Pq.sampleOrd: _*).limit(nCodes)
       .select(col("neighbor_id").as("code_id"),
         explode(transform(sequence(lit(0), lit(m - 1)),
           j => struct(j.as("j"),
             slice(col("ce"), j * sub + 1, lit(sub)).as("sv")))).as("s"))
       .select(col("s.j").as("j"), col("code_id"), col("s.sv").as("cw"))
       .withColumn("cc", Vectors.dot(col("cw"), col("cw")))
+
+  /** Build and commit a full index over `corpus` (vec_id, embedding);
+    * returns the committed version. Quantizers default to [[Pq]]'s
+    * deterministic hash-order samples; pass `centroids` =
+    * [[KMeans.lloyd]]'s (cent_id, dim, value) output for a TRAINED
+    * coarse quantizer (the e3b/e5b production shape — `nCentroids` is
+    * then ignored). [[retrain]] produces exactly this trained build
+    * in place. */
+  def write(corpus: DataFrame, name: String,
+            nCentroids: Int = 16, m: Int = 4, nCodes: Int = 16,
+            dim: Int = 64, buckets: Int = 32,
+            metaCols: Seq[String] = Nil,
+            centroids: Option[DataFrame] = None): Int = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val spark = corpus.sparkSession
+    val sub = dim / m
+    val c = Pq.prep(corpus)
+    val cents = centroids match {
+      case Some(tr) => Knn.assembleCentroids(tr)
+      case None => c.orderBy(Pq.sampleOrd: _*).limit(nCentroids)
+        .select(col("neighbor_id").as("cent_id"), col("ce").as("cent"),
+          col("cn").as("centn"))
+    }
+    val cb = sampleCodebook(c, nCodes, m, sub)
     val bCents = broadcast(cents)
     val bCb = broadcast(cb)
     commit(spark, name, cents, cb,
@@ -210,6 +226,55 @@ object AnnIndex {
       spark.table(s"${name}_cents_v$v"), spark.table(s"${name}_codebook_v$v"),
       anti("assign"), anti("codes"), anti("vectors"), buckets,
       if (hasMeta(spark, name, v)) Some(anti("meta")) else None)
+  }
+
+  /** Retrain the index's quantizers IN PLACE — the operator that ACTS
+    * on the [[stats]]/[[fit]] retrain signal (skewed occupancy, decayed
+    * mean fit): re-fit the coarse quantizer with [[KMeans.lloyd]] over
+    * the STORED vectors member, re-derive the codebook by the same
+    * hash-order sample rule [[write]] uses over the CURRENT corpus
+    * (an index built before many updates re-samples codewords from
+    * what it actually holds now), re-assign and re-encode every stored
+    * vector under the new quantizers, and commit as version v+1 behind
+    * the atomic ptr — in-flight probes pinned to v are never torn, the
+    * protocol [[topK]] already guarantees. The metadata member passes
+    * through untouched.
+    *
+    * Probe-after-retrain equals a probe of a FRESH [[write]] with
+    * `centroids = Some(KMeans.lloyd(storedCorpus, k, iters))` over the
+    * stored corpus (spec-asserted) — retrain changes WHERE the
+    * quantizers come from, not what a trained index computes. Subspace
+    * geometry (m, codewords-per-subspace, subvector length) comes from
+    * the stored codebook, so a retrain can't drift the code layout.
+    *
+    * Cost shape: one k-means run (iters × map-only assignment over
+    * the corpus + k·dim-scalar recompute), one corpus re-assign
+    * (broadcast cents), one corpus re-encode (broadcast codebook),
+    * one index rewrite — the same corpus-wide passes as [[write]],
+    * which is the floor for any full retrain. Run it at maintenance
+    * cadence when [[fit]]'s mean decays, not per batch. Returns the
+    * new version. */
+  def retrain(spark: SparkSession, name: String, k: Int = 16,
+              iters: Int = 2, buckets: Int = 32): Int = {
+    val v = currentVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no ANN index named $name"))
+    val stored = spark.table(s"${name}_vectors_v$v")
+    val corpus = stored.select(col("neighbor_id").as("vec_id"),
+      col("embedding"))
+    // geometry from the stored codebook: m×nCodes rows — control-plane
+    val geo = spark.table(s"${name}_codebook_v$v")
+      .agg(countDistinct(col("code_id")).as("nCodes"),
+        (max(col("j")) + 1).as("m"), max(size(col("cw"))).as("sub")).head()
+    val (nCodes, m, sub) =
+      (geo.getLong(0).toInt, geo.getInt(1), geo.getInt(2))
+    val cents = Knn.assembleCentroids(KMeans.lloyd(corpus, k, iters))
+    val c = Pq.prep(corpus)
+    val cb = sampleCodebook(c, nCodes, m, sub)
+    commit(spark, name, cents, cb,
+      assign(c, broadcast(cents)), encode(c, broadcast(cb)),
+      stored, buckets,
+      if (hasMeta(spark, name, v)) Some(spark.table(s"${name}_meta_v$v"))
+      else None)
   }
 
   /** IVF-PQ top-k against the current index version — same pipeline,

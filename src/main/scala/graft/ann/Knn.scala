@@ -136,7 +136,15 @@ object Knn {
     * `vectors` supplies (vec_id, embedding) for the |pool|-sized
     * candidate-embedding fetch (one broadcast-pool equi-join — the
     * e17 fetch shape, never a corpus-wide shuffle). Pool sims must be
-    * 6-dp-rounded exact cosines (every retrieval rung's contract). */
+    * 6-dp-rounded exact cosines (every retrieval rung's contract).
+    *
+    * Local-bench crossover note: at toy corpus sizes (≲ sf1) the
+    * indexed pool (e14b) benches SLOWER than the brute pool (e14) —
+    * index-probe overhead dominates while the brute product is still
+    * cheap. That inverts with corpus growth: SCALING.md shows probe
+    * latency flat in corpus size while brute grows linearly, so the
+    * indexed leg is the production path — do not "optimize" back to
+    * brute off the local number. */
   def mmrRerank(pool: DataFrame, vectors: DataFrame, k: Int = 3,
                 lambda: Double = 0.7,
                 storage: StorageLevel = Caching.Default): DataFrame = {
@@ -387,8 +395,9 @@ object Knn {
 
   /** [[KMeans.lloyd]]'s (cent_id, dim, value) scalar rows reassembled
     * into dim-ordered broadcast arrays (k·dim scalars — driver-free,
-    * one tiny aggregation). */
-  private def assembleCentroids(centroids: DataFrame): DataFrame =
+    * one tiny aggregation). Package-visible: [[AnnIndex]] reuses it
+    * for trained writes and retrains. */
+  private[ann] def assembleCentroids(centroids: DataFrame): DataFrame =
     broadcast(centroids
       .groupBy(col("cent_id").cast("long").as("cent_id"))
       .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("dv"))

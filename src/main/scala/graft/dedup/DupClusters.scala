@@ -98,6 +98,74 @@ object DupClusters {
     (labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id")), i)
   }
 
+  /** Incremental component maintenance — the O(batch) leg of
+    * [[connectedComponents]] for the nightly-append shape
+    * (`d8_incremental_dedup` generates the batch's pairs in O(batch);
+    * this folds them into stored assignments without recomputing the
+    * corpus): contract each new edge through the stored labels
+    * (endpoint → its stored cluster_id, or itself if unseen), run the
+    * pointer-jumping propagation on the CONTRACTED graph — whose node
+    * set is only the touched clusters plus the batch's new docs, never
+    * corpus-sized — then relabel exactly the touched components via
+    * one equi-join on cluster_id and pass every untouched row through
+    * unchanged.
+    *
+    * Correctness: contracting a component to its representative
+    * preserves connectivity, and because a stored cluster_id IS its
+    * component's minimum doc_id, the contracted graph's min-label
+    * roots equal the merged components' global minima — so the result
+    * is bit-identical to a one-shot [[connectedComponents]] over the
+    * full accumulated pair set (spec-asserted, and the d19 oracle
+    * recomputes exactly that).
+    *
+    * Scale: the iterative part runs on the contracted graph
+    * (O(batch edges) nodes), so propagation cost is flat in corpus
+    * size (measured, SCALING.md); the only corpus-sized stages are
+    * the two label lookups (equi-joins on doc_id) and the final
+    * relabel (one equi-join on cluster_id + coalesce) — single keyed
+    * shuffles with no iteration. Returns (doc_id, cluster_id) covering
+    * the stored docs plus every batch-pair endpoint. */
+  def mergeComponents(stored: DataFrame, pairs: DataFrame,
+                      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(
+      col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+    val lbl = stored.select(
+      col("doc_id").cast("long").as("node"), col("cluster_id").cast("long").as("lbl"))
+    // contract: each endpoint maps to its stored component representative
+    val contracted = edges
+      .join(lbl.select(col("node").as("src"), col("lbl").as("slbl")),
+        Seq("src"), "left")
+      .join(lbl.select(col("node").as("dst"), col("lbl").as("dlbl")),
+        Seq("dst"), "left")
+      .select(coalesce(col("slbl"), col("src")).as("doc_a"),
+        coalesce(col("dlbl"), col("dst")).as("doc_b"))
+      // edges inside one stored component contract to self-loops —
+      // nothing to merge
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    // components of the contracted graph: node = old cluster id or new
+    // doc id, root = merged component's global minimum
+    val remap = connectedComponents(contracted, maxIter)
+      .select(col("doc_id").as("cnode"), col("cluster_id").as("root"))
+    // relabel ONLY the touched components; untouched rows coalesce
+    // through unchanged
+    val updated = stored
+      .join(remap, stored("cluster_id") === remap("cnode"), "left")
+      .select(stored("doc_id").cast("long").as("doc_id"),
+        coalesce(col("root"), stored("cluster_id").cast("long")).as("cluster_id"))
+    // batch-pair endpoints the store has never seen: their contracted
+    // node is themselves; endpoints whose every edge contracted away
+    // (both ends already same-cluster members) keep that cluster's id
+    val newDocs = edges.select(col("src").as("doc_id"))
+      .union(edges.select(col("dst").as("doc_id")))
+      .distinct()
+      .join(lbl.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .filter(col("lbl").isNull)
+      .join(remap, col("doc_id") === remap("cnode"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    updated.union(newDocs)
+  }
+
   /** Cluster-aware dedup apply: survivors = docs that are their
     * cluster's minimum id, plus every doc with no near-dup at all. */
   def survivors(docs: DataFrame, idName: String, pairs: DataFrame): DataFrame = {

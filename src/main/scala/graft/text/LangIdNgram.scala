@@ -31,7 +31,7 @@ object LangIdNgram {
 
   /** Profile depth (top-K trigrams per language and per document) and
     * the out-of-place penalty for absent trigrams. The paper uses up
-    * to 300; 40 separates these seven languages' function-word
+    * to 300; 40 separates these nine languages' function-word
     * distributions with margin (20 left fr/it too close). */
   val K = 40
 
@@ -39,10 +39,16 @@ object LangIdNgram {
     * SCRIPT-AWARE (`[^\p{L} ]` — any Unicode letter survives, digits/
     * punctuation/symbols don't), so non-Latin seeds work directly:
     * el/ru below are Cyrillic and Greek — the scripts most of a real
-    * crawl's non-English text is written in. Seeds are pre-lowercased
-    * (lower() is a no-op on them, so engine case-folding differences
-    * can't bite). Alphabetical by language code: the classifier's
-    * tiebreak order. */
+    * crawl's non-English text is written in — and zh/ja are
+    * UNSEGMENTED Han / kana-mixed running text: Cavnar–Trenkle char
+    * trigrams need no word boundaries, which is exactly why the
+    * method extends to unsegmented scripts as a profile addition, not
+    * a new algorithm (Han and kana are `\p{L}`, t23's script classes
+    * prove the ranges survive normalization; zh is Simplified, whose
+    * codepoints are disjoint from ja kanji usage here). Seeds are
+    * pre-lowercased (lower() is a no-op on them, so engine
+    * case-folding differences can't bite). Alphabetical by language
+    * code: the classifier's tiebreak order. */
   val Seeds: Seq[(String, String)] = Seq(
     "de" -> ("der die das und ist von mit nicht sich auf fur als auch "
       + "wird bei einem einer eines dem den des ein eine zu im in aus "
@@ -77,11 +83,22 @@ object LangIdNgram {
       + "queste quello quella si suo sua suoi sue noi voi loro al "
       + "allo alla ai agli alle stato essere avere fatto fare come "
       + "quando"),
+    "ja" -> ("それがどのようにして行われたのかについては誰にも説明できないなにかが"
+      + "あったのであるそれは時間が経っても変わることはなかったのであるなぜそうな"
+      + "のかと尋ねられてもそれがそのやり方だからとしか言えないのだった私たちはそ"
+      + "のことをよく知っているけれどもことばで言い表すことはできないのであるもし"
+      + "あなたがそれを見たならばきっと同じように感じることだろうと思うのだがそれ"
+      + "でもやはりうまく言えないものなのである"),
     "ru" -> ("и в не на я что он с как это по но они мы она к у из за "
       + "от для же бы ты вы о при этот тот так вот быть был была были "
       + "есть нет да ли уже или если когда где потом здесь там чтобы "
       + "перед после между под над через про без до около его ее их "
-      + "наш ваш свой кто весь все еще только можно нужно очень"))
+      + "наш ваш свой кто весь все еще только можно нужно очень"),
+    "zh" -> ("这就是它的方式没有人能够解释为什么会是这样的事情我们都知道这样的事情"
+      + "在我们的生活中并不少见的时候我们总是想起从前的那些日子的时候我们也会问为"
+      + "什么会是这样可是没有人能够说清楚因为这就是它的方式随着时间的过去它也不会"
+      + "改变我们知道的东西和我们不知道的东西都在那里这就是我们的生活的方式没有人"
+      + "能够改变的事情就让它去吧的时候到了我们就会明白为什么会是这样的事情"))
 
   /** Held-out test phrases (distinct word sequences, same function-
     * word distributions) — the deterministic multi-language corpus the
@@ -101,9 +118,15 @@ object LangIdNgram {
       + "ne changerait pas avec le temps pour nous"),
     "it" -> ("c era qualcosa nel modo in cui era stato fatto che "
       + "nessuno poteva spiegare e che non poteva cambiare"),
+    "ja" -> ("そのことがどうして起こったのかについてはうまく言えないところが"
+      + "あってどれだけ時間が経ってもそれは変わらないのだと私たちは思ってい"
+      + "たけれどもやはり誰にも説明できないものなのである"),
     "ru" -> ("было что то в том как это было сделано что никто не мог "
       + "объяснить и что не могло измениться со временем как бы кто "
-      + "ни смотрел на это дело"))
+      + "ни смотрел на это дело"),
+    "zh" -> ("关于这件事情是怎么发生的没有人可以说明为什么会是这样的事情不管"
+      + "你怎么看它都不会改变这就是我们知道的方式的时候我们也想知道为什么可"
+      + "是没有人能够解释这样的事情"))
 
   /** The normalization both engines apply before trigram extraction:
     * lowercase, anything that is not a Unicode LETTER or space →

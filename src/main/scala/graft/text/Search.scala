@@ -479,7 +479,14 @@ object Search {
     *
     * Both inputs are |Q|×k frames (query_id, doc_id, score);
     * everything here is list-sized: two per-query min/max aggs, one
-    * full-outer equi-join, one bounded-heap top-k. */
+    * full-outer equi-join, one bounded-heap top-k.
+    *
+    * Local-bench crossover note: fed from the persisted indexes
+    * (e15b) this can bench slower than the brute legs (e15) at toy
+    * corpus sizes — probe overhead dominates below ~sf1 while the
+    * brute legs are still cheap. SCALING.md shows probe latency flat
+    * in corpus size and brute growing linearly; the indexed
+    * composition is the production path. */
   def linearFuse(vec: DataFrame, lex: DataFrame, k: Int,
                  alpha: Double = 0.5): DataFrame = {
     require(k >= 1, s"invalid k=$k")

@@ -204,6 +204,72 @@ class AnnIndexSpec extends SparkSpec {
     } finally { dropIndex("adel"); dropIndex("aref") }
   }
 
+  test("retrain: equals a fresh trained build, atomically versioned, fit improves on drift") {
+    import graft.ann.KMeans
+    dropIndex("art"); dropIndex("artref"); dropIndex("artm")
+    try {
+      // 1) retrain == a FRESH write with trained centroids over the
+      // same corpus (the e3b/e5b relationship, persisted): quantizer
+      // provenance changes, the trained computation doesn't
+      AnnIndex.write(corpus, "art", buckets = 4)
+      assert(AnnIndex.retrain(spark, "art", k = 8, iters = 2, buckets = 4) == 1)
+      AnnIndex.write(corpus, "artref", buckets = 4,
+        centroids = Some(KMeans.lloyd(corpus, k = 8, iters = 2)))
+      val got = AnnIndex.topK(spark, "art", queries, k = 5, nProbe = 2)
+        .collect().map(_.toString).sorted
+      val ref = AnnIndex.topK(spark, "artref", queries, k = 5, nProbe = 2)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(ref),
+        "retrain must probe like a fresh trained build")
+      // version bump behind the atomic ptr: v0 retained for in-flight
+      // readers, the probe pins every table at v1
+      assert(AnnIndex.currentVersion(spark, "art").contains(1))
+      assert(spark.catalog.tableExists("art_assign_v0"),
+        "prior version dropped — in-flight readers would be torn")
+      val plan = AnnIndex.topK(spark, "art", queries, k = 5)
+        .queryExecution.analyzed.toString
+      Seq("cents", "codebook", "assign", "codes", "vectors").foreach { t =>
+        assert(plan.contains(s"art_${t}_v1"), s"probe not pinned to art_${t}_v1")
+      }
+      // the retrained coarse quantizer is the k-means one (8 cells),
+      // not the 16-sample build quantizer
+      assert(spark.table("art_cents_v1").count() === 8L)
+
+      // 2) the maintenance story e19b signals: a drifted batch MERGEd
+      // under frozen quantizers decays the corpus-weighted mean fit;
+      // retrain re-centers and must improve it
+      AnnIndex.write(corpus, "artm", buckets = 4, metaCols = Seq("label"))
+      val drifted = corpus.select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(2.0f)).cast("float"))
+          .as("embedding"),
+        col("label"))
+      AnnIndex.update(drifted, "artm", buckets = 4)
+      def weightedFit(name: String): Double = {
+        val rows = AnnIndex.fit(spark, name).collect()
+          .map(r => (r.getLong(1), r.getDouble(2)))
+        rows.map { case (n, f) => n * f }.sum / rows.map(_._1).sum
+      }
+      val before = weightedFit("artm")
+      AnnIndex.retrain(spark, "artm", k = 8, iters = 2, buckets = 4)
+      val after = weightedFit("artm")
+      assert(after > before,
+        s"retrain must improve corpus-weighted mean fit: $before -> $after")
+      // 3) the metadata member passes through a retrain untouched —
+      // the filtered probe still admits only same-label neighbors
+      val hits = AnnIndex.topKFiltered(spark, "artm", queries,
+        Seq("label"), k = 5)
+      val lab = v.select(col("vec_id"), col("label"))
+      val crossed = hits
+        .join(lab.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "qlab"), "query_id")
+        .join(lab.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("label", "nlab"), "neighbor_id")
+        .filter(col("qlab") =!= col("nlab")).count()
+      assert(crossed === 0L, "a hit crossed its label filter after retrain")
+    } finally { dropIndex("art"); dropIndex("artref"); dropIndex("artm") }
+  }
+
   test("update: batch joins the index under frozen quantizers, versions advance") {
     dropIndex("aup")
     val base = corpus.filter(col("vec_id") >= 110)

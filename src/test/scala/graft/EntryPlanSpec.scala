@@ -118,7 +118,16 @@ class EntryPlanSpec extends SparkSpec {
     // report — the same class
     "m8_type_sniff",
     // t28 shares t1b's bounded top-K × constant-language-list product
-    "t28_langid_margin")
+    "t28_langid_margin",
+    // e20 composes e4's training pass (corpus×constant-centroids
+    // broadcast assignment, k rows per vector) with e6's probe
+    // (query×constant-codebook ADC product) — e5b's exemption class
+    // run against the persisted index
+    "e20_index_retrain",
+    // e11c is e11b's steady-state probe: the same query×constant-cents
+    // and query×constant-codebook products; the label filter is two
+    // equi-joins on the candidate sliver
+    "e11c_filtered_probe")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

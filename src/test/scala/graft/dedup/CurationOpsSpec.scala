@@ -31,6 +31,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(cc.values.forall(_ == 1L))
   }
 
+  test("mergeComponents: incremental merge equals one-shot CC, untouched survive") {
+    // stored state: three components {1..3}, {10,11}, {20,21}
+    val pairs1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val stored = DupClusters.connectedComponents(pairs1)
+    // batch: bridges {1..3} with {10,11} (via new doc 50), extends
+    // {10,11} with 12, adds a brand-new pair (30,31), and re-links an
+    // existing component internally (2,3 — a contracted self-loop).
+    // {20,21} is untouched.
+    val pairs2 = Seq((3L, 50L), (50L, 10L), (11L, 12L), (30L, 31L),
+      (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = DupClusters.mergeComponents(stored, pairs2)
+      .as[(Long, Long)].collect().toMap
+    val oneShot = DupClusters.connectedComponents(
+        pairs1.unionByName(pairs2))
+      .as[(Long, Long)].collect().toMap
+    assert(got === oneShot, "incremental merge must equal one-shot CC")
+    // merged component takes the global min across old clusters + new
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 12L, 50L).forall(got(_) == 1L))
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got(20L) == 20L && got(21L) == 20L, "untouched component changed")
+    // a batch with NO cross-component pairs leaves the store identical
+    val noop = DupClusters.mergeComponents(stored,
+        Seq((2L, 3L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(noop === stored.as[(Long, Long)].collect().toMap)
+    // chained incremental: a second merge over the first's output
+    // still equals the one-shot over all three pair sets
+    val pairs3 = Seq((31L, 21L), (12L, 60L)).toDF("doc_a", "doc_b")
+    val got2 = DupClusters.mergeComponents(
+        DupClusters.mergeComponents(stored, pairs2), pairs3)
+      .as[(Long, Long)].collect().toMap
+    val oneShot2 = DupClusters.connectedComponents(
+        pairs1.unionByName(pairs2).unionByName(pairs3))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === oneShot2, "chained incremental merges must compose")
+  }
+
   test("survivors: keeps each cluster's min id and every non-dup doc") {
     val docs = (1L to 12L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")

@@ -89,6 +89,24 @@ class SeventhPassSpec extends SparkSpec {
     assert(LangIdNgram.Seeds.map(_._1) === LangIdNgram.TestPhrases.map(_._1))
   }
 
+  test("langIdNgram: unsegmented Han/kana classify with positive margin") {
+    // zh/ja have no word boundaries — the char-trigram profiles must
+    // classify raw unsegmented text (with digits/punctuation noise the
+    // normalization strips), and the zh-vs-ja margin must be positive
+    // in both directions (Simplified Han vs kana/kyujitai kanji are
+    // disjoint codepoint sets here, the separation the seeds rely on)
+    val df = Seq(
+      (1L, "2024年的时候没有人能够解释为什么会是这样的事情，我们都知道它不会改变！"),
+      (2L, "2024年になっても、それがどうしてなのか誰にも説明できないのである。"))
+      .toDF("doc_id", "text")
+    val out = LangIdNgram.classifyWithMargin(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "zh", s"got ${out(0)}")
+    assert(out(1).getString(1) === "ja", s"got ${out(1)}")
+    out.foreach { r =>
+      assert(r.getLong(5) > 0L, s"unsegmented call not confident: $r") }
+  }
+
   test("diversifyTopK: per-group cap holds, survivors keep relative order") {
     // q1 ranks 1..6 with sources AAABBC: cap 2/source -> 1,2(A) 4,5(B)
     // 6(C); re-ranked 1..5
