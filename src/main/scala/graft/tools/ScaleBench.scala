@@ -56,6 +56,15 @@ object ScaleBench {
     val mults = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 5, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SCALE_PASSES", "3").toInt
+    // SCALE_ONLY=d19,d7 runs just the named experiment groups (prefix
+    // match on the op keys) — re-measuring one new curve must not cost
+    // a full re-run of every committed one; when set, SCALE_OUT should
+    // point at a scratch file so the partial run can't clobber the
+    // committed SCALING.json
+    val onlyExp: Option[Set[String]] = sys.env.get("SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(key: String): Boolean =
+      onlyExp.forall(_.exists(p => key.startsWith(p)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions())
@@ -86,7 +95,7 @@ object ScaleBench {
       println(s"[scalebench] === x$m ($dir) ===")
       val ops = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Long)]()
 
-      ReusedQueries.foreach { q =>
+      ReusedQueries.filter(want).foreach { q =>
         ops(q) = bench(() => SparkEntry.queries(q)(spark, dir).count())
         println(f"[scalebench] x$m $q min=${ops(q)._1}%.3f med=${ops(q)._2}%.3f rows=${ops(q)._3}")
       }
@@ -97,12 +106,14 @@ object ScaleBench {
       // measured the shipped cap=10 dropping from full recall at x1
       // to ZERO pairs at x5 on an all-common-word corpus — while a
       // relative cap tracks the df distribution as the corpus grows
-      ops("d2b_rel_cap") = bench(() =>
-        graft.dedup.TextDedup.ngramJaccardPairs(
-          Tables.load(spark, dir, "documents"), col("doc_id"), col("text"),
-          minJaccard = 0.05, maxDocFreq = Some(10 * m)).count())
-      println(f"[scalebench] x$m d2b_rel_cap min=${ops("d2b_rel_cap")._1}%.3f " +
-        f"med=${ops("d2b_rel_cap")._2}%.3f rows=${ops("d2b_rel_cap")._3}")
+      if (want("d2b_rel_cap")) {
+        ops("d2b_rel_cap") = bench(() =>
+          graft.dedup.TextDedup.ngramJaccardPairs(
+            Tables.load(spark, dir, "documents"), col("doc_id"), col("text"),
+            minJaccard = 0.05, maxDocFreq = Some(10 * m)).count())
+        println(f"[scalebench] x$m d2b_rel_cap min=${ops("d2b_rel_cap")._1}%.3f " +
+          f"med=${ops("d2b_rel_cap")._2}%.3f rows=${ops("d2b_rel_cap")._3}")
+      }
 
       // e16 at doubled plane count: the first x10 run measured the
       // 4-plane graph build going SUPERLINEAR on this corpus (16 tight
@@ -113,11 +124,13 @@ object ScaleBench {
       // quality check (printed + recorded below as e16_q{4,8} in
       // 1e-6 units): identical means = the finer buckets cost no
       // neighbor quality on this corpus.
-      ops("e16_planes8") = bench(() =>
-        graft.ann.Knn.knnGraph(Tables.load(spark, dir, "embeddings"),
-          k = 3, planes = 8, tables = 4).count())
-      println(f"[scalebench] x$m e16_planes8 min=${ops("e16_planes8")._1}%.3f " +
-        f"med=${ops("e16_planes8")._2}%.3f rows=${ops("e16_planes8")._3}")
+      if (want("e16_planes8")) {
+        ops("e16_planes8") = bench(() =>
+          graft.ann.Knn.knnGraph(Tables.load(spark, dir, "embeddings"),
+            k = 3, planes = 8, tables = 4).count())
+        println(f"[scalebench] x$m e16_planes8 min=${ops("e16_planes8")._1}%.3f " +
+          f"med=${ops("e16_planes8")._2}%.3f rows=${ops("e16_planes8")._3}")
+      }
       def rank1MeanSim(planes: Int): Long = {
         // avg(sim) is NULL on an empty kNN graph (no LSH candidate
         // pairs on a degenerate corpus) — report -1 instead of NPEing
@@ -129,21 +142,25 @@ object ScaleBench {
         Option(row.get(0)).map(d =>
           math.round(d.asInstanceOf[Double] * 1e6)).getOrElse(-1L)
       }
-      ops("e16_q4") = (0.0, 0.0, rank1MeanSim(4))
-      ops("e16_q8") = (0.0, 0.0, rank1MeanSim(8))
-      println(s"[scalebench] x$m e16 rank-1 mean sim (1e-6): " +
-        s"planes4=${ops("e16_q4")._3} planes8=${ops("e16_q8")._3}")
+      if (want("e16_q4")) {
+        ops("e16_q4") = (0.0, 0.0, rank1MeanSim(4))
+        ops("e16_q8") = (0.0, 0.0, rank1MeanSim(8))
+        println(s"[scalebench] x$m e16 rank-1 mean sim (1e-6): " +
+          s"planes4=${ops("e16_q4")._3} planes8=${ops("e16_q8")._3}")
+      }
       // the IVF-cell graph (e18) on the same corpus: nCentroids ∝ √|V|
       // balances the |V|·C assignment pass against the |V|·(|V|/C)
       // in-cell pairing — the classic IVF sizing; cells always exist
       // no matter how the vectors cluster
-      val ivfCents = (64 * math.sqrt(m)).toInt
-      ops("e18_graph_ivf") = bench(() =>
-        graft.ann.Knn.knnGraphIvf(Tables.load(spark, dir, "embeddings"),
-          k = 3, nCentroids = ivfCents).count())
-      println(f"[scalebench] x$m e18_graph_ivf (C=$ivfCents) " +
-        f"min=${ops("e18_graph_ivf")._1}%.3f med=${ops("e18_graph_ivf")._2}%.3f " +
-        f"rows=${ops("e18_graph_ivf")._3}")
+      if (want("e18_graph_ivf")) {
+        val ivfCents = (64 * math.sqrt(m)).toInt
+        ops("e18_graph_ivf") = bench(() =>
+          graft.ann.Knn.knnGraphIvf(Tables.load(spark, dir, "embeddings"),
+            k = 3, nCentroids = ivfCents).count())
+        println(f"[scalebench] x$m e18_graph_ivf (C=$ivfCents) " +
+          f"min=${ops("e18_graph_ivf")._1}%.3f med=${ops("e18_graph_ivf")._2}%.3f " +
+          f"rows=${ops("e18_graph_ivf")._3}")
+      }
 
       // d7's O(log diameter) claim, measured on its adversarial shape:
       // templated near-dup CHAINS (docs 0-1-2-…, each adjacent pair a
@@ -159,7 +176,7 @@ object ScaleBench {
         spark.range(0L, total - 1, 1L, 32)
           .filter(pmod(col("id"), lit(chainLen)) =!= chainLen - 1)
           .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-      Seq(1000L, 10000L).foreach { cl =>
+      Seq(1000L, 10000L).filter(_ => want("d7_chain")).foreach { cl =>
         val total = 20000L * m
         val key = s"d7_chain${cl / 1000}k"
         var rounds = 0
@@ -174,8 +191,36 @@ object ScaleBench {
           f"med=${ops(key)._2}%.3f nodes=${ops(key)._3} rounds=$rounds")
       }
 
+      // d19's claim: merging a FIXED batch of pairs into corpus-sized
+      // stored assignments costs one non-iterative relabel pass, vs the
+      // one-shot recompute whose EVERY propagation round shuffles
+      // corpus-sized frames — so the merge/one-shot ratio must FALL as
+      // the corpus grows while the batch stays constant. Stored state:
+      // total/2 two-doc components; batch: 1000 bridge pairs touching
+      // the first 4000 ids only (corpus-size-independent).
+      if (want("d19_merge")) {
+        val total = 20000L * m
+        def storedCc: DataFrame = spark.range(0L, total, 1L, 32)
+          .select(col("id").as("doc_id"),
+            (col("id") - pmod(col("id"), lit(2L))).as("cluster_id"))
+        def storedPairs: DataFrame = spark.range(0L, total / 2, 1L, 32)
+          .select((col("id") * 2).as("doc_a"), (col("id") * 2 + 1).as("doc_b"))
+        def batch: DataFrame = spark.range(0L, 1000L, 1L, 8)
+          .select((col("id") * 4 + 1).as("doc_a"), (col("id") * 4 + 2).as("doc_b"))
+        ops("d19_merge") = bench(() =>
+          graft.dedup.DupClusters.mergeComponents(storedCc, batch).count())
+        ops("d19_oneshot") = bench(() =>
+          graft.dedup.DupClusters.connectedComponents(
+            storedPairs.unionByName(batch), maxIter = 40).count())
+        println(f"[scalebench] x$m d19_merge min=${ops("d19_merge")._1}%.3f " +
+          f"med=${ops("d19_merge")._2}%.3f rows=${ops("d19_merge")._3} vs " +
+          f"oneshot min=${ops("d19_oneshot")._1}%.3f " +
+          f"med=${ops("d19_oneshot")._2}%.3f")
+      }
+
       // persisted-index legs: drop any prior state so the lifecycle
       // number is a REAL build, then probe steady-state
+      if (want("e6b_lifecycle") || want("e8c_lifecycle")) {
       val annName = s"e6probe_${dir.hashCode.toHexString}"
       val bmName = s"e8probe_${dir.hashCode.toHexString}"
       graft.ann.AnnIndex.drop(spark, annName)
@@ -196,10 +241,12 @@ object ScaleBench {
         SparkEntry.queries("e8c_bm25_probe")(spark, dir).count())
       Seq("e6b_lifecycle", "e6b_probe", "e8c_lifecycle", "e8c_probe").foreach(q =>
         println(f"[scalebench] x$m $q min=${ops(q)._1}%.3f med=${ops(q)._2}%.3f"))
+      }
 
       // skew story: AQE + broadcast OFF so the comparison isolates the
       // salting tools (AQE skew-join is the runtime's own answer; the
       // toolkit exists for engines/paths where it isn't available)
+      if (want("skew_agg_plain")) {
       val conf = spark.conf
       val oldAqe = conf.get("spark.sql.adaptive.enabled")
       val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -228,6 +275,7 @@ object ScaleBench {
       Seq("skew_agg_plain", "skew_agg_salted", "skew_join_plain",
         "skew_join_salted").foreach(q =>
         println(f"[scalebench] x$m $q min=${ops(q)._1}%.3f med=${ops(q)._2}%.3f"))
+      }
 
       m -> ops.toSeq
     }
@@ -239,7 +287,10 @@ object ScaleBench {
       }.mkString(",")
       s"""{"mult":$m,"docs":${ScaleGen.BaseDocs * m},"vecs":${ScaleGen.BaseVecs * m},"fact":${ScaleGen.BaseFact * m},"ops":{$opsJson}}"""
     }.mkString("[", ",", "]")
-    val out = sys.env.getOrElse("SCALE_OUT", "SCALING.json")
+    // a SCALE_ONLY partial run defaults to a scratch file so it can't
+    // clobber the committed full-run artifact
+    val out = sys.env.getOrElse("SCALE_OUT",
+      if (onlyExp.isDefined) "SCALING_partial.json" else "SCALING.json")
     val doc = s"""{"passes":$passes,"cpus":$cpus,"root":"$root","sizes":$json}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
