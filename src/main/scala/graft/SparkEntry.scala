@@ -569,6 +569,37 @@ object SparkEntry {
       Measures.anomalousDays(t(s, dir, "events"), col("event_type"),
         to_date(col("ts")), col("value"))),
 
+    "g38_semantic_eval" -> ((s, dir) => {
+      // semantic-model serving: the DAX measure catalog evaluated per
+      // request (operators.SemanticModel — Claims.tmdl's COUNTROWS /
+      // SUM / CALCULATE / DIVIDE family over relationships.tmdl's
+      // star). The request groups by a DIMENSION column under a
+      // fact-side slicer, so evaluate() must join (and broadcast)
+      // exactly one dimension and push the filter below the agg.
+      val model = SemanticModel(
+        fact = t(s, dir, "orders"),
+        dimensions = Map(
+          "customer" -> Dimension(t(s, dir, "customer"),
+            factKey = "o_custkey", dimKey = "c_custkey")),
+        measures = Seq(
+          "total_claims" -> count(lit(1)),
+          "total_amount" -> Measures.decSum(col("o_totalprice")),
+          "finished_claims" ->
+            SemanticModel.calculateCount(col("o_orderstatus") === "F"),
+          "finished_amount" -> SemanticModel.calculateSum(
+            col("o_totalprice"), col("o_orderstatus") === "F"),
+          "finished_rate" -> SemanticModel.divide(
+            SemanticModel.calculateCount(col("o_orderstatus") === "F")
+              .cast("double"), count(lit(1))),
+          "average_amount" -> Measures.decAvg(col("o_totalprice"))))
+      model.evaluate(
+        groupBy = Seq("c_mktsegment"),
+        measureNames = Seq("total_claims", "total_amount",
+          "finished_claims", "finished_amount", "finished_rate",
+          "average_amount"),
+        filters = Seq(year(col("o_orderdate")) >= 1995))
+    }),
+
     "g36_histogram" -> ((s, dir) =>
       // distribution shape for the profile: 20 equi-width bins over
       // order totals — one (min,max) broadcast + one map-only
@@ -1173,6 +1204,24 @@ object SparkEntry {
         |SELECT grp, day, total, baseline_mean, z,
         |  coalesce(z > 3.0, false) AS is_anomaly
         |FROM g""".stripMargin,
+
+    // g38: catalog measures are exact-decimal sums / exact counts with
+    // one IEEE division per ratio, replayed in the same written order
+    "g38_semantic_eval" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS total_claims,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_amount,
+        |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_claims,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+        |         AS finished_amount,
+        |       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE)
+        |         / count(*) AS finished_rate,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         / count(o_totalprice) AS average_amount
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE year(o_orderdate) >= 1995
+        |GROUP BY 1""".stripMargin,
 
     // g36: every arithmetic step replayed in Spark's written order
     // ((v-lo)/((hi-lo)/20.0) then floor/clamp) so bin edges agree

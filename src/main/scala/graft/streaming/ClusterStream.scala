@@ -80,22 +80,28 @@ object ClusterStream {
             else Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
           val within = pairCols(TextDedup.minHashLshPairs(b, col("doc_id"),
             col("text"), minJaccard))
-          val pairs = cross.unionByName(within)
-          val stored = SnapshotStore.read(spark, clustersDir)
-            .map(_.select("doc_id", "cluster_id"))
-            .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
-          val merged = DupClusters.mergeComponents(stored, pairs)
-          // ship only the delta: rows whose assignment changed or is new
-          val delta = merged
-            .join(stored.withColumnRenamed("cluster_id", "__prev"),
-              Seq("doc_id"), "left")
-            .filter(col("__prev").isNull || col("__prev") =!= col("cluster_id"))
-            .select("doc_id", "cluster_id")
-          SnapshotStore.mergeInto(delta, clustersDir, Seq("doc_id")): Unit
-          // grow the index last: a batch must not pair against itself
-          // through the index (its within-pairs are generated directly)
-          TextDedup.updateDedupIndex(b, col("doc_id"), col("text"),
-            indexDir): Unit
+          // persist the generated pairs too, not just the batch: the
+          // pair lineage (signatures + index probe + verify) feeds the
+          // contracted graph's eager checkpoint AND the delta write's
+          // new-doc leg — unpersisted it executes twice per batch
+          val pairs = cross.unionByName(within).persist()
+          try {
+            val stored = SnapshotStore.read(spark, clustersDir)
+              .map(_.select("doc_id", "cluster_id"))
+              .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
+            val merged = DupClusters.mergeComponents(stored, pairs)
+            // ship only the delta: rows whose assignment changed or is new
+            val delta = merged
+              .join(stored.withColumnRenamed("cluster_id", "__prev"),
+                Seq("doc_id"), "left")
+              .filter(col("__prev").isNull || col("__prev") =!= col("cluster_id"))
+              .select("doc_id", "cluster_id")
+            SnapshotStore.mergeInto(delta, clustersDir, Seq("doc_id")): Unit
+            // grow the index last: a batch must not pair against itself
+            // through the index (its within-pairs are generated directly)
+            TextDedup.updateDedupIndex(b, col("doc_id"), col("text"),
+              indexDir): Unit
+          } finally { pairs.unpersist(): Unit }
         } finally { b.unpersist(): Unit }
       }
       .start()

@@ -22,6 +22,9 @@ import graft.streaming.{CurationStream, Events, FunnelStream, RollupStream}
   *    chains (state = rows in the state store, watermark-bounded)
   *  - `CurationStream` — gate → watermark-bounded exact dedup →
   *    band-index flag → MERGE sink (state = dedup store rows)
+  *  - `ClusterStream` — O(batch) pair gen → contracted-graph merge →
+  *    changed-rows MERGE (state = the two snapshot stores; the
+  *    stream side is stateless — r10)
   *
   * Inputs are deterministic functions of the row index (no rand);
   * each size is fed in fixed-size chunks so the engine runs real
@@ -169,6 +172,42 @@ object StreamBench {
           q.stop()
           corpusIndex.unpersist(): Unit
         }
+      }
+
+      // --- ClusterStream: pair gen -> contracted merge -> delta MERGE ---
+      locally {
+        val idxDir = tmp("graft-sb-cli")
+        val clDir = tmp("graft-sb-clc")
+        val in = MemoryStream[(Long, String)]
+        val q = graft.streaming.ClusterStream.run(
+          in.toDF().toDF("doc_id", "text"), idxDir, clDir,
+          tmp("graft-sb-cl-ckpt"), minJaccard = 0.1)
+        try {
+          // every 5th doc copies its in-batch predecessor (a
+          // deterministic within-batch near-dup pair per 5 docs), and
+          // every 31st copies the doc one chunk back — a CROSS-batch
+          // pair that must arrive through the persisted index probe
+          // every token is k-derived so non-dup docs share ~no shingles
+          // (a shared boilerplate body would make EVERY pair verify at
+          // minJaccard=0.1 — a near-complete pair graph measures the
+          // pathology, not maintenance cost)
+          val (secs, _) = drive(q, n, (off, m) =>
+            in.addData((off until off + m).map { i =>
+              val k = if (i % 5 == 4) i - 1
+                else if (i % 31 == 30 && i >= chunk) i - chunk
+                else i
+              (i.toLong, (0 until 12).map(j => s"t${j}v${k * 31 + j * 7919}")
+                .mkString(" "))
+            }): Unit)
+          val clusters = graft.sources.SnapshotStore
+            .read(spark, clDir).map(_.count()).getOrElse(0L)
+          val indexRows = graft.sources.SnapshotStore
+            .read(spark, idxDir).map(_.count()).getOrElse(0L)
+          ops("clusters") = s"""{"rows":$n,"secs":${f3(secs)},""" +
+            s""""rows_per_sec":${f0(n / secs)},"cluster_rows":$clusters,""" +
+            s""""index_rows":$indexRows}"""
+          println(s"[streambench] n=$n clusters ${ops("clusters")}")
+        } finally q.stop()
       }
 
       n -> ops.toSeq

@@ -13,6 +13,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The fully-converted Catalyst tree behind `c`. [[expression]]
+    * returns a LAZY `ColumnNodeExpression` wrapper whose children are
+    * not traversable before analysis; this converts eagerly — use it
+    * when inspecting the tree (e.g. collecting referenced column
+    * names), not when building plans. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** `Dataset.ofRows` for executing a hand-transformed logical plan
     * (used by specs to drive optimizer rules directly). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
