@@ -37,6 +37,35 @@ object SparkEntry {
     QualityRules.Rule(!col("l_returnflag").isin("A", "N"), "UnknownReturnFlag"),
     QualityRules.Rule(!col("l_linestatus").isin("O", "F"), "UnknownLineStatus"))
 
+  /** Shared claims model over the Dates dimension for the g38b/g38c
+    * semantic-model requests: orders (with a derived date-typed
+    * `o_date` join key — the stored column is a timestamp) related to
+    * a generated calendar spanning the corpus, carrying the
+    * reference's Year>Month>Day drill hierarchy (Dates.tmdl:109-131)
+    * and the [[DatesRole]] the Time Calculation group evaluates
+    * through. `amount` is the exact-decimal sum used for time
+    * calculations (the running/LY arithmetic stays decimal until the
+    * final per-column IEEE cast); `total_amount` is the IEEE-final
+    * form regular requests report. */
+  private def claimsDatesModel(s: SparkSession, dir: String): SemanticModel = {
+    val datesDim = Dimensions.dateDimension(s,
+        java.time.LocalDate.of(1994, 1, 1), java.time.LocalDate.of(2002, 12, 31))
+      .select(col("Date").as("d_date"), col("Year").as("d_year"),
+        col("Month").as("d_month"), col("Day").as("d_day"))
+    val fact = t(s, dir, "orders")
+      .withColumn("o_date", to_date(col("o_orderdate")))
+    SemanticModel(
+      fact = fact,
+      dimensions = Map("dates" -> Dimension(datesDim,
+        factKey = "o_date", dimKey = "d_date",
+        hierarchies = Map("calendar" -> Seq("d_year", "d_month", "d_day")))),
+      measures = Seq(
+        "total_claims" -> count(lit(1)),
+        "total_amount" -> Measures.decSum(col("o_totalprice")),
+        "amount" -> sum(col("o_totalprice").cast(DecimalType(18, 4)))),
+      dates = Some(DatesRole("dates", year = "d_year", month = "d_month")))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("s5_star_join")(spark, "/root/testdata/sf0.001")
@@ -598,6 +627,36 @@ object SparkEntry {
           "finished_claims", "finished_amount", "finished_rate",
           "average_amount"),
         filters = Seq(year(col("o_orderdate")) >= 1995))
+    }),
+
+    "g38b_time_intel_eval" -> ((s, dir) => {
+      // the Time Calculation group THROUGH the model (Time
+      // Calculation.tmdl:4-24): SELECTEDMEASURE = any catalog measure,
+      // the calc-group item = a time variant, evaluated over the
+      // declared Dates dimension (Dates.tmdl related on the fact date
+      // key). Month grain comes from the dates table's calendar
+      // columns — the broadcast dim join adds no shuffle; the only
+      // corpus-sized exchange is the month-grain aggregation, and the
+      // variant windows run on the ≤#months frame. The measure is a
+      // DECIMAL sum so the running/LY arithmetic is exact in both
+      // engines (one IEEE cast per output column at the end).
+      val model = claimsDatesModel(s, dir)
+      model.evaluateTime("amount", Seq("ytd", "ly", "yoy_pct"),
+        filters = Seq(col("o_orderstatus").isin("F", "O")))
+    }),
+
+    "g38c_hierarchy_rollup" -> ((s, dir) => {
+      // hierarchy-aware model request (Dates.tmdl:109-131's
+      // Year>Month>Day drill hierarchy): ROLLUP across all levels in
+      // one pass — every drill prefix plus the grand total, each row
+      // tagged with the grouping-set bit vector so subtotal rows are
+      // distinguishable from genuinely-null level values. Rides the
+      // same broadcast dates join; the rollup is Spark's native
+      // expand+agg (g11's machinery) reached as a model request.
+      val model = claimsDatesModel(s, dir)
+      model.evaluateRollup("dates", "calendar",
+        Seq("total_claims", "total_amount"),
+        filters = Seq(col("o_orderstatus") === "F"))
     }),
 
     "g36_histogram" -> ((s, dir) =>
@@ -1219,9 +1278,47 @@ object SparkEntry {
         |         / count(*) AS finished_rate,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |         / count(o_totalprice) AS average_amount
-        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |WHERE year(o_orderdate) >= 1995
         |GROUP BY 1""".stripMargin,
+
+    // g38b: month grain through the Dates dimension is lossless (the
+    // generated calendar spans the corpus), so the oracle reads the
+    // calendar parts off the fact date directly; all running/LY sums
+    // stay DECIMAL, one IEEE cast per output column, the division
+    // replayed in the written order
+    "g38b_time_intel_eval" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |         CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS amount_mtd
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1, 2),
+        |cur AS (
+        |  SELECT yr, mo, amount_mtd,
+        |         sum(amount_mtd) OVER (PARTITION BY yr ORDER BY mo) AS amount_ytd
+        |  FROM monthly)
+        |SELECT c.yr, c.mo,
+        |       CAST(c.amount_ytd AS DOUBLE) AS amount_ytd,
+        |       CAST(l.amount_mtd AS DOUBLE) AS amount_ly,
+        |       CAST(c.amount_mtd - l.amount_mtd AS DOUBLE)
+        |         / CAST(l.amount_mtd AS DOUBLE) AS amount_yoy_pct
+        |FROM cur c LEFT JOIN monthly l ON l.yr = c.yr - 1 AND l.mo = c.mo""".stripMargin,
+
+    // g38c: GROUPING SETS replay of the hierarchy rollup — DuckDB's
+    // GROUPING bit order matches Spark's grouping_id (first level most
+    // significant)
+    "g38c_hierarchy_rollup" ->
+      """WITH f AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS d_year,
+        |                  CAST(month(o_orderdate) AS INTEGER) AS d_month,
+        |                  CAST(day(o_orderdate) AS INTEGER) AS d_day,
+        |                  o_totalprice
+        |           FROM orders WHERE o_orderstatus = 'F')
+        |SELECT d_year, d_month, d_day,
+        |       CAST(GROUPING(d_year)*4 + GROUPING(d_month)*2
+        |            + GROUPING(d_day) AS BIGINT) AS lvl,
+        |       count(*) AS total_claims,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
+        |FROM f GROUP BY ROLLUP(d_year, d_month, d_day)""".stripMargin,
 
     // g36: every arithmetic step replayed in Spark's written order
     // ((v-lo)/((hi-lo)/20.0) then floor/clamp) so bin edges agree

@@ -277,6 +277,78 @@ object AnnIndex {
       else None)
   }
 
+  /** Maintenance thresholds for [[maintain]]: retrain fires when any
+    * band is crossed. Defaults encode the SCALING.md guidance — a cell
+    * holding over a quarter of the corpus starves probe selectivity,
+    * half the cells sitting empty wastes probe budget, and a
+    * corpus-weighted mean fit below the floor means ADC scoring
+    * quality has drifted (the e19b decay signal). */
+  final case class MaintainPolicy(
+      maxCellShare: Double = 0.25,
+      maxEmptyFrac: Double = 0.5,
+      minMeanFit: Double = 0.5,
+      k: Int = 16, iters: Int = 2, buckets: Int = 32)
+
+  /** Auto-maintenance — [[stats]] (occupancy skew) + [[fit]] (quantizer
+    * tightness) composed into the retrain DECISION, with the decision
+    * recorded in a replay-safe ledger (the [[graft.operators.Scheduler
+    * .runDue]] pattern: the examined index VERSION is the unit of
+    * work). Each index version gets AT MOST one decision: a second
+    * `maintain` call on the same version is a no-op returning the
+    * recorded row, so a host timer may tick as often as it likes
+    * without double-retraining; a version created BY a retrain is a
+    * fresh occurrence and gets its own (normally healthy) row on the
+    * next tick. Signals are control-plane sized (nCentroids rows);
+    * the retrain itself is [[retrain]]'s corpus passes — exactly the
+    * cost this policy exists to spend only when the bands say so.
+    * Returns the one decision row: (index, version, action,
+    * new_version, max_cell_share, empty_frac, mean_fit, reasons). */
+  def maintain(spark: SparkSession, name: String, ledgerDir: String,
+               policy: MaintainPolicy = MaintainPolicy()): DataFrame = {
+    import spark.implicits._
+    import graft.sources.SnapshotStore
+    val v = currentVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no ANN index named $name"))
+    val prior = SnapshotStore.read(spark, ledgerDir).map(
+      _.filter(col("index") === name && col("version") === v))
+    prior.filter(_.limit(1).count() > 0) match {
+      case Some(row) => row // this version already decided — replay-safe
+      case None =>
+        val occ = stats(spark, name)
+          .agg(max(col("share")).as("mx"),
+            (sum(when(col("n_vectors") === 0, 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("empty"))
+          .head()
+        val (maxShare, emptyFrac) = (occ.getDouble(0), occ.getDouble(1))
+        val fitRows = fit(spark, name)
+          .agg((sum(col("mean_fit") * col("n_vectors")) /
+            sum(col("n_vectors"))).as("wf")).head()
+        // an index with no stored vectors has no fit signal — treat as
+        // tight rather than NPE/retraining an empty corpus
+        val meanFit = if (fitRows.isNullAt(0)) 1.0 else fitRows.getDouble(0)
+        val reasons = Seq(
+          if (maxShare > policy.maxCellShare)
+            Some(f"cell_share ${maxShare}%.4f > ${policy.maxCellShare}%.2f")
+          else None,
+          if (emptyFrac > policy.maxEmptyFrac)
+            Some(f"empty_frac ${emptyFrac}%.4f > ${policy.maxEmptyFrac}%.2f")
+          else None,
+          if (meanFit < policy.minMeanFit)
+            Some(f"mean_fit ${meanFit}%.4f < ${policy.minMeanFit}%.2f")
+          else None).flatten
+        val newV = if (reasons.nonEmpty)
+          retrain(spark, name, policy.k, policy.iters, policy.buckets)
+        else v
+        val action = if (reasons.nonEmpty) "retrained" else "healthy"
+        val row = Seq((name, v, action, newV, maxShare, emptyFrac,
+          meanFit, reasons.mkString("; ")))
+          .toDF("index", "version", "action", "new_version",
+            "max_cell_share", "empty_frac", "mean_fit", "reasons")
+        SnapshotStore.mergeInto(row, ledgerDir, Seq("index", "version"))
+        row
+    }
+  }
+
   /** IVF-PQ top-k against the current index version — same pipeline,
     * ranking, and output schema as [[Pq.ivfPqTopK]], but every
     * corpus-sized input is a bucketed index scan: candidates join

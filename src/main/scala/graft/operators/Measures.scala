@@ -135,11 +135,22 @@ object Measures {
     * windows over the tiny month frame. */
   def timeIntelligenceFor(df: DataFrame, dateCol: Column,
                           measureAgg: Column, name: String): DataFrame = {
-    val mtd = s"${name}_mtd"
     val monthly = df
       .groupBy(year(dateCol).as("yr"), quarter(dateCol).as("qtr"),
         month(dateCol).as("mo"))
-      .agg(measureAgg.as(mtd))
+      .agg(measureAgg.as(s"${name}_mtd"))
+    timeCalcOverMonthly(monthly, name)
+  }
+
+  /** The window stage of [[timeIntelligenceFor]], over an
+    * already-month-grain frame with columns `(yr, qtr, mo,
+    * <name>_mtd)` — exposed so a caller that reaches month grain some
+    * other way (e.g. [[SemanticModel.evaluateTime]] grouping through a
+    * Dates dimension) shares the exact calculation-family arithmetic.
+    * All windows run on the tiny month frame (≤ #months rows total,
+    * regardless of the input size that produced it). */
+  def timeCalcOverMonthly(monthly: DataFrame, name: String): DataFrame = {
+    val mtd = s"${name}_mtd"
     val wYtd = Window.partitionBy(col("yr")).orderBy(col("mo"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wQtd = Window.partitionBy(col("yr"), col("qtr")).orderBy(col("mo"))

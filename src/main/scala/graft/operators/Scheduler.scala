@@ -266,47 +266,67 @@ object Scheduler {
     * instant is one run — the occurrence, not the schedule entry, is
     * the unit of work). With NO ledger (`lastFire` empty) this
     * bootstraps with the single most recent occurrence ≤ now — a new
-    * deployment runs once and is then incremental, rather than
-    * replaying history back to `startDateTime`. A long outage is
-    * capped at the `maxCatchUp` MOST RECENT missed occurrences (the
-    * freshest runs are the ones that matter; a week-dead 5-minute
-    * schedule should not replay 2,016 runs), so callers see at most
-    * `maxCatchUp` runs per tick — the drop is deliberate and the cap
-    * is the caller's knob. */
+    * deployment runs once PER SCHEDULE and is then incremental, rather
+    * than replaying history back to `startDateTime`. A long outage is
+    * capped at the `maxCatchUp` MOST RECENT missed occurrences PER
+    * SCHEDULE (the freshest runs are the ones that matter; a week-dead
+    * 5-minute schedule should not replay 2,016 runs) — both the cap
+    * and the bootstrap apply before schedules merge, so a
+    * high-frequency schedule's backlog can never evict a low-frequency
+    * schedule's missed occurrence (a daily job after an outage always
+    * catches up, even sharing a ledger with a 5-minute schedule). The
+    * drop within one schedule is deliberate and the cap is the
+    * caller's knob. */
   def due(schedules: Seq[Schedule], lastFire: Option[Instant],
           now: Instant, maxCatchUp: Int = 100): Seq[Instant] = {
     require(maxCatchUp >= 1, "maxCatchUp must be >= 1")
     lastFire match {
       case Some(last) =>
-        schedules.flatMap(_.occurrencesBetween(last, now))
-          .distinct.sorted.takeRight(maxCatchUp)
+        schedules.flatMap(_.occurrencesBetween(last, now).takeRight(maxCatchUp))
+          .distinct.sorted
       case None =>
-        schedules.flatMap(_.lastNotAfter(now)).sorted.takeRight(1)
+        schedules.flatMap(_.lastNotAfter(now)).distinct.sorted
     }
   }
 
   private val fmt = DateTimeFormatter.ISO_INSTANT
 
+  /** Exact sortable encoding of an instant for the ledger — epoch
+    * NANOSECONDS in a long (exact through year 2262). ISO_INSTANT
+    * strings are NOT order-safe to compare lexicographically (the
+    * formatter emits variable-width fractional seconds, so
+    * `…:30Z` > `…:30.5Z` as strings), so the ledger carries this
+    * numeric column for the max-fire lookup and keeps the ISO string
+    * for humans and as the merge key. */
+  private def epochNanos(t: Instant): Long =
+    t.getEpochSecond * 1000000000L + t.getNano
+
+  private def fromEpochNanos(n: Long): Instant =
+    Instant.ofEpochSecond(Math.floorDiv(n, 1000000000L),
+      Math.floorMod(n, 1000000000L))
+
   /** Replay-safe catch-up: read the last fired occurrence from the
-    * ledger at `ledgerDir` (a [[SnapshotStore]] keyed by `fire_ts`),
-    * run `stages(occurrence)` once per due occurrence through
-    * [[PipelineRunner.run]] (run id `sched_<epochSecond>`), and MERGE
-    * both the ledger rows and the run logs. Returns the union of this
-    * tick's run logs (empty ⇒ nothing was due). Calling again with the
-    * same `now` is a no-op — the ledger advanced — so a host timer may
-    * tick as often as it likes; and a failed run is NOT retried by the
-    * next tick (its ledger row records `failed`; retry-on-transient
-    * belongs to the stage's own `maxAttempts`, re-running a failed
-    * BATCH is an operator decision, the reference platform's behavior).
+    * ledger at `ledgerDir` (a [[SnapshotStore]] keyed by `fire_ts`,
+    * carrying `fire_epoch` — see [[epochNanos]] — for the
+    * chronological max), run `stages(occurrence)` once per due
+    * occurrence through [[PipelineRunner.run]] (run id
+    * `sched_<epochSecond>`), and MERGE both the ledger rows and the
+    * run logs. Returns the union of this tick's run logs (empty ⇒
+    * nothing was due). Calling again with the same `now` is a no-op —
+    * the ledger advanced — so a host timer may tick as often as it
+    * likes; and a failed run is NOT retried by the next tick (its
+    * ledger row records `failed`; retry-on-transient belongs to the
+    * stage's own `maxAttempts`, re-running a failed BATCH is an
+    * operator decision, the reference platform's behavior).
     */
   def runDue(spark: SparkSession, schedules: Seq[Schedule],
              ledgerDir: String, now: Instant, maxCatchUp: Int = 100)
             (stages: Instant => Seq[PipelineStage]): DataFrame = {
     import spark.implicits._
     val last = SnapshotStore.read(spark, ledgerDir).flatMap { led =>
-      val ts = led.agg(max(col("fire_ts"))).collect()(0)
+      val ts = led.agg(max(col("fire_epoch"))).collect()(0)
       if (ts.isNullAt(0)) None
-      else Some(Instant.from(fmt.parse(ts.getString(0))))
+      else Some(fromEpochNanos(ts.getLong(0)))
     }
     val occurrences = due(schedules, last, now, maxCatchUp)
     val logs = occurrences.map { t =>
@@ -314,9 +334,9 @@ object Scheduler {
       val log = PipelineRunner.run(spark, runId, stages(t)).persist()
       val failed = log.filter(col("status") === "failed").limit(1)
         .count() > 0
-      val ledgerRow = Seq((fmt.format(t), runId,
+      val ledgerRow = Seq((fmt.format(t), epochNanos(t), runId,
         if (failed) "failed" else "succeeded"))
-        .toDF("fire_ts", "run_id", "status")
+        .toDF("fire_ts", "fire_epoch", "run_id", "status")
       SnapshotStore.mergeInto(ledgerRow, ledgerDir, Seq("fire_ts"))
       log.unpersist()
       log

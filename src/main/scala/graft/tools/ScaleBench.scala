@@ -142,7 +142,7 @@ object ScaleBench {
         Option(row.get(0)).map(d =>
           math.round(d.asInstanceOf[Double] * 1e6)).getOrElse(-1L)
       }
-      if (want("e16_q4")) {
+      if (Seq("e16_q4", "e16_q8").exists(want)) {
         ops("e16_q4") = (0.0, 0.0, rank1MeanSim(4))
         ops("e16_q8") = (0.0, 0.0, rank1MeanSim(8))
         println(s"[scalebench] x$m e16 rank-1 mean sim (1e-6): " +
@@ -176,7 +176,11 @@ object ScaleBench {
         spark.range(0L, total - 1, 1L, 32)
           .filter(pmod(col("id"), lit(chainLen)) =!= chainLen - 1)
           .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-      Seq(1000L, 10000L).filter(_ => want("d7_chain")).foreach { cl =>
+      // guard on the keys each length actually records, so a partial
+      // run naming d7_chain10k (or …_rounds) measures that length
+      Seq(1000L, 10000L).filter(cl =>
+        Seq(s"d7_chain${cl / 1000}k", s"d7_chain${cl / 1000}k_rounds")
+          .exists(want)).foreach { cl =>
         val total = 20000L * m
         val key = s"d7_chain${cl / 1000}k"
         var rounds = 0
@@ -198,7 +202,7 @@ object ScaleBench {
       // the corpus grows while the batch stays constant. Stored state:
       // total/2 two-doc components; batch: 1000 bridge pairs touching
       // the first 4000 ids only (corpus-size-independent).
-      if (want("d19_merge")) {
+      if (Seq("d19_merge", "d19_oneshot").exists(want)) {
         val total = 20000L * m
         def storedCc: DataFrame = spark.range(0L, total, 1L, 32)
           .select(col("id").as("doc_id"),
@@ -220,7 +224,8 @@ object ScaleBench {
 
       // persisted-index legs: drop any prior state so the lifecycle
       // number is a REAL build, then probe steady-state
-      if (want("e6b_lifecycle") || want("e8c_lifecycle")) {
+      if (Seq("e6b_lifecycle", "e6b_probe",
+              "e8c_lifecycle", "e8c_probe").exists(want)) {
       val annName = s"e6probe_${dir.hashCode.toHexString}"
       val bmName = s"e8probe_${dir.hashCode.toHexString}"
       graft.ann.AnnIndex.drop(spark, annName)
@@ -246,7 +251,8 @@ object ScaleBench {
       // skew story: AQE + broadcast OFF so the comparison isolates the
       // salting tools (AQE skew-join is the runtime's own answer; the
       // toolkit exists for engines/paths where it isn't available)
-      if (want("skew_agg_plain")) {
+      if (Seq("skew_agg_plain", "skew_agg_salted",
+              "skew_join_plain", "skew_join_salted").exists(want)) {
       val conf = spark.conf
       val oldAqe = conf.get("spark.sql.adaptive.enabled")
       val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -21,6 +21,52 @@ class AnnIndexSpec extends SparkSpec {
     try { dropIndex("aix"); dropIndex("aup") } finally super.afterAll()
   }
 
+  test("maintain: healthy no-op, drift-triggered retrain, replay-safe ledger") {
+    import graft.ann.AnnIndex.MaintainPolicy
+    import graft.sources.SnapshotStore
+    dropIndex("amnt")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-maint").toString
+    try {
+      AnnIndex.write(corpus, "amnt", buckets = 4)
+      // healthy index under open bands: decision recorded, NO retrain
+      val open = MaintainPolicy(maxCellShare = 1.0, maxEmptyFrac = 1.0,
+        minMeanFit = -1.0, k = 8, buckets = 4)
+      val r1 = AnnIndex.maintain(spark, "amnt", dir, open).collect()(0)
+      assert(r1.getAs[String]("action") == "healthy" &&
+        r1.getAs[Int]("new_version") == 0)
+      assert(AnnIndex.currentVersion(spark, "amnt").contains(0))
+      // replay: the same version is already decided — no second row,
+      // no retrain, the recorded row comes back
+      val r2 = AnnIndex.maintain(spark, "amnt", dir, open).collect()(0)
+      assert(r2.getAs[String]("action") == "healthy")
+      assert(SnapshotStore.read(spark, dir).get.count() == 1)
+      assert(AnnIndex.currentVersion(spark, "amnt").contains(0))
+
+      // a +2.0-drifted batch MERGEd under the frozen quantizers (the
+      // e19b decay story) — a fit band it can't meet fires the retrain
+      val drifted = corpus.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(2.0f)).cast("float"))
+          .as("embedding"), col("label"))
+      AnnIndex.update(drifted, "amnt", buckets = 4) // -> v1
+      val strict = open.copy(minMeanFit = 2.0) // cosine fit is always < 2
+      val r3 = AnnIndex.maintain(spark, "amnt", dir, strict).collect()(0)
+      assert(r3.getAs[String]("action") == "retrained" &&
+        r3.getAs[Int]("version") == 1 && r3.getAs[Int]("new_version") == 2)
+      assert(r3.getAs[String]("reasons").contains("mean_fit"))
+      assert(AnnIndex.currentVersion(spark, "amnt").contains(2))
+
+      // the fresh version is its own occurrence: next tick records a
+      // new (healthy) decision, and the re-centered quantizer's fit
+      // beats the drifted one's
+      val r4 = AnnIndex.maintain(spark, "amnt", dir, open).collect()(0)
+      assert(r4.getAs[String]("action") == "healthy" &&
+        r4.getAs[Int]("version") == 2)
+      assert(r4.getAs[Double]("mean_fit") > r3.getAs[Double]("mean_fit"),
+        "retrain must re-center: post-retrain fit should beat the drifted fit")
+      assert(SnapshotStore.read(spark, dir).get.count() == 3)
+    } finally dropIndex("amnt")
+  }
+
   test("filtered probe: exact vs unfiltered on uniform labels, strict on mixed") {
     import spark.implicits._
     dropIndex("afx"); dropIndex("afu")

@@ -211,8 +211,60 @@ class SchedulerSpec extends SparkSpec {
       i("2026-02-04T04:00:00Z"))(stages)
     assert(fired.size == 3) // the failed 02-04 occurrence stayed consumed
     val ledger = SnapshotStore.read(spark, dir).get
-      .orderBy("fire_ts").collect()
-    assert(ledger.map(_.getString(2)).toSeq ==
+      .orderBy("fire_epoch").select("status").collect()
+    assert(ledger.map(_.getString(0)).toSeq ==
       Seq("succeeded", "succeeded", "succeeded", "failed"))
+  }
+
+  test("due: cap and bootstrap apply PER SCHEDULE — no cross-schedule starvation") {
+    val utc = ZoneId.of("UTC")
+    val utcDaily = daily2am.copy(zone = utc)
+    val cron5 = Schedule(enabled = true, jobType = "Execute",
+      Recurrence.ByMinutes(5),
+      ld("2026-01-01T00:00:00"), ld("2026-12-31T23:59:00"), utc)
+    // 3-day outage: the 5-min schedule missed ~860 occurrences, the
+    // daily one missed 3 — a shared cap of 10 must still catch up ALL
+    // THREE daily occurrences (the old global takeRight evicted them)
+    val due = Scheduler.due(Seq(utcDaily, cron5),
+      Some(i("2026-02-01T03:00:00Z")), i("2026-02-04T03:00:00Z"),
+      maxCatchUp = 10)
+    Seq("2026-02-02T02:00:00Z", "2026-02-03T02:00:00Z",
+        "2026-02-04T02:00:00Z").foreach(t =>
+      assert(due.contains(i(t)), s"daily occurrence $t starved out"))
+    // the cron side is capped at ITS OWN 10 most recent (02:15..03:00,
+    // disjoint from the daily instants) -> 13 total
+    assert(due.size == 13 && due == due.sorted)
+    // bootstrap (no ledger): each schedule's own latest occurrence —
+    // the daily job is not skipped just because the cron fired later
+    val boot = Scheduler.due(Seq(utcDaily, cron5), None,
+      i("2026-02-04T02:07:00Z"))
+    assert(boot == Seq(i("2026-02-04T02:00:00Z"), i("2026-02-04T02:05:00Z")))
+  }
+
+  test("runDue: sub-second fire times do not break the replay-safe ledger") {
+    // ISO_INSTANT emits variable-width fractional seconds, so the
+    // lexicographic max is WRONG across mixed precision ('…:00Z' >
+    // '…:00.500Z' as strings): the ledger's numeric fire_epoch must
+    // carry the chronological max instead, or the fractional
+    // occurrence re-fires every tick
+    val dir = Files.createTempDirectory("graft-sched-frac").toString
+    val utc = ZoneId.of("UTC")
+    val whole = daily2am.copy(zone = utc)  // 02:00:00 exactly
+    val frac = Schedule(enabled = true, jobType = "Execute",
+      Recurrence.Daily(Seq(LocalTime.parse("02:05:00.500"))),
+      ld("2026-01-01T00:00:00"), ld("2026-12-31T23:59:00"), utc)
+    var fired = Vector.empty[Instant]
+    def stages(t: Instant) = Seq(
+      PipelineStage("work")(() => { fired :+= t; 1L }))
+    // bootstrap fires both: 02:00:00Z (whole) and 02:05:00.5Z (frac)
+    Scheduler.runDue(spark, Seq(whole, frac), dir,
+      i("2026-02-01T02:06:00Z"))(stages)
+    assert(fired == Vector(i("2026-02-01T02:00:00Z"),
+      i("2026-02-01T02:05:00.500Z")))
+    // same tick again: nothing due — with the lexicographic max the
+    // window would re-open at 02:00:00 and re-fire the .5s occurrence
+    assert(Scheduler.runDue(spark, Seq(whole, frac), dir,
+      i("2026-02-01T02:06:00Z"))(stages).count() == 0)
+    assert(fired.size == 2, s"occurrence re-fired: $fired")
   }
 }

@@ -1,6 +1,11 @@
 package graft.operators
 
+import java.sql.Date
+
 import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -76,6 +81,152 @@ class SemanticModelSpec extends SparkSpec {
       filters = Seq(col("amount") > 25.0)).orderBy("segment").collect()
     assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
       Seq(("AUTO", 1L), ("BUILDING", 2L)))
+  }
+
+  test("blank member: unmatched fact rows survive the dim join under a null member") {
+    // cust 99 has no dimension row — DAX's blank-member behavior: it
+    // groups under null, and the grand total is IDENTICAL whether or
+    // not the request pulls the dimension in
+    val f2 = fact.union(Seq((6L, 99L, 40.0, "F"))
+      .toDF("claim_id", "cust", "amount", "status"))
+    val m = model.copy(fact = f2)
+    val bySeg = m.evaluate(Seq("segment"), Seq("n", "total"))
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1.map(_.toString).getOrElse(""))
+    assert(bySeg.toSeq == Seq((None, 1L, 40.0),
+      (Some("AUTO"), 3L, 50.0), (Some("BUILDING"), 2L, 150.0)))
+    val card = m.evaluate(Nil, Seq("n", "total")).collect()(0)
+    assert(card.getLong(0) == 6L && card.getDouble(1) == 240.0)
+    assert(bySeg.map(_._2).sum == card.getLong(0),
+      "dim-joined total must equal the fact-only total")
+  }
+
+  test("fact shadows a same-named dimension column; two dims sharing one fail fast") {
+    // the dimension also carries a 'status' column — the fact's wins
+    // (the dim copy is dropped at join time), so mixing fact and dim
+    // names in one request is never ambiguous against the fact
+    val dimS = Seq((10L, "BUILDING", "zzz"), (11L, "AUTO", "zzz"),
+      (12L, "AUTO", "zzz")).toDF("c_id", "segment", "status")
+    val mS = model.copy(dimensions =
+      Map("customer" -> Dimension(dimS, "cust", "c_id")))
+    val out = mS.evaluate(Seq("segment", "status"), Seq("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.forall(r => r._2 == "F" || r._2 == "O"),
+      s"fact 'status' must win over the dimension's: ${out.mkString(", ")}")
+    // a payload name served by TWO joined dimensions has no principled
+    // winner: clear error, not an AnalysisException
+    val dimB = Seq((10L, "NORTH")).toDF("r_id", "segment")
+    val mAmb = model.copy(dimensions = Map(
+      "customer" -> Dimension(dim, "cust", "c_id"),
+      "region" -> Dimension(dimB, "cust", "r_id")))
+    val e = intercept[IllegalArgumentException] {
+      mAmb.evaluate(Seq("segment"), Seq("n")) }
+    assert(e.getMessage.contains("ambiguous across dimensions"))
+  }
+
+  private lazy val timeFact = Seq(
+    // (dt, amount): months 2024-01 (10+5), 2024-02 (20), 2025-01 (40)
+    (Date.valueOf("2024-01-03"), 10.0), (Date.valueOf("2024-01-20"), 5.0),
+    (Date.valueOf("2024-02-10"), 20.0), (Date.valueOf("2025-01-07"), 40.0)
+  ).toDF("dt", "amount")
+
+  private lazy val datesDim = Seq(
+    (Date.valueOf("2024-01-03"), 2024, 1), (Date.valueOf("2024-01-20"), 2024, 1),
+    (Date.valueOf("2024-02-10"), 2024, 2), (Date.valueOf("2025-01-07"), 2025, 1)
+  ).toDF("d_date", "d_year", "d_month")
+
+  private def timeModel = SemanticModel(
+    fact = timeFact,
+    dimensions = Map("dates" -> Dimension(datesDim, "dt", "d_date",
+      hierarchies = Map("calendar" -> Seq("d_year", "d_month")))),
+    measures = Seq("total" -> Measures.decSum(col("amount")),
+      "n" -> count(lit(1))),
+    dates = Some(DatesRole("dates", "d_year", "d_month")))
+
+  test("evaluateTime: the Time Calculation group through the Dates dimension") {
+    val out = timeModel.evaluateTime("total",
+      Seq("mtd", "ytd", "ly", "yoy_delta")).orderBy("yr", "mo").collect()
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    assert(out.map(r => (r.getInt(0), r.getInt(1), d(r, 2), d(r, 3),
+      d(r, 4), d(r, 5))).toSeq == Seq(
+      (2024, 1, Some(15.0), Some(15.0), None, None),
+      (2024, 2, Some(20.0), Some(35.0), None, None),
+      (2025, 1, Some(40.0), Some(40.0), Some(15.0), Some(25.0))))
+    // filters apply before the month-grain aggregation
+    val flt = timeModel.evaluateTime("total", Seq("mtd"),
+      filters = Seq(col("amount") > 7.0)).orderBy("yr", "mo").collect()
+    assert(flt.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq ==
+      Seq((2024, 1, 10.0), (2024, 2, 20.0), (2025, 1, 40.0)))
+    // unknown variant / repeated variant / missing DatesRole fail fast
+    intercept[IllegalArgumentException] {
+      timeModel.evaluateTime("total", Seq("wtd")) }
+    intercept[IllegalArgumentException] {
+      timeModel.evaluateTime("total", Seq("ytd", "ytd")) }
+    intercept[IllegalArgumentException] {
+      timeModel.copy(dates = None).evaluateTime("total", Seq("ytd")) }
+    intercept[IllegalArgumentException] { // role naming a missing column
+      timeModel.copy(dates = Some(DatesRole("dates", "d_year", "nope"))) }
+  }
+
+  test("time request plan: dates dim broadcasts; only aggregated rows ever shuffle") {
+    val conf = spark.conf
+    val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      // threshold off: a surviving BroadcastHashJoin proves the HINT,
+      // not a small-table auto-broadcast
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = timeModel.evaluateTime("total", Seq("ytd", "ly"))
+        .queryExecution.executedPlan
+      val bhjs = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhjs.nonEmpty, "dates dimension must broadcast")
+      assert(bhjs.forall(b => b.collect {
+        case e: ShuffleExchangeExec => e }.isEmpty),
+        "no exchange may feed the dim join (fact rows must not shuffle)")
+      // every shuffle in the plan moves month-grain (post-aggregate)
+      // rows: each exchange has a HashAggregate beneath it
+      val rawShuffles = plan.collect {
+        case e: ShuffleExchangeExec if e.child.collect {
+          case _: HashAggregateExec => 1 }.isEmpty => e }
+      assert(rawShuffles.isEmpty,
+        s"a shuffle moves pre-aggregation fact rows:\n${rawShuffles.mkString("\n")}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
+  test("evaluateDrill groups by the hierarchy prefix; evaluateRollup tags subtotals") {
+    val drill = timeModel.evaluateDrill("dates", "calendar", "d_month",
+      Seq("n")).orderBy("d_year", "d_month").collect()
+    assert(drill.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((2024, 1, 2L), (2024, 2, 1L), (2025, 1, 1L)))
+    val top = timeModel.evaluateDrill("dates", "calendar", "d_year", Seq("n"))
+    assert(top.columns.toSeq == Seq("d_year", "n"))
+
+    val roll = timeModel.evaluateRollup("dates", "calendar", Seq("n", "total"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // leaf rows (lvl 0), year subtotals (lvl 1), grand total (lvl 3)
+    assert(roll.count(_._3 == 0L) == 3 && roll.count(_._3 == 1L) == 2 &&
+      roll.count(_._3 == 3L) == 1)
+    val grand = roll.find(_._3 == 3L).get
+    assert(grand._1.isEmpty && grand._2.isEmpty &&
+      grand._4 == 4L && grand._5 == 75.0)
+    val y2024 = roll.find(r => r._3 == 1L && r._1.contains(2024)).get
+    assert(y2024._4 == 3L && y2024._5 == 35.0)
+
+    intercept[IllegalArgumentException] { // unknown level
+      timeModel.evaluateDrill("dates", "calendar", "d_day", Seq("n")) }
+    intercept[IllegalArgumentException] { // unknown hierarchy
+      timeModel.evaluateDrill("dates", "fiscal", "d_year", Seq("n")) }
+    intercept[IllegalArgumentException] { // unknown dimension
+      timeModel.evaluateDrill("nope", "calendar", "d_year", Seq("n")) }
+    intercept[IllegalArgumentException] { // hierarchy level not on the dim
+      Dimension(datesDim, "dt", "d_date",
+        hierarchies = Map("bad" -> Seq("d_year", "ghost"))) }
   }
 
   test("DIVIDE is null on a zero denominator; unknown names fail fast") {
