@@ -56,9 +56,12 @@ object SparkEntry {
       .withColumn("o_date", to_date(col("o_orderdate")))
     SemanticModel(
       fact = fact,
-      dimensions = Map("dates" -> Dimension(datesDim,
-        factKey = "o_date", dimKey = "d_date",
-        hierarchies = Map("calendar" -> Seq("d_year", "d_month", "d_day")))),
+      dimensions = Map(
+        "dates" -> Dimension(datesDim,
+          factKey = "o_date", dimKey = "d_date",
+          hierarchies = Map("calendar" -> Seq("d_year", "d_month", "d_day"))),
+        "customer" -> Dimension(t(s, dir, "customer"),
+          factKey = "o_custkey", dimKey = "c_custkey")),
       measures = Seq(
         "total_claims" -> count(lit(1)),
         "total_amount" -> Measures.decSum(col("o_totalprice")),
@@ -642,6 +645,19 @@ object SparkEntry {
       // engines (one IEEE cast per output column at the end).
       val model = claimsDatesModel(s, dir)
       model.evaluateTime("amount", Seq("ytd", "ly", "yoy_pct"),
+        filters = Seq(col("o_orderstatus").isin("F", "O")))
+    }),
+
+    "g38d_time_intel_matrix" -> ((s, dir) => {
+      // the matrix visual through the model: a calc-group variant per
+      // (dimension cell, month) — YTD and YoY% of the amount measure
+      // by month BY customer segment. Each cell is an independent
+      // series: the variant windows partition by the cell and the LY
+      // lookup matches within it; both dims broadcast, the only
+      // corpus-sized exchange is still the (cell, month)-grain agg.
+      val model = claimsDatesModel(s, dir)
+      model.evaluateTime("amount", Seq("ytd", "yoy_pct"),
+        groupBy = Seq("c_mktsegment"),
         filters = Seq(col("o_orderstatus").isin("F", "O")))
     }),
 
@@ -1303,6 +1319,29 @@ object SparkEntry {
         |       CAST(c.amount_mtd - l.amount_mtd AS DOUBLE)
         |         / CAST(l.amount_mtd AS DOUBLE) AS amount_yoy_pct
         |FROM cur c LEFT JOIN monthly l ON l.yr = c.yr - 1 AND l.mo = c.mo""".stripMargin,
+
+    // g38d: the per-cell series replayed with PARTITION BY cell and a
+    // cell-matched LY join (null-strict, like the Spark side)
+    "g38d_time_intel_matrix" ->
+      """WITH monthly AS (
+        |  SELECT c_mktsegment,
+        |         CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |         CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS amount_mtd
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderstatus IN ('F', 'O') GROUP BY 1, 2, 3),
+        |cur AS (
+        |  SELECT c_mktsegment, yr, mo, amount_mtd,
+        |         sum(amount_mtd) OVER (PARTITION BY c_mktsegment, yr
+        |                               ORDER BY mo) AS amount_ytd
+        |  FROM monthly)
+        |SELECT c.c_mktsegment, c.yr, c.mo,
+        |       CAST(c.amount_ytd AS DOUBLE) AS amount_ytd,
+        |       CAST(c.amount_mtd - l.amount_mtd AS DOUBLE)
+        |         / CAST(l.amount_mtd AS DOUBLE) AS amount_yoy_pct
+        |FROM cur c LEFT JOIN monthly l
+        |  ON l.c_mktsegment = c.c_mktsegment
+        |  AND l.yr = c.yr - 1 AND l.mo = c.mo""".stripMargin,
 
     // g38c: GROUPING SETS replay of the hierarchy rollup — DuckDB's
     // GROUPING bit order matches Spark's grouping_id (first level most

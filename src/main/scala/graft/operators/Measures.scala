@@ -143,30 +143,38 @@ object Measures {
   }
 
   /** The window stage of [[timeIntelligenceFor]], over an
-    * already-month-grain frame with columns `(yr, qtr, mo,
+    * already-month-grain frame with columns `(keys…, yr, qtr, mo,
     * <name>_mtd)` — exposed so a caller that reaches month grain some
     * other way (e.g. [[SemanticModel.evaluateTime]] grouping through a
     * Dates dimension) shares the exact calculation-family arithmetic.
-    * All windows run on the tiny month frame (≤ #months rows total,
+    * `keys` are extra slicer columns each calculation is computed
+    * WITHIN (the matrix-visual shape: YTD by month by segment) — every
+    * window partitions by them and the LY lookup matches on them, so
+    * each key cell gets its own independent time series. All windows
+    * run on the tiny month frame (≤ #months × #cells rows total,
     * regardless of the input size that produced it). */
-  def timeCalcOverMonthly(monthly: DataFrame, name: String): DataFrame = {
+  def timeCalcOverMonthly(monthly: DataFrame, name: String,
+                          keys: Seq[String] = Nil): DataFrame = {
     val mtd = s"${name}_mtd"
-    val wYtd = Window.partitionBy(col("yr")).orderBy(col("mo"))
+    val ks = keys.map(col)
+    val wYtd = Window.partitionBy(ks :+ col("yr"): _*).orderBy(col("mo"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wQtd = Window.partitionBy(col("yr"), col("qtr")).orderBy(col("mo"))
+    val wQtd = Window.partitionBy(ks ++ Seq(col("yr"), col("qtr")): _*)
+      .orderBy(col("mo"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // calendar-aware month index so RANGE covers true last-12-months
     // even when some months are absent from the data
-    val wR12 = Window.orderBy(col("yr") * 12 + col("mo")).rangeBetween(-11, 0)
+    val wR12 = Window.partitionBy(ks: _*)
+      .orderBy(col("yr") * 12 + col("mo")).rangeBetween(-11, 0)
     val cur = monthly
       .withColumn(s"${name}_ytd", sum(col(mtd)).over(wYtd))
       .withColumn(s"${name}_qtd", sum(col(mtd)).over(wQtd))
       .withColumn(s"${name}_r12m", sum(col(mtd)).over(wR12))
-    val ly = monthly.select((col("yr") + 1).as("yr"), col("mo"),
-      col(mtd).as(s"${name}_ly"))
-    cur.join(ly, Seq("yr", "mo"), "left")
+    val ly = monthly.select(ks ++ Seq((col("yr") + 1).as("yr"), col("mo"),
+      col(mtd).as(s"${name}_ly")): _*)
+    cur.join(ly, keys ++ Seq("yr", "mo"), "left")
       .select(
-        col("yr"), col("mo"),
+        ks ++ Seq(col("yr"), col("mo"),
         col(mtd).cast(DoubleType).as(mtd),
         col(s"${name}_qtd").cast(DoubleType).as(s"${name}_qtd"),
         col(s"${name}_ytd").cast(DoubleType).as(s"${name}_ytd"),
@@ -174,7 +182,7 @@ object Measures {
         col(s"${name}_ly").cast(DoubleType).as(s"${name}_ly"),
         (col(mtd) - col(s"${name}_ly")).cast(DoubleType).as(s"${name}_yoy_delta"),
         ((col(mtd) - col(s"${name}_ly")).cast(DoubleType) /
-          col(s"${name}_ly").cast(DoubleType)).as(s"${name}_yoy_pct"))
+          col(s"${name}_ly").cast(DoubleType)).as(s"${name}_yoy_pct")): _*)
   }
 
   /** Top-N entities by exact amount, deterministic tiebreak on the key. */

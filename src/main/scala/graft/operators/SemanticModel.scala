@@ -183,13 +183,19 @@ final case class SemanticModel(fact: DataFrame,
     * month grain through the Dates dimension, then compute the asked
     * `variants` (of [[SemanticModel.timeVariants]]: `mtd` current
     * month, `qtd`/`ytd` running totals, `r12m` rolling 12 months, `ly`
-    * SAMEPERIODLASTYEAR, `yoy_delta`/`yoy_pct`). Output is one row per
-    * (yr, mo) with a `<measure>_<variant>` DOUBLE column per variant.
-    * The measure must be additive across months for the running /
-    * rolling variants to equal a recompute over the longer period
-    * (sums and counts are; distinct counts are not — [[Measures
-    * .timeIntelligenceFor]]'s contract). */
+    * SAMEPERIODLASTYEAR, `yoy_delta`/`yoy_pct`). `groupBy` adds slicer
+    * columns (fact or dimension — the matrix visual's rows): each cell
+    * gets its own independent time series (windows partition by the
+    * cell, the LY lookup matches within it; a null blank-member cell
+    * has no LY match — null-strict join, same as the SQL replay).
+    * Output is one row per (groupBy…, yr, mo) with a
+    * `<measure>_<variant>` DOUBLE column per variant. The measure must
+    * be additive across months for the running / rolling variants to
+    * equal a recompute over the longer period (sums and counts are;
+    * distinct counts are not — [[Measures.timeIntelligenceFor]]'s
+    * contract). */
   def evaluateTime(measureName: String, variants: Seq[String],
+                   groupBy: Seq[String] = Nil,
                    filters: Seq[Column] = Nil): DataFrame = {
     requireMeasures(Seq(measureName))
     require(variants.nonEmpty, "a time request needs at least one variant")
@@ -200,17 +206,26 @@ final case class SemanticModel(fact: DataFrame,
       s"repeated time variants: $variants")
     val role = dates.getOrElse(throw new IllegalArgumentException(
       "evaluateTime needs a DatesRole declared on the model"))
-    val wanted: Set[String] = filters.flatMap(referencedNames).toSet ++
+    require(!groupBy.exists(Seq("yr", "qtr", "mo").contains),
+      "yr/qtr/mo are the time axes evaluateTime itself produces")
+    val factCols = fact.columns.toSet
+    groupBy.foreach { g =>
+      require(factCols.contains(g) ||
+        dimensions.values.exists(d => dimColumns(d).contains(g)),
+        s"group-by column '$g' is on neither the fact nor any dimension")
+    }
+    val wanted: Set[String] = groupBy.toSet ++
+      filters.flatMap(referencedNames) ++
       referencedNames(catalog(measureName))
     val joined = joinedFor(wanted, forceDims = Set(role.dimension))
     val filtered = filters.foldLeft(joined)(_ filter _)
     val mo = col(role.month).cast("int")
     val monthly = filtered
-      .groupBy(col(role.year).cast("int").as("yr"),
-        (((mo - 1) / 3).cast("int") + 1).as("qtr"), mo.as("mo"))
+      .groupBy(groupBy.map(col) ++ Seq(col(role.year).cast("int").as("yr"),
+        (((mo - 1) / 3).cast("int") + 1).as("qtr"), mo.as("mo")): _*)
       .agg(catalog(measureName).as(s"${measureName}_mtd"))
-    val full = Measures.timeCalcOverMonthly(monthly, measureName)
-    full.select(col("yr") +: col("mo") +:
+    val full = Measures.timeCalcOverMonthly(monthly, measureName, groupBy)
+    full.select(groupBy.map(col) ++ Seq(col("yr"), col("mo")) ++
       variants.map(v => col(s"${measureName}_$v")): _*)
   }
 

@@ -125,10 +125,12 @@ class SemanticModelSpec extends SparkSpec {
   }
 
   private lazy val timeFact = Seq(
-    // (dt, amount): months 2024-01 (10+5), 2024-02 (20), 2025-01 (40)
-    (Date.valueOf("2024-01-03"), 10.0), (Date.valueOf("2024-01-20"), 5.0),
-    (Date.valueOf("2024-02-10"), 20.0), (Date.valueOf("2025-01-07"), 40.0)
-  ).toDF("dt", "amount")
+    // (dt, amount, seg): months 2024-01 (10+5), 2024-02 (20), 2025-01 (40)
+    (Date.valueOf("2024-01-03"), 10.0, "a"),
+    (Date.valueOf("2024-01-20"), 5.0, "b"),
+    (Date.valueOf("2024-02-10"), 20.0, "a"),
+    (Date.valueOf("2025-01-07"), 40.0, "a")
+  ).toDF("dt", "amount", "seg")
 
   private lazy val datesDim = Seq(
     (Date.valueOf("2024-01-03"), 2024, 1), (Date.valueOf("2024-01-20"), 2024, 1),
@@ -158,6 +160,19 @@ class SemanticModelSpec extends SparkSpec {
       filters = Seq(col("amount") > 7.0)).orderBy("yr", "mo").collect()
     assert(flt.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq ==
       Seq((2024, 1, 10.0), (2024, 2, 20.0), (2025, 1, 40.0)))
+    // the matrix shape: a slicer column makes each cell its own
+    // independent series — 2025-01 'a' must look up a's 2024-01 (10),
+    // not the blended month total (15)
+    val mtx = timeModel.evaluateTime("total", Seq("mtd", "ly"),
+      groupBy = Seq("seg")).orderBy("seg", "yr", "mo").collect()
+    assert(mtx.map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+      r.getDouble(3), d(r, 4))).toSeq == Seq(
+      ("a", 2024, 1, 10.0, None), ("a", 2024, 2, 20.0, None),
+      ("a", 2025, 1, 40.0, Some(10.0)), ("b", 2024, 1, 5.0, None)))
+    intercept[IllegalArgumentException] { // time axes are produced, not taken
+      timeModel.evaluateTime("total", Seq("mtd"), groupBy = Seq("mo")) }
+    intercept[IllegalArgumentException] { // unknown slicer column
+      timeModel.evaluateTime("total", Seq("mtd"), groupBy = Seq("ghost")) }
     // unknown variant / repeated variant / missing DatesRole fail fast
     intercept[IllegalArgumentException] {
       timeModel.evaluateTime("total", Seq("wtd")) }
