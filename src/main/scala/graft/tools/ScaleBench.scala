@@ -283,6 +283,50 @@ object ScaleBench {
         println(f"[scalebench] x$m $q min=${ops(q)._1}%.3f med=${ops(q)._2}%.3f"))
       }
 
+      // semantic-model serving (g38 family, r11): a regular request
+      // must cost ONE corpus-sized keyed shuffle (broadcast dim joins
+      // + partial agg), and the time-calc request adds only the
+      // month-frame windows plus the LY branch's second month-grain
+      // pass — so BOTH should scale ~linearly in fact size with
+      // g38_time/g38_eval a roughly constant small multiple. Fact is
+      // synthesized (1M·m rows) so the curve isolates serving cost.
+      if (Seq("g38_eval", "g38_time").exists(want)) {
+        val nFact = 1000000L * m
+        def factDf: DataFrame = spark.range(0L, nFact, 1L, 32).select(
+          col("id"),
+          pmod(col("id"), lit(100000L)).as("custkey"),
+          (pmod(col("id"), lit(997L)) / 10.0).as("amount"),
+          date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+            pmod(col("id"), lit(2556L)).cast("int")).as("o_date"))
+        def custDim: DataFrame = spark.range(0L, 100000L, 1L, 8).select(
+          col("id").as("c_id"),
+          concat(lit("seg"), pmod(col("id"), lit(5L))).as("segment"))
+        def datesDim: DataFrame = graft.operators.Dimensions.dateDimension(
+            spark, java.time.LocalDate.of(1995, 1, 1),
+            java.time.LocalDate.of(2002, 1, 31))
+          .select(col("Date").as("d_date"), col("Year").as("d_year"),
+            col("Month").as("d_month"))
+        def model = graft.operators.SemanticModel(
+          fact = factDf,
+          dimensions = Map(
+            "customer" -> graft.operators.Dimension(custDim, "custkey", "c_id"),
+            "dates" -> graft.operators.Dimension(datesDim, "o_date", "d_date")),
+          measures = Seq(
+            "n" -> count(lit(1)),
+            "amount" -> sum(col("amount")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4)))),
+          dates = Some(graft.operators.DatesRole("dates", "d_year", "d_month")))
+        ops("g38_eval") = bench(() =>
+          model.evaluate(Seq("segment"), Seq("n", "amount"),
+            filters = Seq(col("amount") > 1.0)).count())
+        ops("g38_time") = bench(() =>
+          model.evaluateTime("amount", Seq("ytd", "ly", "yoy_pct"),
+            groupBy = Seq("segment")).count())
+        Seq("g38_eval", "g38_time").foreach(q =>
+          println(f"[scalebench] x$m $q min=${ops(q)._1}%.3f " +
+            f"med=${ops(q)._2}%.3f rows=${ops(q)._3}"))
+      }
+
       m -> ops.toSeq
     }
 
