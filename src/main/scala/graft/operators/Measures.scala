@@ -166,13 +166,22 @@ object Measures {
     // even when some months are absent from the data
     val wR12 = Window.partitionBy(ks: _*)
       .orderBy(col("yr") * 12 + col("mo")).rangeBetween(-11, 0)
+    // SAMEPERIODLASTYEAR as a lag over the month frame rather than a
+    // monthly-self-join: a self-join re-executes BOTH branches of the
+    // un-materialized month-grain aggregate — i.e. a second full
+    // corpus pass — while lag(1) over (cell, mo) ordered by yr reads
+    // the frame once; the prior row is LY exactly when its year is
+    // contiguous (guarded — a gap year yields null, the join's
+    // no-match semantics)
+    val wLy = Window.partitionBy(ks :+ col("mo"): _*).orderBy(col("yr"))
     val cur = monthly
       .withColumn(s"${name}_ytd", sum(col(mtd)).over(wYtd))
       .withColumn(s"${name}_qtd", sum(col(mtd)).over(wQtd))
       .withColumn(s"${name}_r12m", sum(col(mtd)).over(wR12))
-    val ly = monthly.select(ks ++ Seq((col("yr") + 1).as("yr"), col("mo"),
-      col(mtd).as(s"${name}_ly")): _*)
-    cur.join(ly, keys ++ Seq("yr", "mo"), "left")
+      .withColumn(s"${name}_ly",
+        when(lag(col("yr"), 1).over(wLy) === col("yr") - 1,
+          lag(col(mtd), 1).over(wLy)))
+    cur
       .select(
         ks ++ Seq(col("yr"), col("mo"),
         col(mtd).cast(DoubleType).as(mtd),
