@@ -574,11 +574,16 @@ object TextDedup {
       .select(col("doc_id"),
         md5(col("t").substr(col("off") + 1, lit(window))).as("wh"))
       .distinct()
-    val cool = wins.groupBy("wh")
-      .agg(count(lit(1)).as("df"))
+    // df cap as a count-over-window by window-hash rather than an
+    // agg+join-back: the branch form re-executes the expensive
+    // explode+md5+distinct per branch (column pruning defeats
+    // exchange reuse), while the window keeps ONE tree and leaves the
+    // frame hash-partitioned by wh for the self-join that follows
+    val cw = wins
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))))
       .filter(col("df") <= maxDocFreq)
-      .select("wh")
-    val cw = wins.join(cool, "wh")
+      .drop("df")
     cw.as("a").join(cw.as("b"),
         col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -238,27 +238,40 @@ object Measures {
     * date dimension; this derives the same grid from the fact's own
     * bounds).
     *
-    * Scale: the grid is |groups| × months — two tiny aggregated frames
-    * (a distinct-groups pass and a ONE-ROW bounds pass exploded to
-    * months) cross-joined, then one left join back to the monthly
-    * aggregate. The cross product is the documented constant-side
-    * class (|groups| × O(months)); the fact table is touched by
-    * exactly two aggregations. */
+    * Scale: ONE corpus-sized keyed aggregation — a single physical
+    * pass; the grid (|groups| × months) then explodes out of the
+    * aggregated cells themselves (per-group month maps of ≤ #months
+    * entries, global bounds via an unpartitioned window over the
+    * cells frame). No join back, no cross product, no second read of
+    * the fact table. */
   def denseMonthly(df: DataFrame, group: Column, dateCol: Column,
                    amount: Column): DataFrame = {
+    // one tree, one corpus pass: the branch form (bounds agg + distinct
+    // groups + monthly cells, stitched with joins) re-executed the
+    // corpus scan per branch (pruning defeats exchange reuse — this op
+    // planned THREE scans). Instead: month-grain cells, global month
+    // bounds attached by an unpartitioned window over the cells, then
+    // per group the present months pack into a map (≤ #months entries)
+    // and the dense grid explodes out of sequence(lo, hi) with map
+    // lookups — zero-filling without ever re-reading the fact table.
     val monthly = df.groupBy(group.as("grp"),
         year(dateCol).as("yr"), month(dateCol).as("mo"))
       .agg(count(lit(1)).as("n"), decSum(amount).as("total"))
-    val months = df
-      .agg(date_trunc("month", min(dateCol)).cast("date").as("lo"),
-        date_trunc("month", max(dateCol)).cast("date").as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr("interval 1 month"))).as("m"))
-      .select(year(col("m")).as("yr"), month(col("m")).as("mo"))
-    df.select(group.as("grp")).distinct()
-      .crossJoin(broadcast(months))
-      .join(monthly, Seq("grp", "yr", "mo"), "left")
-      .na.fill(0L, Seq("n")).na.fill(0.0, Seq("total"))
+    val mIdx = col("yr") * 12 + (col("mo") - 1)
+    val wAll = Window.partitionBy()
+    monthly
+      .withColumn("lo", min(mIdx).over(wAll))
+      .withColumn("hi", max(mIdx).over(wAll))
+      .groupBy(col("grp"), col("lo"), col("hi"))
+      .agg(map_from_entries(collect_list(struct(mIdx.as("k"),
+        struct(col("n"), col("total")).as("v")))).as("pm"))
+      .select(col("grp"), explode(sequence(col("lo"), col("hi"))).as("k"),
+        col("pm"))
+      .select(col("grp"),
+        (col("k") / 12).cast("int").as("yr"),
+        (pmod(col("k"), lit(12)) + 1).cast("int").as("mo"),
+        coalesce(col("pm")(col("k")).getField("n"), lit(0L)).as("n"),
+        coalesce(col("pm")(col("k")).getField("total"), lit(0.0)).as("total"))
   }
 
   /** New-vs-returning cohort split at month grain — the acquisition
@@ -271,22 +284,26 @@ object Measures {
     * needs no second distinct pass).
     *
     * Scale shape: one distinct on (entity, month) — the only
-    * corpus-sized shuffle, partial-aggregated; the first-month frame
-    * reduces per entity off that same distinct frame; everything after
-    * is months-sized, including the cumulative window (partitioned by
-    * nothing but over ~tens of rows, the g6/g26 posture). */
+    * corpus-sized shuffle — then a per-entity window flags first
+    * months in the same tree and one month-grain aggregation reduces
+    * it; everything after is months-sized, including the cumulative
+    * window (partitioned by nothing but over ~tens of rows, the
+    * g6/g26 posture). */
   def newVsReturning(df: DataFrame, entity: Column, dateCol: Column): DataFrame = {
     val em = df.select(entity.as("ent"),
       year(dateCol).as("yr"), month(dateCol).as("mo")).distinct()
-    val active = em.groupBy("yr", "mo").agg(count(lit(1)).as("n_active"))
-    val news = em.groupBy("ent")
-      .agg(min(struct(col("yr"), col("mo"))).as("f"))
-      .groupBy(col("f.yr").as("yr"), col("f.mo").as("mo"))
-      .agg(count(lit(1)).as("n_new"))
+    // one tree: flag each (entity, month) row as the entity's first
+    // month via a per-entity window, then a single month-grain agg —
+    // the branch form (active ⋈ news, both off `em`) re-executed the
+    // corpus distinct per branch (the pruning-defeats-reuse class)
+    val wEnt = Window.partitionBy(col("ent"))
     val w = Window.orderBy("yr", "mo")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    active.join(news, Seq("yr", "mo"), "left")
-      .na.fill(0L, Seq("n_new"))
+    em.withColumn("is_first",
+        when(struct(col("yr"), col("mo")) ===
+          min(struct(col("yr"), col("mo"))).over(wEnt), 1L).otherwise(0L))
+      .groupBy("yr", "mo")
+      .agg(count(lit(1)).as("n_active"), sum(col("is_first")).as("n_new"))
       .withColumn("n_returning", col("n_active") - col("n_new"))
       .withColumn("cum_entities", sum(col("n_new")).over(w))
   }
@@ -299,24 +316,32 @@ object Measures {
     * total. Fractions are single IEEE divisions of decimal-exact sums,
     * rounded 6 dp so engines agree.
     *
-    * Scale: ONE corpus-sized keyed aggregation; both denominator
-    * frames re-aggregate the |cells|-sized result (no second pass over
-    * the data) and attach by a |groups|-key join + a one-row broadcast
-    * — no unpartitioned window over the fact table. */
+    * Scale: ONE corpus-sized keyed aggregation — a single physical
+    * pass; both denominators are window sums over the |cells| frame
+    * (group-partitioned + one unpartitioned window over aggregated
+    * rows, never over the fact table). */
   def shareOfTotal(df: DataFrame, group: Column, sub: Column,
                    amount: Column): DataFrame = {
     val cells = df.groupBy(group.as("grp"), sub.as("sub"))
       .agg(count(lit(1)).as("n"),
         sum(amount.cast(DecimalType(18, 4))).as("dec_total"))
-    val byGrp = cells.groupBy("grp").agg(sum(col("dec_total")).as("grp_total"))
-    val grand = cells.agg(sum(col("dec_total")).as("grand_total"))
-    cells.join(byGrp, "grp").crossJoin(broadcast(grand))
-      .select(col("grp"), col("sub"), col("n"),
-        col("dec_total").cast(DoubleType).as("total"),
-        round(col("dec_total").cast(DoubleType) /
-          col("grp_total").cast(DoubleType), 6).as("share_of_group"),
-        round(col("dec_total").cast(DoubleType) /
-          col("grand_total").cast(DoubleType), 6).as("share_of_grand"))
+    // denominators as window sums over the CELLS frame, not branch
+    // re-aggregations: re-aggregating an un-materialized `cells`
+    // re-executes the corpus aggregation per branch (column pruning
+    // makes the branches differ, defeating exchange reuse — this op
+    // planned THREE corpus scans in that form); the windows keep one
+    // tree, one pass, and run over |cells| aggregated rows (the
+    // unpartitioned one included — tiny by construction)
+    val wGrp = Window.partitionBy(col("grp"))
+    val wAll = Window.partitionBy()
+    cells.select(col("grp"), col("sub"), col("n"),
+      col("dec_total").cast(DoubleType).as("total"),
+      round(col("dec_total").cast(DoubleType) /
+        sum(col("dec_total")).over(wGrp).cast(DoubleType), 6)
+        .as("share_of_group"),
+      round(col("dec_total").cast(DoubleType) /
+        sum(col("dec_total")).over(wAll).cast(DoubleType), 6)
+        .as("share_of_grand"))
   }
 
   /** Trailing moving average + running cumulative total per group at

@@ -232,15 +232,18 @@ object Sampling {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     val counts = df.groupBy(stratum.as("stratum"))
       .agg(count(lit(1)).as("n_docs"))
-    val tot = counts.agg(sum(col("n_docs")).as("__tot"))
-    val p = col("n_docs").cast("double") / col("__tot").cast("double")
+    // Σ n and Σ p^α as unpartitioned window sums over the |strata|
+    // frame — the one-row-aggregate-attach form re-executed the corpus
+    // groupBy per branch (pruning defeats exchange reuse); both sums
+    // stay exact (long / decimal(38,9)) so values are unchanged
+    val wAll = Window.partitionBy()
     val pa = if (alpha == 0.5) sqrt(col("__p")) else pow(col("__p"), lit(alpha))
-    val shared = counts.crossJoin(broadcast(tot))
-      .withColumn("__p", p)
+    counts
+      .withColumn("__p", col("n_docs").cast("double") /
+        sum(col("n_docs")).over(wAll).cast("double"))
       .withColumn("__pa", round(pa, 9).cast("decimal(38,9)"))
-    val denom = shared.agg(sum(col("__pa")).as("__den"))
-    shared.crossJoin(broadcast(denom))
-      .withColumn("__q", col("__pa").cast("double") / col("__den").cast("double"))
+      .withColumn("__q", col("__pa").cast("double") /
+        sum(col("__pa")).over(wAll).cast("double"))
       .select(col("stratum"), col("n_docs"),
         round(col("__p"), 6).as("p_natural"),
         round(col("__q"), 6).as("p_temp"),

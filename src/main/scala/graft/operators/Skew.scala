@@ -78,11 +78,14 @@ object Skew {
   def keyShareReport(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n_rows"))
-    val total = counts.agg(sum(col("n_rows")).as("__total"))
-    counts.crossJoin(broadcast(total))
+    // total as an unpartitioned window sum over the |keys| frame (the
+    // one-row-attach form re-executed the corpus groupBy per branch —
+    // pruning defeats exchange reuse); exact long sum, same values
+    counts
       .withColumn("share",
-        round(col("n_rows").cast("double") / col("__total").cast("double"), 6))
-      .drop("__total")
+        round(col("n_rows").cast("double") /
+          sum(col("n_rows")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()).cast("double"), 6))
       .orderBy(col("n_rows").desc, col("key"))
       .limit(k)
       .withColumn("rnk",

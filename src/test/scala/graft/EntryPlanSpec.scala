@@ -40,24 +40,22 @@ class EntryPlanSpec extends SparkSpec {
   // t14's product is scores × the ONE-ROW boundary array (same class).
   // e9 composes e1's vector leg (its broadcast query×corpus product is
   // e1's contract) with e8's lexical leg (one-row stats product).
-  // g24's product is distinct-groups × the ONE-ROW month-bounds frame
-  // exploded to months (|groups| × O(months), both aggregated-tiny) —
-  // the same constant-side class as t14's boundary array. g25 attaches
-  // the ONE-ROW grand total to |cells| aggregated rows the same way.
+  // (g24/g25 left this list in r11: their grid/grand-total attaches
+  // became window-over-cells / explode-from-cells single-tree plans
+  // with no product at all.)
   private val exempt = Set("e1_knn_brute", "e3_knn_ivf", "e3b_knn_ivf_trained",
     "e4_kmeans", "e5_knn_ivfpq", "e5b_knn_ivfpq_trained", "e6_ann_index",
     "e6b_ann_probe", "t12_tfidf", "t13_surprisal", "d10_semantic_dedup",
     "e8_bm25", "e8b_bm25_indexed", "e8c_bm25_probe", "t14_quality_bins",
-    "e9_hybrid_rrf", "t10b_heavy_hitters", "g24_dense_months",
-    "g25_share_of_total", "e10_knn_sq8",
+    "e9_hybrid_rrf", "t10b_heavy_hitters", "e10_knn_sq8",
     // g28 stitches four ONE-ROW audit aggregates; x8 attaches the
     // ONE-ROW time-bounds row — same constant-side class
     "g28_fk_audit", "x8_time_split",
     // e9b composes e6b's probe (query×constant-codebook ADC product)
     // with e8c's (one-row corpus-stats product); e12 composes e1's
-    // exempt brute baseline with e2's LSH leg; g30 attaches the
-    // ONE-ROW total to the aggregated counts frame (t12's class)
-    "e9b_hybrid_indexed", "e12_recall_eval", "g30_skew_report",
+    // exempt brute baseline with e2's LSH leg (g30 left this list in
+    // r11: its total attach became a window over the counts frame)
+    "e9b_hybrid_indexed", "e12_recall_eval",
     // e8d probes after delete (e8c's one-row stats product); e6c
     // probes after delete (e6b's query×constant-codebook ADC
     // product); t1b fans the bounded per-doc top-K out across the
