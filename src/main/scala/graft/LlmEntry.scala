@@ -9,7 +9,7 @@ import graft.multimodal.Multimodal
 import graft.operators.Sampling
 import graft.streaming.Events
 import graft.sources.Tables
-import graft.text.{Html, LangIdNgram, Packing, Search, TextAnalysis, Urls}
+import graft.text.{Html, LangIdNgram, NaiveBayes, Packing, Search, TextAnalysis, Urls}
 
 /** LLM-training-data + streaming operators (SURVEY §2: the d, e, t, m
   * and st families), with DuckDB oracles where SQL can express the
@@ -1128,6 +1128,28 @@ object LlmEntry {
       LangIdNgram.classifyWithMargin(synth, col("doc_id"), col("text"))
     }),
 
+    "t29_nb_model" -> ((s, dir) =>
+      // the TRAINABLE complement to t1's fixed profiles: multinomial
+      // NB fit on the hash-80% train split's (tokens → lang) labels —
+      // one corpus pass to vocabulary-sized counts, densified add-one
+      // (token × label) log-prob model
+      NaiveBayes.model(
+        t(s, dir, "documents")
+          .filter(Sampling.hashBucket(col("doc_id"), 5) =!= 0),
+        col("text"), col("lang"))),
+
+    "t29b_nb_classify" -> ((s, dir) => {
+      // the held-out hash-20% scored map-only against the broadcast
+      // t29 model: per-doc argmax log-posterior with the
+      // best-vs-runner-up margin a routing pipeline gates on — the
+      // fastText-classifier shape (Joulin et al. 2016) trained and
+      // served entirely in-plan
+      val d = t(s, dir, "documents")
+      val split = Sampling.hashBucket(col("doc_id"), 5)
+      NaiveBayes.classify(d.filter(split =!= 0), d.filter(split === 0),
+        col("doc_id"), col("text"), col("lang"))
+    }),
+
     "t2_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), col("text"))
         .select("doc_id", "n_chars_chk", "n_tokens", "punct_ratio", "stop_ratio",
@@ -1629,6 +1651,25 @@ object LlmEntry {
 
   private def h32Sql(v: String) =
     s"(CAST('0x'||substr(md5($v),1,15) AS BIGINT)%${graft.functions.Hashing.P32})"
+
+  /** t29's densified add-one NB model CTEs ending in m(token, lang, c,
+    * logp) over the hash-80% train split — shared by the t29 and t29b
+    * oracles. Label totals and |V| ride lang-partitioned windows over
+    * the DENSE frame (count(*) per lang partition IS |V|), mirroring
+    * the operator's window shape. */
+  private val NbModelCtes: String =
+    s"""WITH d AS (SELECT doc_id, lang, $ToksSql AS tk FROM documents),
+       |tr AS (SELECT * FROM d WHERE ${bucketSql(5)} <> 0),
+       |cnt AS (SELECT lang, unnest(tk) AS token FROM tr),
+       |cnt2 AS (SELECT lang, token, count(*) AS c FROM cnt GROUP BY 1, 2),
+       |dense AS (SELECT token, lang, coalesce(c, 0) AS c
+       |  FROM (SELECT token FROM cnt2 GROUP BY 1) v
+       |       CROSS JOIN (SELECT lang FROM cnt2 GROUP BY 1) l
+       |       LEFT JOIN cnt2 USING (token, lang)),
+       |m AS (SELECT token, lang, CAST(c AS BIGINT) AS c,
+       |  round(ln((c + 1.0) / CAST(sum(c) OVER (PARTITION BY lang)
+       |    + count(*) OVER (PARTITION BY lang) AS DOUBLE)), 9) AS logp
+       |  FROM dense)""".stripMargin
 
   private val MinhashSql: String =
     TextDedup.MinHashA.zip(TextDedup.MinHashB).map { case (a, b) =>
@@ -3847,6 +3888,39 @@ object LlmEntry {
          |  ${LangScoreSql.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")}
          |  FROM toks)
          |SELECT doc_id, $LangCaseSql AS lang_pred FROM scores""".stripMargin,
+
+    // t29/t29b: the multinomial-NB train/score replay — add-one model
+    // over the hash-80% split (log-probs rounded to 9 dp, the
+    // Bm25TermSql libm-absorption move), scores as exact
+    // DECIMAL(28,12) sums that leave decimal space through one final
+    // round(·, 6); argmax ties break by label ascending
+    "t29_nb_model" ->
+      s"""$NbModelCtes
+         |SELECT token, lang AS label, c, logp FROM m""".stripMargin,
+
+    "t29b_nb_classify" ->
+      s"""$NbModelCtes,
+         |sp AS (SELECT * FROM d WHERE ${bucketSql(5)} = 0),
+         |occ AS (SELECT doc_id, lang AS actual, unnest(tk) AS token FROM sp),
+         |pri AS (SELECT lang AS pred,
+         |    CAST(round(ln(CAST(n_docs AS DOUBLE) / n_total), 9)
+         |         AS DECIMAL(28,12)) AS prior_dec
+         |  FROM (SELECT lang, count(*) AS n_docs,
+         |          sum(count(*)) OVER () AS n_total FROM tr GROUP BY 1)),
+         |sc0 AS (SELECT doc_id, actual, m.lang AS pred,
+         |    sum(CAST(logp AS DECIMAL(28,12))) AS tok_dec
+         |  FROM occ JOIN m USING (token) GROUP BY 1, 2, 3),
+         |sc1 AS (SELECT doc_id, actual, pred, tok_dec + prior_dec AS s_dec
+         |  FROM sc0 JOIN pri USING (pred)),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY s_dec DESC, pred) AS rn,
+         |    lead(s_dec) OVER (PARTITION BY doc_id
+         |                      ORDER BY s_dec DESC, pred) AS s2 FROM sc1)
+         |SELECT doc_id, actual, pred, round(CAST(s_dec AS DOUBLE), 6) AS score,
+         |       round(CAST(s_dec - s2 AS DOUBLE), 6) AS margin,
+         |       pred = actual AS correct
+         |FROM r WHERE rn = 1""".stripMargin,
 
     "t2_quality_score" ->
       s"""WITH toks AS (SELECT doc_id, text, $ToksSql AS tk FROM documents),

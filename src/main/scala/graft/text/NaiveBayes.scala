@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Caching
+
+/** Multinomial Naive Bayes over whitespace tokens — the TRAINABLE
+  * classifier of the curation stack (McCallum & Nigam 1998), the
+  * supervised complement to the rule-based t1/t1b language profiles:
+  * production pipelines train exactly this shape of linear
+  * bag-of-words model on labeled sources to score domain/quality/
+  * language (the fastText-classifier practice of Joulin et al. 2016;
+  * GPT-3's quality filter — Brown et al. 2020 §A — is the same
+  * log-linear scorer with a different loss).
+  *
+  * Scale shape: training is ONE corpus pass (explode → (label, token)
+  * count, a token-keyed shuffle whose output is vocabulary-sized);
+  * everything after operates on vocabulary-sized frames — the counts
+  * frame is materialized once (Caching.persisted, the d2b pattern) so
+  * the label-totals/vocab branches never re-execute the corpus
+  * subtree. Scoring is map-only against the BROADCAST dense model
+  * (vocabulary-bounded by construction) plus one (doc, label)-keyed
+  * aggregation; the per-doc argmax window ranks ≤|labels| rows per
+  * doc. No stage is ever corpus × corpus.
+  *
+  * Determinism (the cross-engine oracle discipline): log-probs are
+  * rounded to 9 dp at the model (absorbing libm ulp differences —
+  * the Bm25TermSql precedent), cast DECIMAL(28,12) before any
+  * cross-row sum (order independence), and scores leave decimal
+  * space exactly once, through a final round(·, 6). Ties in the
+  * argmax break by label ascending.
+  */
+object NaiveBayes {
+
+  /** Dense add-one-smoothed (token × label) model from a labeled
+    * corpus: `logp = round(ln((c + 1) / (n_label_tokens + |V|)), 9)`
+    * with `c` the (token, label) occurrence count, `n_label_tokens`
+    * the label's total token mass and `|V|` the training vocabulary
+    * size. Labels are the labels OBSERVED in training tokens; the
+    * model is densified (every in-vocab token scores every label) so
+    * scoring needs no missing-pair handling. Output: (token, label,
+    * c, logp), |V| × |labels| rows.
+    */
+  def model(docs: DataFrame, text: Column, label: Column,
+            cacheLevel: StorageLevel = Caching.Default): DataFrame = {
+    // one corpus pass; vocabulary-sized result, materialized so the
+    // distinct-labels / distinct-vocab branches below don't each
+    // re-execute the explode+shuffle subtree (the r11 single-pass
+    // audit class)
+    val counts = Caching.persisted(
+      docs.select(label.cast("string").as("label"),
+          explode(TextAnalysis.tokens(text)).as("token"))
+        .groupBy("label", "token").agg(count(lit(1)).as("c")),
+      cacheLevel)
+    val labels = counts.select("label").distinct()
+    val vocab = counts.select("token").distinct()
+    // vocab × constant-labels product (|V| × O(1)); totals and |V|
+    // ride label-partitioned windows over the DENSE frame — within a
+    // label partition, count(*) IS |V| and sum(c) is the token mass,
+    // so no re-aggregation branch and no one-row attach is needed
+    val wLabel = Window.partitionBy("label")
+    vocab.crossJoin(broadcast(labels))
+      .join(counts, Seq("label", "token"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("n_tok", sum("c").over(wLabel))
+      .withColumn("vn", count(lit(1)).over(wLabel))
+      .select(col("token"), col("label"), col("c"),
+        round(log((col("c") + lit(1.0)) /
+          (col("n_tok") + col("vn")).cast("double")), 9).as("logp"))
+  }
+
+  /** Score `scoreDocs` against a model trained on `trainDocs`:
+    * per-doc log-posterior `round(ln prior + Σ logp(token|label), 6)`
+    * per label, argmax → (doc_id, actual, pred, score, margin,
+    * correct) with `margin` = best minus runner-up (null iff the
+    * model has a single label). Out-of-vocabulary tokens are ignored
+    * (the standard practical choice — and the deterministic one);
+    * docs whose tokens are ALL out-of-vocabulary produce no row.
+    */
+  def classify(trainDocs: DataFrame, scoreDocs: DataFrame, id: Column,
+               text: Column, label: Column,
+               cacheLevel: StorageLevel = Caching.Default): DataFrame = {
+    val m = model(trainDocs, text, label, cacheLevel)
+    // ln prior from the train split's label document counts; the
+    // label-sized frame carries its own total as an unpartitioned
+    // window sum (aggregated-small receiver — no second train pass)
+    val priors = trainDocs.select(label.cast("string").as("pred"))
+      .groupBy("pred").agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total", sum("n_docs").over(Window.partitionBy()))
+      .select(col("pred"),
+        round(log(col("n_docs").cast("double") / col("n_total")), 9)
+          .cast("decimal(28,12)").as("prior_dec"))
+    val occ = scoreDocs.select(id.as("doc_id"),
+      label.cast("string").as("actual"),
+      explode(TextAnalysis.tokens(text)).as("token"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("s_dec").desc, col("pred"))
+    occ
+      .join(broadcast(m.select(col("token"), col("label").as("pred"),
+        col("logp"))), "token")
+      .groupBy("doc_id", "actual", "pred")
+      .agg(sum(col("logp").cast("decimal(28,12)")).as("tok_dec"))
+      .join(broadcast(priors), "pred")
+      .withColumn("s_dec", col("tok_dec") + col("prior_dec"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("margin_dec", col("s_dec") - lead("s_dec", 1).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("actual"), col("pred"),
+        round(col("s_dec").cast("double"), 6).as("score"),
+        round(col("margin_dec").cast("double"), 6).as("margin"),
+        (col("pred") === col("actual")).as("correct"))
+  }
+}

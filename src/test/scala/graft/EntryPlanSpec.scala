@@ -125,7 +125,12 @@ class EntryPlanSpec extends SparkSpec {
     // e11c is e11b's steady-state probe: the same query×constant-cents
     // and query×constant-codebook products; the label filter is two
     // equi-joins on the candidate sliver
-    "e11c_filtered_probe")
+    "e11c_filtered_probe",
+    // t29's model densification is vocab × the broadcast
+    // constant-label list (|V| × O(1)) — the corpus×constant-centroids
+    // class; t29b composes the same model build with map-only scoring
+    // (broadcast-model equi-join on token)
+    "t29_nb_model", "t29b_nb_classify")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
