@@ -9,7 +9,7 @@ import graft.multimodal.Multimodal
 import graft.operators.Sampling
 import graft.streaming.Events
 import graft.sources.Tables
-import graft.text.{Html, LangIdNgram, NaiveBayes, Packing, Search, TextAnalysis, Urls}
+import graft.text.{Dsir, Html, LangIdNgram, NaiveBayes, Packing, Search, TextAnalysis, Urls}
 
 /** LLM-training-data + streaming operators (SURVEY §2: the d, e, t, m
   * and st families), with DuckDB oracles where SQL can express the
@@ -544,6 +544,26 @@ object LlmEntry {
       Sampling.temperatureWeights(t(s, dir, "documents"), col("lang"),
           alpha = 0.5)
         .withColumnRenamed("stratum", "lang")),
+
+    "x15_dsir_weights" -> ((s, dir) => {
+      // DSIR (Xie et al. 2023): per-raw-doc target-likeness as the
+      // log-ratio of two hashed-unigram add-one LMs — target = the
+      // src0/src1 'curated domain', raw = the other 18 sources;
+      // scoring is map-only against the broadcast 4096-bucket model
+      val d = t(s, dir, "documents")
+      val isTgt = col("source").isin("src0", "src1")
+      Dsir.importanceWeights(d.filter(isTgt), d.filter(!isTgt),
+        col("doc_id"), col("text"))
+    }),
+
+    "x15b_dsir_resample" -> ((s, dir) => {
+      // x15's weights drawn as a without-replacement sample ∝ exp(w):
+      // deterministic Gumbel top-100 riding the bounded-heap rewrite
+      val d = t(s, dir, "documents")
+      val isTgt = col("source").isin("src0", "src1")
+      Dsir.resample(d.filter(isTgt), d.filter(!isTgt),
+        col("doc_id"), col("text"), k = 100)
+    }),
 
     "e4_kmeans" -> ((s, dir) =>
       KMeans.lloyd(t(s, dir, "embeddings"), k = 8, iters = 2)),
@@ -1651,6 +1671,37 @@ object LlmEntry {
 
   private def h32Sql(v: String) =
     s"(CAST('0x'||substr(md5($v),1,15) AS BIGINT)%${graft.functions.Hashing.P32})"
+
+  /** x15's shared CTEs ending in w(doc_id, n_feats, w_dec) — the dense
+    * 4096-bucket two-sided hashed-LM model (target = src0/src1) and
+    * the raw-doc exact-decimal weights, mirroring Dsir.weightsDec:
+    * grid LEFT JOIN per-side counts, side totals as window sums over
+    * the dense frame, 9-dp-rounded add-one log-probs differenced in
+    * DECIMAL(28,12). */
+  private val DsirCtes: String = {
+    val b = graft.text.Dsir.DefaultBuckets
+    s"""WITH d AS (SELECT doc_id, source, $ToksSql AS tk FROM documents),
+       |tc AS (SELECT ${h32Sql("token")} % $b AS bucket, count(*) AS c
+       |  FROM (SELECT unnest(tk) AS token FROM d
+       |        WHERE source IN ('src0','src1')) GROUP BY 1),
+       |rc AS (SELECT ${h32Sql("token")} % $b AS bucket, count(*) AS c
+       |  FROM (SELECT unnest(tk) AS token FROM d
+       |        WHERE source NOT IN ('src0','src1')) GROUP BY 1),
+       |g AS (SELECT range AS bucket FROM range(0, $b)),
+       |dt AS (SELECT bucket, coalesce(c, 0) AS ct,
+       |  sum(coalesce(c, 0)) OVER () AS nt FROM g LEFT JOIN tc USING (bucket)),
+       |dr AS (SELECT bucket, coalesce(c, 0) AS cr,
+       |  sum(coalesce(c, 0)) OVER () AS nr FROM g LEFT JOIN rc USING (bucket)),
+       |m AS (SELECT bucket,
+       |    CAST(round(ln((ct + 1.0) / (nt + ${b}.0)), 9) AS DECIMAL(28,12))
+       |  - CAST(round(ln((cr + 1.0) / (nr + ${b}.0)), 9) AS DECIMAL(28,12)) AS lr
+       |  FROM dt JOIN dr USING (bucket)),
+       |occ AS (SELECT doc_id, ${h32Sql("token")} % $b AS bucket
+       |  FROM (SELECT doc_id, unnest(tk) AS token FROM d
+       |        WHERE source NOT IN ('src0','src1'))),
+       |w AS (SELECT doc_id, count(*) AS n_feats, sum(lr) AS w_dec
+       |  FROM occ JOIN m USING (bucket) GROUP BY 1)""".stripMargin
+  }
 
   /** t29's densified add-one NB model CTEs ending in m(token, lang, c,
     * logp) over the hash-80% train split — shared by the t29 and t29b
@@ -2922,6 +2973,30 @@ object LlmEntry {
          |  round(CAST(pa AS DOUBLE) / CAST(den AS DOUBLE), 6) AS p_temp,
          |  round((CAST(pa AS DOUBLE) / CAST(den AS DOUBLE)) / p, 6) AS boost
          |FROM p, d""".stripMargin,
+
+    // x15/x15b: the DSIR replay — hashed-LM log-ratio weights in
+    // exact decimal; the Gumbel noise replays because u =
+    // (h32(id)+1)/2^31 is an exact double and each log is rounded to
+    // 9 dp (inner log clamped to -1e-9: a max-hash id rounds ln(u) to
+    // -0.0 and would blow up the outer log)
+    "x15_dsir_weights" ->
+      s"""$DsirCtes
+         |SELECT doc_id, n_feats,
+         |       round(CAST(w_dec AS DOUBLE), 6) AS weight
+         |FROM w""".stripMargin,
+
+    "x15b_dsir_resample" ->
+      s"""$DsirCtes,
+         |sk AS (SELECT doc_id, w_dec,
+         |    w_dec + CAST(round(-ln(-least(round(ln(
+         |        (${h32Sql("CAST(doc_id AS VARCHAR)")} + 1) / 2147483648.0), 9),
+         |      -0.000000001)), 9) AS DECIMAL(28,12)) AS s_dec
+         |  FROM w),
+         |r AS (SELECT *, row_number() OVER (ORDER BY s_dec DESC, doc_id) AS rn
+         |      FROM sk)
+         |SELECT doc_id, round(CAST(w_dec AS DOUBLE), 6) AS weight,
+         |       round(CAST(s_dec AS DOUBLE), 6) AS skey
+         |FROM r WHERE rn <= 100""".stripMargin,
 
     "t18_contam_frac" ->
       s"""WITH toks AS (SELECT doc_id, ${shSqlN(5)} AS sh

@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+  * score every raw document by how target-like its hashed bag-of-words
+  * distribution is — the log likelihood ratio of two add-one-smoothed
+  * hashed-feature language models, one fit on a small TARGET corpus
+  * (the domain you want more of) and one on the RAW pool — then draw a
+  * without-replacement sample weighted by exp(weight) via Gumbel
+  * top-k. This is the standard pretraining-data selection shape: the
+  * same log-linear scorer as [[NaiveBayes]] but with a two-class
+  * likelihood-ratio reading and HASHED features, so the model is a
+  * FIXED-size (`buckets`-row) frame no matter the corpus vocabulary —
+  * the property that lets the model broadcast at 100 TB. (The paper
+  * hashes n-grams; token choice is pluggable — these are
+  * [[TextAnalysis.tokens]] unigrams, and any shingle column composes.)
+  *
+  * Scale shape: one pass over each corpus to bucket counts, densified
+  * against the constant `range(buckets)` grid (every possible bucket
+  * present, so scoring never misses and side totals are exact window
+  * sums over the bucket-sized frame — no one-row attach, no corpus
+  * re-execution). Scoring is map-only against the BROADCAST model
+  * plus one doc-keyed aggregation. The resample's global top-k is the
+  * naive rn<=k window that [[graft.plans.WindowTopOneRewrite]] ships
+  * as bounded-heap partial aggregation — no corpus sort, no single
+  * partition.
+  *
+  * Determinism: log-probs round to 9 dp at the model (absorbing libm
+  * ulp differences), per-doc sums ride DECIMAL(28,12), doubles are
+  * re-entered only through a final round(·, 6). The Gumbel noise is
+  * pseudo-random from md5 of the doc id — u = (h32(id)+1)/2^31 is an
+  * EXACT double (power-of-two divisor), so both engines log the same
+  * value; the inner log is clamped to −1e−9 before the outer log so a
+  * max-hash doc (u within 5e−10 of 1, rounding to −0.0 at 9 dp)
+  * cannot produce −ln(0) = ∞ — at billions of docs that hash value
+  * does occur.
+  */
+object Dsir {
+
+  /** Hashed feature space size. 4096 keeps the model broadcast-tiny;
+    * production DSIR uses ~10k buckets (Xie et al. 2023 §3). */
+  val DefaultBuckets = 4096
+
+  /** Dense per-bucket counts for one corpus: (bucket, c, n) with every
+    * bucket in [0, buckets) present (c = 0 where unobserved) and `n`
+    * the corpus' total token mass as a window sum over the
+    * bucket-sized frame. One corpus pass; output is exactly `buckets`
+    * rows. */
+  private def denseCounts(docs: DataFrame, text: Column,
+                          buckets: Int): DataFrame = {
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(text)).as("token"))
+      .select((Hashing.h32(col("token")) % buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    docs.sparkSession.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+  }
+
+  /** Add-one log-prob of one dense side: round(ln((c+1)/(n+B)), 9). */
+  private def logp(c: Column, n: Column, buckets: Int): Column =
+    round(log((c + lit(1.0)) / (n + lit(buckets.toDouble))), 9)
+
+  /** The importance model: (bucket, lr) for EVERY bucket in
+    * [0, buckets), lr the exact-decimal difference of the two sides'
+    * 9-dp-rounded add-one log-probs. `buckets` rows — broadcast it. */
+  def model(target: DataFrame, raw: DataFrame, text: Column,
+            buckets: Int = DefaultBuckets): DataFrame = {
+    val t = denseCounts(target, text, buckets)
+      .select(col("bucket"), col("c").as("ct"), col("n").as("nt"))
+    val r = denseCounts(raw, text, buckets)
+      .select(col("bucket"), col("c").as("cr"), col("n").as("nr"))
+    t.join(r, "bucket")
+      .select(col("bucket"),
+        (logp(col("ct"), col("nt"), buckets).cast("decimal(28,12)")
+          - logp(col("cr"), col("nr"), buckets).cast("decimal(28,12)"))
+          .as("lr"))
+  }
+
+  /** (doc_id, n_feats, w_dec) over the raw docs — the exact-decimal
+    * weight frame both public surfaces project from. */
+  private def weightsDec(target: DataFrame, raw: DataFrame, id: Column,
+                         text: Column, buckets: Int): DataFrame = {
+    val m = model(target, raw, text, buckets)
+    raw
+      .select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
+      .select(col("doc_id"),
+        (Hashing.h32(col("token")) % buckets).as("bucket"))
+      .join(broadcast(m), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("w_dec"))
+  }
+
+  /** Per-raw-doc importance weight: Σ over the doc's hashed tokens of
+    * the model's log ratio — positive means target-like. Docs with no
+    * tokens produce no row (no features, no evidence). Output:
+    * (doc_id, n_feats, weight). */
+  def importanceWeights(target: DataFrame, raw: DataFrame, id: Column,
+                        text: Column,
+                        buckets: Int = DefaultBuckets): DataFrame =
+    weightsDec(target, raw, id, text, buckets)
+      .select(col("doc_id"), col("n_feats"),
+        round(col("w_dec").cast("double"), 6).as("weight"))
+
+  /** Deterministic Gumbel noise from the doc id: round 9-dp at each
+    * log so both engines replay it; inner log clamped to −1e−9 (see
+    * the object scaladoc). */
+  private def gumbel(id: Column): Column = {
+    val u = (Hashing.h32(id.cast("string")) + lit(1L)).cast("double") /
+      lit(2147483648.0)
+    round(-log(-least(round(log(u), 9), lit(-1e-9))), 9)
+  }
+
+  /** Without-replacement sample of `k` raw docs with probability
+    * ∝ exp(weight) — Gumbel top-k (Vieira 2014): rank by
+    * weight + Gumbel(doc_id) and keep the k largest (exact-decimal
+    * order, doc_id tiebreak). The rn<=k window rides
+    * WindowTopOneRewrite's bounded-heap path. Output:
+    * (doc_id, weight, skey). */
+  def resample(target: DataFrame, raw: DataFrame, id: Column,
+               text: Column, k: Int,
+               buckets: Int = DefaultBuckets): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = weightsDec(target, raw, id, text, buckets)
+      .withColumn("s_dec",
+        col("w_dec") + gumbel(col("doc_id")).cast("decimal(28,12)"))
+    val rn = row_number().over(
+      Window.orderBy(col("s_dec").desc, col("doc_id")))
+    w.withColumn("rn", rn).filter(col("rn") <= k)
+      .select(col("doc_id"),
+        round(col("w_dec").cast("double"), 6).as("weight"),
+        round(col("s_dec").cast("double"), 6).as("skey"))
+  }
+}

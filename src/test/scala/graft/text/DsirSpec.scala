@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Hashing
+
+/** x15/x15b: DSIR importance weights + Gumbel top-k resample —
+  * independent arithmetic replay of the hashed-LM log-ratio on a tiny
+  * corpus, ranking semantics, OOV/empty handling, determinism, and
+  * the plan contracts (broadcast model, windowless top-k). */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r(x: Double, s: Int): Double =
+    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def d12(x: Double): BigDecimal =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+
+  private val B = 64
+
+  // target mass 4: alpha x3, beta x1. raw mass 4: alpha, beta, gamma x2.
+  private val target = Seq((100L, "alpha alpha beta"), (101L, "alpha"))
+    .toDF("doc_id", "text")
+  private val raw = Seq((1L, "alpha beta"), (2L, "gamma gamma"), (3L, ""))
+    .toDF("doc_id", "text")
+
+  /** The operator's bucket assignment, read back through the same
+    * public hash (what the DuckDB oracle replays too). */
+  private def bucketOf(tokens: Seq[String]): Map[String, Long] =
+    tokens.toDF("t")
+      .select(col("t"), (Hashing.h32(col("t")) % B).as("b"))
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+
+  test("weights: independent replay of the hashed-LM log-ratio") {
+    val bk = bucketOf(Seq("alpha", "beta", "gamma"))
+    val ct = Map(bk("alpha") -> 3L, bk("beta") -> 1L).withDefaultValue(0L)
+    val cr = Map(bk("alpha") -> 1L, bk("beta") -> 1L, bk("gamma") -> 2L)
+      .withDefaultValue(0L)
+    def lr(b: Long): BigDecimal =
+      d12(r(math.log((ct(b) + 1.0) / (4.0 + B)), 9)) -
+        d12(r(math.log((cr(b) + 1.0) / (4.0 + B)), 9))
+    val out = Dsir.importanceWeights(target, raw,
+        col("doc_id"), col("text"), buckets = B)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2))))
+      .toMap
+    assert(out(1L) === ((2L, r((lr(bk("alpha")) + lr(bk("beta"))).toDouble, 6))))
+    assert(out(2L) === ((2L, r((lr(bk("gamma")) * 2).toDouble, 6))))
+    assert(!out.contains(3L), "an empty doc has no features, so no row")
+    assert(out(1L)._2 > out(2L)._2,
+      "target-vocabulary doc must outweigh the raw-only doc")
+  }
+
+  test("resample: k >= survivors returns all of them; k cuts by skey") {
+    val all = Dsir.resample(target, raw, col("doc_id"), col("text"),
+      k = 10, buckets = B).collect()
+    assert(all.map(_.getLong(0)).sorted === Seq(1L, 2L))
+    val one = Dsir.resample(target, raw, col("doc_id"), col("text"),
+      k = 1, buckets = B).collect()
+    assert(one.length === 1)
+    // the k=1 winner is exactly the max-skey row of the full frame
+    val best = all.maxBy(x => (x.getDouble(2), -x.getLong(0)))
+    assert(one.head.getLong(0) === best.getLong(0))
+    assert(one.head.getDouble(2) === best.getDouble(2))
+  }
+
+  test("resample is deterministic across runs and repartitioning") {
+    def run(parts: Int) = Dsir.resample(target.repartition(parts),
+        raw.repartition(parts), col("doc_id"), col("text"),
+        k = 2, buckets = B)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(run(1) === run(7))
+  }
+
+  test("plans: broadcast model on the scoring path, windowless top-k") {
+    val docs = table("documents")
+    val isTgt = col("source").isin("src0", "src1")
+    val wPlan = Dsir.importanceWeights(docs.filter(isTgt),
+        docs.filter(!isTgt), col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(wPlan.contains("BroadcastHashJoin"),
+      "the bucket-model lookup must broadcast (the model is <= 4096 rows)")
+    assert(!wPlan.contains("CartesianProduct"))
+    val sPlan = Dsir.resample(docs.filter(isTgt), docs.filter(!isTgt),
+        col("doc_id"), col("text"), k = 100)
+      .queryExecution.executedPlan.toString
+    // the two remaining Window nodes are the bucket-frame total-mass
+    // sums (4096 rows each); the CORPUS-sized top-k must not be one
+    assert(!sPlan.contains("row_number"),
+      s"Gumbel top-k still plans a row_number Window (global sort!):\n$sPlan")
+    assert(sPlan.contains("partial_graft_topk_rows"),
+      s"Gumbel top-k shows no bounded-heap partials:\n$sPlan")
+  }
+}
