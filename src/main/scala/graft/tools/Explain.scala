@@ -14,6 +14,9 @@ object Explain {
                else graft.SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .appName("graft-explain").master("local[4]")
+      // same extensions as Verify/Bench — without them the audited
+      // plans are NOT the shipped plans (the window rewrites vanish)
+      .withExtensions(new graft.GraftExtensions())
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", false)
       .getOrCreate()
