@@ -72,45 +72,67 @@ object NaiveBayes {
           (col("n_tok") + col("vn")).cast("double")), 9).as("logp"))
   }
 
-  /** Score `scoreDocs` against a model trained on `trainDocs`:
-    * per-doc log-posterior `round(ln prior + Σ logp(token|label), 6)`
-    * per label, argmax → (doc_id, actual, pred, score, margin,
-    * correct) with `margin` = best minus runner-up (null iff the
-    * model has a single label). Out-of-vocabulary tokens are ignored
-    * (the standard practical choice — and the deterministic one);
-    * docs whose tokens are ALL out-of-vocabulary produce no row.
-    */
-  def classify(trainDocs: DataFrame, scoreDocs: DataFrame, id: Column,
-               text: Column, label: Column,
-               cacheLevel: StorageLevel = Caching.Default): DataFrame = {
-    val m = model(trainDocs, text, label, cacheLevel)
-    // ln prior from the train split's label document counts; the
-    // label-sized frame carries its own total as an unpartitioned
-    // window sum (aggregated-small receiver — no second train pass)
-    val priors = trainDocs.select(label.cast("string").as("pred"))
+  /** Exact-decimal ln label priors from the train split's label
+    * document counts: (pred, prior_dec). The label-sized frame
+    * carries its own total as an unpartitioned window sum
+    * (aggregated-small receiver — no second train pass). */
+  def priors(trainDocs: DataFrame, label: Column): DataFrame =
+    trainDocs.select(label.cast("string").as("pred"))
       .groupBy("pred").agg(count(lit(1)).as("n_docs"))
       .withColumn("n_total", sum("n_docs").over(Window.partitionBy()))
       .select(col("pred"),
         round(log(col("n_docs").cast("double") / col("n_total")), 9)
           .cast("decimal(28,12)").as("prior_dec"))
-    val occ = scoreDocs.select(id.as("doc_id"),
-      label.cast("string").as("actual"),
-      explode(TextAnalysis.tokens(text)).as("token"))
+
+  /** The scorer both surfaces share: per-doc log-posterior
+    * `round(ln prior + Σ logp(token|label), 6)` per label, argmax
+    * with label-ascending tie-break, margin = best minus runner-up.
+    * With `actual` set the output carries (actual, correct) for
+    * in-plan accuracy audit — the same plan otherwise. */
+  private def scoreAgainst(docs: DataFrame, id: Column, text: Column,
+                           actual: Option[Column], m: DataFrame,
+                           pri: DataFrame): DataFrame = {
+    val occCols = Seq(id.as("doc_id")) ++
+      actual.map(_.cast("string").as("actual")).toSeq :+
+      explode(TextAnalysis.tokens(text)).as("token")
+    val keyCols = Seq("doc_id") ++ actual.map(_ => "actual").toSeq :+ "pred"
     val w = Window.partitionBy("doc_id")
       .orderBy(col("s_dec").desc, col("pred"))
-    occ
+    val ranked = docs.select(occCols: _*)
       .join(broadcast(m.select(col("token"), col("label").as("pred"),
         col("logp"))), "token")
-      .groupBy("doc_id", "actual", "pred")
+      .groupBy(keyCols.map(col): _*)
       .agg(sum(col("logp").cast("decimal(28,12)")).as("tok_dec"))
-      .join(broadcast(priors), "pred")
+      .join(broadcast(pri), "pred")
       .withColumn("s_dec", col("tok_dec") + col("prior_dec"))
       .withColumn("rn", row_number().over(w))
       .withColumn("margin_dec", col("s_dec") - lead("s_dec", 1).over(w))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("actual"), col("pred"),
+    val base = Seq(col("doc_id")) ++ actual.map(_ => col("actual")).toSeq ++
+      Seq(col("pred"),
         round(col("s_dec").cast("double"), 6).as("score"),
-        round(col("margin_dec").cast("double"), 6).as("margin"),
-        (col("pred") === col("actual")).as("correct"))
+        round(col("margin_dec").cast("double"), 6).as("margin"))
+    val audit = actual.map(_ => (col("pred") === col("actual")).as("correct"))
+    ranked.select(base ++ audit.toSeq: _*)
   }
+
+  /** Score unlabeled `docs` against a PRE-TRAINED (model, priors)
+    * pair — the serving surface [[graft.streaming.ClassifyStream]]
+    * runs per micro-batch: (doc_id, pred, score, margin). Margin is
+    * null iff the model has a single label. Out-of-vocabulary tokens
+    * are ignored; docs whose tokens are ALL out-of-vocabulary
+    * produce no row (no evidence — the consumer routes them). */
+  def score(docs: DataFrame, id: Column, text: Column,
+            m: DataFrame, pri: DataFrame): DataFrame =
+    scoreAgainst(docs, id, text, None, m, pri)
+
+  /** Train on `trainDocs`, score labeled `scoreDocs`:
+    * (doc_id, actual, pred, score, margin, correct) — the held-out
+    * evaluation surface (t29b). Same OOV contract as [[score]]. */
+  def classify(trainDocs: DataFrame, scoreDocs: DataFrame, id: Column,
+               text: Column, label: Column,
+               cacheLevel: StorageLevel = Caching.Default): DataFrame =
+    scoreAgainst(scoreDocs, id, text, Some(label),
+      model(trainDocs, text, label, cacheLevel),
+      priors(trainDocs, label))
 }
