@@ -49,7 +49,12 @@ object ScaleBench {
     // four are per-user key-aligned joins/regroups, so the curves
     // should stay near-linear as growth adds USERS at constant
     // per-user activity (ScaleGen.events' growth model)
-    "g17_funnel", "g32_window_funnel", "g18_retention", "g31_event_paths")
+    "g17_funnel", "g32_window_funnel", "g18_retention", "g31_event_paths",
+    // the trainable-classifier / data-selection family (r11): each is
+    // corpus passes + a broadcast FIXED-size model (vocab-dense or
+    // 4096-bucket) — the curves should stay near-linear in corpus
+    // size with no knee (the model never grows past its cap)
+    "t29b_nb_classify", "x15_dsir_weights", "x15b_dsir_resample")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft_scale")

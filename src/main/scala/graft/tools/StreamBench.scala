@@ -210,6 +210,42 @@ object StreamBench {
         } finally q.stop()
       }
 
+      // --- ClassifyStream: frozen NB model, margin-gated routing ---
+      locally {
+        val docs = graft.sources.Tables.load(spark,
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+          "documents")
+        val model = graft.text.NaiveBayes
+          .model(docs, col("text"), col("lang")).persist()
+        val priors = graft.text.NaiveBayes
+          .priors(docs, col("lang")).persist()
+        model.count(); priors.count(): Unit
+        // streamed docs cycle the training corpus's texts, so routing
+        // exercises the real vocabulary (high-margin preds, not a
+        // review flood); the stream itself must hold ZERO state rows
+        val texts = docs.select("text").collect().map(_.getString(0))
+        val outDir = tmp("graft-sb-cls")
+        val in = MemoryStream[(Long, String)]
+        val q = graft.streaming.ClassifyStream.run(
+          in.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+          model, priors, outDir, tmp("graft-sb-cls-ckpt"), minMargin = 0.1)
+        try {
+          val (secs, state) = drive(q, n, (off, m) =>
+            in.addData((off until off + m).map(i =>
+              (i.toLong, texts(i % texts.length)))): Unit)
+          val snap = graft.sources.SnapshotStore.read(spark, outDir)
+          val routed = snap.map(_.count()).getOrElse(0L)
+          val review = snap.map(_.filter(col("route") === "review").count())
+            .getOrElse(0L)
+          ops("classify") = s"""{"rows":$n,"secs":${f3(secs)},""" +
+            s""""rows_per_sec":${f0(n / secs)},"state_rows":$state,""" +
+            s""""routed":$routed,"review":$review}"""
+          println(s"[streambench] n=$n classify ${ops("classify")}")
+        } finally {
+          q.stop(); model.unpersist(); priors.unpersist(): Unit
+        }
+      }
+
       n -> ops.toSeq
     }
 
