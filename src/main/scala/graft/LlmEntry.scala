@@ -565,6 +565,18 @@ object LlmEntry {
         col("doc_id"), col("text"), k = 100)
     }),
 
+    "x16_cluster_sample" -> ((s, dir) => {
+      // semantic-diversity carving: k-means the embedding space (e4's
+      // fit), assign every vector to its centroid (broadcast-constant
+      // map-only), draw exactly 5 per cluster via the k-minwise
+      // bounded heap — a balanced eval set no dense region can swamp
+      val v = t(s, dir, "embeddings")
+      Sampling.exactKPerStratum(
+          KMeans.assign(v, KMeans.lloyd(v, k = 8, iters = 2)),
+          col("cent_id"), col("vec_id"), k = 5)
+        .select(col("stratum").as("cluster_id"), col("kept_id"))
+    }),
+
     "e4_kmeans" -> ((s, dir) =>
       KMeans.lloyd(t(s, dir, "embeddings"), k = 8, iters = 2)),
 
@@ -2997,6 +3009,27 @@ object LlmEntry {
          |SELECT doc_id, round(CAST(w_dec AS DOUBLE), 6) AS weight,
          |       round(CAST(s_dec AS DOUBLE), 6) AS skey
          |FROM r WHERE rn <= 100""".stripMargin,
+
+    // x16: e4's two-round Lloyd replay, final assignment under the
+    // same (rounded cosine desc, cent_id) order, then x5's k-minwise
+    // rank per cluster
+    "x16_cluster_sample" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |${kmeansCtes("v")},
+         |a3 AS (SELECT vec_id, cent_id FROM (
+         |  SELECT v.vec_id, c.cent_id,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY round(list_dot_product(v.e, c.cent) /
+         |             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cent, c.cent))), 6) DESC,
+         |           c.cent_id) AS rn
+         |  FROM v, c2 c) WHERE rn = 1),
+         |r AS (SELECT cent_id, vec_id,
+         |  row_number() OVER (PARTITION BY cent_id
+         |    ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+         |  FROM a3)
+         |SELECT cent_id AS cluster_id, vec_id AS kept_id
+         |FROM r WHERE rn <= 5""".stripMargin,
 
     "t18_contam_frac" ->
       s"""WITH toks AS (SELECT doc_id, ${shSqlN(5)} AS sh

@@ -95,4 +95,25 @@ object KMeans {
     cents.select(col("cent_id"), posexplode(col("cent")))
       .select(col("cent_id"), col("pos").as("dim"), col("col").as("value"))
   }
+
+  /** Nearest trained centroid per corpus vector — the serving half of
+    * [[lloyd]] (its per-round assignment step, factored for consumers
+    * that cluster once and then slice by cluster): (vec_id, cent_id),
+    * cosine rounded to 6 dp, argmax tie-broken to the smallest
+    * cent_id — the same total order as the training rounds, so
+    * assignments can't drift from the fit. `centroids` takes
+    * [[lloyd]]'s (cent_id, dim, value) output directly. Plan:
+    * broadcast-centroid map-only product (corpus × O(k) constants)
+    * plus one max_by partial aggregate — no corpus-sized join. */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = corpus.select(col("vec_id").cast("long").as("vec_id"),
+        Vectors.asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Vectors.norm(col("e")))
+    c.join(Knn.assembleCentroids(centroids))
+      .withColumn("csim", round(
+        Vectors.dot(col("e"), col("cent")) / (col("nrm") * col("centn")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id"))
+  }
 }

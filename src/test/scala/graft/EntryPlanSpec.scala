@@ -130,7 +130,11 @@ class EntryPlanSpec extends SparkSpec {
     // constant-label list (|V| × O(1)) — the corpus×constant-centroids
     // class; t29b composes the same model build with map-only scoring
     // (broadcast-model equi-join on token)
-    "t29_nb_model", "t29b_nb_classify")
+    "t29_nb_model", "t29b_nb_classify",
+    // x16 composes e4's training pass with one more corpus×constant-
+    // centroids broadcast assignment (k rows per vector); the sample
+    // cut is a bounded-heap partial aggregate, no join at all
+    "x16_cluster_sample")
 
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>

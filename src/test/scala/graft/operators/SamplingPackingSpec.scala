@@ -268,6 +268,41 @@ class SamplingPackingSpec extends SparkSpec {
       (3L, 0) -> 0.3, (3L, 1) -> 0.9))
   }
 
+  test("kmeans assign: hand-computed nearest centroid, smallest-id tiebreak") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.8, 0.6)), (4L, Seq(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    // trained centroids: c1 = (0.9, 0.3), c2 = (0.3, 0.9)
+    val cents = KMeans.lloyd(vecs, k = 2, iters = 1)
+    val got = KMeans.assign(vecs, cents)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 2L -> 2L, 4L -> 2L))
+    // (0.6, 0.6) is exactly equidistant from the two (mirror-image)
+    // centroids -> the tie must break to the smaller cent_id
+    val tied = Seq((9L, Seq(0.6, 0.6))).toDF("vec_id", "embedding")
+    assert(KMeans.assign(tied, cents)
+      .as[(Long, Long)].collect().head._2 == 1L)
+  }
+
+  test("cluster-balanced sample (x16): <= k per cluster, members only") {
+    val emb = table("embeddings")
+    val asg = KMeans.assign(emb, KMeans.lloyd(emb, k = 8, iters = 2))
+      .cache()
+    val sample = Sampling.exactKPerStratum(
+      asg, col("cent_id"), col("vec_id"), k = 5)
+    val perCluster = sample.groupBy("stratum").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perCluster.values.forall(_ <= 5), "no cluster exceeds k")
+    assert(perCluster.values.exists(_ == 5), "full clusters contribute k")
+    // every sampled id really belongs to the cluster it represents
+    val wrong = sample.join(asg,
+      sample("kept_id") === asg("vec_id") &&
+        sample("stratum") =!= asg("cent_id")).count()
+    assert(wrong === 0L)
+    asg.unpersist(): Unit
+  }
+
   test("kmeans on real embeddings: k×dims deterministic rows") {
     val emb = table("embeddings")
     val dims = emb.select(size(col("embedding"))).first().getInt(0)
