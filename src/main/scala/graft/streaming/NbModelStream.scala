@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.sources.SnapshotStore
+import graft.text.{NaiveBayes, TextAnalysis}
+
+/** Streaming classifier-model maintenance — the retrain half of the
+  * [[ClassifyStream]] loop: labeled documents (human review verdicts,
+  * upstream source labels) arrive on a stream and fold into the NB
+  * model's sufficient statistics, so "retrain" is a vocabulary-sized
+  * read, never a corpus re-scan.
+  *
+  * This works because multinomial NB's sufficient statistics are
+  * ADDITIVE: the model is a pure function of (label, token)
+  * occurrence counts and per-label doc counts, and counts of
+  * disjoint batches sum. So the state is two register stores
+  * maintained exactly like [[RollupStream]]'s: per-micro-batch
+  * partial counts MERGEd keyed (batch_id, group) — a replayed batch
+  * overwrites its own rows instead of re-adding them, which is what
+  * makes additive state exactly-once over at-least-once foreachBatch
+  * delivery. [[readModel]]/[[readPriors]] fold the registers and
+  * hand the result to [[graft.text.NaiveBayes.modelFromCounts]] /
+  * `priorsFromCounts` — bit-identical to a batch fit on the union of
+  * everything ever streamed (spec-asserted). [[compact]] bounds
+  * state at ~|V|·|labels| + |labels| rows regardless of batch count
+  * (RollupStream's newest-batch-stays-keyed rule, same single-writer
+  * discipline: compact only while the query is stopped).
+  *
+  * Serving picks the new model up the same way every frozen-artifact
+  * stream here does (AnnStream's contract): materialize
+  * readModel/readPriors, persist, restart [[ClassifyStream]] on the
+  * new frames. Nothing in this loop ever re-reads trained history —
+  * at 100 TB of accumulated labels the ingest cost stays O(batch)
+  * and the retrain cost O(|V|·|labels|).
+  */
+object NbModelStream {
+
+  /** Start folding the labeled stream into count registers:
+    * (label, token) occurrence counts at `tokDir`, per-label doc
+    * counts at `docDir`. */
+  def run(stream: DataFrame, text: Column, label: Column,
+          tokDir: String, docDir: String,
+          checkpointDir: String): StreamingQuery =
+    stream.select(label.cast("string").as("label"), text.as("__text"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // guard on the raw batch (limit-1 scan); the batch feeds TWO
+        // register writes — persist so the source plan runs once
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          try {
+            SnapshotStore.mergeInto(
+              b.select(col("label"),
+                  explode(TextAnalysis.tokens(col("__text"))).as("token"))
+                .groupBy("label", "token").agg(count(lit(1)).as("c"))
+                .withColumn("batch_id", lit(id)),
+              tokDir, Seq("batch_id", "label", "token"))
+            SnapshotStore.mergeInto(
+              b.groupBy("label").agg(count(lit(1)).as("n_docs"))
+                .withColumn("batch_id", lit(id)),
+              docDir, Seq("batch_id", "label")): Unit
+          } finally { b.unpersist(): Unit }
+        }
+      }
+      .start()
+
+  /** Fold the token registers to (label, token, c). None before the
+    * first batch. */
+  def readCounts(spark: SparkSession, tokDir: String): Option[DataFrame] =
+    SnapshotStore.read(spark, tokDir).map(_
+      .groupBy("label", "token").agg(sum("c").as("c")))
+
+  /** The current dense model — [[graft.text.NaiveBayes.model]] of
+    * everything streamed so far, from registers alone. */
+  def readModel(spark: SparkSession, tokDir: String): Option[DataFrame] =
+    readCounts(spark, tokDir).map(NaiveBayes.modelFromCounts)
+
+  /** The current priors from the doc-count registers. */
+  def readPriors(spark: SparkSession, docDir: String): Option[DataFrame] =
+    SnapshotStore.read(spark, docDir).map(s =>
+      NaiveBayes.priorsFromCounts(
+        s.groupBy("label").agg(sum("n_docs").as("n_docs"))))
+
+  /** Fold every no-longer-replayable batch's registers into one base
+    * row per group (batch_id = -1) in BOTH stores — RollupStream's
+    * compaction rule verbatim (the newest batch stays keyed so a
+    * crash-window replay overwrites instead of double-counting).
+    * Run only while the query is stopped (single-writer). */
+  def compact(spark: SparkSession, tokDir: String, docDir: String): Unit = {
+    def one(dir: String, groupCols: Seq[String], sumCol: String): Unit =
+      SnapshotStore.read(spark, dir).foreach { s =>
+        val maxId = s.agg(max(col("batch_id"))).first().getLong(0)
+        val base = s.filter(col("batch_id") < maxId)
+          .groupBy(groupCols.map(col): _*).agg(sum(sumCol).as(sumCol))
+          .withColumn("batch_id", lit(-1L))
+        SnapshotStore.commit(
+          base.unionByName(s.filter(col("batch_id") === maxId)), dir): Unit
+      }
+    one(tokDir, Seq("label", "token"), "c")
+    one(docDir, Seq("label"), "n_docs")
+  }
+}

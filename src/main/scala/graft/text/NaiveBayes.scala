@@ -45,16 +45,25 @@ object NaiveBayes {
     * c, logp), |V| × |labels| rows.
     */
   def model(docs: DataFrame, text: Column, label: Column,
-            cacheLevel: StorageLevel = Caching.Default): DataFrame = {
+            cacheLevel: StorageLevel = Caching.Default): DataFrame =
     // one corpus pass; vocabulary-sized result, materialized so the
     // distinct-labels / distinct-vocab branches below don't each
     // re-execute the explode+shuffle subtree (the r11 single-pass
     // audit class)
-    val counts = Caching.persisted(
+    modelFromCounts(Caching.persisted(
       docs.select(label.cast("string").as("label"),
           explode(TextAnalysis.tokens(text)).as("token"))
         .groupBy("label", "token").agg(count(lit(1)).as("c")),
-      cacheLevel)
+      cacheLevel))
+
+  /** [[model]] from an already-materialized (label, token, c) counts
+    * frame — the surface incremental maintenance feeds
+    * ([[graft.streaming.NbModelStream]] folds additive count
+    * registers to exactly this shape). `counts` is read by three
+    * branches (labels, vocab, the dense join); it must be cheap to
+    * re-read (a snapshot fold or a persisted frame), never a raw
+    * corpus subtree. */
+  def modelFromCounts(counts: DataFrame): DataFrame = {
     val labels = counts.select("label").distinct()
     val vocab = counts.select("token").distinct()
     // vocab × constant-labels product (|V| × O(1)); totals and |V|
@@ -77,8 +86,13 @@ object NaiveBayes {
     * carries its own total as an unpartitioned window sum
     * (aggregated-small receiver — no second train pass). */
   def priors(trainDocs: DataFrame, label: Column): DataFrame =
-    trainDocs.select(label.cast("string").as("pred"))
-      .groupBy("pred").agg(count(lit(1)).as("n_docs"))
+    priorsFromCounts(trainDocs.select(label.cast("string").as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n_docs")))
+
+  /** [[priors]] from an already-aggregated (label, n_docs) frame —
+    * the incremental-maintenance twin of [[modelFromCounts]]. */
+  def priorsFromCounts(docCounts: DataFrame): DataFrame =
+    docCounts.select(col("label").as("pred"), col("n_docs"))
       .withColumn("n_total", sum("n_docs").over(Window.partitionBy()))
       .select(col("pred"),
         round(log(col("n_docs").cast("double") / col("n_total")), 9)
