@@ -565,6 +565,17 @@ object LlmEntry {
         col("doc_id"), col("text"), k = 100)
     }),
 
+    "x15c_dsir_bigram" -> ((s, dir) => {
+      // x15 with the paper's full hashed feature set (unigrams ∪
+      // bigrams, Xie et al. 2023 §3): richer target signal at the
+      // same FIXED 4096-bucket model size — the hashing trick is
+      // exactly what makes n-gram features free at scale
+      val d = t(s, dir, "documents")
+      val isTgt = col("source").isin("src0", "src1")
+      Dsir.importanceWeights(d.filter(isTgt), d.filter(!isTgt),
+        col("doc_id"), col("text"), ngrams = 2)
+    }),
+
     "x16_cluster_sample" -> ((s, dir) => {
       // semantic-diversity carving: k-means the embedding space (e4's
       // fit), assign every vector to its centroid (broadcast-constant
@@ -1690,9 +1701,19 @@ object LlmEntry {
     * grid LEFT JOIN per-side counts, side totals as window sums over
     * the dense frame, 9-dp-rounded add-one log-probs differenced in
     * DECIMAL(28,12). */
-  private val DsirCtes: String = {
+  private val DsirCtes: String = dsirCtes(ngrams = 1)
+
+  private def dsirCtes(ngrams: Int): String = {
     val b = graft.text.Dsir.DefaultBuckets
-    s"""WITH d AS (SELECT doc_id, source, $ToksSql AS tk FROM documents),
+    // ft = the hashed feature stream: unigrams, or uni ∪ bigrams
+    // (NON-distinct — DSIR counts occurrences) for ngrams = 2
+    val ftSql =
+      if (ngrams <= 1) "tk"
+      else """list_concat(tk, CASE WHEN len(tk) >= 2
+             |  THEN [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]
+             |  ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, source, $ftSql AS tk
+       |  FROM (SELECT doc_id, source, $ToksSql AS tk FROM documents)),
        |tc AS (SELECT ${h32Sql("token")} % $b AS bucket, count(*) AS c
        |  FROM (SELECT unnest(tk) AS token FROM d
        |        WHERE source IN ('src0','src1')) GROUP BY 1),
@@ -2994,7 +3015,7 @@ object LlmEntry {
     "x15_dsir_weights" ->
       s"""$DsirCtes
          |SELECT doc_id, n_feats,
-         |       round(CAST(w_dec AS DOUBLE), 6) AS weight
+         |       CAST(round(w_dec, 6) AS DOUBLE) AS weight
          |FROM w""".stripMargin,
 
     "x15b_dsir_resample" ->
@@ -3006,9 +3027,15 @@ object LlmEntry {
          |  FROM w),
          |r AS (SELECT *, row_number() OVER (ORDER BY s_dec DESC, doc_id) AS rn
          |      FROM sk)
-         |SELECT doc_id, round(CAST(w_dec AS DOUBLE), 6) AS weight,
-         |       round(CAST(s_dec AS DOUBLE), 6) AS skey
+         |SELECT doc_id, CAST(round(w_dec, 6) AS DOUBLE) AS weight,
+         |       CAST(round(s_dec, 6) AS DOUBLE) AS skey
          |FROM r WHERE rn <= 100""".stripMargin,
+
+    "x15c_dsir_bigram" ->
+      s"""${dsirCtes(ngrams = 2)}
+         |SELECT doc_id, n_feats,
+         |       CAST(round(w_dec, 6) AS DOUBLE) AS weight
+         |FROM w""".stripMargin,
 
     // x16: e4's two-round Lloyd replay, final assignment under the
     // same (rounded cosine desc, cent_id) order, then x5's k-minwise
@@ -4025,8 +4052,8 @@ object LlmEntry {
          |                       ORDER BY s_dec DESC, pred) AS rn,
          |    lead(s_dec) OVER (PARTITION BY doc_id
          |                      ORDER BY s_dec DESC, pred) AS s2 FROM sc1)
-         |SELECT doc_id, actual, pred, round(CAST(s_dec AS DOUBLE), 6) AS score,
-         |       round(CAST(s_dec - s2 AS DOUBLE), 6) AS margin,
+         |SELECT doc_id, actual, pred, CAST(round(s_dec, 6) AS DOUBLE) AS score,
+         |       CAST(round(s_dec - s2, 6) AS DOUBLE) AS margin,
          |       pred = actual AS correct
          |FROM r WHERE rn = 1""".stripMargin,
 

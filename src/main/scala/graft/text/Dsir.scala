@@ -46,15 +46,29 @@ object Dsir {
     * production DSIR uses ~10k buckets (Xie et al. 2023 §3). */
   val DefaultBuckets = 4096
 
+  /** The hashed feature stream of one doc: unigrams (`ngrams = 1`) or
+    * the paper's unigrams ∪ bigrams (`ngrams = 2`, Xie et al. 2023
+    * §3's hashed n-grams) — NON-distinct (DSIR counts occurrences,
+    * unlike the dedup family's distinct shingles). */
+  private def features(text: Column, ngrams: Int): Column = {
+    val tk = TextAnalysis.tokens(text)
+    if (ngrams <= 1) tk
+    else concat(tk, when(size(tk) >= 2,
+      zip_with(slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>")))
+  }
+
   /** Dense per-bucket counts for one corpus: (bucket, c, n) with every
     * bucket in [0, buckets) present (c = 0 where unobserved) and `n`
     * the corpus' total token mass as a window sum over the
     * bucket-sized frame. One corpus pass; output is exactly `buckets`
     * rows. */
   private def denseCounts(docs: DataFrame, text: Column,
-                          buckets: Int): DataFrame = {
+                          buckets: Int, ngrams: Int): DataFrame = {
     val counts = docs
-      .select(explode(TextAnalysis.tokens(text)).as("token"))
+      .select(explode(features(text, ngrams)).as("token"))
       .select((Hashing.h32(col("token")) % buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
     docs.sparkSession.range(buckets).select(col("id").as("bucket"))
@@ -71,10 +85,10 @@ object Dsir {
     * [0, buckets), lr the exact-decimal difference of the two sides'
     * 9-dp-rounded add-one log-probs. `buckets` rows — broadcast it. */
   def model(target: DataFrame, raw: DataFrame, text: Column,
-            buckets: Int = DefaultBuckets): DataFrame = {
-    val t = denseCounts(target, text, buckets)
+            buckets: Int = DefaultBuckets, ngrams: Int = 1): DataFrame = {
+    val t = denseCounts(target, text, buckets, ngrams)
       .select(col("bucket"), col("c").as("ct"), col("n").as("nt"))
-    val r = denseCounts(raw, text, buckets)
+    val r = denseCounts(raw, text, buckets, ngrams)
       .select(col("bucket"), col("c").as("cr"), col("n").as("nr"))
     t.join(r, "bucket")
       .select(col("bucket"),
@@ -86,10 +100,11 @@ object Dsir {
   /** (doc_id, n_feats, w_dec) over the raw docs — the exact-decimal
     * weight frame both public surfaces project from. */
   private def weightsDec(target: DataFrame, raw: DataFrame, id: Column,
-                         text: Column, buckets: Int): DataFrame = {
-    val m = model(target, raw, text, buckets)
+                         text: Column, buckets: Int,
+                         ngrams: Int): DataFrame = {
+    val m = model(target, raw, text, buckets, ngrams)
     raw
-      .select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("token"))
+      .select(id.as("doc_id"), explode(features(text, ngrams)).as("token"))
       .select(col("doc_id"),
         (Hashing.h32(col("token")) % buckets).as("bucket"))
       .join(broadcast(m), "bucket")
@@ -102,11 +117,13 @@ object Dsir {
     * tokens produce no row (no features, no evidence). Output:
     * (doc_id, n_feats, weight). */
   def importanceWeights(target: DataFrame, raw: DataFrame, id: Column,
-                        text: Column,
-                        buckets: Int = DefaultBuckets): DataFrame =
-    weightsDec(target, raw, id, text, buckets)
+                        text: Column, buckets: Int = DefaultBuckets,
+                        ngrams: Int = 1): DataFrame =
+    weightsDec(target, raw, id, text, buckets, ngrams)
+      // decimal-space round, then cast (see NaiveBayes.scoreAgainst:
+      // a half-boundary sum rounds engine-dependently on doubles)
       .select(col("doc_id"), col("n_feats"),
-        round(col("w_dec").cast("double"), 6).as("weight"))
+        round(col("w_dec"), 6).cast("double").as("weight"))
 
   /** Deterministic Gumbel noise from the doc id: round 9-dp at each
     * log so both engines replay it; inner log clamped to −1e−9 (see
@@ -124,17 +141,17 @@ object Dsir {
     * WindowTopOneRewrite's bounded-heap path. Output:
     * (doc_id, weight, skey). */
   def resample(target: DataFrame, raw: DataFrame, id: Column,
-               text: Column, k: Int,
-               buckets: Int = DefaultBuckets): DataFrame = {
+               text: Column, k: Int, buckets: Int = DefaultBuckets,
+               ngrams: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val w = weightsDec(target, raw, id, text, buckets)
+    val w = weightsDec(target, raw, id, text, buckets, ngrams)
       .withColumn("s_dec",
         col("w_dec") + gumbel(col("doc_id")).cast("decimal(28,12)"))
     val rn = row_number().over(
       Window.orderBy(col("s_dec").desc, col("doc_id")))
     w.withColumn("rn", rn).filter(col("rn") <= k)
       .select(col("doc_id"),
-        round(col("w_dec").cast("double"), 6).as("weight"),
-        round(col("s_dec").cast("double"), 6).as("skey"))
+        round(col("w_dec"), 6).cast("double").as("weight"),
+        round(col("s_dec"), 6).cast("double").as("skey"))
   }
 }

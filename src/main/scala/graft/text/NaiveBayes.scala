@@ -124,8 +124,13 @@ object NaiveBayes {
       .filter(col("rn") === 1)
     val base = Seq(col("doc_id")) ++ actual.map(_ => col("actual")).toSeq ++
       Seq(col("pred"),
-        round(col("s_dec").cast("double"), 6).as("score"),
-        round(col("margin_dec").cast("double"), 6).as("margin"))
+        // round in DECIMAL space, THEN cast: rounding the double
+        // instead lets an exact half-boundary sum (it happens — a
+        // 4500-doc sf0.1 corpus produced one) round differently per
+        // engine, because Spark rounds the shortest decimal repr and
+        // DuckDB the binary value
+        round(col("s_dec"), 6).cast("double").as("score"),
+        round(col("margin_dec"), 6).cast("double").as("margin"))
     val audit = actual.map(_ => (col("pred") === col("actual")).as("correct"))
     ranked.select(base ++ audit.toSeq: _*)
   }

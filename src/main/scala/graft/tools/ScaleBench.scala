@@ -54,7 +54,10 @@ object ScaleBench {
     // corpus passes + a broadcast FIXED-size model (vocab-dense or
     // 4096-bucket) — the curves should stay near-linear in corpus
     // size with no knee (the model never grows past its cap)
-    "t29b_nb_classify", "x15_dsir_weights", "x15b_dsir_resample")
+    "t29b_nb_classify", "x15_dsir_weights", "x15b_dsir_resample",
+    // x16: Lloyd fit (driver loop over k·dim state) + one linear
+    // assignment pass + bounded-heap cut — near-linear, no knee
+    "x16_cluster_sample")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft_scale")

@@ -136,6 +136,10 @@ class EntryPlanSpec extends SparkSpec {
     // cut is a bounded-heap partial aggregate, no join at all
     "x16_cluster_sample")
 
+  // NOTE: x15/x15b/x15c need no exemption — the DSIR grid/model joins
+  // are all bucket-keyed equi-joins and the scoring join is a
+  // broadcast equi-join on bucket.
+
   test("no shipped query plans a cartesian or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!exempt(name)) {

@@ -51,6 +51,25 @@ class DsirSpec extends SparkSpec {
       "target-vocabulary doc must outweigh the raw-only doc")
   }
 
+  test("bigram features: word order matters at the same unigram profile") {
+    val tgt = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta"), (2L, "beta alpha"))
+      .toDF("doc_id", "text")
+    // unigram model can't tell the two raw docs apart...
+    val uni = Dsir.importanceWeights(tgt, raw, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) === uni(2L))
+    // ...the bigram model can: doc 1 shares the target's "alpha beta"
+    val bi = Dsir.importanceWeights(tgt, raw, col("doc_id"), col("text"),
+        ngrams = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(bi(1L)._1 === 3L, "2 unigrams + 1 bigram")
+    assert(bi(2L)._1 === 3L)
+    assert(bi(1L)._2 > bi(2L)._2,
+      "the order-preserving doc must score more target-like")
+  }
+
   test("resample: k >= survivors returns all of them; k cuts by skey") {
     val all = Dsir.resample(target, raw, col("doc_id"), col("text"),
       k = 10, buckets = B).collect()
