@@ -1193,6 +1193,17 @@ object LlmEntry {
         col("doc_id"), col("text"), col("lang"))
     }),
 
+    "t29c_nb_model_mindf" -> ((s, dir) =>
+      // t29 with the open-vocabulary escape valve: min-df 3 drops
+      // tokens with fewer than 3 total training occurrences from the
+      // vocabulary (singletons are the bulk of an open vocab and
+      // carry no reusable signal); the smoothing denominators use
+      // the KEPT vocabulary's mass and size
+      NaiveBayes.model(
+        t(s, dir, "documents")
+          .filter(Sampling.hashBucket(col("doc_id"), 5) =!= 0),
+        col("text"), col("lang"), minDf = 3L)),
+
     "t2_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), col("text"))
         .select("doc_id", "n_chars_chk", "n_tokens", "punct_ratio", "stop_ratio",
@@ -1741,19 +1752,23 @@ object LlmEntry {
     * oracles. Label totals and |V| ride lang-partitioned windows over
     * the DENSE frame (count(*) per lang partition IS |V|), mirroring
     * the operator's window shape. */
-  private val NbModelCtes: String =
+  private val NbModelCtes: String = nbModelCtes(minDf = 1)
+
+  private def nbModelCtes(minDf: Int): String = {
+    val vocabHaving = if (minDf <= 1) "" else s" HAVING sum(c) >= $minDf"
     s"""WITH d AS (SELECT doc_id, lang, $ToksSql AS tk FROM documents),
        |tr AS (SELECT * FROM d WHERE ${bucketSql(5)} <> 0),
        |cnt AS (SELECT lang, unnest(tk) AS token FROM tr),
        |cnt2 AS (SELECT lang, token, count(*) AS c FROM cnt GROUP BY 1, 2),
        |dense AS (SELECT token, lang, coalesce(c, 0) AS c
-       |  FROM (SELECT token FROM cnt2 GROUP BY 1) v
+       |  FROM (SELECT token FROM cnt2 GROUP BY 1$vocabHaving) v
        |       CROSS JOIN (SELECT lang FROM cnt2 GROUP BY 1) l
        |       LEFT JOIN cnt2 USING (token, lang)),
        |m AS (SELECT token, lang, CAST(c AS BIGINT) AS c,
        |  round(ln((c + 1.0) / CAST(sum(c) OVER (PARTITION BY lang)
        |    + count(*) OVER (PARTITION BY lang) AS DOUBLE)), 9) AS logp
        |  FROM dense)""".stripMargin
+  }
 
   private val MinhashSql: String =
     TextDedup.MinHashA.zip(TextDedup.MinHashB).map { case (a, b) =>
@@ -4031,6 +4046,10 @@ object LlmEntry {
     // round(·, 6); argmax ties break by label ascending
     "t29_nb_model" ->
       s"""$NbModelCtes
+         |SELECT token, lang AS label, c, logp FROM m""".stripMargin,
+
+    "t29c_nb_model_mindf" ->
+      s"""${nbModelCtes(minDf = 3)}
          |SELECT token, lang AS label, c, logp FROM m""".stripMargin,
 
     "t29b_nb_classify" ->

@@ -76,9 +76,13 @@ object NbModelStream {
       .groupBy("label", "token").agg(sum("c").as("c")))
 
   /** The current dense model — [[graft.text.NaiveBayes.model]] of
-    * everything streamed so far, from registers alone. */
-  def readModel(spark: SparkSession, tokDir: String): Option[DataFrame] =
-    readCounts(spark, tokDir).map(NaiveBayes.modelFromCounts)
+    * everything streamed so far, from registers alone. `minDf`
+    * passes through to the vocabulary cut (the open-vocab valve —
+    * cutting at READ time keeps the registers lossless, so the
+    * threshold can change without re-ingesting anything). */
+  def readModel(spark: SparkSession, tokDir: String,
+                minDf: Long = 1L): Option[DataFrame] =
+    readCounts(spark, tokDir).map(c => NaiveBayes.modelFromCounts(c, minDf))
 
   /** The current priors from the doc-count registers. */
   def readPriors(spark: SparkSession, docDir: String): Option[DataFrame] =

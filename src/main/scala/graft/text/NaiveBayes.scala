@@ -45,7 +45,8 @@ object NaiveBayes {
     * c, logp), |V| × |labels| rows.
     */
   def model(docs: DataFrame, text: Column, label: Column,
-            cacheLevel: StorageLevel = Caching.Default): DataFrame =
+            cacheLevel: StorageLevel = Caching.Default,
+            minDf: Long = 1L): DataFrame =
     // one corpus pass; vocabulary-sized result, materialized so the
     // distinct-labels / distinct-vocab branches below don't each
     // re-execute the explode+shuffle subtree (the r11 single-pass
@@ -54,7 +55,7 @@ object NaiveBayes {
       docs.select(label.cast("string").as("label"),
           explode(TextAnalysis.tokens(text)).as("token"))
         .groupBy("label", "token").agg(count(lit(1)).as("c")),
-      cacheLevel))
+      cacheLevel), minDf)
 
   /** [[model]] from an already-materialized (label, token, c) counts
     * frame — the surface incremental maintenance feeds
@@ -62,10 +63,26 @@ object NaiveBayes {
     * registers to exactly this shape). `counts` is read by three
     * branches (labels, vocab, the dense join); it must be cheap to
     * re-read (a snapshot fold or a persisted frame), never a raw
-    * corpus subtree. */
-  def modelFromCounts(counts: DataFrame): DataFrame = {
+    * corpus subtree.
+    *
+    * `minDf` is the open-vocabulary escape valve: on a corpus whose
+    * vocabulary grows with size (real web text — heaps-law growth),
+    * the dense |V|×|labels| model eventually outgrows a broadcast;
+    * `minDf > 1` keeps only tokens with at least that many TOTAL
+    * training occurrences (the classic min-count cut — singleton
+    * tokens carry no reusable signal and are the bulk of an open
+    * vocabulary). Dropped tokens become OOV at scoring (ignored,
+    * [[score]]'s contract); the smoothing denominators use the KEPT
+    * vocabulary's mass and size, so the model stays a proper
+    * distribution over its own vocabulary. (The other valve is
+    * feature hashing — [[Dsir]]'s fixed bucket space.) */
+  def modelFromCounts(counts: DataFrame, minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     val labels = counts.select("label").distinct()
-    val vocab = counts.select("token").distinct()
+    val vocab =
+      if (minDf <= 1L) counts.select("token").distinct()
+      else counts.groupBy("token").agg(sum("c").as("__df"))
+        .filter(col("__df") >= minDf).select("token")
     // vocab × constant-labels product (|V| × O(1)); totals and |V|
     // ride label-partitioned windows over the DENSE frame — within a
     // label partition, count(*) IS |V| and sum(c) is the token mass,

@@ -129,8 +129,9 @@ class EntryPlanSpec extends SparkSpec {
     // t29's model densification is vocab × the broadcast
     // constant-label list (|V| × O(1)) — the corpus×constant-centroids
     // class; t29b composes the same model build with map-only scoring
-    // (broadcast-model equi-join on token)
-    "t29_nb_model", "t29b_nb_classify",
+    // (broadcast-model equi-join on token); t29c is t29 with the
+    // min-df vocabulary cut, same product
+    "t29_nb_model", "t29b_nb_classify", "t29c_nb_model_mindf",
     // x16 composes e4's training pass with one more corpus×constant-
     // centroids broadcast assignment (k rows per vector); the sample
     // cut is a bounded-heap partial aggregate, no join at all

@@ -33,6 +33,19 @@ class NaiveBayesSpec extends SparkSpec {
     assert(got(("b", "z")) === ((2L, r(math.log(3.0 / 5.0), 9))))
   }
 
+  test("model: minDf drops rare tokens and re-bases the denominators") {
+    // total occurrences: x=3, y=1, z=2 -> minDf=2 keeps {x, z};
+    // label a's kept mass is 3 (its y occurrence is gone), |V|=2
+    val m = NaiveBayes.model(train, col("text"), col("label"), minDf = 2L)
+      .collect().map(r0 => ((r0.getString(1), r0.getString(0)),
+        (r0.getLong(2), r0.getDouble(3)))).toMap
+    assert(m.keySet.map(_._2) === Set("x", "z"), "y (count 1) is cut")
+    assert(m(("a", "x")) === ((3L, r(math.log(4.0 / 5.0), 9))))
+    assert(m(("a", "z")) === ((0L, r(math.log(1.0 / 5.0), 9))))
+    assert(m(("b", "z")) === ((2L, r(math.log(3.0 / 4.0), 9))))
+    assert(m(("b", "x")) === ((0L, r(math.log(1.0 / 4.0), 9))))
+  }
+
   test("classify: argmax with priors, margin = best minus runner-up") {
     val score = Seq((10L, "a", "x y q")).toDF("doc_id", "label", "text")
     val out = NaiveBayes.classify(train, score,
