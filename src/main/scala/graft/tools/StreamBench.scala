@@ -46,6 +46,11 @@ object StreamBench {
     else Seq(20000, 100000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val chunk = sys.env.getOrElse("STREAM_CHUNK", "5000").toInt
+    // STREAM_ONLY=classify,rollup runs just the named streams — a
+    // chunk-size sweep of one stream must not re-run the other four
+    val onlyS: Option[Set[String]] = sys.env.get("STREAM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wantS(key: String): Boolean = onlyS.forall(_.contains(key))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions())
@@ -87,7 +92,7 @@ object StreamBench {
       val ops = scala.collection.mutable.LinkedHashMap[String, String]()
 
       // --- RollupStream: 1000 groups, additive registers ---
-      locally {
+      if (wantS("rollup")) locally {
         val stateDir = tmp("graft-sb-rollup")
         val in = MemoryStream[(String, Double)]
         val q = RollupStream.run(in.toDF().toDF("k", "v"),
@@ -108,7 +113,7 @@ object StreamBench {
       }
 
       // --- FunnelStream: 3-step chains, one conversion per user ---
-      locally {
+      if (wantS("funnel")) locally {
         val in = MemoryStream[Events.Event]
         val qname = s"sb_conv_$n"
         val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
@@ -141,7 +146,7 @@ object StreamBench {
       }
 
       // --- CurationStream: gate -> dedup -> band flag -> MERGE ---
-      locally {
+      if (wantS("curation")) locally {
         val corpusIndex = graft.dedup.TextDedup.bandIndex(
           ScaleGen.documents(spark, 2000L),
           col("doc_id"), col("text")).cache()
@@ -175,7 +180,7 @@ object StreamBench {
       }
 
       // --- ClusterStream: pair gen -> contracted merge -> delta MERGE ---
-      locally {
+      if (wantS("clusters")) locally {
         val idxDir = tmp("graft-sb-cli")
         val clDir = tmp("graft-sb-clc")
         val in = MemoryStream[(Long, String)]
@@ -211,7 +216,7 @@ object StreamBench {
       }
 
       // --- ClassifyStream: frozen NB model, margin-gated routing ---
-      locally {
+      if (wantS("classify")) locally {
         val docs = graft.sources.Tables.load(spark,
           sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
           "documents")
