@@ -90,6 +90,84 @@ object NbModelStream {
       NaiveBayes.priorsFromCounts(
         s.groupBy("label").agg(sum("n_docs").as("n_docs"))))
 
+  /** Refresh thresholds for [[refresh]]: republish when the register
+    * mass grew by at least `minGrowthFrac` since the last published
+    * model, or when a label unseen at publish time appeared. `minDf`
+    * passes through to the vocabulary cut. */
+  final case class RefreshPolicy(minGrowthFrac: Double = 0.1,
+                                 minDf: Long = 1L)
+
+  /** Materialize the current model + priors into versioned stores —
+    * the frozen artifact a [[ClassifyStream]] restart serves. Returns
+    * the committed (model store, priors store) versions. */
+  def publish(spark: SparkSession, tokDir: String, docDir: String,
+              modelDir: String, priorsDir: String,
+              minDf: Long = 1L): (Int, Int) = {
+    val m = readModel(spark, tokDir, minDf).getOrElse(
+      throw new IllegalStateException(s"no token registers at $tokDir"))
+    val p = readPriors(spark, docDir).getOrElse(
+      throw new IllegalStateException(s"no doc registers at $docDir"))
+    (SnapshotStore.commit(m, modelDir), SnapshotStore.commit(p, priorsDir))
+  }
+
+  /** The serve-side refresh DECISION — [[graft.ann.AnnIndex.maintain]]'s
+    * ledger pattern on the classifier loop: the unit of work is the
+    * token-register store's current VERSION, so each register state is
+    * decided at most once (a host timer may tick at any cadence), and
+    * the decision signals are register-sized aggregates (total token
+    * mass and label set vs the last published row), never a corpus
+    * pass. Fires [[publish]] when the mass grew ≥ `minGrowthFrac`
+    * since the last publish or a new label appeared; bootstraps by
+    * publishing. Every decision MERGEs into `ledgerDir` keyed
+    * (store, version) — replay-safe, and the published model version
+    * is recorded so serving can roll back by reading an older model
+    * store version. */
+  def refresh(spark: SparkSession, tokDir: String, docDir: String,
+              modelDir: String, priorsDir: String, ledgerDir: String,
+              policy: RefreshPolicy = RefreshPolicy()): DataFrame = {
+    import spark.implicits._
+    val v = SnapshotStore.currentVersion(tokDir).getOrElse(
+      throw new IllegalStateException(s"no token registers at $tokDir"))
+    val ledger = SnapshotStore.read(spark, ledgerDir)
+    val prior = ledger.map(_.filter(col("store") === tokDir &&
+      col("version") === v))
+    prior.filter(_.limit(1).count() > 0) match {
+      case Some(row) => row // this register version already decided
+      case None =>
+        val cur = readCounts(spark, tokDir).get
+          .agg(sum("c").cast("long").as("mass"),
+            countDistinct(col("label")).as("labels")).head()
+        val (mass, labels) = (cur.getLong(0), cur.getLong(1))
+        val last = ledger.flatMap(_
+          .filter(col("store") === tokDir && col("action") =!= "fresh")
+          .orderBy(col("version").desc).limit(1)
+          .collect().headOption)
+        val (m0, l0) = last.map(r => (r.getAs[Long]("mass"),
+          r.getAs[Long]("labels"))).getOrElse((0L, 0L))
+        val grown = m0 == 0L ||
+          (mass - m0).toDouble / m0 >= policy.minGrowthFrac
+        val reasons = Seq(
+          if (m0 == 0L) Some("bootstrap") else None,
+          if (m0 > 0L && grown)
+            Some(f"mass_growth ${(mass - m0).toDouble / m0}%.4f >= ${policy.minGrowthFrac}%.2f")
+          else None,
+          if (labels > l0 && m0 > 0L) Some(s"new_labels $l0 -> $labels")
+          else None).flatten
+        val fire = reasons.nonEmpty
+        val mv = if (fire)
+          publish(spark, tokDir, docDir, modelDir, priorsDir,
+            policy.minDf)._1
+        else -1
+        val action = if (fire) "published" else "fresh"
+        val row = Seq((tokDir, v, action, mv, mass, labels,
+          reasons.mkString("; ")))
+          .toDF("store", "version", "action", "model_version",
+            "mass", "labels", "reasons")
+        SnapshotStore.mergeInto(row, ledgerDir, Seq("store", "version"))
+        row
+    }
+  }
+
   /** Fold every no-longer-replayable batch's registers into one base
     * row per group (batch_id = -1) in BOTH stores — RollupStream's
     * compaction rule verbatim (the newest batch stays keyed so a

@@ -50,6 +50,55 @@ class NbModelStreamSpec extends SparkSpec {
       sortedRows(NaiveBayes.priors(union, col("label"))))
   }
 
+  test("refresh: ledger-gated republish — bootstrap, fresh, growth, new label") {
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = Seq("tok", "doc", "mdl", "pri", "led").map(s => tmp(s"graft-nbr-$s"))
+    val Seq(tokDir, docDir, mdlDir, priDir, ledDir) = dirs
+    def start(in: MemoryStream[(Long, String, String)]) =
+      NbModelStream.run(in.toDF().toDF("doc_id", "label", "text"),
+        col("text"), col("label"), tokDir, docDir, tmp("graft-nbr-ck"))
+    def feed(in: MemoryStream[(Long, String, String)],
+             rows: Seq[(Long, String, String)]): Unit = {
+      in.addData(rows); val q = start(in)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val pol = NbModelStream.RefreshPolicy(minGrowthFrac = 0.5)
+    val in = MemoryStream[(Long, String, String)]
+    feed(in, batch1) // token mass 6
+    // bootstrap: no published model yet -> publish, ledger row v
+    val r1 = NbModelStream.refresh(spark, tokDir, docDir, mdlDir, priDir,
+      ledDir, pol).collect().head
+    assert(r1.getAs[String]("action") === "published")
+    assert(r1.getAs[String]("reasons").contains("bootstrap"))
+    // published artifact == the live register fold
+    assert(sortedRows(graft.sources.SnapshotStore.read(spark, mdlDir).get) ===
+      sortedRows(NbModelStream.readModel(spark, tokDir).get))
+    // same register version again -> the recorded row, no new publish
+    val v0 = graft.sources.SnapshotStore.currentVersion(mdlDir).get
+    val r1b = NbModelStream.refresh(spark, tokDir, docDir, mdlDir, priDir,
+      ledDir, pol).collect().head
+    assert(r1b.getAs[String]("action") === "published" &&
+      graft.sources.SnapshotStore.currentVersion(mdlDir).get === v0,
+      "replayed decision must not publish again")
+    // +1 token on known labels = 17% growth < 50% -> fresh
+    feed(in, Seq((7L, "a", "x")))
+    val r2 = NbModelStream.refresh(spark, tokDir, docDir, mdlDir, priDir,
+      ledDir, pol).collect().head
+    assert(r2.getAs[String]("action") === "fresh")
+    assert(graft.sources.SnapshotStore.currentVersion(mdlDir).get === v0)
+    // a label unseen at publish time fires regardless of growth
+    feed(in, Seq((8L, "cnew", "q")))
+    val r3 = NbModelStream.refresh(spark, tokDir, docDir, mdlDir, priDir,
+      ledDir, NbModelStream.RefreshPolicy(minGrowthFrac = 100.0))
+      .collect().head
+    assert(r3.getAs[String]("action") === "published")
+    assert(r3.getAs[String]("reasons").contains("new_labels"))
+    assert(graft.sources.SnapshotStore.currentVersion(mdlDir).get === v0 + 1)
+    // the republished artifact serves: its label set includes cnew
+    val served = graft.sources.SnapshotStore.read(spark, mdlDir).get
+    assert(served.select("label").distinct().count() === 3)
+  }
+
   test("compaction preserves the model; maintained model serves ClassifyStream") {
     implicit val sqlCtx = spark.sqlContext
     val (tokDir, docDir, ckpt) =
