@@ -1193,6 +1193,16 @@ object LlmEntry {
         col("doc_id"), col("text"), col("lang"))
     }),
 
+    "t29d_label_audit" -> ((s, dir) =>
+      // confident-learning label-noise audit (Northcutt et al. 2021's
+      // core signal): train on the hash-80% split, score the SAME
+      // split — docs whose own label loses to the model's argmax by
+      // margin >= 1.0 are suspected mislabels
+      NaiveBayes.labelAudit(
+        t(s, dir, "documents")
+          .filter(Sampling.hashBucket(col("doc_id"), 5) =!= 0),
+        col("doc_id"), col("text"), col("lang"), minMargin = 1.0)),
+
     "t29c_nb_model_mindf" -> ((s, dir) =>
       // t29 with the open-vocabulary escape valve: min-df 3 drops
       // tokens with fewer than 3 total training occurrences from the
@@ -1753,6 +1763,36 @@ object LlmEntry {
     * the DENSE frame (count(*) per lang partition IS |V|), mirroring
     * the operator's window shape. */
   private val NbModelCtes: String = nbModelCtes(minDf = 1)
+
+  /** The t29b/t29d scoring replay over [[NbModelCtes]]: score the
+    * `spCte` split against the hash-80% model, argmax with margins;
+    * `where` replaces the default rn = 1 cut (t29d appends the
+    * confident-disagreement filter). */
+  private def nbClassifySql(spCte: String, where: String): String = {
+    val cut = if (where.isEmpty) "WHERE rn = 1" else where
+    s"""$NbModelCtes,
+       |sp AS ($spCte),
+       |occ AS (SELECT doc_id, lang AS actual, unnest(tk) AS token FROM sp),
+       |pri AS (SELECT lang AS pred,
+       |    CAST(round(ln(CAST(n_docs AS DOUBLE) / n_total), 9)
+       |         AS DECIMAL(28,12)) AS prior_dec
+       |  FROM (SELECT lang, count(*) AS n_docs,
+       |          sum(count(*)) OVER () AS n_total FROM tr GROUP BY 1)),
+       |sc0 AS (SELECT doc_id, actual, m.lang AS pred,
+       |    sum(CAST(logp AS DECIMAL(28,12))) AS tok_dec
+       |  FROM occ JOIN m USING (token) GROUP BY 1, 2, 3),
+       |sc1 AS (SELECT doc_id, actual, pred, tok_dec + prior_dec AS s_dec
+       |  FROM sc0 JOIN pri USING (pred)),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY s_dec DESC, pred) AS rn,
+       |    lead(s_dec) OVER (PARTITION BY doc_id
+       |                      ORDER BY s_dec DESC, pred) AS s2 FROM sc1)
+       |SELECT doc_id, actual, pred, CAST(round(s_dec, 6) AS DOUBLE) AS score,
+       |       CAST(round(s_dec - s2, 6) AS DOUBLE) AS margin,
+       |       pred = actual AS correct
+       |FROM r $cut""".stripMargin
+  }
 
   private def nbModelCtes(minDf: Int): String = {
     val vocabHaving = if (minDf <= 1) "" else s" HAVING sum(c) >= $minDf"
@@ -4053,28 +4093,15 @@ object LlmEntry {
          |SELECT token, lang AS label, c, logp FROM m""".stripMargin,
 
     "t29b_nb_classify" ->
-      s"""$NbModelCtes,
-         |sp AS (SELECT * FROM d WHERE ${bucketSql(5)} = 0),
-         |occ AS (SELECT doc_id, lang AS actual, unnest(tk) AS token FROM sp),
-         |pri AS (SELECT lang AS pred,
-         |    CAST(round(ln(CAST(n_docs AS DOUBLE) / n_total), 9)
-         |         AS DECIMAL(28,12)) AS prior_dec
-         |  FROM (SELECT lang, count(*) AS n_docs,
-         |          sum(count(*)) OVER () AS n_total FROM tr GROUP BY 1)),
-         |sc0 AS (SELECT doc_id, actual, m.lang AS pred,
-         |    sum(CAST(logp AS DECIMAL(28,12))) AS tok_dec
-         |  FROM occ JOIN m USING (token) GROUP BY 1, 2, 3),
-         |sc1 AS (SELECT doc_id, actual, pred, tok_dec + prior_dec AS s_dec
-         |  FROM sc0 JOIN pri USING (pred)),
-         |r AS (SELECT *,
-         |    row_number() OVER (PARTITION BY doc_id
-         |                       ORDER BY s_dec DESC, pred) AS rn,
-         |    lead(s_dec) OVER (PARTITION BY doc_id
-         |                      ORDER BY s_dec DESC, pred) AS s2 FROM sc1)
-         |SELECT doc_id, actual, pred, CAST(round(s_dec, 6) AS DOUBLE) AS score,
-         |       CAST(round(s_dec - s2, 6) AS DOUBLE) AS margin,
-         |       pred = actual AS correct
-         |FROM r WHERE rn = 1""".stripMargin,
+      nbClassifySql(spCte = s"SELECT * FROM d WHERE ${bucketSql(5)} = 0",
+        where = ""),
+
+    // t29d: the label-noise audit — only the confident disagreements
+    // survive the final cut
+    "t29d_label_audit" ->
+      nbClassifySql(spCte = "SELECT * FROM tr",
+        where = "WHERE rn = 1 AND pred <> actual" +
+          " AND CAST(round(s_dec - s2, 6) AS DOUBLE) >= 1.0"),
 
     "t2_quality_score" ->
       s"""WITH toks AS (SELECT doc_id, text, $ToksSql AS tk FROM documents),

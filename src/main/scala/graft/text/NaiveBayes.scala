@@ -162,6 +162,22 @@ object NaiveBayes {
             m: DataFrame, pri: DataFrame): DataFrame =
     scoreAgainst(docs, id, text, None, m, pri)
 
+  /** Label-noise audit — Confident Learning's core signal (Northcutt
+    * et al. 2021): train on the labeled corpus, score the SAME
+    * corpus, and keep the docs where the model disagrees with the
+    * given label at high margin — for a mislabeled doc the
+    * (correct-majority) model out-votes its own training label, and
+    * the margin gate keeps only the confident disagreements. The
+    * standard pre-training audit before trusting labels enough to
+    * train the production [[ClassifyStream]] gate on them. Same plan
+    * as [[classify]] plus a row-local filter. Output: the flagged
+    * docs, (doc_id, actual, pred, score, margin, correct=false). */
+  def labelAudit(docs: DataFrame, id: Column, text: Column, label: Column,
+                 minMargin: Double = 1.0,
+                 cacheLevel: StorageLevel = Caching.Default): DataFrame =
+    classify(docs, docs, id, text, label, cacheLevel)
+      .filter(!col("correct") && col("margin") >= minMargin)
+
   /** Train on `trainDocs`, score labeled `scoreDocs`:
     * (doc_id, actual, pred, score, margin, correct) — the held-out
     * evaluation surface (t29b). Same OOV contract as [[score]]. */

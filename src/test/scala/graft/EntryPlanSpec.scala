@@ -132,6 +132,9 @@ class EntryPlanSpec extends SparkSpec {
     // (broadcast-model equi-join on token); t29c is t29 with the
     // min-df vocabulary cut, same product
     "t29_nb_model", "t29b_nb_classify", "t29c_nb_model_mindf",
+    // t29d is t29b's plan (train + score the same split) + a
+    // row-local confident-disagreement filter
+    "t29d_label_audit",
     // x16 composes e4's training pass with one more corpus×constant-
     // centroids broadcast assignment (k rows per vector); the sample
     // cut is a bounded-heap partial aggregate, no join at all

@@ -64,6 +64,30 @@ class NaiveBayesSpec extends SparkSpec {
     assert(row.getBoolean(5))
   }
 
+  test("labelAudit: a planted mislabel is flagged, clean docs are not") {
+    // four strongly-separable "good" docs, three "bad" docs, plus doc
+    // 99: bad-vocabulary text carrying the label "good" — the planted
+    // noise. The model (trained WITH the bad label in) still argmaxes
+    // it to "bad" with high margin.
+    val noisy = Seq(
+      (1L, "good", "fine nice fine"), (2L, "good", "nice fine"),
+      (3L, "good", "fine fine"), (4L, "good", "nice nice fine"),
+      (5L, "bad", "spam junk spam"), (6L, "bad", "junk junk"),
+      (7L, "bad", "spam spam"),
+      (99L, "good", "spam junk junk spam"))
+      .toDF("doc_id", "label", "text")
+    val flagged = NaiveBayes.labelAudit(noisy, col("doc_id"),
+      col("text"), col("label"), minMargin = 1.0).collect()
+    assert(flagged.map(_.getLong(0)).toSeq === Seq(99L),
+      "exactly the planted mislabel is flagged")
+    assert(flagged.head.getString(1) === "good")
+    assert(flagged.head.getString(2) === "bad")
+    assert(!flagged.head.getBoolean(5))
+    // raising the margin gate above the disagreement silences it
+    assert(NaiveBayes.labelAudit(noisy, col("doc_id"), col("text"),
+      col("label"), minMargin = 100.0).count() === 0L)
+  }
+
   test("classify: all-OOV doc produces no row") {
     val score = Seq((10L, "a", "q q q"), (11L, "b", "z"))
       .toDF("doc_id", "label", "text")
