@@ -1193,6 +1193,35 @@ object LlmEntry {
         col("doc_id"), col("text"), col("lang"))
     }),
 
+    "t29e_calibration" -> ((s, dir) => {
+      // margin-calibration audit over the held-out scoring: accuracy
+      // per integer margin bin, counts only (exact-integer output —
+      // no cross-engine float surface)
+      val d = t(s, dir, "documents")
+      val split = Sampling.hashBucket(col("doc_id"), 5)
+      NaiveBayes.calibration(
+        NaiveBayes.classify(d.filter(split =!= 0), d.filter(split === 0),
+          col("doc_id"), col("text"), col("lang")))
+    }),
+
+    "x17_selection_bias" -> ((s, dir) => {
+      // the post-selection audit DSIR needs on day one: per-source
+      // pool size vs selected count — did importance resampling skew
+      // the source mix? Counts only; the selected set is 100 rows,
+      // broadcast back onto the pool
+      val d = t(s, dir, "documents")
+      val isTgt = col("source").isin("src0", "src1")
+      val raw = d.filter(!isTgt)
+      val sel = Dsir.resample(d.filter(isTgt), raw,
+        col("doc_id"), col("text"), k = 100)
+      raw.groupBy("source").agg(count(lit(1)).as("n_pool"))
+        .join(raw.select(col("doc_id"), col("source"))
+            .join(broadcast(sel.select("doc_id")), "doc_id")
+            .groupBy("source").agg(count(lit(1)).as("n_selected")),
+          Seq("source"), "left")
+        .na.fill(0L, Seq("n_selected"))
+    }),
+
     "t29d_label_audit" -> ((s, dir) =>
       // confident-learning label-noise audit (Northcutt et al. 2021's
       // core signal): train on the hash-80% split, score the SAME
@@ -1724,6 +1753,19 @@ object LlmEntry {
     * DECIMAL(28,12). */
   private val DsirCtes: String = dsirCtes(ngrams = 1)
 
+  /** [[DsirCtes]] + the x15b Gumbel-key/rank CTEs ending in
+    * r(doc_id, w_dec, s_dec, rn) — shared by the resample and the
+    * selection-bias oracles. */
+  private val DsirSelCtes: String =
+    s"""$DsirCtes,
+       |sk AS (SELECT doc_id, w_dec,
+       |    w_dec + CAST(round(-ln(-least(round(ln(
+       |        (${h32Sql("CAST(doc_id AS VARCHAR)")} + 1) / 2147483648.0), 9),
+       |      -0.000000001)), 9) AS DECIMAL(28,12)) AS s_dec
+       |  FROM w),
+       |r AS (SELECT *, row_number() OVER (ORDER BY s_dec DESC, doc_id) AS rn
+       |      FROM sk)""".stripMargin
+
   private def dsirCtes(ngrams: Int): String = {
     val b = graft.text.Dsir.DefaultBuckets
     // ft = the hashed feature stream: unigrams, or uni ∪ bigrams
@@ -1768,7 +1810,8 @@ object LlmEntry {
     * `spCte` split against the hash-80% model, argmax with margins;
     * `where` replaces the default rn = 1 cut (t29d appends the
     * confident-disagreement filter). */
-  private def nbClassifySql(spCte: String, where: String): String = {
+  private def nbClassifySql(spCte: String, where: String,
+                            finalSql: String = ""): String = {
     val cut = if (where.isEmpty) "WHERE rn = 1" else where
     s"""$NbModelCtes,
        |sp AS ($spCte),
@@ -1788,10 +1831,11 @@ object LlmEntry {
        |                       ORDER BY s_dec DESC, pred) AS rn,
        |    lead(s_dec) OVER (PARTITION BY doc_id
        |                      ORDER BY s_dec DESC, pred) AS s2 FROM sc1)
-       |SELECT doc_id, actual, pred, CAST(round(s_dec, 6) AS DOUBLE) AS score,
-       |       CAST(round(s_dec - s2, 6) AS DOUBLE) AS margin,
-       |       pred = actual AS correct
-       |FROM r $cut""".stripMargin
+       |${if (finalSql.nonEmpty) finalSql else
+      s"""SELECT doc_id, actual, pred, CAST(round(s_dec, 6) AS DOUBLE) AS score,
+         |       CAST(round(s_dec - s2, 6) AS DOUBLE) AS margin,
+         |       pred = actual AS correct
+         |FROM r $cut""".stripMargin}""".stripMargin
   }
 
   private def nbModelCtes(minDf: Int): String = {
@@ -3074,17 +3118,23 @@ object LlmEntry {
          |FROM w""".stripMargin,
 
     "x15b_dsir_resample" ->
-      s"""$DsirCtes,
-         |sk AS (SELECT doc_id, w_dec,
-         |    w_dec + CAST(round(-ln(-least(round(ln(
-         |        (${h32Sql("CAST(doc_id AS VARCHAR)")} + 1) / 2147483648.0), 9),
-         |      -0.000000001)), 9) AS DECIMAL(28,12)) AS s_dec
-         |  FROM w),
-         |r AS (SELECT *, row_number() OVER (ORDER BY s_dec DESC, doc_id) AS rn
-         |      FROM sk)
+      s"""$DsirSelCtes
          |SELECT doc_id, CAST(round(w_dec, 6) AS DOUBLE) AS weight,
          |       CAST(round(s_dec, 6) AS DOUBLE) AS skey
          |FROM r WHERE rn <= 100""".stripMargin,
+
+    // x17: the selected set joined back to the pool's source mix —
+    // pure counts
+    "x17_selection_bias" ->
+      s"""$DsirSelCtes,
+         |sel AS (SELECT doc_id FROM r WHERE rn <= 100),
+         |pool AS (SELECT source, count(*) AS n_pool FROM d
+         |         WHERE source NOT IN ('src0','src1') GROUP BY 1),
+         |selc AS (SELECT source, count(*) AS n_selected
+         |         FROM d JOIN sel USING (doc_id) GROUP BY 1)
+         |SELECT source, n_pool,
+         |       CAST(coalesce(n_selected, 0) AS BIGINT) AS n_selected
+         |FROM pool LEFT JOIN selc USING (source)""".stripMargin,
 
     "x15c_dsir_bigram" ->
       s"""${dsirCtes(ngrams = 2)}
@@ -4095,6 +4145,20 @@ object LlmEntry {
     "t29b_nb_classify" ->
       nbClassifySql(spCte = s"SELECT * FROM d WHERE ${bucketSql(5)} = 0",
         where = ""),
+
+    // t29e: the margin-calibration table — integer counts per capped
+    // margin bin over the held-out scoring
+    "t29e_calibration" ->
+      nbClassifySql(spCte = s"SELECT * FROM d WHERE ${bucketSql(5)} = 0",
+        where = "",
+        finalSql = """, sel AS (SELECT pred = actual AS correct,
+          |    CAST(round(s_dec - s2, 6) AS DOUBLE) AS margin
+          |  FROM r WHERE rn = 1)
+          |SELECT CAST(floor(least(margin, 10.0)) AS INTEGER) AS bin,
+          |       count(*) AS n,
+          |       CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_correct
+          |FROM sel GROUP BY 1""".stripMargin),
 
     // t29d: the label-noise audit — only the confident disagreements
     // survive the final cut

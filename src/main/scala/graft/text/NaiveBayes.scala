@@ -178,6 +178,18 @@ object NaiveBayes {
     classify(docs, docs, id, text, label, cacheLevel)
       .filter(!col("correct") && col("margin") >= minMargin)
 
+  /** Margin-calibration table over [[classify]]'s output — the check
+    * run before using margins as routing gates ("is a margin-3 doc
+    * actually righter than a margin-1 doc?"): held-out accuracy per
+    * integer margin bin (capped at 10). Counts only — an exact-integer
+    * table has no cross-engine float surface at all; accuracy is
+    * n_correct/n at read time. Output: (bin, n, n_correct). */
+  def calibration(scored: DataFrame): DataFrame =
+    scored.groupBy(
+        floor(least(col("margin"), lit(10.0))).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+
   /** Train on `trainDocs`, score labeled `scoreDocs`:
     * (doc_id, actual, pred, score, margin, correct) — the held-out
     * evaluation surface (t29b). Same OOV contract as [[score]]. */

@@ -133,8 +133,9 @@ class EntryPlanSpec extends SparkSpec {
     // min-df vocabulary cut, same product
     "t29_nb_model", "t29b_nb_classify", "t29c_nb_model_mindf",
     // t29d is t29b's plan (train + score the same split) + a
-    // row-local confident-disagreement filter
-    "t29d_label_audit",
+    // row-local confident-disagreement filter; t29e is t29b's plan +
+    // a bin rollup
+    "t29d_label_audit", "t29e_calibration",
     // x16 composes e4's training pass with one more corpus×constant-
     // centroids broadcast assignment (k rows per vector); the sample
     // cut is a bounded-heap partial aggregate, no join at all
