@@ -92,6 +92,22 @@ class DsirSpec extends SparkSpec {
     assert(run(1) === run(7))
   }
 
+  test("selection-bias audit (x17): pool partitions, selected bounded") {
+    val rows = graft.SparkEntry.queries("x17_selection_bias")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = table("documents")
+    val nRaw = docs.filter(!col("source").isin("src0", "src1")).count()
+    assert(rows.map(_._2).sum === nRaw, "pool rows partition the raw corpus")
+    assert(rows.forall { case (_, pool, sel) => sel <= pool })
+    // k=100 exceeds the sf0.001 pool, so every doc WITH FEATURES is
+    // selected — the only unselected docs are the no-token ones
+    val nTokenless = docs.filter(!col("source").isin("src0", "src1"))
+      .filter(size(graft.text.TextAnalysis.tokens(col("text"))) === 0).count()
+    assert(rows.map(_._3).sum === math.min(100L, nRaw - nTokenless))
+    assert(!rows.map(_._1).exists(Set("src0", "src1")),
+      "target sources never appear in the pool audit")
+  }
+
   test("plans: broadcast model on the scoring path, windowless top-k") {
     val docs = table("documents")
     val isTgt = col("source").isin("src0", "src1")

@@ -88,6 +88,25 @@ class NaiveBayesSpec extends SparkSpec {
       col("label"), minMargin = 100.0).count() === 0L)
   }
 
+  test("calibration: integer bins, caps at 10, counts reconcile") {
+    val score = Seq(
+      (10L, "a", "x x x"),   // strong a -> correct, some margin
+      (11L, "b", "z z"),     // strong b -> correct
+      (12L, "b", "x"))       // a-vocab text labeled b -> incorrect
+      .toDF("doc_id", "label", "text")
+    val cal = NaiveBayes.calibration(NaiveBayes.classify(
+        train, score, col("doc_id"), col("text"), col("label")))
+      .collect().map(r0 => r0.getInt(0) -> ((r0.getLong(1), r0.getLong(2))))
+    assert(cal.map(_._2._1).sum === 3L, "every scored doc lands in a bin")
+    assert(cal.map(_._2._2).sum === 2L, "two of three are correct")
+    assert(cal.forall { case (b, _) => b >= 0 && b <= 10 })
+    // a margin far beyond the cap still lands in bin 10
+    val wide = Seq((20L, "a", "x " * 200)).toDF("doc_id", "label", "text")
+    val capped = NaiveBayes.calibration(NaiveBayes.classify(
+        train, wide, col("doc_id"), col("text"), col("label"))).collect()
+    assert(capped.map(_.getInt(0)).toSeq === Seq(10))
+  }
+
   test("classify: all-OOV doc produces no row") {
     val score = Seq((10L, "a", "q q q"), (11L, "b", "z"))
       .toDF("doc_id", "label", "text")
