@@ -57,7 +57,12 @@ object ScaleBench {
     "t29b_nb_classify", "x15_dsir_weights", "x15b_dsir_resample",
     // x16: Lloyd fit (driver loop over k·dim state) + one linear
     // assignment pass + bounded-heap cut — near-linear, no knee
-    "x16_cluster_sample")
+    "x16_cluster_sample",
+    // x15c doubles the hashed feature volume (uni ∪ bigrams) at the
+    // SAME model size — the curve should track x15's shape at ~2×
+    // the per-row cost; t29d re-scores the train split (train +
+    // score are the same pass count as t29b)
+    "x15c_dsir_bigram", "t29d_label_audit")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft_scale")

@@ -70,6 +70,18 @@ class DsirSpec extends SparkSpec {
       "the order-preserving doc must score more target-like")
   }
 
+  test("bigram features: 0- and 1-token docs degrade to unigrams only") {
+    val tgt = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    val raw = Seq((1L, "solo"), (2L, ""), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val out = Dsir.importanceWeights(tgt, raw, col("doc_id"), col("text"),
+        ngrams = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L, "a 1-token doc has exactly its unigram")
+    assert(!out.contains(2L), "an empty doc has no features")
+    assert(out(3L) === 5L, "3 unigrams + 2 bigrams")
+  }
+
   test("resample: k >= survivors returns all of them; k cuts by skey") {
     val all = Dsir.resample(target, raw, col("doc_id"), col("text"),
       k = 10, buckets = B).collect()
