@@ -324,9 +324,34 @@ object Scheduler {
             (stages: Instant => Seq[PipelineStage]): DataFrame = {
     import spark.implicits._
     val last = SnapshotStore.read(spark, ledgerDir).flatMap { led =>
-      val ts = led.agg(max(col("fire_epoch"))).collect()(0)
-      if (ts.isNullAt(0)) None
-      else Some(fromEpochNanos(ts.getLong(0)))
+      // ledgers written before the fire_epoch column existed (or whose
+      // old rows carry a null after a schema-evolving merge) must keep
+      // working: take the chronological max across BOTH encodings —
+      // the numeric column where present, and an exact re-parse of the
+      // ISO fire_ts strings otherwise. fire_ts strings are not
+      // order-safe to max directly (variable-width fractional
+      // seconds), so the fallback takes the in-plan max at timestamp
+      // precision and exact-parses only the rows in that microsecond
+      // (a bounded, normally one-row, collect on a control-plane
+      // table).
+      val epochMax: Option[Instant] =
+        if (!led.columns.contains("fire_epoch")) None
+        else {
+          val ts = led.agg(max(col("fire_epoch"))).collect()(0)
+          if (ts.isNullAt(0)) None else Some(fromEpochNanos(ts.getLong(0)))
+        }
+      val isoMax: Option[Instant] = {
+        val withTs = led.withColumn("_fire_parsed", to_timestamp(col("fire_ts")))
+        val m = withTs.agg(max(col("_fire_parsed"))).collect()(0)
+        if (m.isNullAt(0)) None
+        else {
+          val cands = withTs.filter(col("_fire_parsed") === lit(m.get(0)))
+            .select("fire_ts").as[String].collect().map(Instant.parse)
+          Some(cands.maxBy(epochNanos))
+        }
+      }
+      val cand = Seq(epochMax, isoMax).flatten
+      if (cand.isEmpty) None else Some(cand.maxBy(epochNanos))
     }
     val occurrences = due(schedules, last, now, maxCatchUp)
     val logs = occurrences.map { t =>

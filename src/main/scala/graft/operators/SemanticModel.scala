@@ -143,13 +143,18 @@ final case class SemanticModel(fact: DataFrame,
     }
     neededDims.values.foldLeft(fact) { (acc, d) =>
       // project away payload columns the fact shadows (keep the join
-      // key), then drop the join key after the join — the surviving
-      // frame has exactly one column per resolvable name
-      val keep = (dimColumns(d) -- fact.columns.toSet) + d.dimKey
+      // key); after the join the dim-side key survives ONLY when the
+      // request references it and the fact can't supply the name —
+      // requests may group/filter by either side of the relationship
+      // (unmatched fact rows then land under the null blank member).
+      // Otherwise it is dropped so the frame has exactly one column
+      // per resolvable name.
+      val keep = (dimColumns(d) -- factCols) + d.dimKey
       val proj = d.table.select(keep.toSeq.sorted.map(d.table(_)): _*)
       val t = if (d.broadcastable) broadcast(proj) else proj
-      acc.join(t, acc(d.factKey) === proj(d.dimKey), "left")
-        .drop(proj(d.dimKey))
+      val joined = acc.join(t, acc(d.factKey) === proj(d.dimKey), "left")
+      if (wanted.contains(d.dimKey) && !factCols.contains(d.dimKey)) joined
+      else joined.drop(proj(d.dimKey))
     }
   }
 

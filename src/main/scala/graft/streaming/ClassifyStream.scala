@@ -41,15 +41,24 @@ object ClassifyStream {
 
   /** Pure per-batch routing logic, factored for spec replay: score
     * `batch` against (m, pri), left-join back so NO doc is dropped,
-    * and attach `route`. */
+    * and attach `route`. A doc_id delivered twice within one
+    * micro-batch (source redelivery) is collapsed to ONE row first —
+    * otherwise its tokens explode twice and double the per-(doc,
+    * label) token sums inside [[NaiveBayes.score]] (wrong score and
+    * margin while the priors count once), and the MERGE keyed on
+    * doc_id would commit duplicate rows. max(text) makes the survivor
+    * deterministic (redeliveries are normally byte-identical; ties
+    * need a total order either way). */
   def routeBatch(batch: DataFrame, m: DataFrame, pri: DataFrame,
-                 minMargin: Double): DataFrame =
-    batch
-      .join(NaiveBayes.score(batch, col("doc_id"), col("text"), m, pri),
+                 minMargin: Double): DataFrame = {
+    val uniq = batch.groupBy("doc_id").agg(max("text").as("text"))
+    uniq
+      .join(NaiveBayes.score(uniq, col("doc_id"), col("text"), m, pri),
         Seq("doc_id"), "left")
       .withColumn("route",
         when(col("margin").isNotNull && col("margin") >= minMargin,
           col("pred")).otherwise(lit("review")))
+  }
 
   /** Start the stream: `stream` must carry (`id`, `text`); routed
     * rows MERGE into `targetDir` keyed on doc_id. */

@@ -89,18 +89,29 @@ object Events {
     * unique row), then one keyed count and a bounded top-k cut with
     * ties broken on the path string.
     *
-    * Scale shape: one keyed shuffle on user (collect_list bounded by
-    * the user's own event count — per-user state, the st2/g23
-    * posture), one partial-aggregating count on path, and the final
-    * cut is TakeOrderedAndProject (each partition keeps k rows) —
-    * never a global sort. */
+    * Scale shape: per-user state is bounded BEFORE any list exists —
+    * a per-user `rn <= maxLen` window over (ts, event_id, event_type)
+    * rides [[graft.plans.WindowTopOneRewrite]] into the bounded-heap
+    * [[graft.functions.TopKRows]] partial aggregate (each map task
+    * keeps at most maxLen rows per user), so one bot-grade hot user
+    * with millions of events costs maxLen rows in the shuffle, never a
+    * multi-GB array in one reducer (the previous collect-everything-
+    * then-slice shape's failure mode at 100×). The survivors (≤ maxLen
+    * per user) collapse to the path string, then one
+    * partial-aggregating count on path, and the final cut is
+    * TakeOrderedAndProject (each partition keeps k rows) — never a
+    * global sort. */
   def topPaths(events: DataFrame, maxLen: Int = 8, k: Int = 10): DataFrame = {
     require(maxLen > 0 && k > 0, s"invalid maxLen=$maxLen k=$k")
-    val per = events
+    val first = events
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"), col("event_type"))))
+      .filter(col("rn") <= maxLen)
+    val per = first
       .groupBy(col("user_id"))
       .agg(array_join(transform(
-        slice(array_sort(collect_list(struct(col("ts"), col("event_id"),
-          col("event_type")))), 1, maxLen),
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
         p => p.getField("event_type")), ">").as("path"))
     per.groupBy("path").agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path")).limit(k)

@@ -595,13 +595,19 @@ object TextAnalysis {
     * broadcast as a |rows| × O(1) constant product, then a map-only
     * bin assignment + one keyed count. At 100 TB swap the boundary
     * pass to `approx_percentile` — the bin-assignment contract is
-    * unchanged; the oracle pins the exact path at test scale. */
-  def quantileBins(df: DataFrame, value: Column, nBins: Int): DataFrame = {
+    * unchanged; the oracle pins the exact path at test scale. The
+    * single projected value column feeds both the boundary pass and
+    * the bin pass, so it persists under the `storage` knob (one
+    * column/row — cheap; `StorageLevel.NONE` restores the two-scan
+    * shape, which may win when `value` is a pruned parquet column). */
+  def quantileBins(df: DataFrame, value: Column, nBins: Int,
+                   storage: StorageLevel = graft.Caching.Default): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
     val ps = (1 until nBins).map(_.toDouble / nBins).toArray
-    val bounds = df.agg(
-      transform(percentile(value, lit(ps)), b => round(b, 4)).as("bounds"))
-    df.select(value.as("v"))
+    val v = graft.Caching.persisted(df.select(value.as("v")), storage)
+    val bounds = v.agg(
+      transform(percentile(col("v"), lit(ps)), b => round(b, 4)).as("bounds"))
+    v
       .crossJoin(broadcast(bounds))
       .withColumn("bin", size(filter(col("bounds"), b => col("v") > b)))
       .groupBy("bin")
@@ -622,9 +628,18 @@ object TextAnalysis {
     * token mass (what a mixture actually budgets), min/max surprisal.
     *
     * Scale: the surprisal model's two keyed shuffles + one one-row
-    * boundary broadcast + map-only bucketing + a 3-key count. */
-  def perplexityBuckets(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val s = unigramSurprisal(df, id, text)
+    * boundary broadcast + map-only bucketing + a 3-key count. The
+    * per-doc surprisal frame feeds BOTH the tercile-bounds aggregation
+    * and the bucketing pass — un-persisted, column pruning would
+    * specialize each branch's plan and re-execute the whole
+    * corpus-sized surprisal subtree twice (the r11 single-pass-audit
+    * class; this was the bench's worst variance surface), so it
+    * persists under the standard `storage` knob. The persisted frame
+    * is doc-count-sized (4 columns/doc), not corpus-text-sized;
+    * `StorageLevel.NONE` restores the two-pass recompute. */
+  def perplexityBuckets(df: DataFrame, id: Column, text: Column,
+                        storage: StorageLevel = graft.Caching.Default): DataFrame = {
+    val s = graft.Caching.persisted(unigramSurprisal(df, id, text, storage), storage)
     val bounds = s.agg(transform(
       percentile(col("mean_surprisal"), lit(Array(1.0 / 3, 2.0 / 3))),
       b => round(b, 4)).as("bounds"))

@@ -182,6 +182,15 @@ class EntryPlanSpec extends SparkSpec {
     assert(!st6.contains("Window"), s"st6 still plans a Window:\n$st6")
     assert(st6.contains("partial_graft_topk_rows"),
       s"st6 shows no bounded-heap partials:\n$st6")
+    // g31 proves topPaths' per-user horizon is bounded BEFORE the
+    // path list exists: the rn <= maxLen window must execute
+    // windowless with bounded-heap partials (one hot user costs
+    // maxLen rows in the shuffle, never an unbounded array)
+    val g31 = SparkEntry.queries("g31_event_paths")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!g31.contains("Window"), s"g31 still plans a Window:\n$g31")
+    assert(g31.contains("partial_graft_topk_rows"),
+      s"g31 shows no bounded-heap partials:\n$g31")
     // e13 proves BOTH of diversifyTopK's partitioned rn <= k windows
     // (per-group cap, then re-rank) ride WindowTopOneRewrite: the
     // diversified list must execute with no Window exec at all and

@@ -241,6 +241,34 @@ class SchedulerSpec extends SparkSpec {
     assert(boot == Seq(i("2026-02-04T02:00:00Z"), i("2026-02-04T02:05:00Z")))
   }
 
+  test("runDue: a pre-fire_epoch ledger keeps working (no re-fire, no crash)") {
+    // ledgers written before the numeric fire_epoch column existed
+    // carry (fire_ts, run_id, status) only — the upgraded runDue must
+    // read their chronological max from the ISO strings instead of
+    // throwing on the missing column, and must NOT re-fire the
+    // recorded occurrence (a cold-start bootstrap here replays work)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sched-legacy").toString
+    val utcDaily = daily2am.copy(zone = ZoneId.of("UTC"))
+    SnapshotStore.mergeInto(
+      Seq(("2026-02-01T02:00:00Z", "sched_1769911200", "succeeded"))
+        .toDF("fire_ts", "run_id", "status"),
+      dir, Seq("fire_ts"))
+    var fired = Vector.empty[Instant]
+    def stages(t: Instant) = Seq(
+      PipelineStage("work")(() => { fired :+= t; 1L }))
+    // same tick as the legacy fire: nothing due
+    assert(Scheduler.runDue(spark, Seq(utcDaily), dir,
+      i("2026-02-01T03:00:00Z"))(stages).count() == 0 && fired.isEmpty)
+    // next day: exactly the one new occurrence fires, and the merged
+    // ledger (legacy row now null fire_epoch) still reads correctly
+    Scheduler.runDue(spark, Seq(utcDaily), dir,
+      i("2026-02-02T03:00:00Z"))(stages)
+    assert(fired == Vector(i("2026-02-02T02:00:00Z")))
+    assert(Scheduler.runDue(spark, Seq(utcDaily), dir,
+      i("2026-02-02T03:00:00Z"))(stages).count() == 0 && fired.size == 1)
+  }
+
   test("runDue: sub-second fire times do not break the replay-safe ledger") {
     // ISO_INSTANT emits variable-width fractional seconds, so the
     // lexicographic max is WRONG across mixed precision ('…:00Z' >

@@ -76,6 +76,25 @@ class SemanticModelSpec extends SparkSpec {
       Seq(("F", 1L), ("O", 2L)))
   }
 
+  test("requests may group/filter by the dimension-side join key") {
+    // dimColumns documents that either side of the relationship is
+    // requestable; pre-fix, joinedFor dropped the dim key after the
+    // join so evaluate(groupBy = c_id) passed validation and died
+    // with an unresolved-column AnalysisException
+    val byKey = model.evaluate(Seq("c_id"), Seq("n", "total"))
+      .orderBy("c_id").collect()
+    assert(byKey.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == Seq((10L, 2L, 150.0), (11L, 1L, 30.0), (12L, 2L, 20.0)))
+    val filtered = model.evaluate(Seq("segment"), Seq("n"),
+      filters = Seq(col("c_id") === 12L)).collect()
+    assert(filtered.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("AUTO", 2L)))
+    // a payload-only request still drops the dim key: exactly the
+    // requested columns survive
+    assert(model.evaluate(Seq("segment"), Seq("n")).columns.toSeq ==
+      Seq("segment", "n"))
+  }
+
   test("filters apply before aggregation (CALCULATE slicer semantics)") {
     val r = model.evaluate(Seq("segment"), Seq("n"),
       filters = Seq(col("amount") > 25.0)).orderBy("segment").collect()

@@ -56,6 +56,29 @@ class ClassifyStreamSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("in-batch redelivery: a doc delivered twice in one batch scores once") {
+    // pre-fix, the doubled rows exploded tokens twice — doubling the
+    // per-(doc, label) token sums (wrong score/margin vs priors
+    // counted once) and committing duplicate doc_id rows via MERGE
+    val once = ClassifyStream.routeBatch(
+      Seq((1L, "fine nice fine")).toDF("doc_id", "text"),
+      m, pri, minMargin = 0.1).select("doc_id", "pred", "score", "margin", "route")
+    val twice = ClassifyStream.routeBatch(
+      Seq((1L, "fine nice fine"), (1L, "fine nice fine"))
+        .toDF("doc_id", "text"),
+      m, pri, minMargin = 0.1).select("doc_id", "pred", "score", "margin", "route")
+    assert(twice.count() === 1, "one routed row per doc_id per batch")
+    assert(twice.collect().map(_.toSeq).toSet ===
+      once.collect().map(_.toSeq).toSet,
+      "a redelivered doc must score as if delivered once")
+    // conflicting texts for one doc_id: the survivor is deterministic
+    val conflict = ClassifyStream.routeBatch(
+      Seq((1L, "fine nice"), (1L, "spam junk junk")).toDF("doc_id", "text"),
+      m, pri, minMargin = 0.1).select("doc_id", "route").collect()
+    assert(conflict.length === 1 && conflict(0).getString(1) === "bad",
+      "max(text) survivor: 'spam junk junk' > 'fine nice'")
+  }
+
   test("checkpoint restart: MERGE stays idempotent, updates not duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-cls2-snap").toString
