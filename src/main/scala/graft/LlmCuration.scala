@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.dedup.TextDedup
-import graft.text.TextAnalysis
+import graft.text.{Dsir, NaiveBayes, TextAnalysis}
 
 /** End-to-end training-data curation pipeline — the document-corpus
   * analog of [[Medallion.run]]: chain the standard curation stages in
@@ -131,6 +131,133 @@ object LlmCuration {
       docs.select(id.as("doc_id"), text.as("text")), Seq("doc_id"))
     graft.dedup.Decontaminate.applyFilter(withText, eval, "doc_id", col("text"), n)
       .select("doc_id")
+  }
+
+  /** Stage 4 (model gate): keep survivors the TRAINED classifier
+    * routes to `keepLabel` with margin >= `minMargin` — the
+    * production refinement of stage 1's heuristic gate (Brown et al.
+    * 2020 §A2's quality-classifier shape: rule-gate first, a learned
+    * gate confirms). The model and priors are trained ONCE on
+    * `labeled` (vocabulary/label-sized frames, broadcast by
+    * [[NaiveBayes.score]]); scoring the pool is map-only plus one
+    * (doc, label)-keyed in-batch aggregation. Docs the model has NO
+    * evidence for (all tokens out-of-vocabulary → no score row, or a
+    * null margin) drop: a selection gate admits on evidence, it does
+    * not pass on silence. Factored so [[runSelected]] and
+    * [[attritionReportSelected]] cannot drift. */
+  private def modelGateStage(pool: DataFrame, labeled: DataFrame,
+                             labeledText: Column, label: Column,
+                             keepLabel: String, minMargin: Double,
+                             storage: StorageLevel): DataFrame = {
+    val m = NaiveBayes.model(labeled, labeledText, label, storage)
+    val pri = NaiveBayes.priors(labeled, label)
+    val admitted = NaiveBayes.score(pool, col("doc_id"), col("text"), m, pri)
+      .filter(col("pred") === keepLabel &&
+        col("margin").isNotNull && col("margin") >= minMargin)
+      .select("doc_id")
+    pool.join(admitted, Seq("doc_id"))
+  }
+
+  /** Stage 5 (DSIR select): keep the `k` pool docs a without-
+    * replacement ∝exp(weight) draw selects toward `target`'s domain
+    * ([[Dsir.resample]] — Xie et al. 2023's select-then-train step,
+    * deterministic Gumbel top-k riding the bounded-heap rewrite).
+    * The k-row selection broadcasts back onto the pool. */
+  private def dsirSelectStage(pool: DataFrame, target: DataFrame,
+                              targetText: Column, k: Int): DataFrame =
+    pool.join(
+      broadcast(Dsir.resample(target.select(targetText.as("text")), pool,
+        col("doc_id"), col("text"), k).select("doc_id")),
+      Seq("doc_id"))
+
+  /** [[runDecontaminated]] grown into the full SELECTION pipeline a
+    * training-data team actually ships (the brief's production shape):
+    * rule gate → exact dedup → near-dup → TRAINED model gate
+    * ([[modelGateStage]]) → DSIR importance selection
+    * ([[dsirSelectStage]]) → decontaminate. Decontamination stays
+    * LAST for [[runDecontaminated]]'s reason — eval membership must
+    * win over every retention decision, including the model's and the
+    * sampler's. Returns the selected, decontaminated doc ids.
+    *
+    * Scale shape: every stage sees the smallest surviving corpus; the
+    * model/priors and the DSIR bucket model are fixed-size broadcast
+    * frames, the k-row selection broadcasts back, and each stage
+    * boundary persists under `storage` so no stage's subtree
+    * re-executes across the chain's branches.
+    *
+    * @param labeled   labeled training docs for the model gate
+    * @param target    target-domain docs for the DSIR weights
+    * @param keepLabel the model-gate route to admit
+    * @param minMargin model-gate confidence floor (rounded-6dp units)
+    * @param k         DSIR selection size */
+  def runSelected(docs: DataFrame, eval: DataFrame, labeled: DataFrame,
+                  target: DataFrame, id: Column, text: Column,
+                  label: Column, keepLabel: String, minMargin: Double,
+                  k: Int,
+                  minQuality: Double = 0.5, lang: Option[String] = Some("en"),
+                  minJaccard: Double = 0.1, n: Int = 5,
+                  storage: StorageLevel = Caching.Default): DataFrame = {
+    val kept = gateStage(docs, id, text, minQuality, lang)
+    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val surv = Caching.persisted(
+      nearDupStage(uniq, minJaccard, storage), storage)
+    val gated = Caching.persisted(
+      modelGateStage(surv, labeled, text, label, keepLabel, minMargin,
+        storage), storage)
+    val sel = Caching.persisted(
+      dsirSelectStage(gated, target, text, k), storage)
+    graft.dedup.Decontaminate.applyFilter(sel, eval, "doc_id", col("text"), n)
+      .select("doc_id")
+  }
+
+  /** Per-stage attrition rows over [[runSelected]]'s chain — c5's
+    * ops-log discipline extended to the selection stages (a model
+    * gate suddenly eating 60% is a drifted model or a drifted feed;
+    * dsir_select's n_out is k by construction unless the pool fell
+    * below k — both worth alarming on). Same factored stage
+    * functions; report and pipeline cannot drift. */
+  def attritionReportSelected(docs: DataFrame, eval: DataFrame,
+                              labeled: DataFrame, target: DataFrame,
+                              id: Column, text: Column, label: Column,
+                              keepLabel: String, minMargin: Double, k: Int,
+                              minQuality: Double = 0.5,
+                              lang: Option[String] = Some("en"),
+                              minJaccard: Double = 0.1, n: Int = 5,
+                              storage: StorageLevel = Caching.Default): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nAll = docs.count()
+    val kept = Caching.persisted(
+      gateStage(docs, id, text, minQuality, lang), storage)
+    val nKept = kept.count()
+    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val nUniq = uniq.count()
+    val surv = Caching.persisted(
+      nearDupStage(uniq, minJaccard, storage), storage)
+    val nSurv = surv.count()
+    val gated = Caching.persisted(
+      modelGateStage(surv, labeled, text, label, keepLabel, minMargin,
+        storage), storage)
+    val nGated = gated.count()
+    val sel = Caching.persisted(
+      dsirSelectStage(gated, target, text, k), storage)
+    val nSel = sel.count()
+    val clean = graft.dedup.Decontaminate.applyFilter(
+      sel, eval, "doc_id", col("text"), n)
+    val nClean = clean.count()
+    Seq(kept, uniq, surv, gated, sel).foreach(_.unpersist())
+    Seq((1, "gate", nAll, nKept),
+        (2, "exact_dedup", nKept, nUniq),
+        (3, "near_dup", nUniq, nSurv),
+        (4, "model_gate", nSurv, nGated),
+        (5, "dsir_select", nGated, nSel),
+        (6, "decontam", nSel, nClean))
+      .toDF("stage_no", "stage", "n_in", "n_out")
+      // null, not 0/0, when an upstream stage emptied the corpus (a
+      // fully-draining model gate is a legal, alarm-worthy outcome)
+      .withColumn("drop_frac", when(col("n_in") === 0, lit(null))
+        .otherwise(round(lit(1.0) -
+          col("n_out").cast("double") / col("n_in").cast("double"), 6)))
   }
 
   /** Per-stage attrition report over [[runDecontaminated]]'s chain —

@@ -147,6 +147,38 @@ object LlmEntry {
         minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
     }),
 
+    "c6_curate_selected" -> ((s, dir) => {
+      // the full SELECTION pipeline (the production shape): rule gate
+      // -> exact dedup -> near-dup -> TRAINED NB gate (t29's model,
+      // margin >= 1 routed to 'en') -> DSIR select (x15b's Gumbel
+      // top-100 toward src0/src1) -> decontaminate vs the %25 eval
+      // slice, still last — eval membership wins over every retention
+      // decision including the model's and the sampler's
+      val docs = t(s, dir, "documents")
+      LlmCuration.runSelected(docs,
+        docs.filter(col("doc_id") % 25 === 0),
+        docs.filter(Sampling.hashBucket(col("doc_id"), 5) =!= 0),
+        docs.filter(col("source").isin("src0", "src1")),
+        col("doc_id"), col("text"), col("lang"),
+        keepLabel = "en", minMargin = 1.0, k = 100,
+        minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
+    }),
+
+    "c7_selected_attrition" -> ((s, dir) => {
+      // c6's chain as the per-stage ops log (c5's discipline extended
+      // to the selection stages): model_gate eating 60% is a drifted
+      // model or feed; dsir_select's n_out is k unless the pool fell
+      // below it
+      val docs = t(s, dir, "documents")
+      LlmCuration.attritionReportSelected(docs,
+        docs.filter(col("doc_id") % 25 === 0),
+        docs.filter(Sampling.hashBucket(col("doc_id"), 5) =!= 0),
+        docs.filter(col("source").isin("src0", "src1")),
+        col("doc_id"), col("text"), col("lang"),
+        keepLabel = "en", minMargin = 1.0, k = 100,
+        minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
+    }),
+
     "x13_stride_interleave" -> ((s, dir) => {
       // stride-scheduled training order: any prefix of the sorted
       // order holds each source near its corpus share (no accidental
@@ -1799,6 +1831,110 @@ object LlmEntry {
        |  FROM occ JOIN m USING (bucket) GROUP BY 1)""".stripMargin
   }
 
+  /** The c6/c7 selected-curation chain: c2's gate→dedup→near-dup CTEs
+    * (t0…surv), the t29 NB model/scoring replay PREFIXED `nb` scored
+    * over `surv` and margin-gated to 'en' at 1.0 (→ mgd), the x15b
+    * DSIR weight + Gumbel-top-100 replay PREFIXED `ds` with mgd as
+    * the raw pool and src0/src1 as the target (→ seld), and c2's
+    * decontamination shingle CTEs over seld (→ dirty). Prefixes exist
+    * because the shared [[NbModelCtes]]/[[DsirCtes]] builders collide
+    * on CTE names (both bind `d`/`m`/`occ`); the arithmetic is
+    * line-for-line the same replay, and the c6/c7 oracles pin it to
+    * the operator output either way. */
+  private lazy val SelectedChainCtes: String = {
+    val b = graft.text.Dsir.DefaultBuckets
+    s"""WITH t0 AS (SELECT doc_id, text, $ToksSql AS tk FROM documents),
+       |feat AS (SELECT doc_id, text, tk,
+       |  len(tk) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+       |    greatest(length(text), 1) AS punct_ratio,
+       |  CAST(len(list_filter(tk, x -> x IN ($EnStopsSql))) AS DOUBLE) /
+       |    greatest(len(tk), 1) AS stop_ratio,
+       |  ${LangScoreSql.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")}
+       |  FROM t0),
+       |keepq AS (SELECT doc_id, text FROM (
+       |    SELECT *,
+       |      round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
+       |            0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS q,
+       |      $LangCaseSql AS lang
+       |    FROM feat)
+       |  WHERE q >= 0.5 AND lang = 'en'),
+       |uniq AS (SELECT min(doc_id) AS doc_id, first(text) AS text
+       |         FROM keepq GROUP BY md5(text)),
+       |${minhashCtes("uniq")},
+       |drops AS (SELECT DISTINCT doc_b FROM ver WHERE jaccard >= 0.1),
+       |surv AS (SELECT doc_id, text FROM uniq
+       |         WHERE doc_id NOT IN (SELECT doc_b FROM drops)),
+       |nbd AS (SELECT doc_id, lang, $ToksSql AS tk FROM documents),
+       |nbtr AS (SELECT * FROM nbd WHERE ${bucketSql(5)} <> 0),
+       |nbcnt2 AS (SELECT lang, token, count(*) AS c
+       |  FROM (SELECT lang, unnest(tk) AS token FROM nbtr) GROUP BY 1, 2),
+       |nbdense AS (SELECT token, lang, coalesce(c, 0) AS c
+       |  FROM (SELECT token FROM nbcnt2 GROUP BY 1) v
+       |       CROSS JOIN (SELECT lang FROM nbcnt2 GROUP BY 1) l
+       |       LEFT JOIN nbcnt2 USING (token, lang)),
+       |nbm AS (SELECT token, lang AS pred,
+       |  round(ln((c + 1.0) / CAST(sum(c) OVER (PARTITION BY lang)
+       |    + count(*) OVER (PARTITION BY lang) AS DOUBLE)), 9) AS logp
+       |  FROM nbdense),
+       |nbpri AS (SELECT lang AS pred,
+       |    CAST(round(ln(CAST(n_docs AS DOUBLE) / n_total), 9)
+       |         AS DECIMAL(28,12)) AS prior_dec
+       |  FROM (SELECT lang, count(*) AS n_docs,
+       |          sum(count(*)) OVER () AS n_total FROM nbtr GROUP BY 1)),
+       |nbocc AS (SELECT doc_id, unnest(tk) AS token
+       |  FROM (SELECT doc_id, $ToksSql AS tk FROM surv)),
+       |nbsc1 AS (SELECT doc_id, pred, tok_dec + prior_dec AS s_dec
+       |  FROM (SELECT doc_id, pred, sum(CAST(logp AS DECIMAL(28,12))) AS tok_dec
+       |        FROM nbocc JOIN nbm USING (token) GROUP BY 1, 2)
+       |  JOIN nbpri USING (pred)),
+       |nbr AS (SELECT *,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY s_dec DESC, pred) AS rn,
+       |    lead(s_dec) OVER (PARTITION BY doc_id
+       |                      ORDER BY s_dec DESC, pred) AS s2 FROM nbsc1),
+       |mg AS (SELECT doc_id FROM nbr
+       |  WHERE rn = 1 AND pred = 'en'
+       |    AND CAST(round(s_dec - s2, 6) AS DOUBLE) >= 1.0),
+       |mgd AS (SELECT surv.doc_id, surv.text FROM surv JOIN mg USING (doc_id)),
+       |dst AS (SELECT unnest(tk) AS token FROM (
+       |    SELECT $ToksSql AS tk FROM documents
+       |    WHERE source IN ('src0','src1'))),
+       |dsr AS (SELECT doc_id, unnest(tk) AS token FROM (
+       |    SELECT doc_id, $ToksSql AS tk FROM mgd)),
+       |dstc AS (SELECT ${h32Sql("token")} % $b AS bucket, count(*) AS c
+       |  FROM dst GROUP BY 1),
+       |dsrc AS (SELECT ${h32Sql("token")} % $b AS bucket, count(*) AS c
+       |  FROM dsr GROUP BY 1),
+       |dsg AS (SELECT range AS bucket FROM range(0, $b)),
+       |dsdt AS (SELECT bucket, coalesce(c, 0) AS ct,
+       |  sum(coalesce(c, 0)) OVER () AS nt FROM dsg LEFT JOIN dstc USING (bucket)),
+       |dsdr AS (SELECT bucket, coalesce(c, 0) AS cr,
+       |  sum(coalesce(c, 0)) OVER () AS nr FROM dsg LEFT JOIN dsrc USING (bucket)),
+       |dsm AS (SELECT bucket,
+       |    CAST(round(ln((ct + 1.0) / (nt + ${b}.0)), 9) AS DECIMAL(28,12))
+       |  - CAST(round(ln((cr + 1.0) / (nr + ${b}.0)), 9) AS DECIMAL(28,12)) AS lr
+       |  FROM dsdt JOIN dsdr USING (bucket)),
+       |dsw AS (SELECT doc_id, sum(lr) AS w_dec
+       |  FROM (SELECT doc_id, ${h32Sql("token")} % $b AS bucket FROM dsr)
+       |  JOIN dsm USING (bucket) GROUP BY 1),
+       |dsrn AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY s_dec DESC, doc_id) AS rn
+       |  FROM (SELECT doc_id, w_dec +
+       |      CAST(round(-ln(-least(round(ln(
+       |          (${h32Sql("CAST(doc_id AS VARCHAR)")} + 1) / 2147483648.0), 9),
+       |        -0.000000001)), 9) AS DECIMAL(28,12)) AS s_dec FROM dsw)),
+       |seld AS (SELECT mgd.doc_id, mgd.text FROM mgd
+       |  JOIN (SELECT doc_id FROM dsrn WHERE rn <= 100) s USING (doc_id)),
+       |evsh AS (SELECT DISTINCT unnest(sh) AS s FROM (
+       |    SELECT ${shSqlN(5)} AS sh FROM (
+       |      SELECT $ToksSql AS tk FROM documents WHERE doc_id % 25 = 0))),
+       |ssh AS (SELECT doc_id, unnest(sh) AS s FROM (
+       |    SELECT doc_id, ${shSqlN(5)} AS sh FROM (
+       |      SELECT doc_id, $ToksSql AS tk FROM seld))),
+       |dirty AS (SELECT DISTINCT ssh.doc_id FROM ssh JOIN evsh ON ssh.s = evsh.s)""".stripMargin
+  }
+
   /** t29's densified add-one NB model CTEs ending in m(token, lang, c,
     * logp) over the hash-80% train split — shared by the t29 and t29b
     * oracles. Label totals and |V| ride lang-partitioned windows over
@@ -2507,6 +2643,40 @@ object LlmEntry {
          |         (SELECT count(*) FROM uniq), (SELECT count(*) FROM surv)
          |  UNION ALL SELECT 4, 'decontam',
          |         (SELECT count(*) FROM surv), (SELECT count(*) FROM clean))
+         |SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
+         |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+         |  round(1.0 - CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 6) AS drop_frac
+         |FROM st""".stripMargin,
+
+    // c6: c2's stages 1-3 + the t29 NB scoring replay over the
+    // near-dup survivors (margin-gated to 'en'), the x15b Gumbel
+    // top-100 replay with the model-gate survivors as the DSIR pool,
+    // then c2's decontamination over the selected set
+    "c6_curate_selected" ->
+      s"""$SelectedChainCtes
+         |SELECT doc_id FROM seld
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+
+    // c7: c6's chain with per-stage counts assembled into the
+    // attrition rows, c5's exact shape
+    "c7_selected_attrition" ->
+      s"""$SelectedChainCtes,
+         |clean AS (SELECT doc_id FROM seld
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |st AS (
+         |  SELECT 1 AS stage_no, 'gate' AS stage,
+         |         (SELECT count(*) FROM documents) AS n_in,
+         |         (SELECT count(*) FROM keepq) AS n_out
+         |  UNION ALL SELECT 2, 'exact_dedup',
+         |         (SELECT count(*) FROM keepq), (SELECT count(*) FROM uniq)
+         |  UNION ALL SELECT 3, 'near_dup',
+         |         (SELECT count(*) FROM uniq), (SELECT count(*) FROM surv)
+         |  UNION ALL SELECT 4, 'model_gate',
+         |         (SELECT count(*) FROM surv), (SELECT count(*) FROM mgd)
+         |  UNION ALL SELECT 5, 'dsir_select',
+         |         (SELECT count(*) FROM mgd), (SELECT count(*) FROM seld)
+         |  UNION ALL SELECT 6, 'decontam',
+         |         (SELECT count(*) FROM seld), (SELECT count(*) FROM clean))
          |SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
          |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
          |  round(1.0 - CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 6) AS drop_frac

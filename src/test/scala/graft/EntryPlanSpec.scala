@@ -139,7 +139,13 @@ class EntryPlanSpec extends SparkSpec {
     // x16 composes e4's training pass with one more corpus×constant-
     // centroids broadcast assignment (k rows per vector); the sample
     // cut is a bounded-heap partial aggregate, no join at all
-    "x16_cluster_sample")
+    "x16_cluster_sample",
+    // c6/c7 compose t29's model build (vocab × broadcast
+    // constant-label densification) into the curation chain; their
+    // DSIR stage is x15's non-exempt bucket-keyed equi-join shape and
+    // the k-row selection broadcasts back — t29's product is the only
+    // one in the plan
+    "c6_curate_selected", "c7_selected_attrition")
 
   // NOTE: x15/x15b/x15c need no exemption — the DSIR grid/model joins
   // are all bucket-keyed equi-joins and the scoring join is a

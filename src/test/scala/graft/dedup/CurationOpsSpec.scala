@@ -101,6 +101,61 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.last._4 === survivors, "report disagrees with pipeline")
   }
 
+  test("runSelected: stages chain, dsir caps at k, report equals pipeline") {
+    val docs = table("documents")
+    val eval = docs.filter(col("doc_id") % 25 === 0)
+    val labeled = docs.filter(
+      graft.operators.Sampling.hashBucket(col("doc_id"), 5) =!= 0)
+    val target = docs.filter(col("source").isin("src0", "src1"))
+    def report(minMargin: Double, k: Int) =
+      graft.LlmCuration.attritionReportSelected(docs, eval, labeled, target,
+        col("doc_id"), col("text"), col("lang"),
+        keepLabel = "en", minMargin = minMargin, k = k)
+    val rows = report(1.0, 20).orderBy("stage_no").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSeq === Seq("gate", "exact_dedup", "near_dup",
+      "model_gate", "dsir_select", "decontam"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 === b._3, s"stage ${a._2} out != stage ${b._2} in")
+    }
+    rows.foreach { case (_, st, in, out) =>
+      assert(out <= in, s"stage $st grew the corpus") }
+    // dsir_select emits exactly k (the pool here exceeds k)
+    val dsirRow = rows.find(_._2 == "dsir_select").get
+    assert(dsirRow._3 > 20 && dsirRow._4 === 20L)
+    // report and pipeline share the factored stages — final counts agree
+    val survivors = graft.LlmCuration.runSelected(docs, eval, labeled,
+      target, col("doc_id"), col("text"), col("lang"),
+      keepLabel = "en", minMargin = 1.0, k = 20).count()
+    assert(rows.last._4 === survivors, "report disagrees with pipeline")
+    // a stricter margin can only shrink the model gate's admissions
+    val strict = report(50.0, 20).orderBy("stage_no").collect()
+      .map(r => (r.getString(1), r.getLong(3))).toMap
+    assert(strict("model_gate") <= rows.find(_._2 == "model_gate").get._4)
+  }
+
+  test("runSelected plan: broadcast model scoring, bounded-heap selection") {
+    val docs = table("documents")
+    val out = graft.LlmCuration.runSelected(docs,
+      docs.filter(col("doc_id") % 25 === 0),
+      docs.filter(graft.operators.Sampling.hashBucket(col("doc_id"), 5) =!= 0),
+      docs.filter(col("source").isin("src0", "src1")),
+      col("doc_id"), col("text"), col("lang"),
+      keepLabel = "en", minMargin = 1.0, k = 20)
+    val plan = out.queryExecution.executedPlan.toString
+    // the NB scoring / DSIR model joins and the k-row selection
+    // join-back are broadcast equi-joins (the model frames are
+    // vocabulary/bucket-sized, the selection k rows)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"selected chain plans no broadcast join:\n$plan")
+    // the Gumbel top-k rides the bounded-heap rewrite, not a global
+    // ranking window
+    assert(plan.contains("partial_graft_topk_rows"),
+      s"DSIR selection shows no bounded-heap partials:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"selected chain plans a cartesian product:\n$plan")
+  }
+
   test("decontam: flags exactly the docs sharing a 5-gram; filter drops them") {
     val eva = Seq((100L, "the quick brown fox jumps over a lazy dog"))
       .toDF("doc_id", "text")
