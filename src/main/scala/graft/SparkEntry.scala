@@ -661,6 +661,22 @@ object SparkEntry {
         filters = Seq(col("o_orderstatus").isin("F", "O")))
     }),
 
+    "g38e_time_intel_drill" -> ((s, dir) => {
+      // the calc group composed WITH the drill hierarchy (the
+      // reference matrix drills Year>Month while showing YTD/SPLY
+      // variants): collapsed-YEAR rows per segment under DAX's
+      // year-context semantics — ytd at the year's last observed
+      // month (= the year-so-far total), ly/yoy against the FULL
+      // previous year, contiguity-guarded. Sub-month drills fail
+      // fast. Same single corpus pass; the year fold is an rn=1 cut
+      // over the month frame.
+      val model = claimsDatesModel(s, dir)
+      model.evaluateTime("amount", Seq("mtd", "ytd", "ly", "yoy_pct"),
+        groupBy = Seq("c_mktsegment"),
+        filters = Seq(col("o_orderstatus").isin("F", "O")),
+        drill = Some(("calendar", "d_year")))
+    }),
+
     "g38c_hierarchy_rollup" -> ((s, dir) => {
       // hierarchy-aware model request (Dates.tmdl:109-131's
       // Year>Month>Day drill hierarchy): ROLLUP across all levels in
@@ -1342,6 +1358,44 @@ object SparkEntry {
         |FROM cur c LEFT JOIN monthly l
         |  ON l.c_mktsegment = c.c_mktsegment
         |  AND l.yr = c.yr - 1 AND l.mo = c.mo""".stripMargin,
+
+    // g38e: the collapsed-year drill rows — mtd at the year's last
+    // observed month (rn=1 over mo DESC), ytd as the running total at
+    // that month (= the year total), ly as the contiguity-guarded lag
+    // of full-year totals per segment; decimal throughout, one IEEE
+    // cast per output column
+    "g38e_time_intel_drill" ->
+      """WITH monthly AS (
+        |  SELECT c_mktsegment,
+        |         CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |         CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS amount_mtd
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderstatus IN ('F', 'O') GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT c_mktsegment, yr, mo, amount_mtd,
+        |         sum(amount_mtd) OVER (PARTITION BY c_mktsegment, yr
+        |                               ORDER BY mo) AS amount_ytd,
+        |         sum(amount_mtd) OVER (PARTITION BY c_mktsegment, yr)
+        |           AS yr_total,
+        |         row_number() OVER (PARTITION BY c_mktsegment, yr
+        |                            ORDER BY mo DESC) AS rn
+        |  FROM monthly),
+        |y AS (SELECT c_mktsegment, yr, amount_mtd, amount_ytd, yr_total
+        |      FROM w WHERE rn = 1),
+        |l AS (SELECT *,
+        |        CASE WHEN lag(yr) OVER (PARTITION BY c_mktsegment
+        |                                ORDER BY yr) = yr - 1
+        |             THEN lag(yr_total) OVER (PARTITION BY c_mktsegment
+        |                                      ORDER BY yr) END AS ly
+        |      FROM y)
+        |SELECT c_mktsegment, yr AS d_year,
+        |       CAST(amount_mtd AS DOUBLE) AS amount_mtd,
+        |       CAST(amount_ytd AS DOUBLE) AS amount_ytd,
+        |       CAST(ly AS DOUBLE) AS amount_ly,
+        |       CAST(yr_total - ly AS DOUBLE) / CAST(ly AS DOUBLE)
+        |         AS amount_yoy_pct
+        |FROM l""".stripMargin,
 
     // g38c: GROUPING SETS replay of the hierarchy rollup — DuckDB's
     // GROUPING bit order matches Spark's grouping_id (first level most

@@ -194,6 +194,59 @@ object Measures {
           col(s"${name}_ly").cast(DoubleType)).as(s"${name}_yoy_pct")): _*)
   }
 
+  /** The YEAR-level rows of the calculation family — what a matrix
+    * visual shows on a collapsed Year row while the drill hierarchy
+    * sits above Month (DAX semantics over a year filter context):
+    * `mtd`/`qtd`/`ytd`/`r12m` evaluate AT THE YEAR'S LAST OBSERVED
+    * MONTH (`DATESMTD/QTD/YTD(LASTDATE(...))` — so ytd on the year
+    * row IS the year-so-far total), while `ly` is the measure over
+    * the FULL previous year (`SAMEPERIODLASTYEAR` of a whole year)
+    * and yoy compares full-year totals — guarded on year contiguity
+    * like the month family's lag. Same input contract as
+    * [[timeCalcOverMonthly]]; all windows run on the month frame and
+    * the year fold is a bounded rn=1 cut per (keys…, yr). */
+  def timeCalcYearly(monthly: DataFrame, name: String,
+                     keys: Seq[String] = Nil): DataFrame = {
+    val mtd = s"${name}_mtd"
+    val ks = keys.map(col)
+    val wYtd = Window.partitionBy(ks :+ col("yr"): _*).orderBy(col("mo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wQtd = Window.partitionBy(ks ++ Seq(col("yr"), col("qtr")): _*)
+      .orderBy(col("mo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wR12 = Window.partitionBy(ks: _*)
+      .orderBy(col("yr") * 12 + col("mo")).rangeBetween(-11, 0)
+    // the year total attaches as a window sum over the month frame —
+    // never a second branch over the un-materialized month aggregate
+    // (the r11 single-pass-audit class)
+    val wYrTot = Window.partitionBy(ks :+ col("yr"): _*)
+    val wLastM = Window.partitionBy(ks :+ col("yr"): _*)
+      .orderBy(col("mo").desc)
+    val perYear = monthly
+      .withColumn(s"${name}_ytd", sum(col(mtd)).over(wYtd))
+      .withColumn(s"${name}_qtd", sum(col(mtd)).over(wQtd))
+      .withColumn(s"${name}_r12m", sum(col(mtd)).over(wR12))
+      .withColumn("_yr_total", sum(col(mtd)).over(wYrTot))
+      .withColumn("_rn", row_number().over(wLastM))
+      .filter(col("_rn") === 1)
+    val wLy = Window.partitionBy(ks: _*).orderBy(col("yr"))
+    perYear
+      .withColumn(s"${name}_ly",
+        when(lag(col("yr"), 1).over(wLy) === col("yr") - 1,
+          lag(col("_yr_total"), 1).over(wLy)))
+      .select(
+        ks ++ Seq(col("yr"),
+        col(mtd).cast(DoubleType).as(mtd),
+        col(s"${name}_qtd").cast(DoubleType).as(s"${name}_qtd"),
+        col(s"${name}_ytd").cast(DoubleType).as(s"${name}_ytd"),
+        col(s"${name}_r12m").cast(DoubleType).as(s"${name}_r12m"),
+        col(s"${name}_ly").cast(DoubleType).as(s"${name}_ly"),
+        (col("_yr_total") - col(s"${name}_ly")).cast(DoubleType)
+          .as(s"${name}_yoy_delta"),
+        ((col("_yr_total") - col(s"${name}_ly")).cast(DoubleType) /
+          col(s"${name}_ly").cast(DoubleType)).as(s"${name}_yoy_pct")): _*)
+  }
+
   /** Top-N entities by exact amount, deterministic tiebreak on the key. */
   def topN(df: DataFrame, key: Column, amount: Column, n: Int): DataFrame =
     df.groupBy(key.as("key")).agg(decSum(amount).as("total"))

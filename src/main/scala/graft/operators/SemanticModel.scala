@@ -198,10 +198,22 @@ final case class SemanticModel(fact: DataFrame,
     * be additive across months for the running / rolling variants to
     * equal a recompute over the longer period (sums and counts are;
     * distinct counts are not — [[Measures.timeIntelligenceFor]]'s
-    * contract). */
+    * contract).
+    *
+    * `drill` = (hierarchy, level) on the DATES dimension composes the
+    * calc group with the drill hierarchy — the matrix visual showing
+    * YTD/SPLY variants while expanded to a Dates level. The level
+    * must be the role's year or month column: at the month level the
+    * output is the standard month series under the hierarchy's level
+    * names; at the YEAR level rows follow DAX's collapsed-year
+    * semantics ([[Measures.timeCalcYearly]] — mtd/qtd/ytd/r12m at the
+    * year's last observed month, ly/yoy against the full previous
+    * year). Sub-month levels fail fast: the calculations are
+    * month-grain. */
   def evaluateTime(measureName: String, variants: Seq[String],
                    groupBy: Seq[String] = Nil,
-                   filters: Seq[Column] = Nil): DataFrame = {
+                   filters: Seq[Column] = Nil,
+                   drill: Option[(String, String)] = None): DataFrame = {
     requireMeasures(Seq(measureName))
     require(variants.nonEmpty, "a time request needs at least one variant")
     val bad = variants.filterNot(SemanticModel.timeVariants.contains)
@@ -229,9 +241,31 @@ final case class SemanticModel(fact: DataFrame,
       .groupBy(groupBy.map(col) ++ Seq(col(role.year).cast("int").as("yr"),
         (((mo - 1) / 3).cast("int") + 1).as("qtr"), mo.as("mo")): _*)
       .agg(catalog(measureName).as(s"${measureName}_mtd"))
-    val full = Measures.timeCalcOverMonthly(monthly, measureName, groupBy)
-    full.select(groupBy.map(col) ++ Seq(col("yr"), col("mo")) ++
-      variants.map(v => col(s"${measureName}_$v")): _*)
+    val vCols = variants.map(v => col(s"${measureName}_$v"))
+    drill match {
+      case None =>
+        val full = Measures.timeCalcOverMonthly(monthly, measureName, groupBy)
+        full.select(groupBy.map(col) ++ Seq(col("yr"), col("mo")) ++
+          vCols: _*)
+      case Some((hier, level)) =>
+        val levels = hierarchyLevels(role.dimension, hier)
+        require(levels.contains(level),
+          s"unknown level '$level' in hierarchy '$hier' of " +
+            s"'${role.dimension}' (levels: ${levels.mkString(" > ")})")
+        if (level == role.month) {
+          val full = Measures.timeCalcOverMonthly(monthly, measureName, groupBy)
+          full.select(groupBy.map(col) ++
+            Seq(col("yr").as(role.year), col("mo").as(role.month)) ++
+            vCols: _*)
+        } else if (level == role.year) {
+          val full = Measures.timeCalcYearly(monthly, measureName, groupBy)
+          full.select(groupBy.map(col) ++
+            Seq(col("yr").as(role.year)) ++ vCols: _*)
+        } else throw new IllegalArgumentException(
+          s"time calculations are month-grain: drill level '$level' of " +
+            s"hierarchy '$hier' is below '${role.month}' (or not a " +
+            s"calendar grain) — drill to '${role.year}' or '${role.month}'")
+    }
   }
 
   /** Drill-down request: group by hierarchy `hierarchy` of dimension

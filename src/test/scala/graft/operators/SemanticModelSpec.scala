@@ -203,6 +203,64 @@ class SemanticModelSpec extends SparkSpec {
       timeModel.copy(dates = Some(DatesRole("dates", "d_year", "nope"))) }
   }
 
+  test("evaluateTime drill: collapsed-year rows follow DAX year-context semantics") {
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    // year level: mtd/qtd/ytd/r12m at the year's LAST observed month,
+    // ly/yoy against the FULL previous year (contiguity-guarded)
+    val yr = timeModel.evaluateTime("total",
+        Seq("mtd", "qtd", "ytd", "r12m", "ly", "yoy_delta", "yoy_pct"),
+        drill = Some(("calendar", "d_year")))
+      .orderBy("d_year").collect()
+    assert(yr.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), d(r, 5), d(r, 6))).toSeq == Seq(
+      // 2024: last month = Feb → mtd 20, qtd/ytd 35; no prior year
+      (2024, 20.0, 35.0, 35.0, 35.0, None, None),
+      // 2025: last month = Jan → mtd/qtd/ytd 40; r12m spans 2024-02..
+      // 2025-01 (60); ly = FULL 2024 (35), yoy_delta = 40 - 35
+      (2025, 40.0, 40.0, 40.0, 60.0, Some(35.0), Some(5.0))))
+    assert(yr.head.schema.fieldNames.head == "d_year",
+      "drill prefix carries the hierarchy level name")
+    // per-cell year rows: segment a's 2025 looks up a's 2024 total
+    // (30), not the blended 35
+    val cells = timeModel.evaluateTime("total", Seq("ytd", "ly"),
+        groupBy = Seq("seg"), drill = Some(("calendar", "d_year")))
+      .orderBy("seg", "d_year").collect()
+    assert(cells.map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+      d(r, 3))).toSeq == Seq(
+      ("a", 2024, 30.0, None), ("a", 2025, 40.0, Some(30.0)),
+      ("b", 2024, 5.0, None)))
+    // month level: the standard series under the hierarchy level names
+    val mon = timeModel.evaluateTime("total", Seq("mtd", "ly"),
+        drill = Some(("calendar", "d_month")))
+      .orderBy("d_year", "d_month").collect()
+    assert(mon.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+      d(r, 3))).toSeq == Seq(
+      (2024, 1, 15.0, None), (2024, 2, 20.0, None),
+      (2025, 1, 40.0, Some(15.0))))
+    assert(mon.head.schema.fieldNames.take(2).toSeq ==
+      Seq("d_year", "d_month"))
+    // unknown level / unknown hierarchy fail fast
+    intercept[IllegalArgumentException] {
+      timeModel.evaluateTime("total", Seq("mtd"),
+        drill = Some(("calendar", "ghost"))) }
+    intercept[IllegalArgumentException] {
+      timeModel.evaluateTime("total", Seq("mtd"),
+        drill = Some(("ghost", "d_year"))) }
+    // sub-month level fails fast: the calculations are month-grain
+    val withDay = SemanticModel(
+      fact = timeFact,
+      dimensions = Map("dates" -> Dimension(
+        datesDim.withColumn("d_day", lit(1)), "dt", "d_date",
+        hierarchies = Map("calendar" -> Seq("d_year", "d_month", "d_day")))),
+      measures = Seq("total" -> Measures.decSum(col("amount"))),
+      dates = Some(DatesRole("dates", "d_year", "d_month")))
+    val e = intercept[IllegalArgumentException] {
+      withDay.evaluateTime("total", Seq("mtd"),
+        drill = Some(("calendar", "d_day"))) }
+    assert(e.getMessage.contains("month-grain"))
+  }
+
   test("time request plan: dates dim broadcasts; only aggregated rows ever shuffle") {
     val conf = spark.conf
     val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
