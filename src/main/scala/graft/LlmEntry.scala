@@ -1254,6 +1254,19 @@ object LlmEntry {
         .na.fill(0L, Seq("n_selected"))
     }),
 
+    "x18_dsir_mixture" -> ((s, dir) => {
+      // the selection -> mixture bridge: the x15b Gumbel draw
+      // re-expressed as per-source epoch weights for Sampling.mix —
+      // sel_share / nat_share makes the re-weighted pool reproduce
+      // the selected set's source mix in expectation (Xie et al. §5's
+      // select-then-train, for pipelines that re-weight instead of
+      // materializing the subset)
+      val d = t(s, dir, "documents")
+      val isTgt = col("source").isin("src0", "src1")
+      Dsir.mixtureWeights(d.filter(isTgt), d.filter(!isTgt),
+        col("doc_id"), col("text"), col("source"), k = 100)
+    }),
+
     "t29d_label_audit" -> ((s, dir) =>
       // confident-learning label-noise audit (Northcutt et al. 2021's
       // core signal): train on the hash-80% split, score the SAME
@@ -3305,6 +3318,34 @@ object LlmEntry {
          |SELECT source, n_pool,
          |       CAST(coalesce(n_selected, 0) AS BIGINT) AS n_selected
          |FROM pool LEFT JOIN selc USING (source)""".stripMargin,
+
+    // x18: x17's selected-vs-pool counts grown into the mixture
+    // handoff — every share/weight is exact-integer products with one
+    // IEEE division + a 6-dp round; the mean selected weight sums the
+    // 6-dp weights in DECIMAL(18,6)
+    "x18_dsir_mixture" ->
+      s"""$DsirSelCtes,
+         |sel AS (SELECT doc_id, w_dec FROM r WHERE rn <= 100),
+         |pool AS (SELECT source, count(*) AS n_pool FROM d
+         |         WHERE source NOT IN ('src0','src1') GROUP BY 1),
+         |selc AS (SELECT source, count(*) AS n_selected,
+         |         sum(CAST(round(w_dec, 6) AS DECIMAL(18,6))) AS wsum
+         |         FROM d JOIN sel USING (doc_id) GROUP BY 1),
+         |j AS (SELECT source, n_pool,
+         |        coalesce(n_selected, 0) AS n_selected, wsum,
+         |        sum(n_pool) OVER () AS n_total
+         |      FROM pool LEFT JOIN selc USING (source))
+         |SELECT source, n_pool, CAST(n_selected AS BIGINT) AS n_selected,
+         |  CASE WHEN n_selected = 0 THEN NULL
+         |       ELSE round(CAST(wsum AS DOUBLE)
+         |                  / CAST(n_selected AS DOUBLE), 6) END
+         |    AS mean_sel_weight,
+         |  round(CAST(n_pool AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         |    AS nat_share,
+         |  round(CAST(n_selected AS DOUBLE) / 100.0, 6) AS sel_share,
+         |  round((CAST(n_selected AS DOUBLE) * CAST(n_total AS DOUBLE))
+         |        / (100.0 * CAST(n_pool AS DOUBLE)), 6) AS epoch_weight
+         |FROM j""".stripMargin,
 
     "x15c_dsir_bigram" ->
       s"""${dsirCtes(ngrams = 2)}

@@ -154,4 +154,57 @@ object Dsir {
         round(col("w_dec"), 6).cast("double").as("weight"),
         round(col("s_dec"), 6).cast("double").as("skey"))
   }
+
+  /** The selection → mixture bridge (Xie et al. 2023 §5 trains on the
+    * SELECTED set — this is that selection re-expressed as the
+    * per-source epoch weights [[graft.operators.Sampling.mix]]
+    * consumes, for pipelines that keep the full pool and re-weight
+    * instead of materializing the selected subset): run the Gumbel
+    * top-`k` draw, then per source report pool size, selected count,
+    * mean selected weight, natural vs selected share, and
+    * `epoch_weight = sel_share / nat_share` — the multiplier that
+    * makes `mix(pool, …, epoch weights)` reproduce the selected set's
+    * source mix in expectation (each source's mixed mass is
+    * `n_pool × epoch_weight = n_selected × N/k`, i.e. proportional to
+    * its selected count).
+    *
+    * Scale shape: [[resample]]'s bounded-heap draw, the k-row
+    * selection broadcast back onto the (doc, source) projection, one
+    * sources-sized rollup; the pool total attaches as an
+    * unpartitioned window sum over the sources frame. Share and
+    * weight arithmetic is exact-integer products with ONE IEEE
+    * division each (plus a 6-dp round), so engines agree exactly;
+    * the mean selected weight sums the 6-dp weights in DECIMAL(18,6)
+    * and leaves decimal through one division. */
+  def mixtureWeights(target: DataFrame, raw: DataFrame, id: Column,
+                     text: Column, source: Column, k: Int,
+                     buckets: Int = DefaultBuckets,
+                     ngrams: Int = 1): DataFrame = {
+    val pool = raw.select(id.as("doc_id"), text.as("text"),
+      source.as("source"))
+    val sel = resample(target, pool, col("doc_id"), col("text"), k,
+      buckets, ngrams)
+    val perSrc = pool.groupBy("source").agg(count(lit(1)).as("n_pool"))
+    val selSrc = pool.select("doc_id", "source")
+      .join(broadcast(sel.select(col("doc_id"), col("weight"))), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("weight").cast("decimal(18,6)")).as("__wsum"))
+    val nTotal = sum(col("n_pool")).over(Window.partitionBy())
+    perSrc.join(selSrc, Seq("source"), "left")
+      .na.fill(0L, Seq("n_selected"))
+      .withColumn("__n_total", nTotal)
+      .select(col("source"), col("n_pool"), col("n_selected"),
+        when(col("n_selected") === 0, lit(null)).otherwise(
+          round(col("__wsum").cast("double") /
+            col("n_selected").cast("double"), 6)).as("mean_sel_weight"),
+        round(col("n_pool").cast("double") /
+          col("__n_total").cast("double"), 6).as("nat_share"),
+        round(col("n_selected").cast("double") / lit(k.toDouble), 6)
+          .as("sel_share"),
+        round((col("n_selected").cast("double") *
+            col("__n_total").cast("double")) /
+          (lit(k.toDouble) * col("n_pool").cast("double")), 6)
+          .as("epoch_weight"))
+  }
 }

@@ -120,6 +120,58 @@ class DsirSpec extends SparkSpec {
       "target sources never appear in the pool audit")
   }
 
+  test("mixture bridge (x18): shares sum, epoch weights reproduce the selected mix") {
+    val docs = table("documents")
+    val isTgt = col("source").isin("src0", "src1")
+    val k = 50
+    val rows = Dsir.mixtureWeights(docs.filter(isTgt), docs.filter(!isTgt),
+        col("doc_id"), col("text"), col("source"), k = k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val nPool = rows.map(_._2).sum
+    // Σ n_selected = k (the pool exceeds k here), Σ shares = 1
+    assert(rows.map(_._3).sum === k.toLong)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4,
+      "natural shares must partition the pool")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4,
+      "selected shares must partition the selection")
+    // the handoff identity: n_pool × epoch_weight = n_selected × N/k —
+    // mix() at these weights reproduces the selected source mix
+    rows.foreach { case (src, np, ns, _, _, ew) =>
+      assert(math.abs(np * ew - ns.toDouble * nPool / k) < nPool * 1e-4,
+        s"$src: epoch weight breaks the selected-mix identity")
+    }
+    // epoch weights feed mix() directly: per-source expected mass
+    val mixed = graft.operators.Sampling.mix(
+        docs.filter(!isTgt), col("doc_id"), col("source"),
+        rows.map(r => r._1 -> r._6).toMap, default = 0.0)
+      .groupBy("source").agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.filter(_._6 > 0).foreach { case (src, np, _, _, _, ew) =>
+      // mix() gives every key floor(ew) copies plus at most one
+      // fractional extra — the per-source mass is deterministically
+      // bounded by the whole-copy brackets
+      val got = mixed.getOrElse(src, 0L).toDouble
+      assert(got >= math.floor(ew) * np && got <= math.ceil(ew) * np,
+        s"$src: mixed mass $got outside [${math.floor(ew) * np}, " +
+          s"${math.ceil(ew) * np}] at weight $ew")
+    }
+    // and the total mixed mass tracks the selected-mix target N
+    // (each source contributes ~n_selected × N/k; Σ = N) within the
+    // fractional-cut noise of this small corpus
+    val total = mixed.values.sum.toDouble
+    assert(math.abs(total - nPool) <= nPool * 0.25,
+      s"total mixed mass $total far from the pool-sized target $nPool")
+    // mean selected weight is null exactly when nothing was selected
+    val meanNulls = Dsir.mixtureWeights(docs.filter(isTgt),
+        docs.filter(!isTgt), col("doc_id"), col("text"), col("source"),
+        k = 1).collect()
+    meanNulls.foreach { r =>
+      assert((r.getLong(2) == 0L) === r.isNullAt(3),
+        "mean_sel_weight must be null iff n_selected = 0")
+    }
+  }
+
   test("plans: broadcast model on the scoring path, windowless top-k") {
     val docs = table("documents")
     val isTgt = col("source").isin("src0", "src1")
