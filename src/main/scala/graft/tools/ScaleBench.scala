@@ -62,7 +62,16 @@ object ScaleBench {
     // SAME model size — the curve should track x15's shape at ~2×
     // the per-row cost; t29d re-scores the train split (train +
     // score are the same pass count as t29b)
-    "x15c_dsir_bigram", "t29d_label_audit")
+    "x15c_dsir_bigram", "t29d_label_audit",
+    // the surprisal family (r12): t13 is one (doc, token) count
+    // shuffle + a vocab join; t26 adds the tercile carve over t13's
+    // persisted per-doc frame — both should stay near-linear
+    "t13_surprisal", "t26_ppl_buckets",
+    // the composed selection chain (r12): c1's stages + the broadcast
+    // NB gate + the DSIR draw — the curve should read as c1's shape
+    // plus the t29b/x15b fixed-model passes, no new knee; x18 is the
+    // x15b draw + a sources-sized rollup
+    "c6_curate_selected", "x18_dsir_mixture")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft_scale")
@@ -126,6 +135,21 @@ object ScaleBench {
             minJaccard = 0.05, maxDocFreq = Some(10 * m)).count())
         println(f"[scalebench] x$m d2b_rel_cap min=${ops("d2b_rel_cap")._1}%.3f " +
           f"med=${ops("d2b_rel_cap")._2}%.3f rows=${ops("d2b_rel_cap")._3}")
+      }
+
+      // t26 WITHOUT the persist (StorageLevel.NONE) — the
+      // un-materialized-branch tradeoff measured: the bounds branch
+      // and the bucketing branch each re-execute the corpus-sized
+      // surprisal subtree (column pruning defeats exchange reuse), vs
+      // the shipped persisted doc-frame share. The delta IS the
+      // second corpus pass.
+      if (want("t26_nopersist")) {
+        ops("t26_nopersist") = bench(() =>
+          graft.text.TextAnalysis.perplexityBuckets(
+            Tables.load(spark, dir, "documents"), col("doc_id"),
+            col("text"), org.apache.spark.storage.StorageLevel.NONE).count())
+        println(f"[scalebench] x$m t26_nopersist min=${ops("t26_nopersist")._1}%.3f " +
+          f"med=${ops("t26_nopersist")._2}%.3f rows=${ops("t26_nopersist")._3}")
       }
 
       // e16 at doubled plane count: the first x10 run measured the
