@@ -97,20 +97,38 @@ object Dsir {
           .as("lr"))
   }
 
-  /** (doc_id, n_feats, w_dec) over the raw docs — the exact-decimal
-    * weight frame both public surfaces project from. */
-  private def weightsDec(target: DataFrame, raw: DataFrame, id: Column,
-                         text: Column, buckets: Int,
-                         ngrams: Int): DataFrame = {
-    val m = model(target, raw, text, buckets, ngrams)
-    raw
+  /** (doc_id, n_feats, w_dec) of `docs` against a PRE-BUILT model
+    * frame `m(bucket, lr)` — the frozen-artifact scoring surface
+    * ([[graft.streaming.SelectStream]] serves this per micro-batch;
+    * the caller must hash with the SAME `buckets`/`ngrams` the model
+    * was built with). Map-only against the broadcast model plus one
+    * doc-keyed aggregation; docs with no features produce no row. */
+  private def scoreDec(docs: DataFrame, id: Column, text: Column,
+                       m: DataFrame, buckets: Int,
+                       ngrams: Int): DataFrame =
+    docs
       .select(id.as("doc_id"), explode(features(text, ngrams)).as("token"))
       .select(col("doc_id"),
         (Hashing.h32(col("token")) % buckets).as("bucket"))
       .join(broadcast(m), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("w_dec"))
-  }
+
+  /** [[importanceWeights]]' rounded output shape against a pre-built
+    * `m(bucket, lr)`: (doc_id, n_feats, weight). */
+  def score(docs: DataFrame, id: Column, text: Column, m: DataFrame,
+            buckets: Int = DefaultBuckets, ngrams: Int = 1): DataFrame =
+    scoreDec(docs, id, text, m, buckets, ngrams)
+      .select(col("doc_id"), col("n_feats"),
+        round(col("w_dec"), 6).cast("double").as("weight"))
+
+  /** (doc_id, n_feats, w_dec) over the raw docs — the exact-decimal
+    * weight frame both public surfaces project from. */
+  private def weightsDec(target: DataFrame, raw: DataFrame, id: Column,
+                         text: Column, buckets: Int,
+                         ngrams: Int): DataFrame =
+    scoreDec(raw, id, text, model(target, raw, text, buckets, ngrams),
+      buckets, ngrams)
 
   /** Per-raw-doc importance weight: Σ over the doc's hashed tokens of
     * the model's log ratio — positive means target-like. Docs with no

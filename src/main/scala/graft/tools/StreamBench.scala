@@ -251,6 +251,44 @@ object StreamBench {
         }
       }
 
+      // --- SelectStream: frozen DSIR model, threshold routing ---
+      if (wantS("select")) locally {
+        val docs = graft.sources.Tables.load(spark,
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+          "documents")
+        val isTgt = col("source").isin("src0", "src1")
+        val model = graft.text.Dsir.model(docs.filter(isTgt),
+          docs.filter(!isTgt), col("text")).persist()
+        model.count(): Unit
+        // the documented serving contract: calibrate the threshold
+        // OFFLINE from the batch scoring (median pool weight here —
+        // a ~50% acceptance rate), then apply it per streamed doc
+        val cut = graft.text.Dsir.score(docs.filter(!isTgt),
+            col("doc_id"), col("text"), model)
+          .agg(expr("percentile(weight, 0.5)")).collect()(0).getDouble(0)
+        val texts = docs.select("text").collect().map(_.getString(0))
+        val outDir = tmp("graft-sb-sel")
+        val in = MemoryStream[(Long, String)]
+        val q = graft.streaming.SelectStream.run(
+          in.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+          model, outDir, tmp("graft-sb-sel-ckpt"), minWeight = cut)
+        try {
+          val (secs, state) = drive(q, n, (off, m) =>
+            in.addData((off until off + m).map(i =>
+              (i.toLong, texts(i % texts.length)))): Unit)
+          val snap = graft.sources.SnapshotStore.read(spark, outDir)
+          val routed = snap.map(_.count()).getOrElse(0L)
+          val selected = snap.map(_.filter(col("route") === "select").count())
+            .getOrElse(0L)
+          ops("select") = s"""{"rows":$n,"secs":${f3(secs)},""" +
+            s""""rows_per_sec":${f0(n / secs)},"state_rows":$state,""" +
+            s""""routed":$routed,"selected":$selected}"""
+          println(s"[streambench] n=$n select ${ops("select")}")
+        } finally {
+          q.stop(); model.unpersist(): Unit
+        }
+      }
+
       n -> ops.toSeq
     }
 
