@@ -677,6 +677,27 @@ object SparkEntry {
         drill = Some(("calendar", "d_year")))
     }),
 
+    "g39_topn_model" -> ((s, dir) => {
+      // the top-N visual through the model (DAX TOPN over a
+      // SUMMARIZE): top-10 customers by the finished-amount measure —
+      // grouped by the DIMENSION-side key (either side of the
+      // relationship is requestable), cut via TakeOrderedAndProject
+      // over the aggregated cells, never a global sort
+      val model = claimsDatesModel(s, dir)
+      model.evaluateTopN(10, Seq("c_custkey"),
+        Seq("total_amount", "total_claims"),
+        filters = Seq(col("o_orderstatus") === "F"))
+    }),
+
+    "g40_yoy_contribution" -> ((s, dir) =>
+      // the waterfall report: which segments drove the latest year's
+      // change — per cell, latest vs previous year totals, delta, and
+      // share of the total delta (missing years coalesce to 0)
+      Measures.yoyContribution(
+        t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left"),
+        col("c_mktsegment"), col("o_orderdate"), col("o_totalprice"))),
+
     "g38c_hierarchy_rollup" -> ((s, dir) => {
       // hierarchy-aware model request (Dates.tmdl:109-131's
       // Year>Month>Day drill hierarchy): ROLLUP across all levels in
@@ -1358,6 +1379,47 @@ object SparkEntry {
         |FROM cur c LEFT JOIN monthly l
         |  ON l.c_mktsegment = c.c_mktsegment
         |  AND l.yr = c.yr - 1 AND l.mo = c.mo""".stripMargin,
+
+    // g39: the model TOPN replay — dim-key grouping through the LEFT
+    // join, measure-desc/key-asc deterministic cut
+    "g39_topn_model" ->
+      """WITH g AS (
+        |  SELECT c_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |           AS total_amount,
+        |         count(*) AS total_claims
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT c_custkey, total_amount, total_claims FROM g
+        |ORDER BY total_amount DESC, c_custkey LIMIT 10""".stripMargin,
+
+    // g40: exact-decimal (cell, year) totals, latest/previous-year
+    // pivot with 0 coalesce, total delta as a window sum, one IEEE
+    // division for the contribution share
+    "g40_yoy_contribution" ->
+      """WITH y AS (
+        |  SELECT c_mktsegment AS cell,
+        |         CAST(year(o_orderdate) AS INTEGER) AS ry,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS t
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT *, max(ry) OVER () AS max_yr FROM y),
+        |two AS (SELECT cell, max(max_yr) AS yr,
+        |          coalesce(sum(CASE WHEN ry = max_yr THEN t END),
+        |                   CAST(0 AS DECIMAL(28,4))) AS cur_dec,
+        |          coalesce(sum(CASE WHEN ry = max_yr - 1 THEN t END),
+        |                   CAST(0 AS DECIMAL(28,4))) AS prev_dec
+        |        FROM m WHERE ry >= max_yr - 1 GROUP BY 1),
+        |d AS (SELECT *, cur_dec - prev_dec AS delta_dec,
+        |        sum(cur_dec - prev_dec) OVER () AS total_dec FROM two)
+        |SELECT cell, yr,
+        |  CAST(cur_dec AS DOUBLE) AS amount_cur,
+        |  CAST(prev_dec AS DOUBLE) AS amount_prev,
+        |  CAST(delta_dec AS DOUBLE) AS delta,
+        |  CASE WHEN total_dec = 0 THEN NULL
+        |       ELSE round(CAST(delta_dec AS DOUBLE)
+        |                  / CAST(total_dec AS DOUBLE), 6) END AS contrib_frac
+        |FROM d""".stripMargin,
 
     // g38e: the collapsed-year drill rows — mtd at the year's last
     // observed month (rn=1 over mo DESC), ytd as the running total at

@@ -247,6 +247,51 @@ object Measures {
           col(s"${name}_ly").cast(DoubleType)).as(s"${name}_yoy_pct")): _*)
   }
 
+  /** Year-over-year contribution decomposition — the waterfall report
+    * behind "which cells DROVE the change": per cell, the latest data
+    * year's total vs the previous year's, the delta, and the cell's
+    * share of the TOTAL delta (Σ contrib_frac = 1 whenever the total
+    * moved). Missing years read as 0 (the DAX blank-coalesce), so a
+    * cell present in only one of the two years still contributes its
+    * whole swing; cells last active BEFORE the compared pair don't
+    * appear (they contribute 0 by definition). contrib_frac is null
+    * when the total delta is exactly 0.
+    *
+    * Scale shape: ONE (cell, year) aggregation over the input; the
+    * latest year and the total delta attach as unpartitioned window
+    * aggregates over the cells-sized frame (never a second branch
+    * over the un-materialized aggregate — the r11 single-pass
+    * discipline). Totals and deltas are exact DECIMAL; each output
+    * leaves decimal space through one cast, contrib_frac through one
+    * IEEE division + 6-dp round. */
+  def yoyContribution(df: DataFrame, cell: Column, dateCol: Column,
+                      amount: Column): DataFrame = {
+    val yearly = df.select(cell.as("cell"), year(dateCol).as("ry"),
+        amount.as("v"))
+      .groupBy("cell", "ry")
+      .agg(sum(col("v").cast(DecimalType(18, 4))).as("t"))
+    val wAll = Window.partitionBy()
+    val zero = lit(BigDecimal(0)).cast(DecimalType(28, 4))
+    val two = yearly.withColumn("max_yr", max(col("ry")).over(wAll))
+      .filter(col("ry") >= col("max_yr") - 1)
+      .groupBy("cell")
+      .agg(max(col("max_yr")).as("yr"),
+        coalesce(sum(when(col("ry") === col("max_yr"), col("t"))), zero)
+          .as("cur_dec"),
+        coalesce(sum(when(col("ry") === col("max_yr") - 1, col("t"))), zero)
+          .as("prev_dec"))
+    two
+      .withColumn("delta_dec", col("cur_dec") - col("prev_dec"))
+      .withColumn("total_dec", sum(col("delta_dec")).over(wAll))
+      .select(col("cell"), col("yr"),
+        col("cur_dec").cast(DoubleType).as("amount_cur"),
+        col("prev_dec").cast(DoubleType).as("amount_prev"),
+        col("delta_dec").cast(DoubleType).as("delta"),
+        when(col("total_dec") === 0, lit(null)).otherwise(
+          round(col("delta_dec").cast(DoubleType) /
+            col("total_dec").cast(DoubleType), 6)).as("contrib_frac"))
+  }
+
   /** Top-N entities by exact amount, deterministic tiebreak on the key. */
   def topN(df: DataFrame, key: Column, amount: Column, n: Int): DataFrame =
     df.groupBy(key.as("key")).agg(decSum(amount).as("total"))

@@ -225,6 +225,10 @@ final case class SemanticModel(fact: DataFrame,
       "evaluateTime needs a DatesRole declared on the model"))
     require(!groupBy.exists(Seq("yr", "qtr", "mo").contains),
       "yr/qtr/mo are the time axes evaluateTime itself produces")
+    require(!groupBy.exists(Seq(role.year, role.month).contains),
+      s"'${role.year}'/'${role.month}' are the Dates role's calendar " +
+        "columns — evaluateTime derives its time axes from them (a " +
+        "slicer copy would collide with the drill output's level names)")
     val factCols = fact.columns.toSet
     groupBy.foreach { g =>
       require(factCols.contains(g) ||
@@ -266,6 +270,24 @@ final case class SemanticModel(fact: DataFrame,
             s"hierarchy '$hier' is below '${role.month}' (or not a " +
             s"calendar grain) — drill to '${role.year}' or '${role.month}'")
     }
+  }
+
+  /** TOPN request — DAX `TOPN(n, SUMMARIZE(...), [measure])`, the
+    * top-N visual through the model: evaluate the request, keep the
+    * `n` best cells by the FIRST measure (descending, deterministic
+    * tiebreak on the groupBy columns ascending — DAX's TOPN is
+    * tie-inclusive and nondeterministic in size; a report wants a
+    * stable cut). The cut is TakeOrderedAndProject over the
+    * aggregated cells frame — each partition keeps n rows, never a
+    * global sort; the corpus-sized work is [[evaluate]]'s single
+    * grain aggregation. */
+  def evaluateTopN(n: Int, groupBy: Seq[String], measureNames: Seq[String],
+                   filters: Seq[Column] = Nil): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(groupBy.nonEmpty, "TOPN ranks cells — group by at least one column")
+    evaluate(groupBy, measureNames, filters)
+      .orderBy(col(measureNames.head).desc +: groupBy.map(col(_).asc): _*)
+      .limit(n)
   }
 
   /** Drill-down request: group by hierarchy `hierarchy` of dimension

@@ -374,4 +374,41 @@ class MeasuresSpec extends SparkSpec {
     val totals = rows.map(_.getAs[Double]("total"))
     assert(totals.sameElements(totals.sorted.reverse))
   }
+
+  test("yoyContribution: hand waterfall — deltas, 0-coalesce, shares sum to 1") {
+    import spark.implicits._
+    import java.sql.Date
+    val df = Seq(
+      // cell a: 10 -> 30 (+20); cell b: 20 -> 5 (-15); cell c: only
+      // the new year (+5 from nothing); cell d: only OLD history
+      // (2022) — outside the compared pair, must not appear
+      ("a", Date.valueOf("2024-03-01"), 10.0),
+      ("a", Date.valueOf("2025-02-01"), 30.0),
+      ("b", Date.valueOf("2024-06-01"), 20.0),
+      ("b", Date.valueOf("2025-07-01"), 5.0),
+      ("c", Date.valueOf("2025-01-15"), 5.0),
+      ("d", Date.valueOf("2022-05-01"), 99.0)
+    ).toDF("cell", "dt", "v")
+    val out = Measures.yoyContribution(df, col("cell"), col("dt"), col("v"))
+      .orderBy("cell").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // total delta = +20 - 15 + 5 = +10
+    assert(out.toSeq == Seq(
+      ("a", 2025, 30.0, 10.0, 20.0, 2.0),
+      ("b", 2025, 5.0, 20.0, -15.0, -1.5),
+      ("c", 2025, 5.0, 0.0, 5.0, 0.5)))
+    assert(math.abs(out.map(_._6).sum - 1.0) < 1e-9,
+      "contribution shares must sum to 1")
+    // a zero total delta yields null shares, not a division error
+    val flat = Seq(
+      ("a", Date.valueOf("2024-01-01"), 10.0),
+      ("a", Date.valueOf("2025-01-01"), 5.0),
+      ("b", Date.valueOf("2024-01-01"), 5.0),
+      ("b", Date.valueOf("2025-01-01"), 10.0)
+    ).toDF("cell", "dt", "v")
+    val zero = Measures.yoyContribution(flat, col("cell"), col("dt"), col("v"))
+      .collect()
+    assert(zero.forall(_.isNullAt(5)), "zero total delta => null shares")
+  }
 }

@@ -203,6 +203,31 @@ class SemanticModelSpec extends SparkSpec {
       timeModel.copy(dates = Some(DatesRole("dates", "d_year", "nope"))) }
   }
 
+  test("evaluateTopN: measure-ranked cells with a deterministic tie cut") {
+    // totals: BUILDING 150, AUTO 50 -> top-1 is BUILDING
+    val top1 = model.evaluateTopN(1, Seq("segment"), Seq("total", "n"))
+      .collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "BUILDING" &&
+      top1(0).getDouble(1) == 150.0)
+    // n exceeding the cell count returns all cells, ranked
+    val all = model.evaluateTopN(10, Seq("segment"), Seq("total"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(all.toSeq == Seq(("BUILDING", 150.0), ("AUTO", 50.0)))
+    // ties cut deterministically by the groupBy tiebreak: count-ranked,
+    // both segments have... distinct n (2 vs 3) — rank by n instead
+    val byN = model.evaluateTopN(1, Seq("segment"), Seq("n")).collect()
+    assert(byN(0).getString(0) == "AUTO" && byN(0).getLong(1) == 3L)
+    intercept[IllegalArgumentException] {
+      model.evaluateTopN(0, Seq("segment"), Seq("n")) }
+    intercept[IllegalArgumentException] {
+      model.evaluateTopN(3, Nil, Seq("n")) }
+    // the cut plans TakeOrderedAndProject, never a global sort
+    val plan = model.evaluateTopN(1, Seq("segment"), Seq("total"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"TOPN must cut via TakeOrderedAndProject:\n$plan")
+  }
+
   test("evaluateTime drill: collapsed-year rows follow DAX year-context semantics") {
     def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
       if (r.isNullAt(i)) None else Some(r.getDouble(i))
@@ -244,6 +269,10 @@ class SemanticModelSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       timeModel.evaluateTime("total", Seq("mtd"),
         drill = Some(("calendar", "ghost"))) }
+    // the role's calendar columns are derived, not sliceable — a
+    // groupBy copy would collide with the drill output's level names
+    intercept[IllegalArgumentException] {
+      timeModel.evaluateTime("total", Seq("mtd"), groupBy = Seq("d_year")) }
     intercept[IllegalArgumentException] {
       timeModel.evaluateTime("total", Seq("mtd"),
         drill = Some(("ghost", "d_year"))) }
