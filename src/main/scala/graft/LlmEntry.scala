@@ -480,6 +480,14 @@ object LlmEntry {
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
 
+    "t30_interp_lm" -> ((s, dir) =>
+      // t16 smoothed with t13 (Jelinek-Mercer interpolation): the
+      // unigram floor keeps singleton contexts from scoring their
+      // only continuation as certainty — the word-salad filter's
+      // rare-context failure mode fixed
+      TextAnalysis.interpolatedSurprisal(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
     "t16_bigram_lm" -> ((s, dir) =>
       // conditional-LM quality proxy: per-doc mean bigram surprisal
       // -log2 P(w2|w1) under the corpus bigram model — catches "word
@@ -3189,6 +3197,36 @@ object LlmEntry {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  min(ms) AS min_surprisal, max(ms) AS max_surprisal
          |FROM d CROSS JOIN b GROUP BY 1""".stripMargin,
+
+    // t30: t16's bigram CTEs + t13-style unigram model, λ-mixed in
+    // the exact Scala op order; the complement literal is embedded as
+    // the exact decimal string Scala computes (1.0 - 0.7 in IEEE is
+    // NOT the double 0.3), cast to DOUBLE so both engines mix the
+    // same value
+    "t30_interp_lm" ->
+      s"""WITH tkl AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+         |uni AS (SELECT w2, count(*) AS ctf
+         |        FROM (SELECT unnest(tk) AS w2 FROM tkl) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM uni),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+         |         i -> tk[CAST(i AS INTEGER)+1] || ' ' || tk[CAST(i AS INTEGER)+2])) AS bigram
+         |       FROM tkl WHERE len(tk) >= 2),
+         |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |c2 AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1),
+         |c2w AS (SELECT bigram, c2, string_split(bigram, ' ')[1] AS w1,
+         |               string_split(bigram, ' ')[2] AS w2 FROM c2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2w GROUP BY 1),
+         |sc AS (SELECT doc_id, tf,
+         |         -log2(CAST(0.7 AS DOUBLE)
+         |                 * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+         |               + CAST('${1.0 - 0.7}' AS DOUBLE)
+         |                 * (CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE))) AS surp
+         |       FROM tf JOIN c2w USING (bigram) JOIN c1 USING (w1)
+         |            JOIN uni USING (w2) CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
+         |             / sum(tf), 6) AS mean_surprisal
+         |FROM sc GROUP BY doc_id""".stripMargin,
 
     "t16_bigram_lm" ->
       s"""WITH tkl AS (SELECT doc_id, $ToksSql AS tk FROM documents),

@@ -441,6 +441,62 @@ object TextAnalysis {
           / sum(col("tf")), 6).as("mean_surprisal"))
   }
 
+  /** Jelinek–Mercer interpolated bigram surprisal — [[bigramSurprisal]]
+    * (t16)'s conditional model smoothed with [[unigramSurprisal]]
+    * (t13)'s unigram model (Jelinek & Mercer 1980; the interpolation
+    * rung of the KenLM lineage below Kneser–Ney):
+    * `surp = −log2(λ·P(w2|w1) + (1−λ)·P(w2))` with
+    * `P(w2|w1) = c(w1 w2)/c(w1 ·)` and `P(w2) = ctf(w2)/N`. The
+    * unigram floor keeps rare contexts from reading as certainty — a
+    * singleton context's only continuation scores P = 1 (surprisal
+    * exactly 0) under t16 no matter how improbable the words, while
+    * the interpolated score stays strictly positive and
+    * frequency-sensitive; that is the quality-filter failure mode
+    * this rung exists to fix.
+    *
+    * Determinism: the probabilities are exact-count IEEE quotients,
+    * the λ-mix two multiplies and one add in the exact written order
+    * (the oracle embeds the SAME complement literal Scala computes,
+    * via an exact decimal-string cast), surprisal NOT pre-rounded
+    * (unigramSurprisal's note), per-doc sums DECIMAL(28,12), one
+    * final 6-dp round.
+    *
+    * Shapes: t16's bigram counts + t13's unigram counts (two feature
+    * streams over the corpus — the documented stats role split), all
+    * model frames vocabulary-bounded, the corpus total a ONE-ROW
+    * broadcast product. Docs with fewer than 2 tokens emit no row. */
+  def interpolatedSurprisal(df: DataFrame, id: Column, text: Column,
+                            lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val base = df.select(id.as("doc_id"), tokens(text).as("tk"))
+    val uni = base.select(explode(col("tk")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("ctf"))
+    val total = uni.agg(sum(col("ctf")).as("n_total"))
+    val bg = base.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => concat_ws(" ",
+          element_at(col("tk"), i + 1),
+          element_at(col("tk"), i + 2)))).as("bigram"))
+    val tf = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy("bigram").agg(sum(col("tf")).as("c2"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val scored = tf.join(c2, "bigram").join(c1, "w1").join(uni, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("surp", -log2(
+        lit(lambda) *
+          (col("c2").cast(DoubleType) / col("c1").cast(DoubleType)) +
+        lit(1.0 - lambda) *
+          (col("ctf").cast(DoubleType) / col("n_total").cast(DoubleType))))
+    scored.groupBy("doc_id").agg(
+      sum(col("tf")).cast("long").as("n_bigrams"),
+      round(
+        sum((col("tf") * col("surp")).cast(DecimalType(28, 12))).cast(DoubleType)
+          / sum(col("tf")), 6).as("mean_surprisal"))
+  }
+
   /** Per-document top TF-IDF term — the "most distinctive term" signal
     * used for topic tagging / cluster labeling in curation pipelines
     * (tf-idf per Salton & Buckley 1988). tf = in-doc occurrences,

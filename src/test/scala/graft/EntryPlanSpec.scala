@@ -90,6 +90,9 @@ class EntryPlanSpec extends SparkSpec {
     // t26 composes t13's one-row corpus-total product with t14's
     // one-row boundary-array attach — both constant-side classes
     "t26_ppl_buckets",
+    // t30 attaches the ONE-ROW unigram corpus total to the scored
+    // bigram frame — t13's constant-side class
+    "t30_interp_lm",
     // g36 attaches the ONE-ROW (min, max) bounds frame to the values
     // — x8's one-row-bounds class
     "g36_histogram",

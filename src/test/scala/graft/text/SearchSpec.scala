@@ -118,6 +118,40 @@ class SearchSpec extends SparkSpec {
     assert(!got.contains(3L), "single-token docs have no bigrams")
   }
 
+  test("interpolatedSurprisal: JM mix hand case; singleton contexts lose certainty") {
+    import spark.implicits._
+    // corpus: docs "a b", "a c", "solo" -> c1(a)=2, c2(a b)=c2(a c)=1;
+    // unigrams N=5 (the model covers the WHOLE corpus, solo included),
+    // ctf(b)=ctf(c)=1
+    // surp(a b) = -log2(0.7*(1/2) + (1-0.7)*(1/5))
+    val lam = 0.7
+    val expected = BigDecimal(
+      -math.log(lam * 0.5 + (1.0 - lam) * 0.2) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = Seq((1L, "a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.interpolatedSurprisal(d, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == ((1L, expected)), got(1L).toString)
+    assert(got(2L) == ((1L, expected)))
+    assert(!got.contains(3L), "single-token docs have no bigrams")
+    // the rung's reason to exist: a singleton context scores its only
+    // continuation as certainty under the pure bigram model (surp 0),
+    // but stays strictly positive interpolated
+    val singleton = Seq((1L, "x y"), (2L, "filler words here"))
+      .toDF("doc_id", "text")
+    val pure = TextAnalysis.bigramSurprisal(singleton, col("doc_id"),
+      col("text")).as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> t._3).toMap
+    val interp = TextAnalysis.interpolatedSurprisal(singleton,
+      col("doc_id"), col("text")).as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(pure(1L) == 0.0, "pure bigram model: singleton context = certainty")
+    assert(interp(1L) > 0.0, "interpolated: the unigram floor keeps it positive")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.interpolatedSurprisal(d, col("doc_id"), col("text"),
+        lambda = 1.0) }
+  }
+
   test("bm25TopK: docs without query terms never rank; empty query yields nothing") {
     val out = Search.bm25TopK(docs, col("doc_id"), col("text"),
       Seq("qa" -> Seq("apple")), k = 5).collect()
