@@ -480,6 +480,15 @@ object LlmEntry {
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
 
+    "t31_source_drift" -> ((s, dir) =>
+      // the per-feed distribution monitor: KL (bits) of each source's
+      // hashed-unigram distribution from the REST of the corpus
+      // (leave-one-out baseline) on DSIR's fixed 4096-bucket grid —
+      // "did the crawler start pulling different text" as one number
+      // per feed per ingest cycle
+      TextAnalysis.sourceDrift(t(s, dir, "documents"), col("text"),
+        col("source"))),
+
     "t30_interp_lm" -> ((s, dir) =>
       // t16 smoothed with t13 (Jelinek-Mercer interpolation): the
       // unigram floor keeps singleton contexts from scoring their
@@ -3197,6 +3206,36 @@ object LlmEntry {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  min(ms) AS min_surprisal, max(ms) AS max_surprisal
          |FROM d CROSS JOIN b GROUP BY 1""".stripMargin,
+
+    // t31: hashed-unigram counts per source, densified on the
+    // constant grid, side totals as window sums; each KL term rounds
+    // 9 dp then sums DECIMAL(38,9) (order-independent), one final
+    // 6-dp round — the exact Scala op order
+    "t31_source_drift" -> {
+      val b = graft.text.Dsir.DefaultBuckets
+      s"""WITH tok AS (SELECT source, ${h32Sql("token")} % $b AS bucket
+         |  FROM (SELECT source, unnest($ToksSql) AS token FROM documents)),
+         |cnt AS (SELECT source, bucket, count(*) AS c FROM tok GROUP BY 1, 2),
+         |grid AS (SELECT source, range AS bucket
+         |  FROM (SELECT DISTINCT source FROM cnt) CROSS JOIN range(0, $b)),
+         |dense AS (SELECT source, bucket, coalesce(c, 0) AS c
+         |  FROM grid LEFT JOIN cnt USING (source, bucket)),
+         |w AS (SELECT source, bucket, c,
+         |    sum(c) OVER (PARTITION BY source) AS n_s,
+         |    sum(c) OVER (PARTITION BY bucket) AS c_all,
+         |    sum(c) OVER () AS n_all
+         |  FROM dense),
+         |t AS (SELECT source, n_s,
+         |    CAST(round(((CAST(c AS DOUBLE) + 1.0) / (CAST(n_s AS DOUBLE) + $b.0))
+         |      * log2(((CAST(c AS DOUBLE) + 1.0) / (CAST(n_s AS DOUBLE) + $b.0))
+         |             / ((CAST(c_all AS DOUBLE) - CAST(c AS DOUBLE) + 1.0)
+         |                / (CAST(n_all AS DOUBLE) - CAST(n_s AS DOUBLE) + $b.0))), 9)
+         |      AS DECIMAL(38,9)) AS term
+         |  FROM w)
+         |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(term) AS DOUBLE), 6) AS kl_bits
+         |FROM t GROUP BY 1""".stripMargin
+    },
 
     // t30: t16's bigram CTEs + t13-style unigram model, λ-mixed in
     // the exact Scala op order; the complement literal is embedded as

@@ -497,6 +497,57 @@ object TextAnalysis {
           / sum(col("tf")), 6).as("mean_surprisal"))
   }
 
+  /** Per-source distribution-drift audit — the feed monitor a corpus
+    * ops team runs every ingest cycle (is src X still the same kind
+    * of text we mixed for, or did the crawler start pulling spam?):
+    * for each source, the KL divergence (bits) of its hashed-unigram
+    * distribution from the REST of the corpus — the leave-one-out
+    * baseline, so a big source can't mask its own drift by dominating
+    * the reference. Distributions live on [[Dsir]]'s fixed hashed
+    * grid (`buckets` outcomes, add-one smoothing → both sides proper
+    * distributions, KL ≥ 0), so the model side is corpus-size-free.
+    *
+    * Determinism: each of the `buckets` KL terms p·log2(p/q) rounds
+    * to 9 dp and sums as DECIMAL(38,9) (order-independent — the x12
+    * recipe; the term count is FIXED at `buckets`), one final 6-dp
+    * round.
+    *
+    * Scale shape: ONE corpus pass to (source, bucket) counts
+    * (persisted under `storage` — sources×buckets rows, tiny; the
+    * grid/sources branches would otherwise re-execute the corpus
+    * explode), densified against the constant grid per source, side
+    * totals and the global per-bucket counts as window sums over the
+    * dense frame. Output per source: n_tokens, kl_bits. */
+  def sourceDrift(df: DataFrame, text: Column, source: Column,
+                  buckets: Int = graft.text.Dsir.DefaultBuckets,
+                  storage: StorageLevel = graft.Caching.Default): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.Caching.persisted(
+      df.select(source.as("source"), explode(tokens(text)).as("token"))
+        .select(col("source"),
+          (graft.functions.Hashing.h32(col("token")) % buckets).as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("c")),
+      storage)
+    val spark = df.sparkSession
+    val grid = counts.select("source").distinct()
+      .crossJoin(broadcast(spark.range(buckets).select(col("id").as("bucket"))))
+    val dense = grid.join(counts, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("n_s", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .withColumn("c_all", sum(col("c")).over(Window.partitionBy(col("bucket"))))
+      .withColumn("n_all", sum(col("c")).over(Window.partitionBy()))
+    val b = lit(buckets.toDouble)
+    val p = (col("c") + lit(1.0)) / (col("n_s") + b)
+    val q = (col("c_all") - col("c") + lit(1.0)) /
+      (col("n_all") - col("n_s") + b)
+    dense
+      .withColumn("term",
+        round(p * log2(p / q), 9).cast(DecimalType(38, 9)))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(sum(col("term")).cast(DoubleType), 6).as("kl_bits"))
+  }
+
   /** Per-document top TF-IDF term — the "most distinctive term" signal
     * used for topic tagging / cluster labeling in curation pipelines
     * (tf-idf per Salton & Buckley 1988). tf = in-doc occurrences,

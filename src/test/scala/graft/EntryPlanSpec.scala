@@ -93,6 +93,11 @@ class EntryPlanSpec extends SparkSpec {
     // t30 attaches the ONE-ROW unigram corpus total to the scored
     // bigram frame — t13's constant-side class
     "t30_interp_lm",
+    // t31 densifies per-source counts against the broadcast constant
+    // 4096-bucket grid (|sources| × O(1) product — the
+    // corpus×constant-centroids class); everything downstream is
+    // window sums over the dense sources×buckets frame
+    "t31_source_drift",
     // g36 attaches the ONE-ROW (min, max) bounds frame to the values
     // — x8's one-row-bounds class
     "g36_histogram",

@@ -152,6 +152,41 @@ class SearchSpec extends SparkSpec {
         lambda = 1.0) }
   }
 
+  test("sourceDrift: identical feeds read 0 bits, disjoint feeds read large") {
+    import spark.implicits._
+    // twin: byte-identical token multisets -> p = q exactly per
+    // bucket (same counts, same totals) -> every KL term is log2(1)
+    val twin = Seq(
+      (1L, "alpha beta alpha", "s1"), (2L, "alpha beta alpha", "s2"))
+      .toDF("doc_id", "text", "source")
+    val kl0 = TextAnalysis.sourceDrift(twin, col("text"), col("source"),
+        buckets = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(kl0.map(_._2).toSeq.forall(_ == 3L))
+    kl0.foreach { case (s, _, kl) =>
+      assert(kl == 0.0, s"$s: identical feeds must diverge 0, got $kl") }
+    // disjoint vocabularies: both sources drift hard from each other
+    // (enough mass that add-one smoothing doesn't flatten the
+    // distributions — tiny feeds legitimately read near-uniform)
+    val split = Seq(
+      (1L, Seq.fill(40)("alpha").mkString(" "), "s1"),
+      (2L, Seq.fill(40)("gamma").mkString(" "), "s2"))
+      .toDF("doc_id", "text", "source")
+    val kls = TextAnalysis.sourceDrift(split, col("text"), col("source"),
+        buckets = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kls.values.forall(_ > 1.0),
+      s"disjoint feeds must diverge strongly: $kls")
+    // KL is never (meaningfully) negative — smoothed proper
+    // distributions; allow the 9-dp per-term rounding slack
+    val mixed = Seq(
+      (1L, "alpha beta gamma", "s1"), (2L, "alpha beta delta", "s2"),
+      (3L, "alpha epsilon", "s3")).toDF("doc_id", "text", "source")
+    TextAnalysis.sourceDrift(mixed, col("text"), col("source"), buckets = 64)
+      .collect().foreach(r =>
+        assert(r.getDouble(2) >= -1e-5, s"negative KL: ${r.getString(0)}"))
+  }
+
   test("bm25TopK: docs without query terms never rank; empty query yields nothing") {
     val out = Search.bm25TopK(docs, col("doc_id"), col("text"),
       Seq("qa" -> Seq("apple")), k = 5).collect()
