@@ -437,6 +437,29 @@ object LlmEntry {
         .agg(countDistinct(col("source")).as("n_groups"),
           count(lit(1)).as("n_docs"))),
 
+    "x19_dedup_split" -> ((s, dir) => {
+      // the leakage-FREE split x9+x14 promise, proven end-to-end on
+      // real clusters: near-dup components (d7) become the split key,
+      // so no near-dup pair can straddle train/test — per split, doc
+      // and group counts plus the count of pairs landing fully inside
+      // it (Σ n_intra_pairs = all pairs, structurally)
+      val docs = t(s, dir, "documents")
+      val pairs = graft.Caching.persisted(
+        TextDedup.minHashLshPairs(docs, col("doc_id"), col("text"),
+          minJaccard = 0.1), graft.Caching.Default)
+      val assign = Sampling.dedupSplit(docs, col("doc_id"),
+        DupClusters.connectedComponents(pairs))
+      val counts = assign.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"))
+      val intra = Sampling.splitLeakageAudit(pairs, assign)
+        .filter(!col("leaked"))
+        .select(col("split_lo").as("split"),
+          col("n_pairs").as("n_intra_pairs"))
+      counts.join(intra, Seq("split"), "left")
+        .na.fill(0L, Seq("n_intra_pairs"))
+    }),
+
     "x10_epoch_shuffle" -> ((s, dir) => {
       // per-epoch deterministic shard shuffle: each epoch is a
       // different reproducible permutation (md5(epoch:key)), no
@@ -3117,6 +3140,36 @@ object LlmEntry {
          |       count(DISTINCT source) AS n_groups,
          |       CAST(count(*) AS BIGINT) AS n_docs
          |FROM b GROUP BY 1""".stripMargin,
+
+    // x19: d7's recursive-CC labels as the split key — group-atomic by
+    // construction; the oracle replays assignment + intra-split pair
+    // counts (a leaked pair would fall out of BOTH sides' intra rows,
+    // so the structural guarantee is spec-asserted, not oracle-argued)
+    "x19_dedup_split" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |pr AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.1),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |asg AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS grp
+         |        FROM documents d LEFT JOIN cc USING (doc_id)),
+         |spl AS (SELECT doc_id, grp,
+         |    CASE WHEN ${h32Sql("CAST(grp AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |         WHEN ${h32Sql("CAST(grp AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split FROM asg),
+         |ip AS (SELECT s1.split, count(*) AS n_intra
+         |       FROM pr JOIN spl s1 ON pr.doc_a = s1.doc_id
+         |               JOIN spl s2 ON pr.doc_b = s2.doc_id
+         |       WHERE s1.split = s2.split GROUP BY 1)
+         |SELECT split, count(*) AS n_docs,
+         |       count(DISTINCT grp) AS n_groups,
+         |       CAST(coalesce(max(n_intra), 0) AS BIGINT) AS n_intra_pairs
+         |FROM spl LEFT JOIN ip USING (split) GROUP BY split""".stripMargin,
 
     // x10: md5(epoch:doc_id) ordering replayed per epoch
     "x10_epoch_shuffle" ->

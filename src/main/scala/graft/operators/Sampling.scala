@@ -42,6 +42,29 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Dedup-aware (cluster-atomic) split — the leakage-FREE carve x9
+    * and [[splitLeakageAudit]] exist to enable: near-duplicate docs
+    * must land in ONE split (Lee et al. 2021's finding that
+    * cross-split near-dups inflate eval), so the split key is the
+    * doc's near-dup COMPONENT (`clusters` — d7's (doc_id, cluster_id)
+    * shape from any pair generator; docs in no cluster key on
+    * themselves). Same md5 bucket discipline as [[withSplit]]: the
+    * assignment reproduces under retries, repartitioning, and corpus
+    * growth — and a cluster that GROWS keeps its split as long as its
+    * min-id representative is stable (the cluster-id contract).
+    * Output: (doc_id, grp, split); feed it straight to
+    * [[splitLeakageAudit]], whose `leaked` rows are empty by
+    * construction. One broadcast-able equi-join (clusters is
+    * dup-docs-sized, far below the corpus) + the map-only split. */
+  def dedupSplit(docs: DataFrame, id: Column, clusters: DataFrame,
+                 trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val assigned = docs.select(id.as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+    withSplit(assigned, col("grp"), trainPct, valPct)
+      .select("doc_id", "grp", "split")
+  }
+
   /** Split-leakage audit — the measurement x9's grouped split exists
     * to zero out (Lee et al. 2021 §6.2 measured benchmark-corpus
     * near-dups straddling published train/test splits; any per-doc

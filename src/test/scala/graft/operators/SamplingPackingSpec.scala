@@ -25,6 +25,35 @@ class SamplingPackingSpec extends SparkSpec {
     assert(again == split)
   }
 
+  test("dedupSplit: clusters move atomically; the leakage audit reads empty") {
+    import spark.implicits._
+    val docs = (1L to 30L).toDF("doc_id")
+    // two components ({1,2,3} via a chain, {10,11}) + 25 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val clusters = graft.dedup.DupClusters.connectedComponents(pairs)
+    val assign = Sampling.dedupSplit(docs, col("doc_id"), clusters)
+    assert(assign.count() === 30, "every doc gets exactly one row")
+    // cluster members share both group and split
+    val byGrp = assign.filter(col("doc_id").isin(1L, 2L, 3L))
+      .select("grp", "split").distinct().collect()
+    assert(byGrp.length === 1 && byGrp(0).getLong(0) === 1L)
+    val pair2 = assign.filter(col("doc_id").isin(10L, 11L))
+      .select("grp", "split").distinct().collect()
+    assert(pair2.length === 1 && pair2(0).getLong(0) === 10L)
+    // singletons key on themselves
+    assert(assign.filter(col("doc_id") === 20L).collect()(0)
+      .getLong(1) === 20L)
+    // the audit x14 runs finds NOTHING to flag — zero leaked rows
+    val leaked = Sampling.splitLeakageAudit(pairs, assign)
+      .filter(col("leaked")).count()
+    assert(leaked === 0, "cluster-atomic split must leak no pair")
+    // assignment is stable under repartitioning
+    val again = Sampling.dedupSplit(docs.repartition(7), col("doc_id"),
+      clusters).select("doc_id", "split")
+    assert(assign.select("doc_id", "split").exceptAll(again).isEmpty)
+  }
+
   test("sampleFraction: nested fractions give nested samples") {
     val docs = table("documents")
     val s20 = Sampling.sampleFraction(docs, col("doc_id"), 0.2)
