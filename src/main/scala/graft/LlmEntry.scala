@@ -21,6 +21,25 @@ object LlmEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** m8/m9's shared fixture: the ASCII corpus as assets with real
+    * container magics injected deterministically per asset_id % 6
+    * (id % 6 == 5 stays raw text). */
+  private def injectedAssets(s: SparkSession, dir: String): DataFrame = {
+    val magics = Seq(
+      "89504E470D0A1A0A",         // PNG
+      "FFD8FFE000104A464946",     // JPEG/JFIF
+      "52494646AAAA000057415645", // RIFF....WAVE
+      "255044462D312E37",         // %PDF-1.7
+      "1F8B08")                   // gzip
+    Multimodal.asAssets(t(s, dir, "documents"))
+      .withColumn("payload",
+        when(pmod(col("asset_id"), lit(6)) === 5, col("payload"))
+          .otherwise(concat(
+            unhex(element_at(array(magics.map(lit): _*),
+              (pmod(col("asset_id"), lit(6)) + 1).cast("int"))),
+            col("payload"))))
+  }
+
   /** Build the shared per-(session, sf dir) ANN probe index iff absent
     * OR INCOMPLETE. A complete build is exactly version 1 (write
     * commits v0, update commits v1), so the gate is `contains(1)`, not
@@ -1552,27 +1571,24 @@ object LlmEntry {
       // + body size, all codegen'd builtins (hex/conv), map-only
       Multimodal.headerFields(Multimodal.asAssets(t(s, dir, "documents")))),
 
-    "m8_type_sniff" -> ((s, dir) => {
+    "m8_type_sniff" -> ((s, dir) =>
       // magic-byte content-type audit: the corpus payloads are pure
       // ASCII (all 'unknown' to libmagic), so real container magics
       // are injected deterministically per asset_id % 6 — t5's
       // PII-injection move, for bytes; the report must count exactly
       // the injected mix plus the raw-text remainder
-      val magics = Seq(
-        "89504E470D0A1A0A",         // PNG
-        "FFD8FFE000104A464946",     // JPEG/JFIF
-        "52494646AAAA000057415645", // RIFF....WAVE
-        "255044462D312E37",         // %PDF-1.7
-        "1F8B08")                   // gzip; id % 6 == 5 stays raw text
-      val assets = Multimodal.asAssets(t(s, dir, "documents"))
-        .withColumn("payload",
-          when(pmod(col("asset_id"), lit(6)) === 5, col("payload"))
-            .otherwise(concat(
-              unhex(element_at(array(magics.map(lit): _*),
-                (pmod(col("asset_id"), lit(6)) + 1).cast("int"))),
-              col("payload"))))
-      Multimodal.typeMix(assets)
-    }),
+      Multimodal.typeMix(injectedAssets(s, dir))),
+
+    "m9_type_sample" -> ((s, dir) =>
+      // per-modality asset budget: exactly-k assets per sniffed
+      // content type over m8's injected-magic corpus — x16's
+      // balanced-carve move for the multimodal ingest (no modality
+      // swamps an eval/labeling set), riding x5's k-minwise
+      // bounded-heap cut
+      Sampling.exactKPerStratum(
+        injectedAssets(s, dir)
+          .withColumn("sniffed_type", Multimodal.sniffType(col("payload"))),
+        col("sniffed_type"), col("asset_id"), k = 20)),
 
     "m6_energy_windows" -> ((s, dir) =>
       // audio-curation silence screen over the byte-PCM stub: framed
@@ -4851,6 +4867,38 @@ object LlmEntry {
     // m8: the injected-magic payloads rebuilt blob-for-blob, the sniff
     // CASE replayed over the hex prefix (hex() is uppercase in both
     // engines; prefix chars of hex(payload) == hex of the byte prefix)
+    // m9: m8's per-asset injection + sniff, then x5's k-minwise rank
+    // per sniffed type (ORDER BY hash, id — exactKPerStratum's total
+    // order)
+    "m9_type_sample" ->
+      s"""WITH a AS (SELECT doc_id, doc_id % 6 AS k, encode(text) AS body
+         |           FROM documents),
+         |p AS (SELECT doc_id, CASE CAST(k AS INTEGER)
+         |    WHEN 0 THEN unhex('89504E470D0A1A0A') || body
+         |    WHEN 1 THEN unhex('FFD8FFE000104A464946') || body
+         |    WHEN 2 THEN unhex('52494646AAAA000057415645') || body
+         |    WHEN 3 THEN unhex('255044462D312E37') || body
+         |    WHEN 4 THEN unhex('1F8B08') || body
+         |    ELSE body END AS payload FROM a),
+         |h AS (SELECT doc_id, substr(hex(payload), 1, 24) AS hx FROM p),
+         |s AS (SELECT doc_id, CASE
+         |    WHEN substr(hx,1,8) = '89504E47' THEN 'image/png'
+         |    WHEN substr(hx,1,6) = 'FFD8FF' THEN 'image/jpeg'
+         |    WHEN substr(hx,1,8) = '47494638' THEN 'image/gif'
+         |    WHEN substr(hx,1,8) = '52494646' AND substr(hx,17,8) = '57415645'
+         |      THEN 'audio/wav'
+         |    WHEN substr(hx,1,8) = '25504446' THEN 'application/pdf'
+         |    WHEN substr(hx,1,8) = '504B0304' THEN 'application/zip'
+         |    WHEN substr(hx,1,4) = '1F8B' THEN 'application/gzip'
+         |    WHEN substr(hx,9,8) = '66747970' THEN 'video/mp4'
+         |    WHEN substr(hx,1,6) = 'EFBBBF' THEN 'text/utf8-bom'
+         |    ELSE 'unknown' END AS stratum FROM h),
+         |r AS (SELECT stratum, doc_id,
+         |    row_number() OVER (PARTITION BY stratum
+         |        ORDER BY ${h32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |  FROM s)
+         |SELECT stratum, doc_id AS kept_id FROM r WHERE rn <= 20""".stripMargin,
+
     "m8_type_sniff" ->
       s"""WITH a AS (SELECT doc_id % 6 AS k, encode(text) AS body FROM documents),
          |p AS (SELECT CASE CAST(k AS INTEGER)
