@@ -548,6 +548,48 @@ object TextAnalysis {
         round(sum(col("term")).cast(DoubleType), 6).as("kl_bits"))
   }
 
+  /** Dense hashed-unigram profile of one corpus on the fixed grid —
+    * (bucket, c, n) with every bucket in [0, buckets) present and `n`
+    * the total token mass: the frozen REFERENCE side of [[klDrift]]
+    * (fit it once on the healthy corpus, persist/store it, compare
+    * every new batch against it). `buckets` rows regardless of corpus
+    * size — the DSIR broadcastability property. */
+  def unigramProfile(df: DataFrame, text: Column,
+                     buckets: Int = graft.text.Dsir.DefaultBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(tokens(text)).as("token"))
+      .select((graft.functions.Hashing.h32(col("token")) % buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    df.sparkSession.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+  }
+
+  /** KL(docs ‖ reference) in bits over the shared hashed grid — the
+    * one-number drift answer [[sourceDrift]] gives per source,
+    * against an EXPLICIT frozen [[unigramProfile]] instead of the
+    * leave-one-out corpus (the serving form:
+    * [[graft.streaming.DriftStream]] runs it per micro-batch).
+    * Add-one smoothing on both sides → proper distributions, KL ≥ 0;
+    * same determinism recipe as sourceDrift (per-term 9-dp round +
+    * DECIMAL(38,9) sum, one final 6-dp round). Output: ONE row
+    * (n_tokens, kl_bits). */
+  def klDrift(docs: DataFrame, text: Column, ref: DataFrame,
+              buckets: Int = graft.text.Dsir.DefaultBuckets): DataFrame = {
+    val cur = unigramProfile(docs, text, buckets)
+    val b = lit(buckets.toDouble)
+    val joined = cur.join(
+      ref.select(col("bucket"), col("c").as("c_ref"), col("n").as("n_ref")),
+      "bucket")
+    val p = (col("c") + lit(1.0)) / (col("n") + b)
+    val q = (col("c_ref") + lit(1.0)) / (col("n_ref") + b)
+    joined
+      .withColumn("term", round(p * log2(p / q), 9).cast(DecimalType(38, 9)))
+      .agg(max(col("n")).as("n_tokens"),
+        round(sum(col("term")).cast(DoubleType), 6).as("kl_bits"))
+  }
+
   /** Per-document top TF-IDF term — the "most distinctive term" signal
     * used for topic tagging / cluster labeling in curation pipelines
     * (tf-idf per Salton & Buckley 1988). tf = in-doc occurrences,

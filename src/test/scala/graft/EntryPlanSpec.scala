@@ -224,7 +224,10 @@ class EntryPlanSpec extends SparkSpec {
         // per-vector top-k, e17's re-rank, d18's max_by keeper all
         // must map-side combine before their exchange
         "e16_knn_graph", "e17_rerank_cascade", "e18_knn_graph_ivf",
-        "d18_best_keeper")
+        "d18_best_keeper",
+        // m9's per-type k-minwise cut is x5's bounded-heap aggregate —
+        // at most k rows per type leave each map task
+        "m9_type_sample")
       .foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
