@@ -289,6 +289,35 @@ object StreamBench {
         }
       }
 
+      // --- DriftStream: frozen reference profile, per-batch KL row ---
+      if (wantS("drift")) locally {
+        val docs = graft.sources.Tables.load(spark,
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+          "documents")
+        val ref = graft.text.TextAnalysis
+          .unigramProfile(docs, col("text")).persist()
+        ref.count(): Unit
+        val texts = docs.select("text").collect().map(_.getString(0))
+        val outDir = tmp("graft-sb-drift")
+        val in = MemoryStream[(Long, String)]
+        val q = graft.streaming.DriftStream.run(
+          in.toDF().toDF("doc_id", "text"), col("text"), ref,
+          outDir, tmp("graft-sb-drift-ckpt"))
+        try {
+          val (secs, state) = drive(q, n, (off, m) =>
+            in.addData((off until off + m).map(i =>
+              (i.toLong, texts(i % texts.length)))): Unit)
+          val snap = graft.sources.SnapshotStore.read(spark, outDir)
+          val batches = snap.map(_.count()).getOrElse(0L)
+          ops("drift") = s"""{"rows":$n,"secs":${f3(secs)},""" +
+            s""""rows_per_sec":${f0(n / secs)},"state_rows":$state,""" +
+            s""""audit_rows":$batches}"""
+          println(s"[streambench] n=$n drift ${ops("drift")}")
+        } finally {
+          q.stop(); ref.unpersist(): Unit
+        }
+      }
+
       n -> ops.toSeq
     }
 
