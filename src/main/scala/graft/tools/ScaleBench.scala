@@ -71,7 +71,13 @@ object ScaleBench {
     // NB gate + the DSIR draw — the curve should read as c1's shape
     // plus the t29b/x15b fixed-model passes, no new knee; x18 is the
     // x15b draw + a sources-sized rollup
-    "c6_curate_selected", "x18_dsir_mixture")
+    "c6_curate_selected", "x18_dsir_mixture",
+    // r12 post-close: x19 composes the d3-class pair gen + CC + the
+    // map-only split (should track d7's shape); t30 is t16's bigram
+    // pass + t13's unigram pass (two feature streams, both
+    // vocabulary-bounded models); t31 is ONE corpus pass to a
+    // persisted sources×4096 frame + grid windows (near-flat tail)
+    "x19_dedup_split", "t30_interp_lm", "t31_source_drift")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft_scale")
