@@ -456,6 +456,15 @@ object LlmEntry {
         .agg(countDistinct(col("source")).as("n_groups"),
           count(lit(1)).as("n_docs"))),
 
+    "x20_shard_manifest" -> ((s, dir) =>
+      // the reproducible-handoff artifact: per shard, doc count,
+      // token mass, and an order-sensitive content hash (md5 of the
+      // in-epoch-order per-doc md5s) — a re-run diffs this to PROVE
+      // it reads byte-identical data; any add/drop/edit/reorder flips
+      // exactly one shard's hash
+      Packing.shardManifest(t(s, dir, "documents"),
+        col("doc_id"), col("text"), nShards = 8, epoch = 0)),
+
     "x19_dedup_split" -> ((s, dir) => {
       // the leakage-FREE split x9+x14 promise, proven end-to-end on
       // real clusters: near-dup components (d7) become the split key,
@@ -3155,6 +3164,21 @@ object LlmEntry {
          |            WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
          |       count(DISTINCT source) AS n_groups,
          |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM b GROUP BY 1""".stripMargin,
+
+    // x20: shard + epoch-order keys as md5 replays, content hash via
+    // ORDER BY string_agg (DuckDB) == array_sort+join (Spark) — both
+    // order on (ok, doc_id)
+    "x20_shard_manifest" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    ${h32Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |    ${h32Sql("'0:' || CAST(doc_id AS VARCHAR)")} AS ok,
+         |    md5(text) AS h,
+         |    len($ToksSql) AS n_tok
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(h, '' ORDER BY ok, doc_id)) AS content_hash
          |FROM b GROUP BY 1""".stripMargin,
 
     // x19: d7's recursive-CC labels as the split key — group-atomic by

@@ -40,6 +40,39 @@ object Packing {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
   }
 
+  /** Deterministic shard manifest — the reproducible-handoff artifact
+    * a training run records next to its shard files (and the thing a
+    * re-run diffs to PROVE it will read byte-identical data): docs
+    * shard by the [[Sampling.hashBucket]] key, order within a shard
+    * by the per-epoch key ([[Sampling.epochOrderKey]], doc_id
+    * tiebreak — the shard writer's own sort), and each shard reports
+    * doc count, whitespace-token mass, and a CONTENT hash = md5 of
+    * the in-order concatenation of per-doc text md5s. Any change —
+    * a doc added, dropped, edited, or reordered — changes exactly
+    * that shard's hash; retries / repartitioning / cluster layout
+    * change nothing.
+    *
+    * Scale shape: one map-only pass (shard + order key + doc hash),
+    * one keyed shuffle on shard; the in-shard collect+sort is bounded
+    * by the shard's own size — sizing shards IS the caller's existing
+    * job (t7's argument), and nShards grows with the corpus. */
+  def shardManifest(docs: DataFrame, id: Column, text: Column,
+                    nShards: Int, epoch: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    docs
+      .select(id.as("doc_id"), text.as("text"))
+      .withColumn("shard", Sampling.hashBucket(col("doc_id"), nShards))
+      .withColumn("ok", Sampling.epochOrderKey(col("doc_id"), epoch))
+      .withColumn("h", md5(col("text")))
+      .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("ok"), col("doc_id"), col("h")))),
+          x => x.getField("h")), "")).as("content_hash"))
+  }
+
   /** Per-bin packing stats: how full each (bucket, bin) ended up. */
   def binStats(packed: DataFrame): DataFrame =
     packed.groupBy("bucket", "bin")

@@ -25,6 +25,40 @@ class SamplingPackingSpec extends SparkSpec {
     assert(again == split)
   }
 
+  test("shardManifest: layout-invariant, edit-sensitive, order-sensitive") {
+    import spark.implicits._
+    import graft.text.Packing
+    val docs = (1L to 50L).map(i => (i, s"doc $i content word$i"))
+      .toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame, epoch: Int = 0) =
+      Packing.shardManifest(df, col("doc_id"), col("text"), nShards = 4,
+          epoch = epoch)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val base = manifest(docs)
+    assert(base.keySet === Set(0L, 1L, 2L, 3L))
+    assert(base.values.map(_._1).sum === 50L)
+    // cluster layout / partitioning changes NOTHING
+    assert(manifest(docs.repartition(13)) === base)
+    // editing one doc flips exactly its shard's hash, counts intact
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 7L, lit("TAMPERED")).otherwise(col("text")))
+    val m2 = manifest(edited)
+    val changed = base.keys.filter(k => base(k)._3 != m2(k)._3).toSeq
+    assert(changed.length === 1, s"exactly one shard must flip: $changed")
+    assert(base.values.map(_._1).toSeq.sorted ===
+      m2.values.map(_._1).toSeq.sorted, "doc counts unchanged by an edit")
+    // a different epoch reorders within shards: hashes change, counts
+    // and token mass don't
+    val e1 = manifest(docs, epoch = 1)
+    assert(e1.keys === base.keys)
+    base.foreach { case (k, (n, tok, h)) =>
+      assert(e1(k)._1 === n && e1(k)._2 === tok)
+    }
+    assert(base.exists { case (k, (_, _, h)) => e1(k)._3 != h },
+      "epoch permutation must move at least one shard's content hash")
+  }
+
   test("dedupSplit: clusters move atomically; the leakage audit reads empty") {
     import spark.implicits._
     val docs = (1L to 30L).toDF("doc_id")
