@@ -126,10 +126,14 @@ object LlmCuration {
                         lang: Option[String] = Some("en"),
                         minJaccard: Double = 0.1, n: Int = 5,
                         storage: StorageLevel = Caching.Default): DataFrame = {
-    val survivors = run(docs, id, text, minQuality, lang, minJaccard, storage)
-    val withText = survivors.join(
-      docs.select(id.as("doc_id"), text.as("text")), Seq("doc_id"))
-    graft.dedup.Decontaminate.applyFilter(withText, eval, "doc_id", col("text"), n)
+    val kept = gateStage(docs, id, text, minQuality, lang)
+    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    // survivors carry their own (doc_id, text) — no join-back to the
+    // raw corpus; persisted because the decontaminate anti-join reads
+    // the frame twice (probe side + keep side)
+    val surv = Caching.persisted(
+      nearDupStage(uniq, minJaccard, storage), storage)
+    graft.dedup.Decontaminate.applyFilter(surv, eval, "doc_id", col("text"), n)
       .select("doc_id")
   }
 
