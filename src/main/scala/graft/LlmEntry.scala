@@ -3326,7 +3326,7 @@ object LlmEntry {
          |      AS DECIMAL(38,9)) AS term
          |  FROM w)
          |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
-         |  round(CAST(sum(term) AS DOUBLE), 6) AS kl_bits
+         |  CAST(round(sum(term), 6) AS DOUBLE) AS kl_bits
          |FROM t GROUP BY 1""".stripMargin
     },
 

@@ -334,13 +334,18 @@ object Scheduler {
       // precision and exact-parses only the rows in that microsecond
       // (a bounded, normally one-row, collect on a control-plane
       // table).
-      val epochMax: Option[Instant] =
-        if (!led.columns.contains("fire_epoch")) None
+      val (epochMax, epochAuthoritative): (Option[Instant], Boolean) =
+        if (!led.columns.contains("fire_epoch")) (None, false)
         else {
-          val ts = led.agg(max(col("fire_epoch"))).collect()(0)
-          if (ts.isNullAt(0)) None else Some(fromEpochNanos(ts.getLong(0)))
+          // one agg job returns both the max and whether any row is
+          // missing the numeric encoding (null after a schema-evolving
+          // merge) — only then is the ISO re-parse fallback needed
+          val ts = led.agg(max(col("fire_epoch")),
+            count(lit(1)) - count(col("fire_epoch"))).collect()(0)
+          (if (ts.isNullAt(0)) None else Some(fromEpochNanos(ts.getLong(0))),
+           !ts.isNullAt(0) && ts.getLong(1) == 0L)
         }
-      val isoMax: Option[Instant] = {
+      val isoMax: Option[Instant] = if (epochAuthoritative) None else {
         val withTs = led.withColumn("_fire_parsed", to_timestamp(col("fire_ts")))
         val m = withTs.agg(max(col("_fire_parsed"))).collect()(0)
         if (m.isNullAt(0)) None

@@ -43,11 +43,18 @@ object DriftStream {
         // the batch feeds the profile's counts branch and the grid
         // join: persist once per batch
         val b = batch.persist()
-        try SnapshotStore.mergeInto(
-          TextAnalysis.klDrift(b, col("text"), ref, buckets)
-            .withColumn("batch_id", lit(id)),
-          targetDir, Seq("batch_id")): Unit
-        finally { b.unpersist(): Unit }
+        // a zero-token batch carries no evidence — add-one smoothing
+        // would read a feed lull as maximal drift (uniform vs ref), so
+        // the series records only batches with tokens; persisted
+        // because the guard and the merge both read the one-row frame
+        val drift = TextAnalysis.klDrift(b, col("text"), ref, buckets)
+          .filter(col("n_tokens") > 0L)
+          .withColumn("batch_id", lit(id))
+          .persist()
+        try {
+          if (!drift.isEmpty)
+            SnapshotStore.mergeInto(drift, targetDir, Seq("batch_id")): Unit
+        } finally { drift.unpersist(); b.unpersist(): Unit }
       }
       .start()
 }

@@ -200,8 +200,11 @@ object Dsir {
                      ngrams: Int = 1): DataFrame = {
     val pool = raw.select(id.as("doc_id"), text.as("text"),
       source.as("source"))
-    val sel = resample(target, pool, col("doc_id"), col("text"), k,
-      buckets, ngrams)
+    // project target under the caller's text column too (the
+    // dsirSelectStage contract) — an unprojected pass-through would
+    // demand a literal 'text' column on target
+    val sel = resample(target.select(text.as("text")), pool,
+      col("doc_id"), col("text"), k, buckets, ngrams)
     val perSrc = pool.groupBy("source").agg(count(lit(1)).as("n_pool"))
     val selSrc = pool.select("doc_id", "source")
       .join(broadcast(sel.select(col("doc_id"), col("weight"))), "doc_id")

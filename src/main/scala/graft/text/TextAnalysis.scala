@@ -545,7 +545,10 @@ object TextAnalysis {
         round(p * log2(p / q), 9).cast(DecimalType(38, 9)))
       .groupBy("source")
       .agg(max(col("n_s")).as("n_tokens"),
-        round(sum(col("term")).cast(DoubleType), 6).as("kl_bits"))
+        // final round IN DECIMAL SPACE, then cast (the r11 rule: a
+        // half-boundary double rounds engine-dependently; decimals
+        // round half-away-from-zero identically in Spark and DuckDB)
+        round(sum(col("term")), 6).cast(DoubleType).as("kl_bits"))
   }
 
   /** Dense hashed-unigram profile of one corpus on the fixed grid —
@@ -587,7 +590,8 @@ object TextAnalysis {
     joined
       .withColumn("term", round(p * log2(p / q), 9).cast(DecimalType(38, 9)))
       .agg(max(col("n")).as("n_tokens"),
-        round(sum(col("term")).cast(DoubleType), 6).as("kl_bits"))
+        // decimal-space final round — same rule as sourceDrift
+        round(sum(col("term")), 6).cast(DoubleType).as("kl_bits"))
   }
 
   /** Per-document top TF-IDF term — the "most distinctive term" signal

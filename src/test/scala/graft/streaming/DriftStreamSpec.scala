@@ -49,6 +49,27 @@ class DriftStreamSpec extends SparkSpec {
     assert(klSame === direct.getAs[Double]("kl_bits"))
   }
 
+  test("a zero-token batch records no audit row (a feed lull is not drift)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift0-snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drift0-ckpt").toString
+    val in = MemoryStream[String]
+    val q = DriftStream.run(in.toDF().toDF("text"), col("text"), ref,
+      dir, ckpt, buckets = B)
+    try {
+      in.addData("", "   ") // batch 0: tokenizes to nothing
+      q.processAllAvailable()
+      in.addData("alpha beta") // batch 1: real evidence
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = graft.sources.SnapshotStore.read(spark, dir).get.collect()
+    assert(snap.length === 1,
+      s"the empty batch must record nothing (add-one smoothing would read " +
+        s"it as maximal drift); got ${snap.length} rows")
+    assert(snap(0).getAs[Long]("batch_id") === 1L)
+    assert(snap(0).getAs[Long]("n_tokens") === 2L)
+  }
+
   test("checkpoint restart: a replayed batch overwrites its own row") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-drift2-snap").toString
