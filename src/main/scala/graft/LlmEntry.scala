@@ -40,6 +40,24 @@ object LlmEntry {
             col("payload"))))
   }
 
+  /** m10's fixture: the ASCII corpus with WELL-FORMED metadata-bearing
+    * container prefixes injected per asset_id % 4 (== 3 stays raw
+    * text) — [[graft.multimodal.MediaMeta]]'s real-length, real-CRC
+    * segments, so the scrub's byte arithmetic is exactly replayable
+    * by the oracle from the same constants. */
+  private def metaInjectedAssets(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.MediaMeta
+    val prefixes = Seq(MediaMeta.JpegExifDirtyHex, MediaMeta.PngMetaDirtyHex,
+      MediaMeta.JpegComDirtyHex)
+    Multimodal.asAssets(t(s, dir, "documents"))
+      .withColumn("payload",
+        when(pmod(col("asset_id"), lit(4)) === 3, col("payload"))
+          .otherwise(concat(
+            unhex(element_at(array(prefixes.map(lit): _*),
+              (pmod(col("asset_id"), lit(4)) + 1).cast("int"))),
+            col("payload"))))
+  }
+
   /** Build the shared per-(session, sf dir) ANN probe index iff absent
     * OR INCOMPLETE. A complete build is exactly version 1 (write
     * commits v0, update commits v1), so the gate is `contains(1)`, not
@@ -1598,6 +1616,21 @@ object LlmEntry {
         injectedAssets(s, dir)
           .withColumn("sniffed_type", Multimodal.sniffType(col("payload"))),
         col("sniffed_type"), col("asset_id"), k = 20)),
+
+    "m10_exif_scrub" -> ((s, dir) =>
+      // privacy-metadata scrub (t5's discipline for container bytes):
+      // well-formed JPEG APP1/EXIF-with-GPS, PNG tEXt+eXIf, and JPEG
+      // COM segments injected per asset_id % 4 (real lengths + CRCs),
+      // scrubbed by map-only byte surgery; the oracle replays the
+      // byte arithmetic from the same constants — md5 over the hex of
+      // the scrubbed payload proves byte-identical output
+      Multimodal.scrubMetadata(metaInjectedAssets(s, dir))
+        .select(col("asset_id"),
+          octet_length(col("payload")).cast("long").as("n_before"),
+          octet_length(col("scrubbed")).cast("long").as("n_after"),
+          (octet_length(col("payload")) - octet_length(col("scrubbed")))
+            .cast("long").as("removed_bytes"),
+          md5(hex(col("scrubbed"))).as("scrubbed_md5"))),
 
     "m6_energy_windows" -> ((s, dir) =>
       // audio-curation silence screen over the byte-PCM stub: framed
@@ -4953,6 +4986,35 @@ object LlmEntry {
          |SELECT sniffed_type, n_assets, total_bytes,
          |  round(CAST(n_assets AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
          |FROM c CROSS JOIN tt""".stripMargin,
+
+    // m10: the scrub's expected output REBUILT from the same
+    // MediaMeta constants the entry injects (byte-arithmetic replay —
+    // the oracle needs no segment walker); md5 over hex(blob) because
+    // DuckDB's md5 is VARCHAR-only and hex is uppercase in both engines
+    "m10_exif_scrub" -> {
+      import graft.multimodal.MediaMeta
+      s"""WITH a AS (SELECT doc_id AS asset_id, doc_id % 4 AS k,
+         |                  encode(text) AS body FROM documents),
+         |p AS (SELECT asset_id,
+         |  CASE CAST(k AS INTEGER)
+         |    WHEN 0 THEN unhex('${MediaMeta.JpegExifDirtyHex}') || body
+         |    WHEN 1 THEN unhex('${MediaMeta.PngMetaDirtyHex}') || body
+         |    WHEN 2 THEN unhex('${MediaMeta.JpegComDirtyHex}') || body
+         |    ELSE body END AS payload,
+         |  CASE CAST(k AS INTEGER)
+         |    WHEN 0 THEN unhex('${MediaMeta.JpegCleanHex}') || body
+         |    WHEN 1 THEN unhex('${MediaMeta.PngCleanHex}') || body
+         |    WHEN 2 THEN unhex('${MediaMeta.JpegCleanHex}') || body
+         |    ELSE body END AS expected
+         |  FROM a)
+         |SELECT asset_id,
+         |  CAST(octet_length(payload) AS BIGINT) AS n_before,
+         |  CAST(octet_length(expected) AS BIGINT) AS n_after,
+         |  CAST(octet_length(payload) - octet_length(expected) AS BIGINT)
+         |    AS removed_bytes,
+         |  md5(hex(expected)) AS scrubbed_md5
+         |FROM p""".stripMargin
+    },
 
     "m5_header_parse" ->
       """SELECT doc_id AS asset_id,

@@ -239,6 +239,18 @@ object Multimodal {
           .as("first_cut_frame"))
   }
 
+  /** Privacy-metadata scrub over binary assets — the t5 PII-scrub
+    * discipline for container bytes ([[graft.functions.MetadataScrub]]:
+    * JPEG APP1/EXIF incl. GPS + COM, PNG tEXt/zTXt/iTXt/eXIf; every
+    * other payload and every malformed tail passes through verbatim).
+    * Adds a `scrubbed` binary column; map-only codegen'd byte surgery,
+    * scan speed at 100 TB. */
+  def scrubMetadata(assets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    assets.withColumn("scrubbed", ColumnBridge.column(
+      graft.functions.MetadataScrub(ColumnBridge.expression(col("payload")))))
+  }
+
   /** STUB decode, partition-batched: a real implementation calls the
     * media codec here (per partition, batched — the iterator shape is
     * what matters; swap the checksum for the codec call and nothing
