@@ -264,6 +264,62 @@ object LlmCuration {
           col("n_out").cast("double") / col("n_in").cast("double"), 6)))
   }
 
+  /** The crawl front door's ops log — c3's raw-markup chain with the
+    * d20 URL/domain blocklist gate composed as STAGE 0 (the
+    * RefinedWeb/UT1 order: a blocked domain kills the page before any
+    * text is extracted, so every downstream stage sees a smaller
+    * corpus): url_gate → extract (docs whose boilerplate-stripped
+    * extraction is empty drop — a nav-and-footer-only page carries no
+    * trainable text) → quality/language gate → exact dedup → near-dup.
+    * Same per-stage persisted-count discipline as [[attritionReport]];
+    * the stages are the library operators themselves
+    * ([[graft.text.Urls.blocklistGate]], [[graft.text.Html.extract]],
+    * [[gateStage]]/[[exactDedupStage]]/[[nearDupStage]]) so report and
+    * pipeline cannot drift. */
+  def attritionReportCrawl(pages: DataFrame, id: Column, url: Column,
+                           html: Column,
+                           blockedDomains: Seq[String],
+                           patternRules: Seq[(String, String)],
+                           minQuality: Double = 0.5,
+                           lang: Option[String] = Some("en"),
+                           minJaccard: Double = 0.1,
+                           storage: StorageLevel = Caching.Default): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val base = pages.select(id.as("doc_id"), url.as("url"), html.as("html"))
+    val nAll = base.count()
+    val verdict = graft.text.Urls.blocklistGate(base, col("doc_id"),
+      col("url"), blockedDomains, patternRules)
+    val allowed = Caching.persisted(
+      base.join(verdict.filter(col("allowed")).select("doc_id"),
+        Seq("doc_id")), storage)
+    val nAllowed = allowed.count()
+    val extracted = Caching.persisted(
+      graft.text.Html.extract(allowed, col("doc_id"), col("html"))
+        .select(col("doc_id"), col("extracted").as("text"))
+        .filter(length(col("text")) > 0), storage)
+    val nExtracted = extracted.count()
+    val kept = Caching.persisted(
+      gateStage(extracted, col("doc_id"), col("text"), minQuality, lang),
+      storage)
+    val nKept = kept.count()
+    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val nUniq = uniq.count()
+    val surv = Caching.persisted(
+      nearDupStage(uniq, minJaccard, storage), storage)
+    val nSurv = surv.count()
+    Seq(allowed, extracted, kept, uniq, surv).foreach(_.unpersist())
+    Seq((1, "url_gate", nAll, nAllowed),
+        (2, "extract", nAllowed, nExtracted),
+        (3, "gate", nExtracted, nKept),
+        (4, "exact_dedup", nKept, nUniq),
+        (5, "near_dup", nUniq, nSurv))
+      .toDF("stage_no", "stage", "n_in", "n_out")
+      .withColumn("drop_frac", when(col("n_in") === 0, lit(null))
+        .otherwise(round(lit(1.0) -
+          col("n_out").cast("double") / col("n_in").cast("double"), 6)))
+  }
+
   /** Per-stage attrition report over [[runDecontaminated]]'s chain —
     * the ops log every curation run emits (HOW MUCH did each stage
     * drop; a gate suddenly eating 40% instead of 4% is a feed

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.{AnnIndex, KMeans, Knn, Pq, Sq}
@@ -39,6 +39,37 @@ object LlmEntry {
               (pmod(col("asset_id"), lit(6)) + 1).cast("int"))),
             col("payload"))))
   }
+
+  /** d13/d20/c3b's shared fixture: deterministic crawl-URL variants
+    * per doc (scheme/WWW/host case, default port, trailing slash,
+    * param order, utm/fbclid noise, fragments) — factored so the
+    * dedup, blocklist, and crawl-attrition entries cannot drift. */
+  private def syntheticCrawlUrl: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+    when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source")),
+    lit(".example.com"),
+    when(col("doc_id") % 4 === 1, lit(":443")).otherwise(lit("")),
+    lit("/docs/p"), (col("doc_id") % 3).cast("string"),
+    when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("?page="), (col("doc_id") % 2).cast("string"),
+        lit("&lang="), col("lang"), lit("&utm_source=feed")))
+      .otherwise(concat(lit("?utm_source=feed&lang="), col("lang"),
+        lit("&page="), (col("doc_id") % 2).cast("string"))),
+    when(col("doc_id") % 7 === 0, lit("&fbclid=abc")).otherwise(lit("")),
+    when(col("doc_id") % 6 === 0, lit("#sec")).otherwise(lit("")))
+
+  /** d20/c3b's blocklist: one whole source domain (subdomain
+    * semantics — the canonicalizer's de-www'd host is srcN.example.com)
+    * plus a domain absent from the corpus (must hit nothing). */
+  private val D20BlockedDomains = Seq("src3.example.com", "badsite.org")
+
+  /** d20/c3b's URL pattern rules over the CANONICAL url: first-page
+    * pagination duplicates and one deep listing path. */
+  private val D20PatternRules = Seq(
+    ("paginated_dup", "[?&]page=1($|&)"),
+    ("deep_listing", "/docs/p2"))
 
   /** m10's fixture: the ASCII corpus with WELL-FORMED metadata-bearing
     * container prefixes injected per asset_id % 4 (== 3 stays raw
@@ -1544,28 +1575,32 @@ object LlmEntry {
         minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
     }),
 
+    "d20_url_blocklist" -> ((s, dir) =>
+      // the crawl's FIRST gate (RefinedWeb/UT1): domain blocklist with
+      // subdomain semantics + URL pattern rules over d13's synthetic
+      // URL variants — per-doc verdict + b3-style reason string; the
+      // small literal blocklist takes the map-only inline path
+      Urls.blocklistGate(t(s, dir, "documents"), col("doc_id"),
+        syntheticCrawlUrl, D20BlockedDomains, D20PatternRules)),
+
+    "c3b_crawl_attrition" -> ((s, dir) =>
+      // the crawl front door's ops log: d20's URL gate as stage 0,
+      // then c3's chain (extract -> gate -> exact dedup -> near-dup),
+      // one row per stage with in/out counts — the first gate runs
+      // before any text is even extracted (the RefinedWeb order)
+      LlmCuration.attritionReportCrawl(
+        t(s, dir, "documents").withColumn("html", renderedPage),
+        col("doc_id"), syntheticCrawlUrl, col("html"),
+        D20BlockedDomains, D20PatternRules,
+        minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)),
+
     "d13_url_dedup" -> ((s, dir) => {
       // crawl-side dedup: deterministic URL variants (scheme/WWW/host
       // case, default port, trailing slash, param order, utm/fbclid
       // noise, fragments) derived per doc; the canonicalizer must
       // collapse them to host/path?sorted-params keys
       val d = t(s, dir, "documents")
-      val url = concat(
-        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
-        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source")),
-        lit(".example.com"),
-        when(col("doc_id") % 4 === 1, lit(":443")).otherwise(lit("")),
-        lit("/docs/p"), (col("doc_id") % 3).cast("string"),
-        when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("?page="), (col("doc_id") % 2).cast("string"),
-            lit("&lang="), col("lang"), lit("&utm_source=feed")))
-          .otherwise(concat(lit("?utm_source=feed&lang="), col("lang"),
-            lit("&page="), (col("doc_id") % 2).cast("string"))),
-        when(col("doc_id") % 7 === 0, lit("&fbclid=abc")).otherwise(lit("")),
-        when(col("doc_id") % 6 === 0, lit("#sec")).otherwise(lit("")))
-      Urls.dedupByUrl(d.select(col("doc_id"), url.as("url")),
+      Urls.dedupByUrl(d.select(col("doc_id"), syntheticCrawlUrl.as("url")),
         col("doc_id"), col("url"))
     }),
 
@@ -1811,6 +1846,71 @@ object LlmEntry {
       |  coalesce(array_to_string(list_transform(ki, i -> vs[CAST(i AS INTEGER)]), ' '), '') AS extracted,
       |  CAST(nb AS BIGINT) AS n_blocks, CAST(len(ki) AS BIGINT) AS n_kept
       |FROM k)""".stripMargin
+
+  /** d20/c3b's shared oracle fragment: the synthetic crawl URLs,
+    * d13's canonicalization steps, the suffix-set domain blocklist
+    * match and the pattern-rule reasons — ends at CTE `r`
+    * (doc_id, canon_url, host, blocked_domain, reason).
+    * NOTE: embedded into oracles that run stripMargin AFTER
+    * interpolation — no line here may begin with whitespace + '|'
+    * (the concatenation '||'s therefore trail their lines). */
+  private lazy val UrlGateCtes: String = {
+    val domsIn = D20BlockedDomains.map(d => s"'$d'").mkString(", ")
+    val patCases = D20PatternRules.map { case (name, pat) =>
+      s"CASE WHEN regexp_matches(canon_url, '$pat') THEN 'url_pattern:$name' END"
+    }.mkString(",\n      ")
+    s"""u AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+      |  '.example.com' ||
+      |  (CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
+      |  '/docs/p' || CAST(doc_id % 3 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 3 = 0
+      |      THEN '?page=' || CAST(doc_id % 2 AS VARCHAR) || '&lang=' || lang || '&utm_source=feed'
+      |      ELSE '?utm_source=feed&lang=' || lang || '&page=' || CAST(doc_id % 2 AS VARCHAR) END) ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN '&fbclid=abc' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+      |  FROM documents),
+      |s1 AS (SELECT doc_id,
+      |         regexp_replace(regexp_replace(url, '#.*$$', ''),
+      |                        '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS ns FROM u),
+      |s2 AS (SELECT doc_id, ns,
+      |         CASE WHEN contains(ns, '?') THEN regexp_extract(ns, '\\?(.*)$$', 1)
+      |              ELSE '' END AS q,
+      |         regexp_replace(ns, '\\?.*$$', '') AS hp FROM s1),
+      |s3 AS (SELECT doc_id, q,
+      |         regexp_replace(regexp_replace(
+      |           lower(regexp_extract(hp, '^[^/]*', 0)), '^www\\.', ''),
+      |           ':(80|443)$$', '') AS host,
+      |         regexp_replace(regexp_extract(hp, '^[^/]*(.*)$$', 1), '/+$$', '') AS p0
+      |       FROM s2),
+      |s4 AS (SELECT doc_id, host,
+      |         CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p,
+      |         array_to_string(list_sort(list_filter(str_split(q, '&'),
+      |           x -> x <> '' AND NOT starts_with(x, 'utm_')
+      |             AND NOT (x = 'fbclid' OR starts_with(x, 'fbclid='))
+      |             AND NOT (x = 'gclid' OR starts_with(x, 'gclid='))
+      |             AND NOT (x = 'ref' OR starts_with(x, 'ref=')))), '&') AS qq
+      |       FROM s3),
+      |cu AS (SELECT doc_id, host,
+      |        host || p || (CASE WHEN qq = '' THEN '' ELSE '?' || qq END) AS canon_url
+      |      FROM s4),
+      |bd AS (SELECT doc_id, host, canon_url,
+      |        list_sort(list_filter(
+      |          list_transform(range(len(str_split(host, '.'))),
+      |            i -> array_to_string(
+      |              str_split(host, '.')[CAST(i+1 AS INTEGER):], '.')),
+      |          s -> s IN ($domsIn)))[1] AS blocked_domain
+      |      FROM cu),
+      |r AS (SELECT doc_id, canon_url, host, blocked_domain,
+      |    concat_ws(';',
+      |      CASE WHEN blocked_domain IS NOT NULL
+      |           THEN 'blocked_domain:' || blocked_domain END,
+      |      $patCases) AS reason
+      |  FROM bd)""".stripMargin
+  }
 
   private def ToksSqlOn(c: String): String =
     s"""list_filter(string_split_regex(lower($c), '\\s+'), x -> x <> '')"""
@@ -4846,6 +4946,69 @@ object LlmEntry {
          |drops AS (SELECT DISTINCT doc_b FROM ver WHERE jaccard >= 0.1)
          |SELECT doc_id FROM uniq
          |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin,
+
+    // d20: d13's canonicalization CTEs + the suffix-set domain match
+    // (UT1 subdomain semantics: entry hits exact host and every
+    // subdomain) + the same pattern rules; blocklist and patterns are
+    // interpolated from the SAME constants the entry uses
+    "d20_url_blocklist" ->
+      s"""WITH $UrlGateCtes
+         |SELECT doc_id, canon_url, host, blocked_domain, reason,
+         |       length(reason) = 0 AS allowed
+         |FROM r""".stripMargin,
+
+    // c3b: d20's gate CTEs feed c3's extract/gate/dedup CTEs (the
+    // extraction is per-doc independent, so running it over the full
+    // corpus then joining the allowed set gives the gated counts; the
+    // dedup stages regroup over the gated corpus only), assembled into
+    // c5's attrition-row shape
+    "c3b_crawl_attrition" ->
+      s"""WITH $UrlGateCtes,
+         |allowed AS (SELECT doc_id FROM r WHERE length(reason) = 0),
+         |$ExtractCtes,
+         |xta AS (SELECT xt.doc_id, extracted AS text
+         |        FROM xt JOIN allowed USING (doc_id)
+         |        WHERE length(extracted) > 0),
+         |t0 AS (SELECT doc_id, text, ${ToksSqlOn("text")} AS tk FROM xta),
+         |feat AS (SELECT doc_id, text, tk,
+         |  len(tk) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |    greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(tk, x -> x IN ($EnStopsSql))) AS DOUBLE) /
+         |    greatest(len(tk), 1) AS stop_ratio,
+         |  ${LangScoreSql.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")}
+         |  FROM t0),
+         |keepq AS (SELECT doc_id, text FROM (
+         |    SELECT *,
+         |      round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
+         |            0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS q,
+         |      $LangCaseSql AS lang
+         |    FROM feat)
+         |  WHERE q >= 0.5 AND lang = 'en'),
+         |uniq AS (SELECT min(doc_id) AS doc_id, first(text) AS text
+         |         FROM keepq GROUP BY md5(text)),
+         |${minhashCtes("uniq")},
+         |drops AS (SELECT DISTINCT doc_b FROM ver WHERE jaccard >= 0.1),
+         |surv AS (SELECT doc_id FROM uniq
+         |         WHERE doc_id NOT IN (SELECT doc_b FROM drops)),
+         |st AS (
+         |  SELECT 1 AS stage_no, 'url_gate' AS stage,
+         |         (SELECT count(*) FROM documents) AS n_in,
+         |         (SELECT count(*) FROM allowed) AS n_out
+         |  UNION ALL SELECT 2, 'extract',
+         |         (SELECT count(*) FROM allowed), (SELECT count(*) FROM xta)
+         |  UNION ALL SELECT 3, 'gate',
+         |         (SELECT count(*) FROM xta), (SELECT count(*) FROM keepq)
+         |  UNION ALL SELECT 4, 'exact_dedup',
+         |         (SELECT count(*) FROM keepq), (SELECT count(*) FROM uniq)
+         |  UNION ALL SELECT 5, 'near_dup',
+         |         (SELECT count(*) FROM uniq), (SELECT count(*) FROM surv))
+         |SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
+         |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+         |  CASE WHEN n_in = 0 THEN NULL
+         |       ELSE round(1.0 - CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 6)
+         |  END AS drop_frac
+         |FROM st""".stripMargin,
 
     // mirrors Urls.canonicalUrl step by step over the same deterministic
     // URL variants the entry derives

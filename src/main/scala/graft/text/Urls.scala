@@ -52,4 +52,71 @@ object Urls {
     df.select(id.as("doc_id"), canonicalUrl(url).as("canon_url"))
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+
+  /** URL/domain blocklist gate — the FIRST gate a crawl pipeline runs
+    * (the RefinedWeb/UT1 move: a blocked domain or URL pattern kills
+    * the document before any text is even extracted, so every
+    * downstream stage sees a smaller corpus). Per input doc: the
+    * canonical URL and host, the matched blocklist domain (null =
+    * none), a b3-style ";"-joined reason string ("" = clean), and the
+    * `allowed` verdict.
+    *
+    * Domain matching is UT1 semantics: a blocklist entry hits the
+    * exact host AND every subdomain of it (`example.com` blocks
+    * `a.b.example.com`). The host's suffix set is bounded (one entry
+    * per label), so the check is a bounded fan-out, never a scan of
+    * the blocklist per row. When several suffixes match, the
+    * lexicographically smallest blocked domain is reported
+    * (deterministic, engine-identical).
+    *
+    * Scale shape: lists up to `inlineThreshold` compile into the plan
+    * as a literal array (map-only, zero shuffle — the entry's path);
+    * larger lists (UT1 is millions of domains) take the broadcast-join
+    * path: explode the bounded suffixes, broadcast-hash-join the
+    * blocklist, aggregate the hits (a shuffle of HITS only), one
+    * doc_id-keyed left join back (AQE broadcasts it when the hit set
+    * is small). Pattern rules are map-only `rlike` columns either way;
+    * keep patterns free of `\s`-style shorthands so Java regex and the
+    * oracle's RE2-ish engine agree.
+    *
+    * @param patternRules (rule_name, regex) pairs matched against the
+    *                     CANONICAL url; every matching rule is
+    *                     reported (b3's all-reasons discipline) */
+  def blocklistGate(df: DataFrame, id: Column, url: Column,
+                    blockedDomains: Seq[String],
+                    patternRules: Seq[(String, String)] = Nil,
+                    inlineThreshold: Int = 1024): DataFrame = {
+    val canon = df.select(id.as("doc_id"), canonicalUrl(url).as("canon_url"))
+      .withColumn("host", regexp_extract(col("canon_url"), "^[^/?]*", 0))
+    val labels = split(col("host"), "\\.")
+    val suffixes = transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels)), "."))
+    val withDom: DataFrame =
+      if (blockedDomains.isEmpty)
+        canon.withColumn("blocked_domain", lit(null).cast("string"))
+      else if (blockedDomains.size <= inlineThreshold)
+        // literal-array path: array_min of the (bounded) suffix ∩ list
+        // intersection — null when nothing matches; pure codegen
+        canon.withColumn("blocked_domain",
+          array_min(array_intersect(suffixes, lit(blockedDomains.toArray))))
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val bl = broadcast(blockedDomains.toDF("blocked_domain"))
+        val hits = canon.select(col("doc_id"), explode(suffixes).as("sfx"))
+          .join(bl, col("sfx") === col("blocked_domain"))
+          .groupBy("doc_id")
+          .agg(min(col("blocked_domain")).as("blocked_domain"))
+        canon.join(hits, Seq("doc_id"), "left")
+      }
+    val reasons =
+      when(col("blocked_domain").isNotNull,
+        concat(lit("blocked_domain:"), col("blocked_domain"))) +:
+        patternRules.map { case (name, pat) =>
+          when(col("canon_url").rlike(pat), lit(s"url_pattern:$name"))
+        }
+    withDom
+      .withColumn("reason", concat_ws(";", reasons: _*))
+      .withColumn("allowed", length(col("reason")) === 0)
+  }
 }

@@ -176,6 +176,54 @@ class FourthPassSpec extends SparkSpec {
       Seq(("a.com/x?a=2&b=1", 2L, 3L), ("a.com/y", 1L, 9L)))
   }
 
+  test("blocklistGate: UT1 subdomain semantics, pattern rules, reason format") {
+    val df = Seq(
+      (1L, "https://ads.example.com/x"),          // exact blocked host
+      (2L, "https://cdn.ads.example.com/x"),      // subdomain of blocked
+      (3L, "https://example.com/x"),              // PARENT of blocked: clean
+      (4L, "https://notads.example.com/x"),       // label boundary: clean
+      (5L, "https://ok.org/catalog?session=9"),   // pattern rule hit
+      (6L, "https://ads.example.com/c?session=1"),// domain + pattern: both reasons
+      (7L, "https://WWW.Ads.Example.COM:443/y"))  // canonicalized then matched
+      .toDF("id", "url")
+    val rules = Seq(("session_param", "[?&]session="))
+    val got = Urls.blocklistGate(df, col("id"), col("url"),
+      Seq("ads.example.com"), rules)
+      .select("doc_id", "blocked_domain", "reason", "allowed")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getString(2), r.getBoolean(3))).toMap
+    assert(got(1L) === ((Some("ads.example.com"), "blocked_domain:ads.example.com", false)))
+    assert(got(2L) === ((Some("ads.example.com"), "blocked_domain:ads.example.com", false)))
+    assert(got(3L) === ((None, "", true)))
+    assert(got(4L) === ((None, "", true)))
+    assert(got(5L) === ((None, "url_pattern:session_param", false)))
+    assert(got(6L)._2 === "blocked_domain:ads.example.com;url_pattern:session_param")
+    assert(got(7L)._1 === Some("ads.example.com"),
+      "WWW./case/port canonicalization must happen before the match")
+  }
+
+  test("blocklistGate: broadcast-join path agrees with the inline path") {
+    val df = Seq(
+      (1L, "https://ads.example.com/x"),
+      (2L, "https://cdn.ads.example.com/x"),
+      (3L, "https://clean.org/y?page=1")).toDF("id", "url")
+    val doms = Seq("ads.example.com", "never.hit")
+    val rules = Seq(("p1", "[?&]page=1($|&)"))
+    def rows(threshold: Int) =
+      Urls.blocklistGate(df, col("id"), col("url"), doms, rules, threshold)
+        .select("doc_id", "blocked_domain", "reason", "allowed")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+          r.getString(2), r.getBoolean(3))).toSet
+    assert(rows(1024) === rows(0), // 0 forces the explode+join path
+      "both blocklist implementations must produce identical verdicts")
+    // smallest matching suffix wins deterministically when several match
+    val multi = Urls.blocklistGate(
+      Seq((1L, "https://a.b.com/x")).toDF("id", "url"), col("id"), col("url"),
+      Seq("a.b.com", "b.com"), Nil)
+      .select("blocked_domain").head().getString(0)
+    assert(multi === "a.b.com", "lexicographically smallest matching domain")
+  }
+
   test("energyWindows: flat frames silent, varied frames not") {
     // asset 1: 256 constant bytes -> 4 frames (stride 4 -> offsets 0; 256
     // bytes = offsets 0..192 by 256 hop -> 1 frame), all flat
