@@ -1,0 +1,84 @@
+package graft.dedup
+
+/** MinHash banding parameter tuner — closes the loop d16 measures:
+  * instead of ASSUMING (bands, rowsPerBand), derive them from the
+  * dedup threshold by minimizing the weighted false-positive +
+  * false-negative area of the S-curve `P(candidate | s) =
+  * 1 - (1 - s^r)^b` (the standard LSH analysis, e.g. Leskovec/
+  * Rajaraman/Ullman "Mining of Massive Datasets" §3.4; the same
+  * integral-minimization procedure the public datasketch library
+  * popularized — re-derived here from the math, not ported):
+  *
+  *   fp(t,b,r) = ∫₀ᵗ P(candidate|s) ds   (pairs below threshold that
+  *                                         still collide → verify cost)
+  *   fn(t,b,r) = ∫ₜ¹ 1 - P(candidate|s) ds (true pairs banding misses
+  *                                         → lost recall)
+  *
+  * `tune` scans every (b, r) with b·r ≤ maxK and returns the argmin of
+  * `fpWeight·fp + fnWeight·fn`. Pure driver-side arithmetic — nothing
+  * here touches a DataFrame; the chosen plan feeds
+  * [[TextDedup.minHashLshPairs]]' `bands`/`rowsPerBand` knobs.
+  *
+  * Weighting intuition: fnWeight ↑ favors small r / large b (recall —
+  * the dedup stance: a missed near-dup ships a duplicate into
+  * training); fpWeight ↑ favors large r (precision — candidate volume
+  * is the verify-join's cost, the 100 TB concern).
+  */
+object Banding {
+
+  /** Probability two docs at Jaccard `s` share at least one band. */
+  def candidateProb(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+
+  /** (fpArea, fnArea) for a threshold, by midpoint quadrature —
+    * deterministic (fixed `points`, plain double sums in index
+    * order). */
+  def errorAreas(threshold: Double, bands: Int, rowsPerBand: Int,
+                 points: Int = 1000): (Double, Double) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    var fp = 0.0
+    var i = 0
+    val wFp = threshold / points
+    while (i < points) {
+      fp += candidateProb((i + 0.5) * wFp, bands, rowsPerBand) * wFp
+      i += 1
+    }
+    var fn = 0.0
+    val wFn = (1.0 - threshold) / points
+    i = 0
+    while (i < points) {
+      fn += (1.0 - candidateProb(threshold + (i + 0.5) * wFn,
+        bands, rowsPerBand)) * wFn
+      i += 1
+    }
+    (fp, fn)
+  }
+
+  /** A tuned banding choice with its predicted error areas. */
+  final case class Plan(bands: Int, rowsPerBand: Int,
+                        fpArea: Double, fnArea: Double, error: Double) {
+    def k: Int = bands * rowsPerBand
+  }
+
+  /** Scan every (b, r) with b·r ≤ `maxK` and return the weighted-error
+    * argmin (ties break toward fewer signatures, then more bands —
+    * deterministic). `maxK` is the signature budget: the only cost a
+    * bigger K adds is K affine remixes per doc, so budget ≈ how much
+    * map-side work the signature pass may spend. */
+  def tune(threshold: Double, maxK: Int,
+           fpWeight: Double = 0.5, fnWeight: Double = 0.5,
+           points: Int = 1000): Plan = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
+      "weights must be non-negative and not both zero")
+    val plans = for {
+      r <- 1 to maxK
+      b <- 1 to maxK / r
+    } yield {
+      val (fp, fn) = errorAreas(threshold, b, r, points)
+      Plan(b, r, fp, fn, fpWeight * fp + fnWeight * fn)
+    }
+    plans.minBy(p => (p.error, p.k, -p.bands))
+  }
+}

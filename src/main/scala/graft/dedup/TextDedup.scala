@@ -232,10 +232,13 @@ object TextDedup {
     * (the e12 posture). */
   def lshRecallAudit(docs: DataFrame, id: Column, text: Column,
                      minJaccard: Double,
-                     storage: StorageLevel = Caching.Default): DataFrame = {
+                     storage: StorageLevel = Caching.Default,
+                     bands: Int = Bands,
+                     rowsPerBand: Int = RowsPerBand): DataFrame = {
     val exact = ngramJaccardPairs(docs, id, text, minJaccard, None, storage)
       .select("doc_a", "doc_b")
-    val found = minHashLshPairs(docs, id, text, minJaccard, storage)
+    val found = minHashLshPairs(docs, id, text, minJaccard, storage,
+        bands, rowsPerBand)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     val hits = coalesce(col("hit"), lit(0L))
     exact.join(found, Seq("doc_a", "doc_b"), "left")
@@ -255,12 +258,42 @@ object TextDedup {
   val Bands = 4
   val RowsPerBand = 4
 
+  private def nextPrime(n: Long): Long = {
+    def isPrime(x: Long): Boolean =
+      x >= 2 && (2L to math.sqrt(x.toDouble).toLong).forall(x % _ != 0)
+    var c = n
+    while (!isPrime(c)) c += 1
+    c
+  }
+
+  /** Extended affine pools for TUNED banding plans ([[Banding.tune]]
+    * can ask for K up to 64). The first 16 entries ARE the contract
+    * constants above — the default (4, 4) path is byte-identical —
+    * and the extension is generated deterministically (first prime at
+    * or above the documented seeds). Tuned signatures never reach the
+    * SQL oracle, so only determinism matters past index 15. */
+  val MinHashPoolA: Seq[Long] =
+    MinHashA ++ (17 to 64).map(i => nextPrime(1000L * i + 97))
+  val MinHashPoolB: Seq[Long] =
+    MinHashB ++ (17 to 64).map(i => nextPrime(379L * i + 11))
+
   /** K affine remixes of a pre-hashed shingle array (h32 values) in a
     * single codegen'd pass (see [[graft.functions.MinHashMins]]).
     * Arithmetic identical to array_min(transform(hs, affine)) per k. */
   def minHashSignatureFromHashes(hs: Column): Column =
     ColumnBridge.column(MinHashMins(
       ColumnBridge.expression(hs), MinHashA, MinHashB, Hashing.P32))
+
+  /** [[minHashSignatureFromHashes]] with an explicit signature count
+    * (for tuned banding plans): the first `k` pool constants, so
+    * k = 16 is exactly the default signature. */
+  def minHashSignatureFromHashes(hs: Column, k: Int): Column = {
+    require(k >= 1 && k <= MinHashPoolA.size,
+      s"k must be in [1, ${MinHashPoolA.size}], got $k")
+    ColumnBridge.column(MinHashMins(
+      ColumnBridge.expression(hs), MinHashPoolA.take(k), MinHashPoolB.take(k),
+      Hashing.P32))
+  }
 
   /** MinHash signature array (length K) over the shingle set.
     *
@@ -277,18 +310,20 @@ object TextDedup {
     * generation and exact verify. Single-consumer shapes (bandIndex,
     * streaming frames — which can't cache at all) skip the cache. */
   private def sigged(docs: DataFrame, id: Column, text: Column,
-                     storage: StorageLevel = Caching.Default): DataFrame =
+                     storage: StorageLevel = Caching.Default,
+                     k: Int = Bands * RowsPerBand): DataFrame =
     Caching.persisted(shingled(docs, id, text)
       .withColumn("hs", ColumnBridge.column(H32Array(ColumnBridge.expression(col("sh")))))
-      .withColumn("sig", minHashSignatureFromHashes(col("hs")))
+      .withColumn("sig", minHashSignatureFromHashes(col("hs"), k))
       .drop("hs"), storage)
 
   /** One row per (doc, band): (doc_id, band, bsig). */
-  private def banded(t: DataFrame): DataFrame =
+  private def banded(t: DataFrame, bands: Int = Bands,
+                     rowsPerBand: Int = RowsPerBand): DataFrame =
     t.select(col("doc_id"), explode(
-        transform(sequence(lit(0), lit(Bands - 1)),
+        transform(sequence(lit(0), lit(bands - 1)),
           j => struct(j.as("band"),
-            concat_ws(":", slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand))).as("bsig"))))
+            concat_ws(":", slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand))).as("bsig"))))
         .as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bsig"))
 
@@ -311,9 +346,11 @@ object TextDedup {
     * candidate verify join — no quadratic stage anywhere. */
   def minHashLshPairs(docs: DataFrame, id: Column, text: Column,
                       minJaccard: Double,
-                      storage: StorageLevel = Caching.Default): DataFrame = {
-    val t = sigged(docs, id, text, storage)
-    val b = banded(t)
+                      storage: StorageLevel = Caching.Default,
+                      bands: Int = Bands,
+                      rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val t = sigged(docs, id, text, storage, bands * rowsPerBand)
+    val b = banded(t, bands, rowsPerBand)
     val cand = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,90 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Banding tuner: the S-curve math, the argmin's threshold behavior,
+  * and the loop closed against d16's measured recall — tuned
+  * parameters must beat the assumed (4, 4) default on a corpus built
+  * so the default demonstrably misses. */
+class BandingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("candidateProb: closed forms and monotonicity") {
+    // b=1, r=1: P = s (up to the 1-(1-s) round trip in IEEE)
+    assert(math.abs(Banding.candidateProb(0.3, 1, 1) - 0.3) < 1e-12)
+    // monotone in s for fixed (b, r)
+    val ps = (1 to 9).map(i => Banding.candidateProb(i / 10.0, 4, 4))
+    assert(ps === ps.sorted)
+    // more bands at fixed r can only raise the collision probability
+    assert(Banding.candidateProb(0.3, 16, 1) > Banding.candidateProb(0.3, 4, 1))
+  }
+
+  test("errorAreas: fp shrinks and fn grows as r rises (fixed K)") {
+    val (fpLoose, fnLoose) = Banding.errorAreas(0.3, 16, 1)
+    val (fpTight, fnTight) = Banding.errorAreas(0.3, 1, 16)
+    assert(fpLoose > fpTight, "r=1 collides far below threshold")
+    assert(fnLoose < fnTight, "r=16 misses far above threshold")
+  }
+
+  test("tune: low thresholds pick recall banding, high thresholds precision") {
+    val low = Banding.tune(0.15, maxK = 16)
+    assert(low.rowsPerBand === 1 && low.bands >= 4,
+      s"at t=0.15 the tuner must pick single-row (recall) banding: got $low")
+    val high = Banding.tune(0.9, maxK = 16)
+    assert(high.rowsPerBand >= 8 && high.rowsPerBand > high.bands,
+      s"at t=0.9 the tuner must pick deep-row (precision) banding: got $high")
+    // budget respected across a sweep, and fn-weighting lowers r
+    for (t <- Seq(0.1, 0.3, 0.5, 0.7, 0.9)) {
+      val p = Banding.tune(t, maxK = 16)
+      assert(p.k <= 16 && p.bands >= 1 && p.rowsPerBand >= 1)
+      val recallBiased = Banding.tune(t, maxK = 16, fpWeight = 0.1, fnWeight = 0.9)
+      assert(recallBiased.rowsPerBand <= p.rowsPerBand ||
+        recallBiased.fnArea <= p.fnArea,
+        s"fn-weighting must not trade recall away at t=$t")
+    }
+  }
+
+  test("extended pools: contract prefix intact, values distinct") {
+    assert(TextDedup.MinHashPoolA.take(16) === TextDedup.MinHashA)
+    assert(TextDedup.MinHashPoolB.take(16) === TextDedup.MinHashB)
+    assert(TextDedup.MinHashPoolA.size === 64 &&
+      TextDedup.MinHashPoolB.size === 64)
+    assert(TextDedup.MinHashPoolA.distinct.size === 64)
+    assert(TextDedup.MinHashPoolB.distinct.size === 64)
+  }
+
+  test("d16 closed-loop: tuned banding recall >= the assumed (4,4) on a miss-prone corpus") {
+    // 12 near-dup pairs at trigram-shingle jaccard ~= 0.17: each pair
+    // shares one contiguous 10-token run inside otherwise-unique
+    // 30-token docs (8 shared trigrams / 48 union). At (4,4) the
+    // S-curve gives P(candidate) ~= 0.003 per pair — the default
+    // demonstrably misses; the tuner at the same K=16 budget picks
+    // (16,1) where P ~= 0.95.
+    val docs = (1 to 12).flatMap { p =>
+      val shared = (1 to 10).map(j => s"shared${p}_$j").mkString(" ")
+      val ua = (1 to 20).map(j => s"ua${p}_$j").mkString(" ")
+      val ub = (1 to 20).map(j => s"ub${p}_$j").mkString(" ")
+      Seq((2L * p, s"$ua $shared"), (2L * p + 1, s"$shared $ub"))
+    }.toDF("doc_id", "text")
+    val t = 0.15
+    def recallAt(bands: Int, rows: Int): (Long, Long, Double) = {
+      val r = TextDedup.lshRecallAudit(docs, col("doc_id"), col("text"),
+        minJaccard = t, bands = bands, rowsPerBand = rows).collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(3))
+    }
+    val (nExactDef, nFoundDef, recallDef) =
+      recallAt(TextDedup.Bands, TextDedup.RowsPerBand)
+    assert(nExactDef === 12L, s"every pair is a true near-dup: $nExactDef")
+    val plan = Banding.tune(t, maxK = 16)
+    val (nExactTuned, nFoundTuned, recallTuned) =
+      recallAt(plan.bands, plan.rowsPerBand)
+    assert(nExactTuned === nExactDef, "the exact leg is banding-independent")
+    assert(recallTuned >= recallDef && nFoundTuned >= nFoundDef,
+      s"tuned (${plan.bands},${plan.rowsPerBand}) recall $recallTuned must " +
+        s"beat assumed (4,4) recall $recallDef")
+    assert(recallTuned > 0.5,
+      s"at P~=0.95 per pair the tuned plan must find most pairs: $recallTuned")
+  }
+}
