@@ -25,6 +25,9 @@ import graft.streaming.{CurationStream, Events, FunnelStream, RollupStream}
   *  - `ClusterStream` — O(batch) pair gen → contracted-graph merge →
   *    changed-rows MERGE (state = the two snapshot stores; the
   *    stream side is stateless — r10)
+  *  - `SelectionPipelineStream` — the composed c6 serving chain
+  *    (gate → watermark dedup → band flag → NB route → DSIR
+  *    threshold → MERGE; state = the dedup store rows — r13)
   *
   * Inputs are deterministic functions of the row index (no rand);
   * each size is fed in fixed-size chunks so the engine runs real
@@ -286,6 +289,65 @@ object StreamBench {
           println(s"[streambench] n=$n select ${ops("select")}")
         } finally {
           q.stop(); model.unpersist(): Unit
+        }
+      }
+
+      // --- SelectionPipelineStream: the composed c6 serving chain ---
+      if (wantS("pipeline")) locally {
+        val docs = graft.sources.Tables.load(spark,
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+          "documents")
+        val isTgt = col("source").isin("src0", "src1")
+        // the three frozen artifacts, fit offline on the corpus and
+        // persisted (re-read every micro-batch)
+        val corpusIndex = graft.dedup.TextDedup.bandIndex(
+          ScaleGen.documents(spark, 2000L),
+          col("doc_id"), col("text")).persist()
+        val evalCorpus = docs.filter(col("doc_id") % 25 === 0)
+          .select("doc_id", "text").persist()
+        val nbM = graft.text.NaiveBayes
+          .model(docs, col("text"), col("lang")).persist()
+        val nbPri = graft.text.NaiveBayes.priors(docs, col("lang")).persist()
+        val dsirM = graft.text.Dsir.model(docs.filter(isTgt),
+          docs.filter(!isTgt), col("text")).persist()
+        Seq(corpusIndex, evalCorpus, nbM, nbPri, dsirM).foreach(_.count(): Unit)
+        val cut = graft.text.Dsir.score(docs.filter(!isTgt),
+            col("doc_id"), col("text"), dsirM)
+          .agg(expr("percentile(weight, 0.5)")).collect()(0).getDouble(0)
+        val texts = docs.filter(col("lang") === "en")
+          .select("text").collect().map(_.getString(0))
+        val outDir = tmp("graft-sb-pipe")
+        val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        val in = MemoryStream[(Long, String, Timestamp)]
+        val q = graft.streaming.SelectionPipelineStream.run(
+          in.toDF().toDF("doc_id", "text", "ts"),
+          col("doc_id"), col("text"), corpusIndex, evalCorpus, col("text"),
+          nbM, nbPri, dsirM, outDir, tmp("graft-sb-pipe-ckpt"),
+          keepLabel = "en", minMargin = 0.1, minWeight = cut)
+        try {
+          // every 10th doc repeats the previous text (exact-dup state
+          // work); the rest cycle the corpus with a unique tail so the
+          // scorers see n distinct docs, not texts.length (the
+          // curation-bench shape)
+          val (secs, state) = drive(q, n, (off, m) =>
+            in.addData((off until off + m).map { i =>
+              val k = if (i % 10 == 9) i - 1 else i
+              (i.toLong,
+                s"${texts(k % texts.length)} tail word w${k % 50000} number ${k / 7}",
+                new Timestamp(base + i * 1000L))
+            }): Unit)
+          val snap = graft.sources.SnapshotStore.read(spark, outDir)
+          val routed = snap.map(_.count()).getOrElse(0L)
+          val selected = snap.map(_.filter(col("route") === "select").count())
+            .getOrElse(0L)
+          ops("pipeline") = s"""{"rows":$n,"secs":${f3(secs)},""" +
+            s""""rows_per_sec":${f0(n / secs)},"state_rows":$state,""" +
+            s""""routed":$routed,"selected":$selected}"""
+          println(s"[streambench] n=$n pipeline ${ops("pipeline")}")
+        } finally {
+          q.stop()
+          Seq(corpusIndex, evalCorpus, nbM, nbPri, dsirM)
+            .foreach(_.unpersist(): Unit)
         }
       }
 
