@@ -1667,6 +1667,18 @@ object LlmEntry {
             .cast("long").as("removed_bytes"),
           md5(hex(col("scrubbed"))).as("scrubbed_md5"))),
 
+    "m11_meta_audit" -> ((s, dir) =>
+      // m10's detection twin: per asset, metadata segment count/byte
+      // mass + has_exif/has_gps flags — the GPS flag PARSES the
+      // injected TIFF's IFD0 for tag 0x8825, it does not grep bytes;
+      // the oracle replays the expected numbers from the same
+      // MediaMeta constants
+      Multimodal.auditMetadata(metaInjectedAssets(s, dir))
+        .select(col("asset_id"),
+          Multimodal.sniffType(col("payload")).as("sniffed_type"),
+          col("n_meta_segments"), col("meta_bytes"),
+          col("has_exif"), col("has_gps"))),
+
     "m6_energy_windows" -> ((s, dir) =>
       // audio-curation silence screen over the byte-PCM stub: framed
       // levels + flatness flags, rolled up per asset
@@ -5177,6 +5189,29 @@ object LlmEntry {
          |    AS removed_bytes,
          |  md5(hex(expected)) AS scrubbed_md5
          |FROM p""".stripMargin
+    },
+
+    // m11: the audit numbers replayed from the SAME MediaMeta
+    // constants the entry injects (k=0 jpeg+APP1/EXIF/GPS, k=1
+    // png+tEXt+eXIf/GPS, k=2 jpeg+COM, k=3 raw)
+    "m11_meta_audit" -> {
+      import graft.multimodal.MediaMeta
+      val jpegMeta = MediaMeta.App1ExifGpsHex.length / 2
+      val pngMeta = (MediaMeta.TExtHex.length + MediaMeta.EXIfHex.length) / 2
+      val comMeta = MediaMeta.ComHex.length / 2
+      s"""SELECT doc_id AS asset_id,
+         |  CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+         |    WHEN 2 THEN 'image/jpeg' ELSE 'unknown' END AS sniffed_type,
+         |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
+         |    ELSE 0 END AS BIGINT) AS n_meta_segments,
+         |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN $jpegMeta WHEN 1 THEN $pngMeta WHEN 2 THEN $comMeta
+         |    ELSE 0 END AS BIGINT) AS meta_bytes,
+         |  doc_id % 4 IN (0, 1) AS has_exif,
+         |  doc_id % 4 IN (0, 1) AS has_gps
+         |FROM documents""".stripMargin
     },
 
     "m5_header_parse" ->

@@ -55,6 +55,38 @@ case class MetadataScrub(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The AUDIT twin of [[MetadataScrub]] — the detection report a
+  * privacy review runs BEFORE deciding to scrub (and the verifier it
+  * runs AFTER: audit ∘ scrub must read all-clear): the same defensive
+  * segment/chunk walk, but counting instead of cutting. Output is a
+  * 4-long array `[n_meta_segments, meta_bytes, has_exif, has_gps]` —
+  * GPS detection actually PARSES the embedded TIFF (byte order, IFD0
+  * walk, GPSInfo tag 0x8825), it does not grep for byte patterns.
+  * Map-only, codegen'd; non-container payloads read all-zero. */
+case class MetadataAudit(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${dt.sql}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "graft_metadata_audit"
+
+  override def nullSafeEval(v: Any): Any =
+    MetadataScrub.audit(v.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MetadataScrub.audit($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MetadataAudit =
+    copy(child = newChild)
+}
+
 object MetadataScrub {
 
   /** Static Java-callable kernel: dispatch on the container magic. */
@@ -63,6 +95,106 @@ object MetadataScrub {
     else if (isJpeg(bytes)) scrubJpeg(bytes)
     else if (isPng(bytes)) scrubPng(bytes)
     else bytes
+
+  /** [[MetadataAudit]]'s kernel: `[n_meta_segments, meta_bytes,
+    * has_exif, has_gps]` over the same walk [[scrub]] takes. */
+  def audit(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val r = new Array[Long](4)
+    if (bytes != null) {
+      if (isJpeg(bytes)) auditJpeg(bytes, r)
+      else if (isPng(bytes)) auditPng(bytes, r)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+  }
+
+  /** Does a TIFF blob in `b[off, end)` carry a GPSInfo IFD pointer
+    * (tag 0x8825) in IFD0? Real parse — byte order, magic 42, IFD0
+    * offset, bounded entry walk — defensive at every step. */
+  private def tiffHasGps(b: Array[Byte], off: Int, end: Int): Boolean = {
+    if (end - off < 8) return false
+    val le =
+      if ((b(off) & 0xff) == 0x49 && (b(off + 1) & 0xff) == 0x49) true
+      else if ((b(off) & 0xff) == 0x4D && (b(off + 1) & 0xff) == 0x4D) false
+      else return false
+    def u16(p: Int): Int =
+      if (le) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (le) (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    if (u16(off + 2) != 42) return false
+    val ifd = u32(off + 4)
+    if (ifd < 8 || off + ifd + 2 > end) return false
+    val base = (off + ifd).toInt
+    val n = u16(base)
+    var i = 0
+    while (i < n) {
+      val e = base + 2 + 12 * i
+      if (e + 12 > end) return false // truncated IFD: stop, no claim
+      if (u16(e) == 0x8825) return true
+      i += 1
+    }
+    false
+  }
+
+  private def auditJpeg(b: Array[Byte], r: Array[Long]): Unit = {
+    var p = 2
+    var walking = true
+    while (walking && p + 1 < b.length && (b(p) & 0xff) == 0xFF) {
+      val m = b(p + 1) & 0xff
+      if (m == 0xFF) p += 1
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) p += 2
+      else if (m == 0xDA || m == 0xD9) walking = false
+      else if (p + 4 > b.length) walking = false
+      else {
+        val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if (len < 2 || p + 2 + len > b.length) walking = false
+        else {
+          if (m == 0xE1 || m == 0xFE) {
+            r(0) += 1
+            r(1) += 2L + len
+            // APP1 data starts "Exif\0\0", then the TIFF
+            val d = p + 4
+            if (m == 0xE1 && len >= 8 &&
+              (b(d) & 0xff) == 'E' && (b(d + 1) & 0xff) == 'x' &&
+              (b(d + 2) & 0xff) == 'i' && (b(d + 3) & 0xff) == 'f' &&
+              b(d + 4) == 0 && b(d + 5) == 0) {
+              r(2) = 1L
+              if (tiffHasGps(b, d + 6, p + 2 + len)) r(3) = 1L
+            }
+          }
+          p += 2 + len
+        }
+      }
+    }
+  }
+
+  private def auditPng(b: Array[Byte], r: Array[Long]): Unit = {
+    var p = 8
+    var walking = true
+    while (walking && p + 12 <= b.length) {
+      val len = ((b(p) & 0xff).toLong << 24) | ((b(p + 1) & 0xff) << 16) |
+        ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      val typeOk = isChunkLetter(b(p + 4)) && isChunkLetter(b(p + 5)) &&
+        isChunkLetter(b(p + 6)) && isChunkLetter(b(p + 7))
+      if (!typeOk || p.toLong + 12L + len > b.length) walking = false
+      else {
+        val t = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (t == "tEXt" || t == "zTXt" || t == "iTXt" || t == "eXIf") {
+          r(0) += 1
+          r(1) += 12L + len
+          if (t == "eXIf") {
+            r(2) = 1L
+            if (tiffHasGps(b, p + 8, p + 8 + len.toInt)) r(3) = 1L
+          }
+        }
+        p += (12L + len).toInt
+        if (t == "IEND") walking = false
+      }
+    }
+  }
 
   private def isJpeg(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8

@@ -251,6 +251,24 @@ object Multimodal {
       graft.functions.MetadataScrub(ColumnBridge.expression(col("payload")))))
   }
 
+  /** Metadata AUDIT over binary assets — the detection report a
+    * privacy review reads before (and the verifier after) running
+    * [[scrubMetadata]]: per asset, the count and byte mass of
+    * metadata-bearing segments/chunks plus has_exif / has_gps flags
+    * (the GPS flag PARSES the embedded TIFF's IFD0 for the GPSInfo
+    * tag — [[graft.functions.MetadataAudit]]). Map-only, codegen'd. */
+  def auditMetadata(assets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    assets
+      .withColumn("__a", ColumnBridge.column(graft.functions.MetadataAudit(
+        ColumnBridge.expression(col("payload")))))
+      .withColumn("n_meta_segments", col("__a")(0))
+      .withColumn("meta_bytes", col("__a")(1))
+      .withColumn("has_exif", col("__a")(2) === 1L)
+      .withColumn("has_gps", col("__a")(3) === 1L)
+      .drop("__a")
+  }
+
   /** STUB decode, partition-batched: a real implementation calls the
     * media codec here (per partition, batched — the iterator shape is
     * what matters; swap the checksum for the codec call and nothing

@@ -122,6 +122,59 @@ class MetadataScrubSpec extends SparkSpec {
     assert(sniffed === "image/jpeg")
   }
 
+  // --- the audit twin ------------------------------------------------------
+
+  private def auditOf(b: Array[Byte]): (Long, Long, Long, Long) = {
+    val a = MetadataScrub.audit(b)
+    (a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3))
+  }
+
+  test("audit: counts, byte mass, and a REAL GPS-IFD parse (not a byte grep)") {
+    val body = "opaque body".getBytes("US-ASCII")
+    // JPEG with EXIF+GPS: 1 segment, its full byte mass, both flags
+    assert(auditOf(M.unhex(M.JpegExifDirtyHex) ++ body) ===
+      ((1L, M.App1ExifGpsHex.length / 2L, 1L, 1L)))
+    // JPEG with a COM comment: metadata, but no EXIF and no GPS
+    assert(auditOf(M.unhex(M.JpegComDirtyHex) ++ body) ===
+      ((1L, M.ComHex.length / 2L, 0L, 0L)))
+    // PNG with tEXt + eXIf(GPS): 2 chunks, both flags
+    assert(auditOf(M.unhex(M.PngMetaDirtyHex) ++ body) ===
+      ((2L, (M.TExtHex.length + M.EXIfHex.length) / 2L, 1L, 1L)))
+    // an EXIF whose TIFF has NO GPSInfo tag: has_exif without has_gps —
+    // IFD0's one entry is ImageDescription (0x010E), not 0x8825
+    val tiffNoGps = "49492A0008000000" + "0100" +
+      "0E010200040000001A000000" + "00000000" + "61626300"
+    val app1NoGps = M.jpegSegmentHex(0xE1, M.unhex("457869660000" + tiffNoGps))
+    assert(auditOf(M.unhex(M.SoiHex + app1NoGps + M.App0JfifHex) ++ body) ===
+      ((1L, app1NoGps.length / 2L, 1L, 0L)),
+      "a GPS claim must come from the IFD walk finding tag 0x8825")
+    // big-endian (MM) TIFF with GPS: the parser honors byte order
+    val tiffBeGps = "4D4D002A00000008" + "0001" +
+      "882500040000000100000026" + "00000000"
+    val app1Be = M.jpegSegmentHex(0xE1, M.unhex("457869660000" + tiffBeGps))
+    assert(auditOf(M.unhex(M.SoiHex + app1Be) ++ body)._4 === 1L,
+      "big-endian GPSInfo tag must be found")
+    // non-container payloads audit all-zero
+    assert(auditOf("plain".getBytes("US-ASCII")) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("audit ∘ scrub reads all-clear (the privacy-review verify loop)") {
+    val body = "body bytes".getBytes("US-ASCII")
+    for (dirtyHex <- Seq(M.JpegExifDirtyHex, M.PngMetaDirtyHex, M.JpegComDirtyHex)) {
+      val dirty = M.unhex(dirtyHex) ++ body
+      assert(auditOf(dirty)._1 > 0L, "the dirty fixture must audit dirty")
+      assert(auditOf(MetadataScrub.scrub(dirty)) === ((0L, 0L, 0L, 0L)),
+        s"scrubbed output must audit clean for $dirtyHex")
+    }
+    // and on real codec media with injected GPS EXIF
+    val injected = {
+      val o = imageBytes("jpg", 8, 8)
+      o.take(2) ++ M.unhex(M.App1ExifGpsHex) ++ o.drop(2)
+    }
+    assert(auditOf(injected)._4 === 1L, "real JPEG + injected GPS audits dirty")
+    assert(auditOf(MetadataScrub.scrub(injected))._4 === 0L)
+  }
+
   // --- the Spark-side operator -------------------------------------------
 
   test("scrubMetadata: column-level scrub matches the kernel and m5 still parses") {
