@@ -10,7 +10,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * a Delta Lake implementation is a thin wrapper over delta-spark
   * (unresolvable in this build environment — no network, and the jar
   * is not in the local cache — so the MAPPING is documented here,
-  * method by method, instead of shipped untested).
+  * method by method, instead of shipped untested; last re-checked
+  * 2026-08-15: no io.delta artifacts under the coursier cache,
+  * ~/.ivy2, or /opt/spark/jars).
   *
   * Reference behavior this seam stands in for: the Delta MERGE loop of
   * fabric-claims' bronze notebook

@@ -50,6 +50,12 @@ object ScaleBench {
     // should stay near-linear as growth adds USERS at constant
     // per-user activity (ScaleGen.events' growth model)
     "g17_funnel", "g32_window_funnel", "g18_retention", "g31_event_paths",
+    // r13 crawl-front-door + byte-surgery entries: d20/m10/m11 are
+    // map-only (curves should track the scan), c2's fixed chain after
+    // the r13 join-back removal (2 corpus scans), c3b the composed
+    // 5-stage crawl attrition (per-stage persisted counts)
+    "d20_url_blocklist", "m10_exif_scrub", "m11_meta_audit",
+    "c2_curate_decontam", "c3b_crawl_attrition",
     // the trainable-classifier / data-selection family (r11): each is
     // corpus passes + a broadcast FIXED-size model (vocab-dense or
     // 4096-bucket) — the curves should stay near-linear in corpus
