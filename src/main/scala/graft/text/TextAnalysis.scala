@@ -415,7 +415,8 @@ object TextAnalysis {
     * size) → joins back on the same keys → one decimal-exact per-doc
     * mean. Docs with fewer than 2 tokens have no bigrams and emit no
     * row. */
-  def bigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def bigramSurprisal(df: DataFrame, id: Column, text: Column,
+                      storage: StorageLevel = graft.Caching.Default): DataFrame = {
     val tk = tokens(text)
     val bg = df.select(id.as("doc_id"), tk.as("tk"))
       .filter(size(col("tk")) >= 2)
@@ -424,7 +425,12 @@ object TextAnalysis {
         i => concat_ws(" ",
           element_at(col("tk"), i + 1),
           element_at(col("tk"), i + 2)))).as("bigram"))
-    val tf = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+    // persisted: tf feeds the model branch (c2 -> c1) AND the scoring
+    // join, and column pruning specializes each branch's exchange so
+    // ReuseExchange can't dedupe them — un-persisted, the tokenize +
+    // bigram explode + (doc, bigram) shuffle runs once per branch
+    val tf = graft.Caching.persisted(
+      bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf")), storage)
     val c2 = tf.groupBy("bigram").agg(sum(col("tf")).as("c2"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
@@ -466,11 +472,15 @@ object TextAnalysis {
     * model frames vocabulary-bounded, the corpus total a ONE-ROW
     * broadcast product. Docs with fewer than 2 tokens emit no row. */
   def interpolatedSurprisal(df: DataFrame, id: Column, text: Column,
-                            lambda: Double = 0.7): DataFrame = {
+                            lambda: Double = 0.7,
+                            storage: StorageLevel = graft.Caching.Default): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
     val base = df.select(id.as("doc_id"), tokens(text).as("tk"))
-    val uni = base.select(explode(col("tk")).as("w2"))
-      .groupBy("w2").agg(count(lit(1)).as("ctf"))
+    // persisted: vocabulary-sized, and read by BOTH the total agg and
+    // the scoring join — un-persisted each re-runs the corpus explode
+    val uni = graft.Caching.persisted(
+      base.select(explode(col("tk")).as("w2"))
+        .groupBy("w2").agg(count(lit(1)).as("ctf")), storage)
     val total = uni.agg(sum(col("ctf")).as("n_total"))
     val bg = base.filter(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(transform(
@@ -478,7 +488,11 @@ object TextAnalysis {
         i => concat_ws(" ",
           element_at(col("tk"), i + 1),
           element_at(col("tk"), i + 2)))).as("bigram"))
-    val tf = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+    // persisted for bigramSurprisal's reason: the c2 -> c1 model
+    // branch and the scoring join prune tf differently, so the
+    // (doc, bigram) shuffle would execute once per branch
+    val tf = graft.Caching.persisted(
+      bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf")), storage)
     val c2 = tf.groupBy("bigram").agg(sum(col("tf")).as("c2"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
