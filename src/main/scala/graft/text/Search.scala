@@ -492,9 +492,15 @@ object Search {
     require(k >= 1, s"invalid k=$k")
     require(alpha >= 0.0 && alpha <= 1.0, s"invalid alpha=$alpha")
     def norm(leg: DataFrame, out: String): DataFrame = {
-      val mm = leg.groupBy("query_id")
-        .agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
-      leg.join(mm, "query_id")
+      // per-query min/max attach as a WINDOW over the leg, not a
+      // groupBy + join-back: each leg is an EXPENSIVE retrieval
+      // subtree (brute kNN / full BM25) and a self-join re-executes
+      // it twice (branch pruning defeats ReuseExchange); the leg is
+      // query×k-sized, so the window shuffle is tiny, and min/max are
+      // exact (order-independent) so the oracle is unaffected
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      leg.withColumn("mn", min(col("score")).over(w))
+        .withColumn("mx", max(col("score")).over(w))
         .withColumn(out, when(col("mx") === col("mn"), lit(1.0))
           .otherwise((col("score") - col("mn")) / (col("mx") - col("mn"))))
         .select(col("query_id"), col("doc_id"), col(out))
