@@ -524,8 +524,12 @@ object LlmEntry {
       val pairs = graft.Caching.persisted(
         TextDedup.minHashLshPairs(docs, col("doc_id"), col("text"),
           minJaccard = 0.1), graft.Caching.Default)
-      val assign = Sampling.dedupSplit(docs, col("doc_id"),
-        DupClusters.connectedComponents(pairs))
+      // persisted: the assignment subtree (corpus scan + the iterative
+      // CC join) feeds the split counts AND both sides of the leakage
+      // audit — three branch reads otherwise
+      val assign = graft.Caching.persisted(
+        Sampling.dedupSplit(docs, col("doc_id"),
+          DupClusters.connectedComponents(pairs)), graft.Caching.Default)
       val counts = assign.groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("grp")).as("n_groups"))
