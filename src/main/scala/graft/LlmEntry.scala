@@ -698,6 +698,30 @@ object LlmEntry {
           alpha = 0.5)
         .withColumnRenamed("stratum", "lang")),
 
+    "x21_budget_mix" -> ((s, dir) => {
+      // the epoch recipe solver: per-source token capacities, target
+      // weights = natural share with curated domains (src0/src1)
+      // upweighted 5x (the Pile/LLaMA curated-source boost), budget =
+      // 40% of the corpus's tokens — the boosted sources demand more
+      // than they hold, cap at capacity, and the freed budget
+      // water-fills back over the uncapped rest
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val caps = t(s, dir, "documents")
+        .select(col("source").as("stratum"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("tk"))
+        .groupBy("stratum").agg(sum(col("tk")).as("capacity"))
+      val weighted = caps
+        .withColumn("__boost",
+          when(col("stratum").isin("src0", "src1"), lit(5.0))
+            .otherwise(lit(1.0)))
+        .withColumn("__w0", (col("capacity").cast("double") /
+          sum(col("capacity")).over(wAll).cast("double")) * col("__boost"))
+        .withColumn("w", col("__w0") /
+          sum(col("__w0").cast("decimal(28,12)")).over(wAll).cast("double"))
+      Sampling.budgetMix(weighted, col("stratum"), col("capacity"),
+        col("w"), budgetFrac = 0.4)
+    }),
+
     "x15_dsir_weights" -> ((s, dir) => {
       // DSIR (Xie et al. 2023): per-raw-doc target-likeness as the
       // log-ratio of two hashed-unigram add-one LMs — target = the
@@ -3594,6 +3618,72 @@ object LlmEntry {
     // x12: the only cross-row float sum (Σ√p) rides a 9-dp round +
     // DECIMAL(38,9) in both engines, so summation order can't matter;
     // sqrt and the divisions are IEEE-correctly-rounded in both
+    // x21: the water-filling replay — same ratio order, same
+    // all-capped-prefix level test, same exact-decimal cumulative
+    // sums; DuckDB window sums of BIGINT return HUGEINT, hence the
+    // explicit BIGINT casts; 0.4 rides in as an exact double string
+    "x21_budget_mix" ->
+      s"""WITH caps AS (SELECT source AS stratum,
+         |        CAST(sum(len($ToksSql)) AS BIGINT) AS capacity
+         |      FROM documents GROUP BY 1),
+         |w1 AS (SELECT stratum, capacity,
+         |        CAST(capacity AS DOUBLE) /
+         |          CAST(sum(capacity) OVER () AS DOUBLE) AS p
+         |       FROM caps),
+         |w2 AS (SELECT stratum, capacity,
+         |        p * (CASE WHEN stratum IN ('src0', 'src1')
+         |             THEN CAST(5.0 AS DOUBLE)
+         |             ELSE CAST(1.0 AS DOUBLE) END) AS w0 FROM w1),
+         |w3 AS (SELECT stratum, capacity,
+         |        CAST(w0 / CAST(sum(CAST(w0 AS DECIMAL(28,12))) OVER ()
+         |          AS DOUBLE) AS DECIMAL(18,9)) AS w
+         |       FROM w2),
+         |b0 AS (SELECT *, floor(CAST(capacity AS DOUBLE) / CAST(w AS DOUBLE)
+         |            * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |          / CAST(1000000000 AS DOUBLE) AS ratio,
+         |        least(CAST(floor(CAST(sum(capacity) OVER () AS DOUBLE)
+         |                         * CAST('0.4' AS DOUBLE)) AS BIGINT),
+         |              CAST(sum(capacity) OVER () AS BIGINT)) AS bb,
+         |        sum(w) OVER () AS ww
+         |       FROM w3),
+         |b1 AS (SELECT *,
+         |        CAST(coalesce(sum(capacity) OVER (ORDER BY ratio, stratum
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS cumc,
+         |        coalesce(sum(w)
+         |          OVER (ORDER BY ratio, stratum
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          CAST(0 AS DECIMAL(18,9))) AS cumw
+         |       FROM b0),
+         |b2 AS (SELECT *, floor(CAST(bb - cumc AS DOUBLE) /
+         |            CAST(ww - cumw AS DOUBLE)
+         |            * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |          / CAST(1000000000 AS DOUBLE) AS level
+         |       FROM b1),
+         |b3 AS (SELECT *, ratio <= level AS capped FROM b2),
+         |b4 AS (SELECT *,
+         |        CAST(bb - CAST(sum(CASE WHEN capped THEN capacity
+         |                           ELSE 0 END) OVER () AS BIGINT) AS DOUBLE) /
+         |        CAST(ww - sum(CASE WHEN capped THEN w
+         |                      ELSE CAST(0 AS DECIMAL(18,9)) END) OVER ()
+         |          AS DOUBLE) AS lam
+         |       FROM b3),
+         |b5 AS (SELECT stratum, capacity, w, capped,
+         |        CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+         |             ELSE floor(lam * CAST(w AS DOUBLE)
+         |                    * CAST(1000000 AS DOUBLE)
+         |                    + CAST(0.5 AS DOUBLE))
+         |                  / CAST(1000000 AS DOUBLE) END AS allocation
+         |       FROM b4)
+         |SELECT stratum, capacity,
+         |  CAST(round(w, 6) AS DOUBLE) AS weight,
+         |  capped, allocation,
+         |  floor(allocation / CAST(capacity AS DOUBLE)
+         |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |    / CAST(1000000 AS DOUBLE) AS sample_rate
+         |FROM b5""".stripMargin,
+
+
     "x12_temperature_mix" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
          |t AS (SELECT sum(n_docs) AS tot FROM c),

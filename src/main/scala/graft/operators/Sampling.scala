@@ -273,6 +273,111 @@ object Sampling {
         round(col("__q") / col("__p"), 6).as("boost"))
   }
 
+  /** Token-budget mixture allocation — the epoch "data recipe" solver
+    * (how pretraining mixtures are actually sized: "B tokens this
+    * epoch, mixed ∝ these weights"): allocate `budget` tokens across
+    * sources proportionally to `weight`, capping every source at its
+    * token `capacity` and re-distributing the freed budget over the
+    * uncapped rest — proportional water-filling (max-min fairness
+    * under caps; the allocation every published mixture with an
+    * epoch-cap column, e.g. LLaMA's table 1, implies).
+    *
+    * Closed form, no iteration: sort sources by capacity/weight
+    * ascending. The capped set is always a PREFIX of that order, and
+    * source i caps iff `ratio_i ≤ (B − Σ_{j<i} c_j)/(W − Σ_{j<i} w_j)`
+    * — the water level computed as if the whole earlier prefix were
+    * capped (exact on the true capped prefix; strictly BELOW the true
+    * level past it, so no false cap — the standard prefix argument).
+    * One window pass over the SOURCES-sized frame decides everything;
+    * uncapped sources get `λ_final · w`, the level left after the
+    * capped prefix. Budgets above total capacity saturate (every
+    * source capped).
+    *
+    * Determinism: capacities are exact longs, weights sum as
+    * DECIMAL(38,9); ratio and level round to 9 dp before the ordering
+    * and the ≤ compare; λ_final is one IEEE division and each
+    * allocation one multiply + 6-dp round — engine-identical.
+    *
+    * Output per source: capacity, weight (echo), `capped`,
+    * `allocation` (tokens, 6 dp), `sample_rate` (allocation /
+    * capacity, 6 dp). */
+  /** Half-up quantizer for NON-NEGATIVE doubles via pure IEEE ops —
+    * floor(x·10^dp + 0.5)/10^dp: engine-identical at any magnitude
+    * (a double→decimal cast is not, once ulp approaches the decimal
+    * resolution). */
+  private def qdp(c: Column, dp: Int): Column = {
+    val m = math.pow(10, dp)
+    floor(c * lit(m) + lit(0.5)).cast("double") / lit(m)
+  }
+
+  def budgetMix(perSource: DataFrame, stratum: Column, capacity: Column,
+                weight: Column, budget: Column): DataFrame = {
+    val wAll = Window.partitionBy()
+    val ord = Window.partitionBy()
+      .orderBy(col("ratio"), col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // weights are consumed at 9-dp resolution: ONE early decimal
+    // quantization (exact for |w| ≤ 1-ish values in any engine — the
+    // double's ulp is far below 5e-10 there) breaks the 16-digit
+    // derived-double chain; every later step is exact decimal/long
+    // arithmetic or a single IEEE op on identical operands, so the
+    // whole solve is engine-reproducible at any corpus magnitude
+    val base = perSource.select(stratum.as("stratum"),
+      capacity.cast("long").as("capacity"),
+      weight.cast("double").cast("decimal(18,9)").as("weight"))
+      // ratio/level/allocation grow with corpus size, where a
+      // double→decimal cast's semantics (shortest-repr vs binary)
+      // collide with the double's ulp — so they quantize via
+      // floor(x·10^dp + 0.5)/10^dp: pure IEEE ops on an identical
+      // double give an identical result in any engine at any scale
+      // (values are non-negative, so +0.5/floor IS half-up).
+      // Weights and rates are bounded by 1, where the decimal-cast
+      // recipe is exact — they keep it.
+      .withColumn("ratio",
+        qdp(col("capacity").cast("double") /
+          col("weight").cast("double"), 9))
+      .withColumn("__B",
+        least(budget.cast("long"), sum(col("capacity")).over(wAll)))
+      .withColumn("__W", sum(col("weight")).over(wAll))
+      .withColumn("__cumC", coalesce(sum(col("capacity")).over(ord), lit(0L)))
+      .withColumn("__cumW", coalesce(sum(col("weight")).over(ord),
+        lit(0).cast("decimal(18,9)")))
+      .withColumn("__level", qdp(
+        (col("__B") - col("__cumC")).cast("double") /
+          (col("__W") - col("__cumW")).cast("double"), 9))
+      .withColumn("capped", col("ratio") <= col("__level"))
+    // λ_final over the capped prefix; when everything capped (budget
+    // ≥ capacity) the remaining weight is 0 — no uncapped row reads it
+    val lambda =
+      (col("__B") - sum(when(col("capped"), col("capacity"))
+        .otherwise(lit(0L))).over(wAll)).cast("double") /
+      (col("__W") - sum(when(col("capped"), col("weight"))
+        .otherwise(lit(0).cast("decimal(18,9)"))).over(wAll)).cast("double")
+    base
+      .withColumn("allocation",
+        when(col("capped"), col("capacity").cast("double"))
+          .otherwise(qdp(lambda * col("weight").cast("double"), 6)))
+      .select(col("stratum"), col("capacity"),
+        round(col("weight"), 6).cast("double").as("weight"),
+        col("capped"),
+        col("allocation"),
+        qdp(col("allocation") / col("capacity").cast("double"), 6)
+          .as("sample_rate"))
+  }
+
+  /** [[budgetMix]] with the budget given as a fraction of total
+    * capacity — computed in-plan (`floor(frac · Σcapacity)`), so no
+    * driver-side pre-count is needed. The budget expression references
+    * the core's renamed `capacity` column (evaluated post-projection,
+    * which is the core's documented contract for the budget column). */
+  def budgetMix(perSource: DataFrame, stratum: Column, capacity: Column,
+                weight: Column, budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0, s"budgetFrac must be positive, got $budgetFrac")
+    val total = sum(col("capacity")).over(Window.partitionBy())
+    budgetMix(perSource, stratum, capacity, weight,
+      floor(total.cast("double") * lit(budgetFrac)).cast("long"))
+  }
+
   /** Per-stratum deterministic sampling (data mixing): rows whose
     * `stratum` value appears in `fractions` keep that fraction,
     * everything else keeps `default`. Upsampling beyond 1.0 is out of
