@@ -1293,6 +1293,28 @@ object LlmEntry {
       TextAnalysis.bpeEncode(t(s, dir, "documents"), col("doc_id"),
         col("text"), rounds = 3)),
 
+    "t32_bpe_fertility" -> ((s, dir) => {
+      // tokenizer-health audit: chars per trained-BPE token by source
+      // — the fertility metric a mixture owner reads before trusting
+      // token budgets across feeds (a source at 2x the chars/token of
+      // the rest is under-served by the tokenizer and its token-based
+      // budget under-counts its text). t15c's encode composed with a
+      // source rollup; the ratio quantizes via the x21 floor recipe.
+      val d = t(s, dir, "documents")
+      val enc = TextAnalysis.bpeEncode(d, col("doc_id"), col("text"),
+        rounds = 3)
+      d.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("nc"))
+        .join(enc.select("doc_id", "n_bpe_tokens"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("n_chars"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          (floor((sum(col("nc")).cast("double") /
+            sum(col("n_bpe_tokens")).cast("double")) * lit(1e6) + lit(0.5))
+            .cast("double") / lit(1e6)).as("chars_per_token"))
+    }),
+
     "t7b_bpe_pack" -> ((s, dir) =>
       // t7's shard packing driven by the REAL tokenizer budget t15c
       // produces (bins fill on trained-BPE token counts, not the
@@ -2612,6 +2634,29 @@ object LlmEntry {
            |SELECT bucket, bin, count(*) AS n_docs,
            |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
            |FROM p GROUP BY 1, 2""".stripMargin) +
+      // t32: t15c's encode + a per-source rollup; ratio via the x21
+      // floor quantizer (pure IEEE, engine-identical)
+      ("t32_bpe_fertility" ->
+        s"""WITH m AS (SELECT * FROM (${baseOracleSql("t15b_bpe_rounds")}) mm),
+           |w AS (SELECT doc_id, word FROM (
+           |        SELECT doc_id, unnest(tk) AS word
+           |        FROM (SELECT doc_id, $ToksSql AS tk FROM documents)) uw
+           |      WHERE NOT contains(word, '[') AND NOT contains(word, ']')),
+           |${bpeWxCtes("doc_id")},
+           |agg AS (SELECT doc_id,
+           |    CAST(sum(length(wr) - length(replace(wr, '[', ''))) AS BIGINT)
+           |      AS n_bpe FROM wx3 GROUP BY 1),
+           |c AS (SELECT d.doc_id, d.source,
+           |        CAST(strlen(d.text) AS BIGINT) AS nc,
+           |        CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_bpe
+           |      FROM documents d LEFT JOIN agg USING (doc_id))
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(nc) AS BIGINT) AS n_chars,
+           |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           |  floor(CAST(sum(nc) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
+           |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           |    / CAST(1000000 AS DOUBLE) AS chars_per_token
+           |FROM c GROUP BY 1""".stripMargin) +
       // t9b: per-WORD BPE costs (same replay, position carried through)
       // chunked by running-total division — TextAnalysis.bpeChunkStats
       ("t9b_bpe_chunks" ->

@@ -171,6 +171,24 @@ class EntryPlanSpec extends SparkSpec {
     }
   }
 
+  test("map-only entries plan ZERO keyed shuffles (the stage-0 gate posture)") {
+    // d20 (inline blocklist path), m10 (byte-surgery scrub), m11
+    // (metadata audit): a crawl's first gates must run at scan speed —
+    // a hash or range partitioning in these plans means a keyed
+    // shuffle snuck into what the SURVEY sells as map-only
+    // (Tables.load's round-robin spread of the tiny test files is not
+    // a keyed shuffle and is exempt)
+    for (name <- Seq("d20_url_blocklist", "m10_exif_scrub", "m11_meta_audit")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString.toLowerCase
+      assert(!plan.contains("hashpartitioning") &&
+        !plan.contains("rangepartitioning"),
+        s"$name must be map-only, but its plan has a keyed shuffle")
+      assert(!plan.contains("sortaggregate") && !plan.contains("hashaggregate"),
+        s"$name must be map-only, but its plan aggregates")
+    }
+  }
+
   test("winner-per-key queries partial-aggregate before their exchange") {
     // the scale contract's map-side-combine posture: these queries'
     // plans must show partial aggregation (a reducer-only aggregation
