@@ -56,6 +56,10 @@ object ScaleBench {
     // 5-stage crawl attrition (per-stage persisted counts)
     "d20_url_blocklist", "m10_exif_scrub", "m11_meta_audit",
     "c2_curate_decontam", "c3b_crawl_attrition",
+    // r13 second wave: x21 is a sources-sized solve after one corpus
+    // token-count pass (should ride the scan); t32 pays the 3-round
+    // BPE train's per-round collects plus the map-only encode
+    "x21_budget_mix", "t32_bpe_fertility",
     // the trainable-classifier / data-selection family (r11): each is
     // corpus passes + a broadcast FIXED-size model (vocab-dense or
     // 4096-bucket) — the curves should stay near-linear in corpus
