@@ -82,23 +82,60 @@ object Urls {
     * @param patternRules (rule_name, regex) pairs matched against the
     *                     CANONICAL url; every matching rule is
     *                     reported (b3's all-reasons discipline) */
+  /** The bounded per-label suffix set of a host column. */
+  private def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels)), "."))
+  }
+
+  /** The inline-path blocked-domain expression: lexicographically
+    * smallest blocklist entry matching the host's suffix set (null =
+    * clean). Pure codegen — the list compiles into the plan. */
+  private def inlineBlockedDomain(host: Column,
+                                  blockedDomains: Seq[String]): Column =
+    if (blockedDomains.isEmpty) lit(null).cast("string")
+    else array_min(array_intersect(hostSuffixes(host),
+      lit(blockedDomains.toArray)))
+
+  /** The gate's reason string from a domain verdict + the canonical
+    * URL — shared by every gate form so they cannot drift. */
+  private def reasonExpr(blockedDomain: Column, canon: Column,
+                         patternRules: Seq[(String, String)]): Column =
+    concat_ws(";",
+      when(blockedDomain.isNotNull,
+        concat(lit("blocked_domain:"), blockedDomain)) +:
+        patternRules.map { case (name, pat) =>
+          when(canon.rlike(pat), lit(s"url_pattern:$name"))
+        }: _*)
+
+  /** [[blocklistGate]]'s verdict as ONE map-only boolean COLUMN over a
+    * raw URL — the STREAMING-SAFE form (a streaming frame cannot take
+    * the big-list join path, and a stage-0 firehose gate must not
+    * shuffle): canonicalize, suffix-match the compiled-in blocklist,
+    * apply the pattern rules. Use it as a `filter` ahead of any text
+    * work — the RefinedWeb order; UT1-scale lists belong in the batch
+    * pre-gate, not a per-event stream. */
+  def isAllowed(url: Column, blockedDomains: Seq[String],
+                patternRules: Seq[(String, String)] = Nil): Column = {
+    val canon = canonicalUrl(url)
+    val host = regexp_extract(canon, "^[^/?]*", 0)
+    length(reasonExpr(inlineBlockedDomain(host, blockedDomains), canon,
+      patternRules)) === 0
+  }
+
   def blocklistGate(df: DataFrame, id: Column, url: Column,
                     blockedDomains: Seq[String],
                     patternRules: Seq[(String, String)] = Nil,
                     inlineThreshold: Int = 1024): DataFrame = {
     val canon = df.select(id.as("doc_id"), canonicalUrl(url).as("canon_url"))
       .withColumn("host", regexp_extract(col("canon_url"), "^[^/?]*", 0))
-    val labels = split(col("host"), "\\.")
-    val suffixes = transform(sequence(lit(0), size(labels) - 1),
-      i => array_join(slice(labels, i + 1, size(labels)), "."))
+    val suffixes = hostSuffixes(col("host"))
     val withDom: DataFrame =
-      if (blockedDomains.isEmpty)
-        canon.withColumn("blocked_domain", lit(null).cast("string"))
-      else if (blockedDomains.size <= inlineThreshold)
-        // literal-array path: array_min of the (bounded) suffix ∩ list
-        // intersection — null when nothing matches; pure codegen
+      if (blockedDomains.size <= inlineThreshold)
+        // literal-array path: pure codegen, the streaming-safe form
         canon.withColumn("blocked_domain",
-          array_min(array_intersect(suffixes, lit(blockedDomains.toArray))))
+          inlineBlockedDomain(col("host"), blockedDomains))
       else {
         val spark = df.sparkSession
         import spark.implicits._
@@ -109,14 +146,9 @@ object Urls {
           .agg(min(col("blocked_domain")).as("blocked_domain"))
         canon.join(hits, Seq("doc_id"), "left")
       }
-    val reasons =
-      when(col("blocked_domain").isNotNull,
-        concat(lit("blocked_domain:"), col("blocked_domain"))) +:
-        patternRules.map { case (name, pat) =>
-          when(col("canon_url").rlike(pat), lit(s"url_pattern:$name"))
-        }
     withDom
-      .withColumn("reason", concat_ws(";", reasons: _*))
+      .withColumn("reason",
+        reasonExpr(col("blocked_domain"), col("canon_url"), patternRules))
       .withColumn("allowed", length(col("reason")) === 0)
   }
 }

@@ -224,6 +224,25 @@ class FourthPassSpec extends SparkSpec {
     assert(multi === "a.b.com", "lexicographically smallest matching domain")
   }
 
+  test("isAllowed (the streaming-safe gate column) equals blocklistGate's verdict") {
+    val df = Seq(
+      (1L, "https://ads.example.com/x"),
+      (2L, "https://cdn.ads.example.com/x"),
+      (3L, "https://example.com/x"),
+      (4L, "https://ok.org/catalog?session=9"),
+      (5L, "https://WWW.Ads.Example.COM:443/y"),
+      (6L, "https://fine.net/a?page=2")).toDF("id", "url")
+    val doms = Seq("ads.example.com")
+    val rules = Seq(("session_param", "[?&]session="))
+    val frame = Urls.blocklistGate(df, col("id"), col("url"), doms, rules)
+      .select("doc_id", "allowed").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expr = df.select(col("id"),
+        Urls.isAllowed(col("url"), doms, rules).as("ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(expr === frame, "the column form and the frame form must agree")
+  }
+
   test("energyWindows: flat frames silent, varied frames not") {
     // asset 1: 256 constant bytes -> 4 frames (stride 4 -> offsets 0; 256
     // bytes = offsets 0..192 by 256 hop -> 1 frame), all flat

@@ -129,6 +129,34 @@ class SelectionPipelineStreamSpec extends SparkSpec {
     snap.unpersist(): Unit
   }
 
+  test("stage 0 on the firehose: a blocked URL never reaches the pipeline") {
+    // the full crawl serving shape: Urls.isAllowed filters the stream
+    // BEFORE the quality gate — map-only, streaming-safe (no join path)
+    implicit val sqlCtx = spark.sqlContext
+    val corpusIndex = graft.dedup.TextDedup.bandIndex(
+      Seq((9001L, doc(1L, "alpha"))).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-selp3-snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-selp3-ckpt").toString
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    in.addData(
+      (1L, "https://ok.net/a", doc(1L, "alpha"), new Timestamp(base)),
+      (2L, "https://spamfarm.biz/a", doc(2L, "alpha"),
+        new Timestamp(base + 1000L)))
+    val gated = in.toDF().toDF("doc_id", "url", "text", "ts")
+      .filter(graft.text.Urls.isAllowed(col("url"), Seq("spamfarm.biz")))
+    val q = SelectionPipelineStream.run(gated,
+      col("doc_id"), col("text"), corpusIndex, eval, col("text"),
+      nbM, nbPri, dsirM, dir, ckpt,
+      keepLabel = "en", minMargin = 0.0, minWeight = 0.0)
+    try q.processAllAvailable() finally q.stop()
+    val ids = graft.sources.SnapshotStore.read(spark, dir).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L),
+      s"the blocked-domain doc must die at stage 0, before any text work: $ids")
+  }
+
   test("checkpoint restart: the MERGE sink replays idempotently") {
     implicit val sqlCtx = spark.sqlContext
     val corpusIndex = graft.dedup.TextDedup.bandIndex(
