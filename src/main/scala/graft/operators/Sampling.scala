@@ -337,7 +337,10 @@ object Sampling {
         qdp(col("capacity").cast("double") /
           col("weight").cast("double"), 9))
       .withColumn("__B",
-        least(budget.cast("long"), sum(col("capacity")).over(wAll)))
+        // clamp to [0, Σcapacity]: a negative budget must allocate
+        // nothing, not negative tokens
+        greatest(least(budget.cast("long"),
+          sum(col("capacity")).over(wAll)), lit(0L)))
       .withColumn("__W", sum(col("weight")).over(wAll))
       .withColumn("__cumC", coalesce(sum(col("capacity")).over(ord), lit(0L)))
       .withColumn("__cumW", coalesce(sum(col("weight")).over(ord),

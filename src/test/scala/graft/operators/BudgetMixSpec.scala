@@ -38,6 +38,14 @@ class BudgetMixSpec extends SparkSpec {
       (if (capped(r._1)) r._2.toDouble else remB / remW * r._3)).toMap
   }
 
+  test("a zero or negative budget allocates nothing") {
+    for (b <- Seq(0L, -5L)) {
+      val got = solve(Seq(("a", 100L, 0.5), ("b", 50L, 0.5)), b)
+      assert(got.values.forall(v => !v._1 && v._2 === 0.0),
+        s"budget $b must allocate zero everywhere: $got")
+    }
+  }
+
   test("no caps: pure proportional split; saturation: everything capped") {
     val even = solve(Seq(("a", 100L, 0.5), ("b", 100L, 0.5)), 100L)
     assert(even("a") === ((false, 50.0, 0.5)) && even("b") === ((false, 50.0, 0.5)))
