@@ -2434,7 +2434,7 @@ object LlmEntry {
        |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
        |  FROM q, cb),
        |adc AS (SELECT query_id, neighbor_id,
-       |    round(CAST(sum(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc
+       |    CAST(round(sum(CAST(qdot AS DECIMAL(28,12))), 6) AS DOUBLE) AS adc
        |  FROM pr JOIN asg USING (cent_id)
        |       JOIN enc USING (neighbor_id)
        |       JOIN qtab USING (query_id, j, code)$candExtra
@@ -2500,7 +2500,7 @@ object LlmEntry {
        |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
        |  FROM q, cb),
        |adc AS (SELECT query_id, neighbor_id,
-       |    round(CAST(sum(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc
+       |    CAST(round(sum(CAST(qdot AS DECIMAL(28,12))), 6) AS DOUBLE) AS adc
        |  FROM pr JOIN asg USING (cent_id)
        |       JOIN enc USING (neighbor_id)
        |       JOIN qtab USING (query_id, j, code)
@@ -4121,7 +4121,7 @@ object LlmEntry {
          |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
          |  FROM q, cb),
          |adc AS (SELECT query_id, neighbor_id,
-         |    round(CAST(sum(CAST(qdot AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc
+         |    CAST(round(sum(CAST(qdot AS DECIMAL(28,12))), 6) AS DOUBLE) AS adc
          |  FROM pr JOIN asg USING (cent_id)
          |       JOIN enc USING (neighbor_id)
          |       JOIN qtab USING (query_id, j, code)

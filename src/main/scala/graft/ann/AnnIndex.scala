@@ -476,7 +476,7 @@ object AnnIndex {
       .join(spark.table(s"${name}_codes_v$v"), "neighbor_id")
       .join(qtab, Seq("query_id", "j", "code"))
       .groupBy("query_id", "neighbor_id")
-      .agg(round(sum(col("qdot").cast("decimal(28,12)")).cast("double"), 6)
+      .agg(round(sum(col("qdot").cast("decimal(28,12)")), 6).cast("double")
         .as("adc"))
     val short = adc.groupBy("query_id")
       .agg(Knn.topKAgg(col("adc"), col("neighbor_id"), shortlist).as("top"))

@@ -189,7 +189,7 @@ object Pq {
       .join(codes, "neighbor_id")
       .join(qtab, Seq("query_id", "j", "code"))
       .groupBy("query_id", "neighbor_id")
-      .agg(round(sum(col("qdot").cast("decimal(28,12)")).cast("double"), 6)
+      .agg(round(sum(col("qdot").cast("decimal(28,12)")), 6).cast("double")
         .as("adc"))
 
     // bounded-heap shortlist, then exact cosine re-rank of survivors
