@@ -357,6 +357,17 @@ object LlmEntry {
       TextDedup.lshRecallAudit(t(s, dir, "documents"),
         col("doc_id"), col("text"), minJaccard = 0.1)),
 
+    "d16b_tuned_recall" -> ((s, dir) => {
+      // d16 at Banding.tune's DERIVED parameters instead of the
+      // assumed (4,4) — the tuner's operating point published as an
+      // oracled audit row (same K=16 signature budget; at t=0.1 the
+      // tuner picks single-row recall banding)
+      val plan = graft.dedup.Banding.tune(0.1, maxK = 16)
+      TextDedup.lshRecallAudit(t(s, dir, "documents"),
+        col("doc_id"), col("text"), minJaccard = 0.1,
+        bands = plan.bands, rowsPerBand = plan.rowsPerBand)
+    }),
+
     "d15_dup_stats" -> ((s, dir) =>
       // the duplication profile read before choosing drop vs
       // downweight: cluster-size histogram over d7's components
@@ -2324,6 +2335,34 @@ object LlmEntry {
 
   private lazy val MinhashCtes: String = "WITH " + minhashCtes("documents")
 
+  /** [[minhashCtes]] at an explicit banding plan — signatures from the
+    * first bands·rows pool constants (the tuned-path contract:
+    * pool.take(16) IS the default constants, so (4, 4) reproduces
+    * [[minhashCtes]] exactly). */
+  private def minhashCtesAt(src: String, bands: Int, rows: Int,
+                            candPred: String = "a.doc_id < b.doc_id"): String = {
+    val k = bands * rows
+    val sigSql = graft.dedup.TextDedup.MinHashPoolA.take(k)
+      .zip(graft.dedup.TextDedup.MinHashPoolB.take(k)).map { case (a, b) =>
+        s"list_min(list_transform(sh, s -> ($a*${h32Sql("s")}+$b)%${graft.functions.Hashing.P32}))"
+      }.mkString("[", ",\n     ", "]")
+    s"""toks AS (
+       |  SELECT doc_id, $ShSql AS sh
+       |  FROM (SELECT doc_id, $ToksSql AS tk FROM $src)
+       |  WHERE len(tk) >= 3),
+       |sigs AS (SELECT doc_id, sh, $sigSql AS sig FROM toks),
+       |bands AS (SELECT doc_id, j AS band,
+       |                 array_to_string(sig[$rows*j+1:$rows*j+$rows], ':') AS bsig
+       |          FROM sigs, range(0, $bands) r(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |                           AND $candPred),
+       |ver AS (SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) /
+       |    (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jaccard
+       |  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)""".stripMargin
+  }
+
   private val LangScoreSql: Seq[(String, String)] =
     TextAnalysis.LangProfiles.map { case (lang, words) =>
       lang -> s"len(list_filter(tk, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -3241,6 +3280,33 @@ object LlmEntry {
          |  CAST(count(*) - sum(hit) AS BIGINT) AS n_missed,
          |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
          |FROM j""".stripMargin,
+
+    // d16b: d16's audit with the banding CTEs generated at the SAME
+    // tuned plan the entry derives (Banding.tune is pure driver-side
+    // arithmetic — both sides call it)
+    "d16b_tuned_recall" -> {
+      val plan = graft.dedup.Banding.tune(0.1, maxK = 16)
+      s"""WITH ${minhashCtesAt("documents", plan.bands, plan.rowsPerBand)},
+         |found AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.1),
+         |ex2 AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+         |ep AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |       FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |exact AS (SELECT doc_a, doc_b
+         |  FROM ep JOIN toks ta ON ta.doc_id = doc_a
+         |          JOIN toks tb ON tb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE) /
+         |        (len(ta.sh) + len(tb.sh) - inter) >= 0.1),
+         |j AS (SELECT e.doc_a, e.doc_b,
+         |        CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM exact e LEFT JOIN found f
+         |        ON f.doc_a = e.doc_a AND f.doc_b = e.doc_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_found,
+         |  CAST(count(*) - sum(hit) AS BIGINT) AS n_missed,
+         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM j""".stripMargin
+    },
 
     // d15: d7's components → per-cluster sizes → size histogram
     "d15_dup_stats" ->
