@@ -89,6 +89,39 @@ object SelectionPipelineStream {
           .otherwise(lit("select")))
   }
 
+  /** The FULL crawl serving shape — [[run]] with the two pre-text
+    * stages a crawl executes first (c3b's batch order, served):
+    * d20's URL/domain gate as a compiled-in map-only filter
+    * ([[graft.text.Urls.isAllowed]] — a blocked page dies before any
+    * text work) and t19's boilerplate extraction as a map-only column
+    * ([[graft.text.Html.extractedText]] — pages whose extraction is
+    * empty carry no trainable text and drop). Both stages are
+    * stateless scan-speed columns, so the composed query's state
+    * posture is unchanged: the watermark dedup remains the only
+    * stateful operator. `stream` must carry (`id`, `url`, `html`,
+    * `ts`). */
+  def runCrawl(stream: DataFrame, id: Column, url: Column, html: Column,
+               blockedDomains: Seq[String],
+               patternRules: Seq[(String, String)],
+               corpusIndex: DataFrame, evalCorpus: DataFrame, evalText: Column,
+               nbModel: DataFrame, nbPriors: DataFrame, dsirModel: DataFrame,
+               targetDir: String, checkpointDir: String,
+               keepLabel: String, minMargin: Double, minWeight: Double,
+               minQuality: Double = 0.5, lang: Option[String] = Some("en"),
+               watermark: String = "1 hour", ts: Column = col("ts"),
+               n: Int = 5, buckets: Int = Dsir.DefaultBuckets,
+               ngrams: Int = 1): StreamingQuery = {
+    val extracted = stream
+      .filter(graft.text.Urls.isAllowed(url, blockedDomains, patternRules))
+      .select(id.as("doc_id"),
+        graft.text.Html.extractedText(html).as("text"), ts.as("ts"))
+      .filter(length(col("text")) > 0)
+    run(extracted, col("doc_id"), col("text"), corpusIndex, evalCorpus,
+      evalText, nbModel, nbPriors, dsirModel, targetDir, checkpointDir,
+      keepLabel, minMargin, minWeight, minQuality, lang, watermark,
+      col("ts"), n, buckets, ngrams)
+  }
+
   /** Start the composed stream: `stream` must carry (`id`, `text`,
     * `ts`); routed rows MERGE into `targetDir` keyed on doc_id. */
   def run(stream: DataFrame, id: Column, text: Column,

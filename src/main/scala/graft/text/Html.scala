@@ -74,18 +74,33 @@ object Html {
     * `minChars` visible chars AND link density <= 1/3 (integer
     * arithmetic — `3·linkChars <= visChars` — so no float compare),
     * join survivors in document order. */
-  def extract(df: DataFrame, id: Column, html: Column,
-              minChars: Int = 30): DataFrame = {
+  /** The surviving content blocks (visible text + link text structs)
+    * after the length and link-density gates — the shared core of
+    * [[extract]] and [[extractedText]], factored so the frame and
+    * column forms cannot drift. */
+  private def keptBlocks(html: Column, minChars: Int): Column = {
     require(minChars > 0, s"minChars must be positive, got $minChars")
-    val bs = blocks(html)
-    val scored = transform(bs, b =>
+    val scored = transform(blocks(html), b =>
       struct(visibleText(b).as("v"), linkText(b).as("l")))
-    val kept = filter(scored, s =>
+    filter(scored, s =>
       length(s.getField("v")) >= minChars &&
         length(s.getField("l")) * 3 <= length(s.getField("v")))
+  }
+
+  /** The boilerplate-stripped extraction as ONE map-only COLUMN — the
+    * streaming-safe form (a firehose stage wants the text without
+    * reshaping the frame; see
+    * [[graft.streaming.SelectionPipelineStream.runCrawl]]). */
+  def extractedText(html: Column, minChars: Int = 30): Column =
+    array_join(transform(keptBlocks(html, minChars),
+      s => s.getField("v")), " ")
+
+  def extract(df: DataFrame, id: Column, html: Column,
+              minChars: Int = 30): DataFrame = {
+    val kept = keptBlocks(html, minChars)
     df.select(id.as("doc_id"),
       array_join(transform(kept, s => s.getField("v")), " ").as("extracted"),
-      size(bs).cast("long").as("n_blocks"),
+      size(blocks(html)).cast("long").as("n_blocks"),
       size(kept).cast("long").as("n_kept"))
   }
 }

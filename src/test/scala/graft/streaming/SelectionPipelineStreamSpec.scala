@@ -157,6 +157,56 @@ class SelectionPipelineStreamSpec extends SparkSpec {
       s"the blocked-domain doc must die at stage 0, before any text work: $ids")
   }
 
+  test("runCrawl: URL gate + extraction feed the pipeline; routes match the text form") {
+    implicit val sqlCtx = spark.sqlContext
+    // wrap each fixture doc in a page whose ONLY content block is the
+    // doc text (nav/footer are boilerplate the extractor must strip),
+    // so extraction recovers the text verbatim and routing must equal
+    // the plain-text stream's
+    def page(text: String): String =
+      "<html><body><div>nav <a href=\"/\">Home</a> <a href=\"/a\">A</a></div>" +
+        s"<p>$text</p>" +
+        "<div>footer <a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></div></body></html>"
+    val corpusIndex = graft.dedup.TextDedup.bandIndex(
+      Seq((9001L, doc(1L, "alpha"))).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dir = java.nio.file.Files.createTempDirectory("graft-selp4-snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-selp4-ckpt").toString
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    in.addData(
+      (1L, "https://ok.net/a", page(doc(1L, "alpha")), new Timestamp(base)),
+      (11L, "https://ok.net/b", page(doc(11L, "gamma")), new Timestamp(base + 1000L)),
+      (21L, "https://spamfarm.biz/x", page(doc(2L, "alpha")), new Timestamp(base + 2000L)),
+      // boilerplate-only page: extraction is empty -> never routed
+      (31L, "https://ok.net/c",
+        "<html><body><div><a href=\"/\">Home</a> linkfarm <a href=\"/b\">B</a></div></body></html>",
+        new Timestamp(base + 3000L)))
+    val q = SelectionPipelineStream.runCrawl(
+      in.toDF().toDF("doc_id", "url", "html", "ts"),
+      col("doc_id"), col("url"), col("html"), Seq("spamfarm.biz"), Nil,
+      corpusIndex, eval, col("text"), nbM, nbPri, dsirM, dir, ckpt,
+      keepLabel = "en", minMargin = 0.0, minWeight = 0.0)
+    try q.processAllAvailable() finally q.stop()
+    val snap = graft.sources.SnapshotStore.read(spark, dir).get.collect()
+    val routes = snap.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("route")).toMap
+    assert(routes.keySet === Set(1L, 11L),
+      s"blocked URL (21) and empty extraction (31) must never route: $routes")
+    // extraction recovered the text verbatim -> same routing/scores as
+    // the plain-text batch replay
+    val direct = SelectionPipelineStream.routeBatch(
+      Seq((1L, doc(1L, "alpha")), (11L, doc(11L, "gamma"))).toDF("doc_id", "text"),
+      corpusIndex, eval, col("text"), nbM, nbPri, dsirM,
+      keepLabel = "en", minMargin = 0.0, minWeight = 0.0)
+      .select("doc_id", "route", "weight").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Double]("weight"))).toSet
+    val streamed = snap.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("route"), r.getAs[Double]("weight"))).toSet
+    assert(streamed === direct,
+      s"crawl form must equal the text form: $streamed vs $direct")
+  }
+
   test("checkpoint restart: the MERGE sink replays idempotently") {
     implicit val sqlCtx = spark.sqlContext
     val corpusIndex = graft.dedup.TextDedup.bandIndex(
