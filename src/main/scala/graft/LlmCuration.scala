@@ -119,7 +119,14 @@ object LlmCuration {
     * probe then sees the smallest surviving corpus, and because eval
     * membership must win over every retention decision: if the eval
     * docs themselves ride in `docs` (the usual setup), they self-hit
-    * and drop here regardless of how curation ranked them. */
+    * and drop here regardless of how curation ranked them.
+    *
+    * Lifecycle: the returned frame is lazy, so the persisted stage
+    * boundaries (uniq/surv) cannot be unpersisted here — the CALLER
+    * owns their lifecycle (the [[graft.Caching]] contract): pass
+    * `StorageLevel.NONE` to opt out in a long-lived session, or
+    * unpersist after the terminal action (the [[attritionReport]]
+    * family, which owns its actions, does exactly that). */
   def runDecontaminated(docs: DataFrame, eval: DataFrame,
                         id: Column, text: Column,
                         minQuality: Double = 0.5,
@@ -187,7 +194,8 @@ object LlmCuration {
     * model/priors and the DSIR bucket model are fixed-size broadcast
     * frames, the k-row selection broadcasts back, and each stage
     * boundary persists under `storage` so no stage's subtree
-    * re-executes across the chain's branches.
+    * re-executes across the chain's branches (caller-owned lifecycle —
+    * [[runDecontaminated]]'s note).
     *
     * @param labeled   labeled training docs for the model gate
     * @param target    target-domain docs for the DSIR weights

@@ -1979,6 +1979,7 @@ object LlmEntry {
       |      FROM cu),
       |r AS (SELECT doc_id, canon_url, host, blocked_domain,
       |    concat_ws(';',
+      |      CASE WHEN canon_url IS NULL THEN 'no_url' END,
       |      CASE WHEN blocked_domain IS NOT NULL
       |           THEN 'blocked_domain:' || blocked_domain END,
       |      $patCases) AS reason

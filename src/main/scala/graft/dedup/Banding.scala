@@ -65,11 +65,21 @@ object Banding {
     * argmin (ties break toward fewer signatures, then more bands —
     * deterministic). `maxK` is the signature budget: the only cost a
     * bigger K adds is K affine remixes per doc, so budget ≈ how much
-    * map-side work the signature pass may spend. */
+    * map-side work the signature pass may spend.
+    *
+    * `maxK` is capped at [[graft.dedup.TextDedup.MinHashPoolA]]'s size
+    * (64): the extended MinHash pools the signature pass draws from
+    * stop there, so a plan tuned past the pool would only fail later —
+    * far from the misconfiguration — at pair-generation time. Failing
+    * fast here keeps the error at the tune call. */
   def tune(threshold: Double, maxK: Int,
            fpWeight: Double = 0.5, fnWeight: Double = 0.5,
            points: Int = 1000): Plan = {
     require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    require(maxK <= graft.dedup.TextDedup.MinHashPoolA.size,
+      s"maxK must be <= ${graft.dedup.TextDedup.MinHashPoolA.size} " +
+        s"(the MinHash pool size — a larger plan cannot be executed " +
+        s"by minHashLshPairs), got $maxK")
     require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
       "weights must be non-negative and not both zero")
     val plans = for {

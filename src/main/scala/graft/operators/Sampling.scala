@@ -298,6 +298,13 @@ object Sampling {
     * and the ≤ compare; λ_final is one IEEE division and each
     * allocation one multiply + 6-dp round — engine-identical.
     *
+    * Weight contract: weights must be non-negative and non-null
+    * (enforced in-plan — a violating row raises at execution, no
+    * driver collect). Weight 0 means "allocate nothing": the source is
+    * excluded from the solve and reports capped = false,
+    * allocation = 0 (it is NOT handed its capacity when the budget
+    * exceeds the positive-weight capacity).
+    *
     * Output per source: capacity, weight (echo), `capped`,
     * `allocation` (tokens, 6 dp), `sample_rate` (allocation /
     * capacity, 6 dp). */
@@ -316,6 +323,21 @@ object Sampling {
     val ord = Window.partitionBy()
       .orderBy(col("ratio"), col("stratum"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // weight contract, enforced IN-PLAN (distributed fail-fast — no
+    // driver-side collect): null or negative weights raise; weight 0
+    // (including positives that quantize to 0 at the 9-dp resolution)
+    // means "allocate nothing" — the row is excluded from the solve
+    // (it contributes 0 to the weight mass, sorts to the suffix with
+    // ratio = +Inf/NaN, and is forced uncapped with allocation 0), it
+    // is never handed its capacity. Without the exclusion a
+    // zero-weight row's +Inf ratio could satisfy Inf <= Inf when the
+    // budget exceeds the positive-weight capacity and be "capped" at
+    // its FULL capacity — the opposite of what weight 0 means.
+    val wIn = weight.cast("double")
+    val wChecked = when(wIn.isNull || wIn < 0, raise_error(concat(
+      lit("budgetMix: weight must be non-negative, got "),
+      coalesce(wIn.cast("string"), lit("null")),
+      lit(" for stratum "), stratum.cast("string")))).otherwise(wIn)
     // weights are consumed at 9-dp resolution: ONE early decimal
     // quantization (exact for |w| ≤ 1-ish values in any engine — the
     // double's ulp is far below 5e-10 there) breaks the 16-digit
@@ -324,7 +346,7 @@ object Sampling {
     // whole solve is engine-reproducible at any corpus magnitude
     val base = perSource.select(stratum.as("stratum"),
       capacity.cast("long").as("capacity"),
-      weight.cast("double").cast("decimal(18,9)").as("weight"))
+      wChecked.cast("decimal(18,9)").as("weight"))
       // ratio/level/allocation grow with corpus size, where a
       // double→decimal cast's semantics (shortest-repr vs binary)
       // collide with the double's ulp — so they quantize via
@@ -333,9 +355,14 @@ object Sampling {
       // (values are non-negative, so +0.5/floor IS half-up).
       // Weights and rates are bounded by 1, where the decimal-cast
       // recipe is exact — they keep it.
+      // weight-0 rows get a literal +Inf ratio (ANSI mode raises on a
+      // zero divisor, and +Inf sorts AFTER every finite ratio — the
+      // exclusion relies on zero-weight rows living in the suffix)
       .withColumn("ratio",
-        qdp(col("capacity").cast("double") /
-          col("weight").cast("double"), 9))
+        when(col("weight") > 0,
+          qdp(col("capacity").cast("double") /
+            col("weight").cast("double"), 9))
+          .otherwise(lit(Double.PositiveInfinity)))
       .withColumn("__B",
         // clamp to [0, Σcapacity]: a negative budget must allocate
         // nothing, not negative tokens
@@ -345,10 +372,19 @@ object Sampling {
       .withColumn("__cumC", coalesce(sum(col("capacity")).over(ord), lit(0L)))
       .withColumn("__cumW", coalesce(sum(col("weight")).over(ord),
         lit(0).cast("decimal(18,9)")))
-      .withColumn("__level", qdp(
-        (col("__B") - col("__cumC")).cast("double") /
-          (col("__W") - col("__cumW")).cast("double"), 9))
-      .withColumn("capped", col("ratio") <= col("__level"))
+      // the remaining weight is > 0 for every positive-weight row (its
+      // own weight is still in the suffix); it reaches 0 only on
+      // zero-weight rows, whose level is never read (capped is forced
+      // false there) — null it instead of dividing by zero under ANSI
+      .withColumn("__level",
+        when(col("__W") - col("__cumW") > 0, qdp(
+          (col("__B") - col("__cumC")).cast("double") /
+            (col("__W") - col("__cumW")).cast("double"), 9))
+          .otherwise(lit(null).cast("double")))
+      // weight-0 rows are OUT of the solve: never capped (their +Inf
+      // ratio must not win an Inf <= Inf compare), never allocated
+      .withColumn("capped",
+        col("weight") > 0 && col("ratio") <= col("__level"))
     // λ_final over the capped prefix; when everything capped (budget
     // ≥ capacity) the remaining weight is 0 — no uncapped row reads it
     val lambda =
@@ -358,13 +394,20 @@ object Sampling {
         .otherwise(lit(0).cast("decimal(18,9)"))).over(wAll)).cast("double")
     base
       .withColumn("allocation",
-        when(col("capped"), col("capacity").cast("double"))
+        // weight 0 allocates 0 BEFORE the λ path: when every weight is
+        // 0, λ is 0/0 = NaN and NaN·0 would poison the product
+        when(col("weight") <= 0, lit(0.0))
+          .when(col("capped"), col("capacity").cast("double"))
           .otherwise(qdp(lambda * col("weight").cast("double"), 6)))
       .select(col("stratum"), col("capacity"),
         round(col("weight"), 6).cast("double").as("weight"),
         col("capped"),
         col("allocation"),
-        qdp(col("allocation") / col("capacity").cast("double"), 6)
+        // a zero-capacity source has no meaningful rate (and ANSI
+        // raises on the 0/0) — report null, not NaN
+        when(col("capacity") > 0,
+          qdp(col("allocation") / col("capacity").cast("double"), 6))
+          .otherwise(lit(null).cast("double"))
           .as("sample_rate"))
   }
 

@@ -414,7 +414,14 @@ object TextAnalysis {
     * then left-context — both vocabulary²-bounded, far below corpus
     * size) → joins back on the same keys → one decimal-exact per-doc
     * mean. Docs with fewer than 2 tokens have no bigrams and emit no
-    * row. */
+    * row.
+    *
+    * Lifecycle: the returned frame is lazy, so the persisted tf
+    * intermediate cannot be unpersisted here — the CALLER owns its
+    * lifecycle (the [[graft.Caching]] contract). A long-lived session
+    * that calls this repeatedly should pass `StorageLevel.NONE` (plans
+    * recompute the shared branch) or unpersist after its terminal
+    * action; otherwise the cached blocks linger until LRU eviction. */
   def bigramSurprisal(df: DataFrame, id: Column, text: Column,
                       storage: StorageLevel = graft.Caching.Default): DataFrame = {
     val tk = tokens(text)
@@ -470,7 +477,12 @@ object TextAnalysis {
     * Shapes: t16's bigram counts + t13's unigram counts (two feature
     * streams over the corpus — the documented stats role split), all
     * model frames vocabulary-bounded, the corpus total a ONE-ROW
-    * broadcast product. Docs with fewer than 2 tokens emit no row. */
+    * broadcast product. Docs with fewer than 2 tokens emit no row.
+    *
+    * Lifecycle: the persisted uni/tf intermediates follow
+    * [[bigramSurprisal]]'s caller-owns contract — pass
+    * `StorageLevel.NONE` or unpersist after the terminal action in a
+    * long-lived session. */
   def interpolatedSurprisal(df: DataFrame, id: Column, text: Column,
                             lambda: Double = 0.7,
                             storage: StorageLevel = graft.Caching.Default): DataFrame = {

@@ -99,12 +99,19 @@ object Urls {
       lit(blockedDomains.toArray)))
 
   /** The gate's reason string from a domain verdict + the canonical
-    * URL — shared by every gate form so they cannot drift. */
+    * URL — shared by every gate form so they cannot drift. A NULL url
+    * (canonicalization propagates null) is an explicit `no_url`
+    * verdict, NOT a clean pass: every downstream predicate on a null
+    * canon evaluates to null, which `concat_ws` silently skips — so
+    * without this rule a record with a missing URL would sail through
+    * the stage-0 gate. A crawl record without a provenance URL is
+    * unauditable and blocks. */
   private def reasonExpr(blockedDomain: Column, canon: Column,
                          patternRules: Seq[(String, String)]): Column =
     concat_ws(";",
-      when(blockedDomain.isNotNull,
-        concat(lit("blocked_domain:"), blockedDomain)) +:
+      when(canon.isNull, lit("no_url")) +:
+        when(blockedDomain.isNotNull,
+          concat(lit("blocked_domain:"), blockedDomain)) +:
         patternRules.map { case (name, pat) =>
           when(canon.rlike(pat), lit(s"url_pattern:$name"))
         }: _*)

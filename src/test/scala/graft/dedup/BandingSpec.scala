@@ -46,6 +46,18 @@ class BandingSpec extends SparkSpec {
     }
   }
 
+  test("tune: fails fast past the MinHash pool (a plan the signature " +
+    "pass could not execute)") {
+    val e = intercept[IllegalArgumentException] {
+      Banding.tune(0.5, maxK = TextDedup.MinHashPoolA.size + 1)
+    }
+    assert(e.getMessage.contains("pool"),
+      s"the error must explain the pool cap: ${e.getMessage}")
+    // the boundary itself is legal
+    val p = Banding.tune(0.5, maxK = TextDedup.MinHashPoolA.size)
+    assert(p.k <= TextDedup.MinHashPoolA.size)
+  }
+
   test("extended pools: contract prefix intact, values distinct") {
     assert(TextDedup.MinHashPoolA.take(16) === TextDedup.MinHashA)
     assert(TextDedup.MinHashPoolB.take(16) === TextDedup.MinHashB)

@@ -69,6 +69,39 @@ class BudgetMixSpec extends SparkSpec {
     assert(!got("c")._1 && math.abs(got("c")._2 - (900 - 15 - 60)) < 1e-6)
   }
 
+  test("weight 0 allocates 0 and never caps, even when budget exceeds " +
+    "the positive-weight capacity") {
+    // budget 1000 > a's capacity 100: a saturates, z must still get 0
+    // (not its full 500 — the Inf <= Inf trap)
+    val got = solve(Seq(("a", 100L, 1.0), ("z", 500L, 0.0)), 1000L)
+    assert(got("a") === ((true, 100.0, 1.0)))
+    assert(got("z") === ((false, 0.0, 0.0)),
+      s"zero weight must allocate nothing: ${got("z")}")
+  }
+
+  test("all-zero weights allocate nothing (no NaN poisoning)") {
+    val got = solve(Seq(("a", 100L, 0.0), ("b", 50L, 0.0)), 80L)
+    assert(got.values.forall(v => !v._1 && v._2 === 0.0 && v._3 === 0.0),
+      s"all-zero weights must yield all-zero allocations: $got")
+  }
+
+  test("a negative or null weight raises in-plan") {
+    val e = intercept[Exception] {
+      solve(Seq(("a", 100L, 0.5), ("bad", 50L, -0.1)), 80L)
+    }
+    assert(e.getMessage.contains("budgetMix") ||
+      Option(e.getCause).exists(_.getMessage.contains("budgetMix")),
+      s"error must name the operator: ${e.getMessage}")
+    val eNull = intercept[Exception] {
+      Sampling.budgetMix(
+        Seq(("a", 100L, Some(0.5)), ("bad", 50L, None))
+          .toDF("s", "c", "w"),
+        col("s"), col("c"), col("w"), lit(80L)).collect()
+    }
+    assert(eNull.getMessage.contains("budgetMix") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("budgetMix")))
+  }
+
   test("matches the iterative reference on an adversarial mix; budget exact") {
     val rows = (1 to 17).map { i =>
       val c = ((i * 7919) % 400 + 20).toLong // 20..419, scattered

@@ -243,6 +243,28 @@ class FourthPassSpec extends SparkSpec {
     assert(expr === frame, "the column form and the frame form must agree")
   }
 
+  test("a null URL is blocked with reason no_url in BOTH gate forms " +
+    "(a missing provenance URL must not sail through stage 0)") {
+    val df = Seq((1L, Some("https://clean.org/x")), (2L, None))
+      .toDF("id", "url")
+    val doms = Seq("ads.example.com")
+    // frame form, both list paths
+    for (threshold <- Seq(1024, 0)) {
+      val got = Urls.blocklistGate(df, col("id"), col("url"), doms, Nil,
+          threshold)
+        .select("doc_id", "reason", "allowed").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+      assert(got(1L) === (("", true)))
+      assert(got(2L) === (("no_url", false)),
+        s"null url must be parked with an explicit reason: ${got(2L)}")
+    }
+    // streaming-safe column form agrees
+    val ok = df.select(col("id"),
+        Urls.isAllowed(col("url"), doms).as("ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(ok === Map(1L -> true, 2L -> false))
+  }
+
   test("energyWindows: flat frames silent, varied frames not") {
     // asset 1: 256 constant bytes -> 4 frames (stride 4 -> offsets 0; 256
     // bytes = offsets 0..192 by 256 hop -> 1 frame), all flat
