@@ -162,7 +162,18 @@ object LlmCuration {
                              storage: StorageLevel): DataFrame = {
     val m = NaiveBayes.model(labeled, labeledText, label, storage)
     val pri = NaiveBayes.priors(labeled, label)
-    val admitted = NaiveBayes.score(pool, col("doc_id"), col("text"), m, pri)
+    modelGateApply(pool, m, pri, keepLabel, minMargin)
+  }
+
+  /** Stage 4 in its SERVING form: the model gate applied with a
+    * PRE-TRAINED (frozen) model + priors — the scoring half
+    * [[modelGateStage]] executes after training. Factored so the
+    * lifecycle form and the steady-state form cannot drift. */
+  private def modelGateApply(pool: DataFrame, nbModel: DataFrame,
+                             nbPriors: DataFrame, keepLabel: String,
+                             minMargin: Double): DataFrame = {
+    val admitted = NaiveBayes.score(pool, col("doc_id"), col("text"),
+        nbModel, nbPriors)
       .filter(col("pred") === keepLabel &&
         col("margin").isNotNull && col("margin") >= minMargin)
       .select("doc_id")
@@ -179,6 +190,17 @@ object LlmCuration {
     pool.join(
       broadcast(Dsir.resample(target.select(targetText.as("text")), pool,
         col("doc_id"), col("text"), k).select("doc_id")),
+      Seq("doc_id"))
+
+  /** Stage 5 in its SERVING form: the DSIR draw under a PRE-BUILT
+    * (frozen) importance model — [[Dsir.resampleWith]] instead of the
+    * train-and-draw [[dsirSelectStage]]. Identical selection when the
+    * model was built from the same (target, pool) inputs. */
+  private def dsirSelectApply(pool: DataFrame, dsirModel: DataFrame,
+                              k: Int): DataFrame =
+    pool.join(
+      broadcast(Dsir.resampleWith(dsirModel, pool, col("doc_id"),
+        col("text"), k).select("doc_id")),
       Seq("doc_id"))
 
   /** [[runDecontaminated]] grown into the full SELECTION pipeline a
@@ -220,6 +242,127 @@ object LlmCuration {
       dsirSelectStage(gated, target, text, k), storage)
     graft.dedup.Decontaminate.applyFilter(sel, eval, "doc_id", col("text"), n)
       .select("doc_id")
+  }
+
+  /** The frozen artifacts [[runSelectedServing]] consumes — train ONCE
+    * what [[runSelected]] re-trains per invocation: the NB (model,
+    * priors) from `labeled`, and the DSIR importance model from
+    * (`target`, the model-gated pool) — the DSIR raw side is the pool
+    * the draw will score, so building it requires one pipeline pass
+    * through stage 4 (the build cost the steady-state leg amortizes).
+    * Returns (nbModel, nbPriors, dsirModel); all three are fixed-size
+    * broadcastable frames — persist AND materialize them before
+    * serving (the [[graft.streaming.SelectionPipelineStream]]
+    * contract: re-training any artifact is a new artifact). */
+  def selectionArtifacts(docs: DataFrame, labeled: DataFrame,
+                         target: DataFrame, id: Column, text: Column,
+                         label: Column, keepLabel: String,
+                         minMargin: Double,
+                         minQuality: Double = 0.5,
+                         lang: Option[String] = Some("en"),
+                         minJaccard: Double = 0.1,
+                         storage: StorageLevel = Caching.Default)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val m = NaiveBayes.model(labeled, text, label, storage)
+    val pri = NaiveBayes.priors(labeled, label)
+    val kept = gateStage(docs, id, text, minQuality, lang)
+    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val surv = Caching.persisted(
+      nearDupStage(uniq, minJaccard, storage), storage)
+    val gated = modelGateApply(surv, m, pri, keepLabel, minMargin)
+    val dsir = Dsir.model(target.select(text.as("text")), gated,
+      col("text"))
+    (m, pri, dsir)
+  }
+
+  /** [[runSelected]]'s STEADY-STATE serving leg (the e6/e6b split for
+    * the selection pipeline): the same gate → exact dedup → near-dup →
+    * model gate → DSIR select → decontaminate chain, but the NB model/
+    * priors and the DSIR importance model arrive PRE-TRAINED
+    * ([[selectionArtifacts]]) instead of being rebuilt in-plan — the
+    * invocation only pays the per-corpus serving stages, which is the
+    * latency a selection service actually quotes (the batch twin of
+    * [[graft.streaming.SelectionPipelineStream]]'s frozen-artifact
+    * contract).
+    *
+    * Output is IDENTICAL to [[runSelected]] when the artifacts were
+    * built by [[selectionArtifacts]] from the same inputs: the NB
+    * model depends only on `labeled`, the DSIR model only on
+    * (`target`, the stage-4 pool), and both pipelines apply the same
+    * factored stage functions — so the Gumbel top-k draw replays
+    * bit-identically (no threshold approximation; the streaming form's
+    * documented Gumbel-vs-threshold deviation does not apply here).
+    *
+    * Lifecycle: persisted stage boundaries follow
+    * [[runDecontaminated]]'s caller-owns contract. */
+  def runSelectedServing(docs: DataFrame, eval: DataFrame,
+                         nbModel: DataFrame, nbPriors: DataFrame,
+                         dsirModel: DataFrame,
+                         id: Column, text: Column,
+                         keepLabel: String, minMargin: Double, k: Int,
+                         minQuality: Double = 0.5,
+                         lang: Option[String] = Some("en"),
+                         minJaccard: Double = 0.1, n: Int = 5,
+                         storage: StorageLevel = Caching.Default): DataFrame = {
+    val kept = gateStage(docs, id, text, minQuality, lang)
+    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val surv = Caching.persisted(
+      nearDupStage(uniq, minJaccard, storage), storage)
+    val gated = Caching.persisted(
+      modelGateApply(surv, nbModel, nbPriors, keepLabel, minMargin),
+      storage)
+    val sel = Caching.persisted(
+      dsirSelectApply(gated, dsirModel, k), storage)
+    graft.dedup.Decontaminate.applyFilter(sel, eval, "doc_id", col("text"), n)
+      .select("doc_id")
+  }
+
+  /** [[attritionReportSelected]]'s steady-state twin: the same
+    * per-stage ops log over [[runSelectedServing]]'s chain (frozen
+    * artifacts, serving stages only). Stage rows are identical to the
+    * lifecycle report's when the artifacts came from
+    * [[selectionArtifacts]] on the same inputs. */
+  def attritionReportServing(docs: DataFrame, eval: DataFrame,
+                             nbModel: DataFrame, nbPriors: DataFrame,
+                             dsirModel: DataFrame,
+                             id: Column, text: Column,
+                             keepLabel: String, minMargin: Double, k: Int,
+                             minQuality: Double = 0.5,
+                             lang: Option[String] = Some("en"),
+                             minJaccard: Double = 0.1, n: Int = 5,
+                             storage: StorageLevel = Caching.Default): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nAll = docs.count()
+    val kept = Caching.persisted(
+      gateStage(docs, id, text, minQuality, lang), storage)
+    val nKept = kept.count()
+    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val nUniq = uniq.count()
+    val surv = Caching.persisted(
+      nearDupStage(uniq, minJaccard, storage), storage)
+    val nSurv = surv.count()
+    val gated = Caching.persisted(
+      modelGateApply(surv, nbModel, nbPriors, keepLabel, minMargin),
+      storage)
+    val nGated = gated.count()
+    val sel = Caching.persisted(
+      dsirSelectApply(gated, dsirModel, k), storage)
+    val nSel = sel.count()
+    val clean = graft.dedup.Decontaminate.applyFilter(
+      sel, eval, "doc_id", col("text"), n)
+    val nClean = clean.count()
+    Seq(kept, uniq, surv, gated, sel).foreach(_.unpersist())
+    Seq((1, "gate", nAll, nKept),
+        (2, "exact_dedup", nKept, nUniq),
+        (3, "near_dup", nUniq, nSurv),
+        (4, "model_gate", nSurv, nGated),
+        (5, "dsir_select", nGated, nSel),
+        (6, "decontam", nSel, nClean))
+      .toDF("stage_no", "stage", "n_in", "n_out")
+      .withColumn("drop_frac", when(col("n_in") === 0, lit(null))
+        .otherwise(round(lit(1.0) -
+          col("n_out").cast("double") / col("n_in").cast("double"), 6)))
   }
 
   /** Per-stage attrition rows over [[runSelected]]'s chain — c5's

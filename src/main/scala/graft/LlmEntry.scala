@@ -130,6 +130,44 @@ object LlmEntry {
         col("doc_id"), col("text"), name, buckets = 8)
     }
 
+  /** c6b/c7b's frozen selection artifacts (NB model+priors, DSIR
+    * importance model), trained ONCE per (warehouse, sf dir) with c6's
+    * exact inputs and committed to the versioned store — the e6b move
+    * for the selection pipeline: the steady-state entries only READ
+    * the model tables and pay the serving stages, never the train.
+    * Disk-backed like the ANN/BM25 indexes (a persisted frame would
+    * not survive a cache flush, and a served model is a stored
+    * artifact in production anyway). Same complete-is-v0 gate as
+    * [[ensureAnnProbeIndex]]: one atomic commit is version 0; a crash
+    * mid-train leaves no ptr and rebuilds. */
+  private final case class SelArtifacts(nbModel: DataFrame,
+                                        nbPriors: DataFrame,
+                                        dsirModel: DataFrame)
+  private val SelArtifactMembers = Seq("nbmodel", "nbpriors", "dsirmodel")
+  private def ensureSelectionArtifacts(s: SparkSession,
+                                       dir: String): SelArtifacts = {
+    import graft.sources.BucketedStore
+    val name = s"c6bart_${dir.hashCode.toHexString}"
+    if (!BucketedStore.currentVersion(s, name).contains(0)) {
+      BucketedStore.drop(s, name, SelArtifactMembers) // clear partial state
+      val docs = t(s, dir, "documents")
+      val (m, pri, dsir) = LlmCuration.selectionArtifacts(docs,
+        docs.filter(Sampling.hashBucket(col("doc_id"), 5) =!= 0),
+        docs.filter(col("source").isin("src0", "src1")),
+        col("doc_id"), col("text"), col("lang"),
+        keepLabel = "en", minMargin = 1.0,
+        minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
+      // all three are fixed-size broadcast-side frames — plain members
+      BucketedStore.commit(s, name, Seq(
+        BucketedStore.Member("nbmodel", m),
+        BucketedStore.Member("nbpriors", pri),
+        BucketedStore.Member("dsirmodel", dsir)), buckets = 1): Unit
+    }
+    SelArtifacts(BucketedStore.table(s, name, "nbmodel", 0),
+      BucketedStore.table(s, name, "nbpriors", 0),
+      BucketedStore.table(s, name, "dsirmodel", 0))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "d1_exact_dedup" -> ((s, dir) =>
@@ -243,6 +281,41 @@ object LlmEntry {
         docs.filter(Sampling.hashBucket(col("doc_id"), 5) =!= 0),
         docs.filter(col("source").isin("src0", "src1")),
         col("doc_id"), col("text"), col("lang"),
+        keepLabel = "en", minMargin = 1.0, k = 100,
+        minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
+    }),
+
+    "c6b_selected_serving" -> ((s, dir) => {
+      // the STEADY-STATE leg of c6 (the e6/e6b split applied to the
+      // selection pipeline): the NB model/priors and the DSIR
+      // importance model are trained once per (session, sf dir) and
+      // every later invocation only runs the serving stages — gate ->
+      // dedup -> near-dup flag -> frozen model route -> frozen-model
+      // Gumbel draw -> decontam. Output is identical to c6 by
+      // construction (same factored stages, artifacts built from the
+      // same inputs — the draw replays bit-identically), so both share
+      // one oracle; the bench number is the quotable serving latency,
+      // c6 keeps timing the full train+select lifecycle.
+      val docs = t(s, dir, "documents")
+      val a = ensureSelectionArtifacts(s, dir)
+      LlmCuration.runSelectedServing(docs,
+        docs.filter(col("doc_id") % 25 === 0),
+        a.nbModel, a.nbPriors, a.dsirModel,
+        col("doc_id"), col("text"),
+        keepLabel = "en", minMargin = 1.0, k = 100,
+        minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
+    }),
+
+    "c7b_serving_attrition" -> ((s, dir) => {
+      // c7's steady-state twin: the same per-stage ops log over the
+      // frozen-artifact serving chain — rows identical to c7's by
+      // construction (shared oracle), latency without the train
+      val docs = t(s, dir, "documents")
+      val a = ensureSelectionArtifacts(s, dir)
+      LlmCuration.attritionReportServing(docs,
+        docs.filter(col("doc_id") % 25 === 0),
+        a.nbModel, a.nbPriors, a.dsirModel,
+        col("doc_id"), col("text"),
         keepLabel = "en", minMargin = 1.0, k = 100,
         minQuality = 0.5, lang = Some("en"), minJaccard = 0.1)
     }),
@@ -2993,8 +3066,41 @@ object LlmEntry {
          |SELECT doc_id FROM seld
          |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
 
+    // c6b: the steady-state serving leg computes the SAME selection as
+    // c6 (frozen artifacts built from the same inputs; the Gumbel draw
+    // replays bit-identically) — one oracle, the e6/e6b pattern
+    "c6b_selected_serving" ->
+      s"""$SelectedChainCtes
+         |SELECT doc_id FROM seld
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+
     // c7: c6's chain with per-stage counts assembled into the
     // attrition rows, c5's exact shape
+    // c7b: identical stage rows to c7 (the frozen-artifact chain
+    // computes the same per-stage survivors) — shared oracle
+    "c7b_serving_attrition" ->
+      s"""$SelectedChainCtes,
+         |clean AS (SELECT doc_id FROM seld
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |st AS (
+         |  SELECT 1 AS stage_no, 'gate' AS stage,
+         |         (SELECT count(*) FROM documents) AS n_in,
+         |         (SELECT count(*) FROM keepq) AS n_out
+         |  UNION ALL SELECT 2, 'exact_dedup',
+         |         (SELECT count(*) FROM keepq), (SELECT count(*) FROM uniq)
+         |  UNION ALL SELECT 3, 'near_dup',
+         |         (SELECT count(*) FROM uniq), (SELECT count(*) FROM surv)
+         |  UNION ALL SELECT 4, 'model_gate',
+         |         (SELECT count(*) FROM surv), (SELECT count(*) FROM mgd)
+         |  UNION ALL SELECT 5, 'dsir_select',
+         |         (SELECT count(*) FROM mgd), (SELECT count(*) FROM seld)
+         |  UNION ALL SELECT 6, 'decontam',
+         |         (SELECT count(*) FROM seld), (SELECT count(*) FROM clean))
+         |SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
+         |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+         |  round(1.0 - CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 6) AS drop_frac
+         |FROM st""".stripMargin,
+
     "c7_selected_attrition" ->
       s"""$SelectedChainCtes,
          |clean AS (SELECT doc_id FROM seld

@@ -160,9 +160,22 @@ object Dsir {
     * (doc_id, weight, skey). */
   def resample(target: DataFrame, raw: DataFrame, id: Column,
                text: Column, k: Int, buckets: Int = DefaultBuckets,
-               ngrams: Int = 1): DataFrame = {
+               ngrams: Int = 1): DataFrame =
+    resampleWith(model(target, raw, text, buckets, ngrams), raw, id,
+      text, k, buckets, ngrams)
+
+  /** [[resample]] against a PRE-BUILT model frame `m(bucket, lr)` —
+    * the frozen-artifact form (the steady-state serving leg scores and
+    * draws under a model trained once; re-training is a new artifact).
+    * Identical math: when `m` was built by [[model]] from the same
+    * (target, raw) inputs, the draw is bit-identical to [[resample]]'s.
+    * The caller must pass the SAME `buckets`/`ngrams` the model was
+    * built with. */
+  def resampleWith(m: DataFrame, raw: DataFrame, id: Column,
+                   text: Column, k: Int, buckets: Int = DefaultBuckets,
+                   ngrams: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val w = weightsDec(target, raw, id, text, buckets, ngrams)
+    val w = scoreDec(raw, id, text, m, buckets, ngrams)
       .withColumn("s_dec",
         col("w_dec") + gumbel(col("doc_id")).cast("decimal(28,12)"))
     val rn = row_number().over(

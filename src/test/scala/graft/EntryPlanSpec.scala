@@ -153,7 +153,13 @@ class EntryPlanSpec extends SparkSpec {
     // DSIR stage is x15's non-exempt bucket-keyed equi-join shape and
     // the k-row selection broadcasts back — t29's product is the only
     // one in the plan
-    "c6_curate_selected", "c7_selected_attrition")
+    "c6_curate_selected", "c7_selected_attrition",
+    // c6b/c7b serve c6/c7's chain against FROZEN artifacts; the NB
+    // model frame is persisted but its (cached) plan still carries
+    // t29's vocab × constant-label densification product — same
+    // exemption, and c7b (like c7) executes its stage counts at
+    // construction time so it must not be re-invoked here
+    "c6b_selected_serving", "c7b_serving_attrition")
 
   // NOTE: x15/x15b/x15c need no exemption — the DSIR grid/model joins
   // are all bucket-keyed equi-joins and the scoring join is a

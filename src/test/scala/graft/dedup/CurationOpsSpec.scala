@@ -134,6 +134,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(strict("model_gate") <= rows.find(_._2 == "model_gate").get._4)
   }
 
+  test("serving twin: frozen artifacts replay runSelected exactly " +
+    "(ids AND attrition rows)") {
+    val docs = table("documents")
+    val eval = docs.filter(col("doc_id") % 25 === 0)
+    val labeled = docs.filter(
+      graft.operators.Sampling.hashBucket(col("doc_id"), 5) =!= 0)
+    val target = docs.filter(col("source").isin("src0", "src1"))
+    val (m, pri, dsir) = graft.LlmCuration.selectionArtifacts(docs,
+      labeled, target, col("doc_id"), col("text"), col("lang"),
+      keepLabel = "en", minMargin = 1.0)
+    Seq(m, pri, dsir).foreach(_.persist().count())
+    try {
+      // the selected, decontaminated id set is bit-identical — the
+      // frozen DSIR model makes the Gumbel draw replay exactly (no
+      // threshold approximation: this is the batch serving contract)
+      val lifecycle = graft.LlmCuration.runSelected(docs, eval, labeled,
+          target, col("doc_id"), col("text"), col("lang"),
+          keepLabel = "en", minMargin = 1.0, k = 20)
+        .as[Long].collect().sorted.toSeq
+      val serving = graft.LlmCuration.runSelectedServing(docs, eval,
+          m, pri, dsir, col("doc_id"), col("text"),
+          keepLabel = "en", minMargin = 1.0, k = 20)
+        .as[Long].collect().sorted.toSeq
+      assert(serving === lifecycle,
+        "the frozen-artifact serving chain must replay the lifecycle run")
+      assert(serving.nonEmpty, "fixture must select something")
+      // attrition twins agree row for row
+      val a = graft.LlmCuration.attritionReportSelected(docs, eval,
+          labeled, target, col("doc_id"), col("text"), col("lang"),
+          keepLabel = "en", minMargin = 1.0, k = 20)
+        .orderBy("stage_no").collect().map(_.toSeq).toSeq
+      val b = graft.LlmCuration.attritionReportServing(docs, eval,
+          m, pri, dsir, col("doc_id"), col("text"),
+          keepLabel = "en", minMargin = 1.0, k = 20)
+        .orderBy("stage_no").collect().map(_.toSeq).toSeq
+      assert(b === a, "serving attrition must equal the lifecycle report")
+    } finally Seq(m, pri, dsir).foreach(_.unpersist(): Unit)
+  }
+
   test("runSelected plan: broadcast model scoring, bounded-heap selection") {
     val docs = table("documents")
     val out = graft.LlmCuration.runSelected(docs,
