@@ -1002,7 +1002,11 @@ object LlmEntry {
     "e16_knn_graph" -> ((s, dir) =>
       // the corpus's own neighborhood structure: per-vector top-3
       // adjacency list over ALL embeddings, self excluded — one LSH
-      // signature pass, self equi-join candidate gen
+      // signature pass, self equi-join candidate gen. planes
+      // AUTO-SIZE from the corpus count (Knn.derivePlanes — bucket
+      // occupancy stays ~32 as the corpus grows; the oracle derives
+      // the same integer), so the shipped default no longer walks a
+      // 100x corpus into the within-bucket quadratic cliff
       Knn.knnGraph(t(s, dir, "embeddings"), k = 3)
         .withColumnRenamed("rank", "rnk")),
 
@@ -2058,6 +2062,11 @@ object LlmEntry {
       |      $patCases) AS reason
       |  FROM bd)""".stripMargin
   }
+
+  /** The §6 presentation quantizer's DuckDB twin (see
+    * [[graft.functions.Quantize]]): engine-identical at the half
+    * boundary, unlike round(double, n). */
+  private def Q6(e: String): String = graft.functions.Quantize.qdpSql(e, 6)
 
   private def ToksSqlOn(c: String): String =
     s"""list_filter(string_split_regex(lower($c), '\\s+'), x -> x <> '')"""
@@ -4649,13 +4658,22 @@ object LlmEntry {
          |FROM r WHERE rnk <= 5""".stripMargin,
 
     // e16 = e2's candidate CTEs with the corpus on BOTH sides and
-    // self-pairs excluded before the rank
+    // self-pairs excluded before the rank. The plane count AUTO-SIZES
+    // from the corpus count exactly as Knn.derivePlanes does — pure
+    // INTEGER arithmetic (ceil-div + bit length via bin()), never a
+    // floating log whose ulp could disagree near a power of two; the
+    // signature is generated at the 64-bit maximum and sliced at the
+    // derived width (bit p is the same function of the vector at any
+    // signature width, so the slices match Spark's shorter signature)
     "e16_knn_graph" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
-         |a AS (SELECT vec_id, e, ${LshBucketSql("e", 16)} AS sig FROM v),
-         |ab AS (SELECT vec_id, t, substr(sig, t*4 + 1, 4) AS bucket
-         |       FROM a, range(0, 4) r(t)),
+         |pp AS (SELECT GREATEST(4, CASE WHEN m <= 1 THEN 0
+         |                               ELSE length(bin(m - 1)) END) AS p
+         |       FROM (SELECT (count(*) + 31) // 32 AS m FROM embeddings)),
+         |a AS (SELECT vec_id, e, ${LshBucketSql("e", 64)} AS sig FROM v),
+         |ab AS (SELECT vec_id, t, substr(sig, t*p + 1, p) AS bucket
+         |       FROM a, range(0, 4) r(t), pp),
          |cand AS (SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
          |         FROM ab x JOIN ab y USING (t, bucket)
          |         WHERE x.vec_id <> y.vec_id),
@@ -5666,8 +5684,8 @@ object LlmEntry {
         |    AS mean_dur_s,
         |  round(quantile_cont(dur_s, 0.5), 4) AS p50_dur_s,
         |  round(quantile_cont(dur_s, 0.9), 4) AS p90_dur_s,
-        |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS bounce_rate
+        |  ${Q6("CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)" +
+          " / count(*)")} AS bounce_rate
         |FROM sess""".stripMargin,
 
     "st4_range" ->

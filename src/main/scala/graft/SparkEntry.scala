@@ -558,7 +558,9 @@ object SparkEntry {
       IncrementalAgg.read(s, state).get
         .select(col("o_orderstatus").as("status"), col("n"),
           col("sum_o_totalprice").cast("double").as("total"),
-          round(col("sum_o_totalprice").cast("double") / col("n"), 6)
+          // §6 quantizer on the mean quotient (Quantize scaladoc)
+          graft.functions.Quantize.qdp(
+            col("sum_o_totalprice").cast("double") / col("n"), 6)
             .as("avg_price"))
     }),
 
@@ -833,6 +835,13 @@ object SparkEntry {
       | ], x -> x IS NOT NULL), ';'), '')""".stripMargin
 
   def oracleSql: Map[String, String] = coreOracleSql ++ LlmEntry.oracleSql
+
+  /** The §6 presentation quantizer's DuckDB twin (see
+    * [[graft.functions.Quantize]]): floor(x·10^6 + 0.5)/10^6 in pure
+    * IEEE ops — round(double, n) is engine-dependent at the half
+    * boundary (Spark rounds the shortest-decimal repr, DuckDB the
+    * binary value), this is not. */
+  private def q6(e: String): String = graft.functions.Quantize.qdpSql(e, 6)
 
   private def coreOracleSql: Map[String, String] = Map(
 
@@ -1207,10 +1216,10 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     "g21_incremental_rollup" ->
-      """SELECT o_orderstatus AS status, count(*) AS n,
+      s"""SELECT o_orderstatus AS status, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
-        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-        |             / count(*), 6) AS avg_price
+        |       ${q6("CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)" +
+          " / count(*)")} AS avg_price
         |FROM orders GROUP BY 1""".stripMargin,
 
     // g33: (entity, month) distinct → actives; first month per entity
@@ -1250,26 +1259,26 @@ object SparkEntry {
         |FROM grps CROSS JOIN m LEFT JOIN f USING (grp, yr, mo)""".stripMargin,
 
     "g25_share_of_total" ->
-      """WITH cells AS (SELECT o_orderstatus AS grp, o_orderpriority AS sub,
+      s"""WITH cells AS (SELECT o_orderstatus AS grp, o_orderpriority AS sub,
         |                      count(*) AS n,
         |                      sum(CAST(o_totalprice AS DECIMAL(18,4))) AS dt
         |               FROM orders GROUP BY 1, 2),
         |g AS (SELECT grp, sum(dt) AS gt FROM cells GROUP BY 1),
         |a AS (SELECT sum(dt) AS at FROM cells)
         |SELECT grp, sub, n, CAST(dt AS DOUBLE) AS total,
-        |       round(CAST(dt AS DOUBLE) / CAST(gt AS DOUBLE), 6) AS share_of_group,
-        |       round(CAST(dt AS DOUBLE) / CAST(at AS DOUBLE), 6) AS share_of_grand
+        |       ${q6("CAST(dt AS DOUBLE) / CAST(gt AS DOUBLE)")} AS share_of_group,
+        |       ${q6("CAST(dt AS DOUBLE) / CAST(at AS DOUBLE)")} AS share_of_grand
         |FROM cells JOIN g USING (grp) CROSS JOIN a""".stripMargin,
 
     "g26_moving_avg" ->
-      """WITH m AS (SELECT o_orderstatus AS grp,
+      s"""WITH m AS (SELECT o_orderstatus AS grp,
         |                  CAST(year(o_orderdate) AS INTEGER) AS yr,
         |                  CAST(month(o_orderdate) AS INTEGER) AS mo,
         |                  count(*) AS n,
         |                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS dt
         |           FROM orders GROUP BY 1, 2, 3)
         |SELECT grp, yr, mo, n, CAST(dt AS DOUBLE) AS total,
-        |       round(CAST(sum(dt) OVER w3 AS DOUBLE) / count(*) OVER w3, 6) AS ma3,
+        |       ${q6("CAST(sum(dt) OVER w3 AS DOUBLE) / count(*) OVER w3")} AS ma3,
         |       CAST(sum(dt) OVER wc AS DOUBLE) AS cum_total
         |FROM m
         |WINDOW w3 AS (PARTITION BY grp ORDER BY yr, mo
@@ -1278,13 +1287,13 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "g27_abc_class" ->
-      """WITH m AS (SELECT o_orderstatus AS grp, o_custkey AS mem,
+      s"""WITH m AS (SELECT o_orderstatus AS grp, o_custkey AS mem,
         |                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS dt
         |           FROM orders GROUP BY 1, 2),
         |s AS (SELECT grp, dt,
-        |        round(CAST(sum(dt) OVER (PARTITION BY grp ORDER BY dt DESC, mem
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |              / CAST(sum(dt) OVER (PARTITION BY grp) AS DOUBLE), 6) AS share
+        |        ${q6("CAST(sum(dt) OVER (PARTITION BY grp ORDER BY dt DESC, mem" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)" +
+          " / CAST(sum(dt) OVER (PARTITION BY grp) AS DOUBLE)")} AS share
         |      FROM m),
         |c AS (SELECT grp, CASE WHEN share <= 0.8 THEN 'A'
         |                       WHEN share <= 0.95 THEN 'B'
@@ -1296,7 +1305,7 @@ object SparkEntry {
     // IEEE from those exact sums in written order, z rounded before
     // the threshold compare — both engines bit-agree
     "g37_anomaly_days" ->
-      """WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+      s"""WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
         |    sum(CAST("value" AS DECIMAL(18,4))) AS dt FROM events GROUP BY 1, 2),
         |w AS (SELECT grp, day, dt,
         |    count(dt) OVER win AS n_base,
@@ -1309,9 +1318,9 @@ object SparkEntry {
         |    (CAST(s2 AS DOUBLE)
         |      - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/7)/6 AS vr
         |  FROM w WHERE n_base = 7),
-        |g AS (SELECT grp, day, total, round(mean, 6) AS baseline_mean,
+        |g AS (SELECT grp, day, total, ${q6("mean")} AS baseline_mean,
         |    CASE WHEN vr > 0
-        |         THEN round((total - mean)/sqrt(vr), 6) END AS z
+        |         THEN ${q6("(total - mean)/sqrt(vr)")} END AS z
         |  FROM f)
         |SELECT grp, day, total, baseline_mean, z,
         |  coalesce(z > 3.0, false) AS is_anomaly
@@ -1397,7 +1406,7 @@ object SparkEntry {
     // pivot with 0 coalesce, total delta as a window sum, one IEEE
     // division for the contribution share
     "g40_yoy_contribution" ->
-      """WITH y AS (
+      s"""WITH y AS (
         |  SELECT c_mktsegment AS cell,
         |         CAST(year(o_orderdate) AS INTEGER) AS ry,
         |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS t
@@ -1417,8 +1426,8 @@ object SparkEntry {
         |  CAST(prev_dec AS DOUBLE) AS amount_prev,
         |  CAST(delta_dec AS DOUBLE) AS delta,
         |  CASE WHEN total_dec = 0 THEN NULL
-        |       ELSE round(CAST(delta_dec AS DOUBLE)
-        |                  / CAST(total_dec AS DOUBLE), 6) END AS contrib_frac
+        |       ELSE ${q6("CAST(delta_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)")}
+        |       END AS contrib_frac
         |FROM d""".stripMargin,
 
     // g38e: the collapsed-year drill rows — mtd at the year's last
@@ -1494,7 +1503,7 @@ object SparkEntry {
     // g35: exact-decimal rank formula — the only double op is the
     // final division, so both engines agree bit for bit at 6 dp
     "g35_gini" ->
-      """WITH m AS (SELECT o_orderstatus AS grp, o_custkey AS mem,
+      s"""WITH m AS (SELECT o_orderstatus AS grp, o_custkey AS mem,
         |                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS v
         |           FROM orders GROUP BY 1, 2),
         |r AS (SELECT grp, v, CAST(row_number() OVER (PARTITION BY grp
@@ -1503,8 +1512,8 @@ object SparkEntry {
         |             sum(i * v) AS s1 FROM r GROUP BY 1)
         |SELECT grp, n_members, CAST(s0 AS DOUBLE) AS total,
         |  CASE WHEN s0 = 0 THEN NULL
-        |       ELSE round(CAST(2*s1 - (n_members+1)*s0 AS DOUBLE)
-        |                  / CAST(n_members*s0 AS DOUBLE), 6) END AS gini
+        |       ELSE ${q6("CAST(2*s1 - (n_members+1)*s0 AS DOUBLE)" +
+          " / CAST(n_members*s0 AS DOUBLE)")} END AS gini
         |FROM a""".stripMargin,
 
     "g28_fk_audit" ->
@@ -1531,11 +1540,11 @@ object SparkEntry {
         |                     WHERE l.l_orderkey = o.o_orderkey))""".stripMargin,
 
     "g30_skew_report" ->
-      """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_rows
+      s"""WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_rows
         |           FROM events GROUP BY 1),
         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c),
         |r AS (SELECT key, n_rows,
-        |        round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |        ${q6("CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE)")} AS share,
         |        row_number() OVER (ORDER BY n_rows DESC, key) AS rnk
         |      FROM c CROSS JOIN t)
         |SELECT key, n_rows, share, CAST(rnk AS INTEGER) AS rnk
@@ -1556,15 +1565,15 @@ object SparkEntry {
         |GROUP BY grp""".stripMargin,
 
     "g23_event_transitions" ->
-      """WITH seqd AS (SELECT event_type AS to_type,
+      s"""WITH seqd AS (SELECT event_type AS to_type,
         |    lag(event_type) OVER (PARTITION BY user_id
         |                          ORDER BY ts, event_id) AS from_type
         |  FROM events),
         |pairs AS (SELECT from_type, to_type, count(*) AS n
         |          FROM seqd WHERE from_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        |       round(CAST(n AS DOUBLE) /
-        |             sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |       ${q6("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)")}
+        |         AS p
         |FROM pairs""".stripMargin,
 
     // g31: per-user ordered type list (ts, event_id tiebreak — the

@@ -294,20 +294,61 @@ object Knn {
     * shuffle on (table, bucket) → self equi-join → exact-cosine
     * bounded-heap top-k. Per-pair recall follows the same table math;
     * cost is bounded by bucket OCCUPANCY (≈ |V| / 2^planes per
-    * table), never |V|² — which makes `planes` the scale knob: size
-    * it to corpus density, because a corpus of tight duplicate
-    * clusters can put whole clusters in shared buckets and push
-    * within-cluster candidates quadratic (SCALING.md measured exactly
-    * this at planes=4 on a 16-cluster corpus — 13.5× cost for 10×
-    * corpus — and planes=8 restoring a near-linear curve at
-    * 5th-decimal-identical rank-1 quality). For densities that defeat
-    * any hyperplane count, the IVF-cell form (k-means assign, rank
-    * within cells — [[ivfTopK]]'s posture) bounds work per cell.
+    * table), never |V|² — which makes `planes` the scale knob: a
+    * corpus of tight duplicate clusters can put whole clusters in
+    * shared buckets and push within-cluster candidates quadratic
+    * (SCALING.md measured exactly this at a FIXED planes=4 on a
+    * 16-cluster corpus — 48× cost for 20× corpus — and planes=8
+    * restoring a near-linear curve at 5th-decimal-identical rank-1
+    * quality).
+    *
+    * `planes` therefore AUTO-SIZES by default ([[derivePlanes]]:
+    * `max(4, ceil(log2(|V| / targetOccupancy)))` from one cheap
+    * metadata count — the same move [[knnGraphIvf]] makes with
+    * C ∝ √|V|), so bucket occupancy stays ≈ `targetOccupancy` as the
+    * corpus grows instead of growing linearly into the quadratic
+    * cliff. Pass `Some(p)` to pin the plan (reproducibility across
+    * corpora of different sizes; an external oracle replaying a fixed
+    * bucketing). For densities that defeat any hyperplane count, the
+    * IVF-cell form (k-means assign, rank within cells —
+    * [[ivfTopK]]'s posture) bounds work per cell.
     * Output: (query_id, rank, neighbor_id, sim) — one bounded-k
     * adjacency list per vector that made it into any candidate
     * pair. */
   def knnGraph(vectors: DataFrame, k: Int,
-               planes: Int = 4, tables: Int = 4): DataFrame = {
+               planes: Option[Int] = None, tables: Int = 4,
+               targetOccupancy: Int = DefaultGraphOccupancy): DataFrame = {
+    val p = planes.getOrElse(
+      derivePlanes(vectors.count(), targetOccupancy))
+    knnGraphAt(vectors, k, p, tables)
+  }
+
+  /** Default per-(table, bucket) occupancy target for [[knnGraph]]'s
+    * plane auto-sizing: small enough that the within-bucket self-join
+    * (occupancy² candidate rows per bucket) stays trivial, large
+    * enough that true neighbors keep colliding. */
+  val DefaultGraphOccupancy: Int = 32
+
+  /** `max(4, ceil(log2(n / targetOccupancy)))` in PURE INTEGER
+    * arithmetic (ceil-div + bit length — no floating log whose ulp
+    * could disagree with an external engine's near an integer
+    * boundary): the plane count that holds expected bucket occupancy
+    * `n / 2^planes` at or below the target. */
+  def derivePlanes(n: Long, targetOccupancy: Int = DefaultGraphOccupancy): Int = {
+    require(targetOccupancy > 0,
+      s"targetOccupancy must be positive, got $targetOccupancy")
+    val m = math.max(1L, (n + targetOccupancy - 1) / targetOccupancy)
+    // ceil(log2(m)) = bit length of (m - 1) for m >= 2; 0 for m = 1
+    val bits =
+      if (m <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.max(4, bits)
+  }
+
+  /** [[knnGraph]] at an EXPLICIT plane count — the pinned form the
+    * auto-sizing default delegates to. */
+  def knnGraphAt(vectors: DataFrame, k: Int,
+                 planes: Int, tables: Int = 4): DataFrame = {
     val v = vectors.select(col("vec_id").as("query_id"),
       Vectors.asDouble(col("embedding")).as("qe"))
       .withColumn("qn", Vectors.norm(col("qe")))

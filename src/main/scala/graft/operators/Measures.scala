@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
+import graft.functions.Quantize.qdp
+
 /** The semantic-model measure pack, re-expressed as Spark aggregations.
   *
   * Source of truth: the reference's DAX measures
@@ -288,7 +290,9 @@ object Measures {
         col("prev_dec").cast(DoubleType).as("amount_prev"),
         col("delta_dec").cast(DoubleType).as("delta"),
         when(col("total_dec") === 0, lit(null)).otherwise(
-          round(col("delta_dec").cast(DoubleType) /
+          // §6 quantizer, not round(double, n): the quotient's final
+          // presentation round must be engine-identical at the boundary
+          qdp(col("delta_dec").cast(DoubleType) /
             col("total_dec").cast(DoubleType), 6)).as("contrib_frac"))
   }
 
@@ -434,10 +438,12 @@ object Measures {
     val wAll = Window.partitionBy()
     cells.select(col("grp"), col("sub"), col("n"),
       col("dec_total").cast(DoubleType).as("total"),
-      round(col("dec_total").cast(DoubleType) /
+      // §6 quantizer on the share quotients (engine-identical at the
+      // half boundary, unlike round(double, n))
+      qdp(col("dec_total").cast(DoubleType) /
         sum(col("dec_total")).over(wGrp).cast(DoubleType), 6)
         .as("share_of_group"),
-      round(col("dec_total").cast(DoubleType) /
+      qdp(col("dec_total").cast(DoubleType) /
         sum(col("dec_total")).over(wAll).cast(DoubleType), 6)
         .as("share_of_grand"))
   }
@@ -467,7 +473,8 @@ object Measures {
     val trail = ord.rowsBetween(-(window - 1), Window.currentRow)
     monthly.select(col("grp"), col("yr"), col("mo"), col("n"),
       col("dec_total").cast(DoubleType).as("total"),
-      round(sum(col("dec_total")).over(trail).cast(DoubleType) /
+      // §6 quantizer on the mean quotient (see contrib_frac's note)
+      qdp(sum(col("dec_total")).over(trail).cast(DoubleType) /
         count(lit(1)).over(trail), 6).as(s"ma$window"),
       sum(col("dec_total")).over(ord.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)).cast(DoubleType).as("cum_total"))
@@ -517,10 +524,12 @@ object Measures {
         (col("s2").cast(DoubleType) -
           col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / n) /
           lit(lookback - 1))
+      // §6 quantizer on the z quotient and the mean (both rounded
+      // BEFORE the threshold compare, engine-identically)
       .withColumn("z", when(col("vr") > 0,
-        round((col("total") - col("mean")) / sqrt(col("vr")), 6)))
+        qdp((col("total") - col("mean")) / sqrt(col("vr")), 6)))
       .select(col("grp"), col("day"), col("total"),
-        round(col("mean"), 6).as("baseline_mean"), col("z"),
+        qdp(col("mean"), 6).as("baseline_mean"), col("z"),
         coalesce(col("z") > zThreshold, lit(false)).as("is_anomaly"))
   }
 
@@ -547,7 +556,8 @@ object Measures {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(col("grp"))
     m.withColumn("share",
-        round(sum(col("dt")).over(ord).cast(DoubleType) /
+        // §6 quantizer: rounded engine-identically BEFORE the class cut
+        qdp(sum(col("dt")).over(ord).cast(DoubleType) /
           sum(col("dt")).over(all).cast(DoubleType), 6))
       .withColumn("abc_class",
         when(col("share") <= cutA, "A")
@@ -588,7 +598,8 @@ object Measures {
         // zero-total groups have no defined concentration: null, not
         // the NaN the raw division would produce
         when(col("s0") === 0, lit(null).cast(DoubleType)).otherwise(
-          round((lit(2) * col("s1") - (col("n_members") + 1) * col("s0"))
+          // §6 quantizer on the final quotient (contrib_frac's note)
+          qdp((lit(2) * col("s1") - (col("n_members") + 1) * col("s0"))
               .cast(DoubleType) /
             (col("n_members") * col("s0")).cast(DoubleType), 6)).as("gini"))
   }

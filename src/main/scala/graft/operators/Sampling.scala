@@ -308,14 +308,11 @@ object Sampling {
     * Output per source: capacity, weight (echo), `capped`,
     * `allocation` (tokens, 6 dp), `sample_rate` (allocation /
     * capacity, 6 dp). */
-  /** Half-up quantizer for NON-NEGATIVE doubles via pure IEEE ops —
-    * floor(x·10^dp + 0.5)/10^dp: engine-identical at any magnitude
-    * (a double→decimal cast is not, once ulp approaches the decimal
-    * resolution). */
-  private def qdp(c: Column, dp: Int): Column = {
-    val m = math.pow(10, dp)
-    floor(c * lit(m) + lit(0.5)).cast("double") / lit(m)
-  }
+  /** The §6 presentation quantizer (see [[graft.functions.Quantize]]):
+    * engine-identical at any magnitude, unlike round(double, n) or a
+    * double→decimal cast. */
+  private def qdp(c: Column, dp: Int): Column =
+    graft.functions.Quantize.qdp(c, dp)
 
   def budgetMix(perSource: DataFrame, stratum: Column, capacity: Column,
                 weight: Column, budget: Column): DataFrame = {

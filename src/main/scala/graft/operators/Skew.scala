@@ -83,7 +83,9 @@ object Skew {
     // pruning defeats exchange reuse); exact long sum, same values
     counts
       .withColumn("share",
-        round(col("n_rows").cast("double") /
+        // §6 quantizer (graft.functions.Quantize): engine-identical
+        // at the half boundary, unlike round(double, n)
+        graft.functions.Quantize.qdp(col("n_rows").cast("double") /
           sum(col("n_rows")).over(org.apache.spark.sql.expressions.Window
             .partitionBy()).cast("double"), 6))
       .orderBy(col("n_rows").desc, col("key"))

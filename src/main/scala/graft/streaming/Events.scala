@@ -77,7 +77,10 @@ object Events {
       .agg(count(lit(1)).as("n"))
     val outTotals = Window.partitionBy(col("from_type"))
     pairs.withColumn("p",
-      round(col("n").cast(DoubleType) / sum(col("n")).over(outTotals), 6))
+      // §6 quantizer (graft.functions.Quantize): engine-identical at
+      // the half boundary, unlike round(double, n)
+      graft.functions.Quantize.qdp(
+        col("n").cast(DoubleType) / sum(col("n")).over(outTotals), 6))
   }
 
   /** Top-k most common user journeys — the path-analysis report next
@@ -279,8 +282,10 @@ object Events {
           .as("mean_dur_s"),
         round(expr("percentile(dur_s, 0.5)"), 4).as("p50_dur_s"),
         round(expr("percentile(dur_s, 0.9)"), 4).as("p90_dur_s"),
-        round(sum(when(col("n_events") === 1L, 1L).otherwise(0L))
-          .cast(DoubleType) / count(lit(1)), 6).as("bounce_rate"))
+        // §6 quantizer on the exact-count quotient (Quantize scaladoc)
+        graft.functions.Quantize.qdp(
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1)), 6).as("bounce_rate"))
 
   /** Weekly cohort retention: users cohorted by the week of their
     * first event; `n_users` counts how many of each cohort were active

@@ -179,7 +179,7 @@ object ScaleBench {
       // neighbor quality on this corpus.
       if (want("e16_planes8")) {
         ops("e16_planes8") = bench(() =>
-          graft.ann.Knn.knnGraph(Tables.load(spark, dir, "embeddings"),
+          graft.ann.Knn.knnGraphAt(Tables.load(spark, dir, "embeddings"),
             k = 3, planes = 8, tables = 4).count())
         println(f"[scalebench] x$m e16_planes8 min=${ops("e16_planes8")._1}%.3f " +
           f"med=${ops("e16_planes8")._2}%.3f rows=${ops("e16_planes8")._3}")
@@ -188,7 +188,7 @@ object ScaleBench {
         // avg(sim) is NULL on an empty kNN graph (no LSH candidate
         // pairs on a degenerate corpus) — report -1 instead of NPEing
         // mid-benchmark
-        val row = graft.ann.Knn.knnGraph(Tables.load(spark, dir, "embeddings"),
+        val row = graft.ann.Knn.knnGraphAt(Tables.load(spark, dir, "embeddings"),
           k = 3, planes = planes, tables = 4)
           .filter(col("rank") === 1)
           .agg(avg(col("sim")).as("m")).collect()(0)

@@ -176,6 +176,31 @@ class NinthPassSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("knnGraph auto-sizes planes to hold bucket occupancy " +
+    "(the 100x-caller cliff closed)") {
+    // the integer derivation: floor at 4, then ceil(log2(n/32))
+    assert(Knn.derivePlanes(0L) === 4)
+    assert(Knn.derivePlanes(1L) === 4)
+    assert(Knn.derivePlanes(512L) === 4)   // 512/32 = 16 -> log2 = 4
+    assert(Knn.derivePlanes(513L) === 5)   // just past the boundary
+    assert(Knn.derivePlanes(1024L) === 5)
+    assert(Knn.derivePlanes(12800L) === 9) // sf0.1-ish: ceil(log2(400))
+    assert(Knn.derivePlanes(1L << 40) === 35, "exact powers stay exact")
+    // occupancy target respected: n / 2^planes <= 32 whenever derived
+    for (n <- Seq(100L, 5000L, 123457L, 999999L)) {
+      val p = Knn.derivePlanes(n)
+      assert(n.toDouble / (1L << p) <= 32.0, s"occupancy violated at n=$n")
+    }
+    // the default delegates to the pinned form at the derived count
+    val emb = (0L until 90L).map(i =>
+      (i, vec(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 2.1))))
+      .toDF("vec_id", "embedding")
+    val auto = Knn.knnGraph(emb, k = 2).collect().map(_.toString).sorted
+    val pinned = Knn.knnGraphAt(emb, k = 2,
+        planes = Knn.derivePlanes(90L)).collect().map(_.toString).sorted
+    assert(auto.sameElements(pinned))
+  }
+
   test("knnGraphIvf: exact twins share a cell and list each other at 1.0") {
     // two triplets of exact copies, far apart, plus noise vectors:
     // identical vectors assign to the same centroid by determinism,
