@@ -103,12 +103,16 @@ object LlmCuration {
         countDistinct(col("lang")).as("n_langs"),
         sum(when(col("__hc") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        round(sum(col("quality_score").cast(DecimalType(18, 6)))
-          .cast(DoubleType) / count(lit(1)), 6).as("mean_quality"),
-        round(sum(col("n_tokens")).cast(DoubleType) / count(lit(1)), 6)
+        // §6 quantizer on the mean quotients (Quantize scaladoc):
+        // engine-identical at the half boundary
+        graft.functions.Quantize.qdp(
+          sum(col("quality_score").cast(DecimalType(18, 6)))
+            .cast(DoubleType) / count(lit(1)), 6).as("mean_quality"),
+        graft.functions.Quantize.qdp(
+          sum(col("n_tokens")).cast(DoubleType) / count(lit(1)), 6)
           .as("mean_tokens"))
       .withColumn("dup_frac",
-        round(col("n_dup_docs").cast(DoubleType) /
+        graft.functions.Quantize.qdp(col("n_dup_docs").cast(DoubleType) /
           col("n_docs").cast(DoubleType), 6))
   }
 
@@ -361,7 +365,7 @@ object LlmCuration {
         (6, "decontam", nSel, nClean))
       .toDF("stage_no", "stage", "n_in", "n_out")
       .withColumn("drop_frac", when(col("n_in") === 0, lit(null))
-        .otherwise(round(lit(1.0) -
+        .otherwise(graft.functions.Quantize.qdp(lit(1.0) -
           col("n_out").cast("double") / col("n_in").cast("double"), 6)))
   }
 
@@ -411,7 +415,7 @@ object LlmCuration {
       // null, not 0/0, when an upstream stage emptied the corpus (a
       // fully-draining model gate is a legal, alarm-worthy outcome)
       .withColumn("drop_frac", when(col("n_in") === 0, lit(null))
-        .otherwise(round(lit(1.0) -
+        .otherwise(graft.functions.Quantize.qdp(lit(1.0) -
           col("n_out").cast("double") / col("n_in").cast("double"), 6)))
   }
 
@@ -467,7 +471,7 @@ object LlmCuration {
         (5, "near_dup", nUniq, nSurv))
       .toDF("stage_no", "stage", "n_in", "n_out")
       .withColumn("drop_frac", when(col("n_in") === 0, lit(null))
-        .otherwise(round(lit(1.0) -
+        .otherwise(graft.functions.Quantize.qdp(lit(1.0) -
           col("n_out").cast("double") / col("n_in").cast("double"), 6)))
   }
 
@@ -511,7 +515,9 @@ object LlmCuration {
         (3, "near_dup", nUniq, nSurv),
         (4, "decontam", nSurv, nClean))
       .toDF("stage_no", "stage", "n_in", "n_out")
-      .withColumn("drop_frac", round(lit(1.0) -
+      // §6 quantizer (Quantize scaladoc): engine-identical at the
+      // half boundary, unlike round(double, n)
+      .withColumn("drop_frac", graft.functions.Quantize.qdp(lit(1.0) -
         col("n_out").cast("double") / col("n_in").cast("double"), 6))
   }
 }

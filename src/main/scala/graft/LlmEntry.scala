@@ -2067,6 +2067,7 @@ object LlmEntry {
     * [[graft.functions.Quantize]]): engine-identical at the half
     * boundary, unlike round(double, n). */
   private def Q6(e: String): String = graft.functions.Quantize.qdpSql(e, 6)
+  private def Q4(e: String): String = graft.functions.Quantize.qdpSql(e, 4)
 
   private def ToksSqlOn(c: String): String =
     s"""list_filter(string_split_regex(lower($c), '\\s+'), x -> x <> '')"""
@@ -2710,8 +2711,8 @@ object LlmEntry {
            |       FROM ap JOIN ex USING (query_id, neighbor_id) GROUP BY 1)
            |SELECT query_id, n_exact,
            |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-           |  round(CAST(coalesce(n_hits, 0) AS DOUBLE)
-           |        / CAST(n_exact AS DOUBLE), 6) AS recall
+           |  ${Q6("CAST(coalesce(n_hits, 0) AS DOUBLE)" +
+            " / CAST(n_exact AS DOUBLE)")} AS recall
            |FROM ne LEFT JOIN nh USING (query_id)""".stripMargin) +
       // t15c: the t15b merge table (as a subquery) replayed over every
       // word of every doc — bracket-wrap then one literal replace per
@@ -3063,7 +3064,8 @@ object LlmEntry {
          |         (SELECT count(*) FROM surv), (SELECT count(*) FROM clean))
          |SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
          |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
-         |  round(1.0 - CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 6) AS drop_frac
+         |  ${Q6("CAST(1.0 AS DOUBLE) - CAST(n_out AS DOUBLE)" +
+          " / CAST(n_in AS DOUBLE)")} AS drop_frac
          |FROM st""".stripMargin,
 
     // c6: c2's stages 1-3 + the t29 NB scoring replay over the
@@ -3107,7 +3109,8 @@ object LlmEntry {
          |         (SELECT count(*) FROM seld), (SELECT count(*) FROM clean))
          |SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
          |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
-         |  round(1.0 - CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 6) AS drop_frac
+         |  ${Q6("CAST(1.0 AS DOUBLE) - CAST(n_out AS DOUBLE)" +
+          " / CAST(n_in AS DOUBLE)")} AS drop_frac
          |FROM st""".stripMargin,
 
     "c7_selected_attrition" ->
@@ -3130,7 +3133,8 @@ object LlmEntry {
          |         (SELECT count(*) FROM seld), (SELECT count(*) FROM clean))
          |SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
          |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
-         |  round(1.0 - CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 6) AS drop_frac
+         |  ${Q6("CAST(1.0 AS DOUBLE) - CAST(n_out AS DOUBLE)" +
+          " / CAST(n_in AS DOUBLE)")} AS drop_frac
          |FROM st""".stripMargin,
 
     // c4: t14's per-doc quality features + a corpus-wide md5 count,
@@ -3155,11 +3159,11 @@ object LlmEntry {
          |  count(DISTINCT lang) AS n_langs,
          |  CAST(sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |  round(CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         |  ${Q6("CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) / count(*)")}
          |    AS mean_quality,
-         |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens,
-         |  round(CAST(sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+         |  ${Q6("CAST(sum(n_tokens) AS DOUBLE) / count(*)")} AS mean_tokens,
+         |  ${Q6("CAST(sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END) AS DOUBLE)" +
+          " / CAST(count(*) AS DOUBLE)")} AS dup_frac
          |FROM q JOIN hc USING (h) GROUP BY source""".stripMargin,
 
     "c1_curate" ->
@@ -3394,7 +3398,7 @@ object LlmEntry {
          |SELECT CAST(count(*) AS BIGINT) AS n_exact,
          |  CAST(sum(hit) AS BIGINT) AS n_found,
          |  CAST(count(*) - sum(hit) AS BIGINT) AS n_missed,
-         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+         |  ${Q6("CAST(sum(hit) AS DOUBLE) / count(*)")} AS recall
          |FROM j""".stripMargin,
 
     // d16b: d16's audit with the banding CTEs generated at the SAME
@@ -3420,7 +3424,7 @@ object LlmEntry {
          |SELECT CAST(count(*) AS BIGINT) AS n_exact,
          |  CAST(sum(hit) AS BIGINT) AS n_found,
          |  CAST(count(*) - sum(hit) AS BIGINT) AS n_missed,
-         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+         |  ${Q6("CAST(sum(hit) AS DOUBLE) / count(*)")} AS recall
          |FROM j""".stripMargin
     },
 
@@ -4019,7 +4023,7 @@ object LlmEntry {
          |      FROM tr LEFT JOIN ev ON tr.s = ev.s)
          |SELECT doc_id, count(*) AS n_shingles,
          |       CAST(sum(hit) AS BIGINT) AS n_shared,
-         |       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS overlap_frac
+         |       ${Q6("CAST(sum(hit) AS DOUBLE) / count(*)")} AS overlap_frac
          |FROM j GROUP BY 1""".stripMargin,
 
     // t22: t18's shingle CTEs joined the OTHER way — per eval doc,
@@ -4516,7 +4520,8 @@ object LlmEntry {
          |        FROM asg GROUP BY 1),
          |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS t FROM occ)
          |SELECT cent.cent_id, CAST(coalesce(occ.n_vectors, 0) AS BIGINT) AS n_vectors,
-         |  round(CAST(coalesce(occ.n_vectors, 0) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+         |  ${Q6("CAST(coalesce(occ.n_vectors, 0) AS DOUBLE)" +
+          " / CAST(t AS DOUBLE)")} AS share
          |FROM cent LEFT JOIN occ USING (cent_id) CROSS JOIN tot""".stripMargin,
 
     // e19b: the same assignment CTEs keeping csim, rolled up to the
@@ -5348,7 +5353,8 @@ object LlmEntry {
          |SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
          |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
          |  CASE WHEN n_in = 0 THEN NULL
-         |       ELSE round(1.0 - CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 6)
+         |       ELSE ${Q6("CAST(1.0 AS DOUBLE) - CAST(n_out AS DOUBLE)" +
+          " / CAST(n_in AS DOUBLE)")}
          |  END AS drop_frac
          |FROM st""".stripMargin,
 
@@ -5489,7 +5495,7 @@ object LlmEntry {
          |      FROM s GROUP BY 1),
          |tt AS (SELECT CAST(sum(n_assets) AS BIGINT) AS tot FROM c)
          |SELECT sniffed_type, n_assets, total_bytes,
-         |  round(CAST(n_assets AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+         |  ${Q6("CAST(n_assets AS DOUBLE) / CAST(tot AS DOUBLE)")} AS share
          |FROM c CROSS JOIN tt""".stripMargin,
 
     // m10: the scrub's expected output REBUILT from the same
@@ -5556,7 +5562,7 @@ object LlmEntry {
     // power-of-two windows are exact binary doubles, so the flatness
     // compare and the DECIMAL(18,6) mean are engine-identical
     "m6_energy_windows" ->
-      """WITH f AS (SELECT doc_id AS asset_id,
+      s"""WITH f AS (SELECT doc_id AS asset_id,
         |                  substr(text, CAST(off AS INTEGER) + 1, 64) AS frame
         |           FROM documents, unnest(range(0, strlen(text) - 63, 256)) r(off)
         |           WHERE strlen(text) >= 64),
@@ -5570,8 +5576,8 @@ object LlmEntry {
         |        (list_max(sub) - list_min(sub)) < 4.0 AS silent FROM s)
         |SELECT asset_id, count(*) AS n_frames,
         |       CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
-        |       round(CAST(sum(CAST(level AS DECIMAL(18,6))) AS DOUBLE)
-        |             / count(*), 6) AS mean_level
+        |       ${Q6("CAST(sum(CAST(level AS DECIMAL(18,6))) AS DOUBLE)" +
+          " / count(*)")} AS mean_level
         |FROM g GROUP BY 1""".stripMargin,
 
     // frames as in m2/m6; sub-window means are exact binary doubles so
@@ -5678,12 +5684,11 @@ object LlmEntry {
         |  FROM sx GROUP BY 1, 2)
         |SELECT count(*) AS n_sessions,
         |  count(DISTINCT user_id) AS n_users,
-        |  round(CAST(avg(CAST(n_events AS DECIMAL(28,6))) AS DOUBLE), 4)
-        |    AS mean_events,
-        |  round(CAST(avg(CAST(dur_s AS DECIMAL(28,6))) AS DOUBLE), 4)
-        |    AS mean_dur_s,
-        |  round(quantile_cont(dur_s, 0.5), 4) AS p50_dur_s,
-        |  round(quantile_cont(dur_s, 0.9), 4) AS p90_dur_s,
+        |  ${Q4("CAST(sum(n_events) AS DOUBLE) / count(*)")} AS mean_events,
+        |  ${Q4("CAST(sum(CAST(dur_s AS DECIMAL(28,6))) AS DOUBLE)" +
+          " / count(*)")} AS mean_dur_s,
+        |  ${Q4("quantile_cont(dur_s, 0.5)")} AS p50_dur_s,
+        |  ${Q4("quantile_cont(dur_s, 0.9)")} AS p90_dur_s,
         |  ${Q6("CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)" +
           " / count(*)")} AS bounce_rate
         |FROM sess""".stripMargin,

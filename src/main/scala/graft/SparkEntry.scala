@@ -451,13 +451,17 @@ object SparkEntry {
 
     "g9_percentile" -> ((s, dir) =>
       // exact linear-interpolation percentiles (R-7, same definition
-      // as DuckDB quantile_cont); rounded to absorb fp ordering noise
+      // as DuckDB quantile_cont); §6-quantized to absorb fp ordering
+      // noise engine-identically (Quantize scaladoc)
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus").as("status"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))),
+          graft.functions.Quantize.qdp(
+            expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          graft.functions.Quantize.qdp(
+            expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          graft.functions.Quantize.qdp(
+            expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))),
 
     "g10_pivot" -> ((s, dir) =>
       // status matrix a la the report's pivot visuals; explicit value
@@ -842,6 +846,7 @@ object SparkEntry {
     * boundary (Spark rounds the shortest-decimal repr, DuckDB the
     * binary value), this is not. */
   private def q6(e: String): String = graft.functions.Quantize.qdpSql(e, 6)
+  private def q4(e: String): String = graft.functions.Quantize.qdpSql(e, 4)
 
   private def coreOracleSql: Map[String, String] = Map(
 
@@ -1142,10 +1147,10 @@ object SparkEntry {
         |ORDER BY total DESC, key ASC LIMIT 10""".stripMargin,
 
     "g9_percentile" ->
-      """SELECT o_orderstatus AS status,
-        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-        |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      s"""SELECT o_orderstatus AS status,
+        |       ${q4("CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE)")} AS p50,
+        |       ${q4("CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE)")} AS p90,
+        |       ${q4("CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE)")} AS p99
         |FROM orders GROUP BY 1""".stripMargin,
 
     "g10_pivot" ->
@@ -1180,17 +1185,20 @@ object SparkEntry {
         |FROM orders GROUP BY CUBE(status, prio)""".stripMargin,
 
     "g16_outliers" ->
-      """WITH base AS (SELECT o_orderstatus AS grp, o_totalprice AS v FROM orders),
-        |med AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM base GROUP BY 1),
-        |dev AS (SELECT b.grp, round(abs(b.v - m.med), 4) AS adev
+      s"""WITH base AS (SELECT o_orderstatus AS grp, o_totalprice AS v FROM orders),
+        |med AS (SELECT grp, CAST(quantile_cont(v, 0.5) AS DOUBLE) AS med
+        |        FROM base GROUP BY 1),
+        |dev AS (SELECT b.grp, ${q4("abs(CAST(b.v AS DOUBLE) - m.med)")} AS adev
         |        FROM base b JOIN med m USING (grp)),
         |mad AS (SELECT d.grp, min(m.med) AS med,
-        |               quantile_cont(d.adev, 0.5) AS mad
+        |               CAST(quantile_cont(d.adev, 0.5) AS DOUBLE) AS mad
         |        FROM dev d JOIN med m USING (grp) GROUP BY 1),
-        |thr AS (SELECT grp, med, mad, round(3.0 * 1.4826 * mad, 4) AS thr FROM mad)
+        |thr AS (SELECT grp, med, mad,
+        |               ${q4("CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad")} AS thr
+        |        FROM mad)
         |SELECT d.grp, count(*) AS n,
-        |       round(min(t.med), 4) AS med,
-        |       round(min(t.mad), 4) AS mad,
+        |       ${q4("min(t.med)")} AS med,
+        |       ${q4("min(t.mad)")} AS mad,
         |       CAST(sum(CASE WHEN d.adev > t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN thr t USING (grp)
         |GROUP BY d.grp""".stripMargin,
@@ -1551,10 +1559,11 @@ object SparkEntry {
         |FROM r WHERE rnk <= 10""".stripMargin,
 
     "g22_winsorize" ->
-      """WITH base AS (SELECT o_orderstatus AS grp, o_totalprice AS v FROM orders
+      s"""WITH base AS (SELECT o_orderstatus AS grp, o_totalprice AS v FROM orders
         |              WHERE o_totalprice IS NOT NULL),
-        |b AS (SELECT grp, round(quantile_cont(v, 0.05), 4) AS lo,
-        |             round(quantile_cont(v, 0.95), 4) AS hi
+        |b AS (SELECT grp,
+        |             ${q4("CAST(quantile_cont(v, 0.05) AS DOUBLE)")} AS lo,
+        |             ${q4("CAST(quantile_cont(v, 0.95) AS DOUBLE)")} AS hi
         |      FROM base GROUP BY 1)
         |SELECT grp, count(*) AS n,
         |       CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
@@ -1625,7 +1634,7 @@ object SparkEntry {
     // mirror funnelLatency's float-op order (epoch-micros diff as
     // DOUBLE / 1000000.0, mean over DECIMAL(28,6), R-7 percentiles)
     "g17b_funnel_latency" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
         |            WHERE event_type = 'view' GROUP BY 1),
         |s2 AS (SELECT e.user_id, min(e.ts) AS t
         |       FROM events e JOIN s1 ON e.user_id = s1.user_id
@@ -1641,16 +1650,17 @@ object SparkEntry {
         |       FROM s3 JOIN s2 USING (user_id))
         |SELECT 2 AS step, 'click' AS event_type,
         |       CAST(count(*) AS BIGINT) AS n_users,
-        |       round(CAST(avg(CAST(secs AS DECIMAL(28,6))) AS DOUBLE), 4)
-        |         AS mean_secs,
-        |       round(quantile_cont(secs, 0.5), 4) AS p50_secs,
-        |       round(quantile_cont(secs, 0.9), 4) AS p90_secs
+        |       ${q4("CAST(sum(CAST(secs AS DECIMAL(28,6))) AS DOUBLE)" +
+          " / count(*)")} AS mean_secs,
+        |       ${q4("quantile_cont(secs, 0.5)")} AS p50_secs,
+        |       ${q4("quantile_cont(secs, 0.9)")} AS p90_secs
         |FROM l2
         |UNION ALL
         |SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
-        |       round(CAST(avg(CAST(secs AS DECIMAL(28,6))) AS DOUBLE), 4),
-        |       round(quantile_cont(secs, 0.5), 4),
-        |       round(quantile_cont(secs, 0.9), 4)
+        |       ${q4("CAST(sum(CAST(secs AS DECIMAL(28,6))) AS DOUBLE)" +
+          " / count(*)")},
+        |       ${q4("quantile_cont(secs, 0.5)")},
+        |       ${q4("quantile_cont(secs, 0.9)")}
         |FROM l3""".stripMargin,
 
     "g18_retention" ->

@@ -409,7 +409,10 @@ object AnnIndex {
       .na.fill(0L, Seq("n_vectors"))
       .crossJoin(broadcast(tot))
       .select(col("cent_id"), col("n_vectors"),
-        round(col("n_vectors").cast("double") / col("__tot").cast("double"), 6)
+        // §6 quantizer (Quantize scaladoc): engine-identical at the
+        // half boundary, unlike round(double, n)
+        graft.functions.Quantize.qdp(
+          col("n_vectors").cast("double") / col("__tot").cast("double"), 6)
           .as("share"))
   }
 

@@ -636,6 +636,9 @@ object Knn {
     nExact.join(nHits, Seq("query_id"), "left")
       .na.fill(0L, Seq("n_hits"))
       .withColumn("recall",
-        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6))
+        // §6 quantizer (Quantize scaladoc): engine-identical at the
+        // half boundary, unlike round(double, n)
+        graft.functions.Quantize.qdp(
+          col("n_hits").cast("double") / col("n_exact").cast("double"), 6))
   }
 }

@@ -59,7 +59,10 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shingles"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
       .withColumn("overlap_frac",
-        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+        // §6 quantizer (Quantize scaladoc): engine-identical at the
+        // half boundary, unlike round(double, n)
+        graft.functions.Quantize.qdp(
+          col("n_shared").cast("double") / col("n_shingles"), 6))
   }
 
   /** The decontaminated corpus: training docs minus contaminated ones

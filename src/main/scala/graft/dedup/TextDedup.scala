@@ -245,7 +245,10 @@ object TextDedup {
       .agg(count(lit(1)).as("n_exact"),
         sum(hits).as("n_found"),
         (count(lit(1)) - sum(hits)).as("n_missed"),
-        round(sum(hits).cast("double") / count(lit(1)), 6).as("recall"))
+        // §6 quantizer (Quantize scaladoc): engine-identical at the
+        // half boundary, unlike round(double, n)
+        graft.functions.Quantize.qdp(
+          sum(hits).cast("double") / count(lit(1)), 6).as("recall"))
   }
 
   /** MinHash parameters: K = bands * rowsPerBand signatures from the

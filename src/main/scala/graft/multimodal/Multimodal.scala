@@ -72,7 +72,10 @@ object Multimodal {
     val tot = counts.agg(sum(col("n_assets")).as("__tot"))
     counts.crossJoin(broadcast(tot))
       .select(col("sniffed_type"), col("n_assets"), col("total_bytes"),
-        round(col("n_assets").cast("double") / col("__tot").cast("double"), 6)
+        // §6 quantizer (Quantize scaladoc): engine-identical at the
+        // half boundary, unlike round(double, n)
+        graft.functions.Quantize.qdp(
+          col("n_assets").cast("double") / col("__tot").cast("double"), 6)
           .as("share"))
   }
 
@@ -197,8 +200,10 @@ object Multimodal {
       .groupBy("asset_id")
       .agg(count(lit(1)).as("n_frames"),
         sum(when(col("is_silent"), 1L).otherwise(0L)).as("n_silent"),
-        round(sum(col("level").cast(DecimalType(18, 6))).cast(DoubleType)
-          / count(lit(1)), 6).as("mean_level"))
+        // §6 quantizer on the mean quotient (typeMix's note)
+        graft.functions.Quantize.qdp(
+          sum(col("level").cast(DecimalType(18, 6))).cast(DoubleType)
+            / count(lit(1)), 6).as("mean_level"))
   }
 
   /** Scene-change (cut) detection — the shot-segmentation step of video

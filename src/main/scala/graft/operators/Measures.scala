@@ -319,16 +319,19 @@ object Measures {
                      z: Double = 3.0): DataFrame = {
     val base = df.select(group.as("grp"), value.as("v"))
     val med = base.groupBy("grp").agg(expr("percentile(v, 0.5)").as("med"))
+    // §6 quantizer, not round(double, n): these 4-dp values feed the
+    // adev > thr verdict, so both engines must quantize identically
+    // at the half boundary (Quantize scaladoc)
     val dev = base.join(broadcast(med), "grp")
-      .withColumn("adev", round(abs(col("v") - col("med")), 4))
+      .withColumn("adev", qdp(abs(col("v") - col("med")), 4))
     val mad = dev.groupBy("grp")
       .agg(min(col("med")).as("med"), expr("percentile(adev, 0.5)").as("mad"))
-      .withColumn("thr", round(lit(z) * lit(1.4826) * col("mad"), 4))
+      .withColumn("thr", qdp(lit(z) * lit(1.4826) * col("mad"), 4))
     dev.select("grp", "adev").join(broadcast(mad), "grp")
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),
-        round(min(col("med")), 4).as("med"),
-        round(min(col("mad")), 4).as("mad"),
+        qdp(min(col("med")), 4).as("med"),
+        qdp(min(col("mad")), 4).as("mad"),
         sum(when(col("adev") > col("thr"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
@@ -626,9 +629,12 @@ object Measures {
     // robust total
     val base = df.select(group.as("grp"), value.as("v"))
       .filter(value.isNotNull)
+    // §6 quantizer: the bounds feed the clamp verdicts (v < lo,
+    // v > hi), so the 4-dp cut must be engine-identical (see
+    // robustOutliers' note)
     val bounds = base.groupBy("grp").agg(
-      round(expr(s"percentile(v, $pLo)"), 4).as("lo"),
-      round(expr(s"percentile(v, $pHi)"), 4).as("hi"))
+      qdp(expr(s"percentile(v, $pLo)"), 4).as("lo"),
+      qdp(expr(s"percentile(v, $pHi)"), 4).as("hi"))
     base.join(broadcast(bounds), "grp")
       .withColumn("w", least(greatest(col("v"), col("lo")), col("hi")))
       .groupBy("grp").agg(

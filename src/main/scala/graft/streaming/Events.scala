@@ -246,10 +246,16 @@ object Events {
             (unix_micros(col("step_ts")) - unix_micros(col("prev_ts")))
               .cast(DoubleType).divide(1000000.0).as("secs"))
           .agg(count(lit(1)).as("n_users"),
-            round(avg(col("secs").cast(DecimalType(28, 6))).cast(DoubleType), 4)
-              .as("mean_secs"),
-            round(expr("percentile(secs, 0.5)"), 4).as("p50_secs"),
-            round(expr("percentile(secs, 0.9)"), 4).as("p90_secs"))
+            // §6 quantizer on the exact-sum mean quotient and the R-7
+            // percentiles (Quantize scaladoc): engine-identical at the
+            // half boundary, unlike round(double, n) / decimal avg
+            graft.functions.Quantize.qdp(
+              sum(col("secs").cast(DecimalType(28, 6))).cast(DoubleType)
+                / count(lit(1)), 4).as("mean_secs"),
+            graft.functions.Quantize.qdp(expr("percentile(secs, 0.5)"), 4)
+              .as("p50_secs"),
+            graft.functions.Quantize.qdp(expr("percentile(secs, 0.9)"), 4)
+              .as("p90_secs"))
           .select(lit(i + 2).as("step"), lit(step).as("event_type"),
             col("n_users"), col("mean_secs"), col("p50_secs"), col("p90_secs"))
     }.reduce(_ unionAll _)
@@ -276,12 +282,18 @@ object Events {
           .cast(DoubleType).divide(1000000.0).as("dur_s"))
       .agg(count(lit(1)).as("n_sessions"),
         count_distinct(col("user_id")).as("n_users"),
-        round(avg(col("n_events").cast(DecimalType(28, 6))).cast(DoubleType), 4)
+        // §6 quantizer on the exact-sum mean quotients and the R-7
+        // percentiles (funnelLatency's idiom — see the note there)
+        graft.functions.Quantize.qdp(
+          sum(col("n_events")).cast(DoubleType) / count(lit(1)), 4)
           .as("mean_events"),
-        round(avg(col("dur_s").cast(DecimalType(28, 6))).cast(DoubleType), 4)
-          .as("mean_dur_s"),
-        round(expr("percentile(dur_s, 0.5)"), 4).as("p50_dur_s"),
-        round(expr("percentile(dur_s, 0.9)"), 4).as("p90_dur_s"),
+        graft.functions.Quantize.qdp(
+          sum(col("dur_s").cast(DecimalType(28, 6))).cast(DoubleType)
+            / count(lit(1)), 4).as("mean_dur_s"),
+        graft.functions.Quantize.qdp(expr("percentile(dur_s, 0.5)"), 4)
+          .as("p50_dur_s"),
+        graft.functions.Quantize.qdp(expr("percentile(dur_s, 0.9)"), 4)
+          .as("p90_dur_s"),
         // §6 quantizer on the exact-count quotient (Quantize scaladoc)
         graft.functions.Quantize.qdp(
           sum(when(col("n_events") === 1L, 1L).otherwise(0L))
