@@ -204,6 +204,20 @@ object LlmEntry {
       TextDedup.minHashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
         minJaccard = 0.1)),
 
+    "d3b_tuned_lsh" -> ((s, dir) => {
+      // the banding tuner's OPERATING point next to its recall audit
+      // (d16b): candidate volume (the 100 TB verify-join bill) and
+      // verified-pair yield at Banding.tune's derived plan vs the
+      // assumed (4,4), one row per config — both configs off a single
+      // shingle+signature pass
+      val plan = graft.dedup.Banding.tune(0.1, maxK = 16)
+      TextDedup.lshOperatingReport(t(s, dir, "documents"),
+        col("doc_id"), col("text"), minJaccard = 0.1,
+        configs = Seq(
+          ("default", TextDedup.Bands, TextDedup.RowsPerBand),
+          ("tuned", plan.bands, plan.rowsPerBand)))
+    }),
+
     "d4_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextDedup.simHashHex(col("text")).as("simhash"))),
@@ -332,7 +346,9 @@ object LlmEntry {
       ord.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 120)
         .select(col("rnk"), col("doc_id"), col("stratum"),
-          round(col("order_key"), 6).as("okey"))
+          // §6 quantizer on the (p-0.5)/share quotient (Quantize
+          // scaladoc)
+          graft.functions.Quantize.qdp(col("order_key"), 6).as("okey"))
     }),
 
     "d9_cross_dedup" -> ((s, dir) => {
@@ -782,28 +798,43 @@ object LlmEntry {
           alpha = 0.5)
         .withColumnRenamed("stratum", "lang")),
 
-    "x21_budget_mix" -> ((s, dir) => {
-      // the epoch recipe solver: per-source token capacities, target
-      // weights = natural share with curated domains (src0/src1)
-      // upweighted 5x (the Pile/LLaMA curated-source boost), budget =
-      // 40% of the corpus's tokens — the boosted sources demand more
-      // than they hold, cap at capacity, and the freed budget
-      // water-fills back over the uncapped rest
+    "x21_budget_mix" -> ((s, dir) => epochBudgetMix(s, dir)),
+
+    "x22_token_budget_report" -> ((s, dir) => {
+      // x21 × t32: the epoch allocation re-priced in REAL tokenizer
+      // tokens. x21 allocates on regex-proxy token capacities; t32
+      // measured each source's trained-BPE cost — this one-join report
+      // shows what each source's allocation actually buys (eff_bpe =
+      // allocation · bpe/regex-token) and how fertility skews the
+      // realized mix (alloc_share vs eff_share). Sources-sized frame
+      // end to end; shares are exact-decimal-sum quotients under the
+      // §6 quantizer.
+      val qdp6 = (c: org.apache.spark.sql.Column) =>
+        graft.functions.Quantize.qdp(c, 6)
       val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-      val caps = t(s, dir, "documents")
-        .select(col("source").as("stratum"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("tk"))
-        .groupBy("stratum").agg(sum(col("tk")).as("capacity"))
-      val weighted = caps
-        .withColumn("__boost",
-          when(col("stratum").isin("src0", "src1"), lit(5.0))
-            .otherwise(lit(1.0)))
-        .withColumn("__w0", (col("capacity").cast("double") /
-          sum(col("capacity")).over(wAll).cast("double")) * col("__boost"))
-        .withColumn("w", col("__w0") /
-          sum(col("__w0").cast("decimal(28,12)")).over(wAll).cast("double"))
-      Sampling.budgetMix(weighted, col("stratum"), col("capacity"),
-        col("w"), budgetFrac = 0.4)
+      val mix = epochBudgetMix(s, dir)
+        .select(col("stratum").as("source"), col("capacity"),
+          col("capped"), col("allocation"))
+      val fert = bpeFertility(s, dir)
+        .select(col("source"), col("n_bpe_tokens"), col("chars_per_token"))
+      mix.join(fert, "source")
+        .withColumn("bpe_per_token", qdp6(
+          col("n_bpe_tokens").cast("double") / col("capacity").cast("double")))
+        // written order pinned: (allocation · n_bpe) / capacity
+        .withColumn("eff_bpe_tokens", qdp6(
+          (col("allocation") * col("n_bpe_tokens").cast("double")) /
+            col("capacity").cast("double")))
+        .withColumn("alloc_share", qdp6(
+          col("allocation") /
+            sum(col("allocation").cast("decimal(28,6)")).over(wAll)
+              .cast("double")))
+        .withColumn("eff_share", qdp6(
+          col("eff_bpe_tokens") /
+            sum(col("eff_bpe_tokens").cast("decimal(28,6)")).over(wAll)
+              .cast("double")))
+        .select("source", "capacity", "capped", "allocation",
+          "chars_per_token", "bpe_per_token", "eff_bpe_tokens",
+          "alloc_share", "eff_share")
     }),
 
     "x15_dsir_weights" -> ((s, dir) => {
@@ -1381,27 +1412,7 @@ object LlmEntry {
       TextAnalysis.bpeEncode(t(s, dir, "documents"), col("doc_id"),
         col("text"), rounds = 3)),
 
-    "t32_bpe_fertility" -> ((s, dir) => {
-      // tokenizer-health audit: chars per trained-BPE token by source
-      // — the fertility metric a mixture owner reads before trusting
-      // token budgets across feeds (a source at 2x the chars/token of
-      // the rest is under-served by the tokenizer and its token-based
-      // budget under-counts its text). t15c's encode composed with a
-      // source rollup; the ratio quantizes via the x21 floor recipe.
-      val d = t(s, dir, "documents")
-      val enc = TextAnalysis.bpeEncode(d, col("doc_id"), col("text"),
-        rounds = 3)
-      d.select(col("doc_id"), col("source"),
-          length(col("text")).cast("long").as("nc"))
-        .join(enc.select("doc_id", "n_bpe_tokens"), Seq("doc_id"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("nc")).as("n_chars"),
-          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
-          (floor((sum(col("nc")).cast("double") /
-            sum(col("n_bpe_tokens")).cast("double")) * lit(1e6) + lit(0.5))
-            .cast("double") / lit(1e6)).as("chars_per_token"))
-    }),
+    "t32_bpe_fertility" -> ((s, dir) => bpeFertility(s, dir)),
 
     "t7b_bpe_pack" -> ((s, dir) =>
       // t7's shard packing driven by the REAL tokenizer budget t15c
@@ -1938,6 +1949,53 @@ object LlmEntry {
   /** The deterministic synthetic page t19/c3 render per doc (Spark
     * side) — boilerplate chrome around two content paragraphs carved
     * from the doc's own text. [[RenderSql]] is the DuckDB twin. */
+  /** x21's epoch recipe solve — per-source token capacities, target
+    * weights = natural share with curated domains (src0/src1)
+    * upweighted 5x (the Pile/LLaMA curated-source boost), budget =
+    * 40% of the corpus's tokens; the boosted sources demand more than
+    * they hold, cap at capacity, and the freed budget water-fills
+    * back over the uncapped rest. Factored so x21 and x22 cannot
+    * drift. */
+  private def epochBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val caps = t(s, dir, "documents")
+      .select(col("source").as("stratum"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tk"))
+      .groupBy("stratum").agg(sum(col("tk")).as("capacity"))
+    val weighted = caps
+      .withColumn("__boost",
+        when(col("stratum").isin("src0", "src1"), lit(5.0))
+          .otherwise(lit(1.0)))
+      .withColumn("__w0", (col("capacity").cast("double") /
+        sum(col("capacity")).over(wAll).cast("double")) * col("__boost"))
+      .withColumn("w", col("__w0") /
+        sum(col("__w0").cast("decimal(28,12)")).over(wAll).cast("double"))
+    Sampling.budgetMix(weighted, col("stratum"), col("capacity"),
+      col("w"), budgetFrac = 0.4)
+  }
+
+  /** t32's tokenizer-health audit — chars per trained-BPE token by
+    * source (a source at 2x the chars/token of the rest is
+    * under-served by the tokenizer and its token-based budget
+    * under-counts its text). t15c's encode composed with a source
+    * rollup; the ratio quantizes via the x21 floor recipe. Factored
+    * so t32 and x22 cannot drift. */
+  private def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val enc = TextAnalysis.bpeEncode(d, col("doc_id"), col("text"),
+      rounds = 3)
+    d.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("nc"))
+      .join(enc.select("doc_id", "n_bpe_tokens"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        (floor((sum(col("nc")).cast("double") /
+          sum(col("n_bpe_tokens")).cast("double")) * lit(1e6) + lit(0.5))
+          .cast("double") / lit(1e6)).as("chars_per_token"))
+  }
+
   private def renderedPage: org.apache.spark.sql.Column = concat(
     lit("<html><head><title>Doc "), col("doc_id").cast("string"),
     lit("</title><style>p { margin: 0; }</style></head><body>"),
@@ -2068,6 +2126,14 @@ object LlmEntry {
     * boundary, unlike round(double, n). */
   private def Q6(e: String): String = graft.functions.Quantize.qdpSql(e, 6)
   private def Q4(e: String): String = graft.functions.Quantize.qdpSql(e, 4)
+  private def Q9(e: String): String = graft.functions.Quantize.qdpSql(e, 9)
+
+  /** [[graft.text.TextAnalysis.qualityFeatures]]' composite score —
+    * §6-quantized in lockstep with the Scala twin; expects n_tokens /
+    * punct_ratio / stop_ratio columns in scope. */
+  private val QScoreSql: String = Q6(
+    "0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)" +
+      " + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio")
 
   private def ToksSqlOn(c: String): String =
     s"""list_filter(string_split_regex(lower($c), '\\s+'), x -> x <> '')"""
@@ -2111,7 +2177,7 @@ object LlmEntry {
        |  FROM tf JOIN q USING (token) JOIN dfq USING (token)
        |       JOIN dl USING (doc_id) CROSS JOIN st),
        |pd AS (SELECT query_id, doc_id,
-       |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+       |    ${Q6("CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE)")}
        |      AS score
        |  FROM sc GROUP BY 1, 2),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2123,13 +2189,13 @@ object LlmEntry {
   /** Search.bm25's per-term score as DuckDB SQL (k1=1.2, b=0.75) over
     * CTE columns (n_docs, dfn, tf, dl, sum_dl) — shared by the e8 and
     * e9 oracles so the float-op mirror can't drift. */
-  private val Bm25TermSql =
-    """round(round(ln((CAST(n_docs AS DOUBLE) - CAST(dfn AS DOUBLE) + 0.5)
+  private val Bm25TermSql = Q6(
+    """round(ln((CAST(n_docs AS DOUBLE) - CAST(dfn AS DOUBLE) + 0.5)
       |    / (CAST(dfn AS DOUBLE) + 0.5) + 1.0), 6)
       |  * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
       |    / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
       |      * (CAST(dl AS DOUBLE)
-      |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))), 6)""".stripMargin
+      |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin)
 
   /** Distinct word n-gram shingles over `tk` (1-based inclusive list
     * slices); n=3 is the dedup family's [[ShSql]]. */
@@ -2222,8 +2288,7 @@ object LlmEntry {
        |  FROM t0),
        |keepq AS (SELECT doc_id, text FROM (
        |    SELECT *,
-       |      round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
-       |            0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS q,
+       |      ${QScoreSql} AS q,
        |      $LangCaseSql AS lang
        |    FROM feat)
        |  WHERE q >= 0.5 AND lang = 'en'),
@@ -2678,7 +2743,7 @@ object LlmEntry {
            |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
            |       JOIN dl USING (doc_id) CROSS JOIN st),
            |pd AS (SELECT query_id, doc_id,
-           |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+           |    ${Q6("CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE)")}
            |      AS score
            |  FROM sc GROUP BY 1, 2),
            |lr AS (SELECT query_id, doc_id,
@@ -2689,8 +2754,7 @@ object LlmEntry {
            |      UNION ALL
            |      SELECT query_id, doc_id, rank FROM lr WHERE rank <= 20),
            |f AS (SELECT query_id, doc_id,
-           |    round(CAST(sum(CAST(round(CAST(1.0 AS DOUBLE)
-           |        / CAST(60 + rank AS DOUBLE), 9) AS DECIMAL(28,12))) AS DOUBLE), 6)
+           |    ${Q6("CAST(sum(CAST(" + Q9("CAST(1.0 AS DOUBLE) / CAST(60 + rank AS DOUBLE)") + " AS DECIMAL(28,12))) AS DOUBLE)")}
            |      AS rrf_score
            |  FROM u GROUP BY 1, 2),
            |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2759,27 +2823,27 @@ object LlmEntry {
            |FROM p GROUP BY 1, 2""".stripMargin) +
       // t32: t15c's encode + a per-source rollup; ratio via the x21
       // floor quantizer (pure IEEE, engine-identical)
-      ("t32_bpe_fertility" ->
-        s"""WITH m AS (SELECT * FROM (${baseOracleSql("t15b_bpe_rounds")}) mm),
-           |w AS (SELECT doc_id, word FROM (
-           |        SELECT doc_id, unnest(tk) AS word
-           |        FROM (SELECT doc_id, $ToksSql AS tk FROM documents)) uw
-           |      WHERE NOT contains(word, '[') AND NOT contains(word, ']')),
-           |${bpeWxCtes("doc_id")},
-           |agg AS (SELECT doc_id,
-           |    CAST(sum(length(wr) - length(replace(wr, '[', ''))) AS BIGINT)
-           |      AS n_bpe FROM wx3 GROUP BY 1),
-           |c AS (SELECT d.doc_id, d.source,
-           |        CAST(strlen(d.text) AS BIGINT) AS nc,
-           |        CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_bpe
-           |      FROM documents d LEFT JOIN agg USING (doc_id))
-           |SELECT source, count(*) AS n_docs,
-           |  CAST(sum(nc) AS BIGINT) AS n_chars,
-           |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
-           |  floor(CAST(sum(nc) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
-           |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-           |    / CAST(1000000 AS DOUBLE) AS chars_per_token
-           |FROM c GROUP BY 1""".stripMargin) +
+      ("t32_bpe_fertility" -> T32FertilitySql) +
+      // x22: x21's allocation re-priced in t32's real tokenizer
+      // tokens — both legs the shared oracles verbatim as subqueries,
+      // joined on source; shares are exact-decimal-sum quotients
+      ("x22_token_budget_report" ->
+        s"""WITH mix AS (SELECT * FROM (${baseOracleSql("x21_budget_mix")}) m),
+           |fert AS (SELECT * FROM ($T32FertilitySql) f),
+           |j AS (SELECT mix.stratum AS source, mix.capacity, mix.capped,
+           |        mix.allocation, fert.chars_per_token,
+           |        ${Q6("CAST(fert.n_bpe_tokens AS DOUBLE)" +
+            " / CAST(mix.capacity AS DOUBLE)")} AS bpe_per_token,
+           |        ${Q6("(mix.allocation * CAST(fert.n_bpe_tokens AS DOUBLE))" +
+            " / CAST(mix.capacity AS DOUBLE)")} AS eff_bpe_tokens
+           |      FROM mix JOIN fert ON mix.stratum = fert.source)
+           |SELECT source, capacity, capped, allocation, chars_per_token,
+           |  bpe_per_token, eff_bpe_tokens,
+           |  ${Q6("allocation / CAST(sum(CAST(allocation AS DECIMAL(28,6)))" +
+            " OVER () AS DOUBLE)")} AS alloc_share,
+           |  ${Q6("eff_bpe_tokens / CAST(sum(CAST(eff_bpe_tokens" +
+            " AS DECIMAL(28,6))) OVER () AS DOUBLE)")} AS eff_share
+           |FROM j""".stripMargin) +
       // t9b: per-WORD BPE costs (same replay, position carried through)
       // chunked by running-total division — TextAnalysis.bpeChunkStats
       ("t9b_bpe_chunks" ->
@@ -2911,6 +2975,30 @@ object LlmEntry {
        |    coalesce((SELECT '[' || sym_a || sym_b || ']' FROM m WHERE round = 3), '')) AS wr
        |  FROM wx2)""".stripMargin
 
+  /** t32's oracle — factored out so x22 can embed it verbatim as a
+    * subquery (the shared-oracle no-drift pattern). */
+  private lazy val T32FertilitySql: String =
+    s"""WITH m AS (SELECT * FROM (${baseOracleSql("t15b_bpe_rounds")}) mm),
+       |w AS (SELECT doc_id, word FROM (
+       |        SELECT doc_id, unnest(tk) AS word
+       |        FROM (SELECT doc_id, $ToksSql AS tk FROM documents)) uw
+       |      WHERE NOT contains(word, '[') AND NOT contains(word, ']')),
+       |${bpeWxCtes("doc_id")},
+       |agg AS (SELECT doc_id,
+       |    CAST(sum(length(wr) - length(replace(wr, '[', ''))) AS BIGINT)
+       |      AS n_bpe FROM wx3 GROUP BY 1),
+       |c AS (SELECT d.doc_id, d.source,
+       |        CAST(strlen(d.text) AS BIGINT) AS nc,
+       |        CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_bpe
+       |      FROM documents d LEFT JOIN agg USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(nc) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |  floor(CAST(sum(nc) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
+       |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |    / CAST(1000000 AS DOUBLE) AS chars_per_token
+       |FROM c GROUP BY 1""".stripMargin
+
   private lazy val baseOracleSql: Map[String, String] = Map(
 
     "d1_exact_dedup" ->
@@ -2981,6 +3069,23 @@ object LlmEntry {
       s"""$MinhashCtes
          |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.1""".stripMargin,
 
+    // d3b: one candidate-volume/pair-yield row per banding config,
+    // each leg a full CTE replay at that config (the d16b pattern —
+    // Banding.tune is pure driver-side arithmetic, both sides call it)
+    "d3b_tuned_lsh" -> {
+      val plan = graft.dedup.Banding.tune(0.1, maxK = 16)
+      def leg(name: String, b: Int, r: Int): String =
+        s"""SELECT '$name' AS config, $b AS bands, $r AS rows_per_band,
+           |  CAST(count(*) AS BIGINT) AS n_candidates,
+           |  CAST(coalesce(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END),
+           |                0) AS BIGINT) AS n_pairs
+           |FROM (WITH ${minhashCtesAt("documents", b, r)}
+           |      SELECT jaccard FROM ver) v""".stripMargin
+      leg("default", graft.dedup.TextDedup.Bands,
+        graft.dedup.TextDedup.RowsPerBand) +
+        "\nUNION ALL\n" + leg("tuned", plan.bands, plan.rowsPerBand)
+    },
+
     // c1's chain verbatim + the decontamination tail: survivors
     // sharing any 5-gram with the %25 eval slice drop (eval members
     // self-hit and drop themselves)
@@ -2996,8 +3101,7 @@ object LlmEntry {
          |  FROM t0),
          |keepq AS (SELECT doc_id, text FROM (
          |    SELECT *,
-         |      round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
-         |            0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS q,
+         |      ${QScoreSql} AS q,
          |      $LangCaseSql AS lang
          |    FROM feat)
          |  WHERE q >= 0.5 AND lang = 'en'),
@@ -3032,8 +3136,7 @@ object LlmEntry {
          |  FROM t0),
          |keepq AS (SELECT doc_id, text FROM (
          |    SELECT *,
-         |      round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
-         |            0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS q,
+         |      ${QScoreSql} AS q,
          |      $LangCaseSql AS lang
          |    FROM feat)
          |  WHERE q >= 0.5 AND lang = 'en'),
@@ -3151,8 +3254,7 @@ object LlmEntry {
          |    CAST(len(tk) AS BIGINT) AS n_tokens
          |  FROM toks),
          |q AS (SELECT source, lang, n_tokens, md5(text) AS h,
-         |    round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
-         |      0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS qs
+         |    ${QScoreSql} AS qs
          |  FROM feat),
          |hc AS (SELECT h, count(*) AS hc FROM q GROUP BY 1)
          |SELECT source, count(*) AS n_docs,
@@ -3178,8 +3280,7 @@ object LlmEntry {
          |  FROM t0),
          |keepq AS (SELECT doc_id, text FROM (
          |    SELECT *,
-         |      round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
-         |            0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS q,
+         |      ${QScoreSql} AS q,
          |      $LangCaseSql AS lang
          |    FROM feat)
          |  WHERE q >= 0.5 AND lang = 'en'),
@@ -3227,7 +3328,7 @@ object LlmEntry {
          |dfq AS (SELECT token, count(*) AS dfn FROM tf GROUP BY 1),
          |n AS (SELECT count(*) AS n_corpus FROM documents),
          |sc AS (SELECT doc_id, token,
-         |    round(tf * round(ln(CAST(n_corpus AS DOUBLE) / CAST(dfn AS DOUBLE)), 6), 6) AS score
+         |    ${Q6("tf * round(ln(CAST(n_corpus AS DOUBLE) / CAST(dfn AS DOUBLE)), 6)")} AS score
          |  FROM tf JOIN dfq USING (token) CROSS JOIN n),
          |r AS (SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id
          |                       ORDER BY score DESC, token) AS rn FROM sc),
@@ -3514,7 +3615,7 @@ object LlmEntry {
          |b AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS n_docs,
          |             CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          |      FROM p GROUP BY 1, 2),
-         |f AS (SELECT *, round(CAST(bin_tokens AS DOUBLE) / 2000.0, 6) AS fill
+         |f AS (SELECT *, ${Q6("CAST(bin_tokens AS DOUBLE) / 2000.0")} AS fill
          |      FROM b),
          |a AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
          |             CAST(sum(n_docs) AS BIGINT) AS n_docs,
@@ -3522,11 +3623,11 @@ object LlmEntry {
          |             min(fill) AS min_fill, max(fill) AS max_fill
          |      FROM f)
          |SELECT n_bins, n_docs, total_tokens,
-         |  round(CAST(n_docs AS DOUBLE) / CAST(n_bins AS DOUBLE), 6) AS mean_docs_per_bin,
-         |  round(CAST(total_tokens AS DOUBLE) / (CAST(n_bins AS DOUBLE) * 2000.0), 6) AS mean_fill,
+         |  ${Q6("CAST(n_docs AS DOUBLE) / CAST(n_bins AS DOUBLE)")} AS mean_docs_per_bin,
+         |  ${Q6("CAST(total_tokens AS DOUBLE) / (CAST(n_bins AS DOUBLE) * 2000.0)")} AS mean_fill,
          |  min_fill, max_fill,
-         |  round(greatest(0.0, 1.0 - CAST(total_tokens AS DOUBLE) /
-         |        (CAST(n_bins AS DOUBLE) * 2000.0)), 6) AS waste_frac
+         |  ${Q6("greatest(0.0, 1.0 - CAST(total_tokens AS DOUBLE) /" +
+          " (CAST(n_bins AS DOUBLE) * 2000.0))")} AS waste_frac
          |FROM a""".stripMargin,
 
     "x3_upsample" ->
@@ -3647,7 +3748,7 @@ object LlmEntry {
          |r AS (SELECT *, row_number() OVER (
          |        ORDER BY order_key, stratum, doc_id) AS rnk FROM o)
          |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, stratum,
-         |       round(order_key, 6) AS okey
+         |       ${Q6("order_key")} AS okey
          |FROM r WHERE rnk <= 120""".stripMargin,
 
     "t11_token_entropy" ->
@@ -3674,8 +3775,8 @@ object LlmEntry {
          |    -log2(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE)) AS surp
          |  FROM tf JOIN ctf USING (token) CROSS JOIN n)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
-         |             / sum(tf), 6) AS mean_surprisal
+         |       ${Q6("CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)" +
+          " / sum(tf)")} AS mean_surprisal
          |FROM sc GROUP BY doc_id""".stripMargin,
 
     // t26: t13's per-doc surprisal CTEs + 4-dp-rounded exact terciles
@@ -3691,11 +3792,11 @@ object LlmEntry {
          |    -log2(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE)) AS surp
          |  FROM tf JOIN ctf USING (token) CROSS JOIN n),
          |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
-         |             / sum(tf), 6) AS ms
+         |       ${Q6("CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)" +
+          " / sum(tf)")} AS ms
          |      FROM sc GROUP BY doc_id),
          |b AS (SELECT list_transform(
-         |        quantile_cont(ms, [1.0/3, 2.0/3]), x -> round(x, 4)) AS bounds
+         |        quantile_cont(ms, [1.0/3, 2.0/3]), x -> ${Q4("x")}) AS bounds
          |      FROM d)
          |SELECT CASE len(list_filter(bounds, x -> ms > x))
          |         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
@@ -3760,8 +3861,8 @@ object LlmEntry {
          |       FROM tf JOIN c2w USING (bigram) JOIN c1 USING (w1)
          |            JOIN uni USING (w2) CROSS JOIN tot)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-         |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
-         |             / sum(tf), 6) AS mean_surprisal
+         |       ${Q6("CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)" +
+          " / sum(tf)")} AS mean_surprisal
          |FROM sc GROUP BY doc_id""".stripMargin,
 
     "t16_bigram_lm" ->
@@ -3777,8 +3878,8 @@ object LlmEntry {
          |         -log2(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS surp
          |       FROM tf JOIN c2w USING (bigram) JOIN c1 USING (w1))
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-         |       round(CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)
-         |             / sum(tf), 6) AS mean_surprisal
+         |       ${Q6("CAST(sum(CAST(tf * surp AS DECIMAL(28,12))) AS DOUBLE)" +
+          " / sum(tf)")} AS mean_surprisal
          |FROM sc GROUP BY doc_id""".stripMargin,
 
     // decile boundaries via quantile_cont rounded to 4 dp (the g16
@@ -3793,11 +3894,10 @@ object LlmEntry {
          |    greatest(len(tk), 1) AS stop_ratio,
          |  CAST(len(tk) AS BIGINT) AS n_tokens
          |  FROM toks),
-         |q AS (SELECT round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
-         |        0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS v FROM feat),
+         |q AS (SELECT ${QScoreSql} AS v FROM feat),
          |b AS (SELECT list_transform(
          |        quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
-         |        x -> round(x, 4)) AS bounds FROM q)
+         |        x -> ${Q4("x")}) AS bounds FROM q)
          |SELECT CAST(len(list_filter(bounds, x -> v > x)) AS INTEGER) AS bin,
          |       count(*) AS n_docs, min(v) AS min_score, max(v) AS max_score
          |FROM q CROSS JOIN b GROUP BY 1""".stripMargin,
@@ -3924,9 +4024,9 @@ object LlmEntry {
          |         AS DECIMAL(38,9)) AS pa
          |  FROM c, t),
          |d AS (SELECT sum(pa) AS den FROM p)
-         |SELECT lang, n_docs, round(p, 6) AS p_natural,
-         |  round(CAST(pa AS DOUBLE) / CAST(den AS DOUBLE), 6) AS p_temp,
-         |  round((CAST(pa AS DOUBLE) / CAST(den AS DOUBLE)) / p, 6) AS boost
+         |SELECT lang, n_docs, ${Q6("p")} AS p_natural,
+         |  ${Q6("CAST(pa AS DOUBLE) / CAST(den AS DOUBLE)")} AS p_temp,
+         |  ${Q6("(CAST(pa AS DOUBLE) / CAST(den AS DOUBLE)) / p")} AS boost
          |FROM p, d""".stripMargin,
 
     // x15/x15b: the DSIR replay — hashed-LM log-ratio weights in
@@ -3977,14 +4077,14 @@ object LlmEntry {
          |      FROM pool LEFT JOIN selc USING (source))
          |SELECT source, n_pool, CAST(n_selected AS BIGINT) AS n_selected,
          |  CASE WHEN n_selected = 0 THEN NULL
-         |       ELSE round(CAST(wsum AS DOUBLE)
-         |                  / CAST(n_selected AS DOUBLE), 6) END
+         |       ELSE ${Q6("CAST(wsum AS DOUBLE)" +
+          " / CAST(n_selected AS DOUBLE)")} END
          |    AS mean_sel_weight,
-         |  round(CAST(n_pool AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         |  ${Q6("CAST(n_pool AS DOUBLE) / CAST(n_total AS DOUBLE)")}
          |    AS nat_share,
-         |  round(CAST(n_selected AS DOUBLE) / 100.0, 6) AS sel_share,
-         |  round((CAST(n_selected AS DOUBLE) * CAST(n_total AS DOUBLE))
-         |        / (100.0 * CAST(n_pool AS DOUBLE)), 6) AS epoch_weight
+         |  ${Q6("CAST(n_selected AS DOUBLE) / 100.0")} AS sel_share,
+         |  ${Q6("(CAST(n_selected AS DOUBLE) * CAST(n_total AS DOUBLE))" +
+          " / (100.0 * CAST(n_pool AS DOUBLE))")} AS epoch_weight
          |FROM j""".stripMargin,
 
     "x15c_dsir_bigram" ->
@@ -4065,8 +4165,8 @@ object LlmEntry {
          |    AS n_sentence_words,
          |  CAST(coalesce(list_aggregate(wp, 'max'), 0) AS BIGINT)
          |    AS max_sentence_words,
-         |  round(CAST(coalesce(list_aggregate(wp, 'sum'), 0) AS DOUBLE)
-         |    / greatest(len(ls), 1), 6) AS mean_sentence_words
+         |  ${Q6("CAST(coalesce(list_aggregate(wp, 'sum'), 0) AS DOUBLE)" +
+          " / greatest(len(ls), 1)")} AS mean_sentence_words
          |FROM g""".stripMargin,
 
     // t25: t24's injected text2, LIX = words/sentences +
@@ -4089,8 +4189,8 @@ object LlmEntry {
          |      AS n_long_words
          |  FROM f)
          |SELECT doc_id, n_words, n_sentences, n_long_words,
-         |  round(CAST(n_words AS DOUBLE) / greatest(n_sentences, 1)
-         |    + 100.0 * CAST(n_long_words AS DOUBLE) / greatest(n_words, 1), 6)
+         |  ${Q6("CAST(n_words AS DOUBLE) / greatest(n_sentences, 1)" +
+          " + 100.0 * CAST(n_long_words AS DOUBLE) / greatest(n_words, 1)")}
          |    AS lix
          |FROM g""".stripMargin,
 
@@ -4770,7 +4870,7 @@ object LlmEntry {
          |       JOIN dfq USING (token)
          |       JOIN dl USING (doc_id) CROSS JOIN st),
          |pd AS (SELECT query_id, doc_id,
-         |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |    ${Q6("CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE)")}
          |      AS score
          |  FROM sc GROUP BY 1, 2),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4824,7 +4924,7 @@ object LlmEntry {
          |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
          |       JOIN dl USING (doc_id) CROSS JOIN st),
          |pd AS (SELECT query_id, doc_id,
-         |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |    ${Q6("CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE)")}
          |      AS score
          |  FROM sc GROUP BY 1, 2),
          |lr AS (SELECT query_id, doc_id,
@@ -4835,8 +4935,7 @@ object LlmEntry {
          |      UNION ALL
          |      SELECT query_id, doc_id, rank FROM lr WHERE rank <= 20),
          |f AS (SELECT query_id, doc_id,
-         |    round(CAST(sum(CAST(round(CAST(1.0 AS DOUBLE)
-         |        / CAST(60 + rank AS DOUBLE), 9) AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |    ${Q6("CAST(sum(CAST(" + Q9("CAST(1.0 AS DOUBLE) / CAST(60 + rank AS DOUBLE)") + " AS DECIMAL(28,12))) AS DOUBLE)")}
          |      AS rrf_score
          |  FROM u GROUP BY 1, 2),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4864,7 +4963,7 @@ object LlmEntry {
          |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
          |       JOIN dl USING (doc_id) CROSS JOIN st),
          |pd AS (SELECT query_id, doc_id,
-         |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |    ${Q6("CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE)")}
          |      AS score
          |  FROM sc GROUP BY 1, 2),
          |h AS (SELECT query_id, doc_id FROM (
@@ -4910,7 +5009,7 @@ object LlmEntry {
          |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
          |       JOIN dl USING (doc_id) CROSS JOIN st),
          |pd AS (SELECT query_id, doc_id,
-         |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |    ${Q6("CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE)")}
          |      AS score
          |  FROM sc GROUP BY 1, 2),
          |ltop AS (SELECT query_id, doc_id, score FROM (
@@ -4957,7 +5056,7 @@ object LlmEntry {
          |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
          |       JOIN dl USING (doc_id) CROSS JOIN st),
          |pd AS (SELECT query_id, doc_id,
-         |    round(CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |    ${Q6("CAST(sum(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE)")}
          |      AS score
          |  FROM sc GROUP BY 1, 2),
          |ltop AS (SELECT query_id, doc_id, score FROM (
@@ -5039,8 +5138,7 @@ object LlmEntry {
          |    greatest(len(tk), 1) AS stop_ratio
          |  FROM toks)
          |SELECT doc_id, n_chars_chk, n_tokens, punct_ratio, stop_ratio,
-         |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
-         |        0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS quality_score
+         |  ${QScoreSql} AS quality_score
          |FROM feat""".stripMargin,
 
     // t20: the Gopher gate replayed rule by rule — the injected text2
@@ -5088,12 +5186,12 @@ object LlmEntry {
          |  alpha_word_frac >= 0.8 AS ok_alpha,
          |  n_stop_types >= 2 AS ok_stop
          |  FROM g)
-         |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
-         |  round(hash_ratio, 6) AS hash_ratio,
-         |  round(dots_ratio, 6) AS dots_ratio,
-         |  round(bullet_line_frac, 6) AS bullet_line_frac,
-         |  round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
-         |  round(alpha_word_frac, 6) AS alpha_word_frac,
+         |SELECT doc_id, n_words, ${Q6("mean_word_len")} AS mean_word_len,
+         |  ${Q6("hash_ratio")} AS hash_ratio,
+         |  ${Q6("dots_ratio")} AS dots_ratio,
+         |  ${Q6("bullet_line_frac")} AS bullet_line_frac,
+         |  ${Q6("ellipsis_line_frac")} AS ellipsis_line_frac,
+         |  ${Q6("alpha_word_frac")} AS alpha_word_frac,
          |  n_stop_types,
          |  ok_wc AND ok_wl AND ok_sym AND ok_bul AND ok_ell AND ok_alpha AND ok_stop AS keep,
          |  coalesce(array_to_string(list_filter([
@@ -5282,8 +5380,7 @@ object LlmEntry {
          |  FROM t0),
          |keepq AS (SELECT doc_id, text FROM (
          |    SELECT *,
-         |      round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
-         |            0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS q,
+         |      ${QScoreSql} AS q,
          |      $LangCaseSql AS lang
          |    FROM feat)
          |  WHERE q >= 0.5 AND lang = 'en'),
@@ -5327,8 +5424,7 @@ object LlmEntry {
          |  FROM t0),
          |keepq AS (SELECT doc_id, text FROM (
          |    SELECT *,
-         |      round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) +
-         |            0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS q,
+         |      ${QScoreSql} AS q,
          |      $LangCaseSql AS lang
          |    FROM feat)
          |  WHERE q >= 0.5 AND lang = 'en'),

@@ -1496,15 +1496,16 @@ object SparkEntry {
     // ((v-lo)/((hi-lo)/20.0) then floor/clamp) so bin edges agree
     // bit for bit
     "g36_histogram" ->
-      """WITH b AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+      s"""WITH b AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
         |                  max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
         |c AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
         |      WHERE o_totalprice IS NOT NULL),
         |x AS (SELECT CASE WHEN hi = lo THEN 0
         |        ELSE least(CAST(floor((v - lo)/((hi - lo)/20.0)) AS BIGINT), 19)
         |        END AS bin, lo, hi FROM c, b)
-        |SELECT bin, round(min(lo) + bin*((min(hi) - min(lo))/20.0), 6) AS bin_lo,
-        |  round(min(lo) + (bin+1)*((min(hi) - min(lo))/20.0), 6) AS bin_hi,
+        |SELECT bin,
+        |  ${q6("min(lo) + bin*((min(hi) - min(lo))/20.0)")} AS bin_lo,
+        |  ${q6("min(lo) + (bin+1)*((min(hi) - min(lo))/20.0)")} AS bin_hi,
         |  count(*) AS n
         |FROM x GROUP BY bin""".stripMargin,
 

@@ -353,13 +353,63 @@ object TextDedup {
                       bands: Int = Bands,
                       rowsPerBand: Int = RowsPerBand): DataFrame = {
     val t = sigged(docs, id, text, storage, bands * rowsPerBand)
+    verified(selfCandidates(t, bands, rowsPerBand), t, t, minJaccard)
+  }
+
+  /** Distinct self-join candidate pairs of a sigged frame at one
+    * banding config (doc_a < doc_b). */
+  private def selfCandidates(t: DataFrame, bands: Int,
+                             rowsPerBand: Int): DataFrame = {
     val b = banded(t, bands, rowsPerBand)
-    val cand = b.as("a").join(b.as("b"),
+    b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verified(cand, t, t, minJaccard)
+  }
+
+  /** The banding OPERATING report — candidate volume vs verified-pair
+    * yield per (bands, rowsPerBand) config, measured on the corpus
+    * (the cost side of the tradeoff [[graft.dedup.Banding.tune]]'s
+    * S-curve integral predicts and [[lshRecallAudit]] grades for
+    * recall): at 100 TB the candidate count IS the exact-verify
+    * join's row count, so a tuner that buys recall with a
+    * low-`rowsPerBand` plan must show its verify bill here before
+    * anyone ships it.
+    *
+    * One row per config: (config, bands, rows_per_band, n_candidates,
+    * n_pairs) — exact longs, no float surface. All configs share ONE
+    * shingle+signature pass (the pool-prefix contract: a config's
+    * bands·rows slices read the first bands·rows signature entries,
+    * identical to a signature computed at exactly that K), then each
+    * config pays its own map-only band expansion, (band, bsig)
+    * equi-join and ONE verify pass that counts candidates and
+    * threshold survivors together — no second scan of the candidate
+    * set, no quadratic stage. */
+  def lshOperatingReport(docs: DataFrame, id: Column, text: Column,
+                         minJaccard: Double,
+                         configs: Seq[(String, Int, Int)],
+                         storage: StorageLevel = Caching.Default): DataFrame = {
+    require(configs.nonEmpty, "lshOperatingReport needs at least one config")
+    configs.foreach { case (name, b, r) =>
+      require(b >= 1 && r >= 1 && b * r <= MinHashPoolA.size,
+        s"config $name: bands*rowsPerBand must be in [1, ${MinHashPoolA.size}]")
+    }
+    val maxK = configs.map { case (_, b, r) => b * r }.max
+    val t = sigged(docs, id, text, storage, maxK)
+    configs.map { case (name, b, r) =>
+      selfCandidates(t, b, r)
+        .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("jaccard") >= minJaccard, 1L)
+            .otherwise(0L)), lit(0L)).as("n_pairs"))
+        .select(lit(name).as("config"), lit(b).as("bands"),
+          lit(r).as("rows_per_band"), col("n_candidates"), col("n_pairs"))
+    }.reduce(_ unionAll _)
   }
 
   /** The corpus's precomputable LSH band index: one (doc_id, band,

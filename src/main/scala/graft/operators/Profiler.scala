@@ -79,8 +79,11 @@ object Profiler {
             lit(nBins - 1L))).cast("long"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
-        round(first(col("__lo")) + col("bin") * first(width), 6).as("bin_lo"),
-        round(first(col("__lo")) + (col("bin") + 1) * first(width), 6)
+        // §6 quantizer on the width-quotient edges (Quantize scaladoc)
+        graft.functions.Quantize.qdp(
+          first(col("__lo")) + col("bin") * first(width), 6).as("bin_lo"),
+        graft.functions.Quantize.qdp(
+          first(col("__lo")) + (col("bin") + 1) * first(width), 6)
           .as("bin_hi"))
       .select("bin", "bin_lo", "bin_hi", "n")
   }

@@ -268,9 +268,11 @@ object Sampling {
       .withColumn("__q", col("__pa").cast("double") /
         sum(col("__pa")).over(wAll).cast("double"))
       .select(col("stratum"), col("n_docs"),
-        round(col("__p"), 6).as("p_natural"),
-        round(col("__q"), 6).as("p_temp"),
-        round(col("__q") / col("__p"), 6).as("boost"))
+        // §6 quantizer on the share/boost quotients (Quantize
+        // scaladoc): engine-identical at the half boundary
+        graft.functions.Quantize.qdp(col("__p"), 6).as("p_natural"),
+        graft.functions.Quantize.qdp(col("__q"), 6).as("p_temp"),
+        graft.functions.Quantize.qdp(col("__q") / col("__p"), 6).as("boost"))
   }
 
   /** Token-budget mixture allocation — the epoch "data recipe" solver

@@ -229,14 +229,17 @@ object Dsir {
       .na.fill(0L, Seq("n_selected"))
       .withColumn("__n_total", nTotal)
       .select(col("source"), col("n_pool"), col("n_selected"),
+        // §6 quantizer on the report quotients (Quantize scaladoc):
+        // engine-identical at the half boundary
         when(col("n_selected") === 0, lit(null)).otherwise(
-          round(col("__wsum").cast("double") /
+          graft.functions.Quantize.qdp(col("__wsum").cast("double") /
             col("n_selected").cast("double"), 6)).as("mean_sel_weight"),
-        round(col("n_pool").cast("double") /
+        graft.functions.Quantize.qdp(col("n_pool").cast("double") /
           col("__n_total").cast("double"), 6).as("nat_share"),
-        round(col("n_selected").cast("double") / lit(k.toDouble), 6)
+        graft.functions.Quantize.qdp(
+          col("n_selected").cast("double") / lit(k.toDouble), 6)
           .as("sel_share"),
-        round((col("n_selected").cast("double") *
+        graft.functions.Quantize.qdp((col("n_selected").cast("double") *
             col("__n_total").cast("double")) /
           (lit(k.toDouble) * col("n_pool").cast("double")), 6)
           .as("epoch_weight"))

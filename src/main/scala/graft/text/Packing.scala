@@ -97,8 +97,11 @@ object Packing {
   def packReport(docs: DataFrame, id: Column, tokens: Column,
                  budget: Long, buckets: Int = 32): DataFrame = {
     val bins = binStats(packIntoBins(docs, id, tokens, budget, buckets))
+      // §6 quantizer on every report quotient (Quantize scaladoc):
+      // engine-identical at the half boundary
       .withColumn("fill",
-        round(col("bin_tokens").cast("double") / lit(budget.toDouble), 6))
+        graft.functions.Quantize.qdp(
+          col("bin_tokens").cast("double") / lit(budget.toDouble), 6))
     bins.agg(
         count(lit(1)).as("n_bins"),
         sum(col("n_docs")).as("n_docs"),
@@ -106,13 +109,14 @@ object Packing {
         min(col("fill")).as("min_fill"),
         max(col("fill")).as("max_fill"))
       .select(col("n_bins"), col("n_docs"), col("total_tokens"),
-        round(col("n_docs").cast("double") / col("n_bins").cast("double"), 6)
+        graft.functions.Quantize.qdp(
+          col("n_docs").cast("double") / col("n_bins").cast("double"), 6)
           .as("mean_docs_per_bin"),
-        round(col("total_tokens").cast("double") /
+        graft.functions.Quantize.qdp(col("total_tokens").cast("double") /
           (col("n_bins").cast("double") * lit(budget.toDouble)), 6)
           .as("mean_fill"),
         col("min_fill"), col("max_fill"),
-        round(greatest(lit(0.0),
+        graft.functions.Quantize.qdp(greatest(lit(0.0),
           lit(1.0) - col("total_tokens").cast("double") /
             (col("n_bins").cast("double") * lit(budget.toDouble))), 6)
           .as("waste_frac"))

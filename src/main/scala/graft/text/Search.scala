@@ -145,14 +145,18 @@ object Search {
       .withColumn("idf", round(log(
         (col("n_docs").cast(DoubleType) - col("dfn").cast(DoubleType) + 0.5)
           / (col("dfn").cast(DoubleType) + 0.5) + 1.0), 6))
-      .withColumn("term_score", round(col("idf") *
+      // §6 quantizer on the per-term product and the per-doc sum's
+      // final round (the inner 6-dp idf round pins the transcendental
+      // log — unchanged): engine-identical at the half boundary
+      .withColumn("term_score", graft.functions.Quantize.qdp(col("idf") *
         ((col("tf").cast(DoubleType) * (lit(k1) + 1.0)) /
           (col("tf").cast(DoubleType) +
             lit(k1) * (lit(1.0) - lit(b) +
               lit(b) * (col("dl").cast(DoubleType) / col("avgdl"))))), 6))
     val perDoc = scored.groupBy("query_id", "doc_id")
-      .agg(round(sum(col("term_score").cast(DecimalType(28, 12)))
-        .cast(DoubleType), 6).as("score"))
+      .agg(graft.functions.Quantize.qdp(
+        sum(col("term_score").cast(DecimalType(28, 12)))
+          .cast(DoubleType), 6).as("score"))
     perDoc.groupBy("query_id")
       .agg(ColumnBridge.column(TopKPairs(
         ColumnBridge.expression(struct(col("score"), col("doc_id").cast("long"))), k)
@@ -524,11 +528,16 @@ object Search {
     val u = legs.map(_.select(col("query_id"), col("rank"), col("doc_id")))
       .reduce(_ unionAll _)
     val fused = u
+      // §9/§6 quantizers on the reciprocal-rank quotient and the
+      // final sum (Quantize scaladoc): engine-identical at the half
+      // boundary, unlike round(double, n)
       .withColumn("term",
-        round(lit(1.0) / (lit(kRrf) + col("rank")).cast(DoubleType), 9))
+        graft.functions.Quantize.qdp(
+          lit(1.0) / (lit(kRrf) + col("rank")).cast(DoubleType), 9))
       .groupBy("query_id", "doc_id")
-      .agg(round(sum(col("term").cast(DecimalType(28, 12)))
-        .cast(DoubleType), 6).as("rrf_score"))
+      .agg(graft.functions.Quantize.qdp(
+        sum(col("term").cast(DecimalType(28, 12)))
+          .cast(DoubleType), 6).as("rrf_score"))
     fused.groupBy("query_id")
       .agg(ColumnBridge.column(TopKPairs(
         ColumnBridge.expression(struct(col("rrf_score"), col("doc_id").cast("long"))), k)

@@ -9,6 +9,7 @@ import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.functions.RollingHash64
+import graft.functions.Quantize.qdp
 
 /** Text-analysis operators for training-data curation: tokenization,
   * language ID, quality scoring, token counting, fingerprinting.
@@ -76,7 +77,10 @@ object TextAnalysis {
       .withColumn("stop_ratio",
         size(filter(toks, t => t.isInCollection(enStops))).cast(DoubleType) /
           greatest(size(toks), lit(1)).cast(DoubleType))
-      .withColumn("quality_score", round(
+      // §6 quantizer, not round(double, n): the score feeds gate
+      // verdicts downstream, so the 6-dp cut must be engine-identical
+      // at the half boundary (Quantize scaladoc)
+      .withColumn("quality_score", qdp(
         lit(0.4) * least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0) +
           lit(0.3) * (lit(1.0) - col("punct_ratio")) +
           lit(0.3) * col("stop_ratio"), 6))
@@ -146,12 +150,14 @@ object TextAnalysis {
 
     df.select(id.as("doc_id"),
       nWords.as("n_words"),
-      round(meanLen, 6).as("mean_word_len"),
-      round(hashRatio, 6).as("hash_ratio"),
-      round(dotsRatio, 6).as("dots_ratio"),
-      round(bulletFrac, 6).as("bullet_line_frac"),
-      round(ellLineFrac, 6).as("ellipsis_line_frac"),
-      round(alphaFrac, 6).as("alpha_word_frac"),
+      // §6 quantizer on the display ratios (verdicts compare the
+      // UNROUNDED doubles; see the scaladoc)
+      qdp(meanLen, 6).as("mean_word_len"),
+      qdp(hashRatio, 6).as("hash_ratio"),
+      qdp(dotsRatio, 6).as("dots_ratio"),
+      qdp(bulletFrac, 6).as("bullet_line_frac"),
+      qdp(ellLineFrac, 6).as("ellipsis_line_frac"),
+      qdp(alphaFrac, 6).as("alpha_word_frac"),
       nStops.as("n_stop_types"),
       checks.map(_._2).reduce(_ && _).as("keep"),
       concat_ws(";", checks.map { case (name, ok) =>
@@ -449,7 +455,8 @@ object TextAnalysis {
         -log2(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)))
     scored.groupBy("doc_id").agg(
       sum(col("tf")).cast("long").as("n_bigrams"),
-      round(
+      // §6 quantizer on the weighted-mean quotient (Quantize scaladoc)
+      qdp(
         sum((col("tf") * col("surp")).cast(DecimalType(28, 12))).cast(DoubleType)
           / sum(col("tf")), 6).as("mean_surprisal"))
   }
@@ -518,7 +525,8 @@ object TextAnalysis {
           (col("ctf").cast(DoubleType) / col("n_total").cast(DoubleType))))
     scored.groupBy("doc_id").agg(
       sum(col("tf")).cast("long").as("n_bigrams"),
-      round(
+      // §6 quantizer on the weighted-mean quotient (Quantize scaladoc)
+      qdp(
         sum((col("tf") * col("surp")).cast(DecimalType(28, 12))).cast(DoubleType)
           / sum(col("tf")), 6).as("mean_surprisal"))
   }
@@ -647,7 +655,9 @@ object TextAnalysis {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfn"))
     val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(total))
-      .withColumn("score", round(col("tf") * round(
+      // outer §6 quantizer on the tf·idf product (the inner 6-dp idf
+      // round pins the transcendental log — unchanged)
+      .withColumn("score", qdp(col("tf") * round(
         log(col("n_corpus").cast(DoubleType) / col("dfn").cast(DoubleType)), 6), 6))
     scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
@@ -691,7 +701,8 @@ object TextAnalysis {
         col("ctf").cast(DoubleType) / col("n_total").cast(DoubleType)))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),
-        round((sum((col("tf") * col("surp")).cast(DecimalType(28, 12)))
+        // §6 quantizer on the decimal-exact mean (Quantize scaladoc)
+        qdp((sum((col("tf") * col("surp")).cast(DecimalType(28, 12)))
           / sum(col("tf"))).cast(DoubleType), 6).as("mean_surprisal"))
   }
 
@@ -784,8 +795,9 @@ object TextAnalysis {
     require(nBins >= 2, "need at least 2 bins")
     val ps = (1 until nBins).map(_.toDouble / nBins).toArray
     val v = graft.Caching.persisted(df.select(value.as("v")), storage)
+    // §6 quantizer on the bin boundaries (they feed the bin verdicts)
     val bounds = v.agg(
-      transform(percentile(col("v"), lit(ps)), b => round(b, 4)).as("bounds"))
+      transform(percentile(col("v"), lit(ps)), b => qdp(b, 4)).as("bounds"))
     v
       .crossJoin(broadcast(bounds))
       .withColumn("bin", size(filter(col("bounds"), b => col("v") > b)))
@@ -821,7 +833,7 @@ object TextAnalysis {
     val s = graft.Caching.persisted(unigramSurprisal(df, id, text, storage), storage)
     val bounds = s.agg(transform(
       percentile(col("mean_surprisal"), lit(Array(1.0 / 3, 2.0 / 3))),
-      b => round(b, 4)).as("bounds"))
+      b => qdp(b, 4)).as("bounds"))
     s.crossJoin(broadcast(bounds))
       .withColumn("nb",
         size(filter(col("bounds"), b => col("mean_surprisal") > b)))
@@ -877,7 +889,8 @@ object TextAnalysis {
       total.as("n_sentence_words"),
       coalesce(array_max(wordsPer), lit(0)).cast("long")
         .as("max_sentence_words"),
-      round(total.cast(DoubleType) /
+      // §6 quantizer on the mean quotient (Quantize scaladoc)
+      qdp(total.cast(DoubleType) /
         greatest(size(sents), lit(1)).cast(DoubleType), 6)
         .as("mean_sentence_words"))
   }
@@ -905,7 +918,9 @@ object TextAnalysis {
     val nl = size(filter(words, w => length(w) > 6)).cast("long")
     df.select(id.as("doc_id"),
       nw.as("n_words"), ns.as("n_sentences"), nl.as("n_long_words"),
-      round(nw.cast(DoubleType) /
+      // §6 quantizer on the two-quotient LIX formula (Quantize
+      // scaladoc); divisions stay in the written order
+      qdp(nw.cast(DoubleType) /
           greatest(ns, lit(1L)).cast(DoubleType) +
         lit(100.0) * nl.cast(DoubleType) /
           greatest(nw, lit(1L)).cast(DoubleType), 6).as("lix"))

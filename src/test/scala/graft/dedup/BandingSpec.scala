@@ -99,4 +99,39 @@ class BandingSpec extends SparkSpec {
     assert(recallTuned > 0.5,
       s"at P~=0.95 per pair the tuned plan must find most pairs: $recallTuned")
   }
+
+  test("d3b operating report: counts consistent with the pair generator per config") {
+    // the d16 corpus again: (4,4) nearly blind, (16,1) collides often
+    val docs = (1 to 12).flatMap { p =>
+      val shared = (1 to 10).map(j => s"shared${p}_$j").mkString(" ")
+      val ua = (1 to 20).map(j => s"ua${p}_$j").mkString(" ")
+      val ub = (1 to 20).map(j => s"ub${p}_$j").mkString(" ")
+      Seq((2L * p, s"$ua $shared"), (2L * p + 1, s"$shared $ub"))
+    }.toDF("doc_id", "text")
+    val t = 0.15
+    val plan = Banding.tune(t, maxK = 16)
+    val rows = TextDedup.lshOperatingReport(docs, col("doc_id"), col("text"),
+        minJaccard = t,
+        configs = Seq(("default", TextDedup.Bands, TextDedup.RowsPerBand),
+          ("tuned", plan.bands, plan.rowsPerBand)))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("default", "tuned"))
+    val (db, dr, dCand, dPairs) = rows("default")
+    val (tb, tr, tCand, tPairs) = rows("tuned")
+    assert((db, dr) === (TextDedup.Bands, TextDedup.RowsPerBand))
+    assert((tb, tr) === (plan.bands, plan.rowsPerBand))
+    // every verified pair was a candidate
+    assert(dPairs <= dCand && tPairs <= tCand)
+    // n_pairs must equal the operating generator's own pair count
+    def pairsAt(b: Int, r: Int): Long =
+      TextDedup.minHashLshPairs(docs, col("doc_id"), col("text"),
+        minJaccard = t, bands = b, rowsPerBand = r).count()
+    assert(dPairs === pairsAt(db, dr), "default row == minHashLshPairs")
+    assert(tPairs === pairsAt(tb, tr), "tuned row == minHashLshPairs")
+    // the trade the report exists to expose: the recall plan pays a
+    // larger (or equal) candidate bill and finds at least as many pairs
+    assert(tCand >= dCand && tPairs >= dPairs)
+    assert(tPairs > 0, "the tuned plan must find pairs on this corpus")
+  }
 }
