@@ -2530,7 +2530,7 @@ object LlmEntry {
     TextAnalysis.LangProfiles.find(_._1 == "en").get._2.map(w => s"'$w'").mkString(",")
 
   private val CosSql =
-    "round(list_dot_product(qe,ce)/(sqrt(list_dot_product(qe,qe))*sqrt(list_dot_product(ce,ce))),6)"
+    "floor((list_dot_product(qe,ce)/(sqrt(list_dot_product(qe,qe))*sqrt(list_dot_product(ce,ce)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
 
   /** Two unrolled Lloyd rounds over `src(vec_id, e)` — CTEs c0 → a1 →
     * d1 → c1 → a2 → d2 → c2 mirroring [[KMeans.lloyd]] (k = 8, seeds =
@@ -2542,13 +2542,14 @@ object LlmEntry {
       s"""SELECT vec_id, e, cent_id FROM (
          |  SELECT v.vec_id, v.e, c.cent_id,
          |         row_number() OVER (PARTITION BY v.vec_id
-         |           ORDER BY round(list_dot_product(v.e, c.cent) /
-         |             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cent, c.cent))), 6) DESC,
+         |           ORDER BY floor((list_dot_product(v.e, c.cent) /
+         |             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cent, c.cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) DESC,
          |           c.cent_id) AS rn
          |  FROM $src v, $cent c) WHERE rn = 1""".stripMargin
     def mean(s: String) =
       s"""SELECT cent_id, d AS dim,
-         |  round(CAST(sum(CAST(e[d+1] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS value
+         |  ${Q6("CAST(sum(CAST(e[d+1] AS DECIMAL(28,12))) AS DOUBLE)" +
+          " / count(*)")} AS value
          |FROM $s, range(0, 64) r(d) GROUP BY 1, 2""".stripMargin
     // empty clusters carry their previous centroid forward (c1/c2
     // union the prior round's centroids for cent_ids absent from the
@@ -2595,31 +2596,31 @@ object LlmEntry {
        |              list_slice(ce, j*16+1, j*16+16) AS xs
        |       FROM c, range(0, 4) r(j)),
        |enc0 AS (SELECT neighbor_id, j, code_id,
-       |    round(list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
-       |          + list_dot_product(cw, cw), 6) AS d2
+       |    floor((list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
+       |          + list_dot_product(cw, cw)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS d2
        |  FROM sv JOIN cb USING (j)),
        |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
        |                                 ORDER BY d2, code_id) AS rn FROM enc0)
        |  WHERE rn = 1),
        |asg0 AS (SELECT neighbor_id, cent_id,
-       |  round(list_dot_product(ce, cent) /
-       |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+       |  floor((list_dot_product(ce, cent) /
+       |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
        |  FROM c, cent),
        |asg AS (SELECT neighbor_id, cent_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
        |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
        |  WHERE rn = 1),
        |pr0 AS (SELECT query_id, cent_id,
-       |  round(list_dot_product(qe, cent) /
-       |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+       |  floor((list_dot_product(qe, cent) /
+       |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
        |  FROM q, cent),
        |pr AS (SELECT query_id, cent_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
        |  WHERE rn <= 4),
        |qtab AS (SELECT query_id, j, code_id AS code,
-       |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
+       |    floor((list_dot_product(list_slice(qe, j*16+1, j*16+16), cw)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS qdot
        |  FROM q, cb),
        |adc AS (SELECT query_id, neighbor_id,
        |    CAST(round(sum(CAST(qdot AS DECIMAL(28,12))), 6) AS DOUBLE) AS adc
@@ -2661,31 +2662,31 @@ object LlmEntry {
        |              list_slice(ce, j*16+1, j*16+16) AS xs
        |       FROM c, range(0, 4) r(j)),
        |enc0 AS (SELECT neighbor_id, j, code_id,
-       |    round(list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
-       |          + list_dot_product(cw, cw), 6) AS d2
+       |    floor((list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
+       |          + list_dot_product(cw, cw)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS d2
        |  FROM sv JOIN cb USING (j)),
        |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
        |                                 ORDER BY d2, code_id) AS rn FROM enc0)
        |  WHERE rn = 1),
        |asg0 AS (SELECT neighbor_id, cent_id,
-       |  round(list_dot_product(ce, cent) /
-       |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+       |  floor((list_dot_product(ce, cent) /
+       |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
        |  FROM c, cent),
        |asg AS (SELECT neighbor_id, cent_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
        |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
        |  WHERE rn = 1),
        |pr0 AS (SELECT query_id, cent_id,
-       |  round(list_dot_product(qe, cent) /
-       |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+       |  floor((list_dot_product(qe, cent) /
+       |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
        |  FROM q, cent),
        |pr AS (SELECT query_id, cent_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
        |  WHERE rn <= 2),
        |qtab AS (SELECT query_id, j, code_id AS code,
-       |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
+       |    floor((list_dot_product(list_slice(qe, j*16+1, j*16+16), cw)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS qdot
        |  FROM q, cb),
        |adc AS (SELECT query_id, neighbor_id,
        |    CAST(round(sum(CAST(qdot AS DECIMAL(28,12))), 6) AS DOUBLE) AS adc
@@ -4103,8 +4104,8 @@ object LlmEntry {
          |a3 AS (SELECT vec_id, cent_id FROM (
          |  SELECT v.vec_id, c.cent_id,
          |         row_number() OVER (PARTITION BY v.vec_id
-         |           ORDER BY round(list_dot_product(v.e, c.cent) /
-         |             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cent, c.cent))), 6) DESC,
+         |           ORDER BY floor((list_dot_product(v.e, c.cent) /
+         |             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cent, c.cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) DESC,
          |           c.cent_id) AS rn
          |  FROM v, c2 c) WHERE rn = 1),
          |r AS (SELECT cent_id, vec_id,
@@ -4316,16 +4317,16 @@ object LlmEntry {
          |cent AS (SELECT cent_id, cent FROM c2),
          |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v0),
          |asg0 AS (SELECT neighbor_id, ce, cent_id,
-         |  round(list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  floor((list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
          |  FROM c, cent),
          |asg AS (SELECT neighbor_id, ce, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
          |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
          |  WHERE rn = 1),
          |p AS (SELECT a.cent_id, a.neighbor_id AS vec_a, b.neighbor_id AS vec_b,
-         |  round(list_dot_product(a.ce, b.ce) /
-         |        (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))), 6) AS sim
+         |  floor((list_dot_product(a.ce, b.ce) /
+         |        (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS sim
          |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id
          |                       AND a.neighbor_id < b.neighbor_id)
          |SELECT cent_id, vec_a, vec_b, sim FROM p WHERE sim >= 0.4""".stripMargin,
@@ -4339,16 +4340,16 @@ object LlmEntry {
          |cent AS (SELECT cent_id, cent FROM c2),
          |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v),
          |asg0 AS (SELECT neighbor_id, ce, cent_id,
-         |  round(list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  floor((list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
          |  FROM c, cent),
          |asg AS (SELECT neighbor_id, ce, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
          |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
          |  WHERE rn = 1),
          |pr0 AS (SELECT query_id, qe, cent_id,
-         |  round(list_dot_product(qe, cent) /
-         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  floor((list_dot_product(qe, cent) /
+         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
          |  FROM q, cent),
          |pr AS (SELECT query_id, qe, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4380,31 +4381,31 @@ object LlmEntry {
          |              list_slice(ce, j*16+1, j*16+16) AS xs
          |       FROM c, range(0, 4) r(j)),
          |enc0 AS (SELECT neighbor_id, j, code_id,
-         |    round(list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
-         |          + list_dot_product(cw, cw), 6) AS d2
+         |    floor((list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
+         |          + list_dot_product(cw, cw)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS d2
          |  FROM sv JOIN cb USING (j)),
          |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
          |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
          |                                 ORDER BY d2, code_id) AS rn FROM enc0)
          |  WHERE rn = 1),
          |asg0 AS (SELECT neighbor_id, cent_id,
-         |  round(list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  floor((list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
          |  FROM c, cent),
          |asg AS (SELECT neighbor_id, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
          |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
          |  WHERE rn = 1),
          |pr0 AS (SELECT query_id, cent_id,
-         |  round(list_dot_product(qe, cent) /
-         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  floor((list_dot_product(qe, cent) /
+         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
          |  FROM q, cent),
          |pr AS (SELECT query_id, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
          |  WHERE rn <= 4),
          |qtab AS (SELECT query_id, j, code_id AS code,
-         |    round(list_dot_product(list_slice(qe, j*16+1, j*16+16), cw), 6) AS qdot
+         |    floor((list_dot_product(list_slice(qe, j*16+1, j*16+16), cw)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS qdot
          |  FROM q, cb),
          |adc AS (SELECT query_id, neighbor_id,
          |    CAST(round(sum(CAST(qdot AS DECIMAL(28,12))), 6) AS DOUBLE) AS adc
@@ -4470,11 +4471,11 @@ object LlmEntry {
          |                            255) AS INTEGER) END) AS codes
          |        FROM c, b),
          |sqs AS (SELECT query_id, neighbor_id,
-         |          round(list_dot_product(qe,
+         |          floor((list_dot_product(qe,
          |            list_transform(range(0, 64), i ->
          |              lo[CAST(i AS INTEGER)+1]
          |              + (codes[CAST(i AS INTEGER)+1] + 0.5)
-         |                * st[CAST(i AS INTEGER)+1])), 6) AS sq
+         |                * st[CAST(i AS INTEGER)+1]))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS sq
          |        FROM q, enc, b),
          |short AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4525,8 +4526,8 @@ object LlmEntry {
          |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT * FROM (
          |  SELECT vec_a, vec_b,
-         |         round(list_dot_product(va.e, vb.e) /
-         |               (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) AS sim
+         |         floor((list_dot_product(va.e, vb.e) /
+         |               (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS sim
          |  FROM cand JOIN bk va ON va.vec_id = vec_a JOIN bk vb ON vb.vec_id = vec_b)
          |WHERE sim >= 0.4""".stripMargin,
 
@@ -4549,7 +4550,7 @@ object LlmEntry {
       // exact-integer MMR replay (see mmrTopK scaladoc): sims in 1e-6
       // units, mmr_u = 7*rel_u - 3*maxsim_u in 1e-7 units
       def ucos(a: String, b: String) =
-        s"CAST(round(round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))),6)*1000000, 0) AS BIGINT)"
+        s"CAST(round(floor((list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)*1000000, 0) AS BIGINT)"
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
          |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
@@ -4609,8 +4610,8 @@ object LlmEntry {
          |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM base
          |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
          |asg0 AS (SELECT neighbor_id, cent_id,
-         |  round(list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  floor((list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
          |  FROM c, cent),
          |asg AS (SELECT neighbor_id, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
@@ -4635,15 +4636,15 @@ object LlmEntry {
          |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM base
          |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
          |asg0 AS (SELECT neighbor_id, cent_id,
-         |  round(list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  floor((list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
          |  FROM c, cent),
          |asg AS (SELECT neighbor_id, cent_id, csim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
          |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
          |  WHERE rn = 1)
          |SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors,
-         |  round(CAST(sum(CAST(csim AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+         |  ${Q6("CAST(sum(CAST(csim AS DECIMAL(28,12))) AS DOUBLE) / count(*)")}
          |    AS mean_fit
          |FROM asg GROUP BY 1""".stripMargin,
 
@@ -4653,7 +4654,7 @@ object LlmEntry {
       // sims are the probe's exact re-ranked cosines, so rel_u is
       // round(sim*1e6) — identical to mmrRerank's pool contract)
       def ucos(a: String, b: String) =
-        s"CAST(round(round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))),6)*1000000, 0) AS BIGINT)"
+        s"CAST(round(floor((list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)*1000000, 0) AS BIGINT)"
       s"""WITH iv AS (SELECT query_id, neighbor_id, sim, rnk
          |            FROM (${ivfPqIndexSql(10)}) x),
          |v2 AS (SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS e
@@ -4720,16 +4721,16 @@ object LlmEntry {
          |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM c
          |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
          |asg0 AS (SELECT neighbor_id, ce, cent_id,
-         |  round(list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  floor((list_dot_product(ce, cent) /
+         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
          |  FROM c, cent),
          |asg AS (SELECT neighbor_id, ce, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
          |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
          |  WHERE rn = 1),
          |pr0 AS (SELECT query_id, qe, cent_id,
-         |  round(list_dot_product(qe, cent) /
-         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  floor((list_dot_product(qe, cent) /
+         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
          |  FROM q, cent),
          |pr AS (SELECT query_id, qe, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4799,8 +4800,8 @@ object LlmEntry {
          |cent AS (SELECT vec_id AS cent_id, e AS cent FROM v
          |         ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
          |asg0 AS (SELECT vec_id, e, cent_id,
-         |  round(list_dot_product(e, cent) /
-         |        (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cent, cent))), 6) AS csim
+         |  floor((list_dot_product(e, cent) /
+         |        (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
          |  FROM v, cent),
          |asg AS (SELECT vec_id, e, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id

@@ -70,7 +70,7 @@ object AnnIndex {
     BucketedStore.drop(spark, name, IndexTables)
 
   private def centSim(e: Column, n: Column): Column =
-    round(Vectors.dot(e, col("cent")) / (n * col("centn")), 6)
+    Vectors.qcos(e, col("cent"), n * col("centn"))
 
   /** Nearest stored centroid per vector of `c` — same argmax (csim
     * desc, cent_id asc) as [[Pq]]'s assignment. */
@@ -88,7 +88,9 @@ object AnnIndex {
     c.join(cb)
       .withColumn("xs",
         slice(col("ce"), col("j") * size(col("cw")) + 1, size(col("cw"))))
-      .withColumn("d2", round(
+      // §6 quantizer (Quantize scaladoc): d2 feeds the code argmin,
+      // so the 6-dp cut must be engine-identical at the half boundary
+      .withColumn("d2", graft.functions.Quantize.qdp(
         Vectors.dot(col("xs"), col("xs"))
           - lit(2) * Vectors.dot(col("xs"), col("cw")) + col("cc"), 6))
       .groupBy("neighbor_id", "j")
@@ -382,8 +384,10 @@ object AnnIndex {
       .withColumn("csim", centSim(col("ce"), col("cn")))
       .groupBy("cent_id")
       .agg(count(lit(1)).as("n_vectors"),
-        round(sum(col("csim").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-          .cast("double") / count(lit(1)), 6).as("mean_fit"))
+        // §6 quantizer on the mean quotient (Quantize scaladoc)
+        graft.functions.Quantize.qdp(
+          sum(col("csim").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double") / count(lit(1)), 6).as("mean_fit"))
   }
 
   /** Cell-occupancy report over the persisted index — the ANN twin of
@@ -456,7 +460,7 @@ object AnnIndex {
       .select(col("query_id"), explode(col("top.id")).as("cent_id"))
     val qtab = broadcast(q.join(cb)
       .select(col("query_id"), col("j"), col("code_id").as("code"),
-        round(Vectors.dot(
+        graft.functions.Quantize.qdp(Vectors.dot(
           slice(col("qe"), col("j") * size(col("cw")) + 1, size(col("cw"))),
           col("cw")), 6).as("qdot")))
     val rawCand = probes
@@ -491,7 +495,7 @@ object AnnIndex {
           Vectors.asDouble(col("embedding")).as("ce"), col("cn")),
         "neighbor_id")
       .withColumn("sim",
-        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+        Vectors.qcos(col("qe"), col("ce"), col("qn") * col("cn")))
     Knn.rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 }

@@ -66,15 +66,16 @@ object KMeans {
       // partition-aligned join (both sides hash(vec_id) — no exchange
       // on the corpus side, so no vectors cross the wire).
       val assigned = c.join(ct)
-        .withColumn("csim", round(
-          Vectors.dot(col("e"), col("cent")) / (col("nrm") * col("centn")), 6))
+        .withColumn("csim", Vectors.qcos(col("e"), col("cent"), col("nrm") * col("centn")))
         .groupBy("vec_id")
         .agg(max_by(col("cent_id"),
           struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id"))
       val dims = c.join(assigned, Seq("vec_id"))
         .select(col("cent_id"), posexplode(col("e")))
         .groupBy(col("cent_id"), col("pos").as("dim"))
-        .agg(round(
+        // §6 quantizer on the centroid-mean quotient (Quantize
+        // scaladoc): engine-identical at the half boundary
+        .agg(graft.functions.Quantize.qdp(
           (sum(col("col").cast(DecimalType(28, 12))).cast("double") /
             count(lit(1))), 6).as("value"))
       // k·dim scalars; checkpointed BEFORE the union because the
@@ -110,8 +111,7 @@ object KMeans {
         Vectors.asDouble(col("embedding")).as("e"))
       .withColumn("nrm", Vectors.norm(col("e")))
     c.join(Knn.assembleCentroids(centroids))
-      .withColumn("csim", round(
-        Vectors.dot(col("e"), col("cent")) / (col("nrm") * col("centn")), 6))
+      .withColumn("csim", Vectors.qcos(col("e"), col("cent"), col("nrm") * col("centn")))
       .groupBy("vec_id")
       .agg(max_by(col("cent_id"),
         struct(col("csim"), (-col("cent_id")).as("nid"))).as("cent_id"))

@@ -57,7 +57,7 @@ object Knn {
       .withColumn("cn", Vectors.norm(col("ce")))
     val scored = q.join(c)
       .withColumn("sim",
-        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+        Vectors.qcos(col("qe"), col("ce"), col("qn") * col("cn")))
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
@@ -88,7 +88,7 @@ object Knn {
       .withColumn("cn", Vectors.norm(col("ce")))
     val scored = q.join(c, filterKeys)
       .withColumn("sim",
-        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+        Vectors.qcos(col("qe"), col("ce"), col("qn") * col("cn")))
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
@@ -178,8 +178,7 @@ object Knn {
         Seq("query_id", "neighbor_id"), "left_anti")
       val scored = rem.join(all.select(col("query_id"),
           col("ce").as("se"), col("cn").as("sn")), Seq("query_id"))
-        .withColumn("psim_u", round(round(
-          Vectors.dot(col("ce"), col("se")) / (col("cn") * col("sn")), 6)
+        .withColumn("psim_u", round(Vectors.qcos(col("ce"), col("se"), col("cn") * col("sn"))
           * 1e6, 0).cast("long"))
         .groupBy("query_id", "neighbor_id")
         .agg(max(col("rel_u")).as("rel_u"), max(col("psim_u")).as("maxsim_u"))
@@ -241,7 +240,7 @@ object Knn {
       .join(q.select("query_id", "qe", "qn"), "query_id")
       .join(c.select("neighbor_id", "ce", "cn"), "neighbor_id")
       .withColumn("sim",
-        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+        Vectors.qcos(col("qe"), col("ce"), col("qn") * col("cn")))
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
@@ -277,7 +276,7 @@ object Knn {
       .join(q.select("query_id", "qe", "qn"), "query_id")
       .join(c.select("neighbor_id", "ce", "cn"), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6)
+        Vectors.qcos(col("qe"), col("ce"), col("qn") * col("cn"))
           .as("sim"))
       .filter(col("sim") >= minSim)
   }
@@ -368,7 +367,7 @@ object Knn {
       .join(v.select(col("query_id").as("neighbor_id"),
         col("qe").as("ce"), col("qn").as("cn")), "neighbor_id")
       .withColumn("sim",
-        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+        Vectors.qcos(col("qe"), col("ce"), col("qn") * col("cn")))
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
@@ -393,7 +392,7 @@ object Knn {
     val scored = hits.select("query_id", "doc_id")
       .join(q, "query_id").join(c, "doc_id")
       .withColumn("sim",
-        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+        Vectors.qcos(col("qe"), col("ce"), col("qn") * col("cn")))
     rankTopK(scored.select(col("query_id"),
         col("doc_id").as("neighbor_id"), col("sim")), k)
       .withColumnRenamed("neighbor_id", "doc_id")
@@ -462,7 +461,7 @@ object Knn {
                          storage: StorageLevel = Caching.Default): DataFrame = {
     val cents = assembleCentroids(centroids)
     def centSim(e: Column, n: Column): Column =
-      round(Vectors.dot(e, col("cent")) / (n * col("centn")), 6)
+      Vectors.qcos(e, col("cent"), n * col("centn"))
     val assigned = Caching.persisted(
       prepCorpus(vectors).join(cents)
         .withColumn("csim", centSim(col("ce"), col("cn")))
@@ -476,7 +475,7 @@ object Knn {
           col("a.neighbor_id") < col("b.neighbor_id"))
       .select(col("a.cent_id").as("cent_id"),
         col("a.neighbor_id").as("vec_a"), col("b.neighbor_id").as("vec_b"),
-        round(Vectors.dot(col("a.ce"), col("b.ce")) / (col("a.cn") * col("b.cn")), 6)
+        Vectors.qcos(col("a.ce"), col("b.ce"), col("a.cn") * col("b.cn"))
           .as("sim"))
       .filter(col("sim") >= minSim)
   }
@@ -492,7 +491,7 @@ object Knn {
   private def ivfCore(queries: DataFrame, c: DataFrame, cents: DataFrame,
                       k: Int, nProbe: Int): DataFrame = {
     def centSim(e: Column, n: Column): Column =
-      round(Vectors.dot(e, col("cent")) / (n * col("centn")), 6)
+      Vectors.qcos(e, col("cent"), n * col("centn"))
     // argmax over centroids (csim desc, cent_id asc) as a max_by
     // aggregation — partial-aggregates like rankTopK; ce/cn are
     // functionally dependent on neighbor_id so first() is exact
@@ -514,7 +513,7 @@ object Knn {
         explode(col("top.id")).as("cent_id"))
     val scored = probes.join(assigned, "cent_id")
       .withColumn("sim",
-        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+        Vectors.qcos(col("qe"), col("ce"), col("qn") * col("cn")))
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
@@ -542,7 +541,7 @@ object Knn {
       .select(col("neighbor_id").as("cent_id"), col("ce").as("cent"),
         col("cn").as("centn")))
     def centSim(e: Column, n: Column): Column =
-      round(Vectors.dot(e, col("cent")) / (n * col("centn")), 6)
+      Vectors.qcos(e, col("cent"), n * col("centn"))
     val assigned = c.join(cents)
       .withColumn("csim", centSim(col("ce"), col("cn")))
       .groupBy("neighbor_id")
@@ -555,7 +554,7 @@ object Knn {
       .join(assigned, "cent_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+        Vectors.qcos(col("qe"), col("ce"), col("qn") * col("cn")))
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
@@ -599,7 +598,7 @@ object Knn {
       .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), "vec_a")
       .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round(Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+        Vectors.qcos(col("ea"), col("eb"), col("na") * col("nb")).as("sim"))
       .filter(col("sim") >= minSim)
   }
 
@@ -610,7 +609,7 @@ object Knn {
       .withColumn("nrm", Vectors.norm(col("e")))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(Vectors.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6)
+        Vectors.qcos(col("a.e"), col("b.e"), col("a.nrm") * col("b.nrm"))
           .as("sim"))
       .filter(col("sim") >= minSim)
   }

@@ -144,14 +144,16 @@ object Pq {
         explode(subspaces(col("ce"), m, sub)).as("s"))
       .select(col("neighbor_id"), col("s.j").as("j"), col("s.sv").as("xs"))
       .join(cb, "j")
-      .withColumn("d2", round(
+      // §6 quantizer (Quantize scaladoc): d2 feeds the code argmin,
+      // so the 6-dp cut must be engine-identical at the half boundary
+      .withColumn("d2", graft.functions.Quantize.qdp(
         Vectors.dot(col("xs"), col("xs"))
           - lit(2) * Vectors.dot(col("xs"), col("cw")) + col("cc"), 6))
       .groupBy("neighbor_id", "j")
       .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"))
 
     def centSim(e: Column, n: Column): Column =
-      round(Vectors.dot(e, col("cent")) / (n * col("centn")), 6)
+      Vectors.qcos(e, col("cent"), n * col("centn"))
 
     // coarse assignment: argmax centroid per corpus vector (csim desc,
     // cent_id asc) — same shape as Knn.ivfTopK
@@ -179,7 +181,8 @@ object Pq {
       .select(col("query_id"), col("s.j").as("j"), col("s.sv").as("qs"))
       .join(cb, "j")
       .select(col("query_id"), col("j"), col("code_id").as("code"),
-        round(Vectors.dot(col("qs"), col("cw")), 6).as("qdot")))
+        graft.functions.Quantize.qdp(
+          Vectors.dot(col("qs"), col("cw")), 6).as("qdot")))
 
     // score candidates from codes alone: sum of m exact-decimal lookups
     // approximates <q, x>; vectors do NOT ship through this join
@@ -200,7 +203,7 @@ object Pq {
       .join(q.select("query_id", "qe", "qn"), "query_id")
       .join(c.select("neighbor_id", "ce", "cn"), "neighbor_id")
       .withColumn("sim",
-        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+        Vectors.qcos(col("qe"), col("ce"), col("qn") * col("cn")))
     Knn.rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 }

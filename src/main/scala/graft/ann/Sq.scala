@@ -81,7 +81,8 @@ object Sq {
     val recon = q.join(codes).crossJoin(bounds)
       .withColumn("xhat", transform(col("codes"), (code, i) =>
         lo(i) + (code.cast("double") + 0.5d) * step(i)))
-      .withColumn("sq", round(Vectors.dot(col("qe"), col("xhat")), 6))
+      .withColumn("sq", graft.functions.Quantize.qdp(
+        Vectors.dot(col("qe"), col("xhat")), 6))
 
     // 4. bounded-heap shortlist, 5. exact re-rank
     val short = recon.groupBy("query_id")
@@ -91,7 +92,7 @@ object Sq {
       .join(q.select("query_id", "qe", "qn"), "query_id")
       .join(c.select("neighbor_id", "ce", "cn"), "neighbor_id")
       .withColumn("sim",
-        round(Vectors.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+        Vectors.qcos(col("qe"), col("ce"), col("qn") * col("cn")))
     Knn.rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 }

@@ -24,4 +24,12 @@ object Vectors {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** THE similarity contract every ANN operator scores with: cosine
+    * over precomputed norms, §6-quantized to 6 dp ([[Quantize]]
+    * scaladoc — floor half-up in pure IEEE ops, engine-identical at
+    * the half boundary where round(double, 6) is not). `nProd` is the
+    * precomputed norm product (na · nb). */
+  def qcos(a: Column, b: Column, nProd: Column): Column =
+    Quantize.qdp(dot(a, b) / nProd, 6)
 }
