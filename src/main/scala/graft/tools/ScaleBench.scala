@@ -87,7 +87,14 @@ object ScaleBench {
     // pass + t13's unigram pass (two feature streams, both
     // vocabulary-bounded models); t31 is ONE corpus pass to a
     // persisted sources×4096 frame + grid windows (near-flat tail)
-    "x19_dedup_split", "t30_interp_lm", "t31_source_drift")
+    "x19_dedup_split", "t30_interp_lm", "t31_source_drift",
+    // r14: d3b is the banding OPERATING instrument itself — its two
+    // legs share one signature pass, so the curve should read as
+    // d3's shape plus a second map-only band expansion + verify
+    // (candidate volume per config is the payload, not just the
+    // time); x22 joins two sources-sized reports after x21's token
+    // pass and t32's BPE train — expect t32's shape
+    "d3b_tuned_lsh", "x22_token_budget_report")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft_scale")
