@@ -282,6 +282,38 @@ class EntryPlanSpec extends SparkSpec {
       s"events scan reads more than (ts, event_type, value):\n$g37")
   }
 
+  test("d3b shares ONE signature pass across configs; x22 one scan per leg") {
+    // d3b's contract: all banding configs read the SAME persisted
+    // shingle+signature frame — a second raw corpus scan per config
+    // would double the 100 TB bill the report exists to price
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // collect on the actual tree: the AQE root hides its child from
+    // collect, so unwrap it first; InMemoryTableScanExec terminates a
+    // branch (the cached relation's lineage is not a child), so any
+    // FileSourceScanExec seen here is a REAL raw-corpus read
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val d3bPlan = unwrap(SparkEntry.queries("d3b_tuned_lsh")(spark, sfDir)
+      .queryExecution.executedPlan)
+    val d3bCached = d3bPlan.collect { case s: InMemoryTableScanExec => s }
+    val d3bRaw = d3bPlan.collect { case s: FileSourceScanExec => s }
+    assert(d3bCached.size >= 4,
+      s"both configs' band+verify legs must read the cached sigged frame:\n$d3bPlan")
+    assert(d3bRaw.isEmpty,
+      s"a banding config re-scans the raw corpus:\n$d3bPlan")
+    // x22: one corpus scan per factored leg (x21 token counts, t32
+    // BPE encode) and nothing else corpus-sized
+    val x22Plan = unwrap(SparkEntry.queries("x22_token_budget_report")(spark, sfDir)
+      .queryExecution.executedPlan)
+    val x22Scans = x22Plan.collect { case s: FileSourceScanExec => s }
+    assert(x22Scans.size <= 3,
+      s"x22 must stay at one scan per leg (+ the BPE merge replay):\n$x22Plan")
+  }
+
   test("curation pipeline: survivors are gated, deduped, near-dup-free") {
     val docs = table("documents")
     val survivors = LlmCuration.run(docs, col("doc_id"), col("text"),
