@@ -91,4 +91,54 @@ object Banding {
     }
     plans.minBy(p => (p.error, p.k, -p.bands))
   }
+
+  /** One measured operating row of
+    * [[TextDedup.lshOperatingReport]] — config label, plan, and the
+    * measured candidate/pair counts on the actual corpus. */
+  final case class Operating(config: String, bands: Int, rowsPerBand: Int,
+                             nCandidates: Long, nPairs: Long) {
+    /** The verify-join bill per verified pair — the number that grows
+      * super-linearly for low-r plans as the corpus grows (measured:
+      * 17.8 → 331 over a 20× spread for (15,1) at t=0.1, SCALING.md
+      * r14). Pair-free configs price at +∞ (they bought nothing). */
+    def candidatesPerPair: Double =
+      if (nPairs == 0L) Double.PositiveInfinity
+      else nCandidates.toDouble / nPairs.toDouble
+  }
+
+  /** Close the operating loop: given the MEASURED report rows, pick
+    * the config with the highest pair yield whose candidates-per-pair
+    * bill fits `maxCandidatesPerPair` (ties → cheaper bill, then the
+    * S-curve order: fewer signatures, more bands). This is the
+    * decision [[tune]]'s a-priori integral cannot make — the integral
+    * prices collision PROBABILITY, but the bill depends on the
+    * corpus's actual similarity mass, which only the report sees
+    * (the SCALING.md r14 lesson: a recall plan's bill grows
+    * super-linearly while its yield grows linearly, so the right
+    * config CHANGES as the corpus grows).
+    *
+    * Returns None when no config fits the budget — the caller's cue
+    * to raise `rowsPerBand`, compose the df-cap, or raise the budget;
+    * silently falling back to an over-budget plan would ship the
+    * exact blowup the report exists to prevent. */
+  def chooseOperating(rows: Seq[Operating],
+                      maxCandidatesPerPair: Double): Option[Operating] = {
+    require(maxCandidatesPerPair > 0, "budget must be positive")
+    rows.filter(_.candidatesPerPair <= maxCandidatesPerPair) match {
+      case Seq() => None
+      case fits => Some(fits.minBy(o =>
+        (-o.nPairs, o.candidatesPerPair, o.bands * o.rowsPerBand, -o.bands)))
+    }
+  }
+
+  /** [[chooseOperating]] straight off the report frame (collects the
+    * configs-sized rows — control-plane, never corpus-sized). */
+  def chooseOperating(report: org.apache.spark.sql.DataFrame,
+                      maxCandidatesPerPair: Double): Option[Operating] =
+    chooseOperating(
+      report.select("config", "bands", "rows_per_band",
+          "n_candidates", "n_pairs")
+        .collect().toSeq.map(r => Operating(r.getString(0), r.getInt(1),
+          r.getInt(2), r.getLong(3), r.getLong(4))),
+      maxCandidatesPerPair)
 }

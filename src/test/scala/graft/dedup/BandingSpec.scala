@@ -134,4 +134,33 @@ class BandingSpec extends SparkSpec {
     assert(tCand >= dCand && tPairs >= dPairs)
     assert(tPairs > 0, "the tuned plan must find pairs on this corpus")
   }
+
+  test("chooseOperating: yield-max under the candidate budget, None over it") {
+    import Banding.{Operating, chooseOperating}
+    val rows = Seq(
+      Operating("default", 4, 4, nCandidates = 100, nPairs = 100), // bill 1.0
+      Operating("tuned", 16, 1, nCandidates = 5000, nPairs = 120), // bill 41.7
+      Operating("dry", 8, 2, nCandidates = 300, nPairs = 0))       // bill inf
+    // generous budget: highest yield wins despite the bigger bill
+    assert(chooseOperating(rows, 100.0).map(_.config) === Some("tuned"))
+    // tight budget: the recall plan no longer fits, fall to default
+    assert(chooseOperating(rows, 10.0).map(_.config) === Some("default"))
+    // no config fits -> None, never a silent over-budget fallback
+    assert(chooseOperating(rows, 0.5) === None)
+    // a pair-free config can never be chosen (infinite bill)
+    assert(chooseOperating(Seq(rows.last), 1e18) === None)
+    // yield tie -> cheaper bill wins
+    val tie = Seq(Operating("a", 4, 4, 200, 100), Operating("b", 8, 2, 150, 100))
+    assert(chooseOperating(tie, 100.0).map(_.config) === Some("b"))
+    // frame overload agrees with the seq form on a real report
+    val docs = (1 to 6).flatMap { p =>
+      val shared = (1 to 10).map(j => s"s${p}_$j").mkString(" ")
+      Seq((2L * p, s"${(1 to 20).map(j => s"a${p}_$j").mkString(" ")} $shared"),
+        (2L * p + 1, s"$shared ${(1 to 20).map(j => s"b${p}_$j").mkString(" ")}"))
+    }.toDF("doc_id", "text")
+    val report = TextDedup.lshOperatingReport(docs, col("doc_id"), col("text"),
+      minJaccard = 0.15, configs = Seq(("d", 4, 4), ("t", 16, 1)))
+    val viaFrame = chooseOperating(report, 1e6)
+    assert(viaFrame.nonEmpty && viaFrame.get.nPairs > 0)
+  }
 }
