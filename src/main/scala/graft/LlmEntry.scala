@@ -818,12 +818,17 @@ object LlmEntry {
       val fert = bpeFertility(s, dir)
         .select(col("source"), col("n_bpe_tokens"), col("chars_per_token"))
       mix.join(fert, "source")
-        .withColumn("bpe_per_token", qdp6(
-          col("n_bpe_tokens").cast("double") / col("capacity").cast("double")))
+        // a zero-capacity source has no per-token price (and 0/0 is
+        // NaN, not a number a report should ship) — x21's
+        // null-sample_rate convention
+        .withColumn("bpe_per_token", when(col("capacity") === 0, lit(null))
+          .otherwise(qdp6(
+            col("n_bpe_tokens").cast("double") / col("capacity").cast("double"))))
         // written order pinned: (allocation · n_bpe) / capacity
-        .withColumn("eff_bpe_tokens", qdp6(
-          (col("allocation") * col("n_bpe_tokens").cast("double")) /
-            col("capacity").cast("double")))
+        .withColumn("eff_bpe_tokens", when(col("capacity") === 0, lit(0.0))
+          .otherwise(qdp6(
+            (col("allocation") * col("n_bpe_tokens").cast("double")) /
+              col("capacity").cast("double"))))
         .withColumn("alloc_share", qdp6(
           col("allocation") /
             sum(col("allocation").cast("decimal(28,6)")).over(wAll)
@@ -2833,10 +2838,13 @@ object LlmEntry {
            |fert AS (SELECT * FROM ($T32FertilitySql) f),
            |j AS (SELECT mix.stratum AS source, mix.capacity, mix.capped,
            |        mix.allocation, fert.chars_per_token,
-           |        ${Q6("CAST(fert.n_bpe_tokens AS DOUBLE)" +
-            " / CAST(mix.capacity AS DOUBLE)")} AS bpe_per_token,
-           |        ${Q6("(mix.allocation * CAST(fert.n_bpe_tokens AS DOUBLE))" +
-            " / CAST(mix.capacity AS DOUBLE)")} AS eff_bpe_tokens
+           |        CASE WHEN mix.capacity = 0 THEN NULL
+           |             ELSE ${Q6("CAST(fert.n_bpe_tokens AS DOUBLE)" +
+            " / CAST(mix.capacity AS DOUBLE)")} END AS bpe_per_token,
+           |        CASE WHEN mix.capacity = 0 THEN CAST(0.0 AS DOUBLE)
+           |             ELSE ${Q6("(mix.allocation" +
+            " * CAST(fert.n_bpe_tokens AS DOUBLE))" +
+            " / CAST(mix.capacity AS DOUBLE)")} END AS eff_bpe_tokens
            |      FROM mix JOIN fert ON mix.stratum = fert.source)
            |SELECT source, capacity, capped, allocation, chars_per_token,
            |  bpe_per_token, eff_bpe_tokens,
