@@ -397,20 +397,26 @@ object TextDedup {
     }
     val maxK = configs.map { case (_, b, r) => b * r }.max
     val t = sigged(docs, id, text, storage, maxK)
-    configs.map { case (name, b, r) =>
-      selfCandidates(t, b, r)
-        .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-        .join(t.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")))
-        .agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum(when(col("jaccard") >= minJaccard, 1L)
-            .otherwise(0L)), lit(0L)).as("n_pairs"))
-        .select(lit(name).as("config"), lit(b).as("bands"),
-          lit(r).as("rows_per_band"), col("n_candidates"), col("n_pairs"))
-    }.reduce(_ unionAll _)
+    configs.map { case (name, b, r) => operatingRow(t, name, b, r, minJaccard) }
+      .reduce(_ unionAll _)
   }
+
+  /** One config's operating row off a sigged/index frame (doc_id, sh,
+    * sig): candidate generation at (b, r) + ONE verify pass counting
+    * candidates and threshold survivors together. */
+  private def operatingRow(t: DataFrame, name: String, b: Int, r: Int,
+                           minJaccard: Double): DataFrame =
+    selfCandidates(t, b, r)
+      .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("jaccard") >= minJaccard, 1L)
+          .otherwise(0L)), lit(0L)).as("n_pairs"))
+      .select(lit(name).as("config"), lit(b).as("bands"),
+        lit(r).as("rows_per_band"), col("n_candidates"), col("n_pairs"))
 
   /** The corpus's precomputable LSH band index: one (doc_id, band,
     * bsig) row per doc per band. This is the artifact a nightly or
@@ -497,7 +503,7 @@ object TextDedup {
 
   import graft.sources.BucketedStore
 
-  private val DedupIndexTables = Seq("bands", "docs")
+  private val DedupIndexTables = Seq("bands", "docs", "plan")
 
   /** The committed current index version (see
     * [[BucketedStore.currentVersion]]). */
@@ -511,12 +517,39 @@ object TextDedup {
                              name: String): Unit =
     BucketedStore.drop(spark, name, DedupIndexTables)
 
-  private def commitBucketed(index: DataFrame, name: String,
-                             buckets: Int): Int =
-    BucketedStore.commit(index.sparkSession, name, Seq(
-      BucketedStore.Member("bands", banded(index), Seq("band", "bsig")),
-      BucketedStore.Member("docs", index, Seq("doc_id"))),
+  /** Commit one bucketed-index version. `docs` always stores the FULL
+    * K=16 signature (plan-agnostic — the pool-prefix contract lets any
+    * plan with bands·rows ≤ 16 band it); `bands` is derived AT the
+    * committed plan, and the one-row `plan` member makes the index
+    * self-describing so a probe can never band the incoming side at a
+    * different plan than the committed bands table. */
+  private def commitBucketed(index: DataFrame, name: String, buckets: Int,
+                             bands: Int = Bands,
+                             rowsPerBand: Int = RowsPerBand): Int = {
+    require(bands >= 1 && rowsPerBand >= 1 &&
+      bands * rowsPerBand <= Bands * RowsPerBand,
+      s"bands*rowsPerBand must be in [1, ${Bands * RowsPerBand}] " +
+        s"(the stored signature length), got ($bands, $rowsPerBand)")
+    val spark = index.sparkSession
+    import spark.implicits._
+    BucketedStore.commit(spark, name, Seq(
+      BucketedStore.Member("bands", banded(index, bands, rowsPerBand),
+        Seq("band", "bsig")),
+      BucketedStore.Member("docs", index, Seq("doc_id")),
+      BucketedStore.Member("plan",
+        Seq((bands, rowsPerBand)).toDF("bands", "rows_per_band"))),
       buckets)
+  }
+
+  /** The committed banding plan of version `v` — the one-row `plan`
+    * member (control-plane read); indexes committed before the plan
+    * member existed read as the default (4, 4). */
+  def committedPlan(spark: org.apache.spark.sql.SparkSession,
+                    name: String, v: Int): (Int, Int) =
+    if (spark.catalog.tableExists(s"${name}_plan_v$v")) {
+      val r = BucketedStore.table(spark, name, "plan", v).head()
+      (r.getInt(0), r.getInt(1))
+    } else (Bands, RowsPerBand)
 
   /** Build and commit the full BUCKETED dedup index for `docs` as
     * metastore tables `<name>_bands` / `<name>_docs`; returns the
@@ -541,7 +574,8 @@ object TextDedup {
     val merged = graft.operators.Merge.upsert(
       BucketedStore.table(spark, name, "docs", v),
       sigged(incoming, id, text, StorageLevel.NONE), Seq("doc_id"))
-    commitBucketed(merged, name, buckets)
+    val (pb, pr) = committedPlan(spark, name, v)
+    commitBucketed(merged, name, buckets, pb, pr)
   }
 
   /** Remove a doc id set from the bucketed index — the takedown /
@@ -559,10 +593,11 @@ object TextDedup {
       throw new IllegalStateException(s"no bucketed dedup index named $name"))
     val del = broadcast(
       ids.select(col(ids.columns.head).as("doc_id")).distinct())
+    val (pb, pr) = committedPlan(spark, name, v)
     commitBucketed(
       BucketedStore.table(spark, name, "docs", v)
         .join(del, Seq("doc_id"), "left_anti"),
-      name, buckets)
+      name, buckets, pb, pr)
   }
 
   /** [[minHashLshPairsAgainstIndex]] against the BUCKETED index:
@@ -581,13 +616,86 @@ object TextDedup {
     // table with old docs
     val v = currentBucketedVersion(spark, name).getOrElse(
       throw new IllegalStateException(s"no bucketed dedup index named $name"))
-    val tb = sigged(incoming, id, text, storage)
+    // the index is self-describing: band the incoming side at the
+    // COMMITTED plan (the pool-prefix contract makes the batch's
+    // bands·rows-length signature slice-identical to the corpus's
+    // stored full-K signature slices)
+    val (pb, pr) = committedPlan(spark, name, v)
+    val tb = sigged(incoming, id, text, storage, pb * pr)
     val cand = BucketedStore.table(spark, name, "bands", v).as("a")
-      .join(banded(tb).as("b"),
+      .join(banded(tb, pb, pr).as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verified(cand, BucketedStore.table(spark, name, "docs", v), tb, minJaccard)
+  }
+
+  /** RE-BAND the bucketed index to a new (bands, rowsPerBand) plan —
+    * the measured-retune maintenance step (the SCALING.md r14 lesson:
+    * the right plan CHANGES as the corpus grows, because a low-r
+    * recall plan's candidate bill grows super-linearly in corpus
+    * size). One pass over the stored docs table — the full-K
+    * signatures are plan-agnostic, so NO re-shingling, NO corpus text
+    * scan, no re-signing: only the bands member recomputes (map-only
+    * from sig) and the self-describing plan row updates. Probes pick
+    * the new plan up automatically at the next version resolve.
+    * Returns the committed version. */
+  def rebandDedupIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                               name: String, bands: Int, rowsPerBand: Int,
+                               buckets: Int = 32): Int = {
+    val v = currentBucketedVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no bucketed dedup index named $name"))
+    commitBucketed(BucketedStore.table(spark, name, "docs", v),
+      name, buckets, bands, rowsPerBand)
+  }
+
+  /** [[lshOperatingReport]] computed ENTIRELY off the bucketed index —
+    * no corpus text anywhere in the plan: candidates from the stored
+    * full-K signatures banded per config (map-only), exact verify from
+    * the stored shingle sets. This is how a nightly maintenance job
+    * prices a retune candidate on the live corpus without re-reading
+    * it. */
+  def lshOperatingReportFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                  name: String, minJaccard: Double,
+                                  configs: Seq[(String, Int, Int)],
+                                  storage: StorageLevel = Caching.Default): DataFrame = {
+    require(configs.nonEmpty, "operating report needs at least one config")
+    configs.foreach { case (n, b, r) =>
+      require(b >= 1 && r >= 1 && b * r <= Bands * RowsPerBand,
+        s"config $n: bands*rowsPerBand must be in [1, ${Bands * RowsPerBand}]" +
+          s" (the stored signature length)")
+    }
+    val v = currentBucketedVersion(spark, name).getOrElse(
+      throw new IllegalStateException(s"no bucketed dedup index named $name"))
+    val t = Caching.persisted(
+      BucketedStore.table(spark, name, "docs", v), storage)
+    configs.map { case (n, b, r) => operatingRow(t, n, b, r, minJaccard) }
+      .reduce(_ unionAll _)
+  }
+
+  /** Close the retune loop: measure the operating report on the live
+    * index, [[Banding.chooseOperating]] under the candidates-per-pair
+    * budget, and RE-BAND when the winner differs from the committed
+    * plan. Returns the chosen operating row and the new version when
+    * a reband happened (None = already at the right plan, or nothing
+    * fits the budget — the caller alarms rather than shipping an
+    * over-budget plan). */
+  def rebandToBudget(spark: org.apache.spark.sql.SparkSession,
+                     name: String, minJaccard: Double,
+                     configs: Seq[(String, Int, Int)],
+                     maxCandidatesPerPair: Double,
+                     buckets: Int = 32):
+      (Option[Banding.Operating], Option[Int]) = {
+    val report = lshOperatingReportFromIndex(spark, name, minJaccard, configs)
+    val chosen = Banding.chooseOperating(report, maxCandidatesPerPair)
+    val v = currentBucketedVersion(spark, name).get
+    chosen match {
+      case Some(op)
+        if (op.bands, op.rowsPerBand) != committedPlan(spark, name, v) =>
+        (chosen, Some(rebandDedupIndexBucketed(spark, name,
+          op.bands, op.rowsPerBand, buckets)))
+      case _ => (chosen, None)
+    }
   }
 
   /** Incremental near-dup: LSH pairs BETWEEN an existing corpus and an

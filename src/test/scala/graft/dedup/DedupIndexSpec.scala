@@ -181,6 +181,69 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("measured retune: reband re-derives bands only; probe follows the plan") {
+    import spark.implicits._
+    // a corpus whose near-dup pairs the default (4,4) mostly MISSES
+    // (the BandingSpec miss-prone shape: jaccard ~0.17 pairs sit low
+    // on the (4,4) S-curve, high on (16,1)'s)
+    val docs = (1 to 12).flatMap { p =>
+      val shared = (1 to 10).map(j => s"shared${p}_$j").mkString(" ")
+      Seq((2L * p, s"${(1 to 20).map(j => s"ua${p}_$j").mkString(" ")} $shared"),
+        (2L * p + 1, s"$shared ${(1 to 20).map(j => s"ub${p}_$j").mkString(" ")}"))
+    }.toDF("doc_id", "text")
+    TextDedup.dropDedupIndexBucketed(spark, "drt")
+    try {
+      val v0 = TextDedup.writeDedupIndexBucketed(docs, col("doc_id"),
+        col("text"), "drt", buckets = 4)
+      assert(TextDedup.committedPlan(spark, "drt", v0) ===
+        (TextDedup.Bands, TextDedup.RowsPerBand))
+      // probe a near-dup of doc 2's shared run: the default plan's
+      // collision probability for a ~0.17 pair is ~0.003 — expect a miss
+      val probeDoc = Seq((9001L,
+        (1 to 10).map(j => s"shared1_$j").mkString(" ") + " " +
+          (1 to 20).map(j => s"zz_$j").mkString(" "))).toDF("doc_id", "text")
+      val before = TextDedup.minHashLshPairsAgainstBucketedIndex(
+        spark, "drt", probeDoc, col("doc_id"), col("text"), 0.15).count()
+      // index-resident operating report: no corpus text in the plan
+      val report = TextDedup.lshOperatingReportFromIndex(spark, "drt", 0.15,
+        Seq(("default", 4, 4), ("recall", 16, 1)))
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = report.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.schema.fieldNames.toSeq
+      }
+      assert(scans.forall(!_.contains("text")),
+        s"the index-resident report must not scan corpus text: $scans")
+      // the measured loop picks the recall plan under a generous
+      // budget and rebands to it
+      val (chosen, newV) = TextDedup.rebandToBudget(spark, "drt", 0.15,
+        Seq(("default", 4, 4), ("recall", 16, 1)),
+        maxCandidatesPerPair = 1e6, buckets = 4)
+      assert(chosen.exists(_.config == "recall"), s"chose $chosen")
+      assert(newV.nonEmpty, "a different winning plan must reband")
+      assert(TextDedup.committedPlan(spark, "drt", newV.get) === (16, 1))
+      // the probe now follows the committed plan and finds the pair
+      val after = TextDedup.minHashLshPairsAgainstBucketedIndex(
+          spark, "drt", probeDoc, col("doc_id"), col("text"), 0.15)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after.contains((2L, 9001L)),
+        s"retuned probe must find the near-dup (before=$before): $after")
+      // and it equals the live between-corpus generator at that plan
+      // ... via the report's own counts: re-running the loop is a
+      // no-op (already at the winning plan)
+      val (again, v2) = TextDedup.rebandToBudget(spark, "drt", 0.15,
+        Seq(("default", 4, 4), ("recall", 16, 1)),
+        maxCandidatesPerPair = 1e6, buckets = 4)
+      assert(again.exists(_.config == "recall") && v2.isEmpty,
+        "re-running at the winning plan must not commit a new version")
+      // an impossible budget (the bill is >= 1 whenever pairs exist,
+      // since candidates contain the pairs) refuses every plan:
+      // (None, None), never a silent over-budget ship
+      val (none, v3) = TextDedup.rebandToBudget(spark, "drt", 0.15,
+        Seq(("recall16", 16, 1)), maxCandidatesPerPair = 0.5, buckets = 4)
+      assert(none.isEmpty && v3.isEmpty)
+    } finally TextDedup.dropDedupIndexBucketed(spark, "drt")
+  }
+
   test("readBandIndex feeds the streaming probe shape") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-band-index").toString
