@@ -348,15 +348,34 @@ object Knn {
     * auto-sizing default delegates to. */
   def knnGraphAt(vectors: DataFrame, k: Int,
                  planes: Int, tables: Int = 4): DataFrame = {
-    val v = vectors.select(col("vec_id").as("query_id"),
+    val v = graphSigned(vectors, planes, tables)
+    knnGraphCore(v, graphBandedOf(v, planes, tables), k)
+  }
+
+  /** The graph ops' shared signature pass: (query_id, qe, qn, sig). */
+  private def graphSigned(vectors: DataFrame, planes: Int,
+                          tables: Int): DataFrame =
+    vectors.select(col("vec_id").as("query_id"),
       Vectors.asDouble(col("embedding")).as("qe"))
       .withColumn("qn", Vectors.norm(col("qe")))
       .withColumn("sig", lshBucket(col("qe"), planes * tables))
-    val banded = v.select(col("query_id"), explode(
+
+  /** The per-table band rows (query_id, t, bucket) of a signed frame —
+    * map-only slice-and-explode. */
+  private def graphBandedOf(v: DataFrame, planes: Int,
+                            tables: Int): DataFrame =
+    v.select(col("query_id"), explode(
         transform(sequence(lit(0), lit(tables - 1)),
           t => struct(t.as("t"),
             col("sig").substr(t * planes + 1, lit(planes)).as("bucket")))).as("b"))
       .select(col("query_id"), col("b.t"), col("b.bucket"))
+
+  /** Candidate self-join + exact-cosine bounded-heap rank over
+    * prepared graph frames — the tail both [[knnGraphAt]] and the
+    * guarded form share (so the guarded happy path is byte-identical
+    * to the unguarded operator by construction). */
+  private def knnGraphCore(v: DataFrame, banded: DataFrame,
+                           k: Int): DataFrame = {
     val cand = banded
       .join(banded.select(col("query_id").as("neighbor_id"),
         col("t"), col("bucket")), Seq("t", "bucket"))
@@ -369,6 +388,105 @@ object Knn {
       .withColumn("sim",
         Vectors.qcos(col("qe"), col("ce"), col("qn") * col("cn")))
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
+  }
+
+  /** The guard threshold [[knnGraphGuarded]] defaults to: 8× the
+    * occupancy target. derivePlanes holds the EXPECTED occupancy at
+    * ~targetOccupancy, so a bucket 8× over it is not hash variance —
+    * it is duplicate/near-duplicate mass that no hyperplane count can
+    * split (identical vectors produce identical signatures at every
+    * plane count), i.e. exactly the corpus shape whose within-bucket
+    * self-join goes quadratic (SCALING.md r13/r14: a 16-cluster
+    * duplicate-heavy corpus bent the curve at ANY fixed planes). */
+  val DefaultMaxGraphOccupancy: Long = 8L * DefaultGraphOccupancy
+
+  /** Per-(table, bucket) occupancy stats of the graph's banded
+    * signature frame — the measured number that decides whether
+    * [[knnGraph]]'s LSH plan is safe on THIS corpus (the
+    * [[graft.dedup.Banding.chooseOperating]] move — measure, then
+    * decide — applied to the graph). One partial-aggregating pass over
+    * the same banded frame the candidate join would shuffle anyway;
+    * never corpus-quadratic. One row: (planes, tables, n_vectors,
+    * n_buckets, max_occupancy, candidate_rows, over_budget) where
+    * candidate_rows = Σ occ·(occ−1) is the exact within-bucket
+    * self-join bill the candidate stage would pay (ordered, before the
+    * distinct) and over_budget flags max_occupancy > maxOccupancy. */
+  def graphOccupancyReport(vectors: DataFrame,
+                           planes: Option[Int] = None, tables: Int = 4,
+                           targetOccupancy: Int = DefaultGraphOccupancy,
+                           maxOccupancy: Long = DefaultMaxGraphOccupancy): DataFrame = {
+    val n = vectors.count()
+    val p = planes.getOrElse(derivePlanes(n, targetOccupancy))
+    val banded = graphBandedOf(graphSigned(vectors, p, tables), p, tables)
+    banded.groupBy("t", "bucket").agg(count(lit(1)).as("occ"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_buckets"),
+        coalesce(max("occ"), lit(0L)).as("max_occupancy"),
+        coalesce(sum(col("occ") * (col("occ") - 1)), lit(0L))
+          .as("candidate_rows"))
+      .select(lit(p).as("planes"), lit(tables).as("tables"),
+        lit(n).as("n_vectors"), col("n_buckets"), col("max_occupancy"),
+        col("candidate_rows"),
+        (col("max_occupancy") > lit(maxOccupancy)).as("over_budget"))
+  }
+
+  /** Centroid count for the routed IVF-cell graph: C ≈ √n (cells of
+    * ~√n vectors each — |cell|² work per cell totals ~n^1.5 worst
+    * case, vs the unbounded within-bucket quadratic), floored at the
+    * [[knnGraphIvf]] default 16. Plan-sizing only — never replayed by
+    * an oracle (unlike [[derivePlanes]]), so the floating sqrt is
+    * fine here. */
+  def deriveGraphCentroids(n: Long): Int =
+    math.max(16L, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong)
+      .min(Int.MaxValue.toLong).toInt
+
+  /** [[knnGraph]] with the OCCUPANCY GUARD closed over it — the
+    * measured check [[derivePlanes]] cannot make: auto-sizing holds
+    * EXPECTED bucket occupancy at the target, but duplicate mass is
+    * invisible to a COUNT (identical vectors share every signature at
+    * any plane count), and SCALING.md measured exactly that corpus
+    * shape walking the within-bucket quadratic regardless of planes.
+    * After the signature pass (persisted at `storage`, reused by the
+    * happy path — no re-signing), ONE partial-aggregating count
+    * measures max bucket occupancy:
+    *
+    *  - at or under `maxOccupancy` → proceed; the result is
+    *    byte-identical to [[knnGraph]] (same core over the same
+    *    frames — spec-asserted).
+    *  - over, `routeToIvf = true` (default) → route to
+    *    [[knnGraphIvf]] at C = [[deriveGraphCentroids]](n): the
+    *    bounded build whose cell partition exists regardless of how
+    *    vectors cluster. Different (documented) recall contract —
+    *    nProbe=1 cell semantics — which is the point: no silent
+    *    quadratic, a bounded approximate answer instead.
+    *  - over, `routeToIvf = false` → fail FAST with the measured
+    *    occupancy in the message (for callers who must not change
+    *    recall semantics implicitly — the
+    *    [[graft.dedup.TextDedup.rebandToBudget]] refuse-don't-ship
+    *    stance). */
+  def knnGraphGuarded(vectors: DataFrame, k: Int,
+                      planes: Option[Int] = None, tables: Int = 4,
+                      targetOccupancy: Int = DefaultGraphOccupancy,
+                      maxOccupancy: Long = DefaultMaxGraphOccupancy,
+                      routeToIvf: Boolean = true,
+                      nCentroids: Option[Int] = None,
+                      storage: StorageLevel = Caching.Default): DataFrame = {
+    val n = vectors.count()
+    val p = planes.getOrElse(derivePlanes(n, targetOccupancy))
+    val v = Caching.persisted(graphSigned(vectors, p, tables), storage)
+    val banded = graphBandedOf(v, p, tables)
+    // control-plane: one row out of a partial-aggregated count
+    val maxOcc = banded.groupBy("t", "bucket").agg(count(lit(1)).as("occ"))
+      .agg(coalesce(max("occ"), lit(0L))).head().getLong(0)
+    if (maxOcc <= maxOccupancy) knnGraphCore(v, banded, k)
+    else if (routeToIvf)
+      knnGraphIvf(vectors, k, nCentroids.getOrElse(deriveGraphCentroids(n)))
+    else throw new IllegalStateException(
+      s"knnGraph occupancy guard: max bucket occupancy $maxOcc exceeds " +
+        s"$maxOccupancy at planes=$p, tables=$tables over $n vectors — " +
+        s"duplicate-heavy corpus; the within-bucket self-join would go " +
+        s"quadratic at any plane count. Route to knnGraphIvf " +
+        s"(C≈${deriveGraphCentroids(n)}), dedup the corpus first, or " +
+        s"raise maxOccupancy deliberately.")
   }
 
   /** Second-stage re-rank of a retrieved candidate list by embedding

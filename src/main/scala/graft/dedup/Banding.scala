@@ -106,6 +106,24 @@ object Banding {
       else nCandidates.toDouble / nPairs.toDouble
   }
 
+  /** The typed outcome of [[chooseOperatingOutcome]] — a plain None
+    * cannot distinguish "every config is over budget" (raise
+    * rowsPerBand / compose the df-cap / raise the budget) from "the
+    * corpus simply has no near-dups at this threshold" (keep the
+    * committed plan; there is nothing to reband FOR), and the two
+    * demand opposite operator responses. */
+  sealed trait Choice
+  /** A config fit the budget; `op` is the yield-max winner. */
+  final case class Chosen(op: Operating) extends Choice
+  /** Every measured config yielded ZERO pairs — nothing to dedup at
+    * this threshold, so no plan is better than any other and the
+    * committed plan stands. NOT an alarm condition. */
+  case object NoPairs extends Choice
+  /** Pairs exist but every config's candidates-per-pair bill exceeds
+    * the budget — the genuine alarm: shipping any of these plans
+    * ships the blowup the report exists to prevent. */
+  case object OverBudget extends Choice
+
   /** Close the operating loop: given the MEASURED report rows, pick
     * the config with the highest pair yield whose candidates-per-pair
     * bill fits `maxCandidatesPerPair` (ties → cheaper bill, then the
@@ -117,28 +135,49 @@ object Banding {
     * super-linearly while its yield grows linearly, so the right
     * config CHANGES as the corpus grows).
     *
-    * Returns None when no config fits the budget — the caller's cue
-    * to raise `rowsPerBand`, compose the df-cap, or raise the budget;
-    * silently falling back to an over-budget plan would ship the
-    * exact blowup the report exists to prevent. */
-  def chooseOperating(rows: Seq[Operating],
-                      maxCandidatesPerPair: Double): Option[Operating] = {
+    * A zero-pair config prices at +∞ (it bought nothing), so on a
+    * corpus with no near-dups EVERY config is over any finite budget —
+    * which is a false alarm, not an over-budget condition. The typed
+    * outcome separates the two: [[NoPairs]] when no config found any
+    * pair (keep the committed plan), [[OverBudget]] when pairs exist
+    * but every bill busts the budget (the caller's cue to raise
+    * `rowsPerBand`, compose the df-cap, or raise the budget). */
+  def chooseOperatingOutcome(rows: Seq[Operating],
+                             maxCandidatesPerPair: Double): Choice = {
     require(maxCandidatesPerPair > 0, "budget must be positive")
     rows.filter(_.candidatesPerPair <= maxCandidatesPerPair) match {
-      case Seq() => None
-      case fits => Some(fits.minBy(o =>
+      case Seq() =>
+        if (rows.forall(_.nPairs == 0L)) NoPairs else OverBudget
+      case fits => Chosen(fits.minBy(o =>
         (-o.nPairs, o.candidatesPerPair, o.bands * o.rowsPerBand, -o.bands)))
     }
   }
 
-  /** [[chooseOperating]] straight off the report frame (collects the
+  /** [[chooseOperatingOutcome]] flattened to an Option — Some only
+    * when a config fit the budget (both no-pairs and over-budget read
+    * None; use the outcome form when the distinction matters). */
+  def chooseOperating(rows: Seq[Operating],
+                      maxCandidatesPerPair: Double): Option[Operating] =
+    chooseOperatingOutcome(rows, maxCandidatesPerPair) match {
+      case Chosen(op) => Some(op)
+      case _ => None
+    }
+
+  /** A report frame's rows as [[Operating]]s (collects the
     * configs-sized rows — control-plane, never corpus-sized). */
+  def operatingRows(report: org.apache.spark.sql.DataFrame): Seq[Operating] =
+    report.select("config", "bands", "rows_per_band",
+        "n_candidates", "n_pairs")
+      .collect().toSeq.map(r => Operating(r.getString(0), r.getInt(1),
+        r.getInt(2), r.getLong(3), r.getLong(4)))
+
+  /** [[chooseOperating]] straight off the report frame. */
   def chooseOperating(report: org.apache.spark.sql.DataFrame,
                       maxCandidatesPerPair: Double): Option[Operating] =
-    chooseOperating(
-      report.select("config", "bands", "rows_per_band",
-          "n_candidates", "n_pairs")
-        .collect().toSeq.map(r => Operating(r.getString(0), r.getInt(1),
-          r.getInt(2), r.getLong(3), r.getLong(4))),
-      maxCandidatesPerPair)
+    chooseOperating(operatingRows(report), maxCandidatesPerPair)
+
+  /** [[chooseOperatingOutcome]] straight off the report frame. */
+  def chooseOperatingOutcome(report: org.apache.spark.sql.DataFrame,
+                             maxCandidatesPerPair: Double): Choice =
+    chooseOperatingOutcome(operatingRows(report), maxCandidatesPerPair)
 }

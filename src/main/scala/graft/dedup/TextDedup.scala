@@ -674,27 +674,37 @@ object TextDedup {
   }
 
   /** Close the retune loop: measure the operating report on the live
-    * index, [[Banding.chooseOperating]] under the candidates-per-pair
-    * budget, and RE-BAND when the winner differs from the committed
-    * plan. Returns the chosen operating row and the new version when
-    * a reband happened (None = already at the right plan, or nothing
-    * fits the budget — the caller alarms rather than shipping an
-    * over-budget plan). */
+    * index, [[Banding.chooseOperatingOutcome]] under the
+    * candidates-per-pair budget, and RE-BAND when the winner differs
+    * from the committed plan. The outcome is TYPED
+    * ([[Banding.Choice]]) so the two no-reband cases stay apart:
+    * [[Banding.NoPairs]] = the corpus has nothing to dedup at this
+    * threshold (keep the committed plan, report zero yield — not an
+    * alarm); [[Banding.OverBudget]] = pairs exist but every config's
+    * bill busts the budget (the caller alarms rather than shipping an
+    * over-budget plan). `newVersion` is Some only when a reband
+    * committed (a chosen winner equal to the committed plan is a
+    * no-op). `storage` is the report's signature-frame persistence
+    * knob — pass StorageLevel.NONE when a long-lived nightly session
+    * must not churn the block manager on repeated retunes
+    * ([[graft.operators.Caching]]'s documented opt-out). */
   def rebandToBudget(spark: org.apache.spark.sql.SparkSession,
                      name: String, minJaccard: Double,
                      configs: Seq[(String, Int, Int)],
                      maxCandidatesPerPair: Double,
-                     buckets: Int = 32):
-      (Option[Banding.Operating], Option[Int]) = {
-    val report = lshOperatingReportFromIndex(spark, name, minJaccard, configs)
-    val chosen = Banding.chooseOperating(report, maxCandidatesPerPair)
+                     buckets: Int = 32,
+                     storage: StorageLevel = Caching.Default):
+      (Banding.Choice, Option[Int]) = {
+    val report = lshOperatingReportFromIndex(spark, name, minJaccard,
+      configs, storage)
+    val outcome = Banding.chooseOperatingOutcome(report, maxCandidatesPerPair)
     val v = currentBucketedVersion(spark, name).get
-    chosen match {
-      case Some(op)
+    outcome match {
+      case Banding.Chosen(op)
         if (op.bands, op.rowsPerBand) != committedPlan(spark, name, v) =>
-        (chosen, Some(rebandDedupIndexBucketed(spark, name,
+        (outcome, Some(rebandDedupIndexBucketed(spark, name,
           op.bands, op.rowsPerBand, buckets)))
-      case _ => (chosen, None)
+      case _ => (outcome, None)
     }
   }
 

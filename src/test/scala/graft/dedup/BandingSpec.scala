@@ -163,4 +163,29 @@ class BandingSpec extends SparkSpec {
     val viaFrame = chooseOperating(report, 1e6)
     assert(viaFrame.nonEmpty && viaFrame.get.nPairs > 0)
   }
+
+  test("chooseOperatingOutcome separates no-pairs from over-budget") {
+    import Banding.{Operating, chooseOperatingOutcome}
+    val live = Seq(
+      Operating("default", 4, 4, nCandidates = 100, nPairs = 100),
+      Operating("tuned", 16, 1, nCandidates = 5000, nPairs = 120))
+    // a fitting config -> Chosen, agreeing with the Option form
+    assert(chooseOperatingOutcome(live, 100.0) ===
+      Banding.Chosen(live(1)))
+    // pairs exist but no bill fits -> the genuine alarm
+    assert(chooseOperatingOutcome(live, 0.5) === Banding.OverBudget)
+    // zero pairs in EVERY config -> nothing to dedup, NOT an alarm
+    // (the +Infinity bill previously made this read as over-budget)
+    val dry = Seq(
+      Operating("default", 4, 4, nCandidates = 0, nPairs = 0),
+      Operating("tuned", 16, 1, nCandidates = 300, nPairs = 0))
+    assert(chooseOperatingOutcome(dry, 1e18) === Banding.NoPairs)
+    assert(chooseOperatingOutcome(dry, 0.5) === Banding.NoPairs)
+    // mixed: one config has pairs but busts the budget -> OverBudget
+    // (there IS something to dedup; the plans just cost too much)
+    val mixed = Seq(
+      Operating("default", 4, 4, nCandidates = 0, nPairs = 0),
+      Operating("tuned", 16, 1, nCandidates = 5000, nPairs = 3))
+    assert(chooseOperatingOutcome(mixed, 10.0) === Banding.OverBudget)
+  }
 }

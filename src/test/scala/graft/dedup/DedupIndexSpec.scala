@@ -218,7 +218,10 @@ class DedupIndexSpec extends SparkSpec {
       val (chosen, newV) = TextDedup.rebandToBudget(spark, "drt", 0.15,
         Seq(("default", 4, 4), ("recall", 16, 1)),
         maxCandidatesPerPair = 1e6, buckets = 4)
-      assert(chosen.exists(_.config == "recall"), s"chose $chosen")
+      assert(chosen match {
+        case graft.dedup.Banding.Chosen(op) => op.config == "recall"
+        case _ => false
+      }, s"chose $chosen")
       assert(newV.nonEmpty, "a different winning plan must reband")
       assert(TextDedup.committedPlan(spark, "drt", newV.get) === (16, 1))
       // the probe now follows the committed plan and finds the pair
@@ -233,15 +236,47 @@ class DedupIndexSpec extends SparkSpec {
       val (again, v2) = TextDedup.rebandToBudget(spark, "drt", 0.15,
         Seq(("default", 4, 4), ("recall", 16, 1)),
         maxCandidatesPerPair = 1e6, buckets = 4)
-      assert(again.exists(_.config == "recall") && v2.isEmpty,
+      assert((again match {
+        case graft.dedup.Banding.Chosen(op) => op.config == "recall"
+        case _ => false
+      }) && v2.isEmpty,
         "re-running at the winning plan must not commit a new version")
       // an impossible budget (the bill is >= 1 whenever pairs exist,
-      // since candidates contain the pairs) refuses every plan:
-      // (None, None), never a silent over-budget ship
+      // since candidates contain the pairs) refuses every plan with
+      // the TYPED over-budget outcome — never a silent ship, and
+      // never confusable with a no-pairs corpus
       val (none, v3) = TextDedup.rebandToBudget(spark, "drt", 0.15,
         Seq(("recall16", 16, 1)), maxCandidatesPerPair = 0.5, buckets = 4)
-      assert(none.isEmpty && v3.isEmpty)
+      assert(none === graft.dedup.Banding.OverBudget && v3.isEmpty)
     } finally TextDedup.dropDedupIndexBucketed(spark, "drt")
+  }
+
+  test("retune on a no-near-dup corpus reads NoPairs, not OverBudget") {
+    import spark.implicits._
+    // every doc fully distinct — zero pairs in ANY config; the retune
+    // must keep the committed plan and say WHY (the false-alarm class
+    // the +Infinity bill would otherwise produce)
+    val docs = (1 to 30).map { i =>
+      (i.toLong, (1 to 25).map(j => s"only${i}_w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    TextDedup.dropDedupIndexBucketed(spark, "dnp")
+    try {
+      val v0 = TextDedup.writeDedupIndexBucketed(docs, col("doc_id"),
+        col("text"), "dnp", buckets = 4)
+      val (outcome, newV) = TextDedup.rebandToBudget(spark, "dnp", 0.15,
+        Seq(("default", 4, 4), ("recall", 16, 1)),
+        maxCandidatesPerPair = 10.0, buckets = 4)
+      assert(outcome === graft.dedup.Banding.NoPairs)
+      assert(newV.isEmpty, "nothing to dedup → the committed plan stands")
+      assert(TextDedup.committedPlan(spark, "dnp", v0) ===
+        (TextDedup.Bands, TextDedup.RowsPerBand))
+      // the opt-out storage knob is accepted end to end (no
+      // block-manager persistence for a nightly session that asks out)
+      val (o2, _) = TextDedup.rebandToBudget(spark, "dnp", 0.15,
+        Seq(("default", 4, 4)), maxCandidatesPerPair = 10.0, buckets = 4,
+        storage = org.apache.spark.storage.StorageLevel.NONE)
+      assert(o2 === graft.dedup.Banding.NoPairs)
+    } finally TextDedup.dropDedupIndexBucketed(spark, "dnp")
   }
 
   test("readBandIndex feeds the streaming probe shape") {

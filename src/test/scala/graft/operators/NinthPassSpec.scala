@@ -201,6 +201,78 @@ class NinthPassSpec extends SparkSpec {
     assert(auto.sameElements(pinned))
   }
 
+  test("occupancy guard: natural corpus path is byte-identical; " +
+    "duplicate-heavy corpus routes to the IVF-cell graph") {
+    // natural corpus (the auto-sized plan's happy path): the guard
+    // must return EXACTLY knnGraph's rows — same core over the same
+    // frames, the measurement pass changes nothing
+    val nat = (0L until 90L).map(i =>
+      (i, vec(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 2.1))))
+      .toDF("vec_id", "embedding")
+    val guarded = Knn.knnGraphGuarded(nat, k = 2).collect().map(_.toString).sorted
+    val plain = Knn.knnGraph(nat, k = 2).collect().map(_.toString).sorted
+    assert(guarded.sameElements(plain), "guarded happy path must be byte-identical")
+    // duplicate-heavy corpus: identical vectors share every signature
+    // at ANY plane count, so one bucket holds the whole clone mass —
+    // the shape derivePlanes cannot see (count-based) and SCALING.md
+    // measured going quadratic. 60 clones + a few naturals, guard
+    // budget 16 → max occupancy ≥ 60 → must ROUTE, and the routed
+    // answer must equal knnGraphIvf at the derived centroid count.
+    val dup = ((0L until 60L).map(i => (i, vec(1, 0.01, 0))) ++
+      (100L until 110L).map(i => (i, vec(math.sin(i * 0.9),
+        math.cos(i * 1.7), math.sin(i * 2.3)))))
+      .toDF("vec_id", "embedding")
+    val routed = Knn.knnGraphGuarded(dup, k = 2, maxOccupancy = 16L)
+      .collect().map(_.toString).sorted
+    val ivf = Knn.knnGraphIvf(dup, k = 2,
+        nCentroids = Knn.deriveGraphCentroids(70L))
+      .collect().map(_.toString).sorted
+    assert(routed.sameElements(ivf), "over-budget corpus must route to IVF cells")
+    // fail-fast mode: the refuse-don't-ship stance, with the measured
+    // occupancy in the message
+    val ex = intercept[IllegalStateException] {
+      Knn.knnGraphGuarded(dup, k = 2, maxOccupancy = 16L, routeToIvf = false)
+    }
+    assert(ex.getMessage.contains("exceeds 16"),
+      s"message must carry the budget: ${ex.getMessage}")
+    assert("occupancy (\\d+)".r.findFirstMatchIn(ex.getMessage)
+      .exists(_.group(1).toLong >= 60L),
+      s"message must carry the measured occupancy: ${ex.getMessage}")
+    // and the same corpus under a deliberate budget raise stays on the
+    // LSH path, byte-identical to the unguarded operator
+    val kept = Knn.knnGraphGuarded(dup, k = 2, maxOccupancy = 1000L)
+      .collect().map(_.toString).sorted
+    assert(kept.sameElements(Knn.knnGraph(dup, k = 2).collect().map(_.toString).sorted))
+  }
+
+  test("graphOccupancyReport: exact bucket stats and the over flag") {
+    // 60 clones in one signature + 10 naturals: per table, the clone
+    // bucket holds 60 rows, so max_occupancy >= 60 and candidate_rows
+    // >= 4 * 60*59 (the clone bucket's self-join bill in each of the
+    // 4 tables); over_budget flips with the budget
+    val dup = ((0L until 60L).map(i => (i, vec(1, 0.01, 0))) ++
+      (100L until 110L).map(i => (i, vec(math.sin(i * 0.9),
+        math.cos(i * 1.7), math.sin(i * 2.3)))))
+      .toDF("vec_id", "embedding")
+    val r = Knn.graphOccupancyReport(dup, maxOccupancy = 16L).collect().head
+    assert(r.getInt(0) === Knn.derivePlanes(70L), "planes")
+    assert(r.getInt(1) === 4, "tables")
+    assert(r.getLong(2) === 70L, "n_vectors")
+    assert(r.getLong(4) >= 60L, "max_occupancy sees the clone mass")
+    assert(r.getLong(5) >= 4L * 60L * 59L, "candidate_rows = sum occ*(occ-1)")
+    assert(r.getBoolean(6), "over_budget at budget 16")
+    val ok = Knn.graphOccupancyReport(dup, maxOccupancy = 100000L).collect().head
+    assert(!ok.getBoolean(6), "under a generous budget the flag clears")
+    // exact hand-check: two clones → per table exactly one bucket of
+    // occupancy 2, so (4 buckets, max 2, bill 4·2·1 = 8)
+    val two = Seq((1L, vec(1, 0.01, 0)), (2L, vec(1, 0.01, 0)))
+      .toDF("vec_id", "embedding")
+    val s = Knn.graphOccupancyReport(two).collect().head
+    assert(s.getLong(3) === 4L, "n_buckets")
+    assert(s.getLong(4) === 2L, "max_occupancy")
+    assert(s.getLong(5) === 8L, "candidate_rows = sum occ*(occ-1) across tables")
+  }
+
   test("knnGraphIvf: exact twins share a cell and list each other at 1.0") {
     // two triplets of exact copies, far apart, plus noise vectors:
     // identical vectors assign to the same centroid by determinism,
