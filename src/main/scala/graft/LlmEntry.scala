@@ -375,6 +375,51 @@ object LlmEntry {
         col("doc_id"), col("text"), minJaccard = 0.1)
     }),
 
+    "d8b_retune_maintain" -> ((s, dir) => {
+      // the measured-retune MAINTENANCE leg of d8 as a driver row
+      // (r14's spec-proved lifecycle, promoted to the oracle gate):
+      // the nightly index over the even-id corpus is COMMITTED at the
+      // tuned recall plan — the plan whose candidate bill grows
+      // super-linearly with corpus size (measured here: 64 candidates
+      // per verified pair at sf0.01, 555 at sf0.1, vs the default's
+      // exact 1.0) — then rebandToBudget prices every config off the
+      // STORED full-K signatures (zero corpus-text scans), chooses
+      // under a candidates-per-pair budget of 10, and re-bands
+      // map-only. The odd-id batch probe follows the committed plan
+      // automatically; before/after pair counts are exact longs. One
+      // deterministic row; every decision replays in the oracle from
+      // the same counts.
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val plan = graft.dedup.Banding.tune(0.1, maxK = 16) // (15, 1)
+      val name = "d8bix"
+      TextDedup.dropDedupIndexBucketed(s, name)
+      TextDedup.writeDedupIndexBucketed(corpus, col("doc_id"), col("text"),
+        name, buckets = 8)
+      TextDedup.rebandDedupIndexBucketed(s, name, plan.bands,
+        plan.rowsPerBand, buckets = 8)
+      val pairsBefore = TextDedup.minHashLshPairsAgainstBucketedIndex(
+        s, name, batch, col("doc_id"), col("text"), 0.1).count()
+      val (outcome, newV) = TextDedup.rebandToBudget(s, name, 0.1,
+        Seq(("default", 4, 4), ("tuned", plan.bands, plan.rowsPerBand)),
+        maxCandidatesPerPair = 10.0, buckets = 8)
+      val pairsAfter = TextDedup.minHashLshPairsAgainstBucketedIndex(
+        s, name, batch, col("doc_id"), col("text"), 0.1).count()
+      val (outName, op) = outcome match {
+        case graft.dedup.Banding.Chosen(o) => ("chosen", Some(o))
+        case graft.dedup.Banding.NoPairs => ("no_pairs", None)
+        case graft.dedup.Banding.OverBudget => ("over_budget", None)
+      }
+      import s.implicits._
+      Seq((plan.bands, plan.rowsPerBand, outName,
+        op.map(_.config), op.map(_.bands), op.map(_.rowsPerBand),
+        newV.nonEmpty, pairsBefore, pairsAfter))
+        .toDF("committed_bands", "committed_rows", "outcome",
+          "chosen_config", "chosen_bands", "chosen_rows",
+          "rebanded", "pairs_before", "pairs_after")
+    }),
+
     "d19_incremental_clusters" -> ((s, dir) => {
       // the O(batch) maintenance leg of d7 for the nightly-append
       // shape: stored components cover the existing (even-id) corpus;
@@ -1052,6 +1097,16 @@ object LlmEntry {
       // each vector's own IVF cell
       Knn.knnGraphIvf(t(s, dir, "embeddings"), k = 3)
         .withColumnRenamed("rank", "rnk")),
+
+    "e16b_graph_occupancy" -> ((s, dir) =>
+      // the e16 guard's measured decision surface as an oracled row
+      // (the d3b move applied to the graph): auto-sized planes, one
+      // partial-aggregated occupancy pass over the banded signature
+      // frame, the exact within-bucket candidate bill Σ occ·(occ−1),
+      // and the routing flag at the default budget (8× the occupancy
+      // target) — what knnGraphGuarded reads before deciding LSH vs
+      // IVF cells
+      Knn.graphOccupancyReport(t(s, dir, "embeddings"))),
 
     "e7_range_search" -> ((s, dir) => {
       // radius search: ALL neighbors with cosine >= 0.2 per query (not
@@ -3322,6 +3377,60 @@ object LlmEntry {
              candPred = "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}
          |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.1""".stripMargin,
 
+    // d8b: the retune loop replayed from counts — operating rows on
+    // the even-id (index) corpus at both configs, the budgeted choice
+    // (yield desc, bill asc, k asc, bands desc — chooseOperating's
+    // exact order), and the odd-id batch probe pair count at the
+    // committed (tuned) plan and, when the choice rebands, at the
+    // chosen plan. All comparisons are over exact longs and one IEEE
+    // division, so both engines pick the same plan.
+    "d8b_retune_maintain" -> {
+      val plan = graft.dedup.Banding.tune(0.1, maxK = 16)
+      val (tb, tr) = (plan.bands, plan.rowsPerBand)
+      val even = "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)"
+      def opLeg(name: String, b: Int, r: Int): String =
+        s"""SELECT '$name' AS config, $b AS bands, $r AS rows_per_band,
+           |  CAST(count(*) AS BIGINT) AS n_candidates,
+           |  CAST(coalesce(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END),
+           |                0) AS BIGINT) AS n_pairs
+           |FROM (WITH ${minhashCtesAt(even, b, r)}
+           |      SELECT jaccard FROM ver) v""".stripMargin
+      def betweenLeg(b: Int, r: Int): String =
+        s"""SELECT CAST(count(*) AS BIGINT) AS n
+           |FROM (WITH ${minhashCtesAt("documents", b, r,
+                   candPred = "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}
+           |      SELECT jaccard FROM ver WHERE jaccard >= 0.1) v""".stripMargin
+      s"""WITH ops AS (${opLeg("default", 4, 4)}
+         |UNION ALL
+         |${opLeg("tuned", tb, tr)}),
+         |pick AS (SELECT *, CAST(n_candidates AS DOUBLE) /
+         |                   CAST(n_pairs AS DOUBLE) AS cpp
+         |  FROM ops
+         |  WHERE n_pairs > 0 AND CAST(n_candidates AS DOUBLE) /
+         |        CAST(n_pairs AS DOUBLE) <= CAST(10 AS DOUBLE)
+         |  ORDER BY n_pairs DESC, cpp ASC,
+         |           bands * rows_per_band ASC, bands DESC
+         |  LIMIT 1),
+         |pb AS (${betweenLeg(tb, tr)}),
+         |pa AS (${betweenLeg(4, 4)}),
+         |reb AS (SELECT coalesce(
+         |  (SELECT bands <> $tb OR rows_per_band <> $tr FROM pick),
+         |  FALSE) AS r)
+         |SELECT CAST($tb AS INTEGER) AS committed_bands,
+         |  CAST($tr AS INTEGER) AS committed_rows,
+         |  CASE WHEN (SELECT count(*) FROM pick) = 1 THEN 'chosen'
+         |       WHEN (SELECT coalesce(max(n_pairs), 0) FROM ops) = 0
+         |         THEN 'no_pairs'
+         |       ELSE 'over_budget' END AS outcome,
+         |  (SELECT config FROM pick) AS chosen_config,
+         |  (SELECT CAST(bands AS INTEGER) FROM pick) AS chosen_bands,
+         |  (SELECT CAST(rows_per_band AS INTEGER) FROM pick) AS chosen_rows,
+         |  (SELECT r FROM reb) AS rebanded,
+         |  (SELECT n FROM pb) AS pairs_before,
+         |  CASE WHEN (SELECT r FROM reb) THEN (SELECT n FROM pa)
+         |       ELSE (SELECT n FROM pb) END AS pairs_after""".stripMargin
+    },
+
     // d9 = the BETWEEN probe with dataset-membership sides: doc_a from
     // src0, doc_b from any other source
     "d9_cross_dedup" ->
@@ -4824,6 +4933,30 @@ object LlmEntry {
          |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
          |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // e16b = e16's pp/signature/band CTEs folded into per-(table,
+    // bucket) occupancy stats: the derived plane count (same integer
+    // arithmetic), bucket count, max occupancy, the exact within-
+    // bucket self-join bill Σ occ·(occ−1), and the routing flag at
+    // the guard's default budget — pure integer surface
+    "e16b_graph_occupancy" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |pp AS (SELECT GREATEST(4, CASE WHEN m <= 1 THEN 0
+         |                               ELSE length(bin(m - 1)) END) AS p
+         |       FROM (SELECT (count(*) + 31) // 32 AS m FROM embeddings)),
+         |a AS (SELECT vec_id, ${LshBucketSql("e", 64)} AS sig FROM v),
+         |ab AS (SELECT vec_id, t, substr(sig, t*p + 1, p) AS bucket
+         |       FROM a, range(0, 4) r(t), pp),
+         |occ AS (SELECT t, bucket, count(*) AS occ FROM ab GROUP BY 1, 2)
+         |SELECT CAST((SELECT p FROM pp) AS INTEGER) AS planes,
+         |  CAST(4 AS INTEGER) AS tables,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(occ) AS BIGINT) AS max_occupancy,
+         |  CAST(sum(occ * (occ - 1)) AS BIGINT) AS candidate_rows,
+         |  max(occ) > ${graft.ann.Knn.DefaultMaxGraphOccupancy} AS over_budget
+         |FROM occ""".stripMargin,
 
     // e7 = e2's candidate CTEs with a range filter instead of a rank
     "e7_range_search" ->
