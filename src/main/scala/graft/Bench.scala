@@ -102,9 +102,25 @@ object Bench {
     // Three interleaved timed passes, per-query min: single-JVM runs
     // jitter by whole seconds (GC, compile threads) and min-of-n is
     // the standard steady-state estimator.
+    // PASS ABSORBER (r14 verdict #4): each timed pass opens with
+    // clearCache + full GC, and whichever query runs FIRST after that
+    // pays the warm-back (post-GC allocator state, re-opening the sf
+    // dir's parquet footers) — measured as p1_medallion reading
+    // 1.9 s standalone vs 2.8 s as the first fleet row. A dedicated
+    // untimed job OUTSIDE the keys map absorbs it so no reported
+    // number carries pass-start noise: one small parquet read off the
+    // same sf dir (footer/page-cache warm) + one tiny compute job.
+    def absorber(): Unit = {
+      try spark.read.parquet(s"$sfDir/region.parquet").count(): Unit
+      catch { case _: Throwable => () }
+      spark.range(0L, 1000000L, 1L, cpus.toInt)
+        .select(md5(col("id").cast("string")).as("h"))
+        .agg(max("h")).collect(): Unit
+    }
     val passes = Seq.fill(3) {
       spark.catalog.clearCache()
       System.gc()
+      absorber()
       val qs = once()
       // GC once more before the canary: the pass's 140-query allocation
       // debt otherwise lands on the FIRST canary (r7 saw pass-1 canary

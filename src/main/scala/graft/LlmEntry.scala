@@ -2589,8 +2589,25 @@ object LlmEntry {
   private val EnStopsSql: String =
     TextAnalysis.LangProfiles.find(_._1 == "en").get._2.map(w => s"'$w'").mkString(",")
 
-  private val CosSql =
-    "floor((list_dot_product(qe,ce)/(sqrt(list_dot_product(qe,qe))*sqrt(list_dot_product(ce,ce)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
+  /** §6-quantized cosine of two embedding-list SQL operands — every
+    * oracle cosine routes through this ONE Quantize.qdpSql-backed
+    * definition (ADVICE r14: the hand-inlined quantizer copies in the
+    * ANN CTEs reintroduced the copy-drift risk the Q6 factoring
+    * eliminates elsewhere). */
+  private def cosSqlOf(a: String, b: String): String =
+    Q6(s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))")
+
+  /** §6-quantized PQ encode distance ‖xs−cw‖² in expanded dot form —
+    * shared by every IVF-PQ oracle's enc0 CTE. */
+  private def pqD2Sql(xs: String, cw: String): String =
+    Q6(s"list_dot_product($xs, $xs) - 2*list_dot_product($xs, $cw) + list_dot_product($cw, $cw)")
+
+  /** §6-quantized ADC table entry (query subvector · codeword) —
+    * shared by every IVF-PQ oracle's qtab CTE. */
+  private def PqQdotSql: String =
+    Q6("list_dot_product(list_slice(qe, j*16+1, j*16+16), cw)")
+
+  private val CosSql = cosSqlOf("qe", "ce")
 
   /** Two unrolled Lloyd rounds over `src(vec_id, e)` — CTEs c0 → a1 →
     * d1 → c1 → a2 → d2 → c2 mirroring [[KMeans.lloyd]] (k = 8, seeds =
@@ -2602,8 +2619,7 @@ object LlmEntry {
       s"""SELECT vec_id, e, cent_id FROM (
          |  SELECT v.vec_id, v.e, c.cent_id,
          |         row_number() OVER (PARTITION BY v.vec_id
-         |           ORDER BY floor((list_dot_product(v.e, c.cent) /
-         |             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cent, c.cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) DESC,
+         |           ORDER BY ${cosSqlOf("v.e", "c.cent")} DESC,
          |           c.cent_id) AS rn
          |  FROM $src v, $cent c) WHERE rn = 1""".stripMargin
     def mean(s: String) =
@@ -2656,31 +2672,28 @@ object LlmEntry {
        |              list_slice(ce, j*16+1, j*16+16) AS xs
        |       FROM c, range(0, 4) r(j)),
        |enc0 AS (SELECT neighbor_id, j, code_id,
-       |    floor((list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
-       |          + list_dot_product(cw, cw)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS d2
+       |    ${pqD2Sql("xs", "cw")} AS d2
        |  FROM sv JOIN cb USING (j)),
        |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
        |                                 ORDER BY d2, code_id) AS rn FROM enc0)
        |  WHERE rn = 1),
        |asg0 AS (SELECT neighbor_id, cent_id,
-       |  floor((list_dot_product(ce, cent) /
-       |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+       |  ${cosSqlOf("ce", "cent")} AS csim
        |  FROM c, cent),
        |asg AS (SELECT neighbor_id, cent_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
        |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
        |  WHERE rn = 1),
        |pr0 AS (SELECT query_id, cent_id,
-       |  floor((list_dot_product(qe, cent) /
-       |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+       |  ${cosSqlOf("qe", "cent")} AS csim
        |  FROM q, cent),
        |pr AS (SELECT query_id, cent_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
        |  WHERE rn <= 4),
        |qtab AS (SELECT query_id, j, code_id AS code,
-       |    floor((list_dot_product(list_slice(qe, j*16+1, j*16+16), cw)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS qdot
+       |    ${PqQdotSql} AS qdot
        |  FROM q, cb),
        |adc AS (SELECT query_id, neighbor_id,
        |    CAST(round(sum(CAST(qdot AS DECIMAL(28,12))), 6) AS DOUBLE) AS adc
@@ -2722,31 +2735,28 @@ object LlmEntry {
        |              list_slice(ce, j*16+1, j*16+16) AS xs
        |       FROM c, range(0, 4) r(j)),
        |enc0 AS (SELECT neighbor_id, j, code_id,
-       |    floor((list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
-       |          + list_dot_product(cw, cw)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS d2
+       |    ${pqD2Sql("xs", "cw")} AS d2
        |  FROM sv JOIN cb USING (j)),
        |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
        |                                 ORDER BY d2, code_id) AS rn FROM enc0)
        |  WHERE rn = 1),
        |asg0 AS (SELECT neighbor_id, cent_id,
-       |  floor((list_dot_product(ce, cent) /
-       |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+       |  ${cosSqlOf("ce", "cent")} AS csim
        |  FROM c, cent),
        |asg AS (SELECT neighbor_id, cent_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
        |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
        |  WHERE rn = 1),
        |pr0 AS (SELECT query_id, cent_id,
-       |  floor((list_dot_product(qe, cent) /
-       |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+       |  ${cosSqlOf("qe", "cent")} AS csim
        |  FROM q, cent),
        |pr AS (SELECT query_id, cent_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
        |  WHERE rn <= 2),
        |qtab AS (SELECT query_id, j, code_id AS code,
-       |    floor((list_dot_product(list_slice(qe, j*16+1, j*16+16), cw)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS qdot
+       |    ${PqQdotSql} AS qdot
        |  FROM q, cb),
        |adc AS (SELECT query_id, neighbor_id,
        |    CAST(round(sum(CAST(qdot AS DECIMAL(28,12))), 6) AS DOUBLE) AS adc
@@ -3058,9 +3068,8 @@ object LlmEntry {
        |SELECT source, count(*) AS n_docs,
        |  CAST(sum(nc) AS BIGINT) AS n_chars,
        |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
-       |  floor(CAST(sum(nc) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
-       |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-       |    / CAST(1000000 AS DOUBLE) AS chars_per_token
+       |  ${Q6("CAST(sum(nc) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)")}
+       |    AS chars_per_token
        |FROM c GROUP BY 1""".stripMargin
 
   private lazy val baseOracleSql: Map[String, String] = Map(
@@ -4127,9 +4136,8 @@ object LlmEntry {
          |SELECT stratum, capacity,
          |  CAST(round(w, 6) AS DOUBLE) AS weight,
          |  capped, allocation,
-         |  floor(allocation / CAST(capacity AS DOUBLE)
-         |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-         |    / CAST(1000000 AS DOUBLE) AS sample_rate
+         |  ${Q6("allocation / CAST(capacity AS DOUBLE)")}
+         |    AS sample_rate
          |FROM b5""".stripMargin,
 
 
@@ -4221,8 +4229,7 @@ object LlmEntry {
          |a3 AS (SELECT vec_id, cent_id FROM (
          |  SELECT v.vec_id, c.cent_id,
          |         row_number() OVER (PARTITION BY v.vec_id
-         |           ORDER BY floor((list_dot_product(v.e, c.cent) /
-         |             (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cent, c.cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) DESC,
+         |           ORDER BY ${cosSqlOf("v.e", "c.cent")} DESC,
          |           c.cent_id) AS rn
          |  FROM v, c2 c) WHERE rn = 1),
          |r AS (SELECT cent_id, vec_id,
@@ -4434,16 +4441,14 @@ object LlmEntry {
          |cent AS (SELECT cent_id, cent FROM c2),
          |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v0),
          |asg0 AS (SELECT neighbor_id, ce, cent_id,
-         |  floor((list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+         |  ${cosSqlOf("ce", "cent")} AS csim
          |  FROM c, cent),
          |asg AS (SELECT neighbor_id, ce, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
          |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
          |  WHERE rn = 1),
          |p AS (SELECT a.cent_id, a.neighbor_id AS vec_a, b.neighbor_id AS vec_b,
-         |  floor((list_dot_product(a.ce, b.ce) /
-         |        (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS sim
+         |  ${cosSqlOf("a.ce", "b.ce")} AS sim
          |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id
          |                       AND a.neighbor_id < b.neighbor_id)
          |SELECT cent_id, vec_a, vec_b, sim FROM p WHERE sim >= 0.4""".stripMargin,
@@ -4457,16 +4462,14 @@ object LlmEntry {
          |cent AS (SELECT cent_id, cent FROM c2),
          |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v),
          |asg0 AS (SELECT neighbor_id, ce, cent_id,
-         |  floor((list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+         |  ${cosSqlOf("ce", "cent")} AS csim
          |  FROM c, cent),
          |asg AS (SELECT neighbor_id, ce, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
          |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
          |  WHERE rn = 1),
          |pr0 AS (SELECT query_id, qe, cent_id,
-         |  floor((list_dot_product(qe, cent) /
-         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+         |  ${cosSqlOf("qe", "cent")} AS csim
          |  FROM q, cent),
          |pr AS (SELECT query_id, qe, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4498,31 +4501,28 @@ object LlmEntry {
          |              list_slice(ce, j*16+1, j*16+16) AS xs
          |       FROM c, range(0, 4) r(j)),
          |enc0 AS (SELECT neighbor_id, j, code_id,
-         |    floor((list_dot_product(xs, xs) - 2*list_dot_product(xs, cw)
-         |          + list_dot_product(cw, cw)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS d2
+         |    ${pqD2Sql("xs", "cw")} AS d2
          |  FROM sv JOIN cb USING (j)),
          |enc AS (SELECT neighbor_id, j, code_id AS code FROM (
          |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
          |                                 ORDER BY d2, code_id) AS rn FROM enc0)
          |  WHERE rn = 1),
          |asg0 AS (SELECT neighbor_id, cent_id,
-         |  floor((list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+         |  ${cosSqlOf("ce", "cent")} AS csim
          |  FROM c, cent),
          |asg AS (SELECT neighbor_id, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
          |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
          |  WHERE rn = 1),
          |pr0 AS (SELECT query_id, cent_id,
-         |  floor((list_dot_product(qe, cent) /
-         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+         |  ${cosSqlOf("qe", "cent")} AS csim
          |  FROM q, cent),
          |pr AS (SELECT query_id, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY csim DESC, cent_id) AS rn FROM pr0)
          |  WHERE rn <= 4),
          |qtab AS (SELECT query_id, j, code_id AS code,
-         |    floor((list_dot_product(list_slice(qe, j*16+1, j*16+16), cw)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS qdot
+         |    ${PqQdotSql} AS qdot
          |  FROM q, cb),
          |adc AS (SELECT query_id, neighbor_id,
          |    CAST(round(sum(CAST(qdot AS DECIMAL(28,12))), 6) AS DOUBLE) AS adc
@@ -4588,11 +4588,9 @@ object LlmEntry {
          |                            255) AS INTEGER) END) AS codes
          |        FROM c, b),
          |sqs AS (SELECT query_id, neighbor_id,
-         |          floor((list_dot_product(qe,
-         |            list_transform(range(0, 64), i ->
-         |              lo[CAST(i AS INTEGER)+1]
-         |              + (codes[CAST(i AS INTEGER)+1] + 0.5)
-         |                * st[CAST(i AS INTEGER)+1]))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS sq
+         |          ${Q6("list_dot_product(qe, list_transform(range(0, 64), " +
+                "i -> lo[CAST(i AS INTEGER)+1] + (codes[CAST(i AS INTEGER)+1] " +
+                "+ 0.5) * st[CAST(i AS INTEGER)+1]))")} AS sq
          |        FROM q, enc, b),
          |short AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4643,8 +4641,7 @@ object LlmEntry {
          |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT * FROM (
          |  SELECT vec_a, vec_b,
-         |         floor((list_dot_product(va.e, vb.e) /
-         |               (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS sim
+         |         ${cosSqlOf("va.e", "vb.e")} AS sim
          |  FROM cand JOIN bk va ON va.vec_id = vec_a JOIN bk vb ON vb.vec_id = vec_b)
          |WHERE sim >= 0.4""".stripMargin,
 
@@ -4667,7 +4664,7 @@ object LlmEntry {
       // exact-integer MMR replay (see mmrTopK scaladoc): sims in 1e-6
       // units, mmr_u = 7*rel_u - 3*maxsim_u in 1e-7 units
       def ucos(a: String, b: String) =
-        s"CAST(round(floor((list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)*1000000, 0) AS BIGINT)"
+        s"CAST(round(${cosSqlOf(a, b)}*1000000, 0) AS BIGINT)"
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
          |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
@@ -4727,8 +4724,7 @@ object LlmEntry {
          |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM base
          |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
          |asg0 AS (SELECT neighbor_id, cent_id,
-         |  floor((list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+         |  ${cosSqlOf("ce", "cent")} AS csim
          |  FROM c, cent),
          |asg AS (SELECT neighbor_id, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
@@ -4753,8 +4749,7 @@ object LlmEntry {
          |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM base
          |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
          |asg0 AS (SELECT neighbor_id, cent_id,
-         |  floor((list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+         |  ${cosSqlOf("ce", "cent")} AS csim
          |  FROM c, cent),
          |asg AS (SELECT neighbor_id, cent_id, csim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
@@ -4771,7 +4766,7 @@ object LlmEntry {
       // sims are the probe's exact re-ranked cosines, so rel_u is
       // round(sim*1e6) — identical to mmrRerank's pool contract)
       def ucos(a: String, b: String) =
-        s"CAST(round(floor((list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)*1000000, 0) AS BIGINT)"
+        s"CAST(round(${cosSqlOf(a, b)}*1000000, 0) AS BIGINT)"
       s"""WITH iv AS (SELECT query_id, neighbor_id, sim, rnk
          |            FROM (${ivfPqIndexSql(10)}) x),
          |v2 AS (SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS e
@@ -4838,16 +4833,14 @@ object LlmEntry {
          |cent AS (SELECT neighbor_id AS cent_id, ce AS cent FROM c
          |         ORDER BY ${h32Sql("CAST(neighbor_id AS VARCHAR)")}, neighbor_id LIMIT 16),
          |asg0 AS (SELECT neighbor_id, ce, cent_id,
-         |  floor((list_dot_product(ce, cent) /
-         |        (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+         |  ${cosSqlOf("ce", "cent")} AS csim
          |  FROM c, cent),
          |asg AS (SELECT neighbor_id, ce, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY neighbor_id
          |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
          |  WHERE rn = 1),
          |pr0 AS (SELECT query_id, qe, cent_id,
-         |  floor((list_dot_product(qe, cent) /
-         |        (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+         |  ${cosSqlOf("qe", "cent")} AS csim
          |  FROM q, cent),
          |pr AS (SELECT query_id, qe, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4917,8 +4910,7 @@ object LlmEntry {
          |cent AS (SELECT vec_id AS cent_id, e AS cent FROM v
          |         ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
          |asg0 AS (SELECT vec_id, e, cent_id,
-         |  floor((list_dot_product(e, cent) /
-         |        (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cent, cent)))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS csim
+         |  ${cosSqlOf("e", "cent")} AS csim
          |  FROM v, cent),
          |asg AS (SELECT vec_id, e, cent_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
