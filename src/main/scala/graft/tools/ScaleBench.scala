@@ -191,6 +191,18 @@ object ScaleBench {
         println(f"[scalebench] x$m e16_planes8 min=${ops("e16_planes8")._1}%.3f " +
           f"med=${ops("e16_planes8")._2}%.3f rows=${ops("e16_planes8")._3}")
       }
+      // the occupancy guard's measured overhead (r15): knnGraphGuarded
+      // vs the plain e16 build on the natural corpus — the delta is
+      // ONE partial-aggregated occupancy count over the (persisted)
+      // banded signature frame, the price of never walking a
+      // duplicate-heavy corpus into the within-bucket quadratic
+      if (want("e16_guarded")) {
+        ops("e16_guarded") = bench(() =>
+          graft.ann.Knn.knnGraphGuarded(Tables.load(spark, dir, "embeddings"),
+            k = 3).count())
+        println(f"[scalebench] x$m e16_guarded min=${ops("e16_guarded")._1}%.3f " +
+          f"med=${ops("e16_guarded")._2}%.3f rows=${ops("e16_guarded")._3}")
+      }
       def rank1MeanSim(planes: Int): Long = {
         // avg(sim) is NULL on an empty kNN graph (no LSH candidate
         // pairs on a degenerate corpus) — report -1 instead of NPEing
@@ -320,6 +332,10 @@ object ScaleBench {
         graft.sources.BucketedStore.drop(spark,
           s"c6bart_${dir.hashCode.toHexString}",
           Seq("nbmodel", "nbpriors", "dsirmodel"))
+        // cold-start the lifecycle number: the c6 bench above leaves
+        // its persisted frames cached, which otherwise makes the
+        // train+serve first call read FASTER than steady-state serving
+        spark.catalog.clearCache(); System.gc()
         ops("c6b_lifecycle") = {
           val (t, r) = timeOf(() =>
             SparkEntry.queries("c6b_selected_serving")(spark, dir).count())

@@ -249,6 +249,11 @@ class EntryPlanSpec extends SparkSpec {
         // must map-side combine before their exchange
         "e16_knn_graph", "e17_rerank_cascade", "e18_knn_graph_ivf",
         "d18_best_keeper",
+        // e16b's occupancy measurement must map-side combine: the
+        // per-(t,bucket) count partial-aggregates before its exchange
+        // (the guard pays ONE partial-aggregated pass, never a full
+        // row ship)
+        "e16b_graph_occupancy",
         // m9's per-type k-minwise cut is x5's bounded-heap aggregate —
         // at most k rows per type leave each map task
         "m9_type_sample")
