@@ -1086,9 +1086,17 @@ object LlmEntry {
       // signature pass, self equi-join candidate gen. planes
       // AUTO-SIZE from the corpus count (Knn.derivePlanes — bucket
       // occupancy stays ~32 as the corpus grows; the oracle derives
-      // the same integer), so the shipped default no longer walks a
-      // 100x corpus into the within-bucket quadratic cliff
-      Knn.knnGraph(t(s, dir, "embeddings"), k = 3)
+      // the same integer). Since r15 the shipped default is the
+      // GUARDED form: one partial-aggregated occupancy count over
+      // the (persisted, reused) signature frame decides LSH vs the
+      // IVF-cell route before any quadratic stage is planned. The
+      // testdata corpus sits 4x under the budget at both SFs
+      // (max occupancy 63 vs 256 — e16b is the oracled decision
+      // surface), so this path is byte-identical to knnGraph and the
+      // oracle is unchanged; the measured routing behavior lives in
+      // SCALING.md r15 (x10/x20 duplicate-heavy corpora route,
+      // 16.1 s -> 4.2 s at x20)
+      Knn.knnGraphGuarded(t(s, dir, "embeddings"), k = 3)
         .withColumnRenamed("rank", "rnk")),
 
     "e18_knn_graph_ivf" -> ((s, dir) =>

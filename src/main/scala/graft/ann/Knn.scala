@@ -489,6 +489,60 @@ object Knn {
         s"raise maxOccupancy deliberately.")
   }
 
+  /** [[knnGraphGuarded]] with the route DECISION recorded in a
+    * replay-safe ledger — [[AnnIndex.maintain]]'s pattern applied to
+    * the graph build: a nightly graph job names each run (`runId` —
+    * the ingest date, snapshot version, whatever identifies the
+    * occurrence) and each runId gets AT MOST ONE decision row, so
+    * (a) the route history is auditable after the fact (which nights
+    * built LSH, which routed to IVF cells, at what measured
+    * occupancy), and (b) a RETRIED run re-executes the route its
+    * first attempt recorded — without re-measuring — so a retry
+    * cannot flip route mid-night even if the corpus moved underneath
+    * it (the at-most-once unit of work is the runId, as maintain's
+    * is the index version). Ledger row: (run_id, n_vectors, planes,
+    * tables, max_occupancy, budget, action 'lsh'|'ivf',
+    * n_centroids); read it back with
+    * [[graft.sources.SnapshotStore.read]]. */
+  def knnGraphLedgered(vectors: DataFrame, k: Int, ledgerDir: String,
+                       runId: String, planes: Option[Int] = None,
+                       tables: Int = 4,
+                       targetOccupancy: Int = DefaultGraphOccupancy,
+                       maxOccupancy: Long = DefaultMaxGraphOccupancy,
+                       nCentroids: Option[Int] = None,
+                       storage: StorageLevel = Caching.Default): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    import graft.sources.SnapshotStore
+    val prior = SnapshotStore.read(spark, ledgerDir)
+      .flatMap(_.filter(col("run_id") === runId).limit(1)
+        .collect().headOption)
+    prior match {
+      case Some(r) => // this run already decided — replay the route
+        if (r.getAs[String]("action") == "lsh")
+          knnGraphAt(vectors, k, r.getAs[Int]("planes"),
+            r.getAs[Int]("tables"))
+        else knnGraphIvf(vectors, k, r.getAs[Int]("n_centroids"))
+      case None =>
+        val n = vectors.count()
+        val p = planes.getOrElse(derivePlanes(n, targetOccupancy))
+        val v = Caching.persisted(graphSigned(vectors, p, tables), storage)
+        val banded = graphBandedOf(v, p, tables)
+        val maxOcc = banded.groupBy("t", "bucket")
+          .agg(count(lit(1)).as("occ"))
+          .agg(coalesce(max("occ"), lit(0L))).head().getLong(0)
+        val underBudget = maxOcc <= maxOccupancy
+        val cents = nCentroids.getOrElse(deriveGraphCentroids(n))
+        val row = Seq((runId, n, p, tables, maxOcc, maxOccupancy,
+            if (underBudget) "lsh" else "ivf", cents))
+          .toDF("run_id", "n_vectors", "planes", "tables",
+            "max_occupancy", "budget", "action", "n_centroids")
+        SnapshotStore.mergeInto(row, ledgerDir, Seq("run_id"))
+        if (underBudget) knnGraphCore(v, banded, k)
+        else knnGraphIvf(vectors, k, cents)
+    }
+  }
+
   /** Second-stage re-rank of a retrieved candidate list by embedding
     * cosine — the retrieve-then-rerank cascade (BM25 recall stage →
     * semantic precision stage) that production search stacks run where

@@ -245,6 +245,48 @@ class NinthPassSpec extends SparkSpec {
     assert(kept.sameElements(Knn.knnGraph(dup, k = 2).collect().map(_.toString).sorted))
   }
 
+  test("knnGraphLedgered: one decision per run, retry replays the route") {
+    import graft.sources.SnapshotStore
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graph-ledger").toString
+    val dup = ((0L until 60L).map(i => (i, vec(1, 0.01, 0))) ++
+      (100L until 110L).map(i => (i, vec(math.sin(i * 0.9),
+        math.cos(i * 1.7), math.sin(i * 2.3)))))
+      .toDF("vec_id", "embedding")
+    val nat = (0L until 90L).map(i =>
+      (i, vec(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 2.1))))
+      .toDF("vec_id", "embedding")
+    // night-1 on the duplicate-heavy corpus: measures, routes to IVF,
+    // records the decision
+    val r1 = Knn.knnGraphLedgered(dup, k = 2, dir, "night-1",
+      maxOccupancy = 16L).collect().map(_.toString).sorted
+    assert(r1.sameElements(Knn.knnGraphIvf(dup, k = 2,
+      Knn.deriveGraphCentroids(70L)).collect().map(_.toString).sorted))
+    val led1 = SnapshotStore.read(spark, dir).get.collect()
+    assert(led1.length === 1)
+    assert(led1.head.getAs[String]("action") === "ivf")
+    assert(led1.head.getAs[Long]("max_occupancy") >= 60L)
+    // a RETRY of night-1 replays the recorded route WITHOUT
+    // re-measuring: even against a corpus that would pass the budget,
+    // night-1 stays IVF (a retry cannot flip route mid-night), and no
+    // second row lands
+    val retry = Knn.knnGraphLedgered(nat, k = 2, dir, "night-1",
+      maxOccupancy = 16L).collect().map(_.toString).sorted
+    assert(retry.sameElements(Knn.knnGraphIvf(nat, k = 2,
+      led1.head.getAs[Int]("n_centroids")).collect().map(_.toString).sorted))
+    assert(SnapshotStore.read(spark, dir).get.count() === 1L)
+    // night-2 on the healthy corpus measures fresh, takes the LSH
+    // path byte-identically, and appends its own row
+    val r2 = Knn.knnGraphLedgered(nat, k = 2, dir, "night-2")
+      .collect().map(_.toString).sorted
+    assert(r2.sameElements(Knn.knnGraph(nat, k = 2)
+      .collect().map(_.toString).sorted))
+    val led2 = SnapshotStore.read(spark, dir).get
+    assert(led2.count() === 2L)
+    assert(led2.filter(col("run_id") === "night-2").head()
+      .getAs[String]("action") === "lsh")
+  }
+
   test("graphOccupancyReport: exact bucket stats and the over flag") {
     // 60 clones in one signature + 10 naturals: per table, the clone
     // bucket holds 60 rows, so max_occupancy >= 60 and candidate_rows
