@@ -393,7 +393,9 @@ object LlmEntry {
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)
       val plan = graft.dedup.Banding.tune(0.1, maxK = 16) // (15, 1)
-      val name = "d8bix"
+      // dir-hashed like every sibling persistent artifact (c6bart_/
+      // e6probe_): two sf dirs in one session must not share a name
+      val name = s"d8bix_${dir.hashCode.toHexString}"
       TextDedup.dropDedupIndexBucketed(s, name)
       TextDedup.writeDedupIndexBucketed(corpus, col("doc_id"), col("text"),
         name, buckets = 8)
@@ -4953,9 +4955,10 @@ object LlmEntry {
          |  CAST(4 AS INTEGER) AS tables,
          |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
          |  CAST(count(*) AS BIGINT) AS n_buckets,
-         |  CAST(max(occ) AS BIGINT) AS max_occupancy,
-         |  CAST(sum(occ * (occ - 1)) AS BIGINT) AS candidate_rows,
-         |  max(occ) > ${graft.ann.Knn.DefaultMaxGraphOccupancy} AS over_budget
+         |  CAST(coalesce(max(occ), 0) AS BIGINT) AS max_occupancy,
+         |  CAST(coalesce(sum(occ * (occ - 1)), 0) AS BIGINT) AS candidate_rows,
+         |  coalesce(max(occ), 0) > ${graft.ann.Knn.DefaultMaxGraphOccupancy}
+         |    AS over_budget
          |FROM occ""".stripMargin,
 
     // e7 = e2's candidate CTEs with a range filter instead of a rank

@@ -463,13 +463,23 @@ object Knn {
     *    recall semantics implicitly — the
     *    [[graft.dedup.TextDedup.rebandToBudget]] refuse-don't-ship
     *    stance). */
-  def knnGraphGuarded(vectors: DataFrame, k: Int,
-                      planes: Option[Int] = None, tables: Int = 4,
-                      targetOccupancy: Int = DefaultGraphOccupancy,
-                      maxOccupancy: Long = DefaultMaxGraphOccupancy,
-                      routeToIvf: Boolean = true,
-                      nCentroids: Option[Int] = None,
-                      storage: StorageLevel = Caching.Default): DataFrame = {
+  /** The guard's measurement stage — sign + persist + band + ONE
+    * partial-aggregated max-occupancy count — factored so
+    * [[knnGraphGuarded]] and [[knnGraphLedgered]] decide from the
+    * SAME implementation (two copies of the control-plane measurement
+    * could silently drift). `release()` drops the persisted signature
+    * frame on branches that will never read it (the IVF route and
+    * fail-fast): the Caching no-unpersist rationale — "the consumer
+    * hasn't run yet" — doesn't apply when the consumer provably never
+    * runs, and a long-lived nightly session must not pin a
+    * corpus-sized frame per routed call. */
+  private final case class GuardMeasure(n: Long, planes: Int,
+      v: DataFrame, banded: DataFrame, maxOcc: Long) {
+    def release(): Unit = { v.unpersist(); () }
+  }
+  private def measureGuard(vectors: DataFrame, planes: Option[Int],
+                           tables: Int, targetOccupancy: Int,
+                           storage: StorageLevel): GuardMeasure = {
     val n = vectors.count()
     val p = planes.getOrElse(derivePlanes(n, targetOccupancy))
     val v = Caching.persisted(graphSigned(vectors, p, tables), storage)
@@ -477,16 +487,32 @@ object Knn {
     // control-plane: one row out of a partial-aggregated count
     val maxOcc = banded.groupBy("t", "bucket").agg(count(lit(1)).as("occ"))
       .agg(coalesce(max("occ"), lit(0L))).head().getLong(0)
-    if (maxOcc <= maxOccupancy) knnGraphCore(v, banded, k)
-    else if (routeToIvf)
-      knnGraphIvf(vectors, k, nCentroids.getOrElse(deriveGraphCentroids(n)))
-    else throw new IllegalStateException(
-      s"knnGraph occupancy guard: max bucket occupancy $maxOcc exceeds " +
-        s"$maxOccupancy at planes=$p, tables=$tables over $n vectors — " +
-        s"duplicate-heavy corpus; the within-bucket self-join would go " +
-        s"quadratic at any plane count. Route to knnGraphIvf " +
-        s"(C≈${deriveGraphCentroids(n)}), dedup the corpus first, or " +
-        s"raise maxOccupancy deliberately.")
+    GuardMeasure(n, p, v, banded, maxOcc)
+  }
+
+  def knnGraphGuarded(vectors: DataFrame, k: Int,
+                      planes: Option[Int] = None, tables: Int = 4,
+                      targetOccupancy: Int = DefaultGraphOccupancy,
+                      maxOccupancy: Long = DefaultMaxGraphOccupancy,
+                      routeToIvf: Boolean = true,
+                      nCentroids: Option[Int] = None,
+                      storage: StorageLevel = Caching.Default): DataFrame = {
+    val m = measureGuard(vectors, planes, tables, targetOccupancy, storage)
+    if (m.maxOcc <= maxOccupancy) knnGraphCore(m.v, m.banded, k)
+    else if (routeToIvf) {
+      m.release()
+      knnGraphIvf(vectors, k,
+        nCentroids.getOrElse(deriveGraphCentroids(m.n)))
+    } else {
+      m.release()
+      throw new IllegalStateException(
+        s"knnGraph occupancy guard: max bucket occupancy ${m.maxOcc} " +
+          s"exceeds $maxOccupancy at planes=${m.planes}, tables=$tables " +
+          s"over ${m.n} vectors — duplicate-heavy corpus; the " +
+          s"within-bucket self-join would go quadratic at any plane " +
+          s"count. Route to knnGraphIvf (C≈${deriveGraphCentroids(m.n)}), " +
+          s"dedup the corpus first, or raise maxOccupancy deliberately.")
+    }
   }
 
   /** [[knnGraphGuarded]] with the route DECISION recorded in a
@@ -524,22 +550,17 @@ object Knn {
             r.getAs[Int]("tables"))
         else knnGraphIvf(vectors, k, r.getAs[Int]("n_centroids"))
       case None =>
-        val n = vectors.count()
-        val p = planes.getOrElse(derivePlanes(n, targetOccupancy))
-        val v = Caching.persisted(graphSigned(vectors, p, tables), storage)
-        val banded = graphBandedOf(v, p, tables)
-        val maxOcc = banded.groupBy("t", "bucket")
-          .agg(count(lit(1)).as("occ"))
-          .agg(coalesce(max("occ"), lit(0L))).head().getLong(0)
-        val underBudget = maxOcc <= maxOccupancy
-        val cents = nCentroids.getOrElse(deriveGraphCentroids(n))
-        val row = Seq((runId, n, p, tables, maxOcc, maxOccupancy,
-            if (underBudget) "lsh" else "ivf", cents))
+        val m = measureGuard(vectors, planes, tables, targetOccupancy,
+          storage)
+        val underBudget = m.maxOcc <= maxOccupancy
+        val cents = nCentroids.getOrElse(deriveGraphCentroids(m.n))
+        val row = Seq((runId, m.n, m.planes, tables, m.maxOcc,
+            maxOccupancy, if (underBudget) "lsh" else "ivf", cents))
           .toDF("run_id", "n_vectors", "planes", "tables",
             "max_occupancy", "budget", "action", "n_centroids")
         SnapshotStore.mergeInto(row, ledgerDir, Seq("run_id"))
-        if (underBudget) knnGraphCore(v, banded, k)
-        else knnGraphIvf(vectors, k, cents)
+        if (underBudget) knnGraphCore(m.v, m.banded, k)
+        else { m.release(); knnGraphIvf(vectors, k, cents) }
     }
   }
 

@@ -145,6 +145,11 @@ object Banding {
   def chooseOperatingOutcome(rows: Seq[Operating],
                              maxCandidatesPerPair: Double): Choice = {
     require(maxCandidatesPerPair > 0, "budget must be positive")
+    // an empty measurement set must not read as "nothing to dedup"
+    // (forall over Nil is vacuously true): zero measurements is a
+    // caller bug, not a corpus finding
+    require(rows.nonEmpty, "chooseOperatingOutcome needs at least one " +
+      "measured operating row")
     rows.filter(_.candidatesPerPair <= maxCandidatesPerPair) match {
       case Seq() =>
         if (rows.forall(_.nPairs == 0L)) NoPairs else OverBudget

@@ -187,5 +187,11 @@ class BandingSpec extends SparkSpec {
       Operating("default", 4, 4, nCandidates = 0, nPairs = 0),
       Operating("tuned", 16, 1, nCandidates = 5000, nPairs = 3))
     assert(chooseOperatingOutcome(mixed, 10.0) === Banding.OverBudget)
+    // an EMPTY measurement set is a caller bug, never "NoPairs" (the
+    // vacuous-forall trap): fail fast instead of silently keeping the
+    // plan on the strength of zero measurements
+    intercept[IllegalArgumentException] {
+      chooseOperatingOutcome(Seq.empty, 10.0)
+    }
   }
 }
