@@ -396,9 +396,18 @@ object LlmEntry {
       // dir-hashed like every sibling persistent artifact (c6bart_/
       // e6probe_): two sf dirs in one session must not share a name
       val name = s"d8bix_${dir.hashCode.toHexString}"
-      TextDedup.dropDedupIndexBucketed(s, name)
-      TextDedup.writeDedupIndexBucketed(corpus, col("doc_id"), col("text"),
-        name, buckets = 8)
+      // build ONCE per (session, sf dir) — the ensure gate — then
+      // RE-BAND to the committed recall plan each invocation: the
+      // stored full-K signatures are plan-agnostic, so resetting the
+      // index to its pre-retune state is the map-only reband the
+      // lifecycle exists to demonstrate (no re-shingle, no corpus
+      // text), and every invocation still starts from the identical
+      // committed state (signatures are per-doc deterministic)
+      if (TextDedup.currentBucketedVersion(s, name).isEmpty) {
+        TextDedup.dropDedupIndexBucketed(s, name) // clear partial state
+        TextDedup.writeDedupIndexBucketed(corpus, col("doc_id"),
+          col("text"), name, buckets = 8)
+      }
       TextDedup.rebandDedupIndexBucketed(s, name, plan.bands,
         plan.rowsPerBand, buckets = 8)
       val pairsBefore = TextDedup.minHashLshPairsAgainstBucketedIndex(
