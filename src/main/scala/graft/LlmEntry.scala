@@ -168,6 +168,58 @@ object LlmEntry {
       BucketedStore.table(s, name, "dsirmodel", 0))
   }
 
+  /** The d8b/d8c retune scenario: ensure the even-id corpus's bucketed
+    * dedup index (once per session/dir), reset it to the tuned recall
+    * plan with the map-only reband, probe with the odd-id batch,
+    * run [[TextDedup.rebandToBudget]] under `maxCandidatesPerPair`,
+    * probe again, and emit the one-row decision frame. Factored so
+    * the maintain (budget 10 → demote to (4,4)) and refuse (budget
+    * 0.5 → typed over_budget, plan stands) legs share one
+    * implementation — only the budget differs. */
+  private def retuneScenario(s: SparkSession, dir: String,
+                             maxCandidatesPerPair: Double): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val plan = graft.dedup.Banding.tune(0.1, maxK = 16) // (15, 1)
+    // dir-hashed like every sibling persistent artifact (c6bart_/
+    // e6probe_): two sf dirs in one session must not share a name
+    val name = s"d8bix_${dir.hashCode.toHexString}"
+    // build ONCE per (session, sf dir) — the ensure gate — then
+    // RE-BAND to the committed recall plan each invocation: the
+    // stored full-K signatures are plan-agnostic, so resetting the
+    // index to its pre-retune state is the map-only reband the
+    // lifecycle exists to demonstrate (no re-shingle, no corpus
+    // text), and every invocation still starts from the identical
+    // committed state (signatures are per-doc deterministic)
+    if (TextDedup.currentBucketedVersion(s, name).isEmpty) {
+      TextDedup.dropDedupIndexBucketed(s, name) // clear partial state
+      TextDedup.writeDedupIndexBucketed(corpus, col("doc_id"),
+        col("text"), name, buckets = 8)
+    }
+    TextDedup.rebandDedupIndexBucketed(s, name, plan.bands,
+      plan.rowsPerBand, buckets = 8)
+    val pairsBefore = TextDedup.minHashLshPairsAgainstBucketedIndex(
+      s, name, batch, col("doc_id"), col("text"), 0.1).count()
+    val (outcome, newV) = TextDedup.rebandToBudget(s, name, 0.1,
+      Seq(("default", 4, 4), ("tuned", plan.bands, plan.rowsPerBand)),
+      maxCandidatesPerPair, buckets = 8)
+    val pairsAfter = TextDedup.minHashLshPairsAgainstBucketedIndex(
+      s, name, batch, col("doc_id"), col("text"), 0.1).count()
+    val (outName, op) = outcome match {
+      case graft.dedup.Banding.Chosen(o) => ("chosen", Some(o))
+      case graft.dedup.Banding.NoPairs => ("no_pairs", None)
+      case graft.dedup.Banding.OverBudget => ("over_budget", None)
+    }
+    import s.implicits._
+    Seq((plan.bands, plan.rowsPerBand, outName,
+      op.map(_.config), op.map(_.bands), op.map(_.rowsPerBand),
+      newV.nonEmpty, pairsBefore, pairsAfter))
+      .toDF("committed_bands", "committed_rows", "outcome",
+        "chosen_config", "chosen_bands", "chosen_rows",
+        "rebanded", "pairs_before", "pairs_after")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "d1_exact_dedup" -> ((s, dir) =>
@@ -375,7 +427,7 @@ object LlmEntry {
         col("doc_id"), col("text"), minJaccard = 0.1)
     }),
 
-    "d8b_retune_maintain" -> ((s, dir) => {
+    "d8b_retune_maintain" -> ((s, dir) =>
       // the measured-retune MAINTENANCE leg of d8 as a driver row
       // (r14's spec-proved lifecycle, promoted to the oracle gate):
       // the nightly index over the even-id corpus is COMMITTED at the
@@ -389,47 +441,19 @@ object LlmEntry {
       // automatically; before/after pair counts are exact longs. One
       // deterministic row; every decision replays in the oracle from
       // the same counts.
-      val docs = t(s, dir, "documents")
-      val corpus = docs.filter(col("doc_id") % 2 === 0)
-      val batch = docs.filter(col("doc_id") % 2 === 1)
-      val plan = graft.dedup.Banding.tune(0.1, maxK = 16) // (15, 1)
-      // dir-hashed like every sibling persistent artifact (c6bart_/
-      // e6probe_): two sf dirs in one session must not share a name
-      val name = s"d8bix_${dir.hashCode.toHexString}"
-      // build ONCE per (session, sf dir) — the ensure gate — then
-      // RE-BAND to the committed recall plan each invocation: the
-      // stored full-K signatures are plan-agnostic, so resetting the
-      // index to its pre-retune state is the map-only reband the
-      // lifecycle exists to demonstrate (no re-shingle, no corpus
-      // text), and every invocation still starts from the identical
-      // committed state (signatures are per-doc deterministic)
-      if (TextDedup.currentBucketedVersion(s, name).isEmpty) {
-        TextDedup.dropDedupIndexBucketed(s, name) // clear partial state
-        TextDedup.writeDedupIndexBucketed(corpus, col("doc_id"),
-          col("text"), name, buckets = 8)
-      }
-      TextDedup.rebandDedupIndexBucketed(s, name, plan.bands,
-        plan.rowsPerBand, buckets = 8)
-      val pairsBefore = TextDedup.minHashLshPairsAgainstBucketedIndex(
-        s, name, batch, col("doc_id"), col("text"), 0.1).count()
-      val (outcome, newV) = TextDedup.rebandToBudget(s, name, 0.1,
-        Seq(("default", 4, 4), ("tuned", plan.bands, plan.rowsPerBand)),
-        maxCandidatesPerPair = 10.0, buckets = 8)
-      val pairsAfter = TextDedup.minHashLshPairsAgainstBucketedIndex(
-        s, name, batch, col("doc_id"), col("text"), 0.1).count()
-      val (outName, op) = outcome match {
-        case graft.dedup.Banding.Chosen(o) => ("chosen", Some(o))
-        case graft.dedup.Banding.NoPairs => ("no_pairs", None)
-        case graft.dedup.Banding.OverBudget => ("over_budget", None)
-      }
-      import s.implicits._
-      Seq((plan.bands, plan.rowsPerBand, outName,
-        op.map(_.config), op.map(_.bands), op.map(_.rowsPerBand),
-        newV.nonEmpty, pairsBefore, pairsAfter))
-        .toDF("committed_bands", "committed_rows", "outcome",
-          "chosen_config", "chosen_bands", "chosen_rows",
-          "rebanded", "pairs_before", "pairs_after")
-    }),
+      retuneScenario(s, dir, maxCandidatesPerPair = 10.0)),
+
+    "d8c_retune_refuse" -> ((s, dir) =>
+      // the REFUSE leg of the same loop, oracle-gated (the typed
+      // Banding.Choice contract in the driver gate, not just specs):
+      // an impossible budget (0.5 — the bill is >= 1 whenever any
+      // pairs exist, since candidates contain the pairs) must read
+      // over_budget, never silently ship a plan: the committed recall
+      // plan stands and the probe pair count is unchanged
+      // before/after by construction. Deterministic at any SF: pairs
+      // exist -> over_budget; a hypothetical no-dup corpus ->
+      // no_pairs — either way both engines compute the same row.
+      retuneScenario(s, dir, maxCandidatesPerPair = 0.5)),
 
     "d19_incremental_clusters" -> ((s, dir) => {
       // the O(batch) maintenance leg of d7 for the nightly-append
@@ -2591,6 +2615,59 @@ object LlmEntry {
        |  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)""".stripMargin
   }
 
+  /** The d8b/d8c retune-loop oracle, parameterized by the
+    * candidates-per-pair budget SQL literal (the entries share
+    * [[retuneScenario]] the same way): operating legs on the even-id
+    * corpus at both configs, the budgeted choice as an ORDER BY over
+    * exact longs + one IEEE division, and the odd-id probe legs at
+    * both plans. */
+  private def retuneOracleSql(budgetSql: String): String = {
+    val plan = graft.dedup.Banding.tune(0.1, maxK = 16)
+    val (tb, tr) = (plan.bands, plan.rowsPerBand)
+    val even = "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)"
+    def opLeg(name: String, b: Int, r: Int): String =
+      s"""SELECT '$name' AS config, $b AS bands, $r AS rows_per_band,
+         |  CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END),
+         |                0) AS BIGINT) AS n_pairs
+         |FROM (WITH ${minhashCtesAt(even, b, r)}
+         |      SELECT jaccard FROM ver) v""".stripMargin
+    def betweenLeg(b: Int, r: Int): String =
+      s"""SELECT CAST(count(*) AS BIGINT) AS n
+         |FROM (WITH ${minhashCtesAt("documents", b, r,
+                 candPred = "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}
+         |      SELECT jaccard FROM ver WHERE jaccard >= 0.1) v""".stripMargin
+    s"""WITH ops AS (${opLeg("default", 4, 4)}
+       |UNION ALL
+       |${opLeg("tuned", tb, tr)}),
+       |pick AS (SELECT *, CAST(n_candidates AS DOUBLE) /
+       |                   CAST(n_pairs AS DOUBLE) AS cpp
+       |  FROM ops
+       |  WHERE n_pairs > 0 AND CAST(n_candidates AS DOUBLE) /
+       |        CAST(n_pairs AS DOUBLE) <= $budgetSql
+       |  ORDER BY n_pairs DESC, cpp ASC,
+       |           bands * rows_per_band ASC, bands DESC
+       |  LIMIT 1),
+       |pb AS (${betweenLeg(tb, tr)}),
+       |pa AS (${betweenLeg(4, 4)}),
+       |reb AS (SELECT coalesce(
+       |  (SELECT bands <> $tb OR rows_per_band <> $tr FROM pick),
+       |  FALSE) AS r)
+       |SELECT CAST($tb AS INTEGER) AS committed_bands,
+       |  CAST($tr AS INTEGER) AS committed_rows,
+       |  CASE WHEN (SELECT count(*) FROM pick) = 1 THEN 'chosen'
+       |       WHEN (SELECT coalesce(max(n_pairs), 0) FROM ops) = 0
+       |         THEN 'no_pairs'
+       |       ELSE 'over_budget' END AS outcome,
+       |  (SELECT config FROM pick) AS chosen_config,
+       |  (SELECT CAST(bands AS INTEGER) FROM pick) AS chosen_bands,
+       |  (SELECT CAST(rows_per_band AS INTEGER) FROM pick) AS chosen_rows,
+       |  (SELECT r FROM reb) AS rebanded,
+       |  (SELECT n FROM pb) AS pairs_before,
+       |  CASE WHEN (SELECT r FROM reb) THEN (SELECT n FROM pa)
+       |       ELSE (SELECT n FROM pb) END AS pairs_after""".stripMargin
+  }
+
   private val LangScoreSql: Seq[(String, String)] =
     TextAnalysis.LangProfiles.map { case (lang, words) =>
       lang -> s"len(list_filter(tk, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -3405,59 +3482,20 @@ object LlmEntry {
              candPred = "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}
          |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.1""".stripMargin,
 
-    // d8b: the retune loop replayed from counts — operating rows on
-    // the even-id (index) corpus at both configs, the budgeted choice
-    // (yield desc, bill asc, k asc, bands desc — chooseOperating's
-    // exact order), and the odd-id batch probe pair count at the
-    // committed (tuned) plan and, when the choice rebands, at the
-    // chosen plan. All comparisons are over exact longs and one IEEE
-    // division, so both engines pick the same plan.
-    "d8b_retune_maintain" -> {
-      val plan = graft.dedup.Banding.tune(0.1, maxK = 16)
-      val (tb, tr) = (plan.bands, plan.rowsPerBand)
-      val even = "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)"
-      def opLeg(name: String, b: Int, r: Int): String =
-        s"""SELECT '$name' AS config, $b AS bands, $r AS rows_per_band,
-           |  CAST(count(*) AS BIGINT) AS n_candidates,
-           |  CAST(coalesce(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END),
-           |                0) AS BIGINT) AS n_pairs
-           |FROM (WITH ${minhashCtesAt(even, b, r)}
-           |      SELECT jaccard FROM ver) v""".stripMargin
-      def betweenLeg(b: Int, r: Int): String =
-        s"""SELECT CAST(count(*) AS BIGINT) AS n
-           |FROM (WITH ${minhashCtesAt("documents", b, r,
-                   candPred = "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}
-           |      SELECT jaccard FROM ver WHERE jaccard >= 0.1) v""".stripMargin
-      s"""WITH ops AS (${opLeg("default", 4, 4)}
-         |UNION ALL
-         |${opLeg("tuned", tb, tr)}),
-         |pick AS (SELECT *, CAST(n_candidates AS DOUBLE) /
-         |                   CAST(n_pairs AS DOUBLE) AS cpp
-         |  FROM ops
-         |  WHERE n_pairs > 0 AND CAST(n_candidates AS DOUBLE) /
-         |        CAST(n_pairs AS DOUBLE) <= CAST(10 AS DOUBLE)
-         |  ORDER BY n_pairs DESC, cpp ASC,
-         |           bands * rows_per_band ASC, bands DESC
-         |  LIMIT 1),
-         |pb AS (${betweenLeg(tb, tr)}),
-         |pa AS (${betweenLeg(4, 4)}),
-         |reb AS (SELECT coalesce(
-         |  (SELECT bands <> $tb OR rows_per_band <> $tr FROM pick),
-         |  FALSE) AS r)
-         |SELECT CAST($tb AS INTEGER) AS committed_bands,
-         |  CAST($tr AS INTEGER) AS committed_rows,
-         |  CASE WHEN (SELECT count(*) FROM pick) = 1 THEN 'chosen'
-         |       WHEN (SELECT coalesce(max(n_pairs), 0) FROM ops) = 0
-         |         THEN 'no_pairs'
-         |       ELSE 'over_budget' END AS outcome,
-         |  (SELECT config FROM pick) AS chosen_config,
-         |  (SELECT CAST(bands AS INTEGER) FROM pick) AS chosen_bands,
-         |  (SELECT CAST(rows_per_band AS INTEGER) FROM pick) AS chosen_rows,
-         |  (SELECT r FROM reb) AS rebanded,
-         |  (SELECT n FROM pb) AS pairs_before,
-         |  CASE WHEN (SELECT r FROM reb) THEN (SELECT n FROM pa)
-         |       ELSE (SELECT n FROM pb) END AS pairs_after""".stripMargin
-    },
+    // d8b/d8c: the retune loop replayed from counts — operating rows
+    // on the even-id (index) corpus at both configs, the budgeted
+    // choice (yield desc, bill asc, k asc, bands desc —
+    // chooseOperating's exact order), and the odd-id batch probe pair
+    // count at the committed (tuned) plan and, when the choice
+    // rebands, at the chosen plan. All comparisons are over exact
+    // longs and one IEEE division, so both engines pick the same
+    // plan. One generator, parameterized by the budget — exactly like
+    // the entries.
+    "d8b_retune_maintain" -> retuneOracleSql("CAST(10 AS DOUBLE)"),
+    // the refuse leg: cpp >= 1 whenever pairs exist, so nothing fits
+    // budget 0.5 → empty pick → outcome 'over_budget', rebanded
+    // FALSE, pairs_after == pairs_before at the committed plan
+    "d8c_retune_refuse" -> retuneOracleSql("CAST(0.5 AS DOUBLE)"),
 
     // d9 = the BETWEEN probe with dataset-membership sides: doc_a from
     // src0, doc_b from any other source
