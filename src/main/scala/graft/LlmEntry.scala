@@ -168,23 +168,55 @@ object LlmEntry {
       BucketedStore.table(s, name, "dsirmodel", 0))
   }
 
-  /** The d8b/d8c retune scenario: ensure the even-id corpus's bucketed
-    * dedup index (once per session/dir), reset it to the tuned recall
-    * plan with the map-only reband, probe with the odd-id batch,
-    * run [[TextDedup.rebandToBudget]] under `maxCandidatesPerPair`,
-    * probe again, and emit the one-row decision frame. Factored so
-    * the maintain (budget 10 → demote to (4,4)) and refuse (budget
-    * 0.5 → typed over_budget, plan stands) legs share one
-    * implementation — only the budget differs. */
+  /** Every token of every doc suffixed with `#<doc_id>` — a corpus
+    * whose cross-doc shingle sets are DISJOINT by construction (each
+    * 3-gram carries its doc's id in all three tokens), so pairwise
+    * Jaccard is exactly 0 at any threshold: the provable no-near-dups
+    * corpus the d8d NoPairs leg runs the retune loop over. Map-only;
+    * the tag survives the lowercase+whitespace tokenizer unchanged
+    * (no whitespace introduced, digits/# lowercase-stable), so
+    * re-tokenization downstream is idempotent, and the oracle applies
+    * the byte-identical transform in SQL. */
+  private def tagTokensByDoc(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_join(transform(TextAnalysis.tokens(col("text")),
+        x => concat(x, lit("#"), col("doc_id").cast("string"))), " ")
+        .as("text"))
+
+  /** The d8b/d8c/d8d retune scenario: ensure the even-id corpus's
+    * bucketed dedup index (once per session/dir), reset it to the
+    * tuned recall plan with the map-only reband, probe with the
+    * odd-id batch, run [[TextDedup.rebandToBudget]] under
+    * `maxCandidatesPerPair`, and emit the one-row decision frame.
+    * Factored so the maintain (budget 10 → demote to (4,4)), refuse
+    * (budget 0.5 → typed over_budget, plan stands) and no-pairs
+    * (token-tagged no-dup corpus → typed no_pairs, plan stands) legs
+    * share one implementation — only the budget and the corpus
+    * transform differ.
+    *
+    * The post-loop probe SKIPS when no reband committed (the r15
+    * verdict's d8c cost item): the index is provably untouched —
+    * `plan_after_bands/rows` re-read the committed plan from the
+    * CATALOG at the post-loop version, so a loop that had silently
+    * rebanded would surface as (4,4) against the oracle's (15,1) —
+    * and re-paying the recall plan's full candidate bill to measure
+    * an unchanged index proves nothing the catalog read doesn't.
+    * When a reband DID commit, the second probe runs (d8b's
+    * before/after contract is the demonstration). */
   private def retuneScenario(s: SparkSession, dir: String,
-                             maxCandidatesPerPair: Double): DataFrame = {
-    val docs = t(s, dir, "documents")
+                             maxCandidatesPerPair: Double,
+                             tagTokens: Boolean = false): DataFrame = {
+    val docs0 = t(s, dir, "documents")
+    val docs = if (tagTokens) tagTokensByDoc(docs0) else docs0
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
     val plan = graft.dedup.Banding.tune(0.1, maxK = 16) // (15, 1)
     // dir-hashed like every sibling persistent artifact (c6bart_/
-    // e6probe_): two sf dirs in one session must not share a name
-    val name = s"d8bix_${dir.hashCode.toHexString}"
+    // e6probe_): two sf dirs in one session must not share a name;
+    // the tagged no-dup corpus is a DIFFERENT corpus, so it gets its
+    // own index name
+    val name = (if (tagTokens) "d8dix_" else "d8bix_") +
+      dir.hashCode.toHexString
     // build ONCE per (session, sf dir) — the ensure gate — then
     // RE-BAND to the committed recall plan each invocation: the
     // stored full-K signatures are plan-agnostic, so resetting the
@@ -204,8 +236,18 @@ object LlmEntry {
     val (outcome, newV) = TextDedup.rebandToBudget(s, name, 0.1,
       Seq(("default", 4, 4), ("tuned", plan.bands, plan.rowsPerBand)),
       maxCandidatesPerPair, buckets = 8)
-    val pairsAfter = TextDedup.minHashLshPairsAgainstBucketedIndex(
-      s, name, batch, col("doc_id"), col("text"), 0.1).count()
+    val pairsAfter =
+      if (newV.nonEmpty)
+        TextDedup.minHashLshPairsAgainstBucketedIndex(
+          s, name, batch, col("doc_id"), col("text"), 0.1).count()
+      else pairsBefore // index untouched: the catalog plan read below
+                       // is the no-reband proof, not a re-paid probe
+    // the committed plan AT THE POST-LOOP VERSION, read from the
+    // catalog — real engine state: had the loop rebanded when it must
+    // not (or kept the plan when it must demote), these two columns
+    // diverge from the oracle's replayed decision
+    val vAfter = TextDedup.currentBucketedVersion(s, name).get
+    val (afterB, afterR) = TextDedup.committedPlan(s, name, vAfter)
     val (outName, op) = outcome match {
       case graft.dedup.Banding.Chosen(o) => ("chosen", Some(o))
       case graft.dedup.Banding.NoPairs => ("no_pairs", None)
@@ -214,10 +256,11 @@ object LlmEntry {
     import s.implicits._
     Seq((plan.bands, plan.rowsPerBand, outName,
       op.map(_.config), op.map(_.bands), op.map(_.rowsPerBand),
-      newV.nonEmpty, pairsBefore, pairsAfter))
+      newV.nonEmpty, afterB, afterR, pairsBefore, pairsAfter))
       .toDF("committed_bands", "committed_rows", "outcome",
         "chosen_config", "chosen_bands", "chosen_rows",
-        "rebanded", "pairs_before", "pairs_after")
+        "rebanded", "plan_after_bands", "plan_after_rows",
+        "pairs_before", "pairs_after")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -454,6 +497,20 @@ object LlmEntry {
       // exist -> over_budget; a hypothetical no-dup corpus ->
       // no_pairs — either way both engines compute the same row.
       retuneScenario(s, dir, maxCandidatesPerPair = 0.5)),
+
+    "d8d_retune_nopairs" -> ((s, dir) =>
+      // the NO-PAIRS leg of the same loop, oracle-gated (closing the
+      // typed Banding.Choice triangle in the driver gate): over a
+      // corpus with provably zero near-dups — every token suffixed
+      // with its doc id, so cross-doc shingle sets are disjoint and
+      // pairwise Jaccard is exactly 0 — every config yields zero
+      // pairs, which must read the typed no_pairs outcome (nothing
+      // to dedup; the committed recall plan STANDS), never the
+      // over_budget alarm the +∞ candidates-per-pair bill would
+      // spuriously raise. Same budget as d8b so the only variable
+      // is the corpus.
+      retuneScenario(s, dir, maxCandidatesPerPair = 10.0,
+        tagTokens = true)),
 
     "d19_incremental_clusters" -> ((s, dir) => {
       // the O(batch) maintenance leg of d7 for the nightly-append
@@ -1150,6 +1207,34 @@ object LlmEntry {
       // target) — what knnGraphGuarded reads before deciding LSH vs
       // IVF cells
       Knn.graphOccupancyReport(t(s, dir, "embeddings"))),
+
+    "e16c_graph_route" -> ((s, dir) => {
+      // the guard's ROUTE action under the driver gate (r15 verdict:
+      // e16b's over_budget is false by construction on the driver
+      // corpora, so the routing decision itself was spec/SCALING-
+      // proved only): a duplicate-heavy corpus — the full embedding
+      // set plus ONE hot vector replicated 300× (identical vectors
+      // share every LSH signature at ANY plane count, so its bucket
+      // holds ≥ 301 > the 256 default budget at both SFs) — must
+      // read over_budget=true AND the guarded build must ship the
+      // IVF-cell route: the oracle replays the occupancy surface and
+      // the routed IVF graph, so an engine that silently built the
+      // LSH graph anyway would hash-mismatch on every row. C is
+      // PINNED at 16 (the knnGraphAt move: deriveGraphCentroids'
+      // √n sizing is plan-sizing the oracle never replays — the
+      // pinned form keeps the routed RESULT engine-reproducible).
+      val emb = t(s, dir, "embeddings")
+      val dup = emb.select(col("vec_id"), col("embedding")).unionByName(
+        emb.filter(col("vec_id") === 0)
+          .select(explode(sequence(lit(1L), lit(300L))).as("r"),
+            col("embedding"))
+          .select((lit(1000000L) + col("r")).as("vec_id"),
+            col("embedding")))
+      val routed = Knn.knnGraphGuarded(dup, k = 3, nCentroids = Some(16))
+        .withColumnRenamed("rank", "rnk")
+      routed.crossJoin(broadcast(Knn.graphOccupancyReport(dup)
+        .select(col("planes"), col("max_occupancy"), col("over_budget"))))
+    }),
 
     "e7_range_search" -> ((s, dir) => {
       // radius search: ALL neighbors with cosine >= 0.2 per query (not
@@ -2615,16 +2700,29 @@ object LlmEntry {
        |  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)""".stripMargin
   }
 
-  /** The d8b/d8c retune-loop oracle, parameterized by the
-    * candidates-per-pair budget SQL literal (the entries share
-    * [[retuneScenario]] the same way): operating legs on the even-id
-    * corpus at both configs, the budgeted choice as an ORDER BY over
-    * exact longs + one IEEE division, and the odd-id probe legs at
-    * both plans. */
-  private def retuneOracleSql(budgetSql: String): String = {
+  /** [[ToksSqlOn]]'s tokens re-joined with each token suffixed
+    * `#<doc_id>` — the SQL twin of [[tagTokensByDoc]] (the d8d no-dup
+    * corpus): cross-doc shingle sets disjoint by construction. */
+  private val TaggedDocsSql: String =
+    """(SELECT doc_id, array_to_string(list_transform(""" +
+      ToksSqlOn("text") +
+      """, x -> x || '#' || CAST(doc_id AS VARCHAR)), ' ') AS text
+        |FROM documents)""".stripMargin
+
+  /** The d8b/d8c/d8d retune-loop oracle, parameterized by the
+    * candidates-per-pair budget SQL literal and the corpus source
+    * (the entries share [[retuneScenario]] the same way): operating
+    * legs on the even-id corpus at both configs, the budgeted choice
+    * as an ORDER BY over exact longs + one IEEE division, the odd-id
+    * probe legs at both plans, and the post-loop committed plan
+    * (demoted plan when the choice rebanded, the committed recall
+    * plan otherwise — the engine side reads it from the CATALOG, so
+    * a silent reband diverges here). */
+  private def retuneOracleSql(budgetSql: String,
+                              srcSql: String = "documents"): String = {
     val plan = graft.dedup.Banding.tune(0.1, maxK = 16)
     val (tb, tr) = (plan.bands, plan.rowsPerBand)
-    val even = "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)"
+    val even = s"(SELECT doc_id, text FROM $srcSql s WHERE doc_id % 2 = 0)"
     def opLeg(name: String, b: Int, r: Int): String =
       s"""SELECT '$name' AS config, $b AS bands, $r AS rows_per_band,
          |  CAST(count(*) AS BIGINT) AS n_candidates,
@@ -2634,7 +2732,7 @@ object LlmEntry {
          |      SELECT jaccard FROM ver) v""".stripMargin
     def betweenLeg(b: Int, r: Int): String =
       s"""SELECT CAST(count(*) AS BIGINT) AS n
-         |FROM (WITH ${minhashCtesAt("documents", b, r,
+         |FROM (WITH ${minhashCtesAt(s"$srcSql s", b, r,
                  candPred = "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}
          |      SELECT jaccard FROM ver WHERE jaccard >= 0.1) v""".stripMargin
     s"""WITH ops AS (${opLeg("default", 4, 4)}
@@ -2663,6 +2761,12 @@ object LlmEntry {
        |  (SELECT CAST(bands AS INTEGER) FROM pick) AS chosen_bands,
        |  (SELECT CAST(rows_per_band AS INTEGER) FROM pick) AS chosen_rows,
        |  (SELECT r FROM reb) AS rebanded,
+       |  CASE WHEN (SELECT r FROM reb)
+       |       THEN (SELECT CAST(bands AS INTEGER) FROM pick)
+       |       ELSE CAST($tb AS INTEGER) END AS plan_after_bands,
+       |  CASE WHEN (SELECT r FROM reb)
+       |       THEN (SELECT CAST(rows_per_band AS INTEGER) FROM pick)
+       |       ELSE CAST($tr AS INTEGER) END AS plan_after_rows,
        |  (SELECT n FROM pb) AS pairs_before,
        |  CASE WHEN (SELECT r FROM reb) THEN (SELECT n FROM pa)
        |       ELSE (SELECT n FROM pb) END AS pairs_after""".stripMargin
@@ -2704,6 +2808,27 @@ object LlmEntry {
     Q6("list_dot_product(list_slice(qe, j*16+1, j*16+16), cw)")
 
   private val CosSql = cosSqlOf("qe", "ce")
+
+  /** e16-family shared signature/band CTEs over `src(vec_id, e)`:
+    * plane count derived in the same pure-integer arithmetic as
+    * [[graft.ann.Knn.derivePlanes]], signature generated at the
+    * 64-bit maximum, sliced at the derived width (bit p is the same
+    * function of the vector at any signature width, so the slices
+    * match the engine's shorter planes·tables-bit signature). ADVICE
+    * r15: 64 bits carry at most 16 planes × 4 tables, so the slice
+    * GUARDS the width — past ~2M vectors (derived p > 16) the oracle
+    * fails LOUDLY via error() instead of silently banding past the
+    * signature's end, which would diverge from the engine without a
+    * correctness signal. No leading WITH; emits pp, a, ab. */
+  private def graphBandCtes(src: String): String =
+    s"""pp AS (SELECT GREATEST(4, CASE WHEN m <= 1 THEN 0
+       |                               ELSE length(bin(m - 1)) END) AS p
+       |       FROM (SELECT (count(*) + 31) // 32 AS m FROM $src)),
+       |a AS (SELECT vec_id, e, ${LshBucketSql("e", 64)} AS sig FROM $src),
+       |ab AS (SELECT vec_id, t,
+       |         CASE WHEN p <= 16 THEN substr(sig, t*p + 1, p)
+       |              ELSE error('e16 oracle: derived planes > 16 overruns the 64-bit oracle signature') END AS bucket
+       |       FROM a, range(0, 4) r(t), pp)""".stripMargin
 
   /** Two unrolled Lloyd rounds over `src(vec_id, e)` — CTEs c0 → a1 →
     * d1 → c1 → a2 → d2 → c2 mirroring [[KMeans.lloyd]] (k = 8, seeds =
@@ -3496,6 +3621,13 @@ object LlmEntry {
     // budget 0.5 → empty pick → outcome 'over_budget', rebanded
     // FALSE, pairs_after == pairs_before at the committed plan
     "d8c_retune_refuse" -> retuneOracleSql("CAST(0.5 AS DOUBLE)"),
+
+    // d8d: the same loop over the token-tagged no-dup corpus — the
+    // operating legs, probe legs and decision all replay over
+    // TaggedDocsSql (zero candidates surviving exact verify at any
+    // config by construction)
+    "d8d_retune_nopairs" ->
+      retuneOracleSql("CAST(10 AS DOUBLE)", TaggedDocsSql),
 
     // d9 = the BETWEEN probe with dataset-membership sides: doc_a from
     // src0, doc_b from any other source
@@ -4941,12 +5073,7 @@ object LlmEntry {
     "e16_knn_graph" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
-         |pp AS (SELECT GREATEST(4, CASE WHEN m <= 1 THEN 0
-         |                               ELSE length(bin(m - 1)) END) AS p
-         |       FROM (SELECT (count(*) + 31) // 32 AS m FROM embeddings)),
-         |a AS (SELECT vec_id, e, ${LshBucketSql("e", 64)} AS sig FROM v),
-         |ab AS (SELECT vec_id, t, substr(sig, t*p + 1, p) AS bucket
-         |       FROM a, range(0, 4) r(t), pp),
+         |${graphBandCtes("v")},
          |cand AS (SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
          |         FROM ab x JOIN ab y USING (t, bucket)
          |         WHERE x.vec_id <> y.vec_id),
@@ -4991,12 +5118,7 @@ object LlmEntry {
     "e16b_graph_occupancy" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
-         |pp AS (SELECT GREATEST(4, CASE WHEN m <= 1 THEN 0
-         |                               ELSE length(bin(m - 1)) END) AS p
-         |       FROM (SELECT (count(*) + 31) // 32 AS m FROM embeddings)),
-         |a AS (SELECT vec_id, ${LshBucketSql("e", 64)} AS sig FROM v),
-         |ab AS (SELECT vec_id, t, substr(sig, t*p + 1, p) AS bucket
-         |       FROM a, range(0, 4) r(t), pp),
+         |${graphBandCtes("v")},
          |occ AS (SELECT t, bucket, count(*) AS occ FROM ab GROUP BY 1, 2)
          |SELECT CAST((SELECT p FROM pp) AS INTEGER) AS planes,
          |  CAST(4 AS INTEGER) AS tables,
@@ -5007,6 +5129,47 @@ object LlmEntry {
          |  coalesce(max(occ), 0) > ${graft.ann.Knn.DefaultMaxGraphOccupancy}
          |    AS over_budget
          |FROM occ""".stripMargin,
+
+    // e16c = the guard's ROUTE action replayed end to end over the
+    // duplicate-heavy corpus (v0 + one hot vector × 300): the
+    // occupancy surface (e16b's CTEs — over_budget TRUE by
+    // construction, 301 copies in one bucket vs the 256 budget) and
+    // the routed IVF-cell graph (e18's CTEs at the pinned C=16)
+    // cross-joined one-row onto every graph row. An engine that
+    // silently built the LSH graph anyway mismatches every row.
+    "e16c_graph_route" ->
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |            FROM embeddings),
+         |v AS (SELECT vec_id, e FROM v0
+         |      UNION ALL
+         |      SELECT 1000000 + r AS vec_id, e
+         |      FROM v0, range(1, 301) rr(r) WHERE vec_id = 0),
+         |${graphBandCtes("v")},
+         |occ AS (SELECT t, bucket, count(*) AS occ FROM ab GROUP BY 1, 2),
+         |rep AS (SELECT CAST((SELECT p FROM pp) AS INTEGER) AS planes,
+         |  CAST(coalesce(max(occ), 0) AS BIGINT) AS max_occupancy,
+         |  coalesce(max(occ), 0) > ${graft.ann.Knn.DefaultMaxGraphOccupancy}
+         |    AS over_budget
+         |  FROM occ),
+         |cent AS (SELECT vec_id AS cent_id, e AS cent FROM v
+         |         ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
+         |asg0 AS (SELECT vec_id, e, cent_id,
+         |  ${cosSqlOf("e", "cent")} AS csim
+         |  FROM v, cent),
+         |asg AS (SELECT vec_id, e, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+         |  WHERE rn = 1),
+         |s AS (SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+         |        x.e AS qe, y.e AS ce
+         |      FROM asg x JOIN asg y USING (cent_id)
+         |      WHERE x.vec_id <> y.vec_id),
+         |sc AS (SELECT query_id, neighbor_id, $CosSql AS sim FROM s),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                    ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim,
+         |       planes, max_occupancy, over_budget
+         |FROM rk, rep WHERE rnk <= 3""".stripMargin,
 
     // e7 = e2's candidate CTEs with a range filter instead of a rank
     "e7_range_search" ->

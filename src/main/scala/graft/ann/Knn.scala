@@ -462,7 +462,20 @@ object Knn {
     *    occupancy in the message (for callers who must not change
     *    recall semantics implicitly — the
     *    [[graft.dedup.TextDedup.rebandToBudget]] refuse-don't-ship
-    *    stance). */
+    *    stance).
+    *
+    * CACHING (ADVICE r15): on the under-budget path the persisted
+    * signature frame stays pinned — the returned graph is LAZY over
+    * it, so the operator cannot unpersist what the caller hasn't run
+    * yet (the routed / fail-fast branches DO release it, because
+    * there the consumer provably never runs). This is
+    * [[graft.dedup.TextDedup]]'s documented caching contract: frames
+    * are evicted LRU under pressure, and a long-lived nightly session
+    * issuing many guarded builds should either pass
+    * `storage = StorageLevel.NONE` (trading one re-signing pass on
+    * the happy path for zero pinning) or
+    * `spark.catalog.clearCache()` between runs once each returned
+    * graph is materialized. */
   /** The guard's measurement stage — sign + persist + band + ONE
     * partial-aggregated max-occupancy count — factored so
     * [[knnGraphGuarded]] and [[knnGraphLedgered]] decide from the
@@ -529,7 +542,14 @@ object Knn {
     * is the index version). Ledger row: (run_id, n_vectors, planes,
     * tables, max_occupancy, budget, action 'lsh'|'ivf',
     * n_centroids); read it back with
-    * [[graft.sources.SnapshotStore.read]]. */
+    * [[graft.sources.SnapshotStore.read]].
+    *
+    * Concurrency: one scheduler occurrence owns one runId
+    * (single-writer-per-runId), and as defense in depth the decision
+    * row is RE-READ after the merge and the row that actually won is
+    * the one executed — so even two racing same-runId attempts ship
+    * the same route the ledger records (the happy-path signature
+    * frame follows [[knnGraphGuarded]]'s caching contract). */
   def knnGraphLedgered(vectors: DataFrame, k: Int, ledgerDir: String,
                        runId: String, planes: Option[Int] = None,
                        tables: Int = 4,
@@ -559,8 +579,30 @@ object Knn {
           .toDF("run_id", "n_vectors", "planes", "tables",
             "max_occupancy", "budget", "action", "n_centroids")
         SnapshotStore.mergeInto(row, ledgerDir, Seq("run_id"))
-        if (underBudget) knnGraphCore(m.v, m.banded, k)
-        else { m.release(); knnGraphIvf(vectors, k, cents) }
+        // ADVICE r15: read-prior-then-merge is not atomic — two
+        // concurrent attempts with the same runId can both miss the
+        // prior row, measure independently, and race the write. The
+        // ledger is single-writer-per-runId by design (one nightly
+        // scheduler occurrence owns one runId), but rather than lean
+        // on that alone, RE-READ after the merge and execute the row
+        // that actually won: if another attempt's decision landed
+        // last, both attempts now build ITS route, so the recorded
+        // history and the shipped graphs agree even under the race.
+        val won = SnapshotStore.read(spark, ledgerDir).get
+          .filter(col("run_id") === runId).head()
+        if (won.getAs[String]("action") == "lsh") {
+          if (won.getAs[Int]("planes") == m.planes &&
+              won.getAs[Int]("tables") == tables)
+            knnGraphCore(m.v, m.banded, k) // our decision stood
+          else {
+            m.release()
+            knnGraphAt(vectors, k, won.getAs[Int]("planes"),
+              won.getAs[Int]("tables"))
+          }
+        } else {
+          m.release()
+          knnGraphIvf(vectors, k, won.getAs[Int]("n_centroids"))
+        }
     }
   }
 
