@@ -104,6 +104,11 @@ class EntryPlanSpec extends SparkSpec {
     // e18's assignment pass is e3's corpus×constant-centroids
     // product; the in-cell pairing is an equi-join on cent_id
     "e18_knn_graph_ivf",
+    // e16c's routed build is e18's corpus×constant-centroids product
+    // (the guard ships knnGraphIvf on the over-budget corpus) and the
+    // ONE-ROW occupancy report attaches via broadcast crossJoin —
+    // m8's one-row-attach class
+    "e16c_graph_route",
     // e14b pools from e6b's probe (query×constant-codebook ADC
     // product, |Q| × O(16)); the greedy rounds score the |Q|×pool
     // candidate frame against the ≤2-row selected set via query_id
