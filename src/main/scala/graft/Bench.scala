@@ -99,16 +99,28 @@ object Bench {
     // IQR/median spread is published so a §12 reader can see whether
     // the reference itself is trustworthy this run. ~0.4 s per rep ≈
     // +5 s per pass — the price of an adjudicable bench.
+    // Each rep is GC'd first: a mid-pass sample otherwise inherits
+    // the just-finished query's allocation debt (measured: reps after
+    // the heavy d-family block read 0.74-1.05 s against a 0.30 s
+    // median — in-JVM state, not host noise, the same effect the r7
+    // note fixed for the end-of-pass rep), and the canary exists to
+    // measure the HOST. Each rep is then min-of-2 back-to-back runs:
+    // a 0.3 s job doubles under one scheduler preemption, so a
+    // single-shot sample conflates "host is slow" with "this instant
+    // was preempted" — the min keeps sustained slowness (both runs
+    // slow) and drops one-shot spikes. ~39 reps ≈ +30 s per run, the
+    // price of an adjudicable normalization reference.
     def interleavedPass(): (Map[String, Double], Seq[Double]) = {
       val names = queries.toSeq.sortBy(_._1)
       val cs = scala.collection.mutable.ArrayBuffer[Double]()
+      def rep(): Unit = { System.gc(); cs += math.min(canary(), canary()) }
       val qt = names.zipWithIndex.map { case ((name, fn), i) =>
-        if (i % 20 == 0) cs += canary()
+        if (i % 20 == 0) rep()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
-      cs += canary() // end-of-pass rep: the pre-r16 protocol's position
+      rep() // end-of-pass rep: the pre-r16 protocol's position
       (qt, cs.toSeq)
     }
     // TWO untimed warmup passes: r4 measured the first TIMED canary at

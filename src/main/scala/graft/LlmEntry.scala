@@ -1223,6 +1223,9 @@ object LlmEntry {
       // PINNED at 16 (the knnGraphAt move: deriveGraphCentroids'
       // √n sizing is plan-sizing the oracle never replays — the
       // pinned form keeps the routed RESULT engine-reproducible).
+      // (vec_id 0 existing is the same TESTDATA-shape premise every
+      // e-family entry already stands on — e1/e2/e7 carve queries
+      // out as vec_id < 10)
       val emb = t(s, dir, "embeddings")
       val dup = emb.select(col("vec_id"), col("embedding")).unionByName(
         emb.filter(col("vec_id") === 0)
@@ -1230,10 +1233,14 @@ object LlmEntry {
             col("embedding"))
           .select((lit(1000000L) + col("r")).as("vec_id"),
             col("embedding")))
-      val routed = Knn.knnGraphGuarded(dup, k = 3, nCentroids = Some(16))
-        .withColumnRenamed("rank", "rnk")
-      routed.crossJoin(broadcast(Knn.graphOccupancyReport(dup)
-        .select(col("planes"), col("max_occupancy"), col("over_budget"))))
+      // ONE measurement pass serves both the route decision and the
+      // published decision surface (knnGraphGuardedWithReport) — the
+      // report is not recomputed
+      val (routed, report) =
+        Knn.knnGraphGuardedWithReport(dup, k = 3, nCentroids = Some(16))
+      routed.withColumnRenamed("rank", "rnk").crossJoin(broadcast(
+        report.select(col("planes"), col("max_occupancy"),
+          col("over_budget"))))
     }),
 
     "e7_range_search" -> ((s, dir) => {
@@ -2829,6 +2836,30 @@ object LlmEntry {
        |         CASE WHEN p <= 16 THEN substr(sig, t*p + 1, p)
        |              ELSE error('e16 oracle: derived planes > 16 overruns the 64-bit oracle signature') END AS bucket
        |       FROM a, range(0, 4) r(t), pp)""".stripMargin
+
+  /** e18/e16c shared IVF-cell graph CTEs over `src(vec_id, e)` —
+    * centroid sample (h32 order, LIMIT 16 = the engine's pinned
+    * default C), nearest-centroid assignment, same-cell pairing with
+    * self excluded, quantized-cosine rank. ONE definition so the two
+    * oracles cannot drift (the graphBandCtes/measureGuard rationale).
+    * No leading WITH; emits cent, asg0, asg, s, sc, r. */
+  private def ivfGraphCtes(src: String): String =
+    s"""cent AS (SELECT vec_id AS cent_id, e AS cent FROM $src
+       |         ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
+       |asg0 AS (SELECT vec_id, e, cent_id,
+       |  ${cosSqlOf("e", "cent")} AS csim
+       |  FROM $src, cent),
+       |asg AS (SELECT vec_id, e, cent_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
+       |  WHERE rn = 1),
+       |s AS (SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+       |        x.e AS qe, y.e AS ce
+       |      FROM asg x JOIN asg y USING (cent_id)
+       |      WHERE x.vec_id <> y.vec_id),
+       |sc AS (SELECT query_id, neighbor_id, $CosSql AS sim FROM s),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)""".stripMargin
 
   /** Two unrolled Lloyd rounds over `src(vec_id, e)` — CTEs c0 → a1 →
     * d1 → c1 → a2 → d2 → c2 mirroring [[KMeans.lloyd]] (k = 8, seeds =
@@ -5091,22 +5122,7 @@ object LlmEntry {
     "e18_knn_graph_ivf" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
-         |cent AS (SELECT vec_id AS cent_id, e AS cent FROM v
-         |         ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
-         |asg0 AS (SELECT vec_id, e, cent_id,
-         |  ${cosSqlOf("e", "cent")} AS csim
-         |  FROM v, cent),
-         |asg AS (SELECT vec_id, e, cent_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
-         |  WHERE rn = 1),
-         |s AS (SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
-         |        x.e AS qe, y.e AS ce
-         |      FROM asg x JOIN asg y USING (cent_id)
-         |      WHERE x.vec_id <> y.vec_id),
-         |sc AS (SELECT query_id, neighbor_id, $CosSql AS sim FROM s),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                   ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
+         |${ivfGraphCtes("v")}
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim
          |FROM r WHERE rnk <= 3""".stripMargin,
 
@@ -5151,25 +5167,10 @@ object LlmEntry {
          |  coalesce(max(occ), 0) > ${graft.ann.Knn.DefaultMaxGraphOccupancy}
          |    AS over_budget
          |  FROM occ),
-         |cent AS (SELECT vec_id AS cent_id, e AS cent FROM v
-         |         ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
-         |asg0 AS (SELECT vec_id, e, cent_id,
-         |  ${cosSqlOf("e", "cent")} AS csim
-         |  FROM v, cent),
-         |asg AS (SELECT vec_id, e, cent_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                               ORDER BY csim DESC, cent_id) AS rn FROM asg0)
-         |  WHERE rn = 1),
-         |s AS (SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
-         |        x.e AS qe, y.e AS ce
-         |      FROM asg x JOIN asg y USING (cent_id)
-         |      WHERE x.vec_id <> y.vec_id),
-         |sc AS (SELECT query_id, neighbor_id, $CosSql AS sim FROM s),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                    ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
+         |${ivfGraphCtes("v")}
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim,
          |       planes, max_occupancy, over_budget
-         |FROM rk, rep WHERE rnk <= 3""".stripMargin,
+         |FROM r, rep WHERE rnk <= 3""".stripMargin,
 
     // e7 = e2's candidate CTEs with a range filter instead of a rank
     "e7_range_search" ->

@@ -439,6 +439,37 @@ object Knn {
     math.max(16L, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong)
       .min(Int.MaxValue.toLong).toInt
 
+  /** The guard's measurement stage — sign + persist + band + ONE
+    * partial-aggregated occupancy pass (bucket count, max occupancy,
+    * and the exact candidate bill Σ occ·(occ−1) come out of the same
+    * row) — factored so [[knnGraphGuarded]] and [[knnGraphLedgered]]
+    * decide from the SAME implementation (two copies of the
+    * control-plane measurement could silently drift). `release()`
+    * drops the persisted signature frame on branches that will never
+    * read it (the IVF route and fail-fast): the Caching no-unpersist
+    * rationale — "the consumer hasn't run yet" — doesn't apply when
+    * the consumer provably never runs, and a long-lived nightly
+    * session must not pin a corpus-sized frame per routed call. */
+  private final case class GuardMeasure(n: Long, planes: Int,
+      v: DataFrame, banded: DataFrame, nBuckets: Long, maxOcc: Long,
+      bill: Long) {
+    def release(): Unit = { v.unpersist(); () }
+  }
+  private def measureGuard(vectors: DataFrame, planes: Option[Int],
+                           tables: Int, targetOccupancy: Int,
+                           storage: StorageLevel): GuardMeasure = {
+    val n = vectors.count()
+    val p = planes.getOrElse(derivePlanes(n, targetOccupancy))
+    val v = Caching.persisted(graphSigned(vectors, p, tables), storage)
+    val banded = graphBandedOf(v, p, tables)
+    // control-plane: one row out of a partial-aggregated count
+    val r = banded.groupBy("t", "bucket").agg(count(lit(1)).as("occ"))
+      .agg(coalesce(count(lit(1)), lit(0L)),
+        coalesce(max("occ"), lit(0L)),
+        coalesce(sum(col("occ") * (col("occ") - 1)), lit(0L))).head()
+    GuardMeasure(n, p, v, banded, r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** [[knnGraph]] with the OCCUPANCY GUARD closed over it — the
     * measured check [[derivePlanes]] cannot make: auto-sizing holds
     * EXPECTED bucket occupancy at the target, but duplicate mass is
@@ -476,46 +507,40 @@ object Knn {
     * the happy path for zero pinning) or
     * `spark.catalog.clearCache()` between runs once each returned
     * graph is materialized. */
-  /** The guard's measurement stage — sign + persist + band + ONE
-    * partial-aggregated max-occupancy count — factored so
-    * [[knnGraphGuarded]] and [[knnGraphLedgered]] decide from the
-    * SAME implementation (two copies of the control-plane measurement
-    * could silently drift). `release()` drops the persisted signature
-    * frame on branches that will never read it (the IVF route and
-    * fail-fast): the Caching no-unpersist rationale — "the consumer
-    * hasn't run yet" — doesn't apply when the consumer provably never
-    * runs, and a long-lived nightly session must not pin a
-    * corpus-sized frame per routed call. */
-  private final case class GuardMeasure(n: Long, planes: Int,
-      v: DataFrame, banded: DataFrame, maxOcc: Long) {
-    def release(): Unit = { v.unpersist(); () }
-  }
-  private def measureGuard(vectors: DataFrame, planes: Option[Int],
-                           tables: Int, targetOccupancy: Int,
-                           storage: StorageLevel): GuardMeasure = {
-    val n = vectors.count()
-    val p = planes.getOrElse(derivePlanes(n, targetOccupancy))
-    val v = Caching.persisted(graphSigned(vectors, p, tables), storage)
-    val banded = graphBandedOf(v, p, tables)
-    // control-plane: one row out of a partial-aggregated count
-    val maxOcc = banded.groupBy("t", "bucket").agg(count(lit(1)).as("occ"))
-      .agg(coalesce(max("occ"), lit(0L))).head().getLong(0)
-    GuardMeasure(n, p, v, banded, maxOcc)
-  }
-
   def knnGraphGuarded(vectors: DataFrame, k: Int,
                       planes: Option[Int] = None, tables: Int = 4,
                       targetOccupancy: Int = DefaultGraphOccupancy,
                       maxOccupancy: Long = DefaultMaxGraphOccupancy,
                       routeToIvf: Boolean = true,
                       nCentroids: Option[Int] = None,
-                      storage: StorageLevel = Caching.Default): DataFrame = {
+                      storage: StorageLevel = Caching.Default): DataFrame =
+    knnGraphGuardedWithReport(vectors, k, planes, tables,
+      targetOccupancy, maxOccupancy, routeToIvf, nCentroids, storage)._1
+
+  /** [[knnGraphGuarded]] exposing the decision surface it measured:
+    * returns (guarded graph, one-row report) where the report is
+    * [[graphOccupancyReport]]'s exact schema built from the SAME
+    * single measurement pass the route decision read — a caller that
+    * wants both (e16c's shape: ship the routed graph AND publish why
+    * it routed) pays ONE signature + occupancy pass instead of two. */
+  def knnGraphGuardedWithReport(vectors: DataFrame, k: Int,
+                      planes: Option[Int] = None, tables: Int = 4,
+                      targetOccupancy: Int = DefaultGraphOccupancy,
+                      maxOccupancy: Long = DefaultMaxGraphOccupancy,
+                      routeToIvf: Boolean = true,
+                      nCentroids: Option[Int] = None,
+                      storage: StorageLevel = Caching.Default): (DataFrame, DataFrame) = {
     val m = measureGuard(vectors, planes, tables, targetOccupancy, storage)
-    if (m.maxOcc <= maxOccupancy) knnGraphCore(m.v, m.banded, k)
+    val report = vectors.sparkSession.range(1).select(
+      lit(m.planes).as("planes"), lit(tables).as("tables"),
+      lit(m.n).as("n_vectors"), lit(m.nBuckets).as("n_buckets"),
+      lit(m.maxOcc).as("max_occupancy"), lit(m.bill).as("candidate_rows"),
+      lit(m.maxOcc > maxOccupancy).as("over_budget"))
+    if (m.maxOcc <= maxOccupancy) (knnGraphCore(m.v, m.banded, k), report)
     else if (routeToIvf) {
       m.release()
-      knnGraphIvf(vectors, k,
-        nCentroids.getOrElse(deriveGraphCentroids(m.n)))
+      (knnGraphIvf(vectors, k,
+        nCentroids.getOrElse(deriveGraphCentroids(m.n))), report)
     } else {
       m.release()
       throw new IllegalStateException(
@@ -544,12 +569,18 @@ object Knn {
     * n_centroids); read it back with
     * [[graft.sources.SnapshotStore.read]].
     *
-    * Concurrency: one scheduler occurrence owns one runId
-    * (single-writer-per-runId), and as defense in depth the decision
-    * row is RE-READ after the merge and the row that actually won is
-    * the one executed — so even two racing same-runId attempts ship
-    * the same route the ledger records (the happy-path signature
-    * frame follows [[knnGraphGuarded]]'s caching contract). */
+    * Concurrency: the guarantee rests on one scheduler occurrence
+    * owning one runId (single-writer-per-runId — the
+    * [[graft.operators.Scheduler]] occurrence IS the runId). As
+    * defense in depth the decision row is RE-READ after the merge
+    * and the row found there is the one executed, which NARROWS (not
+    * closes) the duplicate-writer window: an attempt that re-reads
+    * before the other's merge lands can still ship its own route
+    * while the ledger ends up recording the later write — a violated
+    * single-writer assumption stays detectable in the ledger (the
+    * recorded route vs the build logs) rather than silently
+    * resolved. The happy-path signature frame follows
+    * [[knnGraphGuarded]]'s caching contract. */
   def knnGraphLedgered(vectors: DataFrame, k: Int, ledgerDir: String,
                        runId: String, planes: Option[Int] = None,
                        tables: Int = 4,
@@ -583,11 +614,12 @@ object Knn {
         // concurrent attempts with the same runId can both miss the
         // prior row, measure independently, and race the write. The
         // ledger is single-writer-per-runId by design (one nightly
-        // scheduler occurrence owns one runId), but rather than lean
-        // on that alone, RE-READ after the merge and execute the row
-        // that actually won: if another attempt's decision landed
-        // last, both attempts now build ITS route, so the recorded
-        // history and the shipped graphs agree even under the race.
+        // scheduler occurrence owns one runId); as defense in depth,
+        // RE-READ after the merge and execute the row found there —
+        // this narrows (not closes: an attempt can re-read before
+        // the other's merge lands) the window in which the shipped
+        // route and the recorded one could differ, and leaves any
+        // violated single-writer assumption detectable in the ledger.
         val won = SnapshotStore.read(spark, ledgerDir).get
           .filter(col("run_id") === runId).head()
         if (won.getAs[String]("action") == "lsh") {

@@ -245,6 +245,33 @@ class NinthPassSpec extends SparkSpec {
     assert(kept.sameElements(Knn.knnGraph(dup, k = 2).collect().map(_.toString).sorted))
   }
 
+  test("knnGraphGuardedWithReport: the report IS graphOccupancyReport's " +
+    "row from the guard's own single measurement, on both route outcomes") {
+    val nat = (0L until 90L).map(i =>
+      (i, vec(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 2.1))))
+      .toDF("vec_id", "embedding")
+    val dup = ((0L until 60L).map(i => (i, vec(1, 0.01, 0))) ++
+      (100L until 110L).map(i => (i, vec(math.sin(i * 0.9),
+        math.cos(i * 1.7), math.sin(i * 2.3)))))
+      .toDF("vec_id", "embedding")
+    for ((corpus, budget) <- Seq((nat, Knn.DefaultMaxGraphOccupancy),
+                                 (dup, 16L))) {
+      val (g, rep) = Knn.knnGraphGuardedWithReport(corpus, k = 2,
+        maxOccupancy = budget, nCentroids = Some(16))
+      // one-pass report == the standalone operator's row at the same
+      // budget (same schema, same integers — no second measurement)
+      val standalone = Knn.graphOccupancyReport(corpus,
+        maxOccupancy = budget).collect().map(_.toString)
+      assert(rep.collect().map(_.toString).sameElements(standalone))
+      assert(rep.columns.sameElements(Knn.graphOccupancyReport(corpus)
+        .columns), "report schema must match graphOccupancyReport")
+      // and the graph leg is exactly knnGraphGuarded's
+      assert(g.collect().map(_.toString).sorted.sameElements(
+        Knn.knnGraphGuarded(corpus, k = 2, maxOccupancy = budget,
+          nCentroids = Some(16)).collect().map(_.toString).sorted))
+    }
+  }
+
   test("knnGraphLedgered: one decision per run, retry replays the route") {
     import graft.sources.SnapshotStore
     val dir = java.nio.file.Files
