@@ -46,12 +46,13 @@ import org.apache.spark.sql.functions.{col, max, md5}
   * the standalone-profiling mode the bench-artifact discipline calls
   * for when a full-run number looks off.
   *
-  * d2b/d2 self-policing (r8 verdict): when the full-run ratio
-  * estimator leaves its committed 1.5-2.1 band, the bench immediately
+  * d2b/d2 (r8 verdict, restated r17 per r16 verdict #5): every run
   * re-profiles the pair standalone (3 timed passes over only those
-  * two queries) and stamps `d2b_over_d2_pair_min/med` next to the
-  * fleet numbers — the artifact carries its own tie-breaker instead
-  * of deferring to SURVEY prose.
+  * two queries) and stamps `d2b_over_d2_pair_min/med` as the
+  * CANONICAL ratio next to the fleet trend numbers — the 1.5-2.1
+  * band is adjudicated on the pair profile alone, because map-order
+  * fleet attribution puts the fleet estimator structurally above it
+  * (measured r16: fleet 2.03-2.47, pair 1.63-1.92 on the same runs).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -119,7 +120,19 @@ object Bench {
     // 0.98x-raw-total fleet, pure attribution shuffle. Canary rep
     // positions follow the same order; their spacing, not their
     // location, is what the estimator needs.
-    def interleavedPass(): (Map[String, Double], Seq[Double]) = {
+    // Returns (per-query seconds, interleaved canary samples, legacy
+    // end-of-pass shot). ADVICE r16: the r16 build fed the END-OF-PASS
+    // rep through the same GC'd min-of-2 as the mid-pass samples, which
+    // made canary_min a LOWER-biased estimator than the r1-r15
+    // single-post-GC shot it claims continuity with — cross-era
+    // canary_min comparisons were no longer like-for-like (measured:
+    // r15→r16-close host read 0.78x under min-vs-min but 0.90x under
+    // the mixed estimators the close used). Restored: the FIRST shot
+    // after the end-of-pass GC is the legacy value (byte-identical
+    // protocol to r1-r15), and it doubles as the first arm of the
+    // interleaved sample's min-of-2 — zero added cost, both estimator
+    // series stay internally consistent.
+    def interleavedPass(): (Map[String, Double], Seq[Double], Double) = {
       val names = queries.toSeq
       val cs = scala.collection.mutable.ArrayBuffer[Double]()
       def rep(): Unit = { System.gc(); cs += math.min(canary(), canary()) }
@@ -129,8 +142,12 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
-      rep() // end-of-pass rep: the pre-r16 protocol's position
-      (qt, cs.toSeq)
+      // end-of-pass: GC + single shot = the r1-r15 legacy estimator;
+      // min with a second shot = this pass's last interleaved sample
+      System.gc()
+      val legacy = canary()
+      cs += math.min(legacy, canary())
+      (qt, cs.toSeq, legacy)
     }
     // TWO untimed warmup passes: r4 measured the first TIMED canary at
     // 7x the others (3.08s vs 0.44s) — one pass leaves JIT/codegen
@@ -192,9 +209,11 @@ object Bench {
     val canaryMed = pct(0.5)
     val canarySpread =
       if (canaryMed > 0) (pct(0.75) - pct(0.25)) / canaryMed else 0.0
-    // per-pass end-of-pass reps: the pre-r16 protocol's 3 values,
-    // kept so old-round comparisons can be re-derived either way
-    val canaries = passes.map(_._2.last)
+    // per-pass end-of-pass single shots: the pre-r16 protocol's 3
+    // values, like-for-like with r1-r15 artifacts (ADVICE r16 — see
+    // interleavedPass; the r16 artifacts' canary_min alone is the
+    // min-of-2-biased exception in the series)
+    val canaries = passes.map(_._3)
     // ms precision + short field set: the driver captures a bounded
     // tail of stdout, and r3's full-precision doubles (~18 chars each
     // over 64 queries) pushed the line past the window, truncating 8
@@ -220,32 +239,29 @@ object Bench {
       aMed <- med.get("d2_ngram_jaccard") if aMed > 0
     } yield (bMin / aMin, bMed / aMed)
     val fullD2 = d2RatioOf(results, medians)
-    // SELF-POLICING (r8 verdict): a full-run estimator outside the
-    // committed 1.5-2.1 band has, every time it happened, been fleet-
-    // position flicker (d2 landing anomalously fast mid-pass), and the
-    // SURVEY §12 tie-breaker is a pair-only standalone profile — but
-    // that resolution used to live only in SURVEY prose while the
-    // artifact carried the bad number. Now the bench runs the pair-only
-    // protocol ITSELF whenever either estimator leaves the band and
-    // stamps both readings side by side, so the committed artifact is
-    // self-explaining. (Same methodology over just the two queries:
-    // one re-warmup, min/median over 3 timed passes, caches cleared +
-    // GC between — fleet-position effects removed by construction.)
-    val d2Band = (1.5, 2.1)
-    val pairD2: Option[(Double, Double)] = fullD2.flatMap { case (rMin, rMed) =>
-      val inBand = (r: Double) => r >= d2Band._1 && r <= d2Band._2
-      if (inBand(rMin) && inBand(rMed)) None
-      else {
-        val pq = SparkEntry.queries.filter { case (n, _) =>
-          n == "d2_ngram_jaccard" || n == "d2b_ngram_jaccard_capped" }
-        spark.catalog.clearCache(); onceOf(pq): Unit // pair re-warmup
-        val pp = Seq.fill(3) {
-          spark.catalog.clearCache(); System.gc(); onceOf(pq)
-        }
-        val by = pp.flatten.groupMap(_._1)(_._2)
-        d2RatioOf(by.view.mapValues(_.min).toMap,
-          by.view.mapValues { ts => val s = ts.sorted; s(s.length / 2) }.toMap)
+    // CANONICAL PAIR PROFILE (r16 verdict #5, superseding the r8
+    // band-triggered form): the fleet estimator under map-order +
+    // interleaved reps measured 2.03-2.47 across the four r16
+    // same-day runs while the pair-only re-profile read 1.63-1.92 —
+    // inside the committed 1.5-2.1 band — every single time.
+    // Fleet-position cache-attribution effects are STRUCTURAL in map
+    // order (two queries persisting the same frame split its cost by
+    // whoever runs first), so the fleet numbers stay published for
+    // trend but the PAIR profile is now the canonical quoted number,
+    // runs on EVERY bench, and the 1.5-2.1 band is adjudicated on it
+    // alone. (Same methodology over just the two queries: one
+    // re-warmup, min/median over 3 timed passes, caches cleared + GC
+    // between — fleet-position effects removed by construction.)
+    val pairD2: Option[(Double, Double)] = fullD2.flatMap { _ =>
+      val pq = SparkEntry.queries.filter { case (n, _) =>
+        n == "d2_ngram_jaccard" || n == "d2b_ngram_jaccard_capped" }
+      spark.catalog.clearCache(); onceOf(pq): Unit // pair re-warmup
+      val pp = Seq.fill(3) {
+        spark.catalog.clearCache(); System.gc(); onceOf(pq)
       }
+      val by = pp.flatten.groupMap(_._1)(_._2)
+      d2RatioOf(by.view.mapValues(_.min).toMap,
+        by.view.mapValues { ts => val s = ts.sorted; s(s.length / 2) }.toMap)
     }
     val d2Ratio = fullD2.map { case (rMin, rMed) =>
       s""","d2b_over_d2_min":${f3(rMin)},"d2b_over_d2_med":${f3(rMed)}""" +
@@ -253,7 +269,7 @@ object Bench {
           s""","d2b_over_d2_pair_min":${f3(pMin)},"d2b_over_d2_pair_med":${f3(pMed)}"""
         }.getOrElse("")
     }.getOrElse("")
-    val core = s""""metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","canary_sec":$cs,"canary_min":${f3(canaries.min)},"canary_med":${f3(canaryMed)},"canary_spread":${f3(canarySpread)},"canary_n":${samples.length}$d2Ratio,"methodology":"2 warmup passes + 2 canary-only warmups; min over 3 timed passes, caches cleared + full GC between; codegen class cache 4096; canary = fixed ${cpus}-way md5 scan INTERLEAVED every 20 queries + at each pass end (~39 reps): canary_med is the SS12 normalization reference, canary_spread its IQR/median (trustworthy run < 0.10), canary_min/canary_sec = the pre-r16 end-of-pass estimator kept for round history; medians of the same passes in queries_med (BENCH_FULL.json)""""
+    val core = s""""metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","canary_sec":$cs,"canary_min":${f3(canaries.min)},"canary_med":${f3(canaryMed)},"canary_spread":${f3(canarySpread)},"canary_n":${samples.length}$d2Ratio,"methodology":"2 warmup passes + 2 canary-only warmups; min over 3 timed passes, caches cleared + full GC between; codegen class cache 4096; canary = fixed ${cpus}-way md5 scan INTERLEAVED every 20 queries + at each pass end (~39 GCd min-of-2 reps): canary_med is the SS12 normalization reference, canary_spread its IQR/median (tiered gate: <=0.10 full trust, <=0.35 adjudicate at a 1.4x floor, else defer to pair protocol); canary_min/canary_sec = single post-GC end-of-pass shots, like-for-like with r1-r15 (the r16 artifacts alone fed these through min-of-2 — discount r16 cross-era canary_min deltas); medians of the same passes in queries_med (BENCH_FULL.json)""""
     val json = s"""{$core,"queries":${qmap(results)},"total":${f3(total)},"canary":${f3(canaryMed)}}"""
     println(json)
     // ALSO persist the complete record to a committed file: the driver

@@ -168,6 +168,23 @@ object LlmEntry {
       BucketedStore.table(s, name, "dsirmodel", 0))
   }
 
+  /** e16c/e16d's duplicate-heavy corpus: the full embedding set plus
+    * vec_id 0 replicated 300× under fresh ids (1000001..1000300).
+    * Identical vectors share every LSH signature at ANY plane count,
+    * so one bucket holds ≥ 301 > the guard's 256 default budget at
+    * both SFs — the occupancy guard MUST route to IVF cells. ONE
+    * definition shared by the route key (e16c) and the ledger key
+    * (e16d) so the two gated corpora cannot drift (the
+    * graphBandCtes/measureGuard one-definition rationale); the oracle
+    * side is [[dupCorpusCtes]]. */
+  private def dupHeavyCorpus(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding")).unionByName(
+      emb.filter(col("vec_id") === 0)
+        .select(explode(sequence(lit(1L), lit(300L))).as("r"),
+          col("embedding"))
+        .select((lit(1000000L) + col("r")).as("vec_id"),
+          col("embedding")))
+
   /** Every token of every doc suffixed with `#<doc_id>` — a corpus
     * whose cross-doc shingle sets are DISJOINT by construction (each
     * 3-gram carries its doc's id in all three tokens), so pairwise
@@ -1226,13 +1243,7 @@ object LlmEntry {
       // (vec_id 0 existing is the same TESTDATA-shape premise every
       // e-family entry already stands on — e1/e2/e7 carve queries
       // out as vec_id < 10)
-      val emb = t(s, dir, "embeddings")
-      val dup = emb.select(col("vec_id"), col("embedding")).unionByName(
-        emb.filter(col("vec_id") === 0)
-          .select(explode(sequence(lit(1L), lit(300L))).as("r"),
-            col("embedding"))
-          .select((lit(1000000L) + col("r")).as("vec_id"),
-            col("embedding")))
+      val dup = dupHeavyCorpus(t(s, dir, "embeddings"))
       // ONE measurement pass serves both the route decision and the
       // published decision surface (knnGraphGuardedWithReport) — the
       // report is not recomputed
@@ -1241,6 +1252,40 @@ object LlmEntry {
       routed.withColumnRenamed("rank", "rnk").crossJoin(broadcast(
         report.select(col("planes"), col("max_occupancy"),
           col("over_budget"))))
+    }),
+
+    "e16d_graph_ledger" -> ((s, dir) => {
+      // the LEDGER's at-most-once contract under the driver gate (the
+      // r16 deferred candidate): a ledgered build on e16c's dup corpus
+      // at a fixed runId records ONE decision row, and a RETRY of the
+      // same runId replays the recorded route without re-measuring.
+      // The output is the retry's graph cross-joined with the decision
+      // row read back from the ledger on disk — an engine that wrote
+      // two rows for the runId doubles every output row (rows gate), a
+      // retry that re-measured and shipped LSH mismatches the graph, a
+      // recorded decision drifting from the occupancy math mismatches
+      // the ledger columns (the oracle DERIVES action from the
+      // replayed occupancy surface). Ledger path: tmpdir, dir-hashed
+      // like every sibling persistent artifact, pid-discriminated
+      // (Verify/Bench may run concurrently from separate JVMs), and
+      // VERSIONED by the v1 literal so a future change to the dup
+      // construction cannot replay a stale row. C pinned at 16 =
+      // e16c's engine-reproducible routed form.
+      val dup = dupHeavyCorpus(t(s, dir, "embeddings"))
+      val ledgerDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_e16d_v1_" +
+          dir.hashCode.toHexString + "_" +
+          ProcessHandle.current().pid().toHexString
+      def build() = Knn.knnGraphLedgered(dup, k = 3, ledgerDir,
+        runId = "e16d", nCentroids = Some(16))
+      build() // first attempt: measure, record the decision, route
+      val replay = build() // retry: MUST replay the recorded route
+      val ledger = graft.sources.SnapshotStore.read(s, ledgerDir).get
+        .filter(col("run_id") === "e16d")
+      replay.withColumnRenamed("rank", "rnk").crossJoin(broadcast(
+        ledger.select(col("run_id"), col("n_vectors"), col("planes"),
+          col("tables"), col("max_occupancy"), col("budget"),
+          col("action"), col("n_centroids"))))
     }),
 
     "e7_range_search" -> ((s, dir) => {
@@ -2836,6 +2881,19 @@ object LlmEntry {
        |         CASE WHEN p <= 16 THEN substr(sig, t*p + 1, p)
        |              ELSE error('e16 oracle: derived planes > 16 overruns the 64-bit oracle signature') END AS bucket
        |       FROM a, range(0, 4) r(t), pp)""".stripMargin
+
+  /** SQL twin of [[dupHeavyCorpus]] — the e16c/e16d duplicate-heavy
+    * corpus as CTEs (v0 = the cast embedding set, v = v0 plus vec_id
+    * 0 replicated 300× under ids 1000001..1000300). One definition so
+    * the two oracles' corpora cannot drift from each other or from
+    * the engine helper. No leading WITH; emits v0, v. */
+  private def dupCorpusCtes: String =
+    s"""v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |            FROM embeddings),
+       |v AS (SELECT vec_id, e FROM v0
+       |      UNION ALL
+       |      SELECT 1000000 + r AS vec_id, e
+       |      FROM v0, range(1, 301) rr(r) WHERE vec_id = 0)""".stripMargin
 
   /** e18/e16c shared IVF-cell graph CTEs over `src(vec_id, e)` —
     * centroid sample (h32 order, LIMIT 16 = the engine's pinned
@@ -5154,12 +5212,7 @@ object LlmEntry {
     // cross-joined one-row onto every graph row. An engine that
     // silently built the LSH graph anyway mismatches every row.
     "e16c_graph_route" ->
-      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |            FROM embeddings),
-         |v AS (SELECT vec_id, e FROM v0
-         |      UNION ALL
-         |      SELECT 1000000 + r AS vec_id, e
-         |      FROM v0, range(1, 301) rr(r) WHERE vec_id = 0),
+      s"""WITH $dupCorpusCtes,
          |${graphBandCtes("v")},
          |occ AS (SELECT t, bucket, count(*) AS occ FROM ab GROUP BY 1, 2),
          |rep AS (SELECT CAST((SELECT p FROM pp) AS INTEGER) AS planes,
@@ -5171,6 +5224,36 @@ object LlmEntry {
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim,
          |       planes, max_occupancy, over_budget
          |FROM r, rep WHERE rnk <= 3""".stripMargin,
+
+    // e16d = the ledger's at-most-once contract replayed: the decision
+    // row knnGraphLedgered records for the dup corpus (every column
+    // derived from the occupancy surface + the call's literals — the
+    // action DERIVES from max(occ) vs the budget, never assumed) and
+    // the routed IVF graph a RETRY of the same runId must ship. The
+    // engine cross-joins the ledger row read back from disk onto the
+    // retry's graph: a ledger holding two rows for the runId doubles
+    // every output row; a retry that re-measured and shipped LSH
+    // mismatches every row; a recorded decision that drifted from the
+    // occupancy math mismatches the replayed columns.
+    "e16d_graph_ledger" ->
+      s"""WITH $dupCorpusCtes,
+         |${graphBandCtes("v")},
+         |occ AS (SELECT t, bucket, count(*) AS occ FROM ab GROUP BY 1, 2),
+         |led AS (SELECT 'e16d' AS run_id,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_vectors,
+         |  CAST((SELECT p FROM pp) AS INTEGER) AS planes,
+         |  CAST(4 AS INTEGER) AS tables,
+         |  CAST(coalesce(max(occ), 0) AS BIGINT) AS max_occupancy,
+         |  CAST(${graft.ann.Knn.DefaultMaxGraphOccupancy} AS BIGINT) AS budget,
+         |  CASE WHEN coalesce(max(occ), 0) > ${graft.ann.Knn.DefaultMaxGraphOccupancy}
+         |       THEN 'ivf' ELSE 'lsh' END AS action,
+         |  CAST(16 AS INTEGER) AS n_centroids
+         |  FROM occ),
+         |${ivfGraphCtes("v")}
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim,
+         |       run_id, n_vectors, planes, tables, max_occupancy, budget,
+         |       action, n_centroids
+         |FROM r, led WHERE rnk <= 3""".stripMargin,
 
     // e7 = e2's candidate CTEs with a range filter instead of a rank
     "e7_range_search" ->

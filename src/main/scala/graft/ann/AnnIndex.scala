@@ -316,6 +316,31 @@ object AnnIndex {
     prior.filter(_.limit(1).count() > 0) match {
       case Some(row) => row // this version already decided — replay-safe
       case None =>
+        // CLAIM the version before examining it (r17 — the
+        // knnGraphLedgered claim-then-build pattern, scoped to the
+        // harm that matters here): two occurrences ticking the same
+        // version concurrently could BOTH cross a band and retrain —
+        // two corpus-sized rebuilds and two new versions. Exactly one
+        // wins the atomic claim and proceeds; a loser whose winner
+        // has not yet merged its row fails FAST with the claim named
+        // (the winner's row lands when its examination — possibly a
+        // retrain — completes; the next tick then replays it). A
+        // winner that DIES mid-examination leaves the claim visible
+        // with no row: operator removes `_claim_<token>` and the next
+        // tick re-examines — crash recovery is operator-visible, not
+        // a silent second retrain. (Unlike the graph ledger the
+        // decision here is not claim-time computable — new_version
+        // exists only after the retrain — so the claim cannot carry
+        // the payload for self-healing.)
+        val token = "maintain_" + name.getBytes("UTF-8")
+          .map("%02x".format(_)).mkString + "_v" + v
+        if (!SnapshotStore.tryClaim(ledgerDir, token, "examining")) {
+          throw new IllegalStateException(
+            s"AnnIndex.maintain: version $v of '$name' is claimed by " +
+              s"a concurrent occurrence whose decision row has not " +
+              s"landed in '$ledgerDir' — re-tick after it completes, " +
+              s"or remove _claim_$token if that occurrence died.")
+        }
         val occ = stats(spark, name)
           .agg(max(col("share")).as("mx"),
             (sum(when(col("n_vectors") === 0, 1L).otherwise(0L))

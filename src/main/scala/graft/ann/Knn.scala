@@ -569,18 +569,22 @@ object Knn {
     * n_centroids); read it back with
     * [[graft.sources.SnapshotStore.read]].
     *
-    * Concurrency: the guarantee rests on one scheduler occurrence
-    * owning one runId (single-writer-per-runId — the
-    * [[graft.operators.Scheduler]] occurrence IS the runId). As
-    * defense in depth the decision row is RE-READ after the merge
-    * and the row found there is the one executed, which NARROWS (not
-    * closes) the duplicate-writer window: an attempt that re-reads
-    * before the other's merge lands can still ship its own route
-    * while the ledger ends up recording the later write — a violated
-    * single-writer assumption stays detectable in the ledger (the
-    * recorded route vs the build logs) rather than silently
-    * resolved. The happy-path signature frame follows
-    * [[knnGraphGuarded]]'s caching contract. */
+    * Concurrency (r17, closing the r15/r16 narrowed-window item):
+    * the decision is published CLAIM-THEN-BUILD through
+    * [[graft.sources.SnapshotStore.tryClaim]] — after measuring, an
+    * attempt atomically claims `run_<hex(runId)>` with its decision
+    * as the payload; exactly one concurrent attempt wins, and every
+    * loser executes the WINNER's payload (read back from the claim
+    * file, never its own measurement), so two racing same-runId
+    * attempts now ship the same route by construction — the window
+    * in which the shipped and recorded routes could differ is
+    * CLOSED, as strong as the filesystem's atomic-link guarantee
+    * (see tryClaim's scaladoc). The ledger ROW is the queryable
+    * mirror of the claim: the winner merges it, and losers/retries
+    * self-heal it from the claim payload if the winner died between
+    * claim and merge (idempotent — identical content keyed run_id),
+    * so a crash never wedges the runId. The happy-path signature
+    * frame follows [[knnGraphGuarded]]'s caching contract. */
   def knnGraphLedgered(vectors: DataFrame, k: Int, ledgerDir: String,
                        runId: String, planes: Option[Int] = None,
                        tables: Int = 4,
@@ -591,49 +595,85 @@ object Knn {
     val spark = vectors.sparkSession
     import spark.implicits._
     import graft.sources.SnapshotStore
+    val token = "run_" + runId.getBytes("UTF-8").map("%02x".format(_))
+      .mkString // filesystem-safe whatever the caller names the run
+    // One decision row from its claim-payload fields, and back: the
+    // payload is the claim-time serialization of the SAME eight
+    // columns the ledger row carries, so losers/retries reconstruct
+    // the winner's exact row (self-heal) and the mirror cannot drift.
+    def payloadOf(n: Long, p: Int, occ: Long, action: String,
+                  cents: Int): String =
+      Seq("run_id=" + runId, "n_vectors=" + n, "planes=" + p,
+        "tables=" + tables, "max_occupancy=" + occ,
+        "budget=" + maxOccupancy, "action=" + action,
+        "n_centroids=" + cents).mkString("\n")
+    def rowOf(fields: Map[String, String]) =
+      Seq((runId, fields("n_vectors").toLong, fields("planes").toInt,
+        fields("tables").toInt, fields("max_occupancy").toLong,
+        fields("budget").toLong, fields("action"),
+        fields("n_centroids").toInt))
+        .toDF("run_id", "n_vectors", "planes", "tables",
+          "max_occupancy", "budget", "action", "n_centroids")
+    def parse(payload: String): Map[String, String] =
+      payload.linesIterator.map { l =>
+        val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
+      }.toMap
+    // Execute a recorded decision (replay / lost-claim paths).
+    def execute(action: String, p: Int, t: Int, cents: Int): DataFrame =
+      if (action == "lsh") knnGraphAt(vectors, k, p, t)
+      else knnGraphIvf(vectors, k, cents)
     val prior = SnapshotStore.read(spark, ledgerDir)
       .flatMap(_.filter(col("run_id") === runId).limit(1)
         .collect().headOption)
-    prior match {
-      case Some(r) => // this run already decided — replay the route
-        if (r.getAs[String]("action") == "lsh")
-          knnGraphAt(vectors, k, r.getAs[Int]("planes"),
-            r.getAs[Int]("tables"))
-        else knnGraphIvf(vectors, k, r.getAs[Int]("n_centroids"))
-      case None =>
+    (prior, SnapshotStore.claimPayload(ledgerDir, token)) match {
+      case (Some(r), _) => // this run already decided — replay it
+        execute(r.getAs[String]("action"), r.getAs[Int]("planes"),
+          r.getAs[Int]("tables"), r.getAs[Int]("n_centroids"))
+      case (None, Some(claimed)) =>
+        // a winner claimed but its row never landed (died between
+        // claim and merge, or is mid-merge right now): SELF-HEAL the
+        // queryable mirror from the claim payload — idempotent, the
+        // content is byte-identical to what the winner merges — and
+        // execute the claimed decision. No re-measurement: the claim
+        // IS the decision.
+        val f = parse(claimed)
+        SnapshotStore.mergeInto(rowOf(f), ledgerDir, Seq("run_id"))
+        execute(f("action"), f("planes").toInt, f("tables").toInt,
+          f("n_centroids").toInt)
+      case (None, None) =>
         val m = measureGuard(vectors, planes, tables, targetOccupancy,
           storage)
         val underBudget = m.maxOcc <= maxOccupancy
         val cents = nCentroids.getOrElse(deriveGraphCentroids(m.n))
-        val row = Seq((runId, m.n, m.planes, tables, m.maxOcc,
-            maxOccupancy, if (underBudget) "lsh" else "ivf", cents))
-          .toDF("run_id", "n_vectors", "planes", "tables",
-            "max_occupancy", "budget", "action", "n_centroids")
-        SnapshotStore.mergeInto(row, ledgerDir, Seq("run_id"))
-        // ADVICE r15: read-prior-then-merge is not atomic — two
-        // concurrent attempts with the same runId can both miss the
-        // prior row, measure independently, and race the write. The
-        // ledger is single-writer-per-runId by design (one nightly
-        // scheduler occurrence owns one runId); as defense in depth,
-        // RE-READ after the merge and execute the row found there —
-        // this narrows (not closes: an attempt can re-read before
-        // the other's merge lands) the window in which the shipped
-        // route and the recorded one could differ, and leaves any
-        // violated single-writer assumption detectable in the ledger.
-        val won = SnapshotStore.read(spark, ledgerDir).get
-          .filter(col("run_id") === runId).head()
-        if (won.getAs[String]("action") == "lsh") {
-          if (won.getAs[Int]("planes") == m.planes &&
-              won.getAs[Int]("tables") == tables)
-            knnGraphCore(m.v, m.banded, k) // our decision stood
-          else {
-            m.release()
-            knnGraphAt(vectors, k, won.getAs[Int]("planes"),
-              won.getAs[Int]("tables"))
-          }
+        val action = if (underBudget) "lsh" else "ivf"
+        // CLAIM-THEN-BUILD (r17): publish the decision through the
+        // atomic claim BEFORE recording or executing anything.
+        // Exactly one concurrent attempt wins the claim; every other
+        // attempt discards its own measurement and executes the
+        // winner's payload, so two racing same-runId attempts ship
+        // the same route by construction.
+        if (SnapshotStore.tryClaim(ledgerDir, token,
+            payloadOf(m.n, m.planes, m.maxOcc, action, cents))) {
+          SnapshotStore.mergeInto(
+            rowOf(parse(payloadOf(m.n, m.planes, m.maxOcc, action,
+              cents))), ledgerDir, Seq("run_id"))
+          if (underBudget) knnGraphCore(m.v, m.banded, k)
+          else { m.release(); knnGraphIvf(vectors, k, cents) }
         } else {
+          // lost the race: the winner's claim is the decision.
+          // Self-heal the row (the winner may still be mid-merge;
+          // identical content keyed run_id makes this idempotent)
+          // and release our measurement — it must never be shipped.
           m.release()
-          knnGraphIvf(vectors, k, won.getAs[Int]("n_centroids"))
+          val f = parse(SnapshotStore.claimPayload(ledgerDir, token)
+            .getOrElse(throw new IllegalStateException(
+              s"knnGraphLedgered: claim for runId '$runId' vanished " +
+                s"from ledger '$ledgerDir' after a failed tryClaim — " +
+                s"claims are permanent by contract; something outside " +
+                s"the engine deleted _claim_$token.")))
+          SnapshotStore.mergeInto(rowOf(f), ledgerDir, Seq("run_id"))
+          execute(f("action"), f("planes").toInt, f("tables").toInt,
+            f("n_centroids").toInt)
         }
     }
   }

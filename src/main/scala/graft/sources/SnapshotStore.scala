@@ -193,6 +193,53 @@ object SnapshotStore {
       case _ => None
     }
 
+  /** Atomic ONE-SHOT claim — the compare-and-set primitive this store
+    * otherwise lacks (r16 verdict #6): exactly one concurrent caller
+    * of `tryClaim(dir, token, …)` ever returns true, and the winning
+    * call's `payload` is readable by everyone via [[claimPayload]]
+    * from that moment on. A claim is permanent (at-most-once is the
+    * point — there is deliberately no release; stale-claim recovery
+    * is an operator action, visible as the `_claim_<token>` file).
+    *
+    * Mechanism: the payload is written fully to a private temp file,
+    * then PUBLISHED by `Files.createLink(claim, tmp)` — hard-link
+    * creation is atomic and fails with FileAlreadyExistsException
+    * when the target exists (the classic lockfile technique; atomic
+    * rename can't be used here because POSIX rename REPLACES an
+    * existing target). Readers therefore never observe a
+    * partially-written payload: the link appears only after the temp
+    * file's content is complete. The guarantee is exactly as strong
+    * as the filesystem's link atomicity — true on local FS and HDFS,
+    * i.e. everywhere this java.nio-backed store runs at all; a
+    * future object-store port must swap in that store's conditional
+    * put, the same caveat the `_CURRENT` pointer swap already
+    * carries.
+    *
+    * `token` must be filesystem-safe (`[A-Za-z0-9._-]+`) — callers
+    * with arbitrary identifiers hex-encode them first. */
+  def tryClaim(dir: String, token: String, payload: String): Boolean = {
+    require(token.matches("[A-Za-z0-9._-]+"),
+      s"claim token must be filesystem-safe: '$token'")
+    Files.createDirectories(Paths.get(dir))
+    val claim = Paths.get(dir, s"_claim_$token")
+    if (Files.exists(claim)) return false
+    val tmp = Paths.get(dir, s"_claim_$token.tmp." +
+      ProcessHandle.current().pid() + "." + Thread.currentThread().getId)
+    Files.write(tmp, payload.getBytes(StandardCharsets.UTF_8))
+    try { Files.createLink(claim, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(tmp); () }
+  }
+
+  /** The winning [[tryClaim]] payload for `token`, if any claim has
+    * been published. */
+  def claimPayload(dir: String, token: String): Option[String] = {
+    val claim = Paths.get(dir, s"_claim_$token")
+    if (Files.exists(claim))
+      Some(new String(Files.readAllBytes(claim), StandardCharsets.UTF_8))
+    else None
+  }
+
   /** Compact the current snapshot into `numFiles` files and drop
     * versions older than `retain` behind the new pointer — the
     * maintenance pass every MERGE-loop table needs: each micro-batch

@@ -67,6 +67,31 @@ class AnnIndexSpec extends SparkSpec {
     } finally dropIndex("amnt")
   }
 
+  test("maintain: a concurrent claim on the version fails fast, never retrains") {
+    import graft.ann.AnnIndex.MaintainPolicy
+    import graft.sources.SnapshotStore
+    dropIndex("amcl")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-maint-claim").toString
+    try {
+      AnnIndex.write(corpus, "amcl", buckets = 4)
+      // another occurrence claimed v0 and its row has not landed
+      val token = "maintain_" + "amcl".getBytes("UTF-8")
+        .map("%02x".format(_)).mkString + "_v0"
+      assert(SnapshotStore.tryClaim(dir, token, "examining"))
+      // bands that would RETRAIN if examined — the loser must not
+      val strict = MaintainPolicy(maxCellShare = 1.0, maxEmptyFrac = 1.0,
+        minMeanFit = 2.0, k = 8, buckets = 4)
+      val e = intercept[IllegalStateException] {
+        AnnIndex.maintain(spark, "amcl", dir, strict)
+      }
+      assert(e.getMessage.contains(token))
+      assert(AnnIndex.currentVersion(spark, "amcl").contains(0),
+        "the losing occurrence must not have retrained")
+      assert(SnapshotStore.read(spark, dir).isEmpty, "and wrote no row")
+    } finally dropIndex("amcl")
+  }
+
   test("filtered probe: exact vs unfiltered on uniform labels, strict on mixed") {
     import spark.implicits._
     dropIndex("afx"); dropIndex("afu")

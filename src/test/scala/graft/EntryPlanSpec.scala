@@ -109,6 +109,10 @@ class EntryPlanSpec extends SparkSpec {
     // ONE-ROW occupancy report attaches via broadcast crossJoin —
     // m8's one-row-attach class
     "e16c_graph_route",
+    // e16d replays e16c's routed build (e18's corpus×constant-
+    // centroids product) and attaches the ONE-ROW ledger decision row
+    // via broadcast crossJoin — the same one-row-attach class
+    "e16d_graph_ledger",
     // e14b pools from e6b's probe (query×constant-codebook ADC
     // product, |Q| × O(16)); the greedy rounds score the |Q|×pool
     // candidate frame against the ≤2-row selected set via query_id

@@ -314,6 +314,61 @@ class NinthPassSpec extends SparkSpec {
       .getAs[String]("action") === "lsh")
   }
 
+  test("tryClaim: exactly one winner, payload readable, permanent") {
+    import graft.sources.SnapshotStore
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-claim").toString
+    assert(SnapshotStore.claimPayload(dir, "t1").isEmpty)
+    assert(SnapshotStore.tryClaim(dir, "t1", "payload-A"))
+    assert(!SnapshotStore.tryClaim(dir, "t1", "payload-B"),
+      "second claim must lose")
+    assert(SnapshotStore.claimPayload(dir, "t1").contains("payload-A"),
+      "the WINNER's payload is the one readable")
+    // distinct tokens are independent
+    assert(SnapshotStore.tryClaim(dir, "t2", "other"))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.tryClaim(dir, "bad/token", "x")
+    }
+  }
+
+  test("knnGraphLedgered: a lost/orphaned claim decides the route " +
+      "(claim-then-build) and the row self-heals") {
+    import graft.sources.SnapshotStore
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graph-ledger-claim").toString
+    val nat = (0L until 90L).map(i =>
+      (i, vec(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 2.1))))
+      .toDF("vec_id", "embedding")
+    // simulate a winner that claimed IVF and died BEFORE merging its
+    // ledger row: the claim exists, the row does not
+    val token = "run_" + "night-9".getBytes("UTF-8")
+      .map("%02x".format(_)).mkString
+    assert(SnapshotStore.tryClaim(dir, token, Seq(
+      "run_id=night-9", "n_vectors=90", "planes=4", "tables=4",
+      "max_occupancy=7", "budget=256", "action=ivf", "n_centroids=16")
+      .mkString("\n")))
+    // the corpus is HEALTHY (its own measurement would say lsh) — but
+    // the claimed decision must win: the retry ships IVF and never
+    // re-measures its way onto a different route
+    val r = Knn.knnGraphLedgered(nat, k = 2, dir, "night-9")
+      .collect().map(_.toString).sorted
+    assert(r.sameElements(Knn.knnGraphIvf(nat, k = 2, 16)
+      .collect().map(_.toString).sorted),
+      "claimed route (ivf) must be executed, not the fresh measurement")
+    // and the queryable mirror self-healed from the claim payload
+    val row = SnapshotStore.read(spark, dir).get
+      .filter(col("run_id") === "night-9").collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[String]("action") === "ivf")
+    assert(row.head.getAs[Long]("max_occupancy") === 7L)
+    assert(row.head.getAs[Int]("n_centroids") === 16)
+    // a later retry replays from the healed row (the prior-row path)
+    val r2 = Knn.knnGraphLedgered(nat, k = 2, dir, "night-9")
+      .collect().map(_.toString).sorted
+    assert(r2.sameElements(r))
+    assert(SnapshotStore.read(spark, dir).get.count() === 1L)
+  }
+
   test("graphOccupancyReport: exact bucket stats and the over flag") {
     // 60 clones in one signature + 10 naturals: per table, the clone
     // bucket holds 60 rows, so max_occupancy >= 60 and candidate_rows
