@@ -269,7 +269,7 @@ object Bench {
           s""","d2b_over_d2_pair_min":${f3(pMin)},"d2b_over_d2_pair_med":${f3(pMed)}"""
         }.getOrElse("")
     }.getOrElse("")
-    val core = s""""metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","canary_sec":$cs,"canary_min":${f3(canaries.min)},"canary_med":${f3(canaryMed)},"canary_spread":${f3(canarySpread)},"canary_n":${samples.length}$d2Ratio,"methodology":"2 warmup passes + 2 canary-only warmups; min over 3 timed passes, caches cleared + full GC between; codegen class cache 4096; canary = fixed ${cpus}-way md5 scan INTERLEAVED every 20 queries + at each pass end (~39 GCd min-of-2 reps): canary_med is the SS12 normalization reference, canary_spread its IQR/median (tiered gate: <=0.10 full trust, <=0.35 adjudicate at a 1.4x floor, else defer to pair protocol); canary_min/canary_sec = single post-GC end-of-pass shots, like-for-like with r1-r15 (the r16 artifacts alone fed these through min-of-2 — discount r16 cross-era canary_min deltas); medians of the same passes in queries_med (BENCH_FULL.json)""""
+    val core = s""""metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","canary_sec":$cs,"canary_min":${f3(canaries.min)},"canary_med":${f3(canaryMed)},"canary_spread":${f3(canarySpread)},"canary_n":${samples.length}$d2Ratio,"methodology":"2 warmup passes + 2 canary-only warmups; min over 3 timed passes, caches cleared + full GC between; codegen class cache 4096; canary = fixed ${cpus}-way md5 scan INTERLEAVED every 20 queries + at each pass end (~39 GCd min-of-2 reps): canary_med is the SS12 normalization reference, canary_spread its IQR/median (tiered gate: <=0.10 full trust, <=0.35 adjudicate at a 1.4x floor, else defer to pair protocol); canary_min/canary_sec = single post-GC end-of-pass shots, like-for-like with r1-r15 (the r16 artifacts alone fed these through min-of-2 - discount r16 cross-era canary_min deltas); medians of the same passes in queries_med (BENCH_FULL.json)""""
     val json = s"""{$core,"queries":${qmap(results)},"total":${f3(total)},"canary":${f3(canaryMed)}}"""
     println(json)
     // ALSO persist the complete record to a committed file: the driver
