@@ -595,6 +595,11 @@ object Knn {
     val spark = vectors.sparkSession
     import spark.implicits._
     import graft.sources.SnapshotStore
+    // the claim payload is line-oriented; a newline inside the runId
+    // would shear it mid-field (any other character is fine — the
+    // token hex-encodes, and parse splits on the FIRST '=')
+    require(!runId.exists(c => c == '\n' || c == '\r'),
+      s"runId must not contain line breaks: '$runId'")
     val token = "run_" + runId.getBytes("UTF-8").map("%02x".format(_))
       .mkString // filesystem-safe whatever the caller names the run
     // One decision row from its claim-payload fields, and back: the
