@@ -102,18 +102,29 @@ object AnnIndex {
     * join's key, so a probe plans no exchange on any corpus-sized
     * input. The store's single ptr view makes the five-table commit
     * atomic for readers. */
+  /** `carry` names members whose content is UNCHANGED from that
+    * version ([[graft.sources.BucketedStore.Carry]]): they publish as
+    * version-pinned views instead of being rewritten, and any
+    * DataFrame passed for them here is ignored — the maintenance legs
+    * (update/delete: cents+codebook frozen; retrain: vectors
+    * untouched) only pay for the members they actually change. */
   private def commit(spark: SparkSession, name: String,
                      cents: DataFrame, cb: DataFrame, asg: DataFrame,
                      codes: DataFrame, vectors: DataFrame, buckets: Int,
-                     meta: Option[DataFrame] = None): Int =
-    BucketedStore.commit(spark, name, Seq(
-      BucketedStore.Member("cents", cents),
-      BucketedStore.Member("codebook", cb),
-      BucketedStore.Member("assign", asg, Seq("cent_id")),
-      BucketedStore.Member("codes", codes, Seq("neighbor_id")),
-      BucketedStore.Member("vectors", vectors, Seq("neighbor_id"))) ++
-      meta.map(m => BucketedStore.Member("meta", m, Seq("neighbor_id"))),
-      buckets)
+                     meta: Option[DataFrame] = None,
+                     carry: Seq[BucketedStore.Carry] = Nil): Int = {
+    val carried = carry.map(_.suffix).toSet
+    BucketedStore.commit(spark, name,
+      (Seq(
+        BucketedStore.Member("cents", cents),
+        BucketedStore.Member("codebook", cb),
+        BucketedStore.Member("assign", asg, Seq("cent_id")),
+        BucketedStore.Member("codes", codes, Seq("neighbor_id")),
+        BucketedStore.Member("vectors", vectors, Seq("neighbor_id"))) ++
+        meta.map(m => BucketedStore.Member("meta", m, Seq("neighbor_id"))))
+        .filterNot(m => carried(m.suffix)),
+      buckets, carry)
+  }
 
   /** Whether version `v` of index `name` carries the optional metadata
     * member (written by [[write]]'s `metaCols`). */
@@ -204,7 +215,10 @@ object AnnIndex {
         Seq("neighbor_id", "j")),
       Merge.upsert(spark.table(s"${name}_vectors_v$v"), storedVectors(incoming),
         Seq("neighbor_id")),
-      buckets, meta)
+      buckets, meta,
+      // frozen-quantizer contract: cents/codebook are untouched — carry
+      carry = Seq(BucketedStore.Carry("cents", v),
+        BucketedStore.Carry("codebook", v)))
   }
 
   /** Remove a vector id set from index `name` — the takedown /
@@ -227,7 +241,10 @@ object AnnIndex {
     commit(spark, name,
       spark.table(s"${name}_cents_v$v"), spark.table(s"${name}_codebook_v$v"),
       anti("assign"), anti("codes"), anti("vectors"), buckets,
-      if (hasMeta(spark, name, v)) Some(anti("meta")) else None)
+      if (hasMeta(spark, name, v)) Some(anti("meta")) else None,
+      // frozen-quantizer contract: cents/codebook are untouched — carry
+      carry = Seq(BucketedStore.Carry("cents", v),
+        BucketedStore.Carry("codebook", v)))
   }
 
   /** Retrain the index's quantizers IN PLACE — the operator that ACTS
@@ -276,7 +293,13 @@ object AnnIndex {
       assign(c, broadcast(cents)), encode(c, broadcast(cb)),
       stored, buckets,
       if (hasMeta(spark, name, v)) Some(spark.table(s"${name}_meta_v$v"))
-      else None)
+      else None,
+      // a retrain re-fits quantizers and re-encodes, but the stored
+      // vectors (and metadata) pass through UNTOUCHED — carry them so
+      // the rewrite never pays a corpus-sized vector copy
+      carry = BucketedStore.Carry("vectors", v) +:
+        (if (hasMeta(spark, name, v)) Seq(BucketedStore.Carry("meta", v))
+        else Nil))
   }
 
   /** Maintenance thresholds for [[maintain]]: retrain fires when any

@@ -525,20 +525,29 @@ object TextDedup {
     * different plan than the committed bands table. */
   private def commitBucketed(index: DataFrame, name: String, buckets: Int,
                              bands: Int = Bands,
-                             rowsPerBand: Int = RowsPerBand): Int = {
+                             rowsPerBand: Int = RowsPerBand,
+                             carryDocsFrom: Option[Int] = None): Int = {
     require(bands >= 1 && rowsPerBand >= 1 &&
       bands * rowsPerBand <= Bands * RowsPerBand,
       s"bands*rowsPerBand must be in [1, ${Bands * RowsPerBand}] " +
         s"(the stored signature length), got ($bands, $rowsPerBand)")
     val spark = index.sparkSession
     import spark.implicits._
-    BucketedStore.commit(spark, name, Seq(
-      BucketedStore.Member("bands", banded(index, bands, rowsPerBand),
-        Seq("band", "bsig")),
-      BucketedStore.Member("docs", index, Seq("doc_id")),
-      BucketedStore.Member("plan",
-        Seq((bands, rowsPerBand)).toDF("bands", "rows_per_band"))),
-      buckets)
+    // carryDocsFrom: the docs member is byte-identical to that
+    // version's (a reband recomputes only bands+plan — its documented
+    // contract), so publish it as a carried view instead of rewriting
+    // the corpus-sized member (BucketedStore.Carry)
+    BucketedStore.commit(spark, name,
+      Seq(
+        BucketedStore.Member("bands", banded(index, bands, rowsPerBand),
+          Seq("band", "bsig")),
+        BucketedStore.Member("plan",
+          Seq((bands, rowsPerBand)).toDF("bands", "rows_per_band"))) ++
+        (if (carryDocsFrom.isEmpty)
+          Seq(BucketedStore.Member("docs", index, Seq("doc_id")))
+        else Nil),
+      buckets,
+      carryDocsFrom.map(BucketedStore.Carry("docs", _)).toSeq)
   }
 
   /** The committed banding plan of version `v` — the one-row `plan`
@@ -645,8 +654,13 @@ object TextDedup {
                                buckets: Int = 32): Int = {
     val v = currentBucketedVersion(spark, name).getOrElse(
       throw new IllegalStateException(s"no bucketed dedup index named $name"))
+    // docs CARRIES (content-identical across a reband): only bands —
+    // map-only from the stored signatures — and the one-row plan are
+    // written, which is what "no re-shingling, no corpus text scan,
+    // no re-signing" must mean at 100 TB: a reband that rewrote the
+    // docs member would pay a full corpus write anyway
     commitBucketed(BucketedStore.table(spark, name, "docs", v),
-      name, buckets, bands, rowsPerBand)
+      name, buckets, bands, rowsPerBand, carryDocsFrom = Some(v))
   }
 
   /** [[lshOperatingReport]] computed ENTIRELY off the bucketed index —

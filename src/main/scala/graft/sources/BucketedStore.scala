@@ -38,6 +38,46 @@ object BucketedStore {
   final case class Member(suffix: String, df: DataFrame,
                           bucketCols: Seq[String] = Nil)
 
+  /** A member whose content is UNCHANGED from `fromVersion` — the new
+    * version's table is published as a version-pinned VIEW onto the
+    * prior version's PHYSICAL table instead of rewriting the bytes.
+    * This is what makes the maintenance legs whose contracts say
+    * "only member X recomputes" (dedup reband: only `bands`; ANN
+    * retrain: everything but `vectors`) actually cost that at scale —
+    * without it every commit rewrites the corpus-sized unchanged
+    * member, a full-corpus write a 100 TB reband cannot afford.
+    * Readers are unaffected: a view is a logical alias, the bucketed
+    * scan's output partitioning/ordering survive it (the convenience-
+    * view premise, spec-asserted by the probe plan specs), and
+    * retention never drops a physical table a retained version's view
+    * still resolves to. */
+  final case class Carry(suffix: String, fromVersion: Int)
+
+  private def tableType(spark: SparkSession, table: String): String =
+    spark.catalog.getTable(table).tableType
+
+  /** The version whose PHYSICAL table backs member `suffix` at
+    * `version`: carried members are views onto the nearest existing
+    * PHYSICAL table below them (carry publishes views resolved to the
+    * physical directly, never view-on-view), and retention may have
+    * dropped intermediate versions entirely — so the walk steps down
+    * past views AND holes until it lands on a table. A fresh write
+    * always lands at a HIGHER version than every view created before
+    * it, so the nearest existing physical below a view is exactly its
+    * target. */
+  private def physicalVersion(spark: SparkSession, name: String,
+                              suffix: String, version: Int): Int = {
+    def tbl(p: Int) = s"${name}_${suffix}_v$p"
+    var p = version
+    while (p > 0 && (!spark.catalog.tableExists(tbl(p)) ||
+        tableType(spark, tbl(p)) == "VIEW")) p -= 1
+    require(spark.catalog.tableExists(tbl(p)) &&
+      tableType(spark, tbl(p)) != "VIEW",
+      s"no physical table backs member '$suffix' of '$name' at or " +
+        s"below v$version — store is corrupt (missing ${tbl(p)})")
+    p
+  }
+
   /** The committed current version, resolved through the single
     * atomic `<name>_ptr` view (a one-row control-plane read). */
   def currentVersion(spark: SparkSession, name: String): Option[Int] =
@@ -53,11 +93,26 @@ object BucketedStore {
 
   /** Write all `members` as the next version, swap the ptr, refresh
     * the convenience views, drop versions behind the retained window.
-    * Returns the committed version. */
+    * Returns the committed version.
+    *
+    * Member writes run CONCURRENTLY (one driver thread each — the
+    * overlap-independent-jobs pattern): the member tables of one
+    * version share no dependency, and writing them sequentially leaves
+    * the cluster idle through each write job's scheduling tail and
+    * file-commit protocol — measured locally as the dominant cost of
+    * every index lifecycle entry (each commit is 3-6 saveAsTable jobs
+    * over tiny frames). At cluster scale the same overlap backfills
+    * executors freed by one member's straggler tasks with the next
+    * member's tasks. Failures propagate before the ptr swap, so a
+    * failed member write never publishes a version; the swap itself
+    * stays strictly AFTER every member is fully written, preserving
+    * the reader guarantee (a resolved version is always complete). */
   def commit(spark: SparkSession, name: String, members: Seq[Member],
-             buckets: Int): Int = {
+             buckets: Int, carry: Seq[Carry] = Nil): Int = {
     val v = currentVersion(spark, name).getOrElse(-1) + 1
-    members.foreach { m =>
+    require(carry.forall(c => c.fromVersion >= 0 && c.fromVersion < v),
+      s"carry versions must be committed and behind v$v: $carry")
+    val writes: Seq[() => Unit] = members.map { m => () =>
       val w = m.bucketCols match {
         case Nil => m.df.write.mode("overwrite")
         case cols =>
@@ -71,15 +126,61 @@ object BucketedStore {
       }
       w.saveAsTable(s"${name}_${m.suffix}_v$v")
     }
-    spark.sql(s"CREATE OR REPLACE VIEW ${name}_ptr AS SELECT $v AS version")
-    members.foreach { m =>
-      spark.sql(s"CREATE OR REPLACE VIEW ${name}_${m.suffix} AS " +
-        s"SELECT * FROM ${name}_${m.suffix}_v$v")
+    if (writes.size <= 1) writes.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
+      try {
+        val futs = writes.map(wr => pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = wr()
+        }))
+        // .get() rethrows the first member failure (wrapped) — the ptr
+        // swap below is unreachable unless every member landed
+        futs.foreach(_.get())
+      } finally { pool.shutdown(): Unit }
     }
-    // retain exactly one prior version for in-flight readers
+    // carried members publish as version-pinned views onto the backing
+    // PHYSICAL table — resolved now so view chains never form (a later
+    // carry of the same member resolves through this version's view to
+    // the same physical table). Published BEFORE the ptr swap like the
+    // written members: a resolved version is always complete.
+    carry.foreach { c =>
+      val p = physicalVersion(spark, name, c.suffix, c.fromVersion)
+      val t = s"${name}_${c.suffix}_v$v"
+      // a crashed prior commit (data down, ptr never swapped) can
+      // leave a stray object at this name — clear it by its own type
+      if (spark.catalog.tableExists(t)) {
+        if (tableType(spark, t) == "VIEW") spark.sql(s"DROP VIEW $t")
+        else spark.sql(s"DROP TABLE $t")
+      }
+      spark.sql(s"CREATE VIEW $t AS SELECT * FROM ${name}_${c.suffix}_v$p")
+    }
+    val suffixes = members.map(_.suffix) ++ carry.map(_.suffix)
+    spark.sql(s"CREATE OR REPLACE VIEW ${name}_ptr AS SELECT $v AS version")
+    suffixes.foreach { sfx =>
+      spark.sql(s"CREATE OR REPLACE VIEW ${name}_$sfx AS " +
+        s"SELECT * FROM ${name}_${sfx}_v$v")
+    }
+    // retain exactly one prior version for in-flight readers — PLUS
+    // any older physical table a retained version's carried view still
+    // resolves to (dropping it would silently break the view)
+    val keepPhysical: Set[(String, Int)] = (math.max(0, v - 1) to v)
+      .flatMap { rv =>
+        suffixes.flatMap { sfx =>
+          if (spark.catalog.tableExists(s"${name}_${sfx}_v$rv"))
+            Some(sfx -> physicalVersion(spark, name, sfx, rv))
+          else None
+        }
+      }.toSet
     (0 to v - 2).foreach { old =>
-      members.foreach(m =>
-        spark.sql(s"DROP TABLE IF EXISTS ${name}_${m.suffix}_v$old"))
+      suffixes.foreach { sfx =>
+        val t = s"${name}_${sfx}_v$old"
+        if (spark.catalog.tableExists(t)) {
+          if (tableType(spark, t) == "VIEW")
+            spark.sql(s"DROP VIEW IF EXISTS $t")
+          else if (!keepPhysical.contains(sfx -> old))
+            spark.sql(s"DROP TABLE IF EXISTS $t")
+        }
+      }
     }
     v
   }
@@ -108,9 +209,15 @@ object BucketedStore {
     suffixes.foreach(t => spark.sql(s"DROP VIEW IF EXISTS ${name}_$t"))
     val pat = (java.util.regex.Pattern.quote(name) +
       "_(?:" + suffixes.mkString("|") + ")_v\\d+").r
-    spark.catalog.listTables().collect().map(_.name)
-      .filter(pat.matches(_))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // versioned members may be physical tables OR carried views —
+    // DROP TABLE on a view throws, so route by catalog type. Views
+    // drop first (a view may reference a physical sibling).
+    val versioned = spark.catalog.listTables().collect()
+      .filter(t => pat.matches(t.name))
+    versioned.filter(_.tableType == "VIEW")
+      .foreach(t => spark.sql(s"DROP VIEW IF EXISTS ${t.name}"))
+    versioned.filter(_.tableType != "VIEW")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
     localWarehouseDir(spark).foreach { wh =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

@@ -384,3 +384,63 @@ class TablesSpec extends SparkSpec {
     assert(ev.count() > 0)
   }
 }
+
+class BucketedStoreCarrySpec extends SparkSpec {
+  import graft.sources.BucketedStore
+  import graft.sources.BucketedStore.{Carry, Member}
+
+  test("carried members: views, stable content, retention keeps the backing table") {
+    import spark.implicits._
+    val name = "bscarry"
+    BucketedStore.drop(spark, name, Seq("data", "plan"))
+    try {
+      val data = (0 until 64).map(i => (i.toLong, s"p$i")).toDF("k", "pay")
+      def planDf(n: Int) = Seq(n).toDF("n")
+      val v0 = BucketedStore.commit(spark, name,
+        Seq(Member("data", data, Seq("k")), Member("plan", planDf(0))),
+        buckets = 4)
+      assert(v0 == 0)
+      // three consecutive carried commits: v1..v3 rewrite only plan;
+      // the chain must resolve to v0's physical table, never stack views
+      (1 to 3).foreach { i =>
+        val v = BucketedStore.commit(spark, name,
+          Seq(Member("plan", planDf(i))),
+          buckets = 4, carry = Seq(Carry("data", i - 1)))
+        assert(v == i)
+      }
+      // carried member is a view; content identical to the original
+      assert(spark.catalog.getTable(s"${name}_data_v3").tableType == "VIEW")
+      assert(BucketedStore.table(spark, name, "data", 3).orderBy("k")
+        .collect().toSeq == data.orderBy("k").collect().toSeq)
+      // retention: v0's PHYSICAL data table must survive (the retained
+      // versions' views resolve to it) even though version 0 is behind
+      // the retention window; version 1's view and plan tables drop
+      assert(spark.catalog.tableExists(s"${name}_data_v0"))
+      assert(!spark.catalog.tableExists(s"${name}_plan_v0"))
+      assert(!spark.catalog.tableExists(s"${name}_data_v1"))
+      // bucketing survives the carried view: groupBy on the bucket key
+      // over the v3 view plans no shuffle
+      val conf = spark.conf
+      val oldAqe = conf.get("spark.sql.adaptive.enabled")
+      try {
+        conf.set("spark.sql.adaptive.enabled", "false")
+        val agg = BucketedStore.table(spark, name, "data", 3)
+          .groupBy("k").count()
+        val plan = agg.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+        assert(agg.count() == 64)
+      } finally conf.set("spark.sql.adaptive.enabled", oldAqe)
+      // fresh WRITES of data at v4/v5: the old physical finally drops
+      // once no retained version references it
+      BucketedStore.commit(spark, name,
+        Seq(Member("data", data, Seq("k")), Member("plan", planDf(4))),
+        buckets = 4)
+      BucketedStore.commit(spark, name,
+        Seq(Member("data", data, Seq("k")), Member("plan", planDf(5))),
+        buckets = 4)
+      assert(!spark.catalog.tableExists(s"${name}_data_v0"))
+      assert(!spark.catalog.tableExists(s"${name}_data_v3"))
+      assert(BucketedStore.table(spark, name, "data", 5).count() == 64)
+    } finally BucketedStore.drop(spark, name, Seq("data", "plan"))
+  }
+}
