@@ -51,15 +51,29 @@ object KMeans {
   def lloyd(corpus: DataFrame, k: Int, iters: Int,
             storage: StorageLevel = Caching.Default): DataFrame = {
     require(k > 0 && iters >= 1, "k and iters must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = Caching.persisted(
       corpus.select(col("vec_id").cast("long").as("vec_id"),
           Vectors.asDouble(col("embedding")).as("e"))
         .withColumn("nrm", Vectors.norm(col("e")))
         .repartition(col("vec_id")), storage)
-    var cents = c.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cent_id"), col("e").as("cent"))
+    // The model state is k·dim scalars — DRIVER-RESIDENT between
+    // rounds (the MLlib k-means shape: collect the new centers each
+    // iteration). The earlier DataFrame-state form paid two
+    // localCheckpoint materializations plus an anti-join/union per
+    // round to keep the same k·dim values distributed; holding them on
+    // the driver makes each round exactly ONE job (the assignment +
+    // per-dimension mean collect) with the centroids re-entering as a
+    // broadcast literal frame. Values are bit-identical: same
+    // assignment argmax, same exact-decimal per-dimension mean, same
+    // 6-dp quantizer, same empty-cluster carry-forward.
+    var cents: Seq[(Long, Seq[Double])] = c.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
     for (_ <- 0 until iters) {
-      val ct = broadcast(cents.withColumn("centn", Vectors.norm(col("cent"))))
+      val ct = broadcast(cents.toDF("cent_id", "cent")
+        .withColumn("centn", Vectors.norm(col("cent"))))
       // nearest centroid by rounded cosine; ties -> smallest cent_id.
       // Only (vec_id, cent_id) flows through the groupBy; the vectors
       // come back from the vec_id-partitioned cache via a
@@ -78,23 +92,18 @@ object KMeans {
         .agg(graft.functions.Quantize.qdp(
           (sum(col("col").cast(DecimalType(28, 12))).cast("double") /
             count(lit(1))), 6).as("value"))
-      // k·dim scalars; checkpointed BEFORE the union because the
-      // carry-forward references it from two branches (the union side
-      // and the anti-join's id probe) — without truncation each branch
-      // re-executes the full assignment pass (measured 2.5x on the
-      // bench). The union is checkpointed too so the next round's
-      // broadcast + carry branches read one materialized frame.
-      val recomputed = dims
-        .groupBy("cent_id")
-        .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("dv"))
-        .select(col("cent_id"), transform(col("dv"), x => x("value")).as("cent"))
-        .localCheckpoint()
-      cents = recomputed.unionByName(
-        cents.join(recomputed.select("cent_id"), Seq("cent_id"), "left_anti"))
-        .localCheckpoint()
+      // ≤ k·dim rows — control-plane sized regardless of corpus size
+      val byCent = dims.collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq }
+      // a cluster that received no vectors this round (the classic
+      // Lloyd empty-cluster degeneracy) carries its previous centroid
+      cents = cents.map { case (cid, old) => (cid, byCent.getOrElse(cid, old)) }
     }
-    cents.select(col("cent_id"), posexplode(col("cent")))
-      .select(col("cent_id"), col("pos").as("dim"), col("col").as("value"))
+    cents.flatMap { case (cid, vs) =>
+      vs.zipWithIndex.map { case (v, d) => (cid, d, v) } }
+      .toDF("cent_id", "dim", "value")
   }
 
   /** Nearest trained centroid per corpus vector — the serving half of

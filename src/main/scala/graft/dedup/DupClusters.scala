@@ -63,19 +63,35 @@ object DupClusters {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    // Convergence probe: labels are MONOTONE NON-INCREASING (each
+    // round takes min over node ids), so "no label changed" ⟺ "the
+    // label sum is unchanged" — one exact-decimal aggregate over the
+    // just-checkpointed frame instead of the previous join-with-
+    // previous-round + filter + count (a whole extra shuffle join per
+    // round; with ~3 driver actions per round the loop was action-
+    // bound on small graphs and paid an extra node-sized join at any
+    // scale).
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph: converge at once
+    var prevSum = lblSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // propagate: every node offers its label to its neighbors; the
       // union with the node's own label keeps labels monotone non-
-      // increasing, so `<` detects every change
+      // increasing, so the sum probe detects every change
       val prop = sym.join(labels, sym("src") === labels("node"))
         .select(sym("dst").as("node"), labels("lbl"))
-      // checkpointed: the jump self-join below reads it from two
-      // branches, which would re-run the propagation aggregation twice
+      // NOT checkpointed: the jump self-join reads it from two
+      // branches, but both share the same canonical aggregation
+      // subtree, so ReuseExchange dedups the shuffle — the second
+      // branch only re-runs the reduce-side aggregation over the
+      // label-sized frame, cheaper than a full materialization action
+      // per round (measured: one fewer job per round, same results)
       val combined = labels.union(prop)
         .groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
       // pointer jump (path halving): adopt my label's label. Labels
       // are always node ids (they start as the node itself and only
       // ever take min over node ids), so the lookup is an equi-join of
@@ -86,12 +102,10 @@ object DupClusters {
         .select(col("node"),
           least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("node"), col("lbl").as("prev")), "node")
-        .filter(col("lbl") < col("prev"))
-        .count()
+      val newSum = lblSum(next)
       labels = next
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -33,6 +33,15 @@ object JobProfile {
       .withExtensions(new graft.GraftExtensions())
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // SPARK_GRAFT_PFIRST=false|true experiments with AQE's
+      // parallelism-first coalescing (Spark docs recommend false:
+      // respect advisoryPartitionSizeInBytes)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PFIRST", "true"))
+      // SPARK_GRAFT_CACHEAQE=true lets AQE re-partition cached plans
+      // (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHEAQE", "false"))
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
