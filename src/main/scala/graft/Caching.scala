@@ -20,4 +20,28 @@ object Caching {
 
   def persisted(df: DataFrame, level: StorageLevel): DataFrame =
     if (level == StorageLevel.NONE || df.isStreaming) df else df.persist(level)
+
+  /** Stage-boundary form of [[persisted]] for DEEP multi-stage
+    * pipelines (the curation chains): persist the frame AND truncate
+    * its logical plan (lazy `localCheckpoint` — computation still
+    * deferred to first use, blocks held at [[Default]] level). A
+    * plain persist leaves the full upstream tree in every downstream
+    * plan, and a stage containing a self-join duplicates that entire
+    * subtree PER REFERENCE — so an N-stage chain's final action hands
+    * Catalyst an exponentially-unfolded tree (measured: the c6
+    * selection pipeline spent 4.4 s in analysis/planning before its
+    * first job, over half the row's bench cost; the optimization
+    * guide's §3.3 "materialise an intermediate to truncate the plan").
+    * With the boundary truncated, each stage is analyzed once, as a
+    * small plan over a leaf.
+    *
+    * Same caller-owned lifecycle as [[persisted]]; `NONE` opts out of
+    * both the storage and the truncation (the plan-recompute
+    * semantics some long-lived sessions prefer). Unlike [[persisted]],
+    * a lost executor means recomputing the QUERY, not the block —
+    * acceptable for bounded pipeline runs, wrong for frames that must
+    * survive partial cluster loss (keep [[persisted]] there). */
+  def staged(df: DataFrame, level: StorageLevel): DataFrame =
+    if (level == StorageLevel.NONE || df.isStreaming) df
+    else df.localCheckpoint(eager = false)
 }

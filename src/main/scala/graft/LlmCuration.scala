@@ -44,7 +44,7 @@ object LlmCuration {
     val kept = gateStage(docs, id, text, minQuality, lang)
     // cached: feeds both the near-dup pair generation and the final
     // left_anti — without it the gates + hash-dedup shuffle run twice
-    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val uniq = Caching.staged(exactDedupStage(kept), storage)
     nearDupStage(uniq, minJaccard, storage).select("doc_id")
   }
 
@@ -138,11 +138,11 @@ object LlmCuration {
                         minJaccard: Double = 0.1, n: Int = 5,
                         storage: StorageLevel = Caching.Default): DataFrame = {
     val kept = gateStage(docs, id, text, minQuality, lang)
-    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val uniq = Caching.staged(exactDedupStage(kept), storage)
     // survivors carry their own (doc_id, text) — no join-back to the
     // raw corpus; persisted because the decontaminate anti-join reads
     // the frame twice (probe side + keep side)
-    val surv = Caching.persisted(
+    val surv = Caching.staged(
       nearDupStage(uniq, minJaccard, storage), storage)
     graft.dedup.Decontaminate.applyFilter(surv, eval, "doc_id", col("text"), n)
       .select("doc_id")
@@ -236,13 +236,13 @@ object LlmCuration {
                   minJaccard: Double = 0.1, n: Int = 5,
                   storage: StorageLevel = Caching.Default): DataFrame = {
     val kept = gateStage(docs, id, text, minQuality, lang)
-    val uniq = Caching.persisted(exactDedupStage(kept), storage)
-    val surv = Caching.persisted(
+    val uniq = Caching.staged(exactDedupStage(kept), storage)
+    val surv = Caching.staged(
       nearDupStage(uniq, minJaccard, storage), storage)
-    val gated = Caching.persisted(
+    val gated = Caching.staged(
       modelGateStage(surv, labeled, text, label, keepLabel, minMargin,
         storage), storage)
-    val sel = Caching.persisted(
+    val sel = Caching.staged(
       dsirSelectStage(gated, target, text, k), storage)
     graft.dedup.Decontaminate.applyFilter(sel, eval, "doc_id", col("text"), n)
       .select("doc_id")
@@ -270,8 +270,8 @@ object LlmCuration {
     val m = NaiveBayes.model(labeled, text, label, storage)
     val pri = NaiveBayes.priors(labeled, label)
     val kept = gateStage(docs, id, text, minQuality, lang)
-    val uniq = Caching.persisted(exactDedupStage(kept), storage)
-    val surv = Caching.persisted(
+    val uniq = Caching.staged(exactDedupStage(kept), storage)
+    val surv = Caching.staged(
       nearDupStage(uniq, minJaccard, storage), storage)
     val gated = modelGateApply(surv, m, pri, keepLabel, minMargin)
     val dsir = Dsir.model(target.select(text.as("text")), gated,
@@ -309,13 +309,13 @@ object LlmCuration {
                          minJaccard: Double = 0.1, n: Int = 5,
                          storage: StorageLevel = Caching.Default): DataFrame = {
     val kept = gateStage(docs, id, text, minQuality, lang)
-    val uniq = Caching.persisted(exactDedupStage(kept), storage)
-    val surv = Caching.persisted(
+    val uniq = Caching.staged(exactDedupStage(kept), storage)
+    val surv = Caching.staged(
       nearDupStage(uniq, minJaccard, storage), storage)
-    val gated = Caching.persisted(
+    val gated = Caching.staged(
       modelGateApply(surv, nbModel, nbPriors, keepLabel, minMargin),
       storage)
-    val sel = Caching.persisted(
+    val sel = Caching.staged(
       dsirSelectApply(gated, dsirModel, k), storage)
     graft.dedup.Decontaminate.applyFilter(sel, eval, "doc_id", col("text"), n)
       .select("doc_id")
@@ -338,19 +338,19 @@ object LlmCuration {
     val spark = docs.sparkSession
     import spark.implicits._
     val nAll = docs.count()
-    val kept = Caching.persisted(
+    val kept = Caching.staged(
       gateStage(docs, id, text, minQuality, lang), storage)
     val nKept = kept.count()
-    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val uniq = Caching.staged(exactDedupStage(kept), storage)
     val nUniq = uniq.count()
-    val surv = Caching.persisted(
+    val surv = Caching.staged(
       nearDupStage(uniq, minJaccard, storage), storage)
     val nSurv = surv.count()
-    val gated = Caching.persisted(
+    val gated = Caching.staged(
       modelGateApply(surv, nbModel, nbPriors, keepLabel, minMargin),
       storage)
     val nGated = gated.count()
-    val sel = Caching.persisted(
+    val sel = Caching.staged(
       dsirSelectApply(gated, dsirModel, k), storage)
     val nSel = sel.count()
     val clean = graft.dedup.Decontaminate.applyFilter(
@@ -386,19 +386,19 @@ object LlmCuration {
     val spark = docs.sparkSession
     import spark.implicits._
     val nAll = docs.count()
-    val kept = Caching.persisted(
+    val kept = Caching.staged(
       gateStage(docs, id, text, minQuality, lang), storage)
     val nKept = kept.count()
-    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val uniq = Caching.staged(exactDedupStage(kept), storage)
     val nUniq = uniq.count()
-    val surv = Caching.persisted(
+    val surv = Caching.staged(
       nearDupStage(uniq, minJaccard, storage), storage)
     val nSurv = surv.count()
-    val gated = Caching.persisted(
+    val gated = Caching.staged(
       modelGateStage(surv, labeled, text, label, keepLabel, minMargin,
         storage), storage)
     val nGated = gated.count()
-    val sel = Caching.persisted(
+    val sel = Caching.staged(
       dsirSelectStage(gated, target, text, k), storage)
     val nSel = sel.count()
     val clean = graft.dedup.Decontaminate.applyFilter(
@@ -445,22 +445,22 @@ object LlmCuration {
     val nAll = base.count()
     val verdict = graft.text.Urls.blocklistGate(base, col("doc_id"),
       col("url"), blockedDomains, patternRules)
-    val allowed = Caching.persisted(
+    val allowed = Caching.staged(
       base.join(verdict.filter(col("allowed")).select("doc_id"),
         Seq("doc_id")), storage)
     val nAllowed = allowed.count()
-    val extracted = Caching.persisted(
+    val extracted = Caching.staged(
       graft.text.Html.extract(allowed, col("doc_id"), col("html"))
         .select(col("doc_id"), col("extracted").as("text"))
         .filter(length(col("text")) > 0), storage)
     val nExtracted = extracted.count()
-    val kept = Caching.persisted(
+    val kept = Caching.staged(
       gateStage(extracted, col("doc_id"), col("text"), minQuality, lang),
       storage)
     val nKept = kept.count()
-    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val uniq = Caching.staged(exactDedupStage(kept), storage)
     val nUniq = uniq.count()
-    val surv = Caching.persisted(
+    val surv = Caching.staged(
       nearDupStage(uniq, minJaccard, storage), storage)
     val nSurv = surv.count()
     Seq(allowed, extracted, kept, uniq, surv).foreach(_.unpersist())
@@ -498,12 +498,12 @@ object LlmCuration {
     val spark = docs.sparkSession
     import spark.implicits._
     val nAll = docs.count()
-    val kept = Caching.persisted(
+    val kept = Caching.staged(
       gateStage(docs, id, text, minQuality, lang), storage)
     val nKept = kept.count()
-    val uniq = Caching.persisted(exactDedupStage(kept), storage)
+    val uniq = Caching.staged(exactDedupStage(kept), storage)
     val nUniq = uniq.count()
-    val surv = Caching.persisted(
+    val surv = Caching.staged(
       nearDupStage(uniq, minJaccard, storage), storage)
     val nSurv = surv.count()
     val clean = graft.dedup.Decontaminate.applyFilter(

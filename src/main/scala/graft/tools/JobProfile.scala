@@ -47,9 +47,25 @@ object JobProfile {
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val taskNanos = new AtomicLong
+    // SPARK_GRAFT_JOBS=1: per-job lines (start-relative ms, duration,
+    // deepest callsite) — where a 60-job query actually spends its wall
+    val verbose = sys.env.get("SPARK_GRAFT_JOBS").contains("1")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val t00 = new AtomicLong(System.nanoTime())
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet(): Unit
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (verbose) {
+          val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          jobStart.put(j.jobId, (System.nanoTime(), site)): Unit
+        }
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (verbose) {
+          Option(jobStart.get(e.jobId)).foreach { case (t0, site) =>
+            println(f"  [job ${e.jobId}%4d] +${(t0 - t00.get) / 1e6}%7.0fms ${(System.nanoTime() - t0) / 1e6}%7.1fms  $site")
+          }
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet(): Unit
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -72,8 +88,17 @@ object JobProfile {
       // for a dev tool
       Thread.sleep(300)
       jobs.set(0); stages.set(0); tasks.set(0); taskNanos.set(0)
+      t00.set(System.nanoTime())
       val t0 = System.nanoTime()
-      try graft.SparkEntry.queries(k)(spark, dir).count()
+      // SPARK_GRAFT_PLANONLY=1: time ONLY analysis+optimization+
+      // physical planning (no execution) — splits driver planning cost
+      // out of the wall number
+      try {
+        val df = graft.SparkEntry.queries(k)(spark, dir)
+        if (sys.env.get("SPARK_GRAFT_PLANONLY").contains("1"))
+          df.queryExecution.executedPlan.toString: Unit
+        else df.count(): Unit
+      }
       catch { case e: Throwable => println(s"[jobprofile] $k failed: $e") }
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)

@@ -175,12 +175,19 @@ class CurationOpsSpec extends SparkSpec {
 
   test("runSelected plan: broadcast model scoring, bounded-heap selection") {
     val docs = table("documents")
+    // storage = NONE opts out of the stage-boundary plan truncation
+    // (Caching.staged), leaving the fully-composed lazy plan — the
+    // shipped default truncates at stage boundaries, which hides the
+    // upstream stages' join/heap shapes from the FINAL frame's plan;
+    // the operators compose identically either way, so the assertions
+    // keep their force on the untruncated form
     val out = graft.LlmCuration.runSelected(docs,
       docs.filter(col("doc_id") % 25 === 0),
       docs.filter(graft.operators.Sampling.hashBucket(col("doc_id"), 5) =!= 0),
       docs.filter(col("source").isin("src0", "src1")),
       col("doc_id"), col("text"), col("lang"),
-      keepLabel = "en", minMargin = 1.0, k = 20)
+      keepLabel = "en", minMargin = 1.0, k = 20,
+      storage = org.apache.spark.storage.StorageLevel.NONE)
     val plan = out.queryExecution.executedPlan.toString
     // the NB scoring / DSIR model joins and the k-row selection
     // join-back are broadcast equi-joins (the model frames are
