@@ -35,13 +35,25 @@ object Caching {
     * With the boundary truncated, each stage is analyzed once, as a
     * small plan over a leaf.
     *
+    * The frame is ALSO persist()ed before truncation: the persist
+    * registers the canonical plan with the CacheManager, so sibling
+    * queries in one session that compose the identical stage subtree
+    * (the c-family all share gate→dedup→near-dup heads) still share
+    * ONE materialization — dropping that registration measurably
+    * tripled the cheap family members (c1 0.27→1.26 s fleet) while the
+    * truncation was saving the deep ones. The checkpoint materializes
+    * THROUGH the registered cache, so the blocks are populated either
+    * way; the cost is double storage of stage-boundary frames (cache +
+    * checkpoint blocks) — bounded by the pipeline's working set, the
+    * price of O(stages) planning instead of O(2^stages).
+    *
     * Same caller-owned lifecycle as [[persisted]]; `NONE` opts out of
-    * both the storage and the truncation (the plan-recompute
-    * semantics some long-lived sessions prefer). Unlike [[persisted]],
-    * a lost executor means recomputing the QUERY, not the block —
-    * acceptable for bounded pipeline runs, wrong for frames that must
-    * survive partial cluster loss (keep [[persisted]] there). */
+    * storage and truncation both (the plan-recompute semantics some
+    * long-lived sessions prefer). Unlike [[persisted]], a lost
+    * executor means recomputing the QUERY, not the block — acceptable
+    * for bounded pipeline runs, wrong for frames that must survive
+    * partial cluster loss (keep [[persisted]] there). */
   def staged(df: DataFrame, level: StorageLevel): DataFrame =
     if (level == StorageLevel.NONE || df.isStreaming) df
-    else df.localCheckpoint(eager = false)
+    else persisted(df, level).localCheckpoint(eager = false)
 }
