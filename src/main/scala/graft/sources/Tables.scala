@@ -22,9 +22,36 @@ object Tables {
     * scan (including below BroadcastExchange on dimension sides). */
   private val computeHeavy = Set("documents", "embeddings")
 
+  /** Session-scoped memo of loaded table plans. `spark.read.parquet`
+    * builds a fresh file index (a directory listing) and re-infers the
+    * schema (a footer read) on EVERY call, and [[spread]] additionally
+    * pays a full plan→RDD conversion to count splits — all driver-side
+    * METADATA work, re-paid by every query invocation (most queries
+    * load 1-3 tables; the fleet pays it thousands of times per run).
+    * The loaded DataFrame is an immutable lazy plan over an immutable
+    * input layout, so reusing it is pure metadata reuse — no data or
+    * results are cached (every action still computes from the parquet
+    * bytes; `clearCache()` is unaffected because nothing here enters
+    * the block manager). Keyed WEAKLY on the session (test suites
+    * create and stop many sessions; a stopped session's plans must not
+    * pin its state) and strongly on (dir, name) within it. */
+  private val planMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (computeHeavy(name)) spread(spark, df) else df
+    val perSession = planMemo.synchronized {
+      var m = planMemo.get(spark)
+      if (m == null) {
+        m = new scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+        planMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((sfDir, name), {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (computeHeavy(name)) spread(spark, df) else df
+    })
   }
 
   /** Spread a scan across the session's cores when the file layout
