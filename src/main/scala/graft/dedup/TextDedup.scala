@@ -381,11 +381,14 @@ object TextDedup {
     * n_pairs) — exact longs, no float surface. All configs share ONE
     * shingle+signature pass (the pool-prefix contract: a config's
     * bands·rows slices read the first bands·rows signature entries,
-    * identical to a signature computed at exactly that K), then each
-    * config pays its own map-only band expansion, (band, bsig)
-    * equi-join and ONE verify pass that counts candidates and
-    * threshold survivors together — no second scan of the candidate
-    * set, no quadratic stage. */
+    * identical to a signature computed at exactly that K), then ALL
+    * configs share ONE candidate self-join and ONE verify pass
+    * ([[operatingReportMulti]]): per-config membership of a union
+    * candidate is recomputed from the shipped signature slices, so the
+    * report prices N configs for the cost of their candidate UNION —
+    * on overlapping configs (every slice-sharing family; the retune
+    * loop's default-vs-tuned pair included) that is one verify bill,
+    * not N. */
   def lshOperatingReport(docs: DataFrame, id: Column, text: Column,
                          minJaccard: Double,
                          configs: Seq[(String, Int, Int)],
@@ -397,26 +400,79 @@ object TextDedup {
     }
     val maxK = configs.map { case (_, b, r) => b * r }.max
     val t = sigged(docs, id, text, storage, maxK)
-    configs.map { case (name, b, r) => operatingRow(t, name, b, r, minJaccard) }
-      .reduce(_ unionAll _)
+    operatingReportMulti(t, configs, minJaccard)
   }
 
-  /** One config's operating row off a sigged/index frame (doc_id, sh,
-    * sig): candidate generation at (b, r) + ONE verify pass counting
-    * candidates and threshold survivors together. */
-  private def operatingRow(t: DataFrame, name: String, b: Int, r: Int,
-                           minJaccard: Double): DataFrame =
-    selfCandidates(t, b, r)
-      .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(t.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+  /** ALL configs' operating rows off one sigged/index frame (doc_id,
+    * sh, sig) in ONE plan — one banded self-join over the union of the
+    * configs' band expansions, one distinct, one verify pass. A pair's
+    * membership in config (b, r) is equivalent to sharing at least one
+    * of its signature slices, so it is recomputed per union candidate
+    * from the two shipped sig arrays (b array-slice comparisons —
+    * cheap next to the shingle-set intersection the verify already
+    * pays); both counts of every config then fall out of ONE aggregate
+    * row. vs the previous per-config plan branches (N self-joins, N
+    * distincts, N verify joins, an N-branch union to plan and
+    * schedule): the candidate bill is paid once on the UNION —
+    * measured on the d8b retune pair (default (4,4) + tuned (15,1),
+    * where every (4,4) candidate shares a 4-slice and therefore its
+    * single entries, i.e. the union IS the (15,1) set), the (4,4)
+    * branch's entire verify join drops out. Counts are bit-identical:
+    * the distinct union pair set restricted by slice-membership IS
+    * config c's distinct candidate set (string bsig equality over ':'
+    * joined ints ⟺ slice array equality — the delimiter cannot occur
+    * inside an int's digits), and the jaccard arithmetic is unchanged.
+    * Zero-candidate configs keep their zero row: the single aggregate
+    * emits one row even over an empty input, and the per-config
+    * reshape explodes a literal struct array. */
+  private def operatingReportMulti(t: DataFrame,
+                                   configs: Seq[(String, Int, Int)],
+                                   minJaccard: Double): DataFrame = {
+    // every config's (band, bsig) rows in one generator pass, config-
+    // tagged: the self-join key keeps config so cross-config bsig
+    // collisions (equal strings from DIFFERENT slices) never pair
+    val bandStructs = configs.map { case (n, b, r) =>
+      transform(sequence(lit(0), lit(b - 1)), j => struct(
+        lit(n).as("config"), j.as("band"),
+        concat_ws(":", slice(col("sig"), j * r + 1, lit(r))).as("bsig")))
+    }
+    val bandRows = t.select(col("doc_id"),
+        explode(flatten(array(bandStructs: _*))).as("cb"))
+      .select(col("doc_id"), col("cb.config"), col("cb.band"), col("cb.bsig"))
+    val pairs = bandRows.as("a").join(bandRows.as("b"),
+        col("a.config") === col("b.config") && col("a.band") === col("b.band") &&
+          col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = pairs
+      .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+        col("sig").as("siga")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+        col("sig").as("sigb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("inter")))
-      .agg(count(lit(1)).as("n_candidates"),
-        coalesce(sum(when(col("jaccard") >= minJaccard, 1L)
-          .otherwise(0L)), lit(0L)).as("n_pairs"))
-      .select(lit(name).as("config"), lit(b).as("bands"),
-        lit(r).as("rows_per_band"), col("n_candidates"), col("n_pairs"))
+      .withColumn("jacc_ok", (col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter"))) >= minJaccard)
+    def member(b: Int, r: Int): Column =
+      exists(sequence(lit(0), lit(b - 1)), j =>
+        slice(col("siga"), j * r + 1, lit(r)) ===
+          slice(col("sigb"), j * r + 1, lit(r)))
+    val aggCols = configs.zipWithIndex.flatMap { case ((_, b, r), i) =>
+      val m = member(b, r)
+      Seq(
+        coalesce(sum(when(m, 1L).otherwise(0L)), lit(0L)).as(s"nc_$i"),
+        coalesce(sum(when(m && col("jacc_ok"), 1L).otherwise(0L)), lit(0L))
+          .as(s"np_$i"))
+    }
+    val one = withSets.agg(aggCols.head, aggCols.tail: _*)
+    val rows = configs.zipWithIndex.map { case ((n, b, r), i) =>
+      struct(lit(n).as("config"), lit(b).as("bands"),
+        lit(r).as("rows_per_band"), col(s"nc_$i").as("n_candidates"),
+        col(s"np_$i").as("n_pairs"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.config"), col("r.bands"), col("r.rows_per_band"),
+        col("r.n_candidates"), col("r.n_pairs"))
+  }
 
   /** The corpus's precomputable LSH band index: one (doc_id, band,
     * bsig) row per doc per band. This is the artifact a nightly or
@@ -683,8 +739,7 @@ object TextDedup {
       throw new IllegalStateException(s"no bucketed dedup index named $name"))
     val t = Caching.persisted(
       BucketedStore.table(spark, name, "docs", v), storage)
-    configs.map { case (n, b, r) => operatingRow(t, n, b, r, minJaccard) }
-      .reduce(_ unionAll _)
+    operatingReportMulti(t, configs, minJaccard)
   }
 
   /** Close the retune loop: measure the operating report on the live

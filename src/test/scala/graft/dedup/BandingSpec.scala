@@ -194,4 +194,28 @@ class BandingSpec extends SparkSpec {
       chooseOperatingOutcome(Seq.empty, 10.0)
     }
   }
+
+  test("fused multi-config report rows equal single-config reports") {
+    // the fused plan (one union self-join + one verify, per-config
+    // membership recomputed from signature slices) must reproduce the
+    // per-config computation EXACTLY — both counts, every config,
+    // including a deep-row config that finds nothing on this corpus
+    val docs = (1 to 10).flatMap { p =>
+      val shared = (1 to 12).map(j => s"sh${p}_$j").mkString(" ")
+      Seq((2L * p, s"${(1 to 18).map(j => s"a${p}_$j").mkString(" ")} $shared"),
+        (2L * p + 1, s"$shared ${(1 to 18).map(j => s"b${p}_$j").mkString(" ")}"))
+    }.toDF("doc_id", "text")
+    val configs = Seq(("d", 4, 4), ("t", 15, 1), ("m", 8, 2), ("deep", 1, 16))
+    def rowsOf(cs: Seq[(String, Int, Int)]) =
+      TextDedup.lshOperatingReport(docs, col("doc_id"), col("text"),
+          minJaccard = 0.15, configs = cs)
+        .collect().map(r => r.getString(0) ->
+          (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    val fused = rowsOf(configs)
+    assert(fused.keySet === configs.map(_._1).toSet,
+      "every config keeps its row, zero-candidate configs included")
+    for (c @ (n, _, _) <- configs)
+      assert(fused(n) === rowsOf(Seq(c))(n),
+        s"fused row for $n must equal its single-config report")
+  }
 }
