@@ -98,54 +98,78 @@ object Medallion {
     val flagged = QualityRules.withReasons(latest, rules).cache()
     val clean = flagged
       .filter(length(col(QualityRules.ReasonCol)) === 0).drop(QualityRules.ReasonCol)
-    SnapshotStore.mergeInto(clean, s"$workDir/bronze", Seq("o_orderkey"))
 
-    // 3. Silver: pseudonymized fact + patient dim
-    val bronze = SnapshotStore.read(spark, s"$workDir/bronze").get
-    val fact = bronze.select(
-      col("o_orderkey").as("claim_id"),
-      Pii.saltedSha256(col("o_custkey"), salt).as("patient_key"),
-      col("o_totalprice").as("amount"),
-      col("o_orderdate").as("claim_date"),
-      col("o_orderstatus").as("status"))
-    SnapshotStore.mergeInto(fact, s"$workDir/fact", Seq("claim_id"))
+    // The run-metric aggregates are read-only probes of the cached
+    // slices and the customer dim — independent of the store chain, so
+    // they run as CONCURRENT jobs alongside it (overlap-independent-
+    // jobs: the metric jobs back-fill executors the merge jobs leave
+    // idle through their commit tails; cache block locks keep shared
+    // materializations single-computed). Failures surface at the
+    // joins below, before any value is used.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val dim = Dimensions.extract(
       Tables.load(spark, sfDir, "customer"),
       Seq("c_custkey", "c_name", "c_mktsegment"))
-
-    // 4. Gold: measure rollup snapshot off the merged fact
-    val mergedFact = SnapshotStore.read(spark, s"$workDir/fact").get
-    val gold = mergedFact.groupBy(col("status"))
-      .agg(count(lit(1)).as("n_claims"),
-        Measures.decSum(col("amount")).as("total_amount"))
-    SnapshotStore.commit(gold, s"$workDir/gold")
-
-    // 5. advance watermark; emit run metrics. One aggregation pass over
-    // the cached fresh slice yields count + max date; one pass over the
-    // cached flagged frame yields both DQ split counts.
-    val freshStats = fresh
-      .agg(count(lit(1)).as("n"), max(col("o_orderdate")).as("mx")).collect()(0)
-    val freshRows = freshStats.getLong(0)
-    freshStats.get(1) match {
-      case t: java.sql.Timestamp => Watermark.write(wmPath, t.toInstant)
-      case d: java.time.LocalDateTime => // TIMESTAMP_NTZ read as UTC wall time
-        Watermark.write(wmPath, d.toInstant(java.time.ZoneOffset.UTC))
-      case _ => // empty increment: leave the watermark untouched
-    }
-    val dqStats = flagged.agg(
+    val fFresh = scala.concurrent.Future(fresh
+      .agg(count(lit(1)).as("n"), max(col("o_orderdate")).as("mx"))
+      .collect()(0))(ec)
+    val fDq = scala.concurrent.Future(flagged.agg(
       sum(when(length(col(QualityRules.ReasonCol)) === 0, 1L).otherwise(0L)),
-      sum(when(length(col(QualityRules.ReasonCol)) > 0, 1L).otherwise(0L))).collect()(0)
-    val metrics = Seq(
-      ("fresh_rows", freshRows),
-      ("clean_rows", if (dqStats.isNullAt(0)) 0L else dqStats.getLong(0)),
-      ("quarantined_rows", if (dqStats.isNullAt(1)) 0L else dqStats.getLong(1)),
-      ("fact_rows", mergedFact.count()),
-      ("dim_rows", dim.count()),
-      ("gold_rows", gold.count()))
-      .toDF("stage", "rows")
-    fresh.unpersist()
-    flagged.unpersist()
-    metrics
+      sum(when(length(col(QualityRules.ReasonCol)) > 0, 1L).otherwise(0L)))
+      .collect()(0))(ec)
+    val fDim = scala.concurrent.Future(dim.count())(ec)
+
+    try {
+      SnapshotStore.mergeInto(clean, s"$workDir/bronze", Seq("o_orderkey"))
+
+      // 3. Silver: pseudonymized fact + patient dim
+      val bronze = SnapshotStore.read(spark, s"$workDir/bronze").get
+      val fact = bronze.select(
+        col("o_orderkey").as("claim_id"),
+        Pii.saltedSha256(col("o_custkey"), salt).as("patient_key"),
+        col("o_totalprice").as("amount"),
+        col("o_orderdate").as("claim_date"),
+        col("o_orderstatus").as("status"))
+      SnapshotStore.mergeInto(fact, s"$workDir/fact", Seq("claim_id"))
+
+      // 4. Gold: measure rollup snapshot off the merged fact. The
+      // fact-store count reads the version the merge just committed —
+      // concurrent with the gold aggregation over the same snapshot
+      // (both read-only against committed files).
+      val mergedFact = SnapshotStore.read(spark, s"$workDir/fact").get
+      val fFact = scala.concurrent.Future(mergedFact.count())(ec)
+      val gold = mergedFact.groupBy(col("status"))
+        .agg(count(lit(1)).as("n_claims"),
+          Measures.decSum(col("amount")).as("total_amount"))
+      SnapshotStore.commit(gold, s"$workDir/gold")
+
+      // 5. advance watermark; emit run metrics (joining the concurrent
+      // probes — same values, same one-pass aggregates as the
+      // sequential form).
+      import scala.concurrent.Await
+      import scala.concurrent.duration.Duration
+      val freshStats = Await.result(fFresh, Duration.Inf)
+      val freshRows = freshStats.getLong(0)
+      freshStats.get(1) match {
+        case t: java.sql.Timestamp => Watermark.write(wmPath, t.toInstant)
+        case d: java.time.LocalDateTime => // TIMESTAMP_NTZ read as UTC wall time
+          Watermark.write(wmPath, d.toInstant(java.time.ZoneOffset.UTC))
+        case _ => // empty increment: leave the watermark untouched
+      }
+      val dqStats = Await.result(fDq, Duration.Inf)
+      val metrics = Seq(
+        ("fresh_rows", freshRows),
+        ("clean_rows", if (dqStats.isNullAt(0)) 0L else dqStats.getLong(0)),
+        ("quarantined_rows", if (dqStats.isNullAt(1)) 0L else dqStats.getLong(1)),
+        ("fact_rows", Await.result(fFact, Duration.Inf)),
+        ("dim_rows", Await.result(fDim, Duration.Inf)),
+        ("gold_rows", gold.count()))
+        .toDF("stage", "rows")
+      fresh.unpersist()
+      flagged.unpersist()
+      metrics
+    } finally pool.shutdown(): Unit
   }
 
   /** [[run]]'s chain expressed through [[operators.PipelineRunner]] —
