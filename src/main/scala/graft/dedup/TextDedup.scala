@@ -682,11 +682,17 @@ object TextDedup {
     val v = currentBucketedVersion(spark, name).getOrElse(
       throw new IllegalStateException(s"no bucketed dedup index named $name"))
     // the index is self-describing: band the incoming side at the
-    // COMMITTED plan (the pool-prefix contract makes the batch's
-    // bands·rows-length signature slice-identical to the corpus's
-    // stored full-K signature slices)
+    // COMMITTED plan. The batch is SIGNED at the full pool length, not
+    // at bands·rows: the pool-prefix contract makes banding's slices
+    // identical either way, and the full-K signature plan is
+    // canonically the same for every probe of one batch — so a retune
+    // flow that probes before AND after a reband (d8b's contract)
+    // shares ONE cached shingle+sign pass across both probes instead
+    // of re-signing the batch per committed plan (the second pass was
+    // a full batch text scan; the price is hashing the pool tail per
+    // shingle on the first probe).
     val (pb, pr) = committedPlan(spark, name, v)
-    val tb = sigged(incoming, id, text, storage, pb * pr)
+    val tb = sigged(incoming, id, text, storage, MinHashPoolA.size)
     val cand = BucketedStore.table(spark, name, "bands", v).as("a")
       .join(banded(tb, pb, pr).as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
