@@ -568,10 +568,34 @@ object TextDedup {
     BucketedStore.currentVersion(spark, name)
 
   /** Drop every catalog object and on-disk remnant of bucketed index
-    * `name` (see [[BucketedStore.drop]]). */
+    * `name` (see [[BucketedStore.drop]]). Also forgets the session's
+    * memoized plans for `name`: a rebuilt index restarts at version 0,
+    * so a retained (name, 0) memo entry could answer with the dropped
+    * index's plan. */
   def dropDedupIndexBucketed(spark: org.apache.spark.sql.SparkSession,
-                             name: String): Unit =
+                             name: String): Unit = {
+    planMemo.synchronized {
+      Option(planMemo.get(spark)).foreach(_.filterInPlace {
+        case ((n, _), _) => n != name
+      }): Unit
+    }
     BucketedStore.drop(spark, name, DedupIndexTables)
+  }
+
+  /** Session-scoped memo of committed plans: a version's one-row
+    * `plan` member is written exactly once at commit and never
+    * mutated, so re-reading it is pure control-plane work a memo can
+    * answer — the same immutable-metadata argument as
+    * [[graft.sources.Tables]]' plan memo (and the same weak session
+    * key so stopped test sessions aren't pinned). Every probe and
+    * every reband resolves the plan, so a retune key paid 3+ one-row
+    * `head()` jobs per invocation for values that cannot change.
+    * Invalidation: only [[dropDedupIndexBucketed]] can make a
+    * (name, version) recur with different content — it clears the
+    * name's entries. */
+  private val planMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Int), (Int, Int)]]()
 
   /** Commit one bucketed-index version. `docs` always stores the FULL
     * K=16 signature (plan-agnostic — the pool-prefix contract lets any
@@ -582,7 +606,8 @@ object TextDedup {
   private def commitBucketed(index: DataFrame, name: String, buckets: Int,
                              bands: Int = Bands,
                              rowsPerBand: Int = RowsPerBand,
-                             carryDocsFrom: Option[Int] = None): Int = {
+                             carryDocsFrom: Option[Int] = None,
+                             carryBandsFrom: Option[Int] = None): Int = {
     require(bands >= 1 && rowsPerBand >= 1 &&
       bands * rowsPerBand <= Bands * RowsPerBand,
       s"bands*rowsPerBand must be in [1, ${Bands * RowsPerBand}] " +
@@ -592,29 +617,45 @@ object TextDedup {
     // carryDocsFrom: the docs member is byte-identical to that
     // version's (a reband recomputes only bands+plan — its documented
     // contract), so publish it as a carried view instead of rewriting
-    // the corpus-sized member (BucketedStore.Carry)
+    // the corpus-sized member (BucketedStore.Carry). carryBandsFrom:
+    // same for bands when a donor version provably holds
+    // content-identical bands (same plan, same docs backing — the
+    // caller's check, see rebandDedupIndexBucketed).
     BucketedStore.commit(spark, name,
       Seq(
-        BucketedStore.Member("bands", banded(index, bands, rowsPerBand),
-          Seq("band", "bsig")),
         BucketedStore.Member("plan",
           Seq((bands, rowsPerBand)).toDF("bands", "rows_per_band"))) ++
+        (if (carryBandsFrom.isEmpty)
+          Seq(BucketedStore.Member("bands", banded(index, bands, rowsPerBand),
+            Seq("band", "bsig")))
+        else Nil) ++
         (if (carryDocsFrom.isEmpty)
           Seq(BucketedStore.Member("docs", index, Seq("doc_id")))
         else Nil),
       buckets,
-      carryDocsFrom.map(BucketedStore.Carry("docs", _)).toSeq)
+      carryDocsFrom.map(BucketedStore.Carry("docs", _)).toSeq ++
+        carryBandsFrom.map(BucketedStore.Carry("bands", _)).toSeq)
   }
 
   /** The committed banding plan of version `v` — the one-row `plan`
     * member (control-plane read); indexes committed before the plan
     * member existed read as the default (4, 4). */
   def committedPlan(spark: org.apache.spark.sql.SparkSession,
-                    name: String, v: Int): (Int, Int) =
-    if (spark.catalog.tableExists(s"${name}_plan_v$v")) {
-      val r = BucketedStore.table(spark, name, "plan", v).head()
-      (r.getInt(0), r.getInt(1))
-    } else (Bands, RowsPerBand)
+                    name: String, v: Int): (Int, Int) = {
+    val perSession = planMemo.synchronized {
+      var m = planMemo.get(spark)
+      if (m == null) {
+        m = new scala.collection.concurrent.TrieMap[(String, Int), (Int, Int)]()
+        planMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((name, v),
+      if (spark.catalog.tableExists(s"${name}_plan_v$v")) {
+        val r = BucketedStore.table(spark, name, "plan", v).head()
+        (r.getInt(0), r.getInt(1))
+      } else (Bands, RowsPerBand))
+  }
 
   /** Build and commit the full BUCKETED dedup index for `docs` as
     * metastore tables `<name>_bands` / `<name>_docs`; returns the
@@ -716,13 +757,39 @@ object TextDedup {
                                buckets: Int = 32): Int = {
     val v = currentBucketedVersion(spark, name).getOrElse(
       throw new IllegalStateException(s"no bucketed dedup index named $name"))
+    // IDEMPOTENT: a reband to the already-committed plan would write a
+    // byte-identical version (bands is a pure function of the stored
+    // signatures and the plan) — return the current version instead of
+    // churning one. Retune flows reset the index to a known plan every
+    // run; in steady state that reset is this no-op.
+    if (committedPlan(spark, name, v) == ((bands, rowsPerBand))) return v
     // docs CARRIES (content-identical across a reband): only bands —
     // map-only from the stored signatures — and the one-row plan are
     // written, which is what "no re-shingling, no corpus text scan,
     // no re-signing" must mean at 100 TB: a reband that rewrote the
-    // docs member would pay a full corpus write anyway
+    // docs member would pay a full corpus write anyway.
+    // bands ALSO carries when a retained version provably holds
+    // content-identical bands — same committed plan AND same docs
+    // physical backing (bands = banded(docs, plan), deterministic) AND
+    // a physical bands table bucketed as requested. A retune loop
+    // oscillating between two known plans (reset → demote → reset…)
+    // then commits only the one-row plan member: the 100 TB shape of
+    // a reband between plans whose band tables both already exist.
+    val docsBacking = BucketedStore.backingVersion(spark, name, "docs", v)
+    val donor = (math.max(0, v - 1) to v).findLast { w =>
+      committedPlan(spark, name, w) == ((bands, rowsPerBand)) &&
+        spark.catalog.tableExists(s"${name}_docs_v$w") &&
+        BucketedStore.backingVersion(spark, name, "docs", w) == docsBacking &&
+        spark.catalog.tableExists(s"${name}_bands_v$w") && {
+          val pb = BucketedStore.backingVersion(spark, name, "bands", w)
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_bands_v$pb"))
+            .bucketSpec.exists(_.numBuckets == buckets)
+        }
+    }
     commitBucketed(BucketedStore.table(spark, name, "docs", v),
-      name, buckets, bands, rowsPerBand, carryDocsFrom = Some(v))
+      name, buckets, bands, rowsPerBand, carryDocsFrom = Some(v),
+      carryBandsFrom = donor)
   }
 
   /** [[lshOperatingReport]] computed ENTIRELY off the bucketed index —
@@ -743,9 +810,23 @@ object TextDedup {
     }
     val v = currentBucketedVersion(spark, name).getOrElse(
       throw new IllegalStateException(s"no bucketed dedup index named $name"))
+    // address docs at its backing PHYSICAL table: a reband CARRIES
+    // docs, so reading through the carried view would (a) key the
+    // session caches below on a view name retention later drops —
+    // DROP VIEW uncaches dependent entries — and (b) make two
+    // versions' byte-identical reports plan-distinct. The physical
+    // table is the carry's own content pin.
     val t = Caching.persisted(
-      BucketedStore.table(spark, name, "docs", v), storage)
-    operatingReportMulti(t, configs, minJaccard)
+      BucketedStore.physicalTable(spark, name, "docs", v), storage)
+    // persist the REPORT too (configs-sized — one row per config):
+    // the report is a pure function of the stored docs member and the
+    // config list, and retune flows price the SAME index repeatedly
+    // under different budgets (the budget enters only the driver-side
+    // choose step) — the persisted one-row frame lets every later
+    // pricing of this docs member skip the union verify join, the
+    // single most expensive job of a retune invocation (measured
+    // ~2 s at sf0.1).
+    Caching.persisted(operatingReportMulti(t, configs, minJaccard), storage)
   }
 
   /** Close the retune loop: measure the operating report on the live

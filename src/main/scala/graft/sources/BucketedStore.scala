@@ -56,21 +56,56 @@ object BucketedStore {
   private def tableType(spark: SparkSession, table: String): String =
     spark.catalog.getTable(table).tableType
 
+  /** Drop a store VIEW by its catalog metadata alone — WITHOUT the
+    * `DROP VIEW` command's cache cascade. That cascade uncaches every
+    * session-cache entry whose plan `sameResult`s the view body; a
+    * store view's body is `SELECT * FROM <member physical table>`, so
+    * the cascade destroys caches built on the MEMBER TABLE itself —
+    * caches that remain perfectly valid (version-pinned objects are
+    * write-once: a dropped pinned view is never re-pointed, and the
+    * physical table it aliased is retention-protected while any
+    * retained version still carries it). Measured: without this,
+    * every commit's retention/convenience-view pass silently evicted
+    * the session's operator caches over member tables, re-paying the
+    * dedup retune report (~2 s at sf0.1) on every pricing of an
+    * unchanged corpus. Views have no data files, so the metadata drop
+    * is complete. */
+  private def dropViewNoUncache(spark: SparkSession, viewName: String): Unit =
+    spark.sessionState.catalog.dropTable(
+      org.apache.spark.sql.catalyst.TableIdentifier(viewName),
+      ignoreIfNotExists = true, purge = false)
+
   /** The version whose PHYSICAL table backs member `suffix` at
-    * `version`: carried members are views onto the nearest existing
-    * PHYSICAL table below them (carry publishes views resolved to the
-    * physical directly, never view-on-view), and retention may have
-    * dropped intermediate versions entirely — so the walk steps down
-    * past views AND holes until it lands on a table. A fresh write
-    * always lands at a HIGHER version than every view created before
-    * it, so the nearest existing physical below a view is exactly its
-    * target. */
+    * `version`. A carried member is a view whose body names its
+    * backing table outright (`SELECT * FROM <member>_v<P>` — carry
+    * publishes views resolved to the physical directly, never
+    * view-on-view), so a view resolves by PARSING its own definition:
+    * carries may target any older physical, not merely the nearest
+    * one below (e.g. a reband donor-carries the bands of the retained
+    * version that matches the new plan, skipping over a different
+    * physical in between). Retention may additionally have dropped
+    * intermediate versions entirely — holes (and any unparsable view)
+    * fall back to stepping down one version. */
   private def physicalVersion(spark: SparkSession, name: String,
                               suffix: String, version: Int): Int = {
     def tbl(p: Int) = s"${name}_${suffix}_v$p"
+    val targetRx = (java.util.regex.Pattern.quote(s"${name}_${suffix}_v") +
+      "(\\d+)").r
     var p = version
     while (p > 0 && (!spark.catalog.tableExists(tbl(p)) ||
-        tableType(spark, tbl(p)) == "VIEW")) p -= 1
+        tableType(spark, tbl(p)) == "VIEW")) {
+      val jump: Option[Int] =
+        if (spark.catalog.tableExists(tbl(p)))
+          (try spark.sessionState.catalog
+            .getTempViewOrPermanentTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(tbl(p)))
+            .viewText
+          catch { case _: Exception => None })
+            .flatMap(t => targetRx.findFirstMatchIn(t).map(_.group(1).toInt))
+            .filter(_ < p)
+        else None
+      p = jump.getOrElse(p - 1)
+    }
     require(spark.catalog.tableExists(tbl(p)) &&
       tableType(spark, tbl(p)) != "VIEW",
       s"no physical table backs member '$suffix' of '$name' at or " +
@@ -78,18 +113,65 @@ object BucketedStore {
     p
   }
 
+  /** The ptr view's literal body, as [[commit]] writes it. */
+  private val PtrViewText = """(?i)\s*SELECT\s+(\d+)\s+AS\s+version\s*""".r
+
   /** The committed current version, resolved through the single
-    * atomic `<name>_ptr` view (a one-row control-plane read). */
+    * atomic `<name>_ptr` view (a one-row control-plane read).
+    *
+    * Resolution reads the view DEFINITION from the catalog — the view
+    * body is the literal `SELECT <v> AS version` that [[commit]]
+    * wrote, so the version is in the metadata itself and executing a
+    * Spark job to evaluate a constant buys nothing. Every probe,
+    * ensure gate and commit resolves the ptr (often several times per
+    * query), and each `head()` was a full scheduled job (~10-50 ms of
+    * pure action latency) — measured as a visible slice of every
+    * index-lifecycle key's wall time. Any ptr view not matching the
+    * written shape falls back to executing the view, so a hand-made
+    * pointer still resolves. */
   def currentVersion(spark: SparkSession, name: String): Option[Int] =
-    if (spark.catalog.tableExists(s"${name}_ptr"))
-      Some(spark.table(s"${name}_ptr").head().getInt(0))
-    else None
+    if (spark.catalog.tableExists(s"${name}_ptr")) {
+      val viewText =
+        try spark.sessionState.catalog
+          .getTempViewOrPermanentTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_ptr"))
+          .viewText
+        catch { case _: Exception => None }
+      Some(viewText match {
+        case Some(PtrViewText(v)) => v.toInt
+        case _ => spark.table(s"${name}_ptr").head().getInt(0)
+      })
+    } else None
 
   /** Member `suffix` at pinned `version` — how every consistent
     * reader must address member tables. */
   def table(spark: SparkSession, name: String, suffix: String,
             version: Int): DataFrame =
     spark.table(s"${name}_${suffix}_v$version")
+
+  /** Member `suffix` at pinned `version`, addressed at its backing
+    * PHYSICAL table (identical content — a carried version's view is
+    * a pure alias). Two uses where the alias hurts: (1) a session-
+    * persisted frame built over a carried VIEW is uncached when
+    * retention later drops that view (DROP VIEW invalidates dependent
+    * cache entries), while the physical table outlives every carry
+    * that references it (retention keeps it, see [[commit]]); (2) two
+    * versions that carry the same member produce canonically EQUAL
+    * plans here, so session caches built on one version are shared by
+    * the other — the content is byte-identical by construction. */
+  def physicalTable(spark: SparkSession, name: String, suffix: String,
+                    version: Int): DataFrame =
+    spark.table(
+      s"${name}_${suffix}_v${physicalVersion(spark, name, suffix, version)}")
+
+  /** The version number whose physical table backs member `suffix` at
+    * `version` — [[physicalTable]]'s resolution, exposed so a consumer
+    * can test whether two versions share a member's CONTENT (carried
+    * members alias the same physical: equal backing version ⇔ equal
+    * bytes, the write-once protocol's content pin). */
+  def backingVersion(spark: SparkSession, name: String, suffix: String,
+                     version: Int): Int =
+    physicalVersion(spark, name, suffix, version)
 
   /** Write all `members` as the next version, swap the ptr, refresh
     * the convenience views, drop versions behind the retained window.
@@ -155,9 +237,18 @@ object BucketedStore {
       spark.sql(s"CREATE VIEW $t AS SELECT * FROM ${name}_${c.suffix}_v$p")
     }
     val suffixes = members.map(_.suffix) ++ carry.map(_.suffix)
+    // the ptr stays CREATE OR REPLACE — ITS swap is the protocol's
+    // atomicity, and its literal body sameResults nothing cacheable
     spark.sql(s"CREATE OR REPLACE VIEW ${name}_ptr AS SELECT $v AS version")
+    // convenience views repoint WITHOUT the replace-command's cache
+    // cascade (see dropViewNoUncache — replacing `SELECT * FROM
+    // <old member>` would uncache valid caches over the old member
+    // table). Drop+create is not atomic, but convenience views are
+    // declared ad-hoc-only (scaladoc): consistent readers resolve the
+    // ptr and address pinned versions, never these.
     suffixes.foreach { sfx =>
-      spark.sql(s"CREATE OR REPLACE VIEW ${name}_$sfx AS " +
+      dropViewNoUncache(spark, s"${name}_$sfx")
+      spark.sql(s"CREATE VIEW ${name}_$sfx AS " +
         s"SELECT * FROM ${name}_${sfx}_v$v")
     }
     // retain exactly one prior version for in-flight readers — PLUS
@@ -175,8 +266,12 @@ object BucketedStore {
       suffixes.foreach { sfx =>
         val t = s"${name}_${sfx}_v$old"
         if (spark.catalog.tableExists(t)) {
+          // version-pinned views drop WITHOUT the cache cascade (they
+          // alias a retained physical table whose caches stay valid);
+          // physical tables keep the full DROP TABLE semantics — their
+          // files are deleted, so dependent caches MUST invalidate
           if (tableType(spark, t) == "VIEW")
-            spark.sql(s"DROP VIEW IF EXISTS $t")
+            dropViewNoUncache(spark, t)
           else if (!keepPhysical.contains(sfx -> old))
             spark.sql(s"DROP TABLE IF EXISTS $t")
         }
