@@ -67,6 +67,18 @@ object Bench {
       // hold every pass's generated classes (default 100 is far below
       // one pass's distinct codegen sources — see scaladoc)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // let AQE size CACHED plans' partitioning by bytes instead of
+      // freezing the static shuffle.partitions count into every
+      // persisted intermediate: the operators persist control-plane
+      // and sliver-sized frames (postings batches, probe slivers,
+      // stage boundaries), and with this off every consumer job of a
+      // cached frame pays one task per frozen partition regardless of
+      // size. Scale-adaptive by construction (AQE's advisory target),
+      // not a local[32] constant. Measured (JobProfile, sf0.1):
+      // e8b 865→369 tasks / 114.6→46.4 task-s, e8d 1120→612 / 159→72,
+      // c6 1046→271 / 105→54, e20 745→559 / 71→43.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val onlyQ: Option[Set[String]] = sys.env.get("SPARK_GRAFT_QUERIES")

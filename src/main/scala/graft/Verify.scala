@@ -21,6 +21,11 @@ object Verify {
       // hold the full suite's generated classes (default 100 entries
       // forces Janino recompiles across the run — see Bench scaladoc)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // AQE-sized cached-plan partitioning — same setting as Bench
+      // (see the rationale there); Verify must execute the plans the
+      // bench times
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

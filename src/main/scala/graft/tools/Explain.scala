@@ -19,6 +19,10 @@ object Explain {
       .withExtensions(new graft.GraftExtensions())
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", false)
+      // match Bench/Verify: AQE-sized cached-plan partitioning, so the
+      // audited plans are the shipped plans
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (k <- keys) {

@@ -38,10 +38,11 @@ object JobProfile {
       // respect advisoryPartitionSizeInBytes)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PFIRST", "true"))
-      // SPARK_GRAFT_CACHEAQE=true lets AQE re-partition cached plans
-      // (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning)
+      // SPARK_GRAFT_CACHEAQE=false re-freezes cached-plan partitioning
+      // (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning);
+      // default matches Bench/Verify, which now ship true
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        sys.env.getOrElse("SPARK_GRAFT_CACHEAQE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_CACHEAQE", "true"))
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

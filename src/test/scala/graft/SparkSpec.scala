@@ -15,6 +15,10 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // AQE-sized cached-plan partitioning, as in Bench/Verify — specs
+    // must exercise the same physical behavior the driver runs
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      "true")
     .getOrCreate()
 
   val SfDir = "/root/testdata/sf0.001"
