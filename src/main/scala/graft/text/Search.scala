@@ -257,25 +257,31 @@ object Search {
     val pOld = graft.Caching.persisted(
       tab("postings").join(broadcast(ids), "doc_id"), storage)
     val dlOld = tab("doclen").join(broadcast(ids), "doc_id")
-    def dfOf(p: DataFrame) = p.groupBy("token").agg(count(lit(1)).as("d"))
     val postings = tab("postings").join(broadcast(ids), Seq("doc_id"), "left_anti")
       .unionAll(pNew)
     val dl = tab("doclen").join(broadcast(ids), Seq("doc_id"), "left_anti")
       .unionAll(dlNew)
+    // old and new contributions aggregate in ONE pass each (a signed
+    // union replaces the former per-side agg + full_outer-join chain:
+    // dfn − d_old + d_new ≡ dfn + Σ(±1), exact integer arithmetic) —
+    // one aggregation job and one join instead of two of each
+    val dfDelta = pOld.select(col("token"), lit(-1L).as("d"))
+      .unionAll(pNew.select(col("token"), lit(1L).as("d")))
+      .groupBy("token").agg(sum(col("d")).as("d"))
     val termstats = tab("termstats")
-      .join(dfOf(pOld).withColumnRenamed("d", "d_old"), Seq("token"), "full_outer")
-      .join(dfOf(pNew).withColumnRenamed("d", "d_new"), Seq("token"), "full_outer")
+      .join(dfDelta, Seq("token"), "full_outer")
       .select(col("token"),
-        (coalesce(col("dfn"), lit(0L)) - coalesce(col("d_old"), lit(0L))
-          + coalesce(col("d_new"), lit(0L))).as("dfn"))
+        (coalesce(col("dfn"), lit(0L)) + coalesce(col("d"), lit(0L))).as("dfn"))
       .filter(col("dfn") > 0)
-    val deltas = dlOld.agg(count(lit(1)).as("o_n"), sum(col("dl")).as("o_s"))
-      .crossJoin(dlNew.agg(count(lit(1)).as("n_n"), sum(col("dl")).as("n_s")))
+    // same signed-union collapse for the one-row corpus stats:
+    // (n − o_n + n_n, Σdl − o_s + n_s) ≡ (n, Σdl) + Σ(±1, ±dl)
+    val deltas = dlOld.select(lit(-1L).as("sgn"), col("dl"))
+      .unionAll(dlNew.select(lit(1L).as("sgn"), col("dl")))
+      .agg(sum(col("sgn")).as("d_n"), sum(col("sgn") * col("dl")).as("d_s"))
     val stats = tab("stats").crossJoin(broadcast(deltas))
       .select(
-        (col("n_docs") - col("o_n") + col("n_n")).as("n_docs"),
-        (col("sum_dl") - coalesce(col("o_s"), lit(0L))
-          + coalesce(col("n_s"), lit(0L))).as("sum_dl"))
+        (col("n_docs") + coalesce(col("d_n"), lit(0L))).as("n_docs"),
+        (col("sum_dl") + coalesce(col("d_s"), lit(0L))).as("sum_dl"))
     // an index written with metaCols keeps its metadata current: the
     // incoming batch must carry the same columns (fail-fast select)
     val meta =
@@ -320,17 +326,25 @@ object Search {
         (col("dfn") - coalesce(col("d_old"), lit(0L))).as("dfn"))
       .filter(col("dfn") > 0)
     val deltas = dlOld.agg(count(lit(1)).as("o_n"), sum(col("dl")).as("o_s"))
-    val stats = tab("stats").crossJoin(broadcast(deltas))
+    // the new one-row stats are computed ONCE (this action) and
+    // committed as a literal row — the former shape ran the guard
+    // action over the full delta chain and then RE-RAN that chain as
+    // the stats member's write job
+    val statsRow = tab("stats").crossJoin(broadcast(deltas))
       .select((col("n_docs") - col("o_n")).as("n_docs"),
         (col("sum_dl") - coalesce(col("o_s"), lit(0L))).as("sum_dl"))
+      .head()
     // empty-index boundary: deleting the FULL corpus would commit
     // n_docs=0 and a later probe's avgdl = sum_dl/n_docs would go
     // NULL instead of matching a fresh build of the (empty) survivor
     // set — that lifecycle end is dropIndex's job, so refuse here.
     // One one-row job over delete-set-sized inputs; takedown batches
     // are tiny, so the extra action is noise.
-    require(stats.head().getLong(0) > 0,
+    require(statsRow.getLong(0) > 0,
       s"deleteFromIndex would empty BM25 index '$name'; use dropIndex")
+    import spark.implicits._
+    val stats = Seq((statsRow.getLong(0), statsRow.getLong(1)))
+      .toDF("n_docs", "sum_dl")
     commitIndex(spark, name,
       tab("postings").join(broadcast(del), Seq("doc_id"), "left_anti"),
       tab("doclen").join(broadcast(del), Seq("doc_id"), "left_anti"),
